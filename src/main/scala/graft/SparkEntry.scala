@@ -1,13 +1,496 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{DateOps, TextFunctions}
+import graft.operators.{Dedup, Similarity}
+import graft.ops.{Closure, Relational}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry exercises one operator family from SURVEY §2 (or a north-star
+  * extension) on the driver-generated parquet tables; `oracleSql` holds the
+  * DuckDB-equivalent ANSI SQL for the hash-match correctness gate.
+  *
+  * Parity rules used throughout (so DuckDB and Spark agree bit-for-bit):
+  *  - every computed column is aliased identically on both sides;
+  *  - count-like outputs are BIGINT on both sides (Spark ints are cast);
+  *  - arithmetic results are rounded (2 dp money, 6 dp ratios) on both sides;
+  *  - passthrough values are never re-rounded;
+  *  - window/dedup orderings always carry a unique tiebreak column
+  *    (SURVEY §7 hard part 1: no implicit row order in a distributed frame).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q03_join_broadcast")(spark, "/root/testdata/sf0.001")
+
+  // ---- q01: A1 grouped NA-preserving sum + avg/count (pricing summary) ----
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("sum_disc_price"),
+        round(sum(when(col("l_tax") > 0.05, col("l_tax"))), 6).as("sum_high_tax"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        count(lit(1)).as("n_rows"))
+
+  // ---- q02: F2-F5 predicates + P1 projection + string scalar functions ----
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).part
+      .filter(col("p_type").rlike("LARGE|SMALL") &&
+        length(col("p_name")) > 9 && col("p_size").between(5, 40))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("p_name_upper"),
+        regexp_replace(col("p_type"), "\\s+", "_").as("p_type_slug"),
+        col("p_size"),
+        expr("right(p_brand, 2)").as("brand_suffix"))
+
+  // ---- q03: J2/J4 broadcast dimension joins ----
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val c = t.customer; val n = t.nation; val r = t.region
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 6).as("sum_acctbal"))
+  }
+
+  // ---- q04/q05: F6 membership split (left_semi / left_anti) ----
+  private def urgentCusts(t: Tables): DataFrame =
+    t.orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer.join(urgentCusts(t), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 6).as("sum_acctbal"))
+  }
+
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer.join(urgentCusts(t), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 6).as("sum_acctbal"))
+  }
+
+  // ---- q06: A3 deterministic first-per-group (latest order per customer) ----
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    Relational.firstPerGroup(
+        Tables(s, dir).orders,
+        keys = Seq("o_custkey"),
+        order = Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey"), col("o_orderkey").as("last_orderkey"),
+        col("o_orderdate").as("last_orderdate"), col("o_totalprice").as("last_totalprice"))
+
+  // ---- q07: W1/W2 running sum + lag within customer order history ----
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(s, dir).orders.select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      round(sum(col("o_totalprice")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6).as("cum_spend"),
+      (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta_prev"),
+      row_number().over(w).cast("long").as("order_seq"))
+  }
+
+  // ---- q08: W3 fill-down (LOCF) of last purchase value per user ----
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir).events.select(
+      col("user_id"), col("event_id"), col("ts"), col("event_type"),
+      last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+        .over(w).as("last_purchase_value"))
+  }
+
+  // ---- q09: U1 union-by-name with null fill ----
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_totalprice").as("price"))
+    val closed = o.filter(col("o_orderstatus") =!= "O")
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"))
+    Relational.unionByNameFill(Seq(open, closed))
+  }
+
+  // ---- q10: U3 wide→long unpivot + re-aggregate ----
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .groupBy(col("measure"))
+      .agg(round(sum(col("val")), 6).as("total"), count(lit(1)).as("n"))
+
+  // ---- q11: U2 posexplode of embedding arrays → per-label centroids ----
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("x"))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("avg_x"), count(lit(1)).as("n"))
+
+  // ---- q12: §1.4 null-safe division + U5 nullif/coalesce sentinel logic ----
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem.select(
+      col("l_orderkey"), col("l_linenumber"),
+      Relational.safeDiv(col("l_extendedprice") * col("l_discount"), col("l_tax"))
+        .as("disc_per_tax"),
+      coalesce(nullif(col("l_returnflag"), lit("N")), col("l_linestatus")).as("flag_resolved"))
+
+  // ---- q13: J7 iterative transitive closure over a successor edge list ----
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables(s, dir).supplier
+    val nodes = sup.select(col("s_suppkey").as("node"))
+    val edges = sup.filter(col("s_suppkey") >= 2)
+      .select(col("s_suppkey").as("src"), expr("s_suppkey div 2").as("dst"))
+    Closure.resolve(nodes, edges).select(col("old_code"), col("final_code"), col("hops"))
+  }
+
+  // ---- q14: F7 group-quantified filter (any/all via max/min) ----
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("any_urgent"),
+        min(when(col("o_totalprice") > 100000, 1).otherwise(0)).as("all_above_100k"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("any_urgent") === 1 || col("all_above_100k") === 1)
+
+  // ---- q15: S8/§2.9 calendar + NHS fiscal-calendar derivations ----
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders.select(
+      col("o_orderkey"), col("o_orderdate"),
+      year(col("o_orderdate")).cast("long").as("cal_year"),
+      quarter(col("o_orderdate")).cast("long").as("cal_quarter"),
+      DateOps.monthName(col("o_orderdate")).as("month_name"),
+      DateOps.fiscalQuarter(col("o_orderdate")).as("fiscal_quarter"),
+      DateOps.fiscalStartYear(col("o_orderdate")).as("fiscal_start_year"),
+      DateOps.fiscalYearLabel(col("o_orderdate")).as("fiscal_label"),
+      add_months(to_date(col("o_orderdate")), 3).as("plus3m"))
+
+  // ---- q16: exact dedup clusters by content hash ----
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactClusters(Tables(s, dir).documents, "doc_id", "text")
+
+  // ---- q17: text quality statistics ----
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.select(
+      col("doc_id"), col("lang"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.charCount(col("text")).as("n_chars_obs"),
+      TextFunctions.stopwordCount(col("text")).as("n_stopwords"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextFunctions.avgTokenLen(col("text")).as("avg_token_len"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+
+  // ---- q18: sessionization (gaps-and-islands; batch analog of streaming state) ----
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    val gap = tsUs - lag(tsUs, 1).over(w)
+    Tables(s, dir).events
+      .withColumn("is_new", when(gap.isNull || gap > lit(1800000000L), 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_event_types"))
+  }
+
+  // ---- q19: brute-force cosine top-k similarity search ----
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+  }
+
+  // ---- q20: streaming-analog tumbling-window aggregation over events ----
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  // ---- q21: n-gram/stopword language ID ----
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val scores = TextFunctions.langScores(col("text")).toSeq.sortBy(_._1)
+    val scoreCols = scores.map { case (lang, c) => c.as(s"score_$lang") }
+    Tables(s, dir).documents.select(
+      (col("doc_id") +: col("lang").as("lang_declared") +:
+        TextFunctions.langId(col("text")).as("lang_detected") +: scoreCols): _*)
+  }
+
+  // ---- q22: MinHash-LSH near-dup pairs (rows-only check: not SQL-oracle-able) ----
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(Tables(s, dir).documents, "doc_id", "text")
+
+  // ---- q23: SimHash + rolling-hash document fingerprints (rows-only) ----
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      TextFunctions.simhash64(TextFunctions.tokens(col("text"))).as("simhash"),
+      TextFunctions.docFingerprint(col("text")).as("fingerprint"))
+
+  // ---- q24: LSH-bucketed approximate nearest neighbors (rows-only) ----
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 5, nPlanes = 8, probeBits = 4)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_group_sum"        -> q01 _,
+    "q02_filter_project"   -> q02 _,
+    "q03_join_broadcast"   -> q03 _,
+    "q04_semi_join"        -> q04 _,
+    "q05_anti_join"        -> q05 _,
+    "q06_first_per_group"  -> q06 _,
+    "q07_window_cumsum"    -> q07 _,
+    "q08_fill_locf"        -> q08 _,
+    "q09_union_by_name"    -> q09 _,
+    "q10_unpivot"          -> q10 _,
+    "q11_explode_pos"      -> q11 _,
+    "q12_null_safe_div"    -> q12 _,
+    "q13_closure"          -> q13 _,
+    "q14_group_quantified" -> q14 _,
+    "q15_fiscal_dates"     -> q15 _,
+    "q16_dedup_exact"      -> q16 _,
+    "q17_text_stats"       -> q17 _,
+    "q18_sessionize"       -> q18 _,
+    "q19_knn_cosine"       -> q19 _,
+    "q20_events_hourly"    -> q20 _,
+    "q21_langid"           -> q21 _,
+    "q22_minhash_lsh"      -> q22 _,
+    "q23_simhash"          -> q23 _,
+    "q24_knn_lsh"          -> q24 _,
+  )
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for q22/q23/q24 (hash-family ops not
+    * reproducible in SQL) → driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_group_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 6) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+        | round(sum(CASE WHEN l_tax > 0.05 THEN l_tax END), 6) AS sum_high_tax,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT p_partkey, upper(p_name) AS p_name_upper,
+        | regexp_replace(p_type, '\s+', '_', 'g') AS p_type_slug,
+        | p_size, right(p_brand, 2) AS brand_suffix
+        |FROM part
+        |WHERE regexp_matches(p_type, 'LARGE|SMALL')
+        |  AND length(p_name) > 9 AND p_size BETWEEN 5 AND 40""".stripMargin,
+
+    "q03_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        | round(sum(c_acctbal), 6) AS sum_acctbal
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        | round(sum(c_acctbal), 6) AS sum_acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        | round(sum(c_acctbal), 6) AS sum_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q06_first_per_group" ->
+      """SELECT o_custkey, last_orderkey, last_orderdate, last_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey AS last_orderkey,
+        |    o_orderdate AS last_orderdate, o_totalprice AS last_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+
+    "q07_window_cumsum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_spend,
+        | (o_totalprice - lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey)) AS delta_prev,
+        | CAST(row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+        |FROM orders""".stripMargin,
+
+    "q08_fill_locf" ->
+      """SELECT user_id, event_id, ts, event_type,
+        | last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+        |FROM events""".stripMargin,
+
+    "q09_union_by_name" ->
+      """SELECT o_orderkey, o_totalprice AS price, CAST(NULL AS VARCHAR) AS priority
+        |FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS DOUBLE) AS price, o_orderpriority AS priority
+        |FROM orders WHERE o_orderstatus <> 'O'""".stripMargin,
+
+    "q10_unpivot" ->
+      """SELECT 'l_quantity' AS measure, round(sum(l_quantity), 6) AS total, count(*) AS n FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount' AS measure, round(sum(l_discount), 6) AS total, count(*) AS n FROM lineitem
+        |UNION ALL
+        |SELECT 'l_tax' AS measure, round(sum(l_tax), 6) AS total, count(*) AS n FROM lineitem""".stripMargin,
+
+    "q11_explode_pos" ->
+      """SELECT label, pos, round(avg(x), 6) AS avg_x, count(*) AS n FROM (
+        |  SELECT label, unnest(embedding) AS x,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos
+        |  FROM embeddings)
+        |GROUP BY label, pos""".stripMargin,
+
+    "q12_null_safe_div" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_tax = 0 OR l_tax IS NULL THEN NULL
+        |      ELSE l_extendedprice * l_discount / l_tax END AS disc_per_tax,
+        | coalesce(nullif(l_returnflag, 'N'), l_linestatus) AS flag_resolved
+        |FROM lineitem""".stripMargin,
+
+    "q13_closure" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT s_suppkey AS old_code, s_suppkey AS cur, 0 AS hops FROM supplier
+        |  UNION ALL
+        |  SELECT old_code, cur // 2, hops + 1 FROM walk WHERE cur >= 2
+        |)
+        |SELECT old_code, cur AS final_code, hops FROM walk WHERE cur < 2""".stripMargin,
+
+    "q14_group_quantified" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS any_urgent,
+        |    min(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS all_above_100k,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |WHERE any_urgent = 1 OR all_above_100k = 1""".stripMargin,
+
+    "q15_fiscal_dates" ->
+      """SELECT o_orderkey, o_orderdate,
+        | year(o_orderdate) AS cal_year,
+        | quarter(o_orderdate) AS cal_quarter,
+        | monthname(o_orderdate) AS month_name,
+        | CASE WHEN month(o_orderdate) BETWEEN 4 AND 6 THEN 'Q1'
+        |      WHEN month(o_orderdate) BETWEEN 7 AND 9 THEN 'Q2'
+        |      WHEN month(o_orderdate) BETWEEN 10 AND 12 THEN 'Q3'
+        |      ELSE 'Q4' END AS fiscal_quarter,
+        | CASE WHEN month(o_orderdate) >= 4 THEN year(o_orderdate)
+        |      ELSE year(o_orderdate) - 1 END AS fiscal_start_year,
+        | 'FY' || CAST(CASE WHEN month(o_orderdate) >= 4 THEN year(o_orderdate)
+        |      ELSE year(o_orderdate) - 1 END AS VARCHAR) || '-' ||
+        |   lpad(CAST((CASE WHEN month(o_orderdate) >= 4 THEN year(o_orderdate)
+        |      ELSE year(o_orderdate) - 1 END + 1) % 100 AS VARCHAR), 2, '0') AS fiscal_label,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+        |FROM orders""".stripMargin,
+
+    "q16_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q17_text_stats" ->
+      """SELECT doc_id, lang, n_tokens, n_chars_obs, n_stopwords,
+        | punct_ratio, stopword_ratio, avg_token_len,
+        | 0.4 * least(n_tokens / 100.0, 1.0)
+        |   + 0.3 * (1.0 - coalesce(punct_ratio, 0))
+        |   + 0.3 * coalesce(stopword_ratio, 0) AS quality
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens, n_chars_obs, n_stopwords, n_punct, n_nonspace,
+        |   CASE WHEN n_chars_obs = 0 THEN NULL ELSE n_punct / n_chars_obs END AS punct_ratio,
+        |   CASE WHEN n_tokens = 0 THEN NULL ELSE n_stopwords / n_tokens END AS stopword_ratio,
+        |   CASE WHEN n_tokens = 0 THEN NULL ELSE n_nonspace / n_tokens END AS avg_token_len
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |     CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |     CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS BIGINT) AS n_stopwords,
+        |     CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+        |     CAST(len(regexp_extract_all(text, '\S')) AS BIGINT) AS n_nonspace
+        |    FROM documents))""".stripMargin,
+
+    "q18_sessionize" ->
+      """SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events, count(DISTINCT event_type) AS n_event_types
+        |FROM (
+        |  SELECT user_id, event_type,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts, event_type,
+        |      CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+        |        WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 THEN 1
+        |        ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY user_id""".stripMargin,
+
+    "q19_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT query_id, cand_id,
+        |  round(list_dot_product(qv, cv)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+        |  FROM c, q WHERE query_id <> cand_id),
+        |r AS (SELECT query_id, cand_id, cos_sim, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank FROM s)
+        |SELECT query_id, cand_id, cos_sim, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q20_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n_events, round(sum(value), 6) AS total_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q21_langid" ->
+      """SELECT doc_id, lang AS lang_declared,
+        | CASE WHEN best > 0 AND score_de = best THEN 'de'
+        |      WHEN best > 0 AND score_en = best THEN 'en'
+        |      WHEN best > 0 AND score_es = best THEN 'es'
+        |      WHEN best > 0 AND score_fr = best THEN 'fr'
+        |      ELSE 'und' END AS lang_detected,
+        | score_de, score_en, score_es, score_fr
+        |FROM (
+        |  SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
+        |    greatest(score_de, score_en, score_es, score_fr) AS best
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |     CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b')) AS BIGINT) AS score_de,
+        |     CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|it)\b')) AS BIGINT) AS score_en,
+        |     CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|que|y)\b')) AS BIGINT) AS score_es,
+        |     CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|que)\b')) AS BIGINT) AS score_fr
+        |    FROM documents))""".stripMargin,
+  )
 }

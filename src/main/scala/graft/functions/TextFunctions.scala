@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column expressions for large-scale document pipelines:
+  * token counting, quality scoring, language ID, shingling, MinHash and
+  * SimHash fingerprints. All are composed from codegen'd built-ins
+  * (`org.apache.spark.sql.functions`) — no UDFs — so they stay inside
+  * whole-stage codegen and scale linearly with no shuffle of their own.
+  */
+object TextFunctions {
+
+  /** Whitespace-delimited tokens. `regexp_extract_all('\S+')` rather than
+    * `split` so empty strings yield an empty array with no edge cases.
+    */
+  def tokens(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  def charCount(c: Column): Column = length(c).cast("long")
+
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[.,;:!?]"), lit(0))).cast("long")
+
+  /** English stopword hits (tiny fixed set, word-boundary matched). */
+  val EnglishStopwords: Seq[String] = Seq("the", "and", "of", "to", "in", "is", "a")
+
+  def stopwordCount(c: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    size(regexp_extract_all(lower(c), lit("\\b(" + stopwords.mkString("|") + ")\\b"), lit(0)))
+      .cast("long")
+
+  /** Ratio helpers are null when the denominator is zero (reference §1.4
+    * semantics: 0/0 and x/0 become NA, never NaN/Inf). Left unrounded:
+    * per-row IEEE division is bit-identical across engines, while rounding
+    * introduces half-tie divergence.
+    */
+  private def ratio(num: Column, den: Column): Column =
+    when(den === 0 || den.isNull, lit(null)).otherwise(num / den)
+
+  def punctRatio(c: Column): Column = ratio(punctCount(c), charCount(c))
+
+  def stopwordRatio(c: Column): Column = ratio(stopwordCount(c), tokenCount(c))
+
+  def avgTokenLen(c: Column): Column =
+    ratio(size(regexp_extract_all(c, lit("\\S"), lit(0))).cast("long"), tokenCount(c))
+
+  /** Heuristic document quality in [0,1]: long enough, not punctuation soup,
+    * has function words. Fixed left-associated double arithmetic so an
+    * external oracle reproduces it bit-for-bit without rounding.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore  = least(tokenCount(c).cast("double") / lit(100.0), lit(1.0))
+    val punctPen  = coalesce(punctRatio(c).cast("double"), lit(0.0))
+    val stopScore = coalesce(stopwordRatio(c).cast("double"), lit(0.0))
+    lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctPen) + lit(0.3) * stopScore
+  }
+
+  /** N-gram language ID: score per language = stopword hit-rate for that
+    * language's marker set; winner takes the label. Pure `when`-chain.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que", "y"),
+  )
+
+  def langScores(c: Column): Map[String, Column] =
+    LangMarkers.map { case (lang, words) => lang -> stopwordCount(c, words) }
+
+  def langId(c: Column): Column = {
+    val scores = langScores(c).toSeq.sortBy(_._1) // deterministic tie-break: alphabetical
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(best > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Word k-shingles as strings ("w1 w2 ... wk"). transform over an index
+    * sequence + slice keeps it inside codegen; documents shorter than k
+    * yield an empty array.
+    */
+  def wordShingles(c: Column, k: Int): Column = {
+    val ts = tokens(c)
+    when(size(ts) < k, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(1), size(ts) - lit(k - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(k)))
+      )
+    )
+  }
+
+  /** MinHash signature: k independent permutations simulated by salting the
+    * shingle with the band index before xxhash64 — the standard
+    * hash-family trick, entirely built-in expressions. Empty shingle sets
+    * get a null signature.
+    */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    when(size(shinglesCol) === 0, lit(null)).otherwise(
+      transform(
+        sequence(lit(0), lit(k - 1)),
+        i => array_min(transform(shinglesCol, s => xxhash64(concat(s, lit("#"), i.cast("string")))))
+      )
+    )
+
+  /** LSH band keys: hash of each row of the banded signature. Equal band key
+    * ⇒ candidate pair. `b` bands of `r` rows must satisfy b*r == k.
+    */
+  def lshBands(signature: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",", slice(signature, b * lit(rows) + lit(1), lit(rows)).cast("array<string>")), b)
+    )
+
+  /** 64-bit SimHash from token xxhash64s: bit i of the result is the sign of
+    * sum over tokens of (bit i set ? +1 : -1). Expressed as a fold over 64
+    * bit positions using aggregate() — built-ins only.
+    */
+  def simhash64(tokensCol: Column): Column = {
+    val hashes = transform(tokensCol, t => xxhash64(t))
+    // for each bit: count of set bits*2 - n  > 0  => bit set
+    val n = size(tokensCol)
+    val bitCols = (0 until 64).map { i =>
+      val setCount = aggregate(
+        hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L))
+      )
+      when(setCount * 2 > n.cast("long"), shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Rolling hash fingerprint of the whole document's tokens — a cheap
+    * order-sensitive document fingerprint. Shift/xor mixing only, so it
+    * cannot overflow under ANSI mode.
+    */
+  def docFingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(0L), (acc, t) =>
+      shiftleft(acc, 5).bitwiseXOR(shiftright(acc, 59)).bitwiseXOR(xxhash64(t)))
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora (north-star
+  * extension, BASELINE.json). Every variant is a declarative DataFrame plan:
+  *  - exact: one hash-groupBy shuffle, map-side combinable.
+  *  - MinHash+LSH: shingle → signature → band-bucket join. The join key is
+  *    (band, bucket), so a 100 TB self-join becomes many small per-bucket
+  *    joins instead of a cross join; skewed buckets (boilerplate docs) are
+  *    handled by AQE skew-join splitting.
+  *  - SimHash: 64-bit fingerprint + bucket-by-prefix for near-dup blocking.
+  *  - n-gram Jaccard: exact verification on LSH candidates only.
+  */
+object Dedup {
+
+  /** Exact dedup: group rows by content hash, keep the smallest id per
+    * cluster. Returns (text_hash, keep_doc_id, n_copies).
+    */
+  def exactClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Rows surviving exact dedup (the keeper of each cluster). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactClusters(docs, idCol, textCol)
+      .select(col("keep_doc_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signatures: (doc_id, sig array<bigint>). Docs shorter than the
+    * shingle size produce no signature and are dropped from near-dup search.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, numHashes: Int): DataFrame =
+    docs.select(
+        col(idCol).as("doc_id"),
+        TextFunctions.minhashSignature(
+          TextFunctions.wordShingles(col(textCol), shingleK), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** LSH candidate pairs with estimated Jaccard = fraction of equal minhash
+    * components. Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, distinct.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(TextFunctions.lshBands(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x
+    ).cast("double") / lit(numHashes)
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Exact word-shingle Jaccard for a pair frame (doc_a, doc_b) — the
+    * verification stage run only on LSH candidates, never on the full cross
+    * product. Two broadcast-eligible joins re-attach shingle sets.
+    */
+  def verifyJaccard(candidates: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, shingleK: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), shingleK)).as("__sh"))
+    val withA = candidates
+      .join(sh.select(col("__id").as("doc_a"), col("__sh").as("sh_a")), Seq("doc_a"))
+    val both = withA
+      .join(sh.select(col("__id").as("doc_b"), col("__sh").as("sh_b")), Seq("doc_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    both.select(col("doc_a"), col("doc_b"),
+      round(when(uni === 0d, lit(null)).otherwise(inter / uni), 4).as("jaccard"))
+  }
+
+  /** Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold. */
+  def nearDups(docs: DataFrame, idCol: String, textCol: String,
+               threshold: Double = 0.5, shingleK: Int = 3,
+               numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, shingleK, numHashes, bands)
+    verifyJaccard(cand, docs, idCol, textCol, shingleK)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup blocking: fingerprint + 16-bit prefix bucket. Pairs
+    * within a bucket whose Hamming distance ≤ maxHamming are near-dups.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 8): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
+      .withColumn("bucket", shiftright(col("simhash"), 48))
+    val a = fp.select(col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = fp.select(col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", TextFunctions.hamming64(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}
