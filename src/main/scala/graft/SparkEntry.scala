@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DateOps, TextFunctions}
+import graft.functions.{DateOps, SketchExpressions, TextFunctions}
 import graft.operators.{Dedup, Similarity}
 import graft.ops.{Closure, Relational}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -240,7 +240,7 @@ object SparkEntry {
   private def q23(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents.select(
       col("doc_id"),
-      TextFunctions.simhash64(TextFunctions.tokens(col("text"))).as("simhash"),
+      SketchExpressions.simhash(TextFunctions.tokens(col("text"))).as("simhash"),
       TextFunctions.docFingerprint(col("text")).as("fingerprint"))
 
   // ---- q24: LSH-bucketed approximate nearest neighbors (rows-only) ----

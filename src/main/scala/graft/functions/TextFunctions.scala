@@ -91,18 +91,20 @@ object TextFunctions {
     )
   }
 
-  /** MinHash signature: k independent permutations simulated by salting the
-    * shingle with the band index before xxhash64 — the standard
-    * hash-family trick, entirely built-in expressions. Empty shingle sets
-    * get a null signature.
+  /** MinHash signature: k independent permutations simulated by re-hashing
+    * each shingle's base hash with the permutation index — xxhash64 over
+    * (long, int), never per-permutation string building, so the hot path is
+    * k·|shingles| cheap long hashes. Empty shingle sets get a null signature.
     */
-  def minhashSignature(shinglesCol: Column, k: Int): Column =
+  def minhashSignature(shinglesCol: Column, k: Int): Column = {
+    val baseHashes = transform(shinglesCol, s => xxhash64(s))
     when(size(shinglesCol) === 0, lit(null)).otherwise(
       transform(
         sequence(lit(0), lit(k - 1)),
-        i => array_min(transform(shinglesCol, s => xxhash64(concat(s, lit("#"), i.cast("string")))))
+        i => array_min(transform(baseHashes, h => xxhash64(h, i)))
       )
     )
+  }
 
   /** LSH band keys: hash of each row of the banded signature. Equal band key
     * ⇒ candidate pair. `b` bands of `r` rows must satisfy b*r == k.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFunctions
+import graft.functions.{SketchExpressions, TextFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,12 +34,19 @@ object Dedup {
     * shingle size produce no signature and are dropped from near-dup search.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int, numHashes: Int): DataFrame =
-    docs.select(
+                        shingleK: Int, numHashes: Int): DataFrame = {
+    // Shingling + hashing is the CPU-heavy stage; a single small parquet file
+    // arrives as one partition, so spread it across the cluster first. (At
+    // real scale the scan already has many splits and this is a cheap no-op
+    // round-robin.)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(par)
+      .select(
         col(idCol).as("doc_id"),
-        TextFunctions.minhashSignature(
+        SketchExpressions.minhash(
           TextFunctions.wordShingles(col(textCol), shingleK), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
+  }
 
   /** LSH candidate pairs with estimated Jaccard = fraction of equal minhash
     * components. Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, distinct.
@@ -48,19 +55,29 @@ object Dedup {
                         shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // Signatures feed the band explode AND the per-pair estimate; materialize
+    // once so the expensive shingle+hash stage runs a single time.
     val sig = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
-    val banded = sig.select(col("doc_id"), col("sig"),
+      .localCheckpoint(true)
+    // Candidate pairs travel without signature payload: dedupe (doc_a, doc_b)
+    // across bands first, then re-attach the two signatures. Keeps the
+    // band-bucket shuffle narrow and computes each pair's estimate once.
+    val banded = sig.select(col("doc_id"),
       posexplode(TextFunctions.lshBands(col("sig"), bands, rows)).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x
     ).cast("double") / lit(numHashes)
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
-      .distinct()
   }
 
   /** Exact word-shingle Jaccard for a pair frame (doc_a, doc_b) — the
@@ -96,7 +113,7 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 8): DataFrame = {
     val fp = docs.select(col(idCol).as("doc_id"),
-        TextFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
+        SketchExpressions.simhash(TextFunctions.tokens(col(textCol))).as("simhash"))
       .withColumn("bucket", shiftright(col("simhash"), 48))
     val a = fp.select(col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = fp.select(col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))

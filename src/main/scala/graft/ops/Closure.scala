@@ -3,19 +3,22 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** J7 — iterative successor resolution: the transitive closure of an
-  * edge list, re-expressed as a driver-controlled loop of broadcast joins
-  * (reference: scripts/org-changes/build_trust_lookup.R:66-84 while-loop;
+/** J7 — iterative successor resolution: the transitive closure of an edge
+  * list (reference: scripts/org-changes/build_trust_lookup.R:66-84 while-loop;
   * scripts/org-changes/build_all_org_changes.R:62-106 bounded 10 iterations).
   *
-  * Multi-successor "splits" multiply rows naturally through the join (the
-  * reference's `unnest`, build_all_org_changes.R:96).
+  * Re-expressed with pointer doubling over the *edge* relation: iteration k
+  * holds a mapping m(x) = the up-to-2^k-step successor of x (terminal
+  * absorbed), built by composing m with itself. Multi-successor "splits"
+  * multiply rows naturally through the self-join (the reference's `unnest`,
+  * build_all_org_changes.R:96).
   *
-  * Scale posture: the edge list is lookup-sized (~700 rows in the reference)
-  * and is broadcast; the node set stays distributed, so the loop does zero
-  * shuffles — each iteration is a map-side broadcast join. `localCheckpoint`
-  * per iteration truncates lineage so plans don't grow linearly with chain
-  * length (SURVEY §4). Iterations are bounded to guard against cyclic input.
+  * Scale posture: succession chains are edge-list-sized (~700 rows in the
+  * reference) while the node table being re-keyed can be arbitrarily large.
+  * Pointer doubling runs O(log depth) tiny self-joins on the edge set, then
+  * exactly ONE broadcast join against the distributed node table — zero
+  * shuffles of the big side. `localCheckpoint` truncates lineage per
+  * iteration; iterations are bounded to guard against cyclic input.
   */
 object Closure {
 
@@ -26,28 +29,33 @@ object Closure {
     * @return frame (`old_code`, `final_code`, `hops`)
     */
   def resolve(nodes: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    var frontier = nodes
-      .select(col("node").as("old_code"), col("node").as("cur"), lit(0).as("hops"))
+    // mapping m: src → (dst, hops) after following up to 2^k edges
+    var m = edges.select(col("src"), col("dst"), lit(1).as("hops"))
       .localCheckpoint(true)
-    var finishedParts = List.empty[DataFrame]
     var iter = 0
-    var remaining = frontier.count()
-    while (remaining > 0 && iter < maxIter) {
-      val joined = frontier.join(broadcast(e), frontier("cur") === e("src"), "left")
-      finishedParts ::= joined
-        .filter(col("src").isNull)
-        .select(col("old_code"), col("cur"), col("hops"))
+    var extending = true
+    while (extending && iter < maxIter) {
+      val a = m.select(col("src"), col("dst"), col("hops"))
+      val b = m.select(col("src").as("b_src"), col("dst").as("b_dst"), col("hops").as("b_hops"))
+      val composed = a.join(b, a("dst") === b("b_src"), "left")
+        .select(
+          col("src"),
+          coalesce(col("b_dst"), col("dst")).as("dst"),
+          (col("hops") + coalesce(col("b_hops"), lit(0))).as("hops"),
+          col("b_src").isNotNull.as("extended"))
         .localCheckpoint(true)
-      frontier = joined
-        .filter(col("src").isNotNull)
-        .select(col("old_code"), col("dst").as("cur"), (col("hops") + 1).as("hops"))
-        .localCheckpoint(true)
+      val maxExt = composed.agg(max(col("extended").cast("int"))).head()
+      extending = !maxExt.isNullAt(0) && maxExt.getInt(0) == 1
+      m = composed.drop("extended")
       iter += 1
-      remaining = frontier.count()
     }
-    require(remaining == 0,
-      s"Closure.resolve: frontier not empty after $maxIter iterations (cyclic edges?)")
-    finishedParts.reduce(_ union _).withColumnRenamed("cur", "final_code")
+    require(!extending,
+      s"Closure.resolve: still extending after $maxIter doublings (cyclic edges?)")
+    nodes
+      .join(broadcast(m), nodes("node") === m("src"), "left")
+      .select(
+        col("node").as("old_code"),
+        coalesce(col("dst"), col("node")).as("final_code"),
+        coalesce(col("hops"), lit(0)).as("hops"))
   }
 }
