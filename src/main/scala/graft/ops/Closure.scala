@@ -28,22 +28,35 @@ object Closure {
     * @param edges two-column frame `src`, `dst`; rows multiply on splits
     * @return frame (`old_code`, `final_code`, `hops`)
     */
+  /** Materialize into a *fresh leaf* plan. `localCheckpoint` is not enough:
+    * Spark 4 carries the child plan's statistics onto the checkpointed node
+    * (`LogicalRDD.rewriteStatsAndConstraints`), so a self-join loop squares
+    * the BigInt sizeInBytes every iteration until stats arithmetic itself
+    * hangs the planner. A cached RDD re-wrapped via `createDataFrame` resets
+    * stats to the leaf default each round.
+    */
+  private def materializeLeaf(df: DataFrame): DataFrame = {
+    val rdd = df.rdd
+    rdd.cache()
+    rdd.count()
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
+
   def resolve(nodes: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
     // mapping m: src → (dst, hops) after following up to 2^k edges
-    var m = edges.select(col("src"), col("dst"), lit(1).as("hops"))
-      .localCheckpoint(true)
+    var m = materializeLeaf(edges.select(col("src"), col("dst"), lit(1).as("hops")))
     var iter = 0
     var extending = true
     while (extending && iter < maxIter) {
       val a = m.select(col("src"), col("dst"), col("hops"))
       val b = m.select(col("src").as("b_src"), col("dst").as("b_dst"), col("hops").as("b_hops"))
-      val composed = a.join(b, a("dst") === b("b_src"), "left")
-        .select(
-          col("src"),
-          coalesce(col("b_dst"), col("dst")).as("dst"),
-          (col("hops") + coalesce(col("b_hops"), lit(0))).as("hops"),
-          col("b_src").isNotNull.as("extended"))
-        .localCheckpoint(true)
+      val composed = materializeLeaf(
+        a.join(b, a("dst") === b("b_src"), "left")
+          .select(
+            col("src"),
+            coalesce(col("b_dst"), col("dst")).as("dst"),
+            (col("hops") + coalesce(col("b_hops"), lit(0))).as("hops"),
+            col("b_src").isNotNull.as("extended")))
       val maxExt = composed.agg(max(col("extended").cast("int"))).head()
       extending = !maxExt.isNullAt(0) && maxExt.getInt(0) == 1
       m = composed.drop("extended")

@@ -1,0 +1,115 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount / charCount / stopwordCount on hand strings") {
+    val df = Seq("the cat sat on the mat", "", "  spaced   out  ").toDF("t").select(
+      TextFunctions.tokenCount(col("t")).as("n"),
+      TextFunctions.charCount(col("t")).as("c"),
+      TextFunctions.stopwordCount(col("t")).as("s"))
+    val r = df.collect()
+    assert(r(0).getLong(0) == 6 && r(0).getLong(2) == 2) // 'the' twice
+    assert(r(1).getLong(0) == 0)
+    assert(r(2).getLong(0) == 2)
+  }
+
+  test("ratios are null on empty input, never NaN (§1.4)") {
+    val r = Seq("").toDF("t")
+      .select(TextFunctions.stopwordRatio(col("t")).as("r")).collect()
+    assert(r(0).isNullAt(0))
+  }
+
+  test("langId picks the dominant marker language, 'und' when none") {
+    val df = Seq(
+      "the cat and the dog is that it",
+      "der hund und die katze ist nicht ein",
+      "xyzzy plugh qwerty",
+    ).toDF("t").select(TextFunctions.langId(col("t")).as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "de", "und"))
+  }
+
+  test("wordShingles builds k-grams; shorter docs yield empty array") {
+    val r = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.wordShingles(col("t"), 3).as("s")).collect()
+    assert(r(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r(1).getSeq[String](0).isEmpty)
+  }
+
+  test("native MinHash expression matches the built-in HOF formulation bit-for-bit") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "pack my box with five dozen liquor jugs of very bad quality",
+      "a b", // below shingle size → null signature both ways
+    ).toDF("t")
+    val hof = texts.select(
+      TextFunctions.minhashSignature(TextFunctions.wordShingles(col("t"), 3), 16).as("s"))
+    val native = texts.select(
+      SketchExpressions.minhash(TextFunctions.wordShingles(col("t"), 3), 16).as("s"))
+    val (h, n) = (hof.collect(), native.collect())
+    h.zip(n).foreach { case (a, b) =>
+      if (a.isNullAt(0)) assert(b.isNullAt(0))
+      else assert(a.getSeq[Long](0) == b.getSeq[Long](0))
+    }
+  }
+
+  test("native SimHash expression matches the built-in HOF formulation bit-for-bit") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "completely different words entirely here now",
+      "",
+    ).toDF("t")
+    val hof = texts.select(TextFunctions.simhash64(TextFunctions.tokens(col("t"))).as("s")).collect()
+    val native = texts.select(SketchExpressions.simhash(TextFunctions.tokens(col("t"))).as("s")).collect()
+    hof.zip(native).foreach { case (a, b) => assert(a.getLong(0) == b.getLong(0)) }
+  }
+
+  test("simhash of similar docs is closer in Hamming distance than dissimilar") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "entirely unrelated text about spark catalyst optimizer internals and shuffles"),
+    ).toDF("id", "t").select(col("id"), SketchExpressions.simhash(TextFunctions.tokens(col("t"))).as("s"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+  }
+
+  test("vector cosine: orthogonal=0, identical=1, null-safe on zero vector") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(0f, 0f), Array(1f, 0f)),
+    ).toDF("a", "b").select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    val r = df.collect()
+    assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r(1).getDouble(0)) < 1e-12)
+    assert(r(2).isNullAt(0))
+  }
+
+  test("fiscal calendar: April starts Q1/FY; March ends Q4 of prior FY") {
+    val df = Seq("2019-04-01", "2019-07-15", "2020-01-10", "2020-03-31")
+      .toDF("d").select(
+        to_date(col("d")).as("d")).select(
+        DateOps.fiscalQuarter(col("d")).as("q"),
+        DateOps.fiscalStartYear(col("d")).as("fy"),
+        DateOps.fiscalYearLabel(col("d")).as("label"))
+    val r = df.collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("Q1", "Q2", "Q4", "Q4"))
+    assert(r.map(_.getLong(1)).toSeq == Seq(2019L, 2019L, 2019L, 2019L))
+    assert(r(0).getString(2) == "FY2019-20")
+  }
+
+  test("fiscal label split: 2019-20 and century wrap 1999-00") {
+    val df = Seq("2019-20", "1999-00").toDF("s").select(
+      DateOps.fiscalLabelStartYear(col("s")).as("a"),
+      DateOps.fiscalLabelEndYear(col("s")).as("b"))
+    val r = df.collect()
+    assert((r(0).getLong(0), r(0).getLong(1)) == (2019L, 2020L))
+    assert((r(1).getLong(0), r(1).getLong(1)) == (1999L, 2000L))
+  }
+}
