@@ -1,8 +1,8 @@
 package graft
 
 import graft.functions.{DateOps, SketchExpressions, TextFunctions}
-import graft.operators.{Dedup, Similarity}
-import graft.ops.{Closure, Relational}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.ops.{BinnedMedian, Closure, Relational}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -250,6 +250,46 @@ object SparkEntry {
       k = 5, nPlanes = 8, probeBits = 4)
   }
 
+  // ---- q25: Structured Streaming hourly windows, hash-matched against the
+  //      batch oracle (streaming/batch parity is the check) ----
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val agg = graft.streaming.EventStreams.hourlyAggregates(
+      graft.streaming.EventStreams.readEventsStream(s, dir))
+    val name = s"graft_stream_hourly_${streamSeq.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).select(
+      col("window.start").cast("timestamp_ntz").as("hour"),
+      col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  // ---- q26: multimodal binary-column plumbing (payload, frames, thumbs) ----
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val p = Multimodal.withFakePayload(Tables(s, dir).documents, "text")
+    p.select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("payload_md5"),
+      size(Multimodal.frameSample(col("payload"), 4, 16)).cast("long").as("n_frames"),
+      md5(Multimodal.resizeBytes(col("payload"), 32)).as("thumb_md5"))
+  }
+
+  // ---- q27: stubbed media decode via mapPartitions (rows-only) ----
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImageMeta(
+      Multimodal.withFakePayload(Tables(s, dir).documents, "text"),
+      "doc_id", "payload").toDF()
+
+  // ---- q28: W4 binned-median derivation from a grouped distribution ----
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+    BinnedMedian.derive(counts, Seq("l_returnflag"), "l_quantity", "n")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -276,6 +316,10 @@ object SparkEntry {
     "q22_minhash_lsh"      -> q22 _,
     "q23_simhash"          -> q23 _,
     "q24_knn_lsh"          -> q24 _,
+    "q25_stream_hourly"    -> q25 _,
+    "q26_binary_payload"   -> q26 _,
+    "q27_media_meta"       -> q27 _,
+    "q28_binned_median"    -> q28 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -492,5 +536,38 @@ object SparkEntry {
         |     CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|que|y)\b')) AS BIGINT) AS score_es,
         |     CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|que)\b')) AS BIGINT) AS score_fr
         |    FROM documents))""".stripMargin,
+
+    "q25_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n_events, round(sum(value), 6) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q26_binary_payload" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS payload_md5,
+        | CAST(least(4, octet_length(encode(text))) AS BIGINT) AS n_frames,
+        | md5(left(text, 32)) AS thumb_md5
+        |FROM documents""".stripMargin,
+
+    "q28_binned_median" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity
+        |), pcts AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    CAST(sum(n) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS pct
+        |  FROM counts
+        |), flagged AS (
+        |  SELECT l_returnflag, l_quantity, pct,
+        |    lag(pct) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS lag_pct
+        |  FROM pcts
+        |)
+        |SELECT l_returnflag,
+        | max(CASE WHEN pct >= 0.5 AND (lag_pct IS NULL OR lag_pct < 0.5)
+        |          THEN l_quantity + 0.5 END) AS binned_median
+        |FROM flagged GROUP BY l_returnflag""".stripMargin,
   )
 }

@@ -123,4 +123,25 @@ object Relational {
     */
   def nullifySentinels(c: Column, sentinels: Seq[String] = Seq("-", "", "NULL", "NA", "N/A")): Column =
     when(trim(c).isin(sentinels: _*), lit(null)).otherwise(c)
+
+  /** P3 — drop columns that are entirely null: a data-dependent projection
+    * (`select(where(~!all(is.na(.))))`, reference:
+    * scripts/critical-care-beds/build_datasets_critical_care_beds.R:172-174).
+    * One aggregate pass counting non-nulls per column, then a driver-side
+    * drop — the only driver involvement is the single counts row.
+    */
+  def dropAllNullCols(df: DataFrame): DataFrame = {
+    val counts = df.select(df.columns.map(c => count(col(c)).as(c)).toIndexedSeq: _*).head()
+    val dead = df.columns.filter(c => counts.getAs[Long](c) == 0L)
+    df.drop(dead: _*)
+  }
+
+  /** U6 — swap two columns' values where a predicate holds (clean splits
+    * re-coded as backwards mergers, reference:
+    * scripts/org-changes/build_trust_lookup.R:104-107).
+    */
+  def swapWhere(df: DataFrame, pred: Column, a: String, b: String): DataFrame =
+    df.withColumns(Map(
+      a -> when(pred, col(b)).otherwise(col(a)),
+      b -> when(pred, col(a)).otherwise(col(b))))
 }

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events table (SURVEY §2.10: the
+  * reference is batch-only; this is the north-star extension). All logic is
+  * expressed once and runs identically on a bounded directory (tests, the
+  * driver gate) and an unbounded source — the Spark streaming model.
+  *
+  * Scale posture: windowed aggregates are keyed by (window, event_type) —
+  * state is bounded by watermark eviction; sessionization keeps one state
+  * object per active user, evicted by event-time timeout.
+  */
+object EventStreams {
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                            event_type: String, value: Double)
+
+  final case class SessionAgg(user_id: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, n_events: Long,
+                              total_value: Double)
+
+  /** Internal per-user state (public: Catalyst's generated encoder code
+    * must be able to reach the constructor).
+    */
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Streaming read of the events parquet in a scale-factor dir. The file
+    * carries TIMESTAMP(NANOS): read nanos as long, truncate to micros
+    * (same policy as Tables.events) and expose a UTC timestamp.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window aggregate (event-time, watermarked). */
+  def hourlyAggregates(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("total_value"))
+
+  /** Sliding-window counts (1 hour window, 15 minute slide). */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Stateful sessionization: one state object per user, sessions closed by
+    * a `gapSeconds` quiet period or event-time timeout (watermark-driven).
+    * The custom-state analog of the batch gaps-and-islands query (q18).
+    */
+  def sessionize(events: Dataset[EventRow], gapSeconds: Long,
+                 watermark: String = "2 hours"): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def emit(userId: Long, s: SessionState): SessionAgg =
+      SessionAgg(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+        s.n, s.total)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(emit(userId, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var current = state.getOption
+            val closed = List.newBuilder[SessionAgg]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              current match {
+                case Some(s) if t - s.last <= gapMs =>
+                  current = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += emit(userId, s)
+                  current = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  current = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            current match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.last + gapMs)
+              case None => ()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

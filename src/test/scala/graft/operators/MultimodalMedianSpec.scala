@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.ops.{BinnedMedian, Relational}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalMedianSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("withFakePayload + decodeImageMeta: deterministic metadata, distributed decode") {
+    val docs = Seq((1L, "hello world"), (2L, ""), (3L, "abc")).toDF("doc_id", "text")
+    val meta = Multimodal.decodeImageMeta(
+        Multimodal.withFakePayload(docs, "text"), "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).n_bytes == 11 && meta(3L).n_bytes == 3)
+    assert(meta(2L).n_bytes == 0 && meta(2L).width == 0)
+    assert(meta(1L).width > 0 && meta(1L).height > 0 && meta(1L).channels == 3)
+    // determinism: same input → same checksum
+    val again = Multimodal.decodeImageMeta(
+      Multimodal.withFakePayload(docs, "text"), "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m.checksum).toMap
+    assert(again(1L) == meta(1L).checksum)
+  }
+
+  test("frameSample slices evenly spaced frames; short payloads yield fewer") {
+    val df = Seq(("x" * 100, 1), ("ab", 2)).toDF("text", "id")
+    val out = df.select(col("id"),
+        size(Multimodal.frameSample(encode(col("text"), "UTF-8"), 4, 16)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out(1) == 4)
+    assert(out(2) == 2)
+  }
+
+  test("BinnedMedian finds the 0.5-crossing bin (+0.5 convention)") {
+    // group g: bins 1(x3), 2(x1), 3(x1) → cum shares 0.6 at bin 1 → median 1.5
+    // group h: bins 1(x1), 2(x1), 3(x2) → shares .25/.5/1.0 → crossing at bin 2 → 2.5
+    val counts = Seq(
+      ("g", 1.0, 3L), ("g", 2.0, 1L), ("g", 3.0, 1L),
+      ("h", 1.0, 1L), ("h", 2.0, 1L), ("h", 3.0, 2L),
+    ).toDF("grp", "bin", "n")
+    val m = BinnedMedian.derive(counts, Seq("grp"), "bin", "n")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("g") == 1.5)
+    assert(m("h") == 2.5)
+  }
+
+  test("dropAllNullCols removes only fully-null columns") {
+    val df = Seq((1, None: Option[String], None: Option[Int]),
+      (2, Some("x"), None)).toDF("a", "b", "c")
+    assert(Relational.dropAllNullCols(df).columns.toSeq == Seq("a", "b"))
+  }
+
+  test("swapWhere exchanges values only where the predicate holds") {
+    val df = Seq(("a", "z", 1), ("b", "y", 0)).toDF("l", "r", "flip")
+    val out = Relational.swapWhere(df, col("flip") === 1, "l", "r")
+      .orderBy("flip").collect()
+    assert((out(1).getString(0), out(1).getString(1)) == ("z", "a"))
+    assert((out(0).getString(0), out(0).getString(1)) == ("b", "y"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.{EventRow, SessionAgg}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourlyAggregates over a stream equals the same aggregation in batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val rows = Seq(
+      EventRow(1, ts(5), 10, "click", 1.0),
+      EventRow(2, ts(20), 10, "click", 2.0),
+      EventRow(3, ts(65), 11, "view", 3.0),
+      EventRow(4, ts(70), 10, "click", 4.0),
+    )
+    ms.addData(rows)
+    val q = EventStreams.hourlyAggregates(ms.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("t_hourly").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_hourly")
+      .select(col("window.start").as("h"), col("event_type"), col("n_events"), col("total_value"))
+    val batch = rows.toDF()
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("total_value"))
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("sessionize emits sessions closed by gap and by event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val q = EventStreams.sessionize(ms.toDS(), gapSeconds = 600, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("t_sessions").start()
+
+    // session 1: two events 5 min apart; session 2 starts 40 min later
+    ms.addData(Seq(
+      EventRow(1, ts(0), 1, "click", 1.0),
+      EventRow(2, ts(5), 1, "click", 2.0),
+      EventRow(3, ts(45), 1, "view", 3.0)))
+    q.processAllAvailable()
+    // advance the watermark far past session 2's timeout so it flushes
+    ms.addData(Seq(EventRow(9, ts(600), 2, "click", 0.5)))
+    q.processAllAvailable()
+    ms.addData(Seq(EventRow(10, ts(1200), 2, "click", 0.5)))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("t_sessions").as[SessionAgg].collect()
+      .filter(_.user_id == 1).sortBy(_.session_start.getTime)
+    assert(sessions.length == 2, s"expected 2 closed sessions, got ${sessions.toSeq}")
+    assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
+    assert(sessions(1).n_events == 1 && sessions(1).total_value == 3.0)
+  }
+
+  test("sliding windows assign events to overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    ms.addData(Seq(EventRow(1, ts(30), 1, "click", 1.0)))
+    val q = EventStreams.slidingCounts(ms.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("t_sliding").start()
+    q.processAllAvailable(); q.stop()
+    // a 1h window sliding by 15m puts one event into 4 windows
+    assert(spark.table("t_sliding").count() == 4)
+  }
+}
