@@ -290,6 +290,17 @@ object SparkEntry {
     BinnedMedian.derive(counts, Seq("l_returnflag"), "l_quantity", "n")
   }
 
+  // ---- q29: embedding-cosine near-dup pairs (exact, bounded set) ----
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsExact(
+      Tables(s, dir).embeddings.filter(col("vec_id") < 500),
+      "vec_id", "embedding", minCosine = 0.4)
+
+  // ---- q30: embedding near-dup, LSH-blocked scale path (rows-only) ----
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsLsh(
+      Tables(s, dir).embeddings, "vec_id", "embedding", minCosine = 0.4, nPlanes = 6)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -320,6 +331,8 @@ object SparkEntry {
     "q26_binary_payload"   -> q26 _,
     "q27_media_meta"       -> q27 _,
     "q28_binned_median"    -> q28 _,
+    "q29_embed_neardup"    -> q29 _,
+    "q30_embed_neardup_lsh" -> q30 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -569,5 +582,15 @@ object SparkEntry {
         | max(CASE WHEN pct >= 0.5 AND (lag_pct IS NULL OR lag_pct < 0.5)
         |          THEN l_quantity + 0.5 END) AS binned_median
         |FROM flagged GROUP BY l_returnflag""".stripMargin,
+
+    "q29_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 500)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.4""".stripMargin,
   )
 }

@@ -107,6 +107,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Embedding-cosine near-dup, exact variant: all pairs above a cosine
+    * threshold. One side is broadcast, so use only on a bounded candidate
+    * set (a cluster, a bucket, a sample); the scale path is
+    * [[embeddingNearDupsLsh]], which turns the cross join into a
+    * per-bucket join via random-hyperplane blocking.
+    */
+  def embeddingNearDupsExact(emb: DataFrame, idCol: String, vecCol: String,
+                             minCosine: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** Embedding-cosine near-dup at scale: hyperplane-LSH buckets block the
+    * pair space (equal bucket ⇒ candidate), then the exact cosine filter
+    * verifies. Recall is tuned by nPlanes (fewer planes = bigger buckets).
+    */
+  def embeddingNearDupsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                           minCosine: Double, nPlanes: Int = 8, dim: Int = 64,
+                           seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions
+    val planes = VectorFunctions.seededPlanes(nPlanes, dim, seed)
+    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** SimHash near-dup blocking: fingerprint + 16-bit prefix bucket. Pairs
     * within a bucket whose Hamming distance ≤ maxHamming are near-dups.
     */
