@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-inspection main: prints the formatted physical plan of each named
+  * query (or all) so shuffle/broadcast/pushdown posture can be reviewed
+  * per round. Usage: runMain graft.Plans [sfDir] [queryName...]
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      try println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(FormattedMode))
+      catch { case e: Throwable => println(s"(failed: ${e.getMessage})") }
+    }
+    spark.stop()
+  }
+}
