@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT + codegen + parquet footer caches, so the first
+    // timed query doesn't absorb JVM startup
+    try SparkEntry.queries("q03_join_broadcast")(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
     // noop sink: forces full evaluation of every output column (count() would
     // let Catalyst prune the projections being measured).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -10,8 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product: left-fold of pairwise products in element order. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product: native Catalyst expression (tight per-row loop; see
+    * [[VectorExpressions]]). Accumulation order matches [[dotBuiltin]].
+    */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
+
+  /** Pure-built-in formulation (left-fold of pairwise products in element
+    * order); kept as the parity reference for the native expression.
+    * Note: propagates null for unequal-length arrays (zip_with pads with
+    * null), where the native expression folds over the common prefix.
+    */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

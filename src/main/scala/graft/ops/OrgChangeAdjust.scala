@@ -59,16 +59,22 @@ object OrgChangeAdjust {
 
     val slim = data.select(groupCols.map(col) ++ measureCols.map(col): _*)
 
-    // membership split: rows whose key appears in the clean lookup get merged
+    // membership split: codes on EITHER side of a clean change are affected —
+    // the successor trust's own rows must aggregate together with the
+    // re-keyed rows, or the output would carry duplicate (key, time) grains
+    // (reference: all_affected_trusts = old ∪ final,
+    // clean_org_changes_supporting_facilities.R:87-91)
     val affectedKeys = cleanLookup.select(col("old_code").as(keyCol))
+      .union(cleanLookup.select(col("final_code").as(keyCol)))
+      .distinct()
     val affected = slim.join(broadcast(affectedKeys), Seq(keyCol), "left_semi")
     val unaffected = slim.join(broadcast(affectedKeys), Seq(keyCol), "left_anti")
 
     val sums = Relational.naPreservingSum(measureCols)
     val merged = affected
-      .join(broadcast(cleanLookup), affected(keyCol) === cleanLookup("old_code"))
-      .drop(keyCol, "old_code")
-      .withColumnRenamed("final_code", keyCol)
+      .join(broadcast(cleanLookup), affected(keyCol) === cleanLookup("old_code"), "left")
+      .withColumn(keyCol, coalesce(col("final_code"), col(keyCol)))
+      .drop("old_code", "final_code")
       .groupBy(groupCols.map(col): _*)
       .agg(sums.head, sums.tail: _*)
       .withColumn("unproblematic_org_change", lit(1))

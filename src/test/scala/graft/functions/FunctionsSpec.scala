@@ -79,6 +79,16 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
   }
 
+  test("native dot product matches the built-in fold bit-for-bit") {
+    val df = Seq(
+      (Array(0.1f, -2.5f, 3.25f), Array(1.5f, 0.25f, -0.75f)),
+      (Array(1e-8f, 2e8f, -3.5f), Array(7.25f, 1e-8f, 2.5f)),
+    ).toDF("a", "b").select(
+      VectorFunctions.dot(col("a"), col("b")).as("native"),
+      VectorFunctions.dotBuiltin(col("a"), col("b")).as("builtin"))
+    df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("vector cosine: orthogonal=0, identical=1, null-safe on zero vector") {
     val df = Seq(
       (Array(1f, 0f), Array(1f, 0f)),

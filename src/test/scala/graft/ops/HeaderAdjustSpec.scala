@@ -47,9 +47,12 @@ class HeaderAdjustSpec extends AnyFunSuite with SparkSpec {
   }
 
   private def panel = Seq(
-    // org m1+m2 merged into MM per lookup; u1 untouched; p1 problematic
+    // org m1+m2 merged into MM per lookup; u1 untouched; p1 problematic;
+    // MM itself reports rows in 2019 — they must merge with m1+m2, not
+    // duplicate the (MM, 2019) grain
     ("m1", 2019, Some(10.0), Some(1.0), Some("M ONE")),
     ("m2", 2019, Some(20.0), None, Some("M TWO")),
+    ("MM", 2019, Some(40.0), None: Option[Double], Some("MERGED TRUST")),
     ("m1", 2020, None: Option[Double], None: Option[Double], Some("M ONE")),
     ("m2", 2020, None, None, Some("M TWO")),
     ("u1", 2019, Some(5.0), Some(2.0), Some("UNTOUCHED")),
@@ -64,9 +67,9 @@ class HeaderAdjustSpec extends AnyFunSuite with SparkSpec {
     val out = OrgChangeAdjust.adjust(panel, lookup, "org_code", Seq("year"),
       Seq("beds", "day_beds")).cache()
     val merged2019 = out.filter(col("org_code") === "MM" && col("year") === 2019).collect()
-    assert(merged2019.length == 1)
-    assert(merged2019(0).getAs[Double]("beds") == 30.0)
-    assert(merged2019(0).getAs[Double]("day_beds") == 1.0) // null + 1.0 = 1.0
+    assert(merged2019.length == 1, "successor's own rows must merge, not duplicate the grain")
+    assert(merged2019(0).getAs[Double]("beds") == 70.0) // 10 + 20 + MM's own 40
+    assert(merged2019(0).getAs[Double]("day_beds") == 1.0) // null + 1.0 + null = 1.0
     val merged2020 = out.filter(col("org_code") === "MM" && col("year") === 2020).collect()
     assert(merged2020(0).isNullAt(merged2020(0).fieldIndex("beds")),
       "all-null merge must stay null, not become 0")
