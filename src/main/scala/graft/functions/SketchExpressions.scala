@@ -31,6 +31,44 @@ object SketchExpressions {
   /** Column API: 64-bit SimHash, equal to [[TextFunctions.simhash64]]. */
   def simhash(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(tokens)))
+
+  /** Column API: word k-shingles, equal to [[TextFunctions.wordShinglesBuiltin]]
+    * (space-joined token windows; empty array below k tokens).
+    */
+  def wordShingles(tokens: Column, k: Int): Column =
+    GraftColumnBridge.column(WordShinglesExpr(GraftColumnBridge.expression(tokens), k))
+}
+
+/** Word k-shingles of an array<string>: element i is tokens[i..i+k-1] joined
+  * by a single space — the string-building stage of MinHash, natively.
+  */
+case class WordShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** MinHash signature of an array<string>: element j is

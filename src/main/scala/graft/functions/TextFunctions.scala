@@ -77,11 +77,15 @@ object TextFunctions {
     }
   }
 
-  /** Word k-shingles as strings ("w1 w2 ... wk"). transform over an index
-    * sequence + slice keeps it inside codegen; documents shorter than k
-    * yield an empty array.
+  /** Word k-shingles as strings ("w1 w2 ... wk"); documents shorter than k
+    * yield an empty array. Routed through the native expression (the
+    * string-building dominates MinHash cost otherwise); the built-in
+    * formulation below is the parity reference.
     */
-  def wordShingles(c: Column, k: Int): Column = {
+  def wordShingles(c: Column, k: Int): Column =
+    SketchExpressions.wordShingles(tokens(c), k)
+
+  def wordShinglesBuiltin(c: Column, k: Int): Column = {
     val ts = tokens(c)
     when(size(ts) < k, array().cast("array<string>")).otherwise(
       transform(

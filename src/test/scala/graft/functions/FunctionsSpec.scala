@@ -40,6 +40,14 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(r(1).getSeq[String](0).isEmpty)
   }
 
+  test("native wordShingles matches the built-in formulation exactly") {
+    val df = Seq("the quick brown fox jumps over", "a b c", "one two", "")
+      .toDF("t").select(
+        TextFunctions.wordShingles(col("t"), 3).as("native"),
+        TextFunctions.wordShinglesBuiltin(col("t"), 3).as("builtin"))
+    df.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("native MinHash expression matches the built-in HOF formulation bit-for-bit") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog again and again",
