@@ -301,6 +301,18 @@ object SparkEntry {
     Dedup.embeddingNearDupsLsh(
       Tables(s, dir).embeddings, "vec_id", "embedding", minCosine = 0.4, nPlanes = 6)
 
+  // ---- q31: as-of join — each view picks up the latest prior purchase ----
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("value").as("purchase_value"), col("ts").as("purchase_ts"))
+    ops.AsofJoin.backward(views, purchases, Seq("user_id"), "ts",
+      Seq("purchase_value", "purchase_ts"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -333,6 +345,7 @@ object SparkEntry {
     "q28_binned_median"    -> q28 _,
     "q29_embed_neardup"    -> q29 _,
     "q30_embed_neardup_lsh" -> q30 _,
+    "q31_asof_join"        -> q31 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -592,5 +605,13 @@ object SparkEntry {
         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
         |  FROM e a, e b WHERE a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.4""".stripMargin,
+
+    "q31_asof_join" ->
+      """SELECT v.event_id, v.user_id, v.ts,
+        | p.value AS purchase_value, p.ts AS purchase_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
   )
 }

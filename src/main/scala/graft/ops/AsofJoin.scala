@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: attach to each left row the latest right row whose
+  * timestamp is ≤ the left row's, per key — the standard event/panel
+  * enrichment the reference lacks (SURVEY §2.5: no as-of joins) and a core
+  * operator for event-time analytics at scale.
+  *
+  * Spark-first composition instead of a custom SparkPlan (preference (a) in
+  * the build brief): tag and union both sides, then one running
+  * `last(_, ignoreNulls)` window per value column. Exactly ONE shuffle on
+  * the key columns — the same cost as the sort-merge as-of a native engine
+  * would run — and whole-stage-codegen-friendly throughout. Ties (right and
+  * left rows at the same timestamp) resolve as right-before-left, matching
+  * the inclusive `left.ts >= right.ts` convention.
+  */
+object AsofJoin {
+
+  /** @param left      probe side
+    * @param right     reference side (its `valueCols` get attached)
+    * @param keyCols   equi-join keys
+    * @param tsCol     event-time column name (present on both sides)
+    * @param valueCols right columns to carry; must not clash with left names
+    */
+  def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val clash = valueCols.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"valueCols clash with left columns: $clash")
+
+    val l = left.withColumn("__side", lit(1))
+    // the whole right row travels as one struct: the struct itself is the
+    // non-null "a right row exists here" marker, so right values that are
+    // genuinely null still win over older rows (exact as-of semantics)
+    val r = right
+      .select((keyCols :+ tsCol).map(col) :+ struct(valueCols.map(col): _*).as("__rv"): _*)
+      .withColumn("__side", lit(0))
+    val unioned = Relational.unionByNameFill(Seq(l, r))
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+
+    val unpacked = valueCols.foldLeft(filled)((d, c) => d.withColumn(c, col("__rv")(c)))
+    unpacked.filter(col("__side") === 1).drop("__side", "__rv")
+  }
+}

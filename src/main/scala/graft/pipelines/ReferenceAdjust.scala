@@ -133,4 +133,84 @@ object ReferenceAdjust {
 
     if (hasName) withCi.join(broadcast(names), Seq("org_code"), "left") else withCi
   }
+
+  /** Monthly-grain variant (critical-care beds,
+    * scripts/critical-care-beds/build_datasets_critical_care_beds.R:273-371):
+    * the change indicator is date-based — max(date) per (old, final) chain,
+    * shifted +1 month for mergers (first period under the new arrangement)
+    * and left at the last pre-change period for splits — and joins back on
+    * (org_code, date). Inputs carry `org_code`, `date` (month start),
+    * optional `org_name`, and `_row_idx`.
+    *
+    * @param extraGroupCols additional aggregation keys (the reference groups
+    *                       by year, month and date alongside org_code)
+    */
+  def adjustMonthly(data: DataFrame, lookup: DataFrame, measureCols: Seq[String],
+                    extraGroupCols: Seq[String] = Nil,
+                    nameKeepLast: Boolean = false,
+                    mergedPost: DataFrame => DataFrame = identity): DataFrame = {
+    val hasName = data.columns.contains("org_name")
+    val names =
+      if (!hasName) null
+      else Relational.firstPerGroup(
+        data.select(col("org_code"), col("org_name"), col("_row_idx"))
+          .groupBy(col("org_code"), col("org_name"))
+          .agg(min(col("_row_idx")).as("first_idx")),
+        Seq("org_code"),
+        Seq(if (nameKeepLast) col("first_idx").desc else col("first_idx").asc))
+        .select(col("org_code"), col("org_name"))
+
+    val body = data.drop("org_name")
+
+    val problematicCodes = lookup.filter(col("problematic") === 1)
+      .select(col("old_code").as("org_code"))
+      .union(lookup.filter(col("problematic") === 1).select(col("final_code").as("org_code")))
+      .distinct()
+    val flagged = body
+      .join(broadcast(problematicCodes.withColumn("__p", lit(1))), Seq("org_code"), "left")
+      .withColumn("exp_problematic_org_change", when(col("__p").isNotNull, 1).otherwise(0))
+      .drop("__p")
+
+    val cleanLk = lookup.filter(col("problematic") === 0)
+      .select(col("old_code"), col("final_code"), col("experiences_split"))
+    val affectedCodes = cleanLk.select(col("old_code").as("org_code"))
+      .union(cleanLk.select(col("final_code").as("org_code"))).distinct()
+    val affected = flagged.join(broadcast(affectedCodes), Seq("org_code"), "left_semi")
+    val unaffected = flagged.join(broadcast(affectedCodes), Seq("org_code"), "left_anti")
+      .drop("_row_idx")
+
+    val joined = affected.join(
+      broadcast(cleanLk.withColumnRenamed("old_code", "org_code")), Seq("org_code"), "left")
+
+    // date-based change indicator: +1 month for mergers, in-place for splits
+    val w = Window.partitionBy(col("org_code"), col("final_code"))
+    val ci = joined.filter(col("final_code").isNotNull)
+      .withColumn("change_date", max(col("date")).over(w))
+      .withColumn("change_date",
+        when(col("experiences_split") === 0, add_months(col("change_date"), 1))
+          .otherwise(col("change_date")))
+      .select(col("final_code").as("org_code"), col("change_date").as("date"),
+        col("experiences_split"))
+      .distinct()
+
+    val groupCols = Seq("org_code", "date") ++ extraGroupCols :+ "exp_problematic_org_change"
+    val sums = Relational.naPreservingSum(measureCols)
+    val merged = mergedPost(
+      joined
+        .withColumn("org_code", coalesce(col("final_code"), col("org_code")))
+        .groupBy(groupCols.map(col): _*)
+        .agg(sums.head, sums.tail: _*))
+
+    val together = Relational.unionByNameFill(Seq(unaffected, merged))
+
+    val withCi = together
+      .join(broadcast(ci), Seq("org_code", "date"), "left")
+      .withColumn("unproblematic_org_change",
+        when(col("experiences_split").isNotNull, 1).otherwise(0))
+      .drop("experiences_split")
+      .withColumn("exp_unproblematic_org_change",
+        max(col("unproblematic_org_change")).over(Window.partitionBy(col("org_code"))))
+
+    if (hasName) withCi.join(broadcast(names), Seq("org_code"), "left") else withCi
+  }
 }
