@@ -50,16 +50,21 @@ object Closure {
     while (extending && iter < maxIter) {
       val a = m.select(col("src"), col("dst"), col("hops"))
       val b = m.select(col("src").as("b_src"), col("dst").as("b_dst"), col("hops").as("b_hops"))
-      val composed = materializeLeaf(
-        a.join(b, a("dst") === b("b_src"), "left")
-          .select(
-            col("src"),
-            coalesce(col("b_dst"), col("dst")).as("dst"),
-            (col("hops") + coalesce(col("b_hops"), lit(0))).as("hops"),
-            col("b_src").isNotNull.as("extended")))
-      val maxExt = composed.agg(max(col("extended").cast("int"))).head()
-      extending = !maxExt.isNullAt(0) && maxExt.getInt(0) == 1
-      m = composed.drop("extended")
+      val composed = a.join(b, a("dst") === b("b_src"), "left")
+        .select(
+          col("src"),
+          coalesce(col("b_dst"), col("dst")).as("dst"),
+          (col("hops") + coalesce(col("b_hops"), lit(0))).as("hops"),
+          col("b_src").isNotNull.as("extended"))
+      // one pass materializes AND detects convergence: the extension count
+      // rides an accumulator on the caching job (only compared to zero, so
+      // task-retry over-counting is harmless)
+      val acc = composed.sparkSession.sparkContext.longAccumulator("closure-extended")
+      val rdd = composed.rdd.map { r => if (r.getBoolean(3)) acc.add(1L); r }
+      rdd.cache()
+      rdd.count()
+      extending = acc.value > 0
+      m = composed.sparkSession.createDataFrame(rdd, composed.schema).drop("extended")
       iter += 1
     }
     require(!extending,
