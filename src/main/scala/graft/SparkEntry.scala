@@ -49,7 +49,9 @@ object SparkEntry {
         upper(col("p_name")).as("p_name_upper"),
         regexp_replace(col("p_type"), "\\s+", "_").as("p_type_slug"),
         col("p_size"),
-        expr("right(p_brand, 2)").as("brand_suffix"))
+        expr("right(p_brand, 2)").as("brand_suffix"),
+        // §2.9 row-wise array membership ('split' %in% c(ct1,ct2,ct3))
+        array_contains(array(col("p_type"), col("p_brand")), "LARGE").as("has_large_tag"))
 
   // ---- q03: J2/J4 broadcast dimension joins ----
   private def q03(s: SparkSession, dir: String): DataFrame = {
@@ -366,7 +368,8 @@ object SparkEntry {
     "q02_filter_project" ->
       """SELECT p_partkey, upper(p_name) AS p_name_upper,
         | regexp_replace(p_type, '\s+', '_', 'g') AS p_type_slug,
-        | p_size, right(p_brand, 2) AS brand_suffix
+        | p_size, right(p_brand, 2) AS brand_suffix,
+        | list_contains([p_type, p_brand], 'LARGE') AS has_large_tag
         |FROM part
         |WHERE regexp_matches(p_type, 'LARGE|SMALL')
         |  AND length(p_name) > 9 AND p_size BETWEEN 5 AND 40""".stripMargin,
