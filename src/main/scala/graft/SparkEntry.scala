@@ -188,6 +188,7 @@ object SparkEntry {
     Tables(s, dir).documents.select(
       col("doc_id"), col("lang"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
       TextFunctions.charCount(col("text")).as("n_chars_obs"),
       TextFunctions.stopwordCount(col("text")).as("n_stopwords"),
       TextFunctions.punctRatio(col("text")).as("punct_ratio"),
@@ -303,6 +304,13 @@ object SparkEntry {
     Dedup.embeddingNearDupsLsh(
       Tables(s, dir).embeddings, "vec_id", "embedding", minCosine = 0.4, nPlanes = 6)
 
+  // ---- q32: IVF-style ANN (coarse quantizer + probes; rows-only) ----
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+  }
+
   // ---- q31: as-of join — each view picks up the latest prior purchase ----
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir).events
@@ -348,6 +356,7 @@ object SparkEntry {
     "q29_embed_neardup"    -> q29 _,
     "q30_embed_neardup_lsh" -> q30 _,
     "q31_asof_join"        -> q31 _,
+    "q32_knn_ivf"          -> q32 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -492,19 +501,20 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "q17_text_stats" ->
-      """SELECT doc_id, lang, n_tokens, n_chars_obs, n_stopwords,
+      """SELECT doc_id, lang, n_tokens, n_bpeish_tokens, n_chars_obs, n_stopwords,
         | punct_ratio, stopword_ratio, avg_token_len,
         | 0.4 * least(n_tokens / 100.0, 1.0)
         |   + 0.3 * (1.0 - coalesce(punct_ratio, 0))
         |   + 0.3 * coalesce(stopword_ratio, 0) AS quality
         |FROM (
-        |  SELECT doc_id, lang, n_tokens, n_chars_obs, n_stopwords, n_punct, n_nonspace,
+        |  SELECT doc_id, lang, n_tokens, n_bpeish_tokens, n_chars_obs, n_stopwords, n_punct, n_nonspace,
         |   CASE WHEN n_chars_obs = 0 THEN NULL ELSE n_punct / n_chars_obs END AS punct_ratio,
         |   CASE WHEN n_tokens = 0 THEN NULL ELSE n_stopwords / n_tokens END AS stopword_ratio,
         |   CASE WHEN n_tokens = 0 THEN NULL ELSE n_nonspace / n_tokens END AS avg_token_len
         |  FROM (
         |    SELECT doc_id, lang,
         |     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |     CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens,
         |     CAST(length(text) AS BIGINT) AS n_chars_obs,
         |     CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS BIGINT) AS n_stopwords,
         |     CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,

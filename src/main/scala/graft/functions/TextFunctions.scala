@@ -18,6 +18,15 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
+  /** BPE-ish token counting: letter runs, digit runs, and lone symbols each
+    * count as a token — a cheap proxy for subword tokenizer budgets that,
+    * unlike whitespace counting, bills punctuation and number-heavy text.
+    */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def bpeishTokenCount(c: Column): Column = size(bpeishTokens(c)).cast("long")
+
   def charCount(c: Column): Column = length(c).cast("long")
 
   def punctCount(c: Column): Column =

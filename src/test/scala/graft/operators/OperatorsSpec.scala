@@ -69,6 +69,17 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L))
   }
 
+  test("ivfTopK cosines agree with brute force on every returned pair") {
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 4).collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 4, nlist = 3, nprobe = 3).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(math.abs(brute(r.getAs[Long]("cand_id")) - r.getAs[Double]("cos_sim")) < 1e-9)
+    }
+  }
+
   test("lshTopK returns a subset consistent with brute force on its bucket hits") {
     val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
       "vec_id", "embedding", k = 4).collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
