@@ -144,4 +144,27 @@ object Relational {
     df.withColumns(Map(
       a -> when(pred, col(b)).otherwise(col(a)),
       b -> when(pred, col(a)).otherwise(col(b))))
+
+  /** Skew-safe two-stage aggregation: salt the grouping key so one hot key
+    * spreads over `buckets` reducers, partially aggregate, then strip the
+    * salt and finish. For sums/counts the result is exactly the direct
+    * aggregation (associative re-combination); use when a handful of keys
+    * dominate and AQE's skew handling can't help (it only splits join
+    * partitions, not aggregation groups). Hash-aggregation already combines
+    * map-side, so reach for this only when the per-key *reduce* state is the
+    * bottleneck (e.g. huge countDistinct-style groups).
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], sumCols: Seq[String],
+                buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
+    val partial = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
 }

@@ -78,4 +78,16 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     val out = Relational.renameTolerant(df, Map("a" -> "x", "zz" -> "never"))
     assert(out.columns.toSeq == Seq("x", "b"))
   }
+
+  test("saltedSum equals the direct aggregation (null semantics included)") {
+    val df = (1 to 200).map(i => ("hot", Some(i.toDouble))) ++
+      Seq(("cold", Some(1.0)), ("allnull", None: Option[Double]))
+    val data = df.toDF("k", "v")
+    val direct = data.groupBy("k").agg(sum("v").as("v")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val salted = Relational.saltedSum(data, Seq("k"), Seq("v"), buckets = 7).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(direct == salted)
+    assert(salted("allnull").isEmpty, "all-null groups stay null through both stages")
+  }
 }
