@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -13,6 +13,8 @@ import org.apache.spark.sql.types._
   * element crosses the higher-order-function interpreter; this expression is
   * one tight JVM loop per row — the difference between an ANN scan being
   * CPU-bound on lambda dispatch vs memory-bound on the embeddings themselves.
+  * Participates in whole-stage codegen (doGenCode emits the same loop), so a
+  * scoring stage containing it stays a single generated function.
   * Bit-for-bit equal to the built-in left-fold (same accumulation order),
   * pinned by FunctionsSpec.
   */
@@ -23,7 +25,7 @@ object VectorExpressions {
 }
 
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -32,6 +34,14 @@ case class DotProductExpr(left: Expression, right: Expression)
     e.dataType match {
       case ArrayType(FloatType, _)  => (arr, i) => arr.getFloat(i).toDouble
       case ArrayType(DoubleType, _) => (arr, i) => arr.getDouble(i)
+      case other => throw new IllegalArgumentException(
+        s"DotProductExpr expects array<float|double>, got $other")
+    }
+
+  private def elemGetterCode(e: Expression): (String, String) => String =
+    e.dataType match {
+      case ArrayType(FloatType, _)  => (arr, i) => s"(double) $arr.getFloat($i)"
+      case ArrayType(DoubleType, _) => (arr, i) => s"$arr.getDouble($i)"
       case other => throw new IllegalArgumentException(
         s"DotProductExpr expects array<float|double>, got $other")
     }
@@ -50,6 +60,24 @@ case class DotProductExpr(left: Expression, right: Expression)
       i += 1
     }
     java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gl = elemGetterCode(left)
+    val gr = elemGetterCode(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${gl(a, i)} * ${gr(b, i)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,

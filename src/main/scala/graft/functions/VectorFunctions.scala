@@ -34,9 +34,19 @@ object VectorFunctions {
   /** Cosine similarity; null (not NaN) on zero-norm inputs, matching the
     * engine-wide §1.4 null policy.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val d  = dot(a, b)
-    val nn = norm(a) * norm(b)
+  def cosine(a: Column, b: Column): Column =
+    cosineFromNormSq(dot(a, b), normSq(a), normSq(b))
+
+  /** Cosine from a precomputed dot product and squared norms. The arithmetic
+    * form is identical to [[cosine]] (`d / (sqrt(nsqA) * sqrt(nsqB))`), so
+    * results are bit-for-bit equal — but pair-scoring operators can compute
+    * each side's squared norm once per ROW (before the join) instead of
+    * twice per PAIR, cutting the per-pair cost from three dot products to
+    * one. At 100 TB the norm column is a few extra bytes per row against a
+    * 3× reduction in the dominant CPU cost of similarity search.
+    */
+  def cosineFromNormSq(d: Column, nsqA: Column, nsqB: Column): Column = {
+    val nn = sqrt(nsqA) * sqrt(nsqB)
     when(nn === 0d || nn.isNull, lit(null)).otherwise(d / nn)
   }
 

@@ -116,11 +116,14 @@ object Dedup {
   def embeddingNearDupsExact(emb: DataFrame, idCol: String, vecCol: String,
                              minCosine: Double): DataFrame = {
     import graft.functions.VectorFunctions
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      VectorFunctions.normSq(col(vecCol)).as("na"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      VectorFunctions.normSq(col(vecCol)).as("nb"))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+      .withColumn("cos_sim", round(VectorFunctions.cosineFromNormSq(
+        VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")), 6))
       .filter(col("cos_sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
@@ -135,12 +138,16 @@ object Dedup {
     import graft.functions.VectorFunctions
     val planes = VectorFunctions.seededPlanes(nPlanes, dim, seed)
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.normSq(col(vecCol)).as("nsq"),
       VectorFunctions.hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"),
+      col("nsq").as("na"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"),
+      col("nsq").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+      .withColumn("cos_sim", round(VectorFunctions.cosineFromNormSq(
+        VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")), 6))
       .filter(col("cos_sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
