@@ -311,6 +311,146 @@ object SparkEntry {
       k = 5, nlist = 16, nprobe = 4)
   }
 
+  // ---- q33: skew-safe two-stage salted aggregation (result == plain agg) ----
+  // Measures are exact-in-double integers (quantities; money scaled to
+  // cents), so the salted two-stage re-combination is bit-identical to the
+  // direct aggregation and to the DuckDB oracle's plain GROUP BY.
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem.select(
+      col("l_returnflag"),
+      col("l_quantity").as("sum_qty"),
+      round(col("l_extendedprice") * 100, 0).as("sum_cents"))
+    ops.Relational.saltedSum(li, Seq("l_returnflag"), Seq("sum_qty", "sum_cents"), buckets = 32)
+  }
+
+  // ---- q34: rollup with grouping_id (multi-level aggregation) ----
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0)).as("sum_cents"))
+
+  // ---- q35: pivot (long→wide conditional aggregation) ----
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  // ---- q36: ranking functions + top-k per group ----
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
+      .filter(col("rn") <= 3)
+  }
+
+  // ---- q37: RANGE-frame window (90-day rolling spend per customer) ----
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("__d"))
+      .rangeBetween(-89, 0)
+    Tables(s, dir).orders
+      .withColumn("__d", unix_date(col("o_orderdate").cast("date")).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        count(lit(1)).over(w).as("n_90d"),
+        round(sum(col("o_totalprice")).over(w), 6).as("spend_90d"))
+  }
+
+  // ---- q38: set operators (intersect / except, distinct semantics) ----
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    open.intersect(done).except(urgent)
+  }
+
+  // ---- q39: interval containment via bucketed range join (ops.RangeJoin) ----
+  // Each customer's "first week" window is matched against ALL orders (no
+  // equi key), so a naive plan is a cartesian range predicate; the operator
+  // blocks it into an equi join on 7-day buckets.
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val iv = o.groupBy(col("o_custkey"))
+      .agg(min(unix_date(col("o_orderdate").cast("date"))).as("start_d"))
+      .select(col("o_custkey").as("iv_custkey"), col("start_d"),
+        (col("start_d") + 7).as("end_d"))
+    ops.RangeJoin.bucketedContainment(
+        o.withColumn("__pd", unix_date(col("o_orderdate").cast("date"))),
+        col("__pd"), iv, col("start_d"), col("end_d"), bucketWidth = 7L)
+      .groupBy(col("iv_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 6).as("sum_price"))
+      .withColumnRenamed("iv_custkey", "o_custkey")
+  }
+
+  // ---- q40: exact percentiles (continuous interpolation) per group ----
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+        expr("percentile(l_quantity, 0.5)").as("median_qty"))
+
+  // ---- q41: Structured Streaming sliding windows vs the batch oracle ----
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val agg = graft.streaming.EventStreams.slidingCounts(
+      graft.streaming.EventStreams.readEventsStream(s, dir))
+    val name = s"graft_stream_sliding_${streamSeq.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).select(
+      col("window.start").cast("timestamp_ntz").as("window_start"),
+      col("event_type"), col("n_events"))
+  }
+
+  // ---- q42: streaming dropDuplicates (watermarked state) vs DISTINCT ----
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.readEventsStream(s, dir)
+      .withWatermark("ts", "2 hours")
+    val name = s"graft_stream_dedup_${streamSeq.incrementAndGet()}"
+    val q = ev.dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  // ---- q43: character-n-gram Jaccard similarity (exact, bounded pair set) ----
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val grams = when(length(col("text")) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(col("text")) - lit(2)),
+        i => col("text").substr(i, lit(3)))))
+    val sh = Tables(s, dir).documents.filter(col("doc_id") < 60)
+      .select(col("doc_id"), grams.as("g"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    val uni = size(array_union(col("ga"), col("gb"))).cast("double")
+    // single IEEE division of exact small ints: bit-identical unrounded
+    a.crossJoin(broadcast(b))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        when(uni === 0d, lit(null)).otherwise(inter / uni).as("jaccard"))
+      .filter(col("jaccard") >= 0.1)
+  }
+
   // ---- q31: as-of join — each view picks up the latest prior purchase ----
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir).events
@@ -357,6 +497,17 @@ object SparkEntry {
     "q30_embed_neardup_lsh" -> q30 _,
     "q31_asof_join"        -> q31 _,
     "q32_knn_ivf"          -> q32 _,
+    "q33_salted_agg"       -> q33 _,
+    "q34_rollup"           -> q34 _,
+    "q35_pivot"            -> q35 _,
+    "q36_rank_topk"        -> q36 _,
+    "q37_range_frame"      -> q37 _,
+    "q38_set_ops"          -> q38 _,
+    "q39_range_join"       -> q39 _,
+    "q40_percentiles"      -> q40 _,
+    "q41_stream_sliding"   -> q41 _,
+    "q42_stream_dedup"     -> q42 _,
+    "q43_ngram_jaccard"    -> q43 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -626,5 +777,94 @@ object SparkEntry {
         |ASOF LEFT JOIN
         |     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
+
+    "q33_salted_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        | sum(round(l_extendedprice * 100, 0)) AS sum_cents
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q34_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        | count(*) AS n_orders,
+        | sum(round(o_totalprice * 100, 0)) AS sum_cents
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q35_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q36_rank_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(rank() OVER w AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 3""".stripMargin,
+
+    "q37_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | count(*) OVER w AS n_90d,
+        | round(sum(o_totalprice) OVER w, 6) AS spend_90d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+        |             RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q38_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    "q39_range_join" ->
+      """WITH iv AS (SELECT o_custkey, min(o_orderdate) AS sd FROM orders GROUP BY o_custkey)
+        |SELECT iv.o_custkey, count(*) AS n_orders,
+        | round(sum(o.o_totalprice), 6) AS sum_price
+        |FROM iv JOIN orders o
+        |  ON o.o_orderdate >= iv.sd AND o.o_orderdate < iv.sd + INTERVAL 7 DAY
+        |GROUP BY iv.o_custkey""".stripMargin,
+
+    "q40_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        | quantile_cont(l_quantity, 0.5) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q41_stream_sliding" ->
+      """SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+        |   - (i * INTERVAL 15 MINUTE) AS window_start,
+        | event_type, count(*) AS n_events
+        |FROM events, range(4) t(i)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q42_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q43_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct([substring(text, CAST(i AS INT), 3)
+        |      FOR i IN range(1, CAST(length(text) AS BIGINT) - 1)]) AS g
+        |  FROM documents WHERE doc_id < 60
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
+        |    CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS uni
+        |  FROM d a, d b WHERE a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT doc_a, doc_b,
+        |    CASE WHEN uni = 0 THEN NULL ELSE inter / uni END AS jaccard
+        |  FROM p)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.1""".stripMargin,
   )
 }

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-safe interval containment join (beyond the reference's equi-only
+  * joins — SURVEY §2.5 notes no range joins exist there).
+  *
+  * The naive plan for `probe.t BETWEEN interval.start AND interval.end` with
+  * no equi key is a broadcast-nested-loop / cartesian join — O(|probe|·|iv|)
+  * comparisons, which does not survive a 100× scale-up. This operator turns
+  * the containment predicate into an equi join on a derived bucket key:
+  * each interval is exploded onto every fixed-width bucket it covers, each
+  * probe row belongs to exactly one bucket, and the equi join + residual
+  * filter evaluates only the pairs that share a bucket. Cost is
+  * O(|probe| + |iv|·span/width + matched pairs) with an ordinary shuffled
+  * hash join — the same blocking idea DuckDB's IEJoin or Spark's Range Join
+  * hints apply, expressed with plain DataFrame primitives.
+  *
+  * No dedup step is needed: a probe row joins an interval only through the
+  * probe's own single bucket, so each (probe, interval) pair appears at most
+  * once.
+  *
+  * @param probe       fact side; `probeTime` must be an integral column
+  *                    (epoch day / epoch second / any monotone int encoding)
+  * @param intervals   interval side with integral `startCol`/`endCol`
+  *                    (half-open: start inclusive, end exclusive)
+  * @param bucketWidth bucket size in the same units; pick ~ the median
+  *                    interval span so intervals explode into O(1) buckets
+  */
+object RangeJoin {
+  def bucketedContainment(probe: DataFrame, probeTime: Column,
+                          intervals: DataFrame, startCol: Column, endCol: Column,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    // floor-div semantics for possibly-negative epochs
+    def bucketOf(c: Column): Column = floor(c.cast("double") / w).cast("long")
+    val iv = intervals
+      .withColumn("__start", startCol.cast("long"))
+      .withColumn("__end", endCol.cast("long"))
+      .filter(col("__end") > col("__start"))
+      .withColumn("__bucket",
+        explode(sequence(bucketOf(col("__start")), bucketOf(col("__end") - 1))))
+    val p = probe
+      .withColumn("__t", probeTime.cast("long"))
+      .withColumn("__bucket", bucketOf(col("__t")))
+    p.join(iv, Seq("__bucket"))
+      .filter(col("__t") >= col("__start") && col("__t") < col("__end"))
+      .drop("__bucket", "__t", "__start", "__end")
+  }
+}
