@@ -1,0 +1,223 @@
+package graft
+
+import graft.functions.{PortableHash, VectorFunctions}
+
+/** Generates the DuckDB oracle SQL for the hash-family / vector queries
+  * (q22, q23, q24, q27, q30, q32). These oracles are exact replicas of the
+  * Spark plans' arithmetic: driver-side constants (permutation pairs,
+  * hyperplane literals, centroid strides) are embedded as SQL literals from
+  * the SAME Scala values the Spark plan uses, and every hash/rotation is
+  * expressed in the shared 60-bit no-left-shift form of
+  * [[graft.functions.PortableHash]], which both engines evaluate
+  * identically.
+  *
+  * Hyperplane/centroid doubles are printed in exponent notation so DuckDB
+  * parses them directly as DOUBLE (a plain decimal literal would become
+  * DECIMAL and round-trip through a not-necessarily-correctly-rounded
+  * cast).
+  */
+object OracleSqlGen {
+
+  private def dbl(v: Double): String = {
+    val s = f"$v%.17e"
+    if (s == "nan" || s.contains("inf")) sys.error(s"non-finite plane literal: $v")
+    s
+  }
+
+  private def planeList(p: Seq[Double]): String =
+    p.map(dbl).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** Bucket of vector expression `v` (a DOUBLE[] SQL expression) against a
+    * fixed plane set: packs sign bits, identical to
+    * [[VectorFunctions.hyperplaneBucket]].
+    */
+  private def bucketSql(v: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($v, ${planeList(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  // ---- q22: portable MinHash-LSH candidate pairs ----
+  def q22Sql(shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+             seed: Long = 42L): String = {
+    val rows = numHashes / bands
+    val consts = PortableHash.permConstants(numHashes, seed)
+    val mins = consts.zipWithIndex.map { case ((r, c), j) =>
+      s"min(${PortableHash.permuteSql("h", r, c)}) AS m$j"
+    }.mkString(",\n      ")
+    val sigList = (0 until numHashes).map(j => s"m$j").mkString("[", ", ", "]")
+    val shingle = (0 until shingleK).map(i => s"ws[i + $i]").mkString(" || ' ' || ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    unnest([$shingle FOR i IN range(1, len(ws) - ${shingleK - 2})]) AS g
+       |  FROM tok WHERE len(ws) >= $shingleK
+       |), hs AS (
+       |  SELECT doc_id, ${PortableHash.hash60Sql("g")} AS h FROM sh
+       |), sig AS (
+       |  SELECT doc_id, $sigList AS sig FROM (
+       |    SELECT doc_id,
+       |      $mins
+       |    FROM hs GROUP BY doc_id)
+       |), banded AS (
+       |  SELECT doc_id, b, sig[(b * $rows + 1):(b * $rows + $rows)] AS bucket
+       |  FROM sig, (SELECT unnest(range(0, $bands)) AS b)
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket
+       |  WHERE a.doc_id < b2.doc_id
+       |)
+       |SELECT p.doc_a, p.doc_b,
+       |  round(CAST(list_sum([CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END
+       |                       FOR j IN range(1, ${numHashes + 1})]) AS DOUBLE)
+       |        / $numHashes.0, 4) AS est_jaccard
+       |FROM pairs p
+       |JOIN sig sa ON p.doc_a = sa.doc_id
+       |JOIN sig sb ON p.doc_b = sb.doc_id""".stripMargin
+  }
+
+  // ---- q23: portable SimHash + rolling fingerprint ----
+  def q23Sql(): String = {
+    val bitSums = (0 until 60).map(b => s"sum((h >> $b) & 1) AS b$b").mkString(",\n      ")
+    val packed = (0 until 60).map(b => s"(CASE WHEN 2 * b$b > n THEN ${1L << b} ELSE 0 END)")
+      .mkString("(", "\n      + ", ")")
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+       |), th AS (
+       |  SELECT doc_id, ${PortableHash.hash60Sql("t")} AS h
+       |  FROM (SELECT doc_id, unnest(ws) AS t FROM tok)
+       |), votes AS (
+       |  SELECT doc_id, count(*) AS n,
+       |      $bitSums
+       |  FROM th GROUP BY doc_id
+       |), sims AS (
+       |  SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM votes
+       |), fp AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(0::BIGINT, [${PortableHash.hash60Sql("t")} FOR t IN ws]),
+       |      (acc, h) -> xor(${PortableHash.rot60Sql("acc", 7)}, h)) AS fingerprint
+       |  FROM tok
+       |)
+       |SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash, f.fingerprint
+       |FROM documents d
+       |LEFT JOIN sims s ON d.doc_id = s.doc_id
+       |JOIN fp f ON d.doc_id = f.doc_id""".stripMargin
+  }
+
+  // ---- q24: hyperplane-LSH top-k with multi-probe ----
+  def q24Sql(k: Int = 5, nPlanes: Int = 8, probeBits: Int = 4, dim: Int = 64,
+             seed: Long = 42L, nQueries: Int = 5): String = {
+    val planes = VectorFunctions.seededPlanes(nPlanes, dim, seed)
+    val probeXors = (0L +: (0 until probeBits).map(i => 1L << i)).mkString("[", ", ", "]")
+    s"""WITH c AS (
+       |  SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cn,
+       |    ${bucketSql("embedding::DOUBLE[]", planes)} AS bucket
+       |  FROM embeddings
+       |), q0 AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS qn,
+       |    ${bucketSql("embedding::DOUBLE[]", planes)} AS bucket0
+       |  FROM embeddings WHERE vec_id < $nQueries
+       |), probes AS (
+       |  SELECT DISTINCT query_id, qv, qn, xor(bucket0, p) AS bucket
+       |  FROM q0, (SELECT unnest($probeXors) AS p)
+       |), scored AS (
+       |  SELECT DISTINCT p.query_id, c.cand_id,
+       |    round(list_dot_product(p.qv, c.cv) / (sqrt(p.qn) * sqrt(c.cn)), 6) AS cos_sim
+       |  FROM c JOIN probes p USING (bucket)
+       |  WHERE p.query_id <> c.cand_id
+       |)
+       |SELECT query_id, cand_id, cos_sim, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT query_id, cand_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, cand_id) AS rn
+       |  FROM scored) WHERE rn <= $k""".stripMargin
+  }
+
+  // ---- q27: stubbed media decode metadata ----
+  def q27Sql(): String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS n
+       |  FROM documents
+       |), bl AS (
+       |  SELECT doc_id, n,
+       |    [('0x' || substr(hx, 2 * i + 1, 2))::BIGINT FOR i IN range(n)] AS bytes
+       |  FROM raw
+       |)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(n AS BIGINT) AS n_bytes,
+       |  CAST(CASE WHEN n = 0 THEN 0 ELSE (bytes[1] % 128) % 64 + 1 END AS INTEGER) AS width,
+       |  CAST(CASE WHEN n < 2 THEN 0 ELSE (bytes[2] % 128) % 64 + 1 END AS INTEGER) AS height,
+       |  CAST(3 AS INTEGER) AS channels,
+       |  list_reduce(list_prepend(0::BIGINT, bytes),
+       |    (a, x) -> xor((a % ${1L << 55}) * 32 + (a >> 55), x)) AS checksum
+       |FROM bl""".stripMargin
+
+  // ---- q30: OR-amplified hyperplane-LSH near-dup pairs ----
+  def q30Sql(minCosine: Double = 0.4, nPlanes: Int = 12, nTables: Int = 2,
+             dim: Int = 64, seed: Long = 42L): String = {
+    val perTable = (0 until nTables).map { t =>
+      val planes = VectorFunctions.seededPlanes(nPlanes, dim, seed + t)
+      s"""  SELECT id_a, id_b, cos_sim FROM (
+         |    SELECT a.id AS id_a, b.id AS id_b,
+         |      round(list_dot_product(a.v, b.v) / (sqrt(a.nsq) * sqrt(b.nsq)), 6) AS cos_sim
+         |    FROM (SELECT id, v, nsq, ${bucketSql("v", planes)} AS bucket FROM e) a
+         |    JOIN (SELECT id, v, nsq, ${bucketSql("v", planes)} AS bucket FROM e) b
+         |      USING (bucket)
+         |    WHERE a.id < b.id)
+         |  WHERE cos_sim >= $minCosine""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""WITH e AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nsq
+       |  FROM embeddings
+       |)
+       |$perTable""".stripMargin
+  }
+
+  // ---- q32: IVF coarse-quantized top-k ----
+  def q32Sql(k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+             centroidStride: Long = 31L, nQueries: Int = 5): String =
+    s"""WITH cents AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec,
+       |      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cnorm
+       |    FROM embeddings WHERE vec_id % $centroidStride = 0
+       |    ORDER BY vec_id LIMIT $nlist)
+       |  WHERE cnorm > 0
+       |), corpus AS (
+       |  SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cn
+       |  FROM embeddings
+       |), assigned AS (
+       |  SELECT cand_id, cv, cn, cid AS cell_id FROM (
+       |    SELECT c.cand_id, c.cv, c.cn, ct.cid,
+       |      row_number() OVER (PARTITION BY c.cand_id
+       |        ORDER BY list_dot_product(c.cv, ct.cvec) / ct.cnorm DESC, ct.cid) AS rn
+       |    FROM corpus c CROSS JOIN cents ct)
+       |  WHERE rn = 1
+       |), probes AS (
+       |  SELECT query_id, qv, qn, cid AS cell_id FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv,
+       |      list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS qn,
+       |      ct.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.embedding::DOUBLE[], ct.cvec) / ct.cnorm DESC,
+       |                 ct.cid) AS rn
+       |    FROM embeddings q CROSS JOIN cents ct WHERE q.vec_id < $nQueries)
+       |  WHERE rn <= $nprobe
+       |), scored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    round(list_dot_product(p.qv, a.cv) / (sqrt(p.qn) * sqrt(a.cn)), 6) AS cos_sim
+       |  FROM assigned a JOIN probes p USING (cell_id)
+       |  WHERE p.query_id <> a.cand_id
+       |)
+       |SELECT query_id, cand_id, cos_sim, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT query_id, cand_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, cand_id) AS rn
+       |  FROM scored) WHERE rn <= $k""".stripMargin
+}

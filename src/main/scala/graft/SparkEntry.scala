@@ -235,16 +235,23 @@ object SparkEntry {
         TextFunctions.langId(col("text")).as("lang_detected") +: scoreCols): _*)
   }
 
-  // ---- q22: MinHash-LSH near-dup pairs (rows-only check: not SQL-oracle-able) ----
+  // ---- q22: MinHash-LSH near-dup pairs, portable hash family so the full
+  //      shingle→signature→band-join→estimate pipeline is DuckDB-oracled.
+  //      (Dedup.minhashCandidates with native xxhash64 sketches is the
+  //      production fast path, parity-pinned in OperatorsSpec.) ----
   private def q22(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(Tables(s, dir).documents, "doc_id", "text")
+    Dedup.minhashCandidatesPortable(Tables(s, dir).documents, "doc_id", "text")
 
-  // ---- q23: SimHash + rolling-hash document fingerprints (rows-only) ----
-  private def q23(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).documents.select(
-      col("doc_id"),
-      SketchExpressions.simhash(TextFunctions.tokens(col("text"))).as("simhash"),
-      TextFunctions.docFingerprint(col("text")).as("fingerprint"))
+  // ---- q23: SimHash + rolling-hash document fingerprints (portable hash
+  //      family; the xxhash64 natives stay the production path) ----
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    Dedup.simhash60Portable(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"),
+        graft.functions.PortableHash.fingerprint60(
+          TextFunctions.tokens(col("text"))).as("fingerprint")), Seq("doc_id"))
+      .select(col("doc_id"), col("simhash"), col("fingerprint"))
+  }
 
   // ---- q24: LSH-bucketed approximate nearest neighbors (rows-only) ----
   private def q24(s: SparkSession, dir: String): DataFrame = {
@@ -299,10 +306,11 @@ object SparkEntry {
       Tables(s, dir).embeddings.filter(col("vec_id") < 500),
       "vec_id", "embedding", minCosine = 0.4)
 
-  // ---- q30: embedding near-dup, LSH-blocked scale path (rows-only) ----
+  // ---- q30: embedding near-dup, LSH-blocked scale path (OR-amplified) ----
   private def q30(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupsLsh(
-      Tables(s, dir).embeddings, "vec_id", "embedding", minCosine = 0.4, nPlanes = 6)
+      Tables(s, dir).embeddings, "vec_id", "embedding", minCosine = 0.4,
+      nPlanes = 12, nTables = 2)
 
   // ---- q32: IVF-style ANN (coarse quantizer + probes; rows-only) ----
   private def q32(s: SparkSession, dir: String): DataFrame = {
@@ -396,14 +404,23 @@ object SparkEntry {
   }
 
   // ---- q40: exact percentiles (continuous interpolation) per group ----
-  private def q40(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).lineitem
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
-        expr("percentile(l_quantity, 0.5)").as("median_qty"))
+  // Distributed rank-based formulation (ops.Percentiles): a (group, value)
+  // count shuffle plus a distinct-value window — never Spark's built-in
+  // exact `percentile`, whose per-group all-values state reduces on |groups|
+  // tasks and cannot survive a 100× scale-up.
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    val price = ops.Percentiles.exactQuantiles(li, Seq("l_returnflag"),
+      "l_extendedprice", Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
+    val qty = ops.Percentiles.exactQuantiles(li, Seq("l_returnflag"),
+      "l_quantity", Seq(("median_qty", 0.5)))
+    price.join(qty, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        round(col("p25"), 6).as("p25"),
+        round(col("p50"), 6).as("p50"),
+        round(col("p75"), 6).as("p75"),
+        col("median_qty"))
+  }
 
   // ---- q41: Structured Streaming sliding windows vs the batch oracle ----
   private def q41(s: SparkSession, dir: String): DataFrame = {
@@ -418,10 +435,16 @@ object SparkEntry {
       col("event_type"), col("n_events"))
   }
 
-  // ---- q42: streaming dropDuplicates (watermarked state) vs DISTINCT ----
+  // ---- q42: streaming dropDuplicates (unbounded state) vs DISTINCT ----
+  // No watermark: the dedup keys exclude the event-time column, so DISTINCT
+  // equivalence must hold regardless of how the source splits into
+  // micro-batches — a watermark would evict state and re-emit duplicates
+  // (and drop late rows) under multi-batch execution. For keys-without-time
+  // dedup, unbounded state is the semantically correct configuration; the
+  // watermarked variant (bounded state, time-scoped dedup) is exercised by
+  // StreamingSpec.
   private def q42(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.streaming.EventStreams.readEventsStream(s, dir)
-      .withWatermark("ts", "2 hours")
     val name = s"graft_stream_dedup_${streamSeq.incrementAndGet()}"
     val q = ev.dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
@@ -511,10 +534,19 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omitted for q22/q23/q24 (hash-family ops not
-    * reproducible in SQL) → driver records a weaker rows-only check.
+    * same parquet tables. The hash-family / vector queries (q22, q23, q24,
+    * q27, q30, q32) generate their SQL in [[OracleSqlGen]]: driver-side
+    * constants (permutations, hyperplanes, centroid strides) are embedded
+    * as literals from the same Scala values the Spark plans use, so every
+    * query in the suite is hash-compared — none fall back to rows-only.
     */
   def oracleSql: Map[String, String] = Map(
+    "q22_minhash_lsh"       -> OracleSqlGen.q22Sql(),
+    "q23_simhash"           -> OracleSqlGen.q23Sql(),
+    "q24_knn_lsh"           -> OracleSqlGen.q24Sql(),
+    "q27_media_meta"        -> OracleSqlGen.q27Sql(),
+    "q30_embed_neardup_lsh" -> OracleSqlGen.q30Sql(),
+    "q32_knn_ivf"           -> OracleSqlGen.q32Sql(),
     "q01_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

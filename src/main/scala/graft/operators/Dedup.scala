@@ -36,11 +36,13 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, numHashes: Int): DataFrame = {
     // Shingling + hashing is the CPU-heavy stage; a single small parquet file
-    // arrives as one partition, so spread it across the cluster first. (At
-    // real scale the scan already has many splits and this is a cheap no-op
-    // round-robin.)
+    // arrives as one partition, so spread it across the cores first — but
+    // ONLY then: at real scale the scan already has >= parallelism splits and
+    // an unconditional repartition would shuffle the full text corpus for
+    // nothing.
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    docs.repartition(par)
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread
       .select(
         col(idCol).as("doc_id"),
         SketchExpressions.minhash(
@@ -55,10 +57,14 @@ object Dedup {
                         shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Signatures feed the band explode AND the per-pair estimate; materialize
-    // once so the expensive shingle+hash stage runs a single time.
+    // Signatures feed the band explode AND the per-pair estimate; persist so
+    // the expensive shingle+hash stage runs a single time. DISK_ONLY, not an
+    // eager localCheckpoint: at 100 TB the signature table exceeds cluster
+    // storage memory, and a truncated-lineage checkpoint that gets evicted
+    // cannot be recomputed — disk persistence keeps both the memory profile
+    // flat and the lineage intact.
     val sig = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // Candidate pairs travel without signature payload: dedupe (doc_a, doc_b)
     // across bands first, then re-attach the two signatures. Keeps the
     // band-bucket shuffle narrow and computes each pair's estimate once.
@@ -78,6 +84,90 @@ object Dedup {
       .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
+  }
+
+  /** MinHash signatures in the SQL-portable 60-bit hash family
+    * ([[graft.functions.PortableHash]]) — same signature/banding semantics
+    * as [[minhashSignatures]], different hash. Shape: explode shingles →
+    * one codegen'd md5 per shingle → k permuted mins via groupBy — every
+    * stage is whole-stage-codegen'd and the min aggregation map-side
+    * combines, so this formulation ALSO scales (the xxhash64 native
+    * expression remains the cheaper production default).
+    */
+  def minhashSignaturesPortable(docs: DataFrame, idCol: String, textCol: String,
+                                shingleK: Int, numHashes: Int,
+                                seed: Long = 42L): DataFrame = {
+    import graft.functions.PortableHash
+    val consts = PortableHash.permConstants(numHashes, seed)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val hashed = spread
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("g"))
+      .select(col("doc_id"), PortableHash.hash60(col("g")).as("h"))
+    val mins = consts.zipWithIndex.map { case ((r, c), j) =>
+      min(PortableHash.permute(col("h"), r, c)).as(s"__m$j")
+    }
+    hashed.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(j => col(s"__m$j")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs over the portable hash family; band buckets join on
+    * the signature SLICE itself (no extra bucket hash — array equality is the
+    * key), so the SQL oracle can reproduce the join exactly.
+    * Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, distinct.
+    */
+  def minhashCandidatesPortable(docs: DataFrame, idCol: String, textCol: String,
+                                shingleK: Int = 3, numHashes: Int = 16,
+                                bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignaturesPortable(docs, idCol, textCol, shingleK, numHashes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x
+    ).cast("double") / lit(numHashes)
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
+  }
+
+  /** 60-bit SimHash in the portable hash family: explode tokens, one md5
+    * per token, 60 bit-count sums via groupBy (map-side combinable), then
+    * pack the majority votes. Tokenless documents get fingerprint 0 via the
+    * left join back to the corpus — same semantics as the native
+    * [[graft.functions.SketchExpressions.simhash]] (empty → 0).
+    * Returns (doc_id, simhash).
+    */
+  def simhash60Portable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.PortableHash
+    val hashed = docs
+      .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col("doc_id"), PortableHash.hash60(col("t")).as("h"))
+    val bitSums = (0 until 60).map(bit =>
+      sum(shiftright(col("h"), bit).bitwiseAND(lit(1L))).as(s"__b$bit"))
+    val votes = hashed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"), bitSums: _*)
+    val packed = (0 until 60).map(bit =>
+      when(col(s"__b$bit") * 2 > col("__n"), lit(1L << bit)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val simed = votes.select(col("doc_id"), packed.as("simhash"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(simed, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
   /** Exact word-shingle Jaccard for a pair frame (doc_a, doc_b) — the
@@ -130,26 +220,42 @@ object Dedup {
 
   /** Embedding-cosine near-dup at scale: hyperplane-LSH buckets block the
     * pair space (equal bucket ⇒ candidate), then the exact cosine filter
-    * verifies. Recall is tuned by nPlanes (fewer planes = bigger buckets).
+    * verifies.
+    *
+    * Geometry must scale with the corpus: per-bucket pair cost is
+    * O((n/2^nPlanes)^2), so nPlanes has to GROW with n (default 12 ⇒ 4096
+    * buckets) — a small fixed bucket count quietly degenerates toward the
+    * all-pairs join. More planes cut recall (a near-dup pair survives one
+    * table with probability cos-angle^nPlanes), so recall is bought back
+    * with `nTables` independent plane sets OR-amplified together: a pair is
+    * a candidate if ANY table buckets it together. Union-distinct of
+    * per-table verified pairs — each table is its own bucket equi-join, the
+    * corpus is never crossed. Recall vs the exact operator is pinned in
+    * OperatorsSpec.
     */
   def embeddingNearDupsLsh(emb: DataFrame, idCol: String, vecCol: String,
-                           minCosine: Double, nPlanes: Int = 8, dim: Int = 64,
-                           seed: Long = 42L): DataFrame = {
+                           minCosine: Double, nPlanes: Int = 12, nTables: Int = 2,
+                           dim: Int = 64, seed: Long = 42L): DataFrame = {
     import graft.functions.VectorFunctions
-    val planes = VectorFunctions.seededPlanes(nPlanes, dim, seed)
-    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFunctions.normSq(col(vecCol)).as("nsq"),
-      VectorFunctions.hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"),
-      col("nsq").as("na"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"),
-      col("nsq").as("nb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(VectorFunctions.cosineFromNormSq(
-        VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")), 6))
-      .filter(col("cos_sim") >= minCosine)
-      .select(col("id_a"), col("id_b"), col("cos_sim"))
+    require(nTables >= 1, "nTables must be >= 1")
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.normSq(col(vecCol)).as("nsq"))
+    val perTable = (0 until nTables).map { t =>
+      val planes = VectorFunctions.seededPlanes(nPlanes, dim, seed + t)
+      val bucketed = base.withColumn("bucket",
+        VectorFunctions.hyperplaneBucket(col("v"), planes))
+      val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"),
+        col("nsq").as("na"))
+      val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"),
+        col("nsq").as("nb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos_sim", round(VectorFunctions.cosineFromNormSq(
+          VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")), 6))
+        .filter(col("cos_sim") >= minCosine)
+        .select(col("id_a"), col("id_b"), col("cos_sim"))
+    }
+    perTable.reduce(_ union _).distinct()
   }
 
   /** SimHash near-dup blocking: fingerprint + 16-bit prefix bucket. Pairs

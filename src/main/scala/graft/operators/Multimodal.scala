@@ -39,12 +39,18 @@ object Multimodal {
         // per-partition init would go here (codec handles, native buffers)
         rows.map { case (id, bytes) =>
           // ---- STUB decode: deterministic fake in place of a codec ----
+          // The checksum is a 60-bit rotate/xor fold (left-rotate by 5 via
+          // mod/mul + logical right shift) so the driver's SQL oracle can
+          // recompute it byte-for-byte from hex(payload).
           val n = if (bytes == null) 0 else bytes.length
           val w = if (n == 0) 0 else ((bytes(0) & 0x7f) % 64) + 1
           val h = if (n < 2) 0 else ((bytes(1) & 0x7f) % 64) + 1
           var crc = 0L
           var i = 0
-          while (i < n) { crc = (crc << 5) ^ (crc >>> 59) ^ (bytes(i) & 0xffL); i += 1 }
+          while (i < n) {
+            crc = ((crc % (1L << 55)) * 32L + (crc >>> 55)) ^ (bytes(i) & 0xffL)
+            i += 1
+          }
           // ---- end stub ----
           MediaMeta(id, n.toLong, w, h, channels = 3, crc)
         }

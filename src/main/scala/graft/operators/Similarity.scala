@@ -46,22 +46,32 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rank"))
   }
 
-  /** IVF-style ANN: a coarse quantizer partitions the corpus into nlist
-    * cells (centroids drawn deterministically from the data — every
-    * (n/nlist)-th vector by id, the seeded stand-in for a k-means fit).
-    * The tiny centroid table is collected driver-side and embedded in the
-    * plan as literals, so assignment and probe selection are pure
-    * projections: at 100 TB the corpus is never shuffled for assignment —
-    * one scan tags each vector with its cell, and search cost scales with
-    * nprobe/nlist of the corpus. The cell id is also the natural
-    * bucketing/partition key for storage.
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into up to
+    * nlist cells; queries probe only their nprobe nearest cells.
+    *
+    * Centroid seeding is a deterministic id-stride draw (`idCol %
+    * centroidStride == 0`, smallest nlist ids) — NO `count()` pre-scan of
+    * the corpus, so query cost never includes an extra full read. Optional
+    * `lloydRounds` k-means refinement sharpens the cells: each round is one
+    * corpus scan (assignment against broadcast centroids, a skinny
+    * posexplode/groupBy average — never a shuffle of the vectors
+    * themselves). At 100 TB, fit the centroids on `emb.sample(...)` and
+    * pass the result's stride/rounds here; the search path is unchanged.
+    *
+    * Centroid distribution adapts to nlist: small sets are embedded as plan
+    * literals (whole-stage-codegen'd per-row projection); past
+    * `literalCentroidMax` the centroid table rides along as ONE
+    * broadcast-joined array column, so plan size and codegen stay O(1)
+    * while real IVF geometries (nlist ~ sqrt(n), tens of thousands) remain
+    * expressible. Either way the corpus is never shuffled for assignment,
+    * and the cell id is the natural bucketing/partition key for storage.
     */
   def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val n = emb.count()
-    val step = math.max(n / nlist, 1L)
-    val cents: Seq[(Long, Array[Double], Double)] = emb
-      .filter(col(idCol) % step === 0)
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              centroidStride: Long = 31L, lloydRounds: Int = 0,
+              literalCentroidMax: Int = 64): DataFrame = {
+    var cents: Seq[(Long, Array[Double], Double)] = emb
+      .filter(col(idCol) % centroidStride === 0)
       .orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().toSeq
@@ -70,27 +80,40 @@ object Similarity {
         (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
       }
       .filter(_._3 > 0d) // a zero-norm centroid can never win a cosine argmax
+    require(cents.nonEmpty,
+      s"ivfTopK: no non-zero-norm centroids drawn (stride=$centroidStride) — " +
+        "is the corpus empty or the id column not aligned with the stride?")
 
-    // Per-row similarity to every centroid. ||v|| is constant across cells,
-    // so argmax over dot(v,c)/||c|| equals argmax over cosine — the sqrt of
-    // the row norm is skipped entirely during assignment. The struct packs
-    // (sim, -cell_id) so array_max/array_sort break ties toward the smallest
-    // cell id.
-    def cellSims(v: Column): Column = array(cents.map { case (cid, cv, cnorm) =>
-      struct((VectorFunctions.dot(v, lit(cv)) / lit(cnorm)).as("sim"),
-        lit(-cid).as("nc"))
-    }: _*)
+    // Lloyd refinement: reassign + re-average. The average is computed over
+    // (cell, dimension) — a skinny long-format aggregate that map-side
+    // combines; the wide vectors never shuffle.
+    for (_ <- 1 to lloydRounds) {
+      val assigned = withCellId(emb, idCol, vecCol, cents, literalCentroidMax)
+      val dim = cents.head._2.length
+      val means = assigned
+        .select(col("cell_id"), posexplode(col("cv").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getLong(0))
+      cents = byCell.toSeq.sortBy(_._1).map { case (cid, rows) =>
+        val v = new Array[Double](dim)
+        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+        (cid, v, math.sqrt(v.map(x => x * x).sum))
+      }.filter(_._3 > 0d)
+      require(cents.nonEmpty, "ivfTopK: Lloyd refinement emptied the centroid set")
+    }
 
-    val assigned = emb.select(
-      col(idCol).as("cand_id"), col(vecCol).as("cv"),
-      VectorFunctions.normSq(col(vecCol)).as("cn"),
-      (array_max(cellSims(col(vecCol))).getField("nc") * -1).as("cell_id"))
+    val assigned = withCellId(emb, idCol, vecCol, cents, literalCentroidMax)
+      .select(col("cand_id"), col("cv"), col("cn"), col("cell_id"))
 
     // probe the nprobe nearest cells per query (sort desc by (sim, -cell_id))
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        VectorFunctions.normSq(col(vecCol)).as("qn"),
-        explode(slice(reverse(array_sort(cellSims(col(vecCol)))), 1, nprobe)).as("probe"))
+    val probes = withCellSims(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          VectorFunctions.normSq(col(vecCol)).as("qn")),
+        "qv", cents, literalCentroidMax)
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(slice(reverse(array_sort(col("__sims"))), 1, nprobe)).as("probe"))
       .select(col("query_id"), col("qv"), col("qn"),
         (col("probe.nc") * -1).as("cell_id"))
 
@@ -104,6 +127,51 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Per-row array of (sim to centroid, -cell_id) structs, packed so
+    * array_max/array_sort break similarity ties toward the smallest cell
+    * id. ||v|| is constant across cells, so argmax over dot(v,c)/||c||
+    * equals argmax over cosine — the row norm's sqrt is skipped entirely
+    * during assignment.
+    *
+    * Small centroid sets become plan literals (codegen'd); large ones ride
+    * as a single broadcast-joined array column (`__cents`), evaluated with
+    * higher-order functions — same values, O(1) plan size.
+    */
+  private def withCellSims(df: DataFrame, vecCol: String,
+                           cents: Seq[(Long, Array[Double], Double)],
+                           literalCentroidMax: Int): DataFrame = {
+    if (cents.size <= literalCentroidMax) {
+      val sims = array(cents.map { case (cid, cv, cnorm) =>
+        struct((VectorFunctions.dot(col(vecCol), lit(cv)) / lit(cnorm)).as("sim"),
+          lit(-cid).as("nc"))
+      }: _*)
+      df.withColumn("__sims", sims)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val centsRow = cents.map { case (cid, cv, cnorm) => (cid, cv.toSeq, cnorm) }
+        .toDF("cid", "cvec", "cnorm")
+        .agg(collect_list(struct(col("cid"), col("cvec"), col("cnorm"))).as("__cents"))
+      df.crossJoin(broadcast(centsRow))
+        .withColumn("__sims", transform(col("__cents"), c =>
+          struct((VectorFunctions.dotBuiltin(col(vecCol), c.getField("cvec"))
+              / c.getField("cnorm")).as("sim"),
+            (c.getField("cid") * -1).as("nc"))))
+        .drop("__cents")
+    }
+  }
+
+  /** Corpus rows tagged with their nearest cell: (cand_id, cv, cn, cell_id). */
+  private def withCellId(emb: DataFrame, idCol: String, vecCol: String,
+                         cents: Seq[(Long, Array[Double], Double)],
+                         literalCentroidMax: Int): DataFrame =
+    withCellSims(
+        emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+          VectorFunctions.normSq(col(vecCol)).as("cn")),
+        "cv", cents, literalCentroidMax)
+      .withColumn("cell_id", array_max(col("__sims")).getField("nc") * -1)
+      .drop("__sims")
 
   /** LSH-bucketed ANN: score only candidates in the query's hyperplane
     * bucket. Multi-probe = also search buckets at Hamming distance 1 when

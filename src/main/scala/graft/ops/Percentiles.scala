@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact percentiles (continuous interpolation) per group.
+  *
+  * Spark's built-in exact `percentile` aggregate keeps EVERY distinct
+  * value+count in the aggregation state and reduces each group on a single
+  * task — with a handful of groups that is an all-values-in-memory reduce
+  * with parallelism = |groups|, which OOMs long before 100 TB.
+  *
+  * This operator computes the same values with shuffle-parallel primitives:
+  *
+  *  1. `groupBy(group, value).count()` — a map-side-combinable aggregation
+  *     hashed across ALL shuffle partitions (the heavy, full-data stage);
+  *  2. a cumulative-count window over the (much smaller) distinct-value
+  *     table to locate, per requested quantile, the two values straddling
+  *     the target rank;
+  *  3. linear interpolation between them.
+  *
+  * The interpolation formula mirrors Spark's `Percentile.getPercentile`
+  * (and DuckDB's `quantile_cont`, which is bit-identical to it):
+  * `pos = p*(n-1); lo = floor(pos); hi = ceil(pos);
+  *  result = if (lo == hi) v[lo] else (hi-pos)*v[lo] + (pos-lo)*v[hi]`
+  * with zero-based ranks over the value-ordered multiset.
+  *
+  * Stage 2's window sorts only distinct values per group; Spark's window
+  * operator external-sorts, so the per-group state never has to fit in
+  * memory. Nulls in the value column are excluded, matching both Spark's
+  * `percentile` and DuckDB's `quantile_cont`.
+  */
+object Percentiles {
+
+  /** @param qs (outputColumn, quantile in [0,1]) pairs
+    * @return one row per group: groupCols ++ qs output columns (double)
+    */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, p) => p >= 0 && p <= 1 },
+      "quantiles must lie in [0,1]")
+    val gcols = groupCols.map(col)
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .select((gcols :+ col(valueCol).cast("double").as("__v")): _*)
+      .groupBy((gcols :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__n"))
+
+    val part = Window.partitionBy(gcols: _*)
+    val ordered = part.orderBy(col("__v"))
+    // zero-based rank range covered by this distinct value: [__c0, __cum)
+    val withRanks = counts
+      .withColumn("__cum", sum(col("__n"))
+        .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__c0", col("__cum") - col("__n"))
+      .withColumn("__total", sum(col("__n")).over(part))
+
+    val aggs = qs.flatMap { case (name, p) =>
+      val pos = lit(p) * (col("__total") - 1).cast("double")
+      val lo = floor(pos).cast("long")
+      val hi = ceil(pos).cast("long")
+      val vLo = max(when(col("__c0") <= lo && lo < col("__cum"), col("__v")))
+      val vHi = max(when(col("__c0") <= hi && hi < col("__cum"), col("__v")))
+      Seq(vLo.as(s"__lo_$name"), vHi.as(s"__hi_$name"),
+        max(pos).as(s"__pos_$name"))
+    }
+    val picked = withRanks.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+
+    val outCols = gcols ++ qs.map { case (name, _) =>
+      val pos = col(s"__pos_$name")
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      when(lo === hi, col(s"__lo_$name"))
+        .otherwise((hi - pos) * col(s"__lo_$name") + (pos - lo) * col(s"__hi_$name"))
+        .as(name)
+    }
+    picked.select(outCols: _*)
+  }
+}

@@ -34,8 +34,17 @@ object RangeJoin {
                           bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val w = lit(bucketWidth)
-    // floor-div semantics for possibly-negative epochs
-    def bucketOf(c: Column): Column = floor(c.cast("double") / w).cast("long")
+    // Pure-integer floor division (round toward -inf for negative epochs):
+    // a double round-trip would lose precision past 2^53 and silently drop
+    // matches for nanosecond-scale encodings. `Column./` is double division,
+    // so the exact quotient goes through Catalyst's IntegralDivide (`div`).
+    def bucketOf(c: Column): Column = {
+      val v = c.cast("long")
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftColumnBridge.expression(v - pmod(v, w)),
+          org.apache.spark.sql.GraftColumnBridge.expression(w)))
+    }
     val iv = intervals
       .withColumn("__start", startCol.cast("long"))
       .withColumn("__end", endCol.cast("long"))
