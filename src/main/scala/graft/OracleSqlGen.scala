@@ -178,6 +178,139 @@ object OracleSqlGen {
        |$perTable""".stripMargin
   }
 
+  // ---- q44: org-change paths derivation over the supplier-key graph ----
+  // Mirrors pipelines.OrgChangePaths.derivePaths stage by stage: path
+  // expansion (m1-m3), original-path filter, per-hop name-change refinement
+  // (independent per hop — refining ct_i never feeds hop i+1's inputs),
+  // then the sequential split_from_multiple rounds and the final
+  // classification join.
+  def q44Sql(): String = {
+    def hop(i: Int, prevRel: String, prevCode: String): String =
+      s"""m$i AS MATERIALIZED (
+         |  SELECT m.*, e.dst AS nc$i, e.d AS dc$i,
+         |    CASE WHEN e.dst IS NULL THEN NULL
+         |         WHEN ec.nsucc > 1 THEN 'split' ELSE 'mnc' END AS ct$i
+         |  FROM $prevRel m
+         |  LEFT JOIN edges e ON m.$prevCode = e.src
+         |  LEFT JOIN ecnt ec ON e.src = ec.src
+         |)""".stripMargin
+    def ncc(i: Int, prevCode: String): String =
+      s"""ncc$i AS MATERIALIZED (
+         |  SELECT nc$i AS c FROM orig0
+         |  WHERE nc$i IN (SELECT nc$i FROM orig0 WHERE ct$i = 'mnc')
+         |  GROUP BY nc$i HAVING count(DISTINCT $prevCode) = 1
+         |)""".stripMargin
+    def refinedCt(i: Int): String =
+      s"""CASE WHEN nc$i IN (SELECT c FROM ncc$i) THEN 'name_change'
+         |     WHEN ct$i = 'mnc' THEN 'merger' ELSE ct$i END AS ct$i""".stripMargin
+    def sfmRound(i: Int, prevRel: String, prevCode: String): String =
+      s"""s$i AS MATERIALIZED (
+         |  SELECT nc$i AS c FROM $prevRel
+         |  WHERE ct$i = 'split' AND dpc = 'no'
+         |  GROUP BY nc$i HAVING count(DISTINCT $prevCode) > 1
+         |), c$i AS MATERIALIZED (
+         |  SELECT * REPLACE (CASE WHEN nc$i IN (SELECT c FROM s$i) AND adj = 0
+         |    THEN 'split_from_multiple' ELSE dpc END AS dpc)
+         |  FROM $prevRel
+         |)""".stripMargin
+    s"""WITH sup AS (SELECT s_suppkey AS v FROM supplier),
+       |edges AS MATERIALIZED (
+       |  SELECT CAST(v AS VARCHAR) AS src,
+       |    CAST(CASE WHEN v % 27 <= 17 THEN v - (v % 27) ELSE v - 9 END AS VARCHAR) AS dst,
+       |    DATE '2000-01-01' + CAST(v % 5000 AS INT) AS d
+       |  FROM sup WHERE v % 27 >= 9
+       |  UNION ALL
+       |  SELECT CAST(v AS VARCHAR), CAST(v - 10 AS VARCHAR),
+       |    DATE '2000-01-01' + CAST(v % 5000 AS INT)
+       |  FROM sup WHERE v % 27 = 22
+       |),
+       |ecnt AS MATERIALIZED (SELECT src, count(*) AS nsucc FROM edges GROUP BY src),
+       |m0 AS MATERIALIZED (
+       |  SELECT code AS old_code, code AS new_code_0 FROM (
+       |    SELECT DISTINCT src AS code FROM edges
+       |    UNION SELECT DISTINCT dst FROM edges)
+       |),
+       |${hop(1, "m0", "new_code_0")},
+       |${hop(2, "m1", "nc1")},
+       |${hop(3, "m2", "nc2")},
+       |pth AS MATERIALIZED (SELECT * FROM m3 WHERE nc1 IS NOT NULL),
+       |succ AS (
+       |  SELECT DISTINCT c FROM (
+       |    SELECT nc1 AS c FROM pth WHERE nc1 IS NOT NULL
+       |    UNION ALL SELECT nc2 FROM pth WHERE nc2 IS NOT NULL
+       |    UNION ALL SELECT nc3 FROM pth WHERE nc3 IS NOT NULL)
+       |),
+       |orig0 AS MATERIALIZED (SELECT * FROM pth WHERE old_code NOT IN (SELECT c FROM succ)),
+       |${ncc(1, "new_code_0")},
+       |${ncc(2, "nc1")},
+       |${ncc(3, "nc2")},
+       |orig AS MATERIALIZED (
+       |  SELECT old_code, new_code_0, nc1, dc1, nc2, dc2, nc3, dc3,
+       |    ${refinedCt(1)},
+       |    ${refinedCt(2)},
+       |    ${refinedCt(3)}
+       |  FROM orig0
+       |),
+       |origf AS MATERIALIZED (
+       |  SELECT *, coalesce(nc3, nc2, nc1) AS final_code,
+       |    CASE WHEN 'split' IN (ct1, ct2, ct3) THEN 1 ELSE 0 END AS es
+       |  FROM orig
+       |),
+       |linked AS MATERIALIZED (
+       |  SELECT DISTINCT c FROM (
+       |    SELECT old_code AS c FROM origf WHERE es = 1
+       |    UNION ALL SELECT nc1 FROM origf WHERE es = 1
+       |    UNION ALL SELECT nc2 FROM origf WHERE es = 1
+       |    UNION ALL SELECT nc3 FROM origf WHERE es = 1)
+       |  WHERE c IS NOT NULL
+       |),
+       |c0 AS MATERIALIZED (
+       |  SELECT *,
+       |    CASE WHEN 'merger' IN (ct1, ct2, ct3) AND 'split' IN (ct1, ct2, ct3)
+       |           THEN 'later_merger'
+       |         WHEN 'name_change' IN (ct1, ct2, ct3) AND 'split' IN (ct1, ct2, ct3)
+       |           THEN 'later_name_change'
+       |         ELSE 'no' END AS dpc,
+       |    CASE WHEN es = 0 THEN 1 ELSE 0 END AS adj
+       |  FROM origf
+       |  WHERE old_code IN (SELECT c FROM linked) OR nc1 IN (SELECT c FROM linked)
+       |     OR nc2 IN (SELECT c FROM linked) OR nc3 IN (SELECT c FROM linked)
+       |),
+       |${sfmRound(1, "c0", "new_code_0")},
+       |${sfmRound(2, "c1", "nc1")},
+       |${sfmRound(3, "c2", "nc2")},
+       |sic AS MATERIALIZED (SELECT DISTINCT old_code FROM c3 WHERE dpc = 'split_from_multiple'),
+       |c4 AS MATERIALIZED (
+       |  SELECT * REPLACE (CASE WHEN old_code IN (SELECT old_code FROM sic)
+       |    AND dpc = 'no' THEN 1 ELSE adj END AS adj)
+       |  FROM c3
+       |),
+       |ncs AS MATERIALIZED (
+       |  SELECT final_code FROM c4 GROUP BY final_code
+       |  HAVING max(adj) = 0 AND min(CASE WHEN dpc = 'no' THEN 1 ELSE 0 END) = 1
+       |),
+       |pcp AS MATERIALIZED (
+       |  SELECT DISTINCT final_code FROM c4
+       |  WHERE final_code NOT IN (SELECT final_code FROM ncs)
+       |),
+       |c5 AS MATERIALIZED (SELECT * FROM c4 WHERE final_code IN (SELECT final_code FROM pcp))
+       |SELECT o.old_code, o.new_code_0,
+       |  o.nc1 AS new_code_1, o.dc1 AS date_change_1, o.ct1 AS change_type_1,
+       |  o.nc2 AS new_code_2, o.dc2 AS date_change_2, o.ct2 AS change_type_2,
+       |  o.nc3 AS new_code_3, o.dc3 AS date_change_3, o.ct3 AS change_type_3,
+       |  o.final_code, CAST(o.es AS BIGINT) AS experiences_split,
+       |  coalesce(c.dpc, 'no') AS direct_path_complicated,
+       |  CAST(coalesce(c.adj, 0) AS BIGINT) AS adjacent_to_complicated,
+       |  CAST(CASE WHEN o.final_code IN (SELECT final_code FROM pcp)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS part_of_complicated_path
+       |FROM origf o
+       |LEFT JOIN c5 c
+       |  ON o.old_code = c.old_code
+       | AND o.nc1 IS NOT DISTINCT FROM c.nc1
+       | AND o.nc2 IS NOT DISTINCT FROM c.nc2
+       | AND o.nc3 IS NOT DISTINCT FROM c.nc3""".stripMargin
+  }
+
   // ---- q32: IVF coarse-quantized top-k ----
   def q32Sql(k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
              centroidStride: Long = 31L, nQueries: Int = 5): String =

@@ -474,6 +474,31 @@ object SparkEntry {
       .filter(col("jaccard") >= 0.1)
   }
 
+  // ---- q44: full org-change paths derivation (pipelines.OrgChangePaths:
+  //      iterative expansion + name-change refinement + split/complicated
+  //      classification) over a synthetic succession graph built from
+  //      supplier keys: codes with residue 9-17 (mod 27) merge into their
+  //      block base, 18-26 rename down one tier, residue 22 additionally
+  //      splits — exercising split, merger, name_change, later_merger,
+  //      adjacency, and part_of_complicated_path end-to-end ----
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables(s, dir).supplier.select(col("s_suppkey").as("v"))
+    val chDate = date_add(to_date(lit("2000-01-01")), (col("v") % 5000).cast("int"))
+    val primary = sup.filter(col("v") % 27 >= 9)
+      .select(col("v").cast("string").as("old_code"),
+        when(col("v") % 27 <= 17, col("v") - col("v") % 27)
+          .otherwise(col("v") - 9).cast("string").as("new_code"),
+        chDate.as("change_date"))
+    val splitBranch = sup.filter(col("v") % 27 === 22)
+      .select(col("v").cast("string").as("old_code"),
+        (col("v") - 10).cast("string").as("new_code"),
+        chDate.as("change_date"))
+    pipelines.OrgChangePaths.derivePaths(primary.union(splitBranch))
+      .withColumn("experiences_split", col("experiences_split").cast("long"))
+      .withColumn("adjacent_to_complicated", col("adjacent_to_complicated").cast("long"))
+      .withColumn("part_of_complicated_path", col("part_of_complicated_path").cast("long"))
+  }
+
   // ---- q31: as-of join — each view picks up the latest prior purchase ----
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir).events
@@ -531,6 +556,7 @@ object SparkEntry {
     "q41_stream_sliding"   -> q41 _,
     "q42_stream_dedup"     -> q42 _,
     "q43_ngram_jaccard"    -> q43 _,
+    "q44_org_paths"        -> q44 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -547,6 +573,7 @@ object SparkEntry {
     "q27_media_meta"        -> OracleSqlGen.q27Sql(),
     "q30_embed_neardup_lsh" -> OracleSqlGen.q30Sql(),
     "q32_knn_ivf"           -> OracleSqlGen.q32Sql(),
+    "q44_org_paths"         -> OracleSqlGen.q44Sql(),
     "q01_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
