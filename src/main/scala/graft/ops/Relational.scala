@@ -60,6 +60,17 @@ object Relational {
     df.withColumnsRenamed(present)
   }
 
+  /** P5, order-sensitive variant: the reference's `setnames` blocks apply
+    * SEQUENTIALLY, and some chains depend on it (wait-times jan07:
+    * `provider → provider_name` must run before `provider_name → org_name`
+    * so a file with a `provider` column ends at `org_name`). Each step is
+    * tolerant of an absent source column.
+    */
+  def renameSeq(df: DataFrame, renames: Seq[(String, String)]): DataFrame =
+    renames.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+
   /** U5 — coalesce groups of alternative columns into one canonical column
     * (`combine_first` reduce, reference:
     * scripts/build_datasets_main.py:165-196,325-335). Missing members of a
