@@ -267,9 +267,9 @@ object SparkEntry {
     val agg = graft.streaming.EventStreams.hourlyAggregates(
       graft.streaming.EventStreams.readEventsStream(s, dir))
     val name = s"graft_stream_hourly_${streamSeq.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
     s.table(name).select(
       col("window.start").cast("timestamp_ntz").as("hour"),
       col("event_type"), col("n_events"), col("total_value"))
@@ -410,6 +410,9 @@ object SparkEntry {
   // tasks and cannot survive a 100× scale-up.
   private def q40(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir).lineitem
+    // Two independent derivations (distinct value columns shuffle on
+    // different keys; a fused unpivot formulation measured slower — the
+    // doubled long-format shuffle outweighs the saved scan).
     val price = ops.Percentiles.exactQuantiles(li, Seq("l_returnflag"),
       "l_extendedprice", Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
     val qty = ops.Percentiles.exactQuantiles(li, Seq("l_returnflag"),
@@ -427,9 +430,9 @@ object SparkEntry {
     val agg = graft.streaming.EventStreams.slidingCounts(
       graft.streaming.EventStreams.readEventsStream(s, dir))
     val name = s"graft_stream_sliding_${streamSeq.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
     s.table(name).select(
       col("window.start").cast("timestamp_ntz").as("window_start"),
       col("event_type"), col("n_events"))
@@ -448,9 +451,9 @@ object SparkEntry {
     val name = s"graft_stream_dedup_${streamSeq.incrementAndGet()}"
     val q = ev.dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
     s.table(name)
   }
 

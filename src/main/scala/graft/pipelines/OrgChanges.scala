@@ -70,7 +70,7 @@ object OrgChangePaths {
     val hopCols = (1 to maxHops).map(i => s"new_code_$i")
     val succCodes = hopCols.map(c => paths.filter(col(c).isNotNull).select(col(c).as("__c")))
       .reduce(_ union _).distinct()
-    var o = leaf(paths.join(broadcast(succCodes), col("old_code") === col("__c"), "left_anti"))
+    var o = paths.join(broadcast(succCodes), col("old_code") === col("__c"), "left_anti")
 
     // name-change refinement (R:119-144): a merger target reached from only
     // ONE distinct predecessor is a pure renaming, not a merger. The R code
@@ -87,12 +87,12 @@ object OrgChangePaths {
         .agg(countDistinct(col(prevC)).as("__nprev"))
         .filter(col("__nprev") === 1)
         .select(col(nc).as("__ncc"))
-      o = leaf(o.join(broadcast(nameChanged), col(nc) === col("__ncc"), "left")
+      o = o.join(broadcast(nameChanged), col(nc) === col("__ncc"), "left")
         .withColumn(ct,
           when(col("__ncc").isNotNull, lit("name_change"))
             .when(col(ct) === "merger_or_name_change", lit("merger"))
             .otherwise(col(ct)))
-        .drop("__ncc"))
+        .drop("__ncc")
     }
 
     val ncN = (1 to maxHops).map(i => col(s"new_code_$i"))
@@ -109,12 +109,12 @@ object OrgChangePaths {
       .reduce(_ union _).filter(col("__c").isNotNull).distinct()
     val touchesLinked = (col("old_code") +: ncN)
       .map(c => c === col("__c")).reduce(_ || _)
-    var compl = leaf(o.join(broadcast(linked), touchesLinked, "left_semi")
+    var compl = o.join(broadcast(linked), touchesLinked, "left_semi")
       .withColumn("direct_path_complicated",
         when(ctHas("merger") && ctHas("split"), lit("later_merger"))
           .when(ctHas("name_change") && ctHas("split"), lit("later_name_change"))
           .otherwise(lit("no")))
-      .withColumn("adjacent_to_complicated", when(!ctHas("split"), 1).otherwise(0)))
+      .withColumn("adjacent_to_complicated", when(!ctHas("split"), 1).otherwise(0))
 
     // a target multiple distinct trusts split INTO is itself complicated
     // (R:196-216); sequential because round i reads round i-1's labels
@@ -128,12 +128,12 @@ object OrgChangePaths {
         .agg(countDistinct(col(prevC)).as("__np"))
         .filter(col("__np") > 1)
         .select(col(nc).as("__sfm"))
-      compl = leaf(compl.join(broadcast(sfm), col(nc) === col("__sfm"), "left")
+      compl = compl.join(broadcast(sfm), col(nc) === col("__sfm"), "left")
         .withColumn("direct_path_complicated",
           when(col("__sfm").isNotNull && col("adjacent_to_complicated") === 0,
             lit("split_from_multiple"))
             .otherwise(col("direct_path_complicated")))
-        .drop("__sfm"))
+        .drop("__sfm")
     }
 
     // a clean split with one branch feeding a split_from_multiple target is
