@@ -91,6 +91,29 @@ object StagingReader {
       nullif(regexp_extract(c, "Q(\\d)", 1), lit("")))
     when(q.isNotNull, concat(lit("Q"), q))
   }
+
+  /** S8, pre-2009 variant (scripts/build_datasets_main.py:69-86): before
+    * 2009-10 a fiscal year ships as ONE `All_quarters` workbook with a
+    * sheet per quarter, labeled by fiscal-quarter-END month — June<yy>=Q1,
+    * Sep<yy>=Q2, Dec<yy>=Q3, Mar<yy+1>=Q4 (the Q4 sheet wears the NEXT
+    * calendar year's suffix). The year+1 suffix is zero-padded only below
+    * 10, exactly as the reference formats it. Non-All_quarters inputs fall
+    * back to [[quarterFromName]].
+    */
+  def quarterFromSheet(fname: org.apache.spark.sql.Column,
+                       sheet: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val year = regexp_extract(fname, "(19[5-9]\\d|20[0-2]\\d)", 1)
+    val yy = substring(year, 3, 2)
+    val next = substring(year, 3, 2).cast("int") + 1
+    val yyPlus = when(next < 10, concat(lit("0"), next.cast("string")))
+      .otherwise(next.cast("string"))
+    when(fname.contains("All_quarters") && year =!= "",
+      when(sheet === concat(lit("June"), yy), "Q1")
+        .when(sheet === concat(lit("Sep"), yy), "Q2")
+        .when(sheet === concat(lit("Dec"), yy), "Q3")
+        .when(sheet === concat(lit("Mar"), yyPlus), "Q4"))
+      .otherwise(quarterFromName(fname))
+  }
 }
 
 /** K1 — sinks. Parquet partitioned-by-key is the primary format; single-file

@@ -53,6 +53,22 @@ class StagingReaderSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq("Q3", "Q1", null))
   }
 
+  test("quarterFromSheet maps pre-2009 All_quarters sheet labels, falls back otherwise") {
+    import spark.implicits._
+    val out = Seq(
+      ("Beds_Open_All_quarters_2007", "June07"),  // Q1
+      ("Beds_Open_All_quarters_2007", "Sep07"),   // Q2
+      ("Beds_Open_All_quarters_2007", "Dec07"),   // Q3
+      ("Beds_Open_All_quarters_2007", "Mar08"),   // Q4 wears next year's suffix
+      ("Beds_Open_All_quarters_2009", "Mar10"),   // 09 + 1 -> "10", no padding
+      ("Beds_Open_All_quarters_2007", "Mar07"),   // wrong suffix: no quarter
+      ("Beds_Open_Quarter_2_2012", "ignored"),    // post-2009 filename path
+    ).toDF("f", "s")
+      .select(StagingReader.quarterFromSheet(col("f"), col("s")).as("q"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(out.toSeq == Seq("Q1", "Q2", "Q3", "Q4", "Q4", null, "Q2"))
+  }
+
   test("sinks round-trip: parquet partitioned + single-file csv") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_sink").toFile.getAbsolutePath
