@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   *                         format, yielding a `file_date` column (S7/S8,
   *                         e.g. `("([A-Z][a-z]+\\d{4})", "MMMMyyyy")`)
   * @param prefixNonKey     prefix every non-key column (P7 pathway renames)
+  * @param excelSheet       format="excel": sheet-name regex, case-insensitive
+  *                         (the reference's `^providers?$` selection); falls
+  *                         back to `excelSheetIndex` when absent/unmatched
+  * @param excelSheetIndex  format="excel": 0-based sheet position
+  * @param skipRows         format="excel": leading rows dropped before the
+  *                         header (readxl `skip = 13`)
   */
 final case class SourceSpec(
     paths: Seq[String],
@@ -36,7 +42,10 @@ final case class SourceSpec(
     renames: Map[String, String] = Map.empty,
     cleanNames: Boolean = true,
     fileDateRegex: Option[(String, String)] = None,
-    prefixNonKey: Option[(String, Seq[String])] = None)
+    prefixNonKey: Option[(String, Seq[String])] = None,
+    excelSheet: Option[String] = None,
+    excelSheetIndex: Int = 0,
+    skipRows: Int = 0)
 
 object StagingReader {
 
@@ -49,9 +58,15 @@ object StagingReader {
         spark.read.option("header", spec.header.toString).csv(spec.paths: _*)
       case "parquet" =>
         spark.read.parquet(spec.paths: _*)
+      case "excel" =>
+        readExcelStaging(spark, spec.paths, spec.excelSheet, spec.excelSheetIndex,
+          spec.skipRows, spec.header)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
-    val withName = base.withColumn("fname",
+    // the excel path attaches fname during the per-file parse (its rows no
+    // longer carry file lineage); file formats get it from the scan
+    val withName = if (spec.format == "excel") base
+    else base.withColumn("fname",
       regexp_extract(input_file_name(), "[^/]+$", 0))
     val filtered = spec.fileNameFilter
       .map(re => withName.filter(col("fname").rlike(re)))
@@ -80,6 +95,59 @@ object StagingReader {
         dated.withColumnsRenamed(renameMap)
       case None => dated
     }
+  }
+
+  /** S4 — distributed Excel (.xlsx) scan with NO external jars: the
+    * `binaryFile` source ships each workbook's bytes to an executor, where
+    * [[Excel]] StAX-parses the selected sheet. One task per file (xlsx is
+    * not splittable — standard for zip containers); a 100 TB drop of many
+    * workbooks parallelises per file exactly like every production Excel
+    * connector. Column names come from the first file's header row (by
+    * path order), mirroring the CSV staging contract; every file skips
+    * `skip` leading rows first (readxl `skip`).
+    */
+  def readExcelStaging(spark: SparkSession, paths: Seq[String],
+                       sheetName: Option[String] = None, sheetIndex: Int = 0,
+                       skip: Int = 0, header: Boolean = true): DataFrame = {
+    val files = spark.read.format("binaryFile").load(paths: _*)
+      .select(col("path"), col("content"))
+
+    def gridOf(bytes: Array[Byte]): Vector[Array[String]] = {
+      val wb = Excel.open(bytes)
+      val part = sheetName.flatMap(wb.sheetByName)
+        .orElse(wb.sheetByIndex(sheetIndex))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no sheet matching name=$sheetName index=$sheetIndex in ${wb.sheetNames}"))
+      Excel.sheetGrid(wb, part).drop(skip)
+    }
+
+    // schema from the first file (path order) — same contract as the CSV
+    // reader's first-file header
+    val first = files.orderBy(col("path")).limit(1).collect()
+    require(first.nonEmpty, s"no files matched: $paths")
+    val firstGrid = gridOf(first(0).getAs[Array[Byte]]("content"))
+    require(firstGrid.nonEmpty, "selected sheet is empty after skip")
+    val width = firstGrid.head.length
+    val names =
+      if (header) firstGrid.head.zipWithIndex.map { case (h, i) =>
+        if (h == null || h.isEmpty) s"_c$i" else h
+      }
+      else (0 until width).map(i => s"_c$i").toArray
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("fname",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+        names.map(n => org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType, nullable = true)).toSeq)
+
+    val dataRows = if (header) 1 else 0
+    val rdd = files.rdd.flatMap { r =>
+      val fname = r.getString(0).replaceAll(".*/", "")
+      gridOf(r.getAs[Array[Byte]](1)).drop(dataRows).map { cells =>
+        val padded = java.util.Arrays.copyOf(cells, width)
+        org.apache.spark.sql.Row.fromSeq(fname +: padded.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** S8 — quarter extraction from a filename-ish string: `Quarter_3`,
