@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan pins for the scale-critical queries: these assert the
+  * plan SHAPE the operators were designed around — broadcasts where a side
+  * is small, filters reaching the parquet scan, no cartesian products on
+  * the blocked joins — so a refactor that silently degrades a plan (e.g. a
+  * lost broadcast hint turning into a shuffled join, or a range predicate
+  * collapsing to a nested-loop join) fails here rather than at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q03: both dimension joins broadcast") {
+    val p = plan("q03_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    assert(p.contains("GreaterThan(p_size,") || p.contains("GreaterThanOrEqual(p_size,"),
+      "size range must push down: " + p.take(800))
+    // column pruning: the scan must not read unused columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("p_retailprice") && !readSchema.contains("p_comment"),
+      readSchema)
+  }
+
+  test("q39: bucketed range join is an equi join, never a nested-loop/cartesian") {
+    val p = plan("q39_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q31: as-of join plans with no join operator at all (tag+union+window)") {
+    val p = plan("q31_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q19: query side broadcasts; corpus is never shuffled before scoring") {
+    val p = plan("q19_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the bounded query set must broadcast: " + p.take(800))
+  }
+
+  test("q32: IVF probes broadcast into the bucket equi join") {
+    val p = plan("q32_knn_ivf")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_group_sum")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("q40: no built-in exact percentile aggregate anywhere in the plan") {
+    val p = plan("q40_percentiles")
+    assert(!p.toLowerCase.contains("percentile("), p.take(800))
+  }
+}

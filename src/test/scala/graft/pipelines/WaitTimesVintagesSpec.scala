@@ -95,6 +95,41 @@ class WaitTimesVintagesSpec extends AnyFunSuite with SparkSpec {
     assert(out.collect().head.getAs[Double]("admitted_between_52_plus") == 4.0)
   }
 
+  test("jan11 end-to-end from a real two-sheet xlsx through the Excel source") {
+    import graft.sources.{SourceSpec, StagingReader}
+    import org.apache.spark.sql.functions.lit
+    // a realistic workbook: 2 filler rows (stand-in for the reference's 13),
+    // then header + data, summary in sheet 1 and specialties in sheet 2
+    val filler = Seq(Seq[Any]("Referral to Treatment", null), Seq[Any](null, null))
+    val wb = graft.sources.ExcelFixtures.xlsx(Seq(
+      "Provider Summary" -> (filler ++ Seq(
+        Seq[Any]("org_code", "Provider Name", "95th percentile waiting time in weeks"),
+        Seq[Any]("RA1", "Alpha Trust", 21.5))),
+      "Provider Specialty" -> (filler ++ Seq(
+        Seq[Any]("org_code", "Provider Name", "treatment_function_code",
+          "treatment_function", "18-26"),
+        Seq[Any]("RA1", "Alpha Trust", "AP999", "Total", 9),
+        Seq[Any]("RA1", "Alpha Trust", "100", "General Surgery", 4)))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rtt_xlsx").toFile
+    val f = new java.io.FileOutputStream(new java.io.File(dir, "Admitted_Jan12.xlsx"))
+    f.write(wb); f.close()
+
+    val path = Seq(s"${dir.getAbsolutePath}/*.xlsx")
+    val summary = StagingReader.read(spark, SourceSpec(path, format = "excel",
+        excelSheet = Some("summary"), skipRows = 2, cleanNames = false))
+      .withColumn("date", lit("2012-01-01"))
+    val specialties = StagingReader.read(spark, SourceSpec(path, format = "excel",
+        excelSheet = Some("specialty"), skipRows = 2, cleanNames = false))
+      .withColumn("date", lit("2012-01-01"))
+
+    val out = WaitTimesVintages.jan11Mar13(summary, specialties, "admitted")
+    val byTfc = out.collect().map(r =>
+      r.getAs[String]("treatment_function_code") ->
+        Option(r.getAs[Any]("admitted_95th_percentile_waiting_time_in_weeks"))).toMap
+    assert(byTfc("AP999").contains(21.5))
+    assert(byTfc("100").isEmpty)
+  }
+
   test("apr13: months without 52-plus reporting pass through unharmonised") {
     val staged = Seq(
       ("F1", "RA1", "Alpha", "100", "T", "2013-05-01", 1.0, 2.0),
