@@ -311,6 +311,35 @@ object OracleSqlGen {
        | AND o.nc3 IS NOT DISTINCT FROM c.nc3""".stripMargin
   }
 
+  // ---- q45: corpus top-k bigrams ----
+  def q45Sql(k: Int = 50): String =
+    s"""WITH tok AS (
+       |  SELECT regexp_extract_all(text, '\\S+') AS ws FROM documents
+       |), g AS (
+       |  SELECT unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS gram
+       |  FROM tok WHERE len(ws) >= 2
+       |), c AS (
+       |  SELECT gram, count(*) AS n FROM g GROUP BY gram
+       |)
+       |SELECT gram, n, CAST(row_number() OVER (ORDER BY n DESC, gram) AS BIGINT) AS rank
+       |FROM c ORDER BY n DESC, gram LIMIT $k""".stripMargin
+
+  // ---- q46: deterministic split + hash-fraction sample ----
+  def q46Sql(): String = {
+    import graft.operators.Sampling
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    ${Sampling.hashBucketSql("doc_id", "graft", 100)} AS bucket,
+       |    ${Sampling.hashBucketSql("doc_id", "sample")} AS sb
+       |  FROM documents
+       |)
+       |SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+       |  sb < 1000 AS in_10pct_sample
+       |FROM b""".stripMargin
+  }
+
   // ---- q32: IVF coarse-quantized top-k ----
   def q32Sql(k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
              centroidStride: Long = 31L, nQueries: Int = 5): String =

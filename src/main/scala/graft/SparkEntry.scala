@@ -502,6 +502,27 @@ object SparkEntry {
       .withColumn("part_of_complicated_path", col("part_of_complicated_path").cast("long"))
   }
 
+  // ---- q45: corpus-level top-k n-grams (explode → count → TakeOrdered) ----
+  // The global rank runs over the 50 surviving rows only — the top-k itself
+  // is orderBy+limit (TakeOrderedAndProject), never a single-task window
+  // over the full distinct-gram table.
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val top = Tables(s, dir).documents
+      .select(explode(TextFunctions.wordShingles(col("text"), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(50)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("gram"))).cast("long"))
+  }
+
+  // ---- q46: deterministic train/valid/test split + hash-fraction sample ----
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      operators.Sampling.hashBucket(col("doc_id"), "graft", 100).as("bucket"),
+      operators.Sampling.splitAssign(col("doc_id"), "graft").as("split"),
+      (operators.Sampling.hashBucket(col("doc_id"), "sample") < 1000).as("in_10pct_sample"))
+
   // ---- q31: as-of join — each view picks up the latest prior purchase ----
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir).events
@@ -560,6 +581,8 @@ object SparkEntry {
     "q42_stream_dedup"     -> q42 _,
     "q43_ngram_jaccard"    -> q43 _,
     "q44_org_paths"        -> q44 _,
+    "q45_top_ngrams"       -> q45 _,
+    "q46_split_sample"     -> q46 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -577,6 +600,8 @@ object SparkEntry {
     "q30_embed_neardup_lsh" -> OracleSqlGen.q30Sql(),
     "q32_knn_ivf"           -> OracleSqlGen.q32Sql(),
     "q44_org_paths"         -> OracleSqlGen.q44Sql(),
+    "q45_top_ngrams"        -> OracleSqlGen.q45Sql(),
+    "q46_split_sample"      -> OracleSqlGen.q46Sql(),
     "q01_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

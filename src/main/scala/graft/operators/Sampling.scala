@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.functions.PortableHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, seed-stable sampling and dataset splitting — the
+  * train/valid/test machinery of a training-data pipeline. Everything is a
+  * pure per-row hash projection (no RNG state, no shuffle, no sort):
+  * membership of a row is a function of (salt, id) alone, so splits are
+  * reproducible across runs, clusters, AND engines (the 60-bit portable
+  * hash is what the DuckDB oracle recomputes), and adding data never
+  * reshuffles existing rows between splits — the property that keeps a
+  * 100 TB corpus's held-out set stable as new shards land.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) for a row id under a salt. */
+  def hashBucket(id: Column, salt: String, buckets: Int = 10000): Column =
+    PortableHash.hash60(concat(lit(salt + ":"), id.cast("string"))) % buckets
+
+  /** Split label from cumulative percentage cuts, e.g.
+    * `Seq("train" -> 80, "valid" -> 90, "test" -> 100)` — row lands in the
+    * first split whose cut exceeds its bucket (buckets = 100).
+    */
+  def splitAssign(id: Column, salt: String,
+                  cuts: Seq[(String, Int)] = Seq("train" -> 80, "valid" -> 90, "test" -> 100)): Column = {
+    require(cuts.nonEmpty && cuts.last._2 == 100, "cuts must end at 100")
+    val b = hashBucket(id, salt, 100)
+    cuts.init.foldRight(lit(cuts.last._1): Column) { case ((name, cut), acc) =>
+      when(b < cut, name).otherwise(acc)
+    }
+  }
+
+  /** Deterministic fraction-sample: keeps rows whose bucket falls under
+    * `fraction` of the bucket space. Used per stratum by passing a salt per
+    * stratum or filtering a pre-bucketed frame.
+    */
+  def sampleFraction(df: DataFrame, idCol: String, fraction: Double,
+                     salt: String, buckets: Int = 10000): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.filter(hashBucket(col(idCol), salt, buckets) < (fraction * buckets).toLong)
+  }
+
+  /** SQL (DuckDB) expression for [[hashBucket]] — same hash, same value. */
+  def hashBucketSql(idExpr: String, salt: String, buckets: Int = 10000): String =
+    s"(${PortableHash.hash60Sql(s"'$salt:' || CAST($idExpr AS VARCHAR)")}) % $buckets"
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ids = (0L until 2000L).toDF("id")
+
+  test("splitAssign is disjoint, exhaustive, and roughly proportioned") {
+    val counts = ids.select(Sampling.splitAssign(col("id"), "s1").as("split"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1400 && counts("train") < 1800, counts.toString)
+    assert(counts("valid") > 100 && counts("valid") < 300, counts.toString)
+  }
+
+  test("splits are deterministic and change completely under a new salt") {
+    val a = ids.select(col("id"), Sampling.splitAssign(col("id"), "s1").as("sp"))
+      .as[(Long, String)].collect().toMap
+    val b = ids.select(col("id"), Sampling.splitAssign(col("id"), "s1").as("sp"))
+      .as[(Long, String)].collect().toMap
+    assert(a == b, "same salt must reproduce identical assignment")
+    val c = ids.select(col("id"), Sampling.splitAssign(col("id"), "other").as("sp"))
+      .as[(Long, String)].collect().toMap
+    assert(a != c, "a different salt must re-deal the split")
+  }
+
+  test("sampleFraction nests monotonically: 5% sample is a subset of 10%") {
+    val s05 = Sampling.sampleFraction(ids, "id", 0.05, "s1").as[Long].collect().toSet
+    val s10 = Sampling.sampleFraction(ids, "id", 0.10, "s1").as[Long].collect().toSet
+    assert(s05.subsetOf(s10))
+    assert(s10.size > 150 && s10.size < 250, s10.size.toString)
+  }
+
+  test("adding rows never moves existing rows between splits") {
+    val small = (0L until 500L).toDF("id")
+    val a = small.select(col("id"), Sampling.splitAssign(col("id"), "s1").as("sp"))
+      .as[(Long, String)].collect().toMap
+    val grown = ids.select(col("id"), Sampling.splitAssign(col("id"), "s1").as("sp"))
+      .as[(Long, String)].collect().toMap
+    a.foreach { case (id, sp) => assert(grown(id) == sp) }
+  }
+}
