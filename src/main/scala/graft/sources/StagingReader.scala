@@ -194,6 +194,23 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed + sorted parquet table: the storage layout that makes big
+    * fact⋈fact joins and re-aggregations SHUFFLE-FREE at read time — when
+    * two tables share bucket columns and count, Spark plans their join
+    * with no Exchange on either side (BucketingSpec pins exactly that).
+    * At 100 TB this is the difference between re-shuffling both fact
+    * tables per query and never shuffling them again after ingest; pick
+    * `buckets` so one bucket ≈ one task's worth of data at target scale.
+    */
+  def parquetBucketed(df: DataFrame, table: String, buckets: Int,
+                      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   def csvSingleFile(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 }
