@@ -457,6 +457,25 @@ object SparkEntry {
     s.table(name)
   }
 
+  // ---- q47: stream-stream interval join (views ⋈ preceding purchases)
+  //      vs the equivalent batch join oracle. Inner interval join emits
+  //      every matched pair regardless of watermark progress, so parity
+  //      with the batch join holds under any micro-batching of the
+  //      bounded input (the watermark only bounds retained state). ----
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val joined = graft.streaming.EventStreams.viewPurchaseJoin(
+      graft.streaming.EventStreams.readEventsStream(s, dir))
+    val name = s"graft_stream_join_${streamSeq.incrementAndGet()}"
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).select(
+      col("view_id"), col("user_id"),
+      col("view_ts").cast("timestamp_ntz").as("view_ts"),
+      col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+      col("purchase_value"))
+  }
+
   // ---- q43: character-n-gram Jaccard similarity (exact, bounded pair set) ----
   private def q43(s: SparkSession, dir: String): DataFrame = {
     val grams = when(length(col("text")) < 3, array().cast("array<string>"))
@@ -583,6 +602,7 @@ object SparkEntry {
     "q44_org_paths"        -> q44 _,
     "q45_top_ngrams"       -> q45 _,
     "q46_split_sample"     -> q46 _,
+    "q47_stream_join"      -> q47 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -936,6 +956,14 @@ object SparkEntry {
 
     "q42_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q47_stream_join" ->
+      """SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+        | p.ts AS purchase_ts, p.value AS purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts - INTERVAL 1 HOUR AND p.ts <= v.ts""".stripMargin,
 
     "q43_ngram_jaccard" ->
       """WITH d AS (

@@ -55,6 +55,31 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Stream-stream interval join: each view pairs with every purchase by
+    * the same user in the preceding `lookback`. Both sides watermarked —
+    * the event-time range condition lets Spark bound BOTH join states
+    * (a purchase can be dropped once no future view can reach back to it),
+    * so state stays proportional to the lookback window, not the stream
+    * history. Inner join ⇒ append-mode output.
+    */
+  def viewPurchaseJoin(events: DataFrame, lookback: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("purchase_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    views.join(purchases,
+      col("view_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("view_ts") - expr(s"INTERVAL $lookback") &&
+        col("purchase_ts") <= col("view_ts"))
+      .select(col("view_id"), col("view_user").as("user_id"), col("view_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Stateful sessionization: one state object per user, sessions closed by
     * a `gapSeconds` quiet period or event-time timeout (watermark-driven).
     * The custom-state analog of the batch gaps-and-islands query (q18).
