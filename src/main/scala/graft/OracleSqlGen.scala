@@ -340,6 +340,21 @@ object OracleSqlGen {
        |FROM b""".stripMargin
   }
 
+  // ---- q48: PII redaction (same regex chain, RE2-compatible patterns) ----
+  def q48Sql(): String = {
+    import graft.functions.TextFunctions
+    val suffix = " contact: john.doe@example.org or +44 20 7946 0958 at 192.168.0.1"
+    def chain(e: String): String =
+      s"""regexp_replace(regexp_replace(regexp_replace($e,
+         |  '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+         |  '${TextFunctions.Ipv4Re}', '<IP>', 'g'),
+         |  '${TextFunctions.PhoneRe}', '<PHONE>', 'g')""".stripMargin
+    s"""SELECT doc_id,
+       |  ${chain(s"text || '$suffix'")} AS clean_text,
+       |  ${chain("text")} <> text AS had_pii
+       |FROM documents""".stripMargin
+  }
+
   // ---- q32: IVF coarse-quantized top-k ----
   def q32Sql(k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
              centroidStride: Long = 31L, nQueries: Int = 5): String =

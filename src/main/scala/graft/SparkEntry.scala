@@ -476,6 +476,16 @@ object SparkEntry {
       col("purchase_value"))
   }
 
+  // ---- q48: PII redaction over the corpus (synthetic PII appended so the
+  //      patterns fire on every row; the corpus itself is clean) ----
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val suffix = " contact: john.doe@example.org or +44 20 7946 0958 at 192.168.0.1"
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      TextFunctions.redactPii(concat(col("text"), lit(suffix))).as("clean_text"),
+      (TextFunctions.redactPii(col("text")) =!= col("text")).as("had_pii"))
+  }
+
   // ---- q43: character-n-gram Jaccard similarity (exact, bounded pair set) ----
   private def q43(s: SparkSession, dir: String): DataFrame = {
     val grams = when(length(col("text")) < 3, array().cast("array<string>"))
@@ -603,6 +613,7 @@ object SparkEntry {
     "q45_top_ngrams"       -> q45 _,
     "q46_split_sample"     -> q46 _,
     "q47_stream_join"      -> q47 _,
+    "q48_pii_redact"       -> q48 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -622,6 +633,7 @@ object SparkEntry {
     "q44_org_paths"         -> OracleSqlGen.q44Sql(),
     "q45_top_ngrams"        -> OracleSqlGen.q45Sql(),
     "q46_split_sample"      -> OracleSqlGen.q46Sql(),
+    "q48_pii_redact"        -> OracleSqlGen.q48Sql(),
     "q01_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

@@ -156,4 +156,21 @@ object TextFunctions {
   def docFingerprint(c: Column): Column =
     aggregate(tokens(c), lit(0L), (acc, t) =>
       shiftleft(acc, 5).bitwiseXOR(shiftright(acc, 59)).bitwiseXOR(xxhash64(t)))
+
+  /** PII scrubbing for training corpora: emails, international-ish phone
+    * numbers, and IPv4 addresses replaced with stable placeholder tags.
+    * Pure codegen'd regexp_replace chain — one scan, no shuffle; patterns
+    * are deliberately conservative (over-matching mangles legitimate text,
+    * which is worse at corpus scale than a missed rare form).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9 ()-]{6,18}[0-9]"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 }

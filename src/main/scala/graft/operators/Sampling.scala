@@ -45,4 +45,21 @@ object Sampling {
   /** SQL (DuckDB) expression for [[hashBucket]] — same hash, same value. */
   def hashBucketSql(idExpr: String, salt: String, buckets: Int = 10000): String =
     s"(${PortableHash.hash60Sql(s"'$salt:' || CAST($idExpr AS VARCHAR)")}) % $buckets"
+
+  /** Weighted corpus mixture: each source is hash-downsampled to its
+    * weight, tagged, and unioned by name — the deterministic version of
+    * "mix 30% web, 60% books, 10% code". Rates above 1.0 are rejected
+    * (deterministic hashing cannot oversample; replicate the source
+    * upstream instead). Per-source salts are derived from the mixture
+    * salt, so re-weighting one source never reshuffles another's rows.
+    */
+  def mixCorpora(sources: Seq[(String, DataFrame, Double)], idCol: String,
+                 salt: String = "mix"): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    sources.map { case (name, df, rate) =>
+      require(rate > 0 && rate <= 1.0, s"rate for $name must be in (0,1]: $rate")
+      sampleFraction(df, idCol, rate, s"$salt:$name")
+        .withColumn("corpus", lit(name))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -109,6 +109,20 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(r(2).isNullAt(0))
   }
 
+  test("redactPii masks emails, phones, and IPs; clean text passes through") {
+    val df = Seq(
+      "mail me at jane_doe+test@sub.example.co.uk please",
+      "call +44 (20) 7946-0958 now",
+      "server at 10.0.255.7 is up",
+      "perfectly ordinary sentence",
+    ).toDF("t").select(TextFunctions.redactPii(col("t")).as("r"))
+    val r = df.as[String].collect()
+    assert(r(0) == "mail me at <EMAIL> please")
+    assert(r(1) == "call <PHONE> now")
+    assert(r(2) == "server at <IP> is up")
+    assert(r(3) == "perfectly ordinary sentence")
+  }
+
   test("fiscal calendar: April starts Q1/FY; March ends Q4 of prior FY") {
     val df = Seq("2019-04-01", "2019-07-15", "2020-01-10", "2020-03-31")
       .toDF("d").select(

@@ -37,6 +37,23 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(s10.size > 150 && s10.size < 250, s10.size.toString)
   }
 
+  test("mixCorpora tags, downsamples per weight, and isolates re-weighting") {
+    val web = (0L until 1000L).toDF("id")
+    val books = (0L until 1000L).toDF("id")
+    val mixed = Sampling.mixCorpora(
+      Seq(("web", web, 0.3), ("books", books, 0.9)), "id")
+    val counts = mixed.groupBy("corpus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("web") > 200 && counts("web") < 400, counts.toString)
+    assert(counts("books") > 800 && counts("books") <= 1000, counts.toString)
+    // re-weighting web must not change which books rows survive
+    val booksOnly = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("corpus") === "books").select("id").as[Long].collect().toSet
+    val reweighted = Sampling.mixCorpora(
+      Seq(("web", web, 0.05), ("books", books, 0.9)), "id")
+    assert(booksOnly(mixed) == booksOnly(reweighted))
+  }
+
   test("adding rows never moves existing rows between splits") {
     val small = (0L until 500L).toDF("id")
     val a = small.select(col("id"), Sampling.splitAssign(col("id"), "s1").as("sp"))
