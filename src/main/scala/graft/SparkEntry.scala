@@ -466,8 +466,15 @@ object SparkEntry {
     val joined = graft.streaming.EventStreams.viewPurchaseJoin(
       graft.streaming.EventStreams.readEventsStream(s, dir))
     val name = s"graft_stream_join_${streamSeq.incrementAndGet()}"
-    val q = joined.writeStream.outputMode("append").format("memory").queryName(name)
+    // A stream-stream join maintains TWO state stores per shuffle partition;
+    // the per-partition store/commit overhead dominates a bounded gate run.
+    // The partition count is fixed at query start, so scope a smaller one
+    // to this query (a production deployment sizes it to throughput).
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try joined.writeStream.outputMode("append").format("memory").queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     q.awaitTermination()
     s.table(name).select(
       col("view_id"), col("user_id"),
