@@ -62,7 +62,10 @@ object Dedup {
     // eager localCheckpoint: at 100 TB the signature table exceeds cluster
     // storage memory, and a truncated-lineage checkpoint that gets evicted
     // cannot be recomputed — disk persistence keeps both the memory profile
-    // flat and the lineage intact.
+    // flat and the lineage intact. Lifetime contract: the persist lives
+    // inside the lazily-returned plan, so it cannot be released here — the
+    // caller that runs the action owns it and releases it afterwards via
+    // [[graft.Storage.releaseAll]] (Verify/Bench do this per query).
     val sig = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // Candidate pairs travel without signature payload: dedupe (doc_a, doc_b)

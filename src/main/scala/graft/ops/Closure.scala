@@ -24,27 +24,30 @@ object Closure {
 
   /** Resolve every `node` to its terminal successor(s).
     *
+    * Each iteration materializes onto a *fresh cached-RDD leaf*.
+    * `localCheckpoint` is not enough: Spark 4 carries the child plan's
+    * statistics onto the checkpointed node
+    * (`LogicalRDD.rewriteStatsAndConstraints`), so a self-join loop squares
+    * the BigInt sizeInBytes every iteration until stats arithmetic itself
+    * hangs the planner. A cached RDD re-wrapped via `createDataFrame` resets
+    * stats to the leaf default each round. The superseded iteration's cache
+    * is released as soon as its successor materializes, and the converged
+    * mapping — broadcast-sized by construction, it feeds a broadcast join —
+    * is collected into a local relation, so `resolve` retains zero executor
+    * storage after it returns.
+    *
     * @param nodes single-column frame `node`
     * @param edges two-column frame `src`, `dst`; rows multiply on splits
     * @return frame (`old_code`, `final_code`, `hops`)
     */
-  /** Materialize into a *fresh leaf* plan. `localCheckpoint` is not enough:
-    * Spark 4 carries the child plan's statistics onto the checkpointed node
-    * (`LogicalRDD.rewriteStatsAndConstraints`), so a self-join loop squares
-    * the BigInt sizeInBytes every iteration until stats arithmetic itself
-    * hangs the planner. A cached RDD re-wrapped via `createDataFrame` resets
-    * stats to the leaf default each round.
-    */
-  private def materializeLeaf(df: DataFrame): DataFrame = {
-    val rdd = df.rdd
-    rdd.cache()
-    rdd.count()
-    df.sparkSession.createDataFrame(rdd, df.schema)
-  }
-
   def resolve(nodes: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
     // mapping m: src → (dst, hops) after following up to 2^k edges
-    var m = materializeLeaf(edges.select(col("src"), col("dst"), lit(1).as("hops")))
+    val m0 = edges.select(col("src"), col("dst"), lit(1).as("hops"))
+    var mRdd = m0.rdd
+    mRdd.cache()
+    mRdd.count()
+    var m = spark.createDataFrame(mRdd, m0.schema)
     var iter = 0
     var extending = true
     while (extending && iter < maxIter) {
@@ -64,13 +67,21 @@ object Closure {
       rdd.cache()
       rdd.count()
       extending = acc.value > 0
+      mRdd.unpersist(blocking = false) // release the superseded iteration
+      mRdd = rdd
       m = composed.sparkSession.createDataFrame(rdd, composed.schema).drop("extended")
       iter += 1
     }
     require(!extending,
       s"Closure.resolve: still extending after $maxIter doublings (cyclic edges?)")
+    // The mapping is joined by broadcast below, so it already has to fit on
+    // the driver: collect it into a local relation and release the final
+    // iteration's cache instead of letting it outlive the call.
+    val rows = m.collect()
+    mRdd.unpersist(blocking = false)
+    val local = spark.createDataFrame(java.util.Arrays.asList(rows: _*), m.schema)
     nodes
-      .join(broadcast(m), nodes("node") === m("src"), "left")
+      .join(broadcast(local), nodes("node") === local("src"), "left")
       .select(
         col("node").as("old_code"),
         coalesce(col("dst"), col("node")).as("final_code"),

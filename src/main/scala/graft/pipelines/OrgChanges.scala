@@ -23,24 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object OrgChangePaths {
 
-  /** Rebase a frame onto a cached-RDD leaf relation. The derivation below
-    * references its intermediate frames many times (semi joins, grouped
-    * lookups, the final re-attachment), and Spark 4's analyzer re-expands
-    * every reference — without a leaf rebase the unresolved plan tree grows
-    * exponentially and analysis itself OOMs (same failure mode as
-    * [[graft.ops.Closure]]'s iteration; `cache()` alone does not help
-    * because caching is a physical-plan property, not a logical leaf).
-    * The frames materialized here are change-event tables — hundreds to
-    * thousands of rows even for a national registry — so the cost is nil.
-    */
-  private def leaf(df: DataFrame): DataFrame = {
-    val rdd = df.rdd
-    rdd.cache()
-    rdd.count()
-    df.sparkSession.createDataFrame(rdd, df.schema)
-  }
-
   def derivePaths(successors: DataFrame, maxHops: Int = 3): DataFrame = {
+    // Rebase a frame onto a cached-RDD leaf relation. The derivation below
+    // references its intermediate frames many times (semi joins, grouped
+    // lookups, the final re-attachment), and Spark 4's analyzer re-expands
+    // every reference — without a leaf rebase the unresolved plan tree grows
+    // exponentially and analysis itself OOMs (same failure mode as
+    // [[graft.ops.Closure]]'s iteration; `cache()` alone does not help
+    // because caching is a physical-plan property, not a logical leaf).
+    // The frames materialized here are change-event tables — hundreds to
+    // thousands of rows even for a national registry — so the cost is nil.
+    // Every leaf cache is tracked and released before derivePaths returns.
+    val cachedLeaves = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    def leaf(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.cache()
+      rdd.count()
+      cachedLeaves += rdd
+      df.sparkSession.createDataFrame(rdd, df.schema)
+    }
+
     val edges = successors.select(col("old_code").as("e_src"),
       col("new_code").as("e_dst"), col("change_date").as("e_date"))
     // a src with >1 successors is a split — every branch row is typed 'split'
@@ -175,9 +178,17 @@ object OrgChangePaths {
 
     val hopTriples = (1 to maxHops).flatMap(i =>
       Seq(col(s"new_code_$i"), col(s"date_change_$i"), col(s"change_type_$i")))
-    out.select((Seq(col("old_code"), col("new_code_0")) ++ hopTriples ++ Seq(
+    val result = out.select((Seq(col("old_code"), col("new_code_0")) ++ hopTriples ++ Seq(
       col("final_code"), col("experiences_split"), col("direct_path_complicated"),
       col("adjacent_to_complicated"), col("part_of_complicated_path"))): _*)
+    // The finished paths table is change-event-sized (it is broadcast at
+    // every downstream use), so materialize it into a driver-local relation
+    // and release every intermediate leaf cache — derivePaths retains zero
+    // executor storage after it returns.
+    val rows = result.collect()
+    cachedLeaves.foreach(_.unpersist(blocking = false))
+    successors.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
   }
 }
 
