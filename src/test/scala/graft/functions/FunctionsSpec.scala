@@ -123,6 +123,22 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(r(3) == "perfectly ordinary sentence")
   }
 
+  test("redactPii leaves dates and bare numeric IDs alone but still catches phones") {
+    val df = Seq(
+      "released on 2026-08-12 and again on 1999-01-31",   // ISO dates: hyphens only
+      "order 12345678901 shipped, invoice 987654321",     // bare IDs: no separators
+      "ring 020 7946 0958 today",                         // domestic spaced phone
+      "freephone 0800 123456 anytime",                    // 4-digit prefix + space
+      "dial (020) 7946 0958 or +12025550173",             // paren + E.164 forms
+    ).toDF("t").select(TextFunctions.redactPii(col("t")).as("r"))
+    val r = df.as[String].collect()
+    assert(r(0) == "released on 2026-08-12 and again on 1999-01-31")
+    assert(r(1) == "order 12345678901 shipped, invoice 987654321")
+    assert(r(2) == "ring <PHONE> today")
+    assert(r(3) == "freephone <PHONE> anytime")
+    assert(r(4) == "dial <PHONE> or <PHONE>")
+  }
+
   test("fiscal calendar: April starts Q1/FY; March ends Q4 of prior FY") {
     val df = Seq("2019-04-01", "2019-07-15", "2020-01-10", "2020-03-31")
       .toDF("d").select(
