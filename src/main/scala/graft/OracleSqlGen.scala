@@ -136,25 +136,33 @@ object OracleSqlGen {
        |  FROM scored) WHERE rn <= $k""".stripMargin
   }
 
-  // ---- q27: stubbed media decode metadata ----
+  // ---- q27: REAL PNG decode metadata ----
+  // The Spark side encodes a deterministic pixel grid as genuine PNG bytes
+  // (javax.imageio) and decodes them back; the oracle reproduces the
+  // DECODED result from the same pixel formulas
+  // (graft.operators.Multimodal.widthFor/heightFor/rgbFor) — PNG bytes are
+  // encoder-dependent, the decoded pixels are not. Sample order matches the
+  // decoder's fold: row-major, R then G then B per pixel.
   def q27Sql(): String =
-    s"""WITH raw AS (
-       |  SELECT doc_id, hex(encode(text)) AS hx,
-       |    octet_length(encode(text)) AS n
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+       |    CAST(doc_id % 7 + 1 AS INTEGER) AS height
        |  FROM documents
-       |), bl AS (
-       |  SELECT doc_id, n,
-       |    [('0x' || substr(hx, 2 * i + 1, 2))::BIGINT FOR i IN range(n)] AS bytes
-       |  FROM raw
+       |), px AS (
+       |  SELECT doc_id, width, height,
+       |    [CASE i % 3
+       |       WHEN 0 THEN (doc_id + 31 * ((i // 3) % width) + 17 * (i // (3 * width))) % 256
+       |       WHEN 1 THEN (3 * doc_id + 7 * ((i // 3) % width) + 11 * (i // (3 * width))) % 256
+       |       ELSE (5 * doc_id + 13 * ((i // 3) % width) + 3 * (i // (3 * width))) % 256
+       |     END FOR i IN range(width * height * 3)] AS samples
+       |  FROM dims
        |)
        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       |  CAST(n AS BIGINT) AS n_bytes,
-       |  CAST(CASE WHEN n = 0 THEN 0 ELSE (bytes[1] % 128) % 64 + 1 END AS INTEGER) AS width,
-       |  CAST(CASE WHEN n < 2 THEN 0 ELSE (bytes[2] % 128) % 64 + 1 END AS INTEGER) AS height,
-       |  CAST(3 AS INTEGER) AS channels,
-       |  list_reduce(list_prepend(0::BIGINT, bytes),
+       |  width, height, CAST(3 AS INTEGER) AS channels,
+       |  list_reduce(list_prepend(0::BIGINT, samples),
        |    (a, x) -> xor((a % ${1L << 55}) * 32 + (a >> 55), x)) AS checksum
-       |FROM bl""".stripMargin
+       |FROM px""".stripMargin
 
   // ---- q30: OR-amplified hyperplane-LSH near-dup pairs ----
   def q30Sql(minCosine: Double = 0.4, nPlanes: Int = 12, nTables: Int = 2,

@@ -286,11 +286,17 @@ object SparkEntry {
       md5(Multimodal.resizeBytes(col("payload"), 32)).as("thumb_md5"))
   }
 
-  // ---- q27: stubbed media decode via mapPartitions (rows-only) ----
+  // ---- q27: REAL PNG encode→decode round trip via mapPartitions ----
+  // Payloads are genuine ImageIO PNGs of a deterministic pixel grid; the
+  // decoder reads real width/height/channels + an RGB pixel checksum that
+  // the oracle recomputes from the same formulas. n_bytes is projected out:
+  // the zlib stream length is encoder-dependent, not SQL-replicable.
   private def q27(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeImageMeta(
-      Multimodal.withFakePayload(Tables(s, dir).documents, "text"),
+      Multimodal.pngPayloads(Tables(s, dir).documents, "doc_id"),
       "doc_id", "payload").toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("channels"), col("checksum"))
 
   // ---- q28: W4 binned-median derivation from a grouped distribution ----
   private def q28(s: SparkSession, dir: String): DataFrame = {

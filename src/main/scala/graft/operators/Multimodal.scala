@@ -6,29 +6,84 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata (north-star extension, BASELINE.json).
   *
-  * The container has no media codecs, so the DECODE step is a clearly-marked
-  * deterministic stub — everything around it (schema, batch iteration shape,
-  * partition-parallel execution, frame slicing) is the real Spark plumbing a
-  * codec-backed implementation would drop into:
-  *  - [[decodeImageMeta]] mirrors the batched-UDF shape (`mapPartitions`
-  *    over a typed Dataset): per-partition setup (a real codec would init
-  *    its native library once per partition here), per-row decode.
-  *  - [[frameSample]]/[[resizeBytes]] are pure codegen'd expressions over
-  *    binary — no serialization out of Tungsten rows.
+  * The image path is REAL: [[pngPayloads]] encodes genuine PNG bytes with
+  * the JDK's built-in `javax.imageio` (no external jars), and
+  * [[decodeImageMeta]] decodes any image format ImageIO recognises back to
+  * width/height/channels plus an RGB pixel checksum — the full
+  * encode→compress→decode round trip runs distributed inside executors.
+  * The shape is the batched-UDF contract (`mapPartitions` over a typed
+  * Dataset): per-partition setup once (ImageIO cache off — no temp files on
+  * executor disks), per-row decode, Tungsten in/out.
+  *
+  * Only video/audio remain stubbed ([[frameSample]]/[[resizeBytes]] treat
+  * the payload as raw bytes); their container formats have no JDK codec.
   */
 object Multimodal {
 
-  /** Deterministic fake payload standing in for raw media bytes. */
+  /** Deterministic fake payload standing in for raw media bytes (used by
+    * the binary-plumbing path, which never decodes).
+    */
   def withFakePayload(df: DataFrame, textCol: String, out: String = "payload"): DataFrame =
     df.withColumn(out, encode(col(textCol), "UTF-8"))
+
+  /** Deterministic pixel formulas shared by the PNG generator, the decoder
+    * test fixtures, and the SQL oracle (which recomputes the checksum from
+    * these same expressions — PNG BYTES are not SQL-replicable because the
+    * zlib stream is encoder-dependent, but the decoded PIXELS are).
+    */
+  def widthFor(id: Long): Int = (id % 13 + 1).toInt
+  def heightFor(id: Long): Int = (id % 7 + 1).toInt
+  def rgbFor(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((id + 31L * x + 17L * y) % 256).toInt,
+    ((3L * id + 7L * x + 11L * y) % 256).toInt,
+    ((5L * id + 13L * x + 3L * y) % 256).toInt)
+
+  /** One REAL (tiny) PNG per id: returns (idCol, payload) with payload the
+    * actual `ImageIO.write` PNG encoding of the deterministic pixel grid.
+    */
+  def pngPayloads(df: DataFrame, idCol: String, out: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map(id => (id, pngFor(id)))
+      }
+      .toDF(idCol, out)
+  }
+
+  /** Encode the deterministic pixel grid for `id` as real PNG bytes. */
+  def pngFor(id: Long): Array[Byte] = {
+    val w = widthFor(id)
+    val h = heightFor(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgbFor(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
                              channels: Int, checksum: Long)
 
-  /** Decode stub: derives metadata a real image decoder would produce.
-    * STUB — replace the body marked below with an actual codec call
-    * (e.g. javax.imageio / ffmpeg bindings) in a deployment that has one;
-    * the Dataset/batching contract stays identical.
+  /** Real image decode: `ImageIO.read` inside executors. `width`/`height`/
+    * `channels` come from the decoded image; `checksum` folds the decoded
+    * RGB samples (row-major, R then G then B) with the 60-bit
+    * rotate-left-5/xor scheme the SQL oracle reproduces without left shifts:
+    * `crc' = xor((crc mod 2^55)*32 + (crc div 2^55), sample)`. Undecodable
+    * or empty payloads yield zeroed metadata (n_bytes still reports the raw
+    * size) rather than failing the scan — at corpus scale a poison row must
+    * not kill the job.
     */
   def decodeImageMeta(df: DataFrame, idCol: String, binCol: String): Dataset[MediaMeta] = {
     val spark = df.sparkSession
@@ -36,23 +91,33 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition init would go here (codec handles, native buffers)
+        javax.imageio.ImageIO.setUseCache(false) // per-partition init
         rows.map { case (id, bytes) =>
-          // ---- STUB decode: deterministic fake in place of a codec ----
-          // The checksum is a 60-bit rotate/xor fold (left-rotate by 5 via
-          // mod/mul + logical right shift) so the driver's SQL oracle can
-          // recompute it byte-for-byte from hex(payload).
           val n = if (bytes == null) 0 else bytes.length
-          val w = if (n == 0) 0 else ((bytes(0) & 0x7f) % 64) + 1
-          val h = if (n < 2) 0 else ((bytes(1) & 0x7f) % 64) + 1
-          var crc = 0L
-          var i = 0
-          while (i < n) {
-            crc = ((crc % (1L << 55)) * 32L + (crc >>> 55)) ^ (bytes(i) & 0xffL)
-            i += 1
+          val img =
+            if (n == 0) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null) MediaMeta(id, n.toLong, 0, 0, 0, 0L)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var crc = 0L
+            def fold(v: Int): Unit =
+              crc = ((crc % (1L << 55)) * 32L + (crc >>> 55)) ^ v.toLong
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = img.getRGB(x, y)
+                fold((v >> 16) & 255); fold((v >> 8) & 255); fold(v & 255)
+                x += 1
+              }
+              y += 1
+            }
+            MediaMeta(id, n.toLong, w, h, img.getRaster.getNumBands, crc)
           }
-          // ---- end stub ----
-          MediaMeta(id, n.toLong, w, h, channels = 3, crc)
         }
       }
   }

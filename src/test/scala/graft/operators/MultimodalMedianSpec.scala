@@ -8,19 +8,37 @@ import org.scalatest.funsuite.AnyFunSuite
 class MultimodalMedianSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  test("withFakePayload + decodeImageMeta: deterministic metadata, distributed decode") {
-    val docs = Seq((1L, "hello world"), (2L, ""), (3L, "abc")).toDF("doc_id", "text")
+  test("pngPayloads + decodeImageMeta: REAL PNG round trip recovers the pixel grid") {
+    val docs = Seq(1L, 2L, 40L, 77L).toDF("doc_id")
+    val meta = Multimodal.decodeImageMeta(
+        Multimodal.pngPayloads(docs, "doc_id"), "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    // payloads are genuine PNGs: magic bytes + nontrivial size
+    val png = Multimodal.pngFor(40L)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    meta.foreach { case (id, m) =>
+      assert(m.width == Multimodal.widthFor(id) && m.height == Multimodal.heightFor(id))
+      assert(m.channels == 3)
+      assert(m.n_bytes > 50, "a real PNG container, not raw bytes")
+      // the checksum must equal the fold over the GENERATOR's pixel formulas
+      // — i.e. the decode recovered every pixel value exactly
+      var crc = 0L
+      def fold(v: Int): Unit = crc = ((crc % (1L << 55)) * 32L + (crc >>> 55)) ^ v.toLong
+      for (y <- 0 until m.height; x <- 0 until m.width) {
+        val (r, g, b) = Multimodal.rgbFor(id, x, y)
+        fold(r); fold(g); fold(b)
+      }
+      assert(m.checksum == crc, s"pixel checksum mismatch for id=$id")
+    }
+  }
+
+  test("decodeImageMeta zeroes metadata for undecodable payloads instead of failing") {
+    val docs = Seq((1L, "not an image"), (2L, "")).toDF("doc_id", "text")
     val meta = Multimodal.decodeImageMeta(
         Multimodal.withFakePayload(docs, "text"), "doc_id", "payload")
       .collect().map(m => m.doc_id -> m).toMap
-    assert(meta(1L).n_bytes == 11 && meta(3L).n_bytes == 3)
+    assert(meta(1L).n_bytes == 12 && meta(1L).width == 0 && meta(1L).checksum == 0L)
     assert(meta(2L).n_bytes == 0 && meta(2L).width == 0)
-    assert(meta(1L).width > 0 && meta(1L).height > 0 && meta(1L).channels == 3)
-    // determinism: same input → same checksum
-    val again = Multimodal.decodeImageMeta(
-      Multimodal.withFakePayload(docs, "text"), "doc_id", "payload")
-      .collect().map(m => m.doc_id -> m.checksum).toMap
-    assert(again(1L) == meta(1L).checksum)
   }
 
   test("frameSample slices evenly spaced frames; short payloads yield fewer") {
