@@ -18,12 +18,16 @@ import scala.collection.mutable
   */
 object Excel {
 
-  /** Parsed workbook: sheet (name → part path) in workbook order, plus the
-    * shared-string table.
+  /** Parsed workbook: sheet (name → part path) in workbook order, the
+    * shared-string table, the set of cell-style indices whose number format
+    * renders as a date (for serial→date rendering, readxl-style), and the
+    * workbook's date system (1900 vs 1904 epoch).
     */
   final case class Workbook(sheets: Seq[(String, String)],
                             parts: Map[String, Array[Byte]],
-                            shared: IndexedSeq[String]) {
+                            shared: IndexedSeq[String],
+                            dateStyles: Set[Int] = Set.empty,
+                            date1904: Boolean = false) {
     def sheetNames: Seq[String] = sheets.map(_._1)
 
     /** First sheet whose name matches the regex (the reference selects the
@@ -57,7 +61,8 @@ object Excel {
       while (e != null) {
         val name = e.getName
         if (name == "xl/workbook.xml" || name == "xl/_rels/workbook.xml.rels" ||
-            name == "xl/sharedStrings.xml" || name.startsWith("xl/worksheets/")) {
+            name == "xl/sharedStrings.xml" || name == "xl/styles.xml" ||
+            name.startsWith("xl/worksheets/")) {
           parts(name) = zin.readAllBytes()
         }
         zin.closeEntry()
@@ -80,20 +85,26 @@ object Excel {
       m.toMap
     }.getOrElse(Map.empty)
 
+    var date1904 = false
     val sheets: Seq[(String, String)] = parts.get("xl/workbook.xml").map { b =>
       val r = xif.createXMLStreamReader(new ByteArrayInputStream(b))
       val out = mutable.ArrayBuffer.empty[(String, String)]
       var fallbackIdx = 0
       while (r.hasNext) {
-        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
-          val name = r.getAttributeValue(null, "name")
-          val rid = (0 until r.getAttributeCount)
-            .find(i => r.getAttributeLocalName(i) == "id")
-            .map(r.getAttributeValue)
-          fallbackIdx += 1
-          val path = rid.flatMap(rels.get)
-            .getOrElse(s"xl/worksheets/sheet$fallbackIdx.xml")
-          out += ((name, path))
+        if (r.next() == XMLStreamConstants.START_ELEMENT) r.getLocalName match {
+          case "sheet" =>
+            val name = r.getAttributeValue(null, "name")
+            val rid = (0 until r.getAttributeCount)
+              .find(i => r.getAttributeLocalName(i) == "id")
+              .map(r.getAttributeValue)
+            fallbackIdx += 1
+            val path = rid.flatMap(rels.get)
+              .getOrElse(s"xl/worksheets/sheet$fallbackIdx.xml")
+            out += ((name, path))
+          case "workbookPr" =>
+            val v = r.getAttributeValue(null, "date1904")
+            date1904 = v == "1" || v == "true"
+          case _ => ()
         }
       }
       out.toSeq
@@ -127,7 +138,84 @@ object Excel {
       out.toIndexedSeq
     }.getOrElse(IndexedSeq.empty)
 
-    Workbook(sheets, parts.toMap, shared)
+    // Date-format detection from xl/styles.xml: a cell's `s` attribute
+    // indexes cellXfs; each xf carries a numFmtId — builtin date ids or a
+    // custom formatCode with date tokens mark the style as date-rendered.
+    val dateStyles: Set[Int] = parts.get("xl/styles.xml").map { b =>
+      val r = xif.createXMLStreamReader(new ByteArrayInputStream(b))
+      val customDate = mutable.Set.empty[Int]
+      val xfFmts = mutable.ArrayBuffer.empty[Int]
+      var inCellXfs = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "numFmt" =>
+              val id = Option(r.getAttributeValue(null, "numFmtId")).map(_.toInt)
+              val code = r.getAttributeValue(null, "formatCode")
+              if (id.isDefined && code != null && isDateFormatCode(code))
+                customDate += id.get
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              xfFmts += Option(r.getAttributeValue(null, "numFmtId"))
+                .map(_.toInt).getOrElse(0)
+            case _ => ()
+          }
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+            inCellXfs = false
+          case _ => ()
+        }
+      }
+      xfFmts.zipWithIndex.collect {
+        case (fmt, i) if BuiltinDateFmts(fmt) || customDate(fmt) => i
+      }.toSet
+    }.getOrElse(Set.empty)
+
+    Workbook(sheets, parts.toMap, shared, dateStyles, date1904)
+  }
+
+  /** ECMA-376 builtin number formats that render as dates/datetimes. */
+  private val BuiltinDateFmts: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** A custom format code is a date format if, outside quoted literals,
+    * `[...]` sections (colors/locales) and escaped characters, it contains a
+    * y/m/d/h/s token — the same heuristic every spreadsheet reader applies.
+    */
+  private[sources] def isDateFormatCode(code: String): Boolean = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var inQuote = false
+    var inBracket = false
+    while (i < code.length) {
+      val c = code.charAt(i)
+      if (inQuote) { if (c == '"') inQuote = false }
+      else if (inBracket) { if (c == ']') inBracket = false }
+      else c match {
+        case '"' => inQuote = true
+        case '[' => inBracket = true
+        case '\\' => i += 1 // escaped literal: skip next char
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    val body = sb.toString.toLowerCase
+    body.exists(Set('y', 'm', 'd', 'h', 's').contains) && body != "general"
+  }
+
+  /** Excel serial → readxl-style rendering. 1900 system: epoch 1899-12-30
+    * (the standard offset; like readxl, serials in Jan-Feb 1900 inherit the
+    * Lotus leap-year bug). 1904 system: epoch 1904-01-01. A fractional part
+    * renders as a datetime, a whole serial as a plain date.
+    */
+  private[sources] def serialToDateString(serial: Double, date1904: Boolean): String = {
+    val epoch = if (date1904) java.time.LocalDate.of(1904, 1, 1)
+      else java.time.LocalDate.of(1899, 12, 30)
+    val days = math.floor(serial).toLong
+    val date = epoch.plusDays(days)
+    val secs = math.round((serial - days) * 86400d)
+    if (secs == 0L) date.toString
+    else if (secs >= 86400L) date.plusDays(1).toString // rounding carried over
+    else f"$date ${secs / 3600}%02d:${secs / 60 % 60}%02d:${secs % 60}%02d"
   }
 
   /** Column index of an A1-style reference ("BC23" → 54). */
@@ -144,15 +232,21 @@ object Excel {
   /** Cell grid of one worksheet part: rows of nullable strings, padded to
     * the widest row. Handles shared strings (t="s"), inline strings
     * (t="inlineStr"), formula strings (t="str"), booleans (t="b" →
-    * "TRUE"/"FALSE" like readxl), and raw numeric text (default).
+    * "TRUE"/"FALSE" like readxl), and raw numeric text (default). When
+    * `renderDates` is on (the default, matching readxl), numeric cells whose
+    * style carries a date number format render as ISO date / datetime
+    * strings via [[serialToDateString]] under the workbook's 1900/1904
+    * system; off, they surface as raw serial strings.
     */
-  def sheetGrid(wb: Workbook, partPath: String): Vector[Array[String]] = {
+  def sheetGrid(wb: Workbook, partPath: String,
+                renderDates: Boolean = true): Vector[Array[String]] = {
     val bytes = wb.parts.getOrElse(partPath,
       throw new IllegalArgumentException(s"no worksheet part $partPath"))
     val r = xif.createXMLStreamReader(new ByteArrayInputStream(bytes))
     val rows = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[(Int, String)]]
     var currentRow: mutable.ArrayBuffer[(Int, String)] = null
     var cellType = "n"
+    var cellDateStyle = false
     var cellCol = -1
     var nextCol = 0
     var inV = false
@@ -173,6 +267,10 @@ object Excel {
               nextCol = cellCol + 1
               val t = r.getAttributeValue(null, "t")
               cellType = if (t == null) "n" else t
+              cellDateStyle = {
+                val s = r.getAttributeValue(null, "s")
+                s != null && wb.dateStyles(s.trim.toInt)
+              }
               text.setLength(0)
             case "v" => inV = true
             case "t" => inIsT = true // only meaningful inside <is>
@@ -191,6 +289,10 @@ object Excel {
                   val idx = raw.trim.toInt
                   if (idx >= 0 && idx < wb.shared.length) wb.shared(idx) else null
                 case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
+                case "n" if renderDates && cellDateStyle && raw.nonEmpty =>
+                  raw.trim.toDoubleOption
+                    .map(serialToDateString(_, wb.date1904))
+                    .getOrElse(raw)
                 case _ => if (raw.isEmpty) null else raw
               }
               if (value != null) {

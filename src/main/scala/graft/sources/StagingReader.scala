@@ -32,6 +32,10 @@ import org.apache.spark.sql.functions._
   * @param excelSheetIndex  format="excel": 0-based sheet position
   * @param skipRows         format="excel": leading rows dropped before the
   *                         header (readxl `skip = 13`)
+  * @param excelRenderDates format="excel": render date-formatted numeric
+  *                         cells as ISO date/datetime strings (readxl
+  *                         behaviour, 1900 + 1904 systems); false surfaces
+  *                         raw serial strings
   */
 final case class SourceSpec(
     paths: Seq[String],
@@ -45,7 +49,8 @@ final case class SourceSpec(
     prefixNonKey: Option[(String, Seq[String])] = None,
     excelSheet: Option[String] = None,
     excelSheetIndex: Int = 0,
-    skipRows: Int = 0)
+    skipRows: Int = 0,
+    excelRenderDates: Boolean = true)
 
 object StagingReader {
 
@@ -60,7 +65,7 @@ object StagingReader {
         spark.read.parquet(spec.paths: _*)
       case "excel" =>
         readExcelStaging(spark, spec.paths, spec.excelSheet, spec.excelSheetIndex,
-          spec.skipRows, spec.header)
+          spec.skipRows, spec.header, spec.excelRenderDates)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
     // the excel path attaches fname during the per-file parse (its rows no
@@ -108,7 +113,8 @@ object StagingReader {
     */
   def readExcelStaging(spark: SparkSession, paths: Seq[String],
                        sheetName: Option[String] = None, sheetIndex: Int = 0,
-                       skip: Int = 0, header: Boolean = true): DataFrame = {
+                       skip: Int = 0, header: Boolean = true,
+                       renderDates: Boolean = true): DataFrame = {
     val files = spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"), col("content"))
 
@@ -118,7 +124,7 @@ object StagingReader {
         .orElse(wb.sheetByIndex(sheetIndex))
         .getOrElse(throw new IllegalArgumentException(
           s"no sheet matching name=$sheetName index=$sheetIndex in ${wb.sheetNames}"))
-      Excel.sheetGrid(wb, part).drop(skip)
+      Excel.sheetGrid(wb, part, renderDates).drop(skip)
     }
 
     // schema from the first file (path order) — same contract as the CSV

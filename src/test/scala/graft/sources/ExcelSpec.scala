@@ -34,6 +34,24 @@ class ExcelSpec extends AnyFunSuite with SparkSpec {
     assert(grid(2).toSeq == Seq("RA2", null, "FALSE"))
   }
 
+  test("date-styled serials render as ISO dates/datetimes; 1904 system; plain numerics stay raw") {
+    import ExcelFixtures.{DateSerial, DateTimeSerial, Styled}
+    val bytes = xlsx(Seq("Data" -> Seq(
+      Seq("period", "updated", "pct"),
+      Seq(DateSerial(40574), DateTimeSerial(40574.604166666664), Styled(123.45, 3)),
+    )))
+    val wb = Excel.open(bytes)
+    val grid = Excel.sheetGrid(wb, wb.sheetByIndex(0).get)
+    assert(grid(1).toSeq == Seq("2011-01-31", "2011-01-31 14:30:00", "123.45"),
+      "builtin date fmt → date; custom yyyy-mm-dd hh:mm → datetime; numeric fmt → raw")
+    val raw = Excel.sheetGrid(wb, wb.sheetByIndex(0).get, renderDates = false)
+    assert(raw(1)(0) == "40574", "renderDates=false surfaces the raw serial")
+    // 1904 date system: the same calendar date sits 1462 serials earlier
+    val wb04 = Excel.open(
+      xlsx(Seq("Data" -> Seq(Seq("d"), Seq(DateSerial(40574 - 1462)))), date1904 = true))
+    assert(Excel.sheetGrid(wb04, wb04.sheetByIndex(0).get)(1)(0) == "2011-01-31")
+  }
+
   test("colIndex decodes multi-letter references") {
     assert(Excel.colIndex("A1") == 0)
     assert(Excel.colIndex("Z9") == 25)
