@@ -363,26 +363,55 @@ object OracleSqlGen {
        |FROM documents""".stripMargin
   }
 
-  // ---- q32: IVF coarse-quantized top-k ----
+  // ---- q32: IVF coarse-quantized top-k (+ Lloyd refinement rounds) ----
+  // Each Lloyd round reassigns the corpus to the current centroid set and
+  // re-averages per (cell, dimension). The mean is a SORTED left-fold sum /
+  // count — the same order-independent formulation Similarity.ivfTopK uses —
+  // so the refined centroids are bit-identical to Spark's driver-side values
+  // and the downstream assignment/probe arithmetic stays exact.
   def q32Sql(k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
-             centroidStride: Long = 31L, nQueries: Int = 5): String =
-    s"""WITH cents AS (
+             centroidStride: Long = 31L, nQueries: Int = 5,
+             lloydRounds: Int = 1): String = {
+    val lloyd = (0 until lloydRounds).map { i =>
+      s"""assigned$i AS MATERIALIZED (
+         |  SELECT cand_id, cv, cid AS cell_id FROM (
+         |    SELECT c.cand_id, c.cv, ct.cid,
+         |      row_number() OVER (PARTITION BY c.cand_id
+         |        ORDER BY list_dot_product(c.cv, ct.cvec) / ct.cnorm DESC, ct.cid) AS rn
+         |    FROM corpus c CROSS JOIN cents$i ct)
+         |  WHERE rn = 1
+         |), means$i AS (
+         |  SELECT cell_id, pos,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(x))), (a, xx) -> a + xx)
+         |      / count(*) AS m
+         |  FROM (SELECT cell_id, unnest(cv) AS x, unnest(range(0, len(cv))) AS pos
+         |        FROM assigned$i)
+         |  GROUP BY cell_id, pos
+         |), cents${i + 1} AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT cell_id AS cid, list(m ORDER BY pos) AS cvec,
+         |      sqrt(list_dot_product(list(m ORDER BY pos), list(m ORDER BY pos))) AS cnorm
+         |    FROM means$i GROUP BY cell_id)
+         |  WHERE cnorm > 0
+         |), """.stripMargin
+    }.mkString
+    s"""WITH cents0 AS MATERIALIZED (
        |  SELECT * FROM (
        |    SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec,
        |      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cnorm
        |    FROM embeddings WHERE vec_id % $centroidStride = 0
        |    ORDER BY vec_id LIMIT $nlist)
        |  WHERE cnorm > 0
-       |), corpus AS (
+       |), corpus AS MATERIALIZED (
        |  SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv,
        |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cn
        |  FROM embeddings
-       |), assigned AS (
+       |), ${lloyd}assigned AS (
        |  SELECT cand_id, cv, cn, cid AS cell_id FROM (
        |    SELECT c.cand_id, c.cv, c.cn, ct.cid,
        |      row_number() OVER (PARTITION BY c.cand_id
        |        ORDER BY list_dot_product(c.cv, ct.cvec) / ct.cnorm DESC, ct.cid) AS rn
-       |    FROM corpus c CROSS JOIN cents ct)
+       |    FROM corpus c CROSS JOIN cents$lloydRounds ct)
        |  WHERE rn = 1
        |), probes AS (
        |  SELECT query_id, qv, qn, cid AS cell_id FROM (
@@ -392,7 +421,7 @@ object OracleSqlGen {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY list_dot_product(q.embedding::DOUBLE[], ct.cvec) / ct.cnorm DESC,
        |                 ct.cid) AS rn
-       |    FROM embeddings q CROSS JOIN cents ct WHERE q.vec_id < $nQueries)
+       |    FROM embeddings q CROSS JOIN cents$lloydRounds ct WHERE q.vec_id < $nQueries)
        |  WHERE rn <= $nprobe
        |), scored AS (
        |  SELECT p.query_id, a.cand_id,
@@ -405,4 +434,5 @@ object OracleSqlGen {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos_sim DESC, cand_id) AS rn
        |  FROM scored) WHERE rn <= $k""".stripMargin
+  }
 }

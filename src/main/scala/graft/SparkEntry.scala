@@ -318,11 +318,14 @@ object SparkEntry {
       Tables(s, dir).embeddings, "vec_id", "embedding", minCosine = 0.4,
       nPlanes = 12, nTables = 2)
 
-  // ---- q32: IVF-style ANN (coarse quantizer + probes; rows-only) ----
+  // ---- q32: IVF-style ANN (coarse quantizer + one Lloyd refinement round
+  //      + probes). The oracle replays the refinement bit-identically: the
+  //      Lloyd mean is a sorted-fold sum (order-independent), so DuckDB
+  //      recomputes the exact same centroids from the same seed draw. ----
   private def q32(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir).embeddings
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-      k = 5, nlist = 16, nprobe = 4)
+      k = 5, nlist = 16, nprobe = 4, lloydRounds = 1)
   }
 
   // ---- q33: skew-safe two-stage salted aggregation (result == plain agg) ----

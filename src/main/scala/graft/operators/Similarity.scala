@@ -84,16 +84,25 @@ object Similarity {
       s"ivfTopK: no non-zero-norm centroids drawn (stride=$centroidStride) — " +
         "is the corpus empty or the id column not aligned with the stride?")
 
-    // Lloyd refinement: reassign + re-average. The average is computed over
-    // (cell, dimension) — a skinny long-format aggregate that map-side
-    // combines; the wide vectors never shuffle.
+    // Lloyd refinement: reassign + re-average over (cell, dimension) — a
+    // long-format aggregate; the wide vectors never shuffle. The per-cell
+    // mean is a SORTED left-fold sum divided by the count, not avg(): IEEE
+    // addition is order-dependent in the last ulp, and both Spark's partial
+    // aggregate merge order and DuckDB's scan order are scheduling-
+    // dependent, so avg() would make the refined centroids (and thus
+    // borderline cell assignments) flicker across runs and engines. Sorting
+    // the member values first makes the sum a pure function of the multiset
+    // — bit-identical everywhere. Cost: collect_list buffers one cell's
+    // values per (cell, dim) group; at extreme corpus scale fit centroids
+    // on emb.sample(...) (see above) so the buffered group stays bounded.
     for (_ <- 1 to lloydRounds) {
       val assigned = withCellId(emb, idCol, vecCol, cents, literalCentroidMax)
       val dim = cents.head._2.length
       val means = assigned
         .select(col("cell_id"), posexplode(col("cv").cast("array<double>")).as(Seq("pos", "x")))
         .groupBy(col("cell_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg((aggregate(sort_array(collect_list(col("x"))), lit(0d), (a, x) => a + x)
+          / count(lit(1))).as("m"))
         .collect()
       val byCell = means.groupBy(_.getLong(0))
       cents = byCell.toSeq.sortBy(_._1).map { case (cid, rows) =>
