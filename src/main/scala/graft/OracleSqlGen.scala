@@ -363,6 +363,24 @@ object OracleSqlGen {
        |FROM documents""".stripMargin
   }
 
+  // ---- q49: weighted corpus mixture (hash-downsampled union) ----
+  // Same per-corpus salts ("mix:<name>") and the same cut arithmetic
+  // ((rate * buckets).toLong) as Sampling.mixCorpora/sampleFraction.
+  def q49Sql(): String = {
+    import graft.operators.Sampling
+    def part(name: String, pred: String, rate: Double): String = {
+      val cut = (rate * 10000).toLong
+      s"""SELECT doc_id, source, '$name' AS corpus FROM documents
+         |WHERE $pred
+         |  AND ${Sampling.hashBucketSql("doc_id", s"mix:$name")} < $cut""".stripMargin
+    }
+    val srcNum = "CAST(substr(source, 4) AS INT)"
+    Seq(part("web", s"$srcNum < 7", 0.5),
+        part("books", s"$srcNum >= 7 AND $srcNum < 14", 0.8),
+        part("code", s"$srcNum >= 14", 0.25))
+      .mkString("\nUNION ALL\n")
+  }
+
   // ---- q32: IVF coarse-quantized top-k (+ Lloyd refinement rounds) ----
   // Each Lloyd round reassigns the corpus to the current centroid set and
   // re-averages per (cell, dimension). The mean is a SORTED left-fold sum /

@@ -568,6 +568,21 @@ object SparkEntry {
       operators.Sampling.splitAssign(col("doc_id"), "graft").as("split"),
       (operators.Sampling.hashBucket(col("doc_id"), "sample") < 1000).as("in_10pct_sample"))
 
+  // ---- q49: weighted corpus mixture — the documents table's 20 sources
+  //      are regrouped into three corpora and hash-downsampled to their
+  //      mixture weights (web 50%, books 80%, code 25%). Membership is a
+  //      pure function of (salt, doc_id): re-weighting one corpus never
+  //      reshuffles another's rows, and adding data never evicts old rows.
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val srcNum = substring(col("source"), 4, 8).cast("int")
+    operators.Sampling.mixCorpora(Seq(
+      ("web",   docs.filter(srcNum < 7), 0.5),
+      ("books", docs.filter(srcNum >= 7 && srcNum < 14), 0.8),
+      ("code",  docs.filter(srcNum >= 14), 0.25)), "doc_id")
+      .select(col("doc_id"), col("source"), col("corpus"))
+  }
+
   // ---- q31: as-of join — each view picks up the latest prior purchase ----
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir).events
@@ -630,6 +645,7 @@ object SparkEntry {
     "q46_split_sample"     -> q46 _,
     "q47_stream_join"      -> q47 _,
     "q48_pii_redact"       -> q48 _,
+    "q49_mix_corpora"      -> q49 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -650,6 +666,7 @@ object SparkEntry {
     "q45_top_ngrams"        -> OracleSqlGen.q45Sql(),
     "q46_split_sample"      -> OracleSqlGen.q46Sql(),
     "q48_pii_redact"        -> OracleSqlGen.q48Sql(),
+    "q49_mix_corpora"       -> OracleSqlGen.q49Sql(),
     "q01_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
