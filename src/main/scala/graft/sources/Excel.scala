@@ -173,8 +173,10 @@ object Excel {
     Workbook(sheets, parts.toMap, shared, dateStyles, date1904)
   }
 
-  /** ECMA-376 builtin number formats that render as dates/datetimes. */
-  private val BuiltinDateFmts: Set[Int] =
+  /** ECMA-376 builtin number formats that render as dates/datetimes (the
+    * ids are shared by BIFF8, so [[Xls]] reuses this table).
+    */
+  private[sources] val BuiltinDateFmts: Set[Int] =
     ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
 
   /** A custom format code is a date format if, outside quoted literals,

@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** Declarative per-vintage source spec: the canonical ingestion path
   * replacing the reference's copy-pasted read/rename blocks
-  * (S4-S8, P5-P7 in SURVEY §2). Excel proper is out of scope offline
-  * (no POI jar under /opt/spark/jars): vintages are modeled as CSV/Parquet
-  * exports, with the reference's sheet/skip/na reader options captured here.
+  * (S4-S8, P5-P7 in SURVEY §2). Excel is read natively with NO external
+  * jars — OOXML (.xlsx) via [[Excel]] and legacy BIFF8 (.xls) via [[Xls]],
+  * dispatched per file by extension — alongside CSV/Parquet staging.
   *
   * @param paths            file or glob paths (multi-path scan, S6)
   * @param format           "csv" | "parquet"
@@ -102,10 +102,12 @@ object StagingReader {
     }
   }
 
-  /** S4 — distributed Excel (.xlsx) scan with NO external jars: the
-    * `binaryFile` source ships each workbook's bytes to an executor, where
-    * [[Excel]] StAX-parses the selected sheet. One task per file (xlsx is
-    * not splittable — standard for zip containers); a 100 TB drop of many
+  /** S4 — distributed Excel scan (.xlsx AND legacy .xls) with NO external
+    * jars: the `binaryFile` source ships each workbook's bytes to an
+    * executor, where [[Excel]] StAX-parses (xlsx) or [[Xls]] BIFF8-parses
+    * (.xls) the selected sheet — per-file dispatch, so one glob covers the
+    * mixed vintages the reference collects. One task per file (workbook
+    * containers are not splittable); a 100 TB drop of many
     * workbooks parallelises per file exactly like every production Excel
     * connector. Column names come from the first file's header row (by
     * path order), mirroring the CSV staging contract; every file skips
@@ -118,20 +120,36 @@ object StagingReader {
     val files = spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"), col("content"))
 
-    def gridOf(bytes: Array[Byte]): Vector[Array[String]] = {
-      val wb = Excel.open(bytes)
-      val part = sheetName.flatMap(wb.sheetByName)
-        .orElse(wb.sheetByIndex(sheetIndex))
-        .getOrElse(throw new IllegalArgumentException(
-          s"no sheet matching name=$sheetName index=$sheetIndex in ${wb.sheetNames}"))
-      Excel.sheetGrid(wb, part, renderDates).drop(skip)
+    // container dispatch by extension: legacy BIFF8 (.xls) and OOXML
+    // (.xlsx/.xlsm) parse to the same string grid, so one scan can mix
+    // both — exactly how the reference's extractors collect vintages
+    // (extract_supporting_facilities_main.py:143-149 globs *.xls*)
+    def gridOf(path: String, bytes: Array[Byte]): Vector[Array[String]] = {
+      val grid =
+        if (path.toLowerCase.endsWith(".xls")) {
+          val wb = Xls.open(bytes)
+          val idx = sheetName.flatMap(wb.sheetByName)
+            .orElse(if (sheetIndex < wb.sheets.length) Some(sheetIndex) else None)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no sheet matching name=$sheetName index=$sheetIndex in ${wb.sheetNames}"))
+          Xls.sheetGrid(wb, idx, renderDates)
+        } else {
+          val wb = Excel.open(bytes)
+          val part = sheetName.flatMap(wb.sheetByName)
+            .orElse(wb.sheetByIndex(sheetIndex))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no sheet matching name=$sheetName index=$sheetIndex in ${wb.sheetNames}"))
+          Excel.sheetGrid(wb, part, renderDates)
+        }
+      grid.drop(skip)
     }
 
     // schema from the first file (path order) — same contract as the CSV
     // reader's first-file header
     val first = files.orderBy(col("path")).limit(1).collect()
     require(first.nonEmpty, s"no files matched: $paths")
-    val firstGrid = gridOf(first(0).getAs[Array[Byte]]("content"))
+    val firstGrid = gridOf(first(0).getAs[String]("path"),
+      first(0).getAs[Array[Byte]]("content"))
     require(firstGrid.nonEmpty, "selected sheet is empty after skip")
     val width = firstGrid.head.length
     val names =
@@ -148,7 +166,7 @@ object StagingReader {
     val dataRows = if (header) 1 else 0
     val rdd = files.rdd.flatMap { r =>
       val fname = r.getString(0).replaceAll(".*/", "")
-      gridOf(r.getAs[Array[Byte]](1)).drop(dataRows).map { cells =>
+      gridOf(r.getString(0), r.getAs[Array[Byte]](1)).drop(dataRows).map { cells =>
         val padded = java.util.Arrays.copyOf(cells, width)
         org.apache.spark.sql.Row.fromSeq(fname +: padded.toSeq)
       }
