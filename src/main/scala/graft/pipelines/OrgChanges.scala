@@ -47,9 +47,11 @@ object OrgChangePaths {
     val edges = successors.select(col("old_code").as("e_src"),
       col("new_code").as("e_dst"), col("change_date").as("e_date"))
     // a src with >1 successors is a split — every branch row is typed 'split'
-    // (build_all_org_changes.R:100-102: lengths(new_code_var) > 1)
+    // (build_all_org_changes.R:100-102: lengths(new_code_var) > 1).
+    // Materialized once: each of the maxHops expansion joins broadcasts this
+    // frame, and a leaf keeps them from re-running the count aggregation.
     val eCnt = edges.groupBy(col("e_src")).agg(count(lit(1)).as("e_nsucc"))
-    val edgesC = edges.join(eCnt, Seq("e_src"))
+    val edgesC = leaf(edges.join(eCnt, Seq("e_src")))
 
     // Every code ever seen starts its own chain (R:62-68); codes that never
     // changed drop out after expansion via the !is.na(new_code_1) filter.
@@ -79,17 +81,25 @@ object OrgChangePaths {
     // ONE distinct predecessor is a pure renaming, not a merger. The R code
     // re-labels every row with that target (whatever its own change type),
     // then downgrades the remaining merger_or_name_change to merger.
+    // The maxHops rounds are independent (round i writes only change_type_i
+    // and reads only hop-i columns, none of which earlier rounds touch), so
+    // ONE long-format aggregation finds every hop's single-predecessor
+    // merger targets instead of 2×maxHops separate aggregation jobs.
+    val hopLong = (1 to maxHops).map { i =>
+      o.select(lit(i).as("__hop"), col(s"new_code_${i - 1}").as("__prev"),
+        col(s"new_code_$i").as("__nc"), col(s"change_type_$i").as("__ct"))
+    }.reduce(_ union _).filter(col("__nc").isNotNull)
+    val nameChangedAll = leaf(hopLong
+      .groupBy(col("__hop"), col("__nc"))
+      .agg(countDistinct(col("__prev")).as("__nprev"),
+        max(when(col("__ct") === "merger_or_name_change", 1).otherwise(0)).as("__anymerge"))
+      .filter(col("__nprev") === 1 && col("__anymerge") === 1)
+      .select(col("__hop"), col("__nc")))
     for (i <- 1 to maxHops) {
-      val prevC = s"new_code_${i - 1}"
       val nc = s"new_code_$i"
       val ct = s"change_type_$i"
-      val mergers = o.filter(col(ct) === "merger_or_name_change")
-        .select(col(nc).as("__mc")).distinct()
-      val nameChanged = o.join(broadcast(mergers), col(nc) === col("__mc"), "left_semi")
-        .groupBy(col(nc))
-        .agg(countDistinct(col(prevC)).as("__nprev"))
-        .filter(col("__nprev") === 1)
-        .select(col(nc).as("__ncc"))
+      val nameChanged = nameChangedAll.filter(col("__hop") === i)
+        .select(col("__nc").as("__ncc"))
       o = o.join(broadcast(nameChanged), col(nc) === col("__ncc"), "left")
         .withColumn(ct,
           when(col("__ncc").isNotNull, lit("name_change"))
