@@ -35,6 +35,7 @@ object BedsVintages {
     format = "excel",
     excelSheetIndex = 0,
     skipRows = if (early) 3 else 4,
+    cleanNames = false, // the clean* programs snake_case the staged names
     naSentinels = Seq("-", ""),
     fileNameFilter = Some("(?=.*20(0[0-9]))(?=.*NHS_Organisations_in_England)"))
 
@@ -47,6 +48,7 @@ object BedsVintages {
     format = "excel",
     excelSheet = Some("^NHS Trust by Sector$"),
     skipRows = if (early) 5 else 14,
+    cleanNames = false, // the clean* programs snake_case the staged names
     naSentinels = Seq("-"),
     fileNameFilter = Some("^(?!.*20(0[0-9]))"))
 

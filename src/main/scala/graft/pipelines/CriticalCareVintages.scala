@@ -24,6 +24,9 @@ object CriticalCareVintages {
     paths = paths,
     format = "excel",
     excelSheet = Some("^Level of care by Trust$"),
+    // raw names: clean0210 recovers the publication date from the TITLE
+    // column name before snake_casing, so the spec must not pre-clean
+    cleanNames = false,
     naSentinels = Seq("-", "", "NULL"))
 
   /** 2010-20 monthly family: sheet "Critical Care Beds", skip 7 for the
@@ -35,6 +38,7 @@ object CriticalCareVintages {
     format = "excel",
     excelSheet = Some("^Critical Care Beds$"),
     skipRows = if (early) 7 else 14,
+    cleanNames = false, // clean1020 snake_cases (and disambiguates) itself
     naSentinels = Seq("-", "NULL"),
     fileNameFilter = Some("^(?!.*England)"))
 

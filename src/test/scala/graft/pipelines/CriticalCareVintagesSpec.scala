@@ -93,6 +93,34 @@ class CriticalCareVintagesSpec extends AnyFunSuite with SparkSpec {
     assert(ra2.getAs[String]("paediatric_intensive_care_beds_percent_occupied") == "0.4")
   }
 
+  test("pre-2010 vintage replays from REAL .xls bytes: BIFF8 scan → spec0210 → clean0210") {
+    // the exact shape a 2002-10 publication wears: a notes sheet to skip, a
+    // title row readxl promotes to names (the date rides in it), the real
+    // header inside the data, then the trust rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_xls").toFile
+    val bytes = graft.sources.XlsFixtures.xls(Seq(
+      "Notes" -> Seq(Seq("Critical care capacity, definitions")),
+      "Level of care by Trust" -> Seq(
+        Seq("Open and staffed adult critical care beds January 2005"),
+        Seq("Org ID", "Name", "Year", "SHA", "Open and staffed adult critical care beds"),
+        Seq("RA1", "Alpha trust", "2004-05", "London", 12),
+        Seq("RA2", "Beta trust", "2004-05", "London", 0),
+      )))
+    val f = new java.io.FileOutputStream(new java.io.File(dir, "cc_jan05.xls"))
+    f.write(bytes); f.close()
+
+    val staged = graft.sources.StagingReader.read(spark,
+      CriticalCareVintages.spec0210(Seq(s"${dir.getAbsolutePath}/*.xls")))
+    val out = CriticalCareVintages.clean0210(staged, "^Org ID$")
+    assert(out.columns.toSeq == Seq("org_code", "org_name",
+      "number_of_adult_critical_care_beds_open", "date", "month", "year"))
+    val rows = out.collect().map(r => r.getAs[String]("org_code") -> r).toMap
+    assert(rows.keySet == Set("RA1", "RA2"))
+    assert(rows("RA1").getAs[String]("number_of_adult_critical_care_beds_open") == "12")
+    assert(rows("RA1").getAs[java.sql.Date]("date").toString == "2005-01-01")
+    assert(rows("RA2").getAs[String]("org_name") == "BETA TRUST")
+  }
+
   test("assembled panel feeds the monthly adjustment stage end-to-end") {
     import spark.implicits._
     val panel = CriticalCareVintages.assemble(
