@@ -263,12 +263,28 @@ object SparkEntry {
   // ---- q25: Structured Streaming hourly windows, hash-matched against the
   //      batch oracle (streaming/batch parity is the check) ----
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Streaming operators provision one state store PER shuffle partition
+    * (two for a stream-stream join); the per-partition store open/commit
+    * overhead dominates a bounded gate run, so every streaming gate query
+    * starts under a smaller count. Results are partition-count-invariant —
+    * only placement changes — and the conf is restored immediately after
+    * `start()` captures it. A production deployment sizes the count to
+    * throughput instead.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(start: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try start finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   private def q25(s: SparkSession, dir: String): DataFrame = {
     val agg = graft.streaming.EventStreams.hourlyAggregates(
       graft.streaming.EventStreams.readEventsStream(s, dir))
     val name = s"graft_stream_hourly_${streamSeq.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val q = withStatePartitions(s, 8) {
+      agg.writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table(name).select(
       col("window.start").cast("timestamp_ntz").as("hour"),
@@ -439,8 +455,10 @@ object SparkEntry {
     val agg = graft.streaming.EventStreams.slidingCounts(
       graft.streaming.EventStreams.readEventsStream(s, dir))
     val name = s"graft_stream_sliding_${streamSeq.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val q = withStatePartitions(s, 8) {
+      agg.writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table(name).select(
       col("window.start").cast("timestamp_ntz").as("window_start"),
@@ -458,10 +476,12 @@ object SparkEntry {
   private def q42(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.streaming.EventStreams.readEventsStream(s, dir)
     val name = s"graft_stream_dedup_${streamSeq.incrementAndGet()}"
-    val q = ev.dropDuplicates("user_id", "event_type")
-      .select(col("user_id"), col("event_type"))
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val q = withStatePartitions(s, 8) {
+      ev.dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table(name)
   }
@@ -475,15 +495,10 @@ object SparkEntry {
     val joined = graft.streaming.EventStreams.viewPurchaseJoin(
       graft.streaming.EventStreams.readEventsStream(s, dir))
     val name = s"graft_stream_join_${streamSeq.incrementAndGet()}"
-    // A stream-stream join maintains TWO state stores per shuffle partition;
-    // the per-partition store/commit overhead dominates a bounded gate run.
-    // The partition count is fixed at query start, so scope a smaller one
-    // to this query (a production deployment sizes it to throughput).
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try joined.writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    val q = withStatePartitions(s, 8) {
+      joined.writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table(name).select(
       col("view_id"), col("user_id"),
