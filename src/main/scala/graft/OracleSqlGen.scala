@@ -381,6 +381,51 @@ object OracleSqlGen {
       .mkString("\nUNION ALL\n")
   }
 
+  // ---- q50: incremental near-dup ingest (portable MinHash-LSH) ----
+  // Same tok/sh/hs/sig chain and constants as q22Sql; the generation split
+  // (doc_id % 4: 0-2 = store, 3 = new batch) and the pair predicate mirror
+  // IncrementalDedup.ingestCandidates: batch×store in either id order plus
+  // batch×batch with doc_a < doc_b — never store×store.
+  def q50Sql(shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+             seed: Long = 42L): String = {
+    val rows = numHashes / bands
+    val consts = PortableHash.permConstants(numHashes, seed)
+    val mins = consts.zipWithIndex.map { case ((r, c), j) =>
+      s"min(${PortableHash.permuteSql("h", r, c)}) AS m$j"
+    }.mkString(",\n      ")
+    val sigList = (0 until numHashes).map(j => s"m$j").mkString("[", ", ", "]")
+    val shingle = (0 until shingleK).map(i => s"ws[i + $i]").mkString(" || ' ' || ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    unnest([$shingle FOR i IN range(1, len(ws) - ${shingleK - 2})]) AS g
+       |  FROM tok WHERE len(ws) >= $shingleK
+       |), hs AS (
+       |  SELECT doc_id, ${PortableHash.hash60Sql("g")} AS h FROM sh
+       |), sig AS MATERIALIZED (
+       |  SELECT doc_id, doc_id % 4 AS gen, $sigList AS sig FROM (
+       |    SELECT doc_id,
+       |      $mins
+       |    FROM hs GROUP BY doc_id)
+       |), banded AS (
+       |  SELECT doc_id, gen, b, sig[(b * $rows + 1):(b * $rows + $rows)] AS bucket
+       |  FROM sig, (SELECT unnest(range(0, $bands)) AS b)
+       |), pairs AS (
+       |  SELECT DISTINCT s.doc_id AS doc_a, n.doc_id AS doc_b
+       |  FROM banded s JOIN banded n ON s.b = n.b AND s.bucket = n.bucket
+       |  WHERE n.gen = 3
+       |    AND (s.gen < 3 OR (s.gen = 3 AND s.doc_id < n.doc_id))
+       |)
+       |SELECT p.doc_a, p.doc_b,
+       |  round(CAST(list_sum([CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END
+       |                       FOR j IN range(1, ${numHashes + 1})]) AS DOUBLE)
+       |        / $numHashes.0, 4) AS est_jaccard
+       |FROM pairs p
+       |JOIN sig sa ON p.doc_a = sa.doc_id
+       |JOIN sig sb ON p.doc_b = sb.doc_id""".stripMargin
+  }
+
   // ---- q32: IVF coarse-quantized top-k (+ Lloyd refinement rounds) ----
   // Each Lloyd round reassigns the corpus to the current centroid set and
   // re-averages per (cell, dimension). The mean is a SORTED left-fold sum /

@@ -271,7 +271,7 @@ object SparkEntry {
     * `start()` captures it. A production deployment sizes the count to
     * throughput instead.
     */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(start: => T): T = {
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(start: => T): T = {
     val old = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try start finally s.conf.set("spark.sql.shuffle.partitions", old)
@@ -281,7 +281,7 @@ object SparkEntry {
     val agg = graft.streaming.EventStreams.hourlyAggregates(
       graft.streaming.EventStreams.readEventsStream(s, dir))
     val name = s"graft_stream_hourly_${streamSeq.incrementAndGet()}"
-    val q = withStatePartitions(s, 8) {
+    val q = withShufflePartitions(s, 8) {
       agg.writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     }
@@ -455,7 +455,7 @@ object SparkEntry {
     val agg = graft.streaming.EventStreams.slidingCounts(
       graft.streaming.EventStreams.readEventsStream(s, dir))
     val name = s"graft_stream_sliding_${streamSeq.incrementAndGet()}"
-    val q = withStatePartitions(s, 8) {
+    val q = withShufflePartitions(s, 8) {
       agg.writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     }
@@ -476,7 +476,7 @@ object SparkEntry {
   private def q42(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.streaming.EventStreams.readEventsStream(s, dir)
     val name = s"graft_stream_dedup_${streamSeq.incrementAndGet()}"
-    val q = withStatePartitions(s, 8) {
+    val q = withShufflePartitions(s, 8) {
       ev.dropDuplicates("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
         .writeStream.outputMode("append").format("memory").queryName(name)
@@ -495,7 +495,7 @@ object SparkEntry {
     val joined = graft.streaming.EventStreams.viewPurchaseJoin(
       graft.streaming.EventStreams.readEventsStream(s, dir))
     val name = s"graft_stream_join_${streamSeq.incrementAndGet()}"
-    val q = withStatePartitions(s, 8) {
+    val q = withShufflePartitions(s, 8) {
       joined.writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     }
@@ -598,6 +598,24 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("corpus"))
   }
 
+  // ---- q50: incremental near-dup ingest — the corpus's earlier
+  //      generations (doc_id % 4 < 3) act as the signature store; the
+  //      newest quarter is the ingest batch. Candidates = batch×store +
+  //      batch×batch, never store×store — per-ingest cost is O(batch), the
+  //      property that makes dedup sustainable on a corpus that only ever
+  //      grows. The bucketed-store no-shuffle plan is pinned in
+  //      IncrementalDedupSpec; here the store is frame-backed (portable
+  //      hash family) so the DuckDB oracle recomputes it from scratch. ----
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val gen = col("doc_id") % 4
+    val store = operators.IncrementalDedup.bandedSignaturesPortable(
+      docs.filter(gen < 3), "doc_id", "text")
+    val batch = operators.IncrementalDedup.bandedSignaturesPortable(
+      docs.filter(gen === 3), "doc_id", "text")
+    operators.IncrementalDedup.ingestCandidates(store, batch, numHashes = 16)
+  }
+
   // ---- q31: as-of join — each view picks up the latest prior purchase ----
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir).events
@@ -661,6 +679,7 @@ object SparkEntry {
     "q47_stream_join"      -> q47 _,
     "q48_pii_redact"       -> q48 _,
     "q49_mix_corpora"      -> q49 _,
+    "q50_incr_dedup"       -> q50 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -682,6 +701,7 @@ object SparkEntry {
     "q46_split_sample"      -> OracleSqlGen.q46Sql(),
     "q48_pii_redact"        -> OracleSqlGen.q48Sql(),
     "q49_mix_corpora"       -> OracleSqlGen.q49Sql(),
+    "q50_incr_dedup"        -> OracleSqlGen.q50Sql(),
     "q01_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

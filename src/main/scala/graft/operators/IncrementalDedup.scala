@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental near-duplicate detection for a corpus that ingests in
+  * batches — the 100 TB shape of [[Dedup]]'s MinHash+LSH. Re-running
+  * full-corpus LSH per ingest is O(corpus); the scalable contract is:
+  *
+  *  1. keep a persistent SIGNATURE STORE of banded LSH index entries,
+  *     written as a parquet table bucketed by the join key, and
+  *  2. for each new batch, signature it (O(batch)), then join against the
+  *     store — the store side is read IN PLACE because its bucketing
+  *     already satisfies the join's distribution, so the only shuffle is
+  *     the (small) batch being exchanged into the store's bucket layout.
+  *     IncrementalDedupSpec pins exactly that plan: one Exchange, on the
+  *     batch side.
+  *
+  * This is a north-star extension (no reference analog): it composes
+  * [[Dedup.minhashSignatures]]'s banding with [[graft.sources.Sinks]]'
+  * bucketed-table layout. The store carries each entry's full signature so
+  * candidate pairs can estimate Jaccard without a second corpus pass; that
+  * duplicates the signature per band (×bands storage) — an index-only
+  * store (doc_id, band, bucket) joined back to a one-row-per-doc signature
+  * table trades that space for one more batch-sized join.
+  */
+object IncrementalDedup {
+
+  /** Banded LSH index entries for one ingest batch:
+    * (doc_id, band, bucket, sig).
+    */
+  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 3, numHashes: Int = 16,
+                       bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    Dedup.minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
+      .select(col("doc_id"), col("sig"),
+        posexplode(TextFunctions.lshBands(col("sig"), bands, rows))
+          .as(Seq("band", "bucket")))
+      .select(col("doc_id"), col("band"), col("bucket"), col("sig"))
+  }
+
+  /** [[bandedSignatures]] in the SQL-portable 60-bit family
+    * ([[graft.functions.PortableHash]]): band buckets are the signature
+    * slices themselves, so the DuckDB oracle reproduces the join exactly
+    * (same banding as [[Dedup.minhashCandidatesPortable]]).
+    */
+  def bandedSignaturesPortable(docs: DataFrame, idCol: String, textCol: String,
+                               shingleK: Int = 3, numHashes: Int = 16,
+                               bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    Dedup.minhashSignaturesPortable(docs, idCol, textCol, shingleK, numHashes, seed)
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * lit(rows) + lit(1), lit(rows))))
+          .as(Seq("band", "bucket")))
+      .select(col("doc_id"), col("band"), col("bucket"), col("sig"))
+  }
+
+  /** Create-or-append the signature store: bucketed by the (band, bucket)
+    * join key so every future cross-generation join reads it shuffle-free.
+    * Size `buckets` so one bucket ≈ one task at target corpus scale; Spark
+    * enforces that appends match the existing table's bucket spec.
+    */
+  def appendToStore(banded: DataFrame, table: String, buckets: Int): Unit =
+    banded.write.mode("append").format("parquet")
+      .bucketBy(buckets, "band", "bucket")
+      .sortBy("band", "bucket")
+      .saveAsTable(table)
+
+  /** Candidate pairs between the store (doc_a) and a new batch (doc_b):
+    * equi-join on (band, bucket). The store scan's bucketing satisfies the
+    * join distribution, so only the batch side is exchanged — the corpus
+    * side never shuffles, which is the entire point at 100 TB.
+    */
+  def crossGenerationCandidates(store: DataFrame, batchBanded: DataFrame): DataFrame = {
+    val s = store.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val n = batchBanded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    s.join(n, Seq("band", "bucket"))
+      .filter(col("doc_a") =!= col("doc_b")) // a re-ingested doc is not its own dup
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+  }
+
+  /** Candidate pairs inside the new batch itself (doc_a < doc_b) — both
+    * sides are batch-sized, so this self-join's shuffles are cheap.
+    */
+  def withinBatchCandidates(batchBanded: DataFrame): DataFrame = {
+    val a = batchBanded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = batchBanded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+  }
+
+  /** One ingest step: all candidate pairs the new batch introduces —
+    * against every prior generation (via the store) and within itself —
+    * deduplicated across band collisions, with the minhash Jaccard
+    * estimate. The caller then verifies survivors (n-gram Jaccard /
+    * exact) and appends the batch via [[appendToStore]].
+    */
+  def ingestCandidates(spark: SparkSession, storeTable: String,
+                       batchBanded: DataFrame, numHashes: Int = 16): DataFrame =
+    ingestCandidates(spark.table(storeTable), batchBanded, numHashes)
+
+  /** Frame-backed variant (store from any source, e.g. for the oracle-able
+    * gate query — the bucketed-table no-shuffle property is pinned by
+    * IncrementalDedupSpec on the table-backed path). The batch side feeds
+    * three joins (cross two-sided once, self-join twice), so it is
+    * persisted DISK_ONLY under the same lifetime contract as
+    * [[Dedup.minhashCandidates]]: the caller that runs the action releases
+    * it via [[graft.Storage.releaseAll]].
+    */
+  def ingestCandidates(store: DataFrame, batchBanded: DataFrame,
+                       numHashes: Int): DataFrame = {
+    val batch = batchBanded.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x
+    ).cast("double") / lit(numHashes)
+    crossGenerationCandidates(store, batch)
+      .unionByName(withinBatchCandidates(batch))
+      .distinct() // a pair colliding in k bands must surface once
+      .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
+  }
+}

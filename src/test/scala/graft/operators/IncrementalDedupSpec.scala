@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incremental-dedup contract: batch-vs-store candidates match what a
+  * full-corpus LSH run finds, and the store side of the cross-generation
+  * join plans WITHOUT an Exchange (only the new batch shuffles into the
+  * store's bucket layout) — the property that keeps per-ingest cost
+  * O(batch) instead of O(corpus).
+  */
+class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
+
+  private val storeTable = "graft_tst_sig_store"
+
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(s"spark-warehouse/$name")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+  test("cross-generation candidates find near-dups across batches; union matches full-corpus LSH") {
+    dropTable(storeTable)
+    // batch 1: two distinct docs; batch 2: a near-dup of doc 1 + an unrelated doc
+    val batch1 = docsDf(Seq(
+      1L -> base,
+      2L -> "completely different text about spark catalyst optimizer rules and physical plans here",
+    ))
+    val batch2 = docsDf(Seq(
+      10L -> (base + " extra"),
+      11L -> "unrelated third subject entirely with nothing shared among any other document text",
+    ))
+
+    val b1 = IncrementalDedup.bandedSignatures(batch1, "doc_id", "text")
+    IncrementalDedup.appendToStore(b1, storeTable, buckets = 4)
+    val b2 = IncrementalDedup.bandedSignatures(batch2, "doc_id", "text")
+    val cands = IncrementalDedup.ingestCandidates(spark, storeTable, b2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    assert(cands.exists { case (a, b, j) => a == 1L && b == 10L && j > 0.5 },
+      s"near-dup pair (1,10) must surface with high estimated jaccard, got ${cands.toSeq}")
+    assert(!cands.exists { case (a, b, _) => Set(a, b) == Set(2L, 11L) },
+      "unrelated docs must not pair")
+
+    // parity: the same pairs a full-corpus run finds (batch ids are higher
+    // than store ids here, so orientations align)
+    val full = Dedup.minhashCandidates(batch1.unionByName(batch2), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = cands.map(p => (p._1, p._2)).toSet
+    val storeOnlyPairs = Set((1L, 2L)) // batch-1-internal pairs belong to batch 1's own ingest
+    assert(full -- storeOnlyPairs == incr,
+      s"incremental must find exactly the full-corpus pairs involving batch 2: full=$full incr=$incr")
+    graft.Storage.releaseAll(spark)
+  }
+
+  test("the store side of the cross-generation join plans with NO Exchange (batch side only)") {
+    dropTable(storeTable)
+    val batch1 = docsDf(Seq(1L -> base, 2L -> (base + " or so")))
+    IncrementalDedup.appendToStore(
+      IncrementalDedup.bandedSignatures(batch1, "doc_id", "text"), storeTable, buckets = 4)
+
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val b2 = IncrementalDedup.bandedSignatures(
+        docsDf(Seq(20L -> (base + " indeed"))), "doc_id", "text")
+      val joined = IncrementalDedup.crossGenerationCandidates(spark.table(storeTable), b2)
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"exactly ONE Exchange (the batch side); the bucketed store must not shuffle:\n${plan.take(2000)}")
+      assert(joined.collect().nonEmpty, "the near-dup batch doc must hit the store")
+    }
+    graft.Storage.releaseAll(spark)
+  }
+
+  test("appends accumulate generations: a third batch sees both prior ones") {
+    dropTable(storeTable)
+    IncrementalDedup.appendToStore(IncrementalDedup.bandedSignatures(
+      docsDf(Seq(1L -> base)), "doc_id", "text"), storeTable, buckets = 4)
+    IncrementalDedup.appendToStore(IncrementalDedup.bandedSignatures(
+      docsDf(Seq(2L -> (base + " again"))), "doc_id", "text"), storeTable, buckets = 4)
+    val b3 = IncrementalDedup.bandedSignatures(
+      docsDf(Seq(30L -> (base + " extra"))), "doc_id", "text")
+    val partners = IncrementalDedup.ingestCandidates(spark, storeTable, b3)
+      .filter(col("doc_b") === 30L).select(col("doc_a"))
+      .collect().map(_.getLong(0)).toSet
+    assert(partners == Set(1L, 2L),
+      s"batch 3 must pair with BOTH prior generations, got $partners")
+    graft.Storage.releaseAll(spark)
+  }
+}
