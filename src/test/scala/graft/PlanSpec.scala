@@ -55,6 +55,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q50: incremental-dedup candidates are band-bucket equi joins, never cartesian") {
+    val p = plan("q50_incr_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay an equi join on (band, bucket):\n" + p.take(800))
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_group_sum")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
