@@ -186,6 +186,33 @@ object OracleSqlGen {
        |$perTable""".stripMargin
   }
 
+  // ---- q51: incremental embedding near-dup ingest (hyperplane LSH) ----
+  // q30Sql's per-table bucket joins with q50Sql's generation predicate:
+  // batch (gen 3) × store (gen < 3) in either id order plus batch×batch
+  // with id_a < id_b — never store×store. UNION dedupes across the
+  // OR-amplified tables, mirroring IncrementalAnn.ingestNearDups.
+  def q51Sql(minCosine: Double = 0.4, nPlanes: Int = 12, nTables: Int = 2,
+             dim: Int = 64, seed: Long = 42L): String = {
+    val perTable = (0 until nTables).map { t =>
+      val planes = VectorFunctions.seededPlanes(nPlanes, dim, seed + t)
+      s"""  SELECT id_a, id_b, cos_sim FROM (
+         |    SELECT a.id AS id_a, b.id AS id_b,
+         |      round(list_dot_product(a.v, b.v) / (sqrt(a.nsq) * sqrt(b.nsq)), 6) AS cos_sim
+         |    FROM (SELECT id, gen, v, nsq, ${bucketSql("v", planes)} AS bucket FROM e) a
+         |    JOIN (SELECT id, gen, v, nsq, ${bucketSql("v", planes)} AS bucket FROM e) b
+         |      USING (bucket)
+         |    WHERE b.gen = 3
+         |      AND (a.gen < 3 OR (a.gen = 3 AND a.id < b.id)))
+         |  WHERE cos_sim >= $minCosine""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id AS id, vec_id % 4 AS gen, embedding::DOUBLE[] AS v,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nsq
+       |  FROM embeddings
+       |)
+       |$perTable""".stripMargin
+  }
+
   // ---- q44: org-change paths derivation over the supplier-key graph ----
   // Mirrors pipelines.OrgChangePaths.derivePaths stage by stage: path
   // expansion (m1-m3), original-path filter, per-hop name-change refinement

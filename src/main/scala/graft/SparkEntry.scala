@@ -616,6 +616,22 @@ object SparkEntry {
     operators.IncrementalDedup.ingestCandidates(store, batch, numHashes = 16)
   }
 
+  // ---- q51: incremental embedding near-dup ingest — the vector twin of
+  //      q50: earlier generations (vec_id % 4 < 3) form the LSH-bucketed
+  //      embedding store, the newest quarter ingests against it. Same
+  //      hyperplane geometry + OR-amplification as q30, same O(batch)
+  //      ingest contract as q50; the bucketed-store no-shuffle plan is
+  //      pinned in IncrementalAnnSpec. ----
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val gen = col("vec_id") % 4
+    val store = operators.IncrementalAnn.bucketedEmbeddings(
+      emb.filter(gen < 3), "vec_id", "embedding")
+    val batch = operators.IncrementalAnn.bucketedEmbeddings(
+      emb.filter(gen === 3), "vec_id", "embedding")
+    operators.IncrementalAnn.ingestNearDups(store, batch, minCosine = 0.4)
+  }
+
   // ---- q31: as-of join — each view picks up the latest prior purchase ----
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir).events
@@ -680,6 +696,7 @@ object SparkEntry {
     "q48_pii_redact"       -> q48 _,
     "q49_mix_corpora"      -> q49 _,
     "q50_incr_dedup"       -> q50 _,
+    "q51_incr_ann"         -> q51 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -702,6 +719,7 @@ object SparkEntry {
     "q48_pii_redact"        -> OracleSqlGen.q48Sql(),
     "q49_mix_corpora"       -> OracleSqlGen.q49Sql(),
     "q50_incr_dedup"        -> OracleSqlGen.q50Sql(),
+    "q51_incr_ann"          -> OracleSqlGen.q51Sql(),
     "q01_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incremental embedding-near-dup contract, mirroring
+  * IncrementalDedupSpec: batch-vs-store pairs match a full-corpus LSH run,
+  * and the store side of the cross-generation join plans WITHOUT an
+  * Exchange — per-ingest cost stays O(batch).
+  */
+class IncrementalAnnSpec extends AnyFunSuite with SparkSpec {
+
+  private val storeTable = "graft_tst_emb_store"
+  private val dim = 4
+
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(s"spark-warehouse/$name")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def embDf(rows: Seq[(Long, Seq[Double])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def bucketed(rows: Seq[(Long, Seq[Double])]) =
+    IncrementalAnn.bucketedEmbeddings(embDf(rows), "vec_id", "embedding",
+      nPlanes = 4, nTables = 2, dim = dim)
+
+  private val vBase = Seq(1.0, 0.2, -0.3, 0.5)
+  private val vNear = Seq(0.95, 0.25, -0.28, 0.52) // high cosine vs vBase
+  private val vFar = Seq(-0.9, 0.8, 0.7, -0.6)     // negative cosine vs vBase
+
+  test("cross-generation pairs find near-dups across batches; union matches full-corpus LSH") {
+    dropTable(storeTable)
+    IncrementalAnn.appendToStore(bucketed(Seq(1L -> vBase, 2L -> vFar)),
+      storeTable, buckets = 4)
+    val batch = bucketed(Seq(10L -> vNear, 11L -> vFar.map(-_)))
+    val pairs = IncrementalAnn.ingestNearDups(spark, storeTable, batch, minCosine = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    assert(pairs.exists { case (a, b, c) => a == 1L && b == 10L && c > 0.9 },
+      s"(1,10) must surface with high cosine, got ${pairs.toSeq}")
+    assert(pairs.exists { case (a, b, _) => a == 2L && b == 11L } == false,
+      "opposite vectors must not pair at minCosine=0.8")
+
+    val full = Dedup.embeddingNearDupsLsh(
+      embDf(Seq(1L -> vBase, 2L -> vFar, 10L -> vNear, 11L -> vFar.map(-_))),
+      "vec_id", "embedding", minCosine = 0.8, nPlanes = 4, nTables = 2, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchIds = Set(10L, 11L)
+    val fullBatchPairs = full.filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(fullBatchPairs == pairs.map(p => (p._1, p._2)).toSet,
+      s"incremental must find exactly the full-corpus pairs involving the batch: full=$fullBatchPairs")
+    graft.Storage.releaseAll(spark)
+  }
+
+  test("the store side of the cross-generation join plans with NO Exchange (batch side only)") {
+    dropTable(storeTable)
+    IncrementalAnn.appendToStore(bucketed(Seq(1L -> vBase)), storeTable, buckets = 4)
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = IncrementalAnn.crossGenerationPairs(
+        spark.table(storeTable), bucketed(Seq(20L -> vNear)), minCosine = 0.5)
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"exactly ONE Exchange (the batch side); the bucketed store must not shuffle:\n${plan.take(2000)}")
+      assert(joined.collect().nonEmpty, "the near vector must hit the store")
+    }
+    graft.Storage.releaseAll(spark)
+  }
+}
