@@ -84,8 +84,10 @@ object StagingReader {
     val stringCols = renamed.schema.fields
       .filter(f => f.dataType == org.apache.spark.sql.types.StringType)
       .map(_.name).filterNot(_ == "fname")
+    // backtick-quoted: staged names may carry readxl-style `...N` suffixes
+    // (dots would otherwise parse as nested-field access)
     val nulled = stringCols.foldLeft(renamed)((d, c) =>
-      d.withColumn(c, Relational.nullifySentinels(col(c), spec.naSentinels)))
+      d.withColumn(c, Relational.nullifySentinels(col(s"`$c`"), spec.naSentinels)))
 
     val dated = spec.fileDateRegex match {
       case Some((re, fmt)) =>
@@ -152,11 +154,22 @@ object StagingReader {
       first(0).getAs[Array[Byte]]("content"))
     require(firstGrid.nonEmpty, "selected sheet is empty after skip")
     val width = firstGrid.head.length
+    // readxl-style unique name repair: empty or DUPLICATED header cells get
+    // a `...<pos>` positional suffix (1-based, every occurrence — the shape
+    // the per-vintage rename tables key on after snake_casing:
+    // "Total...5" → total_5, "...11" → x11). The reference's position-
+    // suffixed vintage programs (build_datasets_overnight_day_beds.R:98-131)
+    // only work if staging reproduces this repair.
     val names =
-      if (header) firstGrid.head.zipWithIndex.map { case (h, i) =>
-        if (h == null || h.isEmpty) s"_c$i" else h
+      if (header) {
+        val raw = firstGrid.head.map(h => if (h == null) "" else h.trim)
+        val dupes = raw.filter(_.nonEmpty).groupBy(identity)
+          .collect { case (k, vs) if vs.length > 1 => k }.toSet
+        raw.zipWithIndex.map { case (h, i) =>
+          if (h.isEmpty || dupes(h)) s"$h...${i + 1}" else h
+        }
       }
-      else (0 until width).map(i => s"_c$i").toArray
+      else (0 until width).map(i => s"...${i + 1}").toArray
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("fname",
         org.apache.spark.sql.types.StringType, nullable = false) +:

@@ -168,6 +168,44 @@ class BedsVintagesSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("2003-04 overnight vintage replays from REAL .xls bytes: duplicate-header repair → spec0010 → overnight0010") {
+    // the real 30-column position-suffixed layout: 4 id columns, then
+    // available/occupied/percent blocks of 8 measures separated by empty
+    // spacer columns — every measure NAME repeats across blocks, so the
+    // whole vintage depends on staging reproducing readxl's `...<pos>`
+    // repair (Total...5 → total_5 → total_on_beds_available, etc.)
+    val block = Seq("Total", "General Acute", "Acute", "Geriatric",
+      "Single Specialty", "Mental Illness", "Learning Disability", "Maternity")
+    val headerRow: Seq[Any] =
+      Seq("Year", "OrgID", "Name", "SHA") ++ block ++ Seq(null) ++
+        block ++ Seq(null) ++ block
+    val dataRow: Seq[Any] =
+      Seq("2003-04", "RA1", "Alpha trust", "London",
+        110, 90, 10, 5, 3, 6, 12, 28, null,
+        90, 75, 8, 4, 2, 5, 10, 24, null,
+        0.8182, 0.8333, 0.8, 0.8, 0.67, 0.8333, 0.8333, 0.8571)
+    val junk: Seq[Any] = Seq("NHS organisations in England: beds open overnight")
+    val dir = java.nio.file.Files.createTempDirectory("graft_beds_xls").toFile
+    val f = new java.io.FileOutputStream(
+      new java.io.File(dir, "NHS_Organisations_in_England_2003.xls"))
+    f.write(graft.sources.XlsFixtures.xls(Seq(
+      "Data" -> Seq(junk, junk, junk, junk, headerRow, dataRow))))
+    f.close()
+
+    val staged = graft.sources.StagingReader.read(spark,
+      BedsVintages.spec0010(Seq(s"${dir.getAbsolutePath}/*.xls"), early = false))
+    val out = BedsVintages.overnight0010(staged)
+    assert(!out.columns.exists(_.exists(_.isDigit)),
+      s"positional leftovers must drop: ${out.columns.toSeq}")
+    assert(!out.columns.contains("sha") && !out.columns.exists(_.startsWith("acute")))
+    val r = out.collect().head
+    assert(r.getAs[String]("org_code") == "RA1" && r.getAs[String]("year") == "2003")
+    assert(r.getAs[Double]("total_on_beds_available") == 110d)
+    assert(r.getAs[Double]("total_on_beds_occupied") == 90d)
+    assert(r.getAs[Double]("maternity_on_beds_percent_occupied") == 0.8571)
+    assert(r.getAs[Double]("mental_illness_on_beds_available") == 6d)
+  }
+
   test("vintage output feeds the adjustment stage end-to-end") {
     val beds1024 = BedsVintages.assemble1024(
       Seq(staged1024(Seq(onRow("June", "2011-12")))),

@@ -103,4 +103,17 @@ class ExcelSpec extends AnyFunSuite with SparkSpec {
     assert(m("RA1").isEmpty && m("RA2").contains("7"))
     assert(StagingReader.quarterFromName(lit("Beds_Quarter_1_2012.xlsx")) != null)
   }
+
+  test("duplicate and empty headers get readxl-style positional suffixes") {
+    val dir = Files.createTempDirectory("graft_xlsx_dup").toFile
+    write(dir, "d.xlsx", xlsx(Seq("Data" -> Seq(
+      Seq("Year", "Total", "General Acute", "Total", null, "Total"),
+      Seq("2003-04", 1, 2, 3, 4, 5)))))
+    val df = StagingReader.readExcelStaging(spark, Seq(s"${dir.getAbsolutePath}/*.xlsx"))
+    // every occurrence of a duplicated name is suffixed with its 1-based
+    // sheet position; empty cells become bare "...N" (janitor later turns
+    // these into total_2 / x5 — the names the vintage rename tables key on)
+    assert(df.columns.toSeq == Seq("fname", "Year", "Total...2", "General Acute",
+      "Total...4", "...5", "Total...6"))
+  }
 }
