@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   *                         cells as ISO date/datetime strings (readxl
   *                         behaviour, 1900 + 1904 systems); false surfaces
   *                         raw serial strings
+  * @param excelAllSheets   format="excel": read EVERY sheet (regex-filtered
+  *                         by excelSheet when set) and attach a
+  *                         `sheet_name` column — the pre-2009 All_quarters
+  *                         shape (one workbook per fiscal year, one sheet
+  *                         per quarter; pair with
+  *                         [[StagingReader.quarterFromSheet]])
   */
 final case class SourceSpec(
     paths: Seq[String],
@@ -50,7 +56,8 @@ final case class SourceSpec(
     excelSheet: Option[String] = None,
     excelSheetIndex: Int = 0,
     skipRows: Int = 0,
-    excelRenderDates: Boolean = true)
+    excelRenderDates: Boolean = true,
+    excelAllSheets: Boolean = false)
 
 object StagingReader {
 
@@ -65,7 +72,7 @@ object StagingReader {
         spark.read.parquet(spec.paths: _*)
       case "excel" =>
         readExcelStaging(spark, spec.paths, spec.excelSheet, spec.excelSheetIndex,
-          spec.skipRows, spec.header, spec.excelRenderDates)
+          spec.skipRows, spec.header, spec.excelRenderDates, spec.excelAllSheets)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
     // the excel path attaches fname during the per-file parse (its rows no
@@ -83,7 +90,7 @@ object StagingReader {
     // sentinel → null on every string column (post-read, codegen'd)
     val stringCols = renamed.schema.fields
       .filter(f => f.dataType == org.apache.spark.sql.types.StringType)
-      .map(_.name).filterNot(_ == "fname")
+      .map(_.name).filterNot(Set("fname", "sheet_name"))
     // backtick-quoted: staged names may carry readxl-style `...N` suffixes
     // (dots would otherwise parse as nested-field access)
     val nulled = stringCols.foldLeft(renamed)((d, c) =>
@@ -118,40 +125,62 @@ object StagingReader {
   def readExcelStaging(spark: SparkSession, paths: Seq[String],
                        sheetName: Option[String] = None, sheetIndex: Int = 0,
                        skip: Int = 0, header: Boolean = true,
-                       renderDates: Boolean = true): DataFrame = {
+                       renderDates: Boolean = true,
+                       allSheets: Boolean = false): DataFrame = {
     val files = spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"), col("content"))
 
     // container dispatch by extension: legacy BIFF8 (.xls) and OOXML
     // (.xlsx/.xlsm) parse to the same string grid, so one scan can mix
     // both — exactly how the reference's extractors collect vintages
-    // (extract_supporting_facilities_main.py:143-149 globs *.xls*)
-    def gridOf(path: String, bytes: Array[Byte]): Vector[Array[String]] = {
-      val grid =
+    // (extract_supporting_facilities_main.py:143-149 globs *.xls*).
+    // `allSheets` returns EVERY sheet (regex-filtered when sheetName is
+    // set) with its name — the pre-2009 All_quarters shape, one workbook
+    // per fiscal year with a sheet per quarter (build_datasets_main.py:69-86)
+    def sheetsOf(path: String, bytes: Array[Byte]): Seq[(String, Vector[Array[String]])] = {
+      val re = sheetName.map(n => ("(?i)" + n).r)
+      val all: Seq[(String, Vector[Array[String]])] =
         if (path.toLowerCase.endsWith(".xls")) {
           val wb = Xls.open(bytes)
-          val idx = sheetName.flatMap(wb.sheetByName)
-            .orElse(if (sheetIndex < wb.sheets.length) Some(sheetIndex) else None)
-            .getOrElse(throw new IllegalArgumentException(
-              s"no sheet matching name=$sheetName index=$sheetIndex in ${wb.sheetNames}"))
-          Xls.sheetGrid(wb, idx, renderDates)
+          if (allSheets)
+            wb.sheets.zipWithIndex.collect {
+              case ((n, _), i) if re.forall(_.findFirstIn(n).isDefined) =>
+                n -> Xls.sheetGrid(wb, i, renderDates)
+            }
+          else {
+            val idx = sheetName.flatMap(wb.sheetByName)
+              .orElse(if (sheetIndex < wb.sheets.length) Some(sheetIndex) else None)
+              .getOrElse(throw new IllegalArgumentException(
+                s"no sheet matching name=$sheetName index=$sheetIndex in ${wb.sheetNames}"))
+            Seq(wb.sheets(idx)._1 -> Xls.sheetGrid(wb, idx, renderDates))
+          }
         } else {
           val wb = Excel.open(bytes)
-          val part = sheetName.flatMap(wb.sheetByName)
-            .orElse(wb.sheetByIndex(sheetIndex))
-            .getOrElse(throw new IllegalArgumentException(
-              s"no sheet matching name=$sheetName index=$sheetIndex in ${wb.sheetNames}"))
-          Excel.sheetGrid(wb, part, renderDates)
+          if (allSheets)
+            wb.sheets.collect {
+              case (n, part) if re.forall(_.findFirstIn(n).isDefined) =>
+                n -> Excel.sheetGrid(wb, part, renderDates)
+            }
+          else {
+            val part = sheetName.flatMap(wb.sheetByName)
+              .orElse(wb.sheetByIndex(sheetIndex))
+              .getOrElse(throw new IllegalArgumentException(
+                s"no sheet matching name=$sheetName index=$sheetIndex in ${wb.sheetNames}"))
+            val n = wb.sheets.collectFirst { case (sn, p) if p == part => sn }.getOrElse("")
+            Seq(n -> Excel.sheetGrid(wb, part, renderDates))
+          }
         }
-      grid.drop(skip)
+      all.map { case (n, g) => n -> g.drop(skip) }
     }
 
     // schema from the first file (path order) — same contract as the CSV
     // reader's first-file header
     val first = files.orderBy(col("path")).limit(1).collect()
     require(first.nonEmpty, s"no files matched: $paths")
-    val firstGrid = gridOf(first(0).getAs[String]("path"),
+    val firstSheets = sheetsOf(first(0).getAs[String]("path"),
       first(0).getAs[Array[Byte]]("content"))
+    require(firstSheets.nonEmpty, s"no sheets selected in first file (name=$sheetName)")
+    val firstGrid = firstSheets.head._2
     require(firstGrid.nonEmpty, "selected sheet is empty after skip")
     val width = firstGrid.head.length
     // readxl-style unique name repair: empty or DUPLICATED header cells get
@@ -170,18 +199,23 @@ object StagingReader {
         }
       }
       else (0 until width).map(i => s"...${i + 1}").toArray
+    val metaCols =
+      if (allSheets) Seq("fname", "sheet_name") else Seq("fname")
     val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("fname",
-        org.apache.spark.sql.types.StringType, nullable = false) +:
+      metaCols.map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType, nullable = false)) ++
         names.map(n => org.apache.spark.sql.types.StructField(n,
           org.apache.spark.sql.types.StringType, nullable = true)).toSeq)
 
     val dataRows = if (header) 1 else 0
     val rdd = files.rdd.flatMap { r =>
       val fname = r.getString(0).replaceAll(".*/", "")
-      gridOf(r.getString(0), r.getAs[Array[Byte]](1)).drop(dataRows).map { cells =>
-        val padded = java.util.Arrays.copyOf(cells, width)
-        org.apache.spark.sql.Row.fromSeq(fname +: padded.toSeq)
+      sheetsOf(r.getString(0), r.getAs[Array[Byte]](1)).flatMap { case (sn, grid) =>
+        grid.drop(dataRows).map { cells =>
+          val padded = java.util.Arrays.copyOf(cells, width)
+          val meta = if (allSheets) Seq(fname, sn) else Seq(fname)
+          org.apache.spark.sql.Row.fromSeq(meta ++ padded.toSeq)
+        }
       }
     }
     spark.createDataFrame(rdd, schema)

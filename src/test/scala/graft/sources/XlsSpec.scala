@@ -117,6 +117,30 @@ class XlsSpec extends AnyFunSuite with SparkSpec {
       ("Beds_2015.xlsx", "RB9", "30")))
   }
 
+  test("pre-2009 All_quarters workbook: all sheets read with sheet_name, quarters derived per sheet") {
+    // one workbook per fiscal year, one sheet per quarter labeled by the
+    // fiscal-quarter-END month; Mar wears the NEXT calendar year's suffix
+    val dir = Files.createTempDirectory("graft_allq").toFile
+    def sheet(rows: Seq[Seq[Any]]) = Seq(Seq("org_code", "n"): Seq[Any]) ++ rows
+    write(dir, "All_quarters_2008.xls", xls(Seq(
+      "June08" -> sheet(Seq(Seq("RA1", 1))),
+      "Sep08" -> sheet(Seq(Seq("RA1", 2))),
+      "Dec08" -> sheet(Seq(Seq("RA1", 3))),
+      "Mar09" -> sheet(Seq(Seq("RA1", 4))),
+    )))
+    val df = StagingReader.read(spark, SourceSpec(
+      paths = Seq(s"${dir.getAbsolutePath}/*.xls"),
+      format = "excel",
+      excelAllSheets = true))
+      .withColumn("quarter",
+        StagingReader.quarterFromSheet(org.apache.spark.sql.functions.col("fname"),
+          org.apache.spark.sql.functions.col("sheet_name")))
+    assert(df.columns.toSeq == Seq("fname", "sheet_name", "org_code", "n", "quarter"))
+    val byN = df.collect().map(r => r.getAs[String]("n") -> r.getAs[String]("quarter")).toMap
+    assert(byN == Map("1" -> "Q1", "2" -> "Q2", "3" -> "Q3", "4" -> "Q4"),
+      s"sheet labels must map to fiscal quarters, got $byN")
+  }
+
   test("SourceSpec format=excel flows .xls through the staging pipeline (sentinels, clean names)") {
     val dir = Files.createTempDirectory("graft_xls_spec").toFile
     write(dir, "Beds_Quarter_1_2009.xls", xls(Seq("Data" -> Seq(
