@@ -98,7 +98,10 @@ object Multimodal {
             if (n == 0) null
             else
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
+              // NonFatal, not just IOException: ImageIO plugins throw
+              // unchecked exceptions on crafted payloads (bad dimension
+              // fields etc.), and one poison row must not kill a 100 TB scan
+              catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) MediaMeta(id, n.toLong, 0, 0, 0, 0L)
           else {
             val w = img.getWidth

@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
   *                         e.g. `("([A-Z][a-z]+\\d{4})", "MMMMyyyy")`)
   * @param prefixNonKey     prefix every non-key column (P7 pathway renames)
   * @param excelSheet       format="excel": sheet-name regex, case-insensitive
-  *                         (the reference's `^providers?$` selection); falls
-  *                         back to `excelSheetIndex` when absent/unmatched
-  * @param excelSheetIndex  format="excel": 0-based sheet position
+  *                         (the reference's `^providers?$` selection); a
+  *                         file with NO matching sheet contributes no rows
+  *                         (the reference skips such files)
+  * @param excelSheetIndex  format="excel": 0-based sheet position, used
+  *                         only when excelSheet is unset
   * @param skipRows         format="excel": leading rows dropped before the
   *                         header (readxl `skip = 13`)
   * @param excelRenderDates format="excel": render date-formatted numeric
@@ -71,8 +73,11 @@ object StagingReader {
       case "parquet" =>
         spark.read.parquet(spec.paths: _*)
       case "excel" =>
+        // the filter is applied INSIDE the excel read — before any parse —
+        // so excluded files can neither fail the job nor drive the schema
         readExcelStaging(spark, spec.paths, spec.excelSheet, spec.excelSheetIndex,
-          spec.skipRows, spec.header, spec.excelRenderDates, spec.excelAllSheets)
+          spec.skipRows, spec.header, spec.excelRenderDates, spec.excelAllSheets,
+          spec.fileNameFilter)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
     // the excel path attaches fname during the per-file parse (its rows no
@@ -81,6 +86,7 @@ object StagingReader {
     else base.withColumn("fname",
       regexp_extract(input_file_name(), "[^/]+$", 0))
     val filtered = spec.fileNameFilter
+      .filter(_ => spec.format != "excel") // excel: already pruned pre-parse
       .map(re => withName.filter(col("fname").rlike(re)))
       .getOrElse(withName)
 
@@ -118,80 +124,96 @@ object StagingReader {
     * mixed vintages the reference collects. One task per file (workbook
     * containers are not splittable); a 100 TB drop of many
     * workbooks parallelises per file exactly like every production Excel
-    * connector. Column names come from the first file's header row (by
-    * path order), mirroring the CSV staging contract; every file skips
-    * `skip` leading rows first (readxl `skip`).
+    * connector.
+    *
+    * Selection semantics (matching the reference's readers):
+    *  - `sheetName` set: a file WITHOUT a matching sheet contributes no
+    *    rows — the reference skips such files outright
+    *    (build_datasets_critical_care_beds.R:47-57); `sheetIndex` is used
+    *    only when no name pattern is given.
+    *  - `fileNameFilter` prunes files BEFORE any parse, so excluded (and
+    *    possibly unparseable) files can neither fail the read nor leak
+    *    into the schema.
+    *  - Column names come from the first file (path order) that yields a
+    *    non-empty selected sheet, with readxl's unique-name repair applied.
+    *  - A sheet WIDER than that schema fails loudly (silent truncation
+    *    would drop data); staging families are homogeneous by contract.
     */
   def readExcelStaging(spark: SparkSession, paths: Seq[String],
                        sheetName: Option[String] = None, sheetIndex: Int = 0,
                        skip: Int = 0, header: Boolean = true,
                        renderDates: Boolean = true,
-                       allSheets: Boolean = false): DataFrame = {
-    val files = spark.read.format("binaryFile").load(paths: _*)
+                       allSheets: Boolean = false,
+                       fileNameFilter: Option[String] = None): DataFrame = {
+    val allFiles = spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"), col("content"))
+    val files = fileNameFilter
+      .map(re => allFiles.filter(regexp_extract(col("path"), "[^/]+$", 0).rlike(re)))
+      .getOrElse(allFiles)
 
-    // container dispatch by extension: legacy BIFF8 (.xls) and OOXML
-    // (.xlsx/.xlsm) parse to the same string grid, so one scan can mix
-    // both — exactly how the reference's extractors collect vintages
-    // (extract_supporting_facilities_main.py:143-149 globs *.xls*).
-    // `allSheets` returns EVERY sheet (regex-filtered when sheetName is
-    // set) with its name — the pre-2009 All_quarters shape, one workbook
-    // per fiscal year with a sheet per quarter (build_datasets_main.py:69-86)
+    // container dispatch by extension behind one neutral view: legacy
+    // BIFF8 (.xls) and OOXML (.xlsx/.xlsm) expose the same
+    // (sheet names, grid-by-index) surface, so selection logic exists once.
+    // `allSheets` returns EVERY matching sheet with its name — the
+    // pre-2009 All_quarters shape, one workbook per fiscal year with a
+    // sheet per quarter (build_datasets_main.py:69-86)
     def sheetsOf(path: String, bytes: Array[Byte]): Seq[(String, Vector[Array[String]])] = {
-      val re = sheetName.map(n => ("(?i)" + n).r)
-      val all: Seq[(String, Vector[Array[String]])] =
+      val (names, gridOf): (Seq[String], Int => Vector[Array[String]]) =
         if (path.toLowerCase.endsWith(".xls")) {
           val wb = Xls.open(bytes)
-          if (allSheets)
-            wb.sheets.zipWithIndex.collect {
-              case ((n, _), i) if re.forall(_.findFirstIn(n).isDefined) =>
-                n -> Xls.sheetGrid(wb, i, renderDates)
-            }
-          else {
-            val idx = sheetName.flatMap(wb.sheetByName)
-              .orElse(if (sheetIndex < wb.sheets.length) Some(sheetIndex) else None)
-              .getOrElse(throw new IllegalArgumentException(
-                s"no sheet matching name=$sheetName index=$sheetIndex in ${wb.sheetNames}"))
-            Seq(wb.sheets(idx)._1 -> Xls.sheetGrid(wb, idx, renderDates))
-          }
+          (wb.sheetNames, i => Xls.sheetGrid(wb, i, renderDates))
         } else {
           val wb = Excel.open(bytes)
-          if (allSheets)
-            wb.sheets.collect {
-              case (n, part) if re.forall(_.findFirstIn(n).isDefined) =>
-                n -> Excel.sheetGrid(wb, part, renderDates)
-            }
-          else {
-            val part = sheetName.flatMap(wb.sheetByName)
-              .orElse(wb.sheetByIndex(sheetIndex))
-              .getOrElse(throw new IllegalArgumentException(
-                s"no sheet matching name=$sheetName index=$sheetIndex in ${wb.sheetNames}"))
-            val n = wb.sheets.collectFirst { case (sn, p) if p == part => sn }.getOrElse("")
-            Seq(n -> Excel.sheetGrid(wb, part, renderDates))
-          }
+          (wb.sheetNames, i => Excel.sheetGrid(wb, wb.sheets(i)._2, renderDates))
         }
-      all.map { case (n, g) => n -> g.drop(skip) }
+      val re = sheetName.map(n => ("(?i)" + n).r)
+      val picked: Seq[Int] = (re, allSheets) match {
+        case (Some(r), true) =>
+          names.indices.filter(i => r.findFirstIn(names(i)).isDefined)
+        case (None, true) => names.indices
+        case (Some(r), false) =>
+          // no matching sheet → the FILE is skipped (reference semantics)
+          names.indexWhere(n => r.findFirstIn(n).isDefined) match {
+            case -1 => Nil
+            case i => Seq(i)
+          }
+        case (None, false) =>
+          require(sheetIndex < names.length,
+            s"no sheet $sheetIndex in $path (sheets: $names)")
+          Seq(sheetIndex)
+      }
+      picked.map(i => names(i) -> gridOf(i).drop(skip))
     }
 
-    // schema from the first file (path order) — same contract as the CSV
-    // reader's first-file header
-    val first = files.orderBy(col("path")).limit(1).collect()
-    require(first.nonEmpty, s"no files matched: $paths")
-    val firstSheets = sheetsOf(first(0).getAs[String]("path"),
-      first(0).getAs[Array[Byte]]("content"))
-    require(firstSheets.nonEmpty, s"no sheets selected in first file (name=$sheetName)")
-    val firstGrid = firstSheets.head._2
-    require(firstGrid.nonEmpty, "selected sheet is empty after skip")
+    // schema from the first file (path order) yielding a non-empty selected
+    // sheet — same contract as the CSV reader's first-file header, but a
+    // leading file the sheet filter skips cannot poison the schema.
+    // toLocalIterator streams one file at a time to the driver.
+    var firstGrid: Vector[Array[String]] = Vector.empty
+    val it = files.orderBy(col("path")).toLocalIterator()
+    var sawFile = false
+    while (it.hasNext && firstGrid.isEmpty) {
+      val r = it.next()
+      sawFile = true
+      firstGrid = sheetsOf(r.getString(0), r.getAs[Array[Byte]](1))
+        .collectFirst { case (_, g) if g.nonEmpty => g }.getOrElse(Vector.empty)
+    }
+    require(sawFile, s"no files matched: $paths")
+    require(firstGrid.nonEmpty,
+      s"no file yields a non-empty sheet (name=$sheetName) after skip=$skip")
     val width = firstGrid.head.length
-    // readxl-style unique name repair: empty or DUPLICATED header cells get
-    // a `...<pos>` positional suffix (1-based, every occurrence — the shape
-    // the per-vintage rename tables key on after snake_casing:
-    // "Total...5" → total_5, "...11" → x11). The reference's position-
-    // suffixed vintage programs (build_datasets_overnight_day_beds.R:98-131)
-    // only work if staging reproduces this repair.
+    // readxl-style unique name repair: any existing `...<digits>` suffix is
+    // stripped first, then empty or DUPLICATED header cells get a `...<pos>`
+    // positional suffix (1-based, every occurrence) — the shape the
+    // per-vintage rename tables key on after snake_casing ("Total...5" →
+    // total_5, "...11" → x11). The reference's position-suffixed vintage
+    // programs (build_datasets_overnight_day_beds.R:98-131) only work if
+    // staging reproduces this repair; strip-then-repair also makes
+    // re-staging an already-repaired export idempotent.
     val names =
       if (header) {
-        val raw = firstGrid.head.map(h => if (h == null) "" else h.trim)
+        val raw = firstGrid.head.map(h =>
+          if (h == null) "" else h.trim.replaceAll("\\.\\.\\.\\d+$", ""))
         val dupes = raw.filter(_.nonEmpty).groupBy(identity)
           .collect { case (k, vs) if vs.length > 1 => k }.toSet
         raw.zipWithIndex.map { case (h, i) =>
@@ -211,6 +233,9 @@ object StagingReader {
     val rdd = files.rdd.flatMap { r =>
       val fname = r.getString(0).replaceAll(".*/", "")
       sheetsOf(r.getString(0), r.getAs[Array[Byte]](1)).flatMap { case (sn, grid) =>
+        if (grid.nonEmpty) require(grid.head.length <= width,
+          s"$fname sheet '$sn' is wider than the schema " +
+            s"(${grid.head.length} > $width cols) — refusing to truncate data")
         grid.drop(dataRows).map { cells =>
           val padded = java.util.Arrays.copyOf(cells, width)
           val meta = if (allSheets) Seq(fname, sn) else Seq(fname)

@@ -235,7 +235,10 @@ object Xls {
       var read = 0
       var high = (flags & 0x01) != 0
       while (read < cch) {
-        if (read > 0 && atBoundary) { flags = readU8(); high = (flags & 0x01) != 0 }
+        // EVERY continuation of the character array restarts with a fresh
+        // compression-flag byte — including the edge where the split falls
+        // between the string header and its first character (read == 0)
+        if (atBoundary) { flags = readU8(); high = (flags & 0x01) != 0 }
         val c = if (high) readU16() else readU8()
         sb.append(c.toChar)
         read += 1
@@ -430,7 +433,7 @@ object Xls {
           if (u16(r.data, 12) == 0xFFFF) u8(r.data, 6) match {
             case 0 => pendingString = Some((row, col)) // value in next STRING
             case 1 => put(row, col, if (u8(r.data, 8) == 1) "TRUE" else "FALSE")
-            case 3 => put(row, col, "")
+            case 3 => () // blank string result → null, like the xlsx path
             case _ => () // error result → null
           } else num(row, col, ixfe,
             java.lang.Double.longBitsToDouble(
@@ -439,7 +442,8 @@ object Xls {
           pendingString.foreach { case (row, col) =>
             val parts = mutable.ArrayBuffer(r.data)
             while (it.hasNext && it.head.typ == RecContinue) parts += it.next().data
-            put(row, col, new RecCursor(parts.toIndexedSeq).readUnicodeString())
+            val v = new RecCursor(parts.toIndexedSeq).readUnicodeString()
+            if (v.nonEmpty) put(row, col, v) // empty → null (xlsx parity)
           }
           pendingString = None
         case _ => ()

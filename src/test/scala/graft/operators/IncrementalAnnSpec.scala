@@ -14,28 +14,6 @@ class IncrementalAnnSpec extends AnyFunSuite with SparkSpec {
   private val storeTable = "graft_tst_emb_store"
   private val dim = 4
 
-  private def dropTable(name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = new java.io.File(s"spark-warehouse/$name")
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(loc)
-    }
-  }
-
-  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
-    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally olds.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   private def embDf(rows: Seq[(Long, Seq[Double])]) = {
     import spark.implicits._
     rows.toDF("vec_id", "embedding")

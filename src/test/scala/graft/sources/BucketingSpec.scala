@@ -15,28 +15,6 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def dropTable(name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = new java.io.File(s"spark-warehouse/$name")
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(loc)
-    }
-  }
-
-  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
-    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally olds.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("co-bucketed fact-fact join plans without a shuffle on either side") {
     dropTable("graft_tst_orders_b"); dropTable("graft_tst_lineitem_b")
     Sinks.parquetBucketed(spark.read.parquet(s"$sf/orders.parquet"),

@@ -104,6 +104,33 @@ class ExcelSpec extends AnyFunSuite with SparkSpec {
     assert(StagingReader.quarterFromName(lit("Beds_Quarter_1_2012.xlsx")) != null)
   }
 
+  test("a file WITHOUT the requested sheet is skipped — and cannot drive the schema") {
+    val dir = Files.createTempDirectory("graft_xlsx_skip").toFile
+    // first by path order: a summary workbook with no provider sheet — the
+    // reference's readers skip such files rather than falling back
+    write(dir, "a_summary.xlsx", xlsx(Seq("Notes" -> Seq(Seq("junk", "junk2")))))
+    write(dir, "b_data.xlsx", xlsx(Seq(
+      "Front" -> Seq(Seq("title")),
+      "Provider" -> Seq(Seq("org_code", "n_beds"), Seq("RA1", 10)))))
+    val df = StagingReader.readExcelStaging(spark,
+      Seq(s"${dir.getAbsolutePath}/*.xlsx"), sheetName = Some("^providers?$"))
+    assert(df.columns.toSeq == Seq("fname", "org_code", "n_beds"),
+      "schema must come from the first file WITH the sheet")
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("b_data.xlsx", "RA1")), "the sheetless file contributes no rows")
+  }
+
+  test("fileNameFilter prunes files BEFORE parsing (an excluded junk file cannot fail the read)") {
+    val dir = Files.createTempDirectory("graft_xlsx_filter").toFile
+    // not a workbook at all — would throw if parsed
+    write(dir, "England_totals.xlsx", "this is not a zip".getBytes("UTF-8"))
+    write(dir, "Trust_data.xlsx", xlsx(Seq("Data" -> Seq(Seq("org_code"), Seq("RA1")))))
+    val df = StagingReader.readExcelStaging(spark,
+      Seq(s"${dir.getAbsolutePath}/*.xlsx"),
+      fileNameFilter = Some("^(?!.*England)"))
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("RA1"))
+  }
+
   test("duplicate and empty headers get readxl-style positional suffixes") {
     val dir = Files.createTempDirectory("graft_xlsx_dup").toFile
     write(dir, "d.xlsx", xlsx(Seq("Data" -> Seq(
