@@ -131,6 +131,18 @@ class ExcelSpec extends AnyFunSuite with SparkSpec {
     assert(df.collect().map(_.getString(1)).toSeq == Seq("RA1"))
   }
 
+  test("a sheet wider than the schema fails loudly instead of truncating data") {
+    val dir = Files.createTempDirectory("graft_xlsx_wide").toFile
+    write(dir, "a.xlsx", xlsx(Seq("Data" -> Seq(Seq("org_code", "n"), Seq("RA1", 1)))))
+    write(dir, "b_wide.xlsx", xlsx(Seq("Data" -> Seq(
+      Seq("org_code", "n", "extra"), Seq("RA2", 2, 3)))))
+    val df = StagingReader.readExcelStaging(spark, Seq(s"${dir.getAbsolutePath}/*.xlsx"))
+    val e = intercept[org.apache.spark.SparkException] { df.collect() }
+    assert(e.getMessage.contains("wider than the schema") ||
+      Option(e.getCause).exists(_.getMessage.contains("wider than the schema")),
+      s"expected the refusing-to-truncate error, got: ${e.getMessage.take(300)}")
+  }
+
   test("duplicate and empty headers get readxl-style positional suffixes") {
     val dir = Files.createTempDirectory("graft_xlsx_dup").toFile
     write(dir, "d.xlsx", xlsx(Seq("Data" -> Seq(
