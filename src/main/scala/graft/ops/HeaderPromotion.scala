@@ -32,7 +32,8 @@ object HeaderPromotion {
     */
   def promote(df: DataFrame, matchCol: String, pattern: String): DataFrame = {
     val indexed = withRowIndex(df).localCheckpoint(true)
-    val hdr = indexed.filter(col(matchCol).rlike(pattern))
+    // backtick-quoted: staged names may carry readxl-style `...N` dots
+    val hdr = indexed.filter(col(s"`$matchCol`").rlike(pattern))
       .agg(min(col("_row_idx"))).head()
     require(!hdr.isNullAt(0), s"HeaderPromotion: no row in '$matchCol' matches /$pattern/")
     val headerIdx = hdr.getLong(0)
@@ -63,7 +64,7 @@ object HeaderPromotion {
       "targetNames must cover every data column")
     val indexed = withRowIndex(df)
     val w = Window.partitionBy(col(fileCol))
-    val headerIdx = min(when(col(matchCol).rlike(pattern), col("_row_idx"))).over(w)
+    val headerIdx = min(when(col(s"`$matchCol`").rlike(pattern), col("_row_idx"))).over(w)
     val body = indexed
       .withColumn("_hdr_idx", headerIdx)
       .filter(col("_hdr_idx").isNotNull && col("_row_idx") > col("_hdr_idx"))
