@@ -50,10 +50,14 @@ object SupportingFacilitiesStaging {
     * 19xx/20xx in the filename ('.' when absent); the quarter comes from
     * the sheet label for All_quarters workbooks and from the filename
     * otherwise. All_quarters sheets with NO quarter label (notes, totals)
-    * are dropped — the reference's loop only reads matching sheets.
+    * are dropped — the reference's loop only reads matching sheets. An
+    * All_quarters workbook whose filename carries NO year therefore
+    * contributes no rows at all, which is the reference's behavior too
+    * (extract_date_info raises on the empty year suffix and read_dataset
+    * skips the file, py:53-58).
     */
   def withDateVars(staged: DataFrame): DataFrame = {
-    val year = regexp_extract(col("fname"), "(19[5-9]\\d|20[0-2]\\d)", 1)
+    val year = StagingReader.yearFromName(col("fname"))
     val perSheet = staged.columns.contains("sheet_name")
     val q =
       if (perSheet) StagingReader.quarterFromSheet(col("fname"), col("sheet_name"))
@@ -66,14 +70,14 @@ object SupportingFacilitiesStaging {
     kept.withColumn("quarter_var", coalesce(col("quarter_var"), lit(".")))
   }
 
-  /** One homogeneous staged family → its promoted measure table. The row
-    * matching [[Marker]] in `markerCol` (a staged column name) becomes the
-    * header of every file/sheet independently; the first two promoted
-    * columns keep their injected `year_var`/`quarter_var` names
-    * (py:259-264 preserves exactly those two), the rest take
-    * `measureNames` by position.
+  /** One homogeneous staged family → its promoted measure table. The
+    * first row where ANY staged cell matches [[Marker]] (the reference's
+    * filter_rows contract, py:94-119) becomes the header of every
+    * file/sheet independently; the first two promoted columns keep their
+    * injected `year_var`/`quarter_var` names (py:259-264 preserves exactly
+    * those two), the rest take `measureNames` by position.
     */
-  def readFamily(spark: SparkSession, spec: SourceSpec, markerCol: String,
+  def readFamily(spark: SparkSession, spec: SourceSpec,
                  measureNames: Seq[String]): DataFrame = {
     val staged = StagingReader.read(spark, spec)
     val dated = withDateVars(staged)
@@ -84,12 +88,18 @@ object SupportingFacilitiesStaging {
         concat_ws("#", col("fname"), col("sheet_name"))
       else col("fname"))
     val dataCols = staged.columns.filterNot(Set("fname", "sheet_name"))
-    val forPromo = keyed.select((Seq(col("_file_key"), col("year_var"),
-      col("quarter_var")) ++ dataCols.map(c => col(s"`$c`"))): _*)
+    // the reference matches the marker against ANY cell (py:104-108):
+    // concatenate the row's cells on a separator no spreadsheet cell
+    // contains and match the joined text
+    val rowText = concat_ws("", dataCols.map(c => col(s"`$c`")): _*)
+    val forPromo = keyed
+      .withColumn("_row_text", rowText)
+      .select((Seq(col("_file_key"), col("year_var"), col("quarter_var")) ++
+        dataCols.map(c => col(s"`$c`")) :+ col("_row_text")): _*)
     val promoted = HeaderPromotion.promotePerFile(forPromo, "_file_key",
-      markerCol, Marker,
-      targetNames = Seq("year_var", "quarter_var") ++ measureNames)
-    promoted.drop("_file_key", "_row_idx")
+      "_row_text", Marker,
+      targetNames = Seq("year_var", "quarter_var") ++ measureNames :+ "_row_text")
+    promoted.drop("_file_key", "_row_idx", "_row_text")
   }
 
   /** `append_datasets` (py:165-196): union the families by name and sort

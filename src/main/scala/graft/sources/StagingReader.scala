@@ -136,8 +136,10 @@ object StagingReader {
     *    into the schema.
     *  - Column names come from the first file (path order) that yields a
     *    non-empty selected sheet, with readxl's unique-name repair applied.
-    *  - A sheet WIDER than that schema fails loudly (silent truncation
-    *    would drop data); staging families are homogeneous by contract.
+    *  - A row carrying NON-NULL cells beyond that schema fails loudly
+    *    (silent truncation would drop data — staging families are
+    *    homogeneous by contract); all-null padding from an oversized
+    *    sheet bounding box truncates harmlessly.
     */
   def readExcelStaging(spark: SparkSession, paths: Seq[String],
                        sheetName: Option[String] = None, sheetIndex: Int = 0,
@@ -157,7 +159,7 @@ object StagingReader {
     // `allSheets` returns EVERY matching sheet with its name — the
     // pre-2009 All_quarters shape, one workbook per fiscal year with a
     // sheet per quarter (build_datasets_main.py:69-86)
-    def sheetsOf(path: String, bytes: Array[Byte]): Seq[(String, Vector[Array[String]])] = {
+    def sheetsOf(path: String, bytes: Array[Byte]): Iterator[(String, Vector[Array[String]])] = {
       val (names, gridOf): (Seq[String], Int => Vector[Array[String]]) =
         if (path.toLowerCase.endsWith(".xls")) {
           val wb = Xls.open(bytes)
@@ -182,23 +184,29 @@ object StagingReader {
             s"no sheet $sheetIndex in $path (sheets: $names)")
           Seq(sheetIndex)
       }
-      picked.map(i => names(i) -> gridOf(i).drop(skip))
+      // lazy: the schema probe inspects only the first non-empty sheet,
+      // so later sheets of a workbook are never gridded for it
+      picked.iterator.map(i => names(i) -> gridOf(i).drop(skip))
     }
 
     // schema from the first file (path order) yielding a non-empty selected
     // sheet — same contract as the CSV reader's first-file header, but a
-    // leading file the sheet filter skips cannot poison the schema.
-    // toLocalIterator streams one file at a time to the driver.
+    // leading file the sheet filter skips cannot poison the schema. The
+    // probe collects PATH STRINGS only (the content column is pruned from
+    // the listing scan — no file bytes move for it) and then opens one
+    // candidate file at a time with a path-scoped load.
+    val sortedPaths = files.select(col("path")).collect().map(_.getString(0)).sorted
+    require(sortedPaths.nonEmpty, s"no files matched: $paths")
     var firstGrid: Vector[Array[String]] = Vector.empty
-    val it = files.orderBy(col("path")).toLocalIterator()
-    var sawFile = false
-    while (it.hasNext && firstGrid.isEmpty) {
-      val r = it.next()
-      sawFile = true
-      firstGrid = sheetsOf(r.getString(0), r.getAs[Array[Byte]](1))
+    var pi = 0
+    while (pi < sortedPaths.length && firstGrid.isEmpty) {
+      val p = sortedPaths(pi)
+      val bytes = spark.read.format("binaryFile").load(p)
+        .select(col("content")).head().getAs[Array[Byte]](0)
+      firstGrid = sheetsOf(p, bytes)
         .collectFirst { case (_, g) if g.nonEmpty => g }.getOrElse(Vector.empty)
+      pi += 1
     }
-    require(sawFile, s"no files matched: $paths")
     require(firstGrid.nonEmpty,
       s"no file yields a non-empty sheet (name=$sheetName) after skip=$skip")
     val width = firstGrid.head.length
@@ -233,10 +241,20 @@ object StagingReader {
     val rdd = files.rdd.flatMap { r =>
       val fname = r.getString(0).replaceAll(".*/", "")
       sheetsOf(r.getString(0), r.getAs[Array[Byte]](1)).flatMap { case (sn, grid) =>
-        if (grid.nonEmpty) require(grid.head.length <= width,
-          s"$fname sheet '$sn' is wider than the schema " +
-            s"(${grid.head.length} > $width cols) — refusing to truncate data")
         grid.drop(dataRows).map { cells =>
+          // loud only when truncation would drop a NON-NULL cell: sheet
+          // bounding boxes often exceed the data region via footnote cells,
+          // and padding nulls away is not data loss
+          if (cells.length > width) {
+            var k = width
+            while (k < cells.length) {
+              require(cells(k) == null,
+                s"$fname sheet '$sn' has a non-empty cell '${cells(k)}' in " +
+                  s"column ${k + 1}, beyond the ${width}-column schema — " +
+                  "refusing to truncate data (widen the first file or fix the spec)")
+              k += 1
+            }
+          }
           val padded = java.util.Arrays.copyOf(cells, width)
           val meta = if (allSheets) Seq(fname, sn) else Seq(fname)
           org.apache.spark.sql.Row.fromSeq(meta ++ padded.toSeq)
@@ -245,6 +263,14 @@ object StagingReader {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** S8 — first 19xx/20xx year in a filename-ish string, "" when absent
+    * (reference: scripts/build_datasets_main.py:66). Shared by
+    * [[quarterFromSheet]] and the staging programs so year extraction can
+    * never drift between the quarter map and the derived year column.
+    */
+  def yearFromName(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(c, "(19[5-9]\\d|20[0-2]\\d)", 1)
 
   /** S8 — quarter extraction from a filename-ish string: `Quarter_3`,
     * `Q3`, etc → "Q3" (reference: scripts/build_datasets_main.py:62-92).
@@ -266,7 +292,7 @@ object StagingReader {
     */
   def quarterFromSheet(fname: org.apache.spark.sql.Column,
                        sheet: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val year = regexp_extract(fname, "(19[5-9]\\d|20[0-2]\\d)", 1)
+    val year = yearFromName(fname)
     val yy = substring(year, 3, 2)
     val next = substring(year, 3, 2).cast("int") + 1
     val yyPlus = when(next < 10, concat(lit("0"), next.cast("string")))

@@ -44,17 +44,11 @@ class SupportingFacilitiesStagingSpec extends AnyFunSuite with SparkSpec {
       "Data" -> sheet("title", 1, Seq(Seq("RA1", 12, 6))))))
 
     val glob = s"${dir.getAbsolutePath}/*.xls*"
-    // marker sits in the THIRD sheet column; its staged name is whatever
-    // the junk title row produced, so resolve it from the staged schema
-    def markerCol(spec: graft.sources.SourceSpec): String = {
-      val staged = graft.sources.StagingReader.read(spark, spec)
-      staged.columns.filterNot(Set("fname", "sheet_name")).last
-    }
-    val aqSpec = SupportingFacilitiesStaging.allQuartersSpec(Seq(glob))
-    val qSpec = SupportingFacilitiesStaging.quarterlySpec(Seq(glob))
     val panel = SupportingFacilitiesStaging.assemble(Seq(
-      SupportingFacilitiesStaging.readFamily(spark, aqSpec, markerCol(aqSpec), measures),
-      SupportingFacilitiesStaging.readFamily(spark, qSpec, markerCol(qSpec), measures),
+      SupportingFacilitiesStaging.readFamily(spark,
+        SupportingFacilitiesStaging.allQuartersSpec(Seq(glob)), measures),
+      SupportingFacilitiesStaging.readFamily(spark,
+        SupportingFacilitiesStaging.quarterlySpec(Seq(glob)), measures),
     ))
 
     assert(panel.columns.toSeq ==

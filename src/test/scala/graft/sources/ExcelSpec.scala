@@ -138,9 +138,32 @@ class ExcelSpec extends AnyFunSuite with SparkSpec {
       Seq("org_code", "n", "extra"), Seq("RA2", 2, 3)))))
     val df = StagingReader.readExcelStaging(spark, Seq(s"${dir.getAbsolutePath}/*.xlsx"))
     val e = intercept[org.apache.spark.SparkException] { df.collect() }
-    assert(e.getMessage.contains("wider than the schema") ||
-      Option(e.getCause).exists(_.getMessage.contains("wider than the schema")),
+    assert(e.getMessage.contains("refusing to truncate") ||
+      Option(e.getCause).exists(_.getMessage.contains("refusing to truncate")),
       s"expected the refusing-to-truncate error, got: ${e.getMessage.take(300)}")
+  }
+
+  test("all-null padding beyond the schema truncates harmlessly (footnote bounding boxes)") {
+    val dir = Files.createTempDirectory("graft_xlsx_pad").toFile
+    // the sheet's bounding box is 3 wide because a PREAMBLE cell sits in
+    // column C; the data region is 2 wide and must read fine
+    write(dir, "a.xlsx", xlsx(Seq("Data" -> Seq(
+      Seq("org_code", "n"), Seq("RA1", 1)))))
+    write(dir, "b_noted.xlsx", xlsx(Seq("Data" -> Seq(
+      Seq("org_code", "n"), Seq("RA2", 2), Seq(null, null, "Source: KH03")))))
+    val df = StagingReader.readExcelStaging(spark, Seq(s"${dir.getAbsolutePath}/*.xlsx"))
+    val e = intercept[org.apache.spark.SparkException] { df.collect() }
+    assert(e.getMessage.contains("Source: KH03") ||
+      Option(e.getCause).exists(_.getMessage.contains("Source: KH03")),
+      "a non-null footnote cell beyond the schema is still data loss — loud")
+    // but a wide sheet whose extra cells are ALL null in data rows is fine
+    val dir2 = Files.createTempDirectory("graft_xlsx_pad2").toFile
+    write(dir2, "a.xlsx", xlsx(Seq("Data" -> Seq(
+      Seq("org_code", "n"), Seq("RA1", 1)))))
+    write(dir2, "b_sparse.xlsx", xlsx(Seq("Data" -> Seq(
+      Seq("org_code", "n", "note col"), Seq("RA2", 2, null)))))
+    val ok = StagingReader.readExcelStaging(spark, Seq(s"${dir2.getAbsolutePath}/*.xlsx"))
+    assert(ok.collect().map(_.getString(1)).toSet == Set("RA1", "RA2"))
   }
 
   test("duplicate and empty headers get readxl-style positional suffixes") {
