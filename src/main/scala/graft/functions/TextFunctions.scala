@@ -164,16 +164,20 @@ object TextFunctions {
     * which is worse at corpus scale than a missed rare form).
     *
     * The phone pattern therefore demands BOTH ≥9 digits AND a marker no
-    * date or bare numeric ID carries: a leading `+`/`(`, or a space after
-    * the 3-4 digit area/prefix group. `2026-08-12` (hyphens only) and
+    * date or bare numeric ID carries: a leading `+`/`(`, a space after
+    * the 3-4 digit area/prefix group, or a fully hyphenated 3+ groups of
+    * 3+ digits shape. `2026-08-12` (date groups are 2 digits) and
     * `12345678901` (no separators) survive; `+44 20 7946 0958`,
-    * `(020) 7946 0958`, `020 7946 0958` are redacted. Kept lookaround-free
-    * so the identical pattern runs under both Java regex and DuckDB's RE2
-    * (the q48 oracle interpolates these constants verbatim).
+    * `(020) 7946 0958`, `020 7946 0958`, `020-7946-0958` are redacted.
+    * Kept lookaround-free so the identical pattern runs under both Java
+    * regex and DuckDB's RE2 (the q48 oracle interpolates these constants
+    * verbatim).
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe =
-    "[+(][0-9](?:[ ()-]*[0-9]){8,14}|[0-9]{3,4} (?:[0-9][ ()-]*){5,13}[0-9]"
+    "[+(][0-9](?:[ ()-]*[0-9]){8,14}" +
+      "|[0-9]{3,4} (?:[0-9][ ()-]*){5,13}[0-9]" +
+      "|[0-9]{3,4}-[0-9]{3,4}-[0-9]{3,4}(?:-[0-9]{2,4})?"
   val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
   def redactPii(c: Column): Column =

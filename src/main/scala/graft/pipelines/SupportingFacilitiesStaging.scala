@@ -91,7 +91,7 @@ object SupportingFacilitiesStaging {
     // the reference matches the marker against ANY cell (py:104-108):
     // concatenate the row's cells on a separator no spreadsheet cell
     // contains and match the joined text
-    val rowText = concat_ws("", dataCols.map(c => col(s"`$c`")): _*)
+    val rowText = concat_ws("\u0001", dataCols.map(c => col(s"`$c`")): _*)
     val forPromo = keyed
       .withColumn("_row_text", rowText)
       .select((Seq(col("_file_key"), col("year_var"), col("quarter_var")) ++

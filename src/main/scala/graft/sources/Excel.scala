@@ -270,8 +270,10 @@ object Excel {
               val t = r.getAttributeValue(null, "t")
               cellType = if (t == null) "n" else t
               cellDateStyle = {
+                // malformed style attr degrades to non-date rendering,
+                // matching the defensive toDoubleOption on the value
                 val s = r.getAttributeValue(null, "s")
-                s != null && wb.dateStyles(s.trim.toInt)
+                s != null && s.trim.toIntOption.exists(wb.dateStyles)
               }
               text.setLength(0)
             case "v" => inV = true

@@ -193,19 +193,28 @@ object StagingReader {
     // sheet — same contract as the CSV reader's first-file header, but a
     // leading file the sheet filter skips cannot poison the schema. The
     // probe collects PATH STRINGS only (the content column is pruned from
-    // the listing scan — no file bytes move for it) and then opens one
-    // candidate file at a time with a path-scoped load.
+    // the listing scan — no file bytes move for it) and then pulls
+    // candidate files in small batches — ONE Spark job per batch, not one
+    // per file — so a broad glob whose leading files all lack the sheet
+    // (the exact case the probe exists for) costs O(files/batch) driver
+    // round-trips, with driver memory bounded by batch × workbook size.
     val sortedPaths = files.select(col("path")).collect().map(_.getString(0)).sorted
     require(sortedPaths.nonEmpty, s"no files matched: $paths")
+    val probeBatch = 8
     var firstGrid: Vector[Array[String]] = Vector.empty
-    var pi = 0
-    while (pi < sortedPaths.length && firstGrid.isEmpty) {
-      val p = sortedPaths(pi)
-      val bytes = spark.read.format("binaryFile").load(p)
-        .select(col("content")).head().getAs[Array[Byte]](0)
-      firstGrid = sheetsOf(p, bytes)
-        .collectFirst { case (_, g) if g.nonEmpty => g }.getOrElse(Vector.empty)
-      pi += 1
+    var bi = 0
+    while (bi < sortedPaths.length && firstGrid.isEmpty) {
+      val batch = sortedPaths.slice(bi, bi + probeBatch)
+      val bytesByPath = spark.read.format("binaryFile").load(batch: _*)
+        .select(col("path"), col("content")).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      val it = batch.iterator.flatMap(p => bytesByPath.get(p).map(p -> _))
+      while (it.hasNext && firstGrid.isEmpty) {
+        val (p, bytes) = it.next()
+        firstGrid = sheetsOf(p, bytes)
+          .collectFirst { case (_, g) if g.nonEmpty => g }.getOrElse(Vector.empty)
+      }
+      bi += probeBatch
     }
     require(firstGrid.nonEmpty,
       s"no file yields a non-empty sheet (name=$sheetName) after skip=$skip")

@@ -265,6 +265,9 @@ object Xls {
       def next(): Rec = {
         val t = u16(stream, pos)
         val len = u16(stream, pos + 2)
+        require(pos + 4 + len <= stream.length,
+          s"truncated BIFF record: type=0x${t.toHexString} at $pos " +
+            s"declares $len bytes but only ${stream.length - pos - 4} remain")
         val d = java.util.Arrays.copyOfRange(stream, pos + 4, pos + 4 + len)
         val r = Rec(t, pos, d)
         pos += 4 + len

@@ -139,6 +139,22 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(r(4) == "dial <PHONE> or <PHONE>")
   }
 
+  test("redactPii catches hyphen-only phones without eating dates or datetimes") {
+    val df = Seq(
+      "call 020-7946-0958 now",                 // hyphen-only domestic phone
+      "US office: 123-456-7890",                // NANP hyphenated form
+      "backup line 0161-496-0753-22 ext",       // trailing extension group
+      "meeting 2026-08-12 08:30 room 4",        // ISO datetime must survive
+      "window 2025-12-01-2026-01-31 inclusive", // date-range: 2-digit groups
+    ).toDF("t").select(TextFunctions.redactPii(col("t")).as("r"))
+    val r = df.as[String].collect()
+    assert(r(0) == "call <PHONE> now")
+    assert(r(1) == "US office: <PHONE>")
+    assert(r(2) == "backup line <PHONE> ext")
+    assert(r(3) == "meeting 2026-08-12 08:30 room 4")
+    assert(r(4) == "window 2025-12-01-2026-01-31 inclusive")
+  }
+
   test("fiscal calendar: April starts Q1/FY; March ends Q4 of prior FY") {
     val df = Seq("2019-04-01", "2019-07-15", "2020-01-10", "2020-03-31")
       .toDF("d").select(
