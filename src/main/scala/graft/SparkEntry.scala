@@ -632,6 +632,23 @@ object SparkEntry {
     operators.IncrementalAnn.ingestNearDups(store, batch, minCosine = 0.4)
   }
 
+  // ---- q52: Gopher/C4 repetition + quality-filter signals — published
+  //      corpus-filtering heuristics (duplicate-token fraction, top-n-gram
+  //      coverage, symbol ratio, the full Gopher keep/drop rule) as pure
+  //      per-row array arithmetic: no shuffle, no UDF, linear at any
+  //      corpus size. Line-level signals (dup/bullet/ellipsis lines) are
+  //      exercised by GopherSpec fixtures — the synthetic corpus is
+  //      single-line, so here they only feed the keep rule. ----
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      TextFunctions.dupTokenFraction(col("text")).as("dup_token_frac"),
+      TextFunctions.dupLineFraction(col("text")).as("dup_line_frac"),
+      TextFunctions.topNgramFraction(col("text"), 2).as("top_2gram_frac"),
+      TextFunctions.topNgramFraction(col("text"), 3).as("top_3gram_frac"),
+      TextFunctions.symbolToWordRatio(col("text")).as("symbol_ratio"),
+      TextFunctions.gopherKeep(col("text")).as("gopher_keep"))
+
   // ---- q31: as-of join — each view picks up the latest prior purchase ----
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir).events
@@ -697,6 +714,7 @@ object SparkEntry {
     "q49_mix_corpora"      -> q49 _,
     "q50_incr_dedup"       -> q50 _,
     "q51_incr_ann"         -> q51 _,
+    "q52_quality_signals"  -> q52 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -720,6 +738,69 @@ object SparkEntry {
     "q49_mix_corpora"       -> OracleSqlGen.q49Sql(),
     "q50_incr_dedup"        -> OracleSqlGen.q50Sql(),
     "q51_incr_ann"          -> OracleSqlGen.q51Sql(),
+    // q52: the top-n-gram mode count is computed relationally here
+    // (unnest → count → max) where the Spark plan folds it per-row —
+    // different formulation, identical answer, so the comparison checks
+    // the math rather than the plan shape.
+    "q52_quality_signals" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(text, '\S+') AS ws,
+        |    list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS ls
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_tokens,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_distinct(ls)) AS BIGINT) AS n_distinct_lines,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•‣▪] '))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS BIGINT) AS n_ellipsis,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_symbols,
+        |    CAST(len(regexp_extract_all(text, '\S')) AS BIGINT) AS n_nonspace,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS BIGINT) AS n_stopwords
+        |  FROM base
+        |), g2 AS (
+        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS g
+        |  FROM base WHERE len(ws) >= 2
+        |), top2 AS (
+        |  SELECT doc_id, max(c) AS mc FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1
+        |), g3 AS (
+        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+        |                         FOR i IN range(1, len(ws) - 1)]) AS g
+        |  FROM base WHERE len(ws) >= 3
+        |), top3 AS (
+        |  SELECT doc_id, max(c) AS mc FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1
+        |), sig AS (
+        |  SELECT t.doc_id, t.n_tokens, t.n_stopwords,
+        |    CASE WHEN t.n_tokens = 0 THEN NULL
+        |         ELSE (t.n_tokens - t.n_distinct_tokens) / t.n_tokens END AS dup_token_frac,
+        |    CASE WHEN t.n_lines = 0 THEN NULL
+        |         ELSE (t.n_lines - t.n_distinct_lines) / t.n_lines END AS dup_line_frac,
+        |    CASE WHEN t.n_tokens = 0 THEN NULL ELSE t2.mc * 2 / t.n_tokens END AS top_2gram_frac,
+        |    CASE WHEN t.n_tokens = 0 THEN NULL ELSE t3.mc * 3 / t.n_tokens END AS top_3gram_frac,
+        |    CASE WHEN t.n_tokens = 0 THEN NULL ELSE t.n_symbols / t.n_tokens END AS symbol_ratio,
+        |    CASE WHEN t.n_tokens = 0 THEN NULL ELSE t.n_nonspace / t.n_tokens END AS avg_tok_len,
+        |    CASE WHEN t.n_lines = 0 THEN NULL ELSE t.n_bullet / t.n_lines END AS bullet_frac,
+        |    CASE WHEN t.n_lines = 0 THEN NULL ELSE t.n_ellipsis / t.n_lines END AS ellipsis_frac
+        |  FROM tok t
+        |  LEFT JOIN top2 t2 ON t.doc_id = t2.doc_id
+        |  LEFT JOIN top3 t3 ON t.doc_id = t3.doc_id
+        |)
+        |SELECT doc_id, dup_token_frac, dup_line_frac, top_2gram_frac,
+        |  top_3gram_frac, symbol_ratio,
+        |  (n_tokens BETWEEN 50 AND 100000)
+        |    AND (avg_tok_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio <= 0.1
+        |    AND bullet_frac < 0.9
+        |    AND ellipsis_frac <= 0.3
+        |    AND dup_line_frac <= 0.3
+        |    AND top_2gram_frac <= 0.20
+        |    AND top_3gram_frac <= 0.18
+        |    AND n_stopwords >= 2 AS gopher_keep
+        |FROM sig""".stripMargin,
     "q01_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

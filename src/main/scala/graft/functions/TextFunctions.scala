@@ -104,6 +104,81 @@ object TextFunctions {
     )
   }
 
+  // ---- repetition / quality-filter signals (Gopher §A1.1, C4 §2.2 — the
+  // published heuristics for dropping machine-generated or boilerplate
+  // text from a training corpus). All are per-row array arithmetic over
+  // the document's own tokens/lines: zero shuffle, embarrassingly
+  // parallel, linear in corpus size at any scale. ----
+
+  /** Non-empty lines of a document (trailing-newline artifacts dropped). */
+  def docLines(c: Column): Column =
+    filter(split(c, "\n"), l => length(l) > 0)
+
+  /** Fraction of lines that are duplicates of an earlier line:
+    * (n_lines - n_distinct_lines) / n_lines, null for empty documents.
+    */
+  def dupLineFraction(c: Column): Column = {
+    val ls = docLines(c)
+    ratio(size(ls) - size(array_distinct(ls)), size(ls))
+  }
+
+  /** Fraction of tokens that are repeats of an earlier token. */
+  def dupTokenFraction(c: Column): Column = {
+    val ts = tokens(c)
+    ratio(size(ts) - size(array_distinct(ts)), size(ts))
+  }
+
+  /** Fraction of the document's tokens covered by its single most frequent
+    * word n-gram: max_gram_count * n / token_count. The mode count is a
+    * per-row fold (distinct grams × occurrence scan) — quadratic in the
+    * DOCUMENT's gram count but constant per row, so it stays inside
+    * whole-stage codegen with no shuffle; the relational alternative
+    * (explode → count → max) would shuffle the whole corpus's grams.
+    * Null when the document has fewer than n tokens.
+    */
+  def topNgramFraction(c: Column, n: Int): Column = {
+    val gs = wordShingles(c, n)
+    val maxCount = array_max(transform(array_distinct(gs),
+      g => size(filter(gs, x => x === g))))
+    ratio(maxCount * lit(n), tokenCount(c))
+  }
+
+  /** Fraction of lines starting with a bullet marker. */
+  def bulletLineFraction(c: Column): Column = {
+    val ls = docLines(c)
+    ratio(size(filter(ls, l => l.rlike("^\\s*[-*•‣▪] "))), size(ls))
+  }
+
+  /** Fraction of lines ending in an ellipsis. */
+  def ellipsisLineFraction(c: Column): Column = {
+    val ls = docLines(c)
+    ratio(size(filter(ls, l => l.rlike("(\\.\\.\\.|…)$"))), size(ls))
+  }
+
+  /** `#` or ellipsis occurrences per token (Gopher's symbol-to-word ratio). */
+  def symbolToWordRatio(c: Column): Column =
+    ratio(size(regexp_extract_all(c, lit("#|\\.\\.\\."), lit(0))).cast("long"),
+      tokenCount(c))
+
+  /** Gopher rules keep/drop decision (§A1.1 thresholds, verbatim):
+    * 50 ≤ tokens ≤ 100k, mean token length in [3,10], symbol ratio ≤ 0.1,
+    * < 90% bullet lines, ≤ 30% ellipsis lines, ≤ 30% duplicate lines,
+    * top 2-gram ≤ 20% / top 3-gram ≤ 18% of tokens, ≥ 2 stopword hits.
+    * A false/short document short-circuits to false (never null): the
+    * token-count clause fails first and AND(false, null) = false in both
+    * Spark and DuckDB, so the ratio nulls of a degenerate doc can't leak.
+    */
+  def gopherKeep(c: Column): Column =
+    tokenCount(c).between(50, 100000) &&
+      avgTokenLen(c).between(3.0, 10.0) &&
+      symbolToWordRatio(c) <= 0.1 &&
+      bulletLineFraction(c) < 0.9 &&
+      ellipsisLineFraction(c) <= 0.3 &&
+      dupLineFraction(c) <= 0.3 &&
+      topNgramFraction(c, 2) <= 0.20 &&
+      topNgramFraction(c, 3) <= 0.18 &&
+      stopwordCount(c) >= 2
+
   /** MinHash signature: k independent permutations simulated by re-hashing
     * each shingle's base hash with the permutation index — xxhash64 over
     * (long, int), never per-permutation string building, so the hot path is
