@@ -453,6 +453,29 @@ object OracleSqlGen {
        |JOIN sig sb ON p.doc_b = sb.doc_id""".stripMargin
   }
 
+  // ---- q53: benchmark decontamination (portable-hashed k-gram overlap) ----
+  // Mirrors Decontaminate.overlaps with hashGrams = true: per-document
+  // DISTINCT gram hashes (DISTINCT doc_id, h ≡ Spark's per-row
+  // array_distinct over the hashed array), benchmark = doc_id % 10 = 7.
+  def q53Sql(k: Int = 4): String = {
+    val shingle = (0 until k).map(i => s"ws[i + $i]").mkString(" || ' ' || ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    unnest([$shingle FOR i IN range(1, len(ws) - ${k - 2})]) AS g
+       |  FROM tok WHERE len(ws) >= $k
+       |), keys AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ${PortableHash.hash60Sql("g")} AS h FROM sh
+       |), bench AS (
+       |  SELECT DISTINCT h FROM keys WHERE doc_id % 10 = 7
+       |)
+       |SELECT kk.doc_id, count(*) AS n_shared_grams
+       |FROM keys kk JOIN bench USING (h)
+       |WHERE kk.doc_id % 10 != 7
+       |GROUP BY kk.doc_id""".stripMargin
+  }
+
   // ---- q32: IVF coarse-quantized top-k (+ Lloyd refinement rounds) ----
   // Each Lloyd round reassigns the corpus to the current centroid set and
   // re-averages per (cell, dimension). The mean is a SORTED left-fold sum /

@@ -649,6 +649,19 @@ object SparkEntry {
       TextFunctions.symbolToWordRatio(col("text")).as("symbol_ratio"),
       TextFunctions.gopherKeep(col("text")).as("gopher_keep"))
 
+  // ---- q53: benchmark decontamination — training docs sharing a word
+  //      4-gram with the held-out benchmark slice (doc_id % 10 = 7). The
+  //      benchmark's gram-hash set is explicitly broadcast; the corpus
+  //      side is one scan + map-side probe, no shuffle until the tiny
+  //      post-join per-doc count. ----
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    operators.Decontaminate.overlaps(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7),
+      "doc_id", "text", k = 4)
+  }
+
   // ---- q31: as-of join — each view picks up the latest prior purchase ----
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir).events
@@ -715,6 +728,7 @@ object SparkEntry {
     "q50_incr_dedup"       -> q50 _,
     "q51_incr_ann"         -> q51 _,
     "q52_quality_signals"  -> q52 _,
+    "q53_decontaminate"    -> q53 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -738,6 +752,7 @@ object SparkEntry {
     "q49_mix_corpora"       -> OracleSqlGen.q49Sql(),
     "q50_incr_dedup"        -> OracleSqlGen.q50Sql(),
     "q51_incr_ann"          -> OracleSqlGen.q51Sql(),
+    "q53_decontaminate"     -> OracleSqlGen.q53Sql(),
     // q52: the top-n-gram mode count is computed relationally here
     // (unnest → count → max) where the Spark plan folds it per-row —
     // different formulation, identical answer, so the comparison checks
