@@ -662,6 +662,20 @@ object SparkEntry {
       "doc_id", "text", k = 4)
   }
 
+  // ---- q54: canonical text normalization — NFC (native codegen
+  //      expression) + lowercase + whitespace collapse, the preprocessing
+  //      stage every dedup family assumes. One scan, stays inside
+  //      whole-stage codegen (NormalizeSpec pins that); the non-ASCII NFC
+  //      behavior is pinned on fixtures there, since the synthetic corpus
+  //      is ASCII where NFC is the identity. ----
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val clean = TextFunctions.cleanText(col("text"))
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      clean.as("clean_text"),
+      TextFunctions.tokenCount(clean).as("n_tokens"))
+  }
+
   // ---- q31: as-of join — each view picks up the latest prior purchase ----
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir).events
@@ -729,6 +743,7 @@ object SparkEntry {
     "q51_incr_ann"         -> q51 _,
     "q52_quality_signals"  -> q52 _,
     "q53_decontaminate"    -> q53 _,
+    "q54_normalize"        -> q54 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -753,6 +768,13 @@ object SparkEntry {
     "q50_incr_dedup"        -> OracleSqlGen.q50Sql(),
     "q51_incr_ann"          -> OracleSqlGen.q51Sql(),
     "q53_decontaminate"     -> OracleSqlGen.q53Sql(),
+    "q54_normalize" ->
+      """SELECT doc_id, clean_text,
+        |  CAST(len(regexp_extract_all(clean_text, '\S+')) AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS clean_text
+        |  FROM documents)""".stripMargin,
     // q52: the top-n-gram mode count is computed relationally here
     // (unnest → count → max) where the Spark plan folds it per-row —
     // different formulation, identical answer, so the comparison checks

@@ -104,6 +104,17 @@ object TextFunctions {
     )
   }
 
+  /** Canonical text for dedup/fingerprint pipelines: Unicode NFC (so
+    * composed and decomposed accents hash identically), lowercase,
+    * whitespace collapsed to single spaces, trimmed. Run BEFORE MinHash/
+    * SimHash/exact-hash dedup — without it, byte-level variants of the
+    * same text land in different buckets. The NFC step is the native
+    * codegen expression in [[NormalizeExpressions]].
+    */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(lower(NormalizeExpressions.normalizeUnicode(c, "NFC")),
+      "\\s+", " "))
+
   // ---- repetition / quality-filter signals (Gopher §A1.1, C4 §2.2 — the
   // published heuristics for dropping machine-generated or boilerplate
   // text from a training corpus). All are per-row array arithmetic over

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class NormalizeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def run(c: org.apache.spark.sql.Column, in: String*): Seq[String] =
+    in.toDF("t").select(c.as("r")).as[String].collect().toSeq
+
+  test("NFC folds decomposed accents to composed form") {
+    val decomposed = "café du créme" // e + combining acute
+    val composed = "café du créme"
+    val r = run(NormalizeExpressions.normalizeUnicode(col("t")), decomposed, composed)
+    assert(r(0) == composed && r(1) == composed)
+  }
+
+  test("NFKC additionally folds compatibility forms (ligatures, width)") {
+    val r = run(NormalizeExpressions.normalizeUnicode(col("t"), "NFKC"),
+      "eﬃcient", "ＨＩ") // ffi ligature; fullwidth HI
+    assert(r(0) == "efficient")
+    assert(r(1) == "HI")
+  }
+
+  test("nulls pass through; unknown form rejected at plan time") {
+    val r = Seq[Option[String]](None, Some("x"))
+      .toDF("t").select(NormalizeExpressions.normalizeUnicode(col("t")).as("r"))
+      .collect()
+    assert(r(0).isNullAt(0) && r(1).getString(0) == "x")
+    intercept[IllegalArgumentException] {
+      NormalizeExpressions.normalizeUnicode(col("t"), "NFX")
+    }
+  }
+
+  test("cleanText canonicalizes case, whitespace, and unicode form together") {
+    val r = run(TextFunctions.cleanText(col("t")),
+      "  The   QUICK\t brown\n\nFox ", "Café  LATTE")
+    assert(r(0) == "the quick brown fox")
+    assert(r(1) == "café latte")
+  }
+
+  test("byte-level variants of the same text get identical exact-dedup hashes") {
+    val a = TextFunctions.cleanText(lit("Café au lait"))
+    val b = TextFunctions.cleanText(lit("  café AU\tlait "))
+    val r = Seq(1).toDF("i").select(xxhash64(a).as("ha"), xxhash64(b).as("hb")).collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
+  test("the normalize expression participates in whole-stage codegen") {
+    val df = Seq("x").toDF("t")
+      .select(NormalizeExpressions.normalizeUnicode(col("t")).as("r"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen"), plan.take(500))
+  }
+}
