@@ -2,6 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** 1-minute load average from /proc/loadavg, -1.0 if unreadable. */
+  private def loadavg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,6 +46,7 @@ object Bench {
     // Storage is released after every sample — outside the timed region — so
     // no query's measurement rides on caches leaked by an earlier one.
     val samples = 3
+    val loadStart = loadavg()
     val results = ordered.map { case (name, fn) =>
       val times = (1 to samples).map { _ =>
         val t0 = System.nanoTime()
@@ -53,7 +61,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"queries":$qs,"sf":"$sfDir"}""")
+    // Self-labeling contention: 1-minute system load average at start and
+    // end of the timed region. Round 3/4/5 gate runs each "regressed"
+    // untouched queries by seconds under sandbox load that isolated re-runs
+    // couldn't reproduce — a run whose loadavg dwarfs the worker count
+    // should be read as contended, not as a code regression.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

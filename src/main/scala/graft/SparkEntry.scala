@@ -634,20 +634,45 @@ object SparkEntry {
 
   // ---- q52: Gopher/C4 repetition + quality-filter signals — published
   //      corpus-filtering heuristics (duplicate-token fraction, top-n-gram
-  //      coverage, symbol ratio, the full Gopher keep/drop rule) as pure
+  //      coverage, symbol ratio, the Gopher keep/drop rule subset) as pure
   //      per-row array arithmetic: no shuffle, no UDF, linear at any
-  //      corpus size. Line-level signals (dup/bullet/ellipsis lines) are
-  //      exercised by GopherSpec fixtures — the synthetic corpus is
-  //      single-line, so here they only feed the keep rule. ----
+  //      corpus size. Staged projections: the token/line arrays bind once
+  //      in stage 1, every signal binds once in stage 2, and the keep rule
+  //      is a boolean conjunction over the COMPUTED columns in stage 3 —
+  //      CollapseProject keeps the stages separate because the non-cheap
+  //      aliases are multiply referenced, so nothing re-derives the
+  //      tokenization or the n-gram mode. Line-level signals
+  //      (dup/bullet/ellipsis lines) are exercised by GopherSpec
+  //      fixtures — the synthetic corpus is single-line, so here they
+  //      only feed the keep rule. ----
   private def q52(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).documents.select(
-      col("doc_id"),
-      TextFunctions.dupTokenFraction(col("text")).as("dup_token_frac"),
-      TextFunctions.dupLineFraction(col("text")).as("dup_line_frac"),
-      TextFunctions.topNgramFraction(col("text"), 2).as("top_2gram_frac"),
-      TextFunctions.topNgramFraction(col("text"), 3).as("top_3gram_frac"),
-      TextFunctions.symbolToWordRatio(col("text")).as("symbol_ratio"),
-      TextFunctions.gopherKeep(col("text")).as("gopher_keep"))
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("text"),
+        TextFunctions.tokens(col("text")).as("ws"),
+        TextFunctions.docLines(col("text")).as("ls"))
+      .select(col("doc_id"),
+        TextFunctions.dupTokenFractionOf(col("ws")).as("dup_token_frac"),
+        TextFunctions.dupLineFractionOf(col("ls")).as("dup_line_frac"),
+        TextFunctions.topNgramFractionOf(col("ws"), 2).as("top_2gram_frac"),
+        TextFunctions.topNgramFractionOf(col("ws"), 3).as("top_3gram_frac"),
+        TextFunctions.topNgramFractionOf(col("ws"), 4).as("top_4gram_frac"),
+        TextFunctions.symbolToWordRatioOf(col("text"), col("ws")).as("symbol_ratio"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        TextFunctions.avgTokenLenOf(col("text"), col("ws")).as("avg_tok_len"),
+        TextFunctions.bulletLineFractionOf(col("ls")).as("bullet_frac"),
+        TextFunctions.ellipsisLineFractionOf(col("ls")).as("ellipsis_frac"),
+        TextFunctions.alphaWordFractionOf(col("ws")).as("alpha_frac"),
+        TextFunctions.stopwordCount(col("text")).as("n_stopwords"))
+      .select(col("doc_id"), col("dup_token_frac"), col("dup_line_frac"),
+        col("top_2gram_frac"), col("top_3gram_frac"), col("top_4gram_frac"),
+        col("symbol_ratio"),
+        TextFunctions.gopherKeepFromSignals(
+          nTokens = col("n_tokens"), avgTokLen = col("avg_tok_len"),
+          symbolRatio = col("symbol_ratio"), bulletFrac = col("bullet_frac"),
+          ellipsisFrac = col("ellipsis_frac"), alphaFrac = col("alpha_frac"),
+          dupLineFrac = col("dup_line_frac"), top2 = col("top_2gram_frac"),
+          top3 = col("top_3gram_frac"), top4 = col("top_4gram_frac"),
+          nStopwords = col("n_stopwords")).as("gopher_keep"))
 
   // ---- q53: benchmark decontamination — training docs sharing a word
   //      4-gram with the held-out benchmark slice (doc_id % 10 = 7). The
@@ -795,6 +820,7 @@ object SparkEntry {
         |    CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS BIGINT) AS n_ellipsis,
         |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_symbols,
         |    CAST(len(regexp_extract_all(text, '\S')) AS BIGINT) AS n_nonspace,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
         |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS BIGINT) AS n_stopwords
         |  FROM base
         |), g2 AS (
@@ -810,6 +836,13 @@ object SparkEntry {
         |), top3 AS (
         |  SELECT doc_id, max(c) AS mc FROM (
         |    SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1
+        |), g4 AS (
+        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]
+        |                         FOR i IN range(1, len(ws) - 2)]) AS g
+        |  FROM base WHERE len(ws) >= 4
+        |), top4 AS (
+        |  SELECT doc_id, max(c) AS mc FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1, 2) GROUP BY 1
         |), sig AS (
         |  SELECT t.doc_id, t.n_tokens, t.n_stopwords,
         |    CASE WHEN t.n_tokens = 0 THEN NULL
@@ -818,24 +851,29 @@ object SparkEntry {
         |         ELSE (t.n_lines - t.n_distinct_lines) / t.n_lines END AS dup_line_frac,
         |    CASE WHEN t.n_tokens = 0 THEN NULL ELSE t2.mc * 2 / t.n_tokens END AS top_2gram_frac,
         |    CASE WHEN t.n_tokens = 0 THEN NULL ELSE t3.mc * 3 / t.n_tokens END AS top_3gram_frac,
+        |    CASE WHEN t.n_tokens = 0 THEN NULL ELSE t4.mc * 4 / t.n_tokens END AS top_4gram_frac,
         |    CASE WHEN t.n_tokens = 0 THEN NULL ELSE t.n_symbols / t.n_tokens END AS symbol_ratio,
         |    CASE WHEN t.n_tokens = 0 THEN NULL ELSE t.n_nonspace / t.n_tokens END AS avg_tok_len,
+        |    CASE WHEN t.n_tokens = 0 THEN NULL ELSE t.n_alpha / t.n_tokens END AS alpha_frac,
         |    CASE WHEN t.n_lines = 0 THEN NULL ELSE t.n_bullet / t.n_lines END AS bullet_frac,
         |    CASE WHEN t.n_lines = 0 THEN NULL ELSE t.n_ellipsis / t.n_lines END AS ellipsis_frac
         |  FROM tok t
         |  LEFT JOIN top2 t2 ON t.doc_id = t2.doc_id
         |  LEFT JOIN top3 t3 ON t.doc_id = t3.doc_id
+        |  LEFT JOIN top4 t4 ON t.doc_id = t4.doc_id
         |)
         |SELECT doc_id, dup_token_frac, dup_line_frac, top_2gram_frac,
-        |  top_3gram_frac, symbol_ratio,
+        |  top_3gram_frac, top_4gram_frac, symbol_ratio,
         |  (n_tokens BETWEEN 50 AND 100000)
         |    AND (avg_tok_len BETWEEN 3.0 AND 10.0)
         |    AND symbol_ratio <= 0.1
         |    AND bullet_frac < 0.9
         |    AND ellipsis_frac <= 0.3
+        |    AND alpha_frac >= 0.8
         |    AND dup_line_frac <= 0.3
         |    AND top_2gram_frac <= 0.20
         |    AND top_3gram_frac <= 0.18
+        |    AND top_4gram_frac <= 0.16
         |    AND n_stopwords >= 2 AS gopher_keep
         |FROM sig""".stripMargin,
     "q01_group_sum" ->

@@ -18,22 +18,27 @@ import org.apache.spark.unsafe.types.UTF8String
 object NormalizeExpressions {
 
   /** `form` is an ICU/JDK normalization form name: NFC, NFD, NFKC, NFKD. */
-  def normalizeUnicode(c: Column, form: String = "NFC"): Column = {
-    require(Set("NFC", "NFD", "NFKC", "NFKD")(form), s"unknown form: $form")
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
     GraftColumnBridge.column(
       NormalizeUnicodeExpr(GraftColumnBridge.expression(c), form))
-  }
 }
 
 case class NormalizeUnicodeExpr(child: Expression, form: String)
     extends UnaryExpression {
 
+  // Validated in the case class, not the builder: a tree transform or
+  // future call site constructing the node directly must fail at plan
+  // time, never as a codegen javac error (the form name is interpolated
+  // into generated source below).
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form), s"unknown form: $form")
+
+  @transient private lazy val jform = java.text.Normalizer.Form.valueOf(form)
+
   override def dataType: DataType = StringType
 
   override protected def nullSafeEval(input: Any): Any =
     UTF8String.fromString(java.text.Normalizer.normalize(
-      input.asInstanceOf[UTF8String].toString,
-      java.text.Normalizer.Form.valueOf(form)))
+      input.asInstanceOf[UTF8String].toString, jform))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>

@@ -128,67 +128,132 @@ object TextFunctions {
   /** Fraction of lines that are duplicates of an earlier line:
     * (n_lines - n_distinct_lines) / n_lines, null for empty documents.
     */
-  def dupLineFraction(c: Column): Column = {
-    val ls = docLines(c)
+  def dupLineFraction(c: Column): Column = dupLineFractionOf(docLines(c))
+
+  def dupLineFractionOf(ls: Column): Column =
     ratio(size(ls) - size(array_distinct(ls)), size(ls))
-  }
 
   /** Fraction of tokens that are repeats of an earlier token. */
-  def dupTokenFraction(c: Column): Column = {
-    val ts = tokens(c)
+  def dupTokenFraction(c: Column): Column = dupTokenFractionOf(tokens(c))
+
+  def dupTokenFractionOf(ts: Column): Column =
     ratio(size(ts) - size(array_distinct(ts)), size(ts))
-  }
 
   /** Fraction of the document's tokens covered by its single most frequent
-    * word n-gram: max_gram_count * n / token_count. The mode count is a
-    * per-row fold (distinct grams × occurrence scan) — quadratic in the
-    * DOCUMENT's gram count but constant per row, so it stays inside
-    * whole-stage codegen with no shuffle; the relational alternative
-    * (explode → count → max) would shuffle the whole corpus's grams.
-    * Null when the document has fewer than n tokens.
+    * word n-gram: max_gram_count * n / token_count. The mode count is
+    * computed per row as `array_sort` over the grams + one `aggregate`
+    * fold tracking the longest run of equal adjacent grams — O(g log g)
+    * per document (the sort dominates), all built-ins, inside whole-stage
+    * codegen with no shuffle. The relational alternative (explode → count
+    * → max) would shuffle the whole corpus's grams; a naive per-row
+    * distinct×scan fold is O(g²) and stalls an executor on one long
+    * boilerplate document. Null when the document has fewer than n tokens.
     */
-  def topNgramFraction(c: Column, n: Int): Column = {
-    val gs = wordShingles(c, n)
-    val maxCount = array_max(transform(array_distinct(gs),
-      g => size(filter(gs, x => x === g))))
-    ratio(maxCount * lit(n), tokenCount(c))
+  def topNgramFraction(c: Column, n: Int): Column = topNgramFractionOf(tokens(c), n)
+
+  def topNgramFractionOf(ts: Column, n: Int): Column = {
+    val gs = array_sort(SketchExpressions.wordShingles(ts, n))
+    val best = aggregate(
+      gs,
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val maxCount = when(size(gs) === 0, lit(null)).otherwise(best)
+    ratio(maxCount * lit(n), size(ts).cast("long"))
   }
 
   /** Fraction of lines starting with a bullet marker. */
-  def bulletLineFraction(c: Column): Column = {
-    val ls = docLines(c)
+  def bulletLineFraction(c: Column): Column = bulletLineFractionOf(docLines(c))
+
+  def bulletLineFractionOf(ls: Column): Column =
     ratio(size(filter(ls, l => l.rlike("^\\s*[-*•‣▪] "))), size(ls))
-  }
 
   /** Fraction of lines ending in an ellipsis. */
-  def ellipsisLineFraction(c: Column): Column = {
-    val ls = docLines(c)
+  def ellipsisLineFraction(c: Column): Column = ellipsisLineFractionOf(docLines(c))
+
+  def ellipsisLineFractionOf(ls: Column): Column =
     ratio(size(filter(ls, l => l.rlike("(\\.\\.\\.|…)$"))), size(ls))
-  }
 
   /** `#` or ellipsis occurrences per token (Gopher's symbol-to-word ratio). */
-  def symbolToWordRatio(c: Column): Column =
-    ratio(size(regexp_extract_all(c, lit("#|\\.\\.\\."), lit(0))).cast("long"),
-      tokenCount(c))
+  def symbolToWordRatio(c: Column): Column = symbolToWordRatioOf(c, tokens(c))
 
-  /** Gopher rules keep/drop decision (§A1.1 thresholds, verbatim):
-    * 50 ≤ tokens ≤ 100k, mean token length in [3,10], symbol ratio ≤ 0.1,
-    * < 90% bullet lines, ≤ 30% ellipsis lines, ≤ 30% duplicate lines,
-    * top 2-gram ≤ 20% / top 3-gram ≤ 18% of tokens, ≥ 2 stopword hits.
+  def symbolToWordRatioOf(c: Column, ts: Column): Column =
+    ratio(size(regexp_extract_all(c, lit("#|\\.\\.\\."), lit(0))).cast("long"),
+      size(ts).cast("long"))
+
+  /** Fraction of tokens containing at least one alphabetic character
+    * (Gopher requires ≥ 80% such words).
+    */
+  def alphaWordFraction(c: Column): Column = alphaWordFractionOf(tokens(c))
+
+  def alphaWordFractionOf(ts: Column): Column =
+    ratio(size(filter(ts, w => w.rlike("[A-Za-z]"))), size(ts))
+
+  /** Mean non-whitespace chars per token, from precomputed tokens. */
+  def avgTokenLenOf(c: Column, ts: Column): Column =
+    ratio(size(regexp_extract_all(c, lit("\\S"), lit(0))).cast("long"),
+      size(ts).cast("long"))
+
+  /** Gopher-style keep/drop decision — a SUBSET of the §A1.1 rules with
+    * verbatim thresholds: 50 ≤ tokens ≤ 100k, mean token length in [3,10],
+    * symbol ratio ≤ 0.1, < 90% bullet lines, ≤ 30% ellipsis lines,
+    * ≥ 80% of words contain an alphabetic character, ≤ 30% duplicate
+    * lines, top 2-/3-/4-gram ≤ 20%/18%/16% of tokens, ≥ 2 stopword hits.
+    * Documented divergences from the paper: the top-n-gram fractions are
+    * measured in TOKENS rather than characters, the duplicate-n-gram
+    * CHARACTER-fraction family (n = 5..10) is not implemented, and the
+    * stopword set is [[EnglishStopwords]], not Gopher's
+    * (the, be, to, of, and, that, have, with).
     * A false/short document short-circuits to false (never null): the
     * token-count clause fails first and AND(false, null) = false in both
     * Spark and DuckDB, so the ratio nulls of a degenerate doc can't leak.
+    *
+    * This convenience form re-derives the token/line arrays per clause —
+    * fine for fixtures; a corpus-scale projection should compute the
+    * arrays and signal columns once and combine them with
+    * [[gopherKeepFromSignals]] (as the q52 gate query does).
     */
-  def gopherKeep(c: Column): Column =
-    tokenCount(c).between(50, 100000) &&
-      avgTokenLen(c).between(3.0, 10.0) &&
-      symbolToWordRatio(c) <= 0.1 &&
-      bulletLineFraction(c) < 0.9 &&
-      ellipsisLineFraction(c) <= 0.3 &&
-      dupLineFraction(c) <= 0.3 &&
-      topNgramFraction(c, 2) <= 0.20 &&
-      topNgramFraction(c, 3) <= 0.18 &&
-      stopwordCount(c) >= 2
+  def gopherKeep(c: Column): Column = {
+    val ts = tokens(c)
+    val ls = docLines(c)
+    gopherKeepFromSignals(
+      nTokens = tokenCount(c),
+      avgTokLen = avgTokenLenOf(c, ts),
+      symbolRatio = symbolToWordRatioOf(c, ts),
+      bulletFrac = bulletLineFractionOf(ls),
+      ellipsisFrac = ellipsisLineFractionOf(ls),
+      alphaFrac = alphaWordFractionOf(ts),
+      dupLineFrac = dupLineFractionOf(ls),
+      top2 = topNgramFractionOf(ts, 2),
+      top3 = topNgramFractionOf(ts, 3),
+      top4 = topNgramFractionOf(ts, 4),
+      nStopwords = stopwordCount(c))
+  }
+
+  /** [[gopherKeep]] over ALREADY-COMPUTED signal columns — each signal is
+    * evaluated once in the projection that binds it, and the keep rule is
+    * a cheap boolean conjunction over those columns.
+    */
+  def gopherKeepFromSignals(nTokens: Column, avgTokLen: Column,
+      symbolRatio: Column, bulletFrac: Column, ellipsisFrac: Column,
+      alphaFrac: Column, dupLineFrac: Column, top2: Column, top3: Column,
+      top4: Column, nStopwords: Column): Column =
+    nTokens.between(50, 100000) &&
+      avgTokLen.between(3.0, 10.0) &&
+      symbolRatio <= 0.1 &&
+      bulletFrac < 0.9 &&
+      ellipsisFrac <= 0.3 &&
+      alphaFrac >= 0.8 &&
+      dupLineFrac <= 0.3 &&
+      top2 <= 0.20 &&
+      top3 <= 0.18 &&
+      top4 <= 0.16 &&
+      nStopwords >= 2
 
   /** MinHash signature: k independent permutations simulated by re-hashing
     * each shingle's base hash with the permutation index — xxhash64 over

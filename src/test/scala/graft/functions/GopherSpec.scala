@@ -48,6 +48,29 @@ class GopherSpec extends AnyFunSuite with SparkSpec {
       TextFunctions.symbolToWordRatio(col("t"))).contains(0.5))
   }
 
+  test("alphaWordFraction measures words containing an alphabetic char") {
+    // [the, 12, x9, 404, ---] -> 2 of 5 contain a letter
+    assert(one("the 12 x9 404 ---",
+      TextFunctions.alphaWordFraction(col("t"))).contains(0.4))
+    assert(one("", TextFunctions.alphaWordFraction(col("t"))).isEmpty)
+  }
+
+  test("topNgramFraction on a 50k-token document completes in seconds") {
+    // 50k tokens with a planted 1.2k-run of one bigram: the sort+run-length
+    // mode is O(g log g) per row — the previous distinct×scan fold was
+    // O(g²) (~2.5e9 string comparisons here) and would take minutes.
+    val planted = Seq.fill(600)("buy now").mkString(" ")
+    val rest = (1 to 48800).map(i => s"tok${i % 9973}x$i").mkString(" ")
+    val doc = planted + " " + rest
+    val top2 = one(doc, TextFunctions.topNgramFraction(col("t"), 2))
+    // "buy now" appears 600 times as a bigram (plus "now buy" 599 times):
+    // mode 600, * 2 / 50000 tokens = 0.024
+    assert(top2.contains(600.0 * 2 / 50000))
+    // the full keep rule also runs without stalling; this doc fails the
+    // stopword (no function words) and mean-token-length clauses -> false
+    assert(one(doc, TextFunctions.gopherKeep(col("t")).cast("double")).contains(0.0))
+  }
+
   test("gopherKeep accepts prose and rejects each violation class") {
     val goodTokens = (1 to 60).map(i => s"word$i")
     val good = ("the quick brown fox is over the lazy dog and " +

@@ -49,9 +49,19 @@ class NormalizeSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("the normalize expression participates in whole-stage codegen") {
-    val df = Seq("x").toDF("t")
-      .select(NormalizeExpressions.normalizeUnicode(col("t")).as("r"))
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"), plan.take(500))
+    // spark.range is a codegen'd leaf and the cast(id) child is
+    // non-foldable, so neither ConvertToLocalRelation nor ConstantFolding
+    // can erase the expression before the physical plan forms (a
+    // single-row local Seq is folded to a LocalTableScan with no
+    // WholeStageCodegen node at all — the round-5 version of this spec
+    // could never pass).
+    val df = spark.range(1)
+      .select(NormalizeExpressions.normalizeUnicode(col("id").cast("string")).as("r"))
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.exists(_.toString.toLowerCase.contains("normalizeunicode")),
+      df.queryExecution.executedPlan.toString.take(500))
+    assert(df.as[String].collect().toSeq == Seq("0"))
   }
 }
