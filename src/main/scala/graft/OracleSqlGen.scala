@@ -164,6 +164,31 @@ object OracleSqlGen {
        |    (a, x) -> xor((a % ${1L << 55}) * 32 + (a >> 55), x)) AS checksum
        |FROM px""".stripMargin
 
+  // ---- q55: real WAV decode metadata + PCM sample checksum ----
+  // Mirrors q27Sql: the WAV generation parameters and sample formula are
+  // deterministic in doc_id (Multimodal.sampleRateFor/channelsFor/
+  // frameCountFor/sampleFor), so the oracle recomputes what the real
+  // javax.sound decode must recover. Sample order is frame-major with
+  // channel innermost — exactly the PCM byte order the decoder folds.
+  def q55Sql(): String =
+    s"""WITH params AS (
+       |  SELECT doc_id,
+       |    CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+       |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+       |    CAST(50 + doc_id % 101 AS BIGINT) AS n_frames
+       |  FROM documents
+       |), px AS (
+       |  SELECT doc_id, sample_rate, channels, n_frames,
+       |    [(doc_id * 31 + (i // channels) * 7 + (i % channels) * 13) % 65536
+       |     FOR i IN range(n_frames * channels)] AS samples
+       |  FROM params
+       |)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  sample_rate, channels, n_frames,
+       |  list_reduce(list_prepend(0::BIGINT, samples),
+       |    (a, x) -> xor((a % ${1L << 55}) * 32 + (a >> 55), x)) AS checksum
+       |FROM px""".stripMargin
+
   // ---- q30: OR-amplified hyperplane-LSH near-dup pairs ----
   def q30Sql(minCosine: Double = 0.4, nPlanes: Int = 12, nTables: Int = 2,
              dim: Int = 64, seed: Long = 42L): String = {
@@ -457,9 +482,13 @@ object OracleSqlGen {
   // Mirrors Decontaminate.overlaps with hashGrams = true: per-document
   // DISTINCT gram hashes (DISTINCT doc_id, h ≡ Spark's per-row
   // array_distinct over the hashed array), benchmark = doc_id % 10 = 7.
-  def q53Sql(k: Int = 4): String = {
+  /** Shared CTE chain for q53/q56: per-document distinct 4-gram hash keys
+    * plus the benchmark slice's key set (doc_id % 10 = 7 is the held-out
+    * "benchmark").
+    */
+  private def gramKeysCtes(k: Int): String = {
     val shingle = (0 until k).map(i => s"ws[i + $i]").mkString(" || ' ' || ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
        |), sh AS (
        |  SELECT doc_id,
@@ -469,12 +498,27 @@ object OracleSqlGen {
        |  SELECT DISTINCT doc_id, ${PortableHash.hash60Sql("g")} AS h FROM sh
        |), bench AS (
        |  SELECT DISTINCT h FROM keys WHERE doc_id % 10 = 7
-       |)
+       |)""".stripMargin
+  }
+
+  def q53Sql(k: Int = 4): String =
+    s"""WITH ${gramKeysCtes(k)}
        |SELECT kk.doc_id, count(*) AS n_shared_grams
        |FROM keys kk JOIN bench USING (h)
        |WHERE kk.doc_id % 10 != 7
        |GROUP BY kk.doc_id""".stripMargin
-  }
+
+  // ---- q56: the decontaminated corpus — training docs with NO shared
+  // gram (Decontaminate.clean's anti-join). Docs too short to produce a
+  // k-gram have no keys row, overlap nothing, and are kept — both sides.
+  def q56Sql(k: Int = 4): String =
+    s"""WITH ${gramKeysCtes(k)}
+       |SELECT d.doc_id
+       |FROM documents d
+       |WHERE d.doc_id % 10 != 7
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM keys kk JOIN bench USING (h)
+       |    WHERE kk.doc_id = d.doc_id)""".stripMargin
 
   // ---- q32: IVF coarse-quantized top-k (+ Lloyd refinement rounds) ----
   // Each Lloyd round reassigns the corpus to the current centroid set and

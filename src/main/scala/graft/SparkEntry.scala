@@ -642,9 +642,9 @@ object SparkEntry {
   //      CollapseProject keeps the stages separate because the non-cheap
   //      aliases are multiply referenced, so nothing re-derives the
   //      tokenization or the n-gram mode. Line-level signals
-  //      (dup/bullet/ellipsis lines) are exercised by GopherSpec
-  //      fixtures — the synthetic corpus is single-line, so here they
-  //      only feed the keep rule. ----
+  //      (dup/bullet/ellipsis lines) are exercised by GopherSpec fixtures
+  //      and by q57's multi-line rewrap — the synthetic corpus is
+  //      single-line, so here they only feed the keep rule. ----
   private def q52(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents
       .select(col("doc_id"), col("text"),
@@ -687,6 +687,47 @@ object SparkEntry {
       "doc_id", "text", k = 4)
   }
 
+  // ---- q56: the decontaminated corpus itself — q53's broadcast gram
+  //      probe feeding Decontaminate.clean's anti-join. The right side of
+  //      the anti-join is only the contaminated-id list (small when the
+  //      benchmark is an eval suite), so AQE broadcasts it and the corpus
+  //      still never shuffles. ----
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    operators.Decontaminate.clean(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7),
+      "doc_id", "text", k = 4)
+      .select(col("doc_id"))
+  }
+
+  // ---- q57: line-level quality signals on a MULTI-LINE rendering ----
+  // The synthetic corpus is single-line, so q52's dup/bullet/ellipsis line
+  // signals never fire there (GopherSpec pins them on fixtures). This
+  // query makes them gate-visible: rewrap each document into 5-token
+  // lines, bullet every 7th line and ellipsis-suffix every 5th —
+  // deterministic in both engines — then run the REAL line-signal
+  // functions over the rewrapped text. Pure per-row array work, no
+  // shuffle.
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextFunctions.tokens(col("text"))
+    val nl = greatest(floor((size(ws) + lit(4)) / lit(5)).cast("int"), lit(1))
+    val lines = transform(sequence(lit(0), nl - 1), i => {
+      val base = concat_ws(" ", slice(ws, i * 5 + 1, lit(5)))
+      val bulleted = when(i % 7 === 0, concat(lit("- "), base)).otherwise(base)
+      when(i % 5 === 0, concat(bulleted, lit("..."))).otherwise(bulleted)
+    })
+    val mlText = array_join(lines, "\n")
+    Tables(s, dir).documents
+      .select(col("doc_id"), mlText.as("ml"))
+      .select(col("doc_id"), TextFunctions.docLines(col("ml")).as("ls"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        TextFunctions.dupLineFractionOf(col("ls")).as("dup_line_frac"),
+        TextFunctions.bulletLineFractionOf(col("ls")).as("bullet_frac"),
+        TextFunctions.ellipsisLineFractionOf(col("ls")).as("ellipsis_frac"))
+  }
+
   // ---- q54: canonical text normalization — NFC (native codegen
   //      expression) + lowercase + whitespace collapse, the preprocessing
   //      stage every dedup family assumes. One scan, stays inside
@@ -700,6 +741,19 @@ object SparkEntry {
       clean.as("clean_text"),
       TextFunctions.tokenCount(clean).as("n_tokens"))
   }
+
+  // ---- q55: REAL WAV encode→decode round trip via mapPartitions ----
+  // Payloads are genuine javax.sound.sampled RIFF/WAVE encodings of a
+  // deterministic 16-bit PCM grid; the decoder reads real sample rate /
+  // channels / frame count from the stream plus a sample checksum the
+  // oracle recomputes from the same formulas. n_bytes is projected out:
+  // container framing is writer-dependent, the decoded samples are not.
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudioMeta(
+      Multimodal.wavPayloads(Tables(s, dir).documents, "doc_id"),
+      "doc_id", "payload").toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("checksum"))
 
   // ---- q31: as-of join — each view picks up the latest prior purchase ----
   private def q31(s: SparkSession, dir: String): DataFrame = {
@@ -769,6 +823,9 @@ object SparkEntry {
     "q52_quality_signals"  -> q52 _,
     "q53_decontaminate"    -> q53 _,
     "q54_normalize"        -> q54 _,
+    "q55_audio_meta"       -> q55 _,
+    "q56_decontam_clean"   -> q56 _,
+    "q57_line_signals"     -> q57 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -793,6 +850,36 @@ object SparkEntry {
     "q50_incr_dedup"        -> OracleSqlGen.q50Sql(),
     "q51_incr_ann"          -> OracleSqlGen.q51Sql(),
     "q53_decontaminate"     -> OracleSqlGen.q53Sql(),
+    "q55_audio_meta"        -> OracleSqlGen.q55Sql(),
+    "q56_decontam_clean"    -> OracleSqlGen.q56Sql(),
+    "q57_line_signals" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+        |), wrapped AS (
+        |  SELECT doc_id,
+        |    [CASE WHEN i % 5 = 0 THEN
+        |       (CASE WHEN i % 7 = 0 THEN '- ' ELSE '' END)
+        |         || array_to_string(ws[i * 5 + 1 : i * 5 + 5], ' ') || '...'
+        |     ELSE
+        |       (CASE WHEN i % 7 = 0 THEN '- ' ELSE '' END)
+        |         || array_to_string(ws[i * 5 + 1 : i * 5 + 5], ' ')
+        |     END
+        |     FOR i IN range(greatest((len(ws) + 4) // 5, 1))] AS lines
+        |  FROM tok
+        |), ls AS (
+        |  SELECT doc_id,
+        |    list_filter(lines, l -> length(l) > 0) AS ls
+        |  FROM wrapped
+        |)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CASE WHEN len(ls) = 0 THEN NULL
+        |       ELSE (len(ls) - len(list_distinct(ls))) / len(ls) END AS dup_line_frac,
+        |  CASE WHEN len(ls) = 0 THEN NULL
+        |       ELSE len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•‣▪] '))) / len(ls) END AS bullet_frac,
+        |  CASE WHEN len(ls) = 0 THEN NULL
+        |       ELSE len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) / len(ls) END AS ellipsis_frac
+        |FROM ls""".stripMargin,
     "q54_normalize" ->
       """SELECT doc_id, clean_text,
         |  CAST(len(regexp_extract_all(clean_text, '\S+')) AS BIGINT) AS n_tokens

@@ -99,6 +99,57 @@ object IncrementalDedup {
       .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
   }
 
+  /** Index-only store layout: (doc_id, band, bucket) WITHOUT the per-band
+    * signature copy — ×bands less store I/O than [[appendToStore]]'s
+    * layout. Signatures live once per document in a companion table
+    * ([[appendToSignatureStore]]) and are joined back candidate-sized.
+    */
+  def appendToIndexStore(banded: DataFrame, table: String, buckets: Int): Unit =
+    banded.select(col("doc_id"), col("band"), col("bucket"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "band", "bucket")
+      .sortBy("band", "bucket")
+      .saveAsTable(table)
+
+  /** One-row-per-document signature companion to [[appendToIndexStore]],
+    * bucketed by doc_id so the candidate-sized join-back never shuffles
+    * the store side either.
+    */
+  def appendToSignatureStore(banded: DataFrame, table: String, buckets: Int): Unit =
+    banded.select(col("doc_id"), col("sig")).distinct()
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .saveAsTable(table)
+
+  /** [[ingestCandidates]] against the index-only layout: the (band,
+    * bucket) equi-join carries only ids, band collisions collapse to
+    * distinct pairs BEFORE the signature join-back, and the store-side
+    * signature fetch is candidate-sized — O(batch), never O(corpus).
+    * Returns exactly the pairs (and estimates) of the full-copy layout.
+    */
+  def ingestCandidatesIndexOnly(indexStore: DataFrame, sigStore: DataFrame,
+                                batchBanded: DataFrame, numHashes: Int = 16): DataFrame = {
+    val batch = batchBanded.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val crossPairs = indexStore
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(batch.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("band", "bucket"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_b"))
+      .distinct() // collapse band collisions before fetching signatures
+    val cross = crossPairs
+      .join(sigStore.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x
+    ).cast("double") / lit(numHashes)
+    cross.unionByName(withinBatchCandidates(batch))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
+  }
+
   /** One ingest step: all candidate pairs the new batch introduces —
     * against every prior generation (via the store) and within itself —
     * deduplicated across band collisions, with the minhash Jaccard

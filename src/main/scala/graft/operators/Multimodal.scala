@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   * Dataset): per-partition setup once (ImageIO cache off — no temp files on
   * executor disks), per-row decode, Tungsten in/out.
   *
-  * Only video/audio remain stubbed ([[frameSample]]/[[resizeBytes]] treat
-  * the payload as raw bytes); their container formats have no JDK codec.
+  * The audio path is REAL too: [[wavFor]] encodes genuine RIFF/WAVE bytes
+  * through `javax.sound.sampled`'s built-in writer and [[decodeAudioMeta]]
+  * decodes any format the JDK recognises back to sample rate / channels /
+  * frame count plus a PCM sample checksum, under the same poison-row-safe
+  * mapPartitions contract.
+  *
+  * Only video remains stubbed ([[frameSample]]/[[resizeBytes]] treat the
+  * payload as raw bytes); video container formats have no JDK codec.
   */
 object Multimodal {
 
@@ -121,6 +127,114 @@ object Multimodal {
             }
             MediaMeta(id, n.toLong, w, h, img.getRaster.getNumBands, crc)
           }
+        }
+      }
+  }
+
+  /** Deterministic WAV generation parameters shared by the generator, the
+    * decoder test fixtures, and the SQL oracle (which recomputes the PCM
+    * checksum from the same formulas — the RIFF container framing is not
+    * SQL-replicable, but the decoded SAMPLES are).
+    */
+  def sampleRateFor(id: Long): Int = (8000 + (id % 4) * 4000).toInt
+  def channelsFor(id: Long): Int = (1 + id % 2).toInt
+  def frameCountFor(id: Long): Int = (50 + id % 101).toInt
+  /** Unsigned 16-bit sample for (id, frame, channel). */
+  def sampleFor(id: Long, frame: Int, channel: Int): Int =
+    ((id * 31L + frame * 7L + channel * 13L) % 65536L).toInt
+
+  /** Encode the deterministic PCM grid for `id` as a real WAV file:
+    * 16-bit signed little-endian PCM through `javax.sound.sampled`'s
+    * built-in WAVE writer (zero external jars — the audio twin of
+    * [[pngFor]]).
+    */
+  def wavFor(id: Long): Array[Byte] = {
+    val rate = sampleRateFor(id)
+    val channels = channelsFor(id)
+    val frames = frameCountFor(id)
+    val pcm = new Array[Byte](frames * channels * 2)
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < channels) {
+        val v = sampleFor(id, f, c) - 32768 // signed 16-bit
+        val off = (f * channels + c) * 2
+        pcm(off) = (v & 0xff).toByte // little-endian
+        pcm(off + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, channels, channels * 2, rate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** One REAL WAV per id (same mapPartitions contract as [[pngPayloads]]). */
+  def wavPayloads(df: DataFrame, idCol: String, out: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, wavFor(id))))
+      .toDF(idCol, out)
+  }
+
+  final case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Int,
+                             channels: Int, n_frames: Long, checksum: Long)
+
+  /** Real audio decode: `AudioSystem.getAudioInputStream` inside executors.
+    * `sample_rate`/`channels`/`n_frames` come from the decoded stream;
+    * `checksum` folds the decoded 16-bit samples (frame-major, channel
+    * within frame, as unsigned 0..65535) with the same rotate-left-5/xor
+    * scheme as [[decodeImageMeta]], which the SQL oracle reproduces.
+    * Undecodable or empty payloads yield zeroed metadata (n_bytes still
+    * reports the raw size) — the same poison-row contract as the image
+    * path; non-16-bit or big-endian encodings are treated as undecodable
+    * rather than mis-checksummed.
+    */
+  def decodeAudioMeta(df: DataFrame, idCol: String, binCol: String): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val n = if (bytes == null) 0 else bytes.length
+          val decoded =
+            if (n == 0) None
+            else
+              try {
+                val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                try {
+                  val fmt = ais.getFormat
+                  if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+                    fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                    None
+                  else {
+                    val pcm = ais.readAllBytes()
+                    var crc = 0L
+                    var i = 0
+                    while (i + 1 < pcm.length) {
+                      // signed LE 16-bit, shifted to unsigned 0..65535 so the
+                      // folded value equals the generator's sampleFor output
+                      val v = (((pcm(i) & 0xff) | ((pcm(i + 1) & 0xff) << 8))
+                        .toShort.toInt + 32768)
+                      crc = ((crc % (1L << 55)) * 32L + (crc >>> 55)) ^ v.toLong
+                      i += 2
+                    }
+                    Some(AudioMeta(id, n.toLong, fmt.getSampleRate.toInt,
+                      fmt.getChannels, ais.getFrameLength, crc))
+                  }
+                } finally ais.close()
+              } catch { case scala.util.control.NonFatal(_) => None }
+          decoded.getOrElse(AudioMeta(id, n.toLong, 0, 0, 0L, 0L))
         }
       }
   }

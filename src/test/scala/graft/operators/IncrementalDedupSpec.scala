@@ -76,6 +76,67 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
     graft.Storage.releaseAll(spark)
   }
 
+  test("index-only store yields the same candidates with ×bands less store I/O") {
+    dropTable(storeTable)
+    dropTable(storeTable + "_idx")
+    dropTable(storeTable + "_sig")
+    val batch1 = docsDf(Seq(
+      1L -> base,
+      2L -> "completely different text about spark catalyst optimizer rules and physical plans here",
+    ))
+    val batch2 = docsDf(Seq(
+      10L -> (base + " extra"),
+      11L -> "unrelated third subject entirely with nothing shared among any other document text",
+    ))
+    val b1 = IncrementalDedup.bandedSignatures(batch1, "doc_id", "text")
+    IncrementalDedup.appendToStore(b1, storeTable, buckets = 4)
+    IncrementalDedup.appendToIndexStore(b1, storeTable + "_idx", buckets = 4)
+    IncrementalDedup.appendToSignatureStore(b1, storeTable + "_sig", buckets = 4)
+
+    // the index store really is narrower: no sig column
+    assert(spark.table(storeTable + "_idx").columns.toSeq == Seq("doc_id", "band", "bucket"))
+    // and the signature store is one row per document, not per band entry
+    assert(spark.table(storeTable + "_sig").count() == 2)
+    assert(spark.table(storeTable).count() == 8) // 2 docs × 4 bands
+
+    val b2 = IncrementalDedup.bandedSignatures(batch2, "doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = canon(IncrementalDedup.ingestCandidates(spark, storeTable, b2))
+    val indexOnly = canon(IncrementalDedup.ingestCandidatesIndexOnly(
+      spark.table(storeTable + "_idx"), spark.table(storeTable + "_sig"), b2))
+    assert(indexOnly == full,
+      s"index-only layout must reproduce the full-copy candidates: full=$full idx=$indexOnly")
+    graft.Storage.releaseAll(spark)
+  }
+
+  test("index-only cross-generation join: bucketed index side plans with NO Exchange") {
+    dropTable(storeTable + "_idx")
+    dropTable(storeTable + "_sig")
+    val b1 = IncrementalDedup.bandedSignatures(
+      docsDf(Seq(1L -> base, 2L -> (base + " or so"))), "doc_id", "text")
+    IncrementalDedup.appendToIndexStore(b1, storeTable + "_idx", buckets = 4)
+    IncrementalDedup.appendToSignatureStore(b1, storeTable + "_sig", buckets = 4)
+
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val b2 = IncrementalDedup.bandedSignatures(
+        docsDf(Seq(20L -> (base + " indeed"))), "doc_id", "text")
+      val idx = spark.table(storeTable + "_idx")
+      val joined = idx.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+        .join(b2.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+          Seq("band", "bucket"))
+        .filter(col("doc_a") =!= col("doc_b"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"exactly ONE Exchange (the batch side); the bucketed index must not shuffle:\n${plan.take(2000)}")
+      assert(joined.collect().nonEmpty)
+    }
+    graft.Storage.releaseAll(spark)
+  }
+
   test("appends accumulate generations: a third batch sees both prior ones") {
     dropTable(storeTable)
     IncrementalDedup.appendToStore(IncrementalDedup.bandedSignatures(

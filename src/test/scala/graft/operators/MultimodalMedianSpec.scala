@@ -41,6 +41,40 @@ class MultimodalMedianSpec extends AnyFunSuite with SparkSpec {
     assert(meta(2L).n_bytes == 0 && meta(2L).width == 0)
   }
 
+  test("wavPayloads + decodeAudioMeta: REAL WAV round trip recovers the PCM grid") {
+    val docs = Seq(0L, 1L, 2L, 3L, 100L).toDF("doc_id")
+    val meta = Multimodal.decodeAudioMeta(
+        Multimodal.wavPayloads(docs, "doc_id"), "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    // payloads are genuine RIFF/WAVE containers
+    val wav = Multimodal.wavFor(3L)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    meta.foreach { case (id, m) =>
+      assert(m.sample_rate == Multimodal.sampleRateFor(id))
+      assert(m.channels == Multimodal.channelsFor(id))
+      assert(m.n_frames == Multimodal.frameCountFor(id).toLong)
+      assert(m.n_bytes > m.n_frames * m.channels * 2, "a real container, not raw PCM")
+      // the checksum must equal the fold over the GENERATOR's sample
+      // formula — i.e. the decode recovered every 16-bit sample exactly
+      var crc = 0L
+      for (f <- 0 until Multimodal.frameCountFor(id); c <- 0 until m.channels) {
+        val v = Multimodal.sampleFor(id, f, c)
+        crc = ((crc % (1L << 55)) * 32L + (crc >>> 55)) ^ v.toLong
+      }
+      assert(m.checksum == crc, s"PCM checksum mismatch for id=$id")
+    }
+  }
+
+  test("decodeAudioMeta zeroes metadata for undecodable payloads instead of failing") {
+    val docs = Seq((1L, "not audio at all"), (2L, "")).toDF("doc_id", "text")
+    val meta = Multimodal.decodeAudioMeta(
+        Multimodal.withFakePayload(docs, "text"), "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).n_bytes == 16 && meta(1L).sample_rate == 0 && meta(1L).checksum == 0L)
+    assert(meta(2L).n_bytes == 0 && meta(2L).sample_rate == 0)
+  }
+
   test("frameSample slices evenly spaced frames; short payloads yield fewer") {
     val df = Seq(("x" * 100, 1), ("ab", 2)).toDF("text", "id")
     val out = df.select(col("id"),
