@@ -189,6 +189,45 @@ object OracleSqlGen {
        |    (a, x) -> xor((a % ${1L << 55}) * 32 + (a >> 55), x)) AS checksum
        |FROM px""".stripMargin
 
+  // ---- q58: Gopher duplicate-n-gram family, computed relationally ----
+  // Per n: unnest the n-grams, count per (doc, gram), duplicate mass =
+  // sum of counts over grams occurring more than once, total = all grams.
+  // The Spark plan computes the same quantity per row from sorted-gram
+  // run lengths — different formulation, identical answer. A document
+  // with fewer than n tokens has no d<n> row and yields NULL fractions
+  // (and a NULL keep via three-valued AND) on both sides.
+  def q58Sql(): String = {
+    val thresholds = Seq(5 -> "0.15", 6 -> "0.14", 7 -> "0.13",
+      8 -> "0.12", 9 -> "0.11", 10 -> "0.10")
+    val ctes = thresholds.map { case (n, _) =>
+      val shingle = (0 until n).map(i => s"ws[i + $i]").mkString(" || ' ' || ")
+      s"""g$n AS (
+         |  SELECT doc_id, unnest([$shingle FOR i IN range(1, len(ws) - ${n - 2})]) AS g
+         |  FROM base WHERE len(ws) >= $n
+         |), d$n AS (
+         |  SELECT doc_id, COALESCE(sum(c) FILTER (c > 1), 0) AS dup, sum(c) AS tot
+         |  FROM (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY 1, 2) GROUP BY 1
+         |)""".stripMargin
+    }.mkString(", ")
+    val fracs = thresholds
+      .map { case (n, _) => s"  d$n.dup / d$n.tot AS dup_${n}gram_frac" }
+      .mkString(",\n")
+    val keep = thresholds
+      .map { case (n, t) => s"(d$n.dup / d$n.tot <= $t)" }
+      .mkString(" AND ")
+    val joins = thresholds
+      .map { case (n, _) => s"LEFT JOIN d$n ON b.doc_id = d$n.doc_id" }
+      .mkString("\n")
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+       |), $ctes
+       |SELECT b.doc_id,
+       |$fracs,
+       |  $keep AS dup_ngram_keep
+       |FROM base b
+       |$joins""".stripMargin
+  }
+
   // ---- q30: OR-amplified hyperplane-LSH near-dup pairs ----
   def q30Sql(minCosine: Double = 0.4, nPlanes: Int = 12, nTables: Int = 2,
              dim: Int = 64, seed: Long = 42L): String = {

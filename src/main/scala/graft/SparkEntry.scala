@@ -662,7 +662,8 @@ object SparkEntry {
         TextFunctions.bulletLineFractionOf(col("ls")).as("bullet_frac"),
         TextFunctions.ellipsisLineFractionOf(col("ls")).as("ellipsis_frac"),
         TextFunctions.alphaWordFractionOf(col("ws")).as("alpha_frac"),
-        TextFunctions.stopwordCount(col("text")).as("n_stopwords"))
+        TextFunctions.stopwordCount(col("text"), TextFunctions.GopherStopwords)
+          .as("n_stopwords"))
       .select(col("doc_id"), col("dup_token_frac"), col("dup_line_frac"),
         col("top_2gram_frac"), col("top_3gram_frac"), col("top_4gram_frac"),
         col("symbol_ratio"),
@@ -699,6 +700,26 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 === 7),
       "doc_id", "text", k = 4)
       .select(col("doc_id"))
+  }
+
+  // ---- q58: Gopher duplicate-n-gram family (n = 5..10) — the remaining
+  //      repetition clauses of §A1.1, as gram-fractions (see the
+  //      dupNgramFraction scaladoc for the token-vs-character caveat).
+  //      Kept out of q52's keep rule so the common filtering path pays
+  //      for three gram sorts, not nine; the combined verdict here is
+  //      dup_ngram_keep with the paper's thresholds 0.15..0.10. ----
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val thresholds = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+    Tables(s, dir).documents
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+      .select(col("doc_id") +:
+        thresholds.map { case (n, _) =>
+          TextFunctions.dupNgramFractionOf(col("ws"), n).as(s"dup_${n}gram_frac")
+        }: _*)
+      .select(col("doc_id") +:
+        (thresholds.map { case (n, _) => col(s"dup_${n}gram_frac") } :+
+          thresholds.map { case (n, t) => col(s"dup_${n}gram_frac") <= t }
+            .reduce(_ && _).as("dup_ngram_keep")): _*)
   }
 
   // ---- q57: line-level quality signals on a MULTI-LINE rendering ----
@@ -826,6 +847,7 @@ object SparkEntry {
     "q55_audio_meta"       -> q55 _,
     "q56_decontam_clean"   -> q56 _,
     "q57_line_signals"     -> q57 _,
+    "q58_dup_ngrams"       -> q58 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -852,6 +874,7 @@ object SparkEntry {
     "q53_decontaminate"     -> OracleSqlGen.q53Sql(),
     "q55_audio_meta"        -> OracleSqlGen.q55Sql(),
     "q56_decontam_clean"    -> OracleSqlGen.q56Sql(),
+    "q58_dup_ngrams"        -> OracleSqlGen.q58Sql(),
     "q57_line_signals" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
@@ -908,7 +931,7 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_symbols,
         |    CAST(len(regexp_extract_all(text, '\S')) AS BIGINT) AS n_nonspace,
         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS BIGINT) AS n_stopwords
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|be|to|of|and|that|have|with)\b')) AS BIGINT) AS n_stopwords
         |  FROM base
         |), g2 AS (
         |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS g

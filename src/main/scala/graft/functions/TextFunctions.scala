@@ -35,6 +35,10 @@ object TextFunctions {
   /** English stopword hits (tiny fixed set, word-boundary matched). */
   val EnglishStopwords: Seq[String] = Seq("the", "and", "of", "to", "in", "is", "a")
 
+  /** Gopher §A1.1's required stopword set (the keep rule demands ≥ 2 hits). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   def stopwordCount(c: Column, stopwords: Seq[String] = EnglishStopwords): Column =
     size(regexp_extract_all(lower(c), lit("\\b(" + stopwords.mkString("|") + ")\\b"), lit(0)))
       .cast("long")
@@ -167,6 +171,33 @@ object TextFunctions {
     ratio(maxCount * lit(n), size(ts).cast("long"))
   }
 
+  /** Fraction of the document's n-grams that are duplicates — i.e. the
+    * grams sitting in runs of length > 1 after sorting, over total grams
+    * (Gopher's duplicate-n-gram family, n = 5..10, measured in grams
+    * rather than the paper's characters). Same sorted-run machinery as
+    * [[topNgramFractionOf]]: O(g log g) per row, all built-ins, no
+    * shuffle. Null when the document has fewer than n tokens.
+    */
+  def dupNgramFraction(c: Column, n: Int): Column = dupNgramFractionOf(tokens(c), n)
+
+  def dupNgramFractionOf(ts: Column, n: Int): Column = {
+    val gs = array_sort(SketchExpressions.wordShingles(ts, n))
+    val closeRun = (run: Column, dup: Column) =>
+      dup + when(run > 1, run).otherwise(lit(0))
+    val dupTotal = aggregate(
+      gs,
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("dup")),
+      (acc, g) => {
+        val cont = g === acc.getField("prev")
+        val run = when(cont, acc.getField("run") + 1).otherwise(lit(1))
+        val dup = when(cont, acc.getField("dup"))
+          .otherwise(closeRun(acc.getField("run"), acc.getField("dup")))
+        struct(g.as("prev"), run.as("run"), dup.as("dup"))
+      },
+      acc => closeRun(acc.getField("run"), acc.getField("dup")))
+    ratio(when(size(gs) === 0, lit(null)).otherwise(dupTotal), size(gs))
+  }
+
   /** Fraction of lines starting with a bullet marker. */
   def bulletLineFraction(c: Column): Column = bulletLineFractionOf(docLines(c))
 
@@ -204,11 +235,13 @@ object TextFunctions {
     * symbol ratio ≤ 0.1, < 90% bullet lines, ≤ 30% ellipsis lines,
     * ≥ 80% of words contain an alphabetic character, ≤ 30% duplicate
     * lines, top 2-/3-/4-gram ≤ 20%/18%/16% of tokens, ≥ 2 stopword hits.
-    * Documented divergences from the paper: the top-n-gram fractions are
-    * measured in TOKENS rather than characters, the duplicate-n-gram
-    * CHARACTER-fraction family (n = 5..10) is not implemented, and the
-    * stopword set is [[EnglishStopwords]], not Gopher's
-    * (the, be, to, of, and, that, have, with).
+    * Stopwords are Gopher's own 8-word set ([[GopherStopwords]]).
+    * Documented divergences from the paper: the top-n-gram and
+    * duplicate-n-gram fractions are measured in TOKENS/GRAMS rather than
+    * characters, and the duplicate-n-gram family (n = 5..10,
+    * [[dupNgramFraction]], thresholds 0.15..0.10 — see the q58 gate
+    * query) is kept out of this conjunction so the common path pays for
+    * three gram sorts, not nine.
     * A false/short document short-circuits to false (never null): the
     * token-count clause fails first and AND(false, null) = false in both
     * Spark and DuckDB, so the ratio nulls of a degenerate doc can't leak.
@@ -232,7 +265,7 @@ object TextFunctions {
       top2 = topNgramFractionOf(ts, 2),
       top3 = topNgramFractionOf(ts, 3),
       top4 = topNgramFractionOf(ts, 4),
-      nStopwords = stopwordCount(c))
+      nStopwords = stopwordCount(c, GopherStopwords))
   }
 
   /** [[gopherKeep]] over ALREADY-COMPUTED signal columns — each signal is

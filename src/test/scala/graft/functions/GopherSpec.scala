@@ -48,6 +48,17 @@ class GopherSpec extends AnyFunSuite with SparkSpec {
       TextFunctions.symbolToWordRatio(col("t"))).contains(0.5))
   }
 
+  test("dupNgramFraction measures duplicated n-gram mass") {
+    // 15 tokens; "a b c d e" is the only repeated 5-gram (2 of 11 grams)
+    val doc = "a b c d e a b c d e x y z w v"
+    assert(one(doc, TextFunctions.dupNgramFraction(col("t"), 5)).contains(2.0 / 11))
+    // every 5-gram identical -> all grams duplicated
+    assert(one("x x x x x x", TextFunctions.dupNgramFraction(col("t"), 5)).contains(1.0))
+    // fewer tokens than n -> null
+    assert(one("a b c", TextFunctions.dupNgramFraction(col("t"), 5)).isEmpty)
+    assert(one("a b c d e f g h", TextFunctions.dupNgramFraction(col("t"), 5)).contains(0.0))
+  }
+
   test("alphaWordFraction measures words containing an alphabetic char") {
     // [the, 12, x9, 404, ---] -> 2 of 5 contain a letter
     assert(one("the 12 x9 404 ---",
