@@ -228,6 +228,19 @@ object OracleSqlGen {
        |$joins""".stripMargin
   }
 
+  // ---- q61: deterministic stratified sample (k per group by hash) ----
+  // Same portable 60-bit hash + salt scheme as Sampling.hashBucketSql; the
+  // order (hash, then id) is total, so the k survivors per stratum are
+  // engine-independent.
+  def q61Sql(k: Int = 25, salt: String = "strat"): String = {
+    val h = PortableHash.hash60Sql(s"'$salt:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rn
+       |  FROM documents
+       |) WHERE rn <= $k""".stripMargin
+  }
+
   // ---- q30: OR-amplified hyperplane-LSH near-dup pairs ----
   def q30Sql(minCosine: Double = 0.4, nPlanes: Int = 12, nTables: Int = 2,
              dim: Int = 64, seed: Long = 42L): String = {

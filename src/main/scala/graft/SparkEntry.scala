@@ -722,6 +722,58 @@ object SparkEntry {
             .reduce(_ && _).as("dup_ngram_keep")): _*)
   }
 
+  // ---- q59: C4 page cleaning — line keep rule (terminal punctuation,
+  //      ≥5 words, no "javascript") + page keep rule (≥3 sentences, no
+  //      lorem ipsum, no curly brace) on the cleaned text. Pure per-row
+  //      array filtering, no shuffle, linear at any corpus size. Runs on
+  //      the same deterministic multi-line rewrap as q57 (the raw
+  //      synthetic corpus has no line structure or terminal punctuation,
+  //      which would make every row trivially empty); C4Spec pins the
+  //      rules on real prose fixtures. ----
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), rewrapMultiline(col("text")).as("ml"))
+      .select(col("doc_id"), TextFunctions.c4CleanText(col("ml")).as("clean_text"))
+      .select(col("doc_id"), col("clean_text"),
+        size(TextFunctions.docLines(col("clean_text"))).cast("long").as("n_lines_kept"),
+        TextFunctions.sentenceCount(col("clean_text")).as("n_sentences"),
+        TextFunctions.c4PageKeep(col("clean_text")).as("c4_keep"))
+
+  // ---- q60: corpus tf-idf top terms — the vocabulary/term-weight stage
+  //      of a text pipeline. Inherently corpus-global (document frequency
+  //      needs every document), so this is the one text query that
+  //      SHOULD shuffle: explode → map-side-combined (doc,term) counts →
+  //      term-level df agg → broadcast the 1-row corpus count → top-3
+  //      per doc by window. idf is kept rational (tf·N/df, one IEEE
+  //      division) instead of a log so the oracle is bit-identical. ----
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rn"))
+  }
+
+  // ---- q61: deterministic stratified sample — 25 documents per language
+  //      by portable-hash order, the balanced per-class draw a training
+  //      mix needs when strata sizes differ by orders of magnitude. ----
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.stratifiedSample(
+      Tables(s, dir).documents.select(col("doc_id"), col("lang")),
+      "lang", "doc_id", k = 25)
+
   // ---- q57: line-level quality signals on a MULTI-LINE rendering ----
   // The synthetic corpus is single-line, so q52's dup/bullet/ellipsis line
   // signals never fire there (GopherSpec pins them on fixtures). This
@@ -730,17 +782,24 @@ object SparkEntry {
   // deterministic in both engines — then run the REAL line-signal
   // functions over the rewrapped text. Pure per-row array work, no
   // shuffle.
-  private def q57(s: SparkSession, dir: String): DataFrame = {
-    val ws = TextFunctions.tokens(col("text"))
+  /** The deterministic multi-line rendering shared by q57 and q59: 5-token
+    * lines, every 7th bulleted, every 5th ellipsis-terminated (the only
+    * terminal punctuation the synthetic corpus ever gets).
+    */
+  private def rewrapMultiline(text: Column): Column = {
+    val ws = TextFunctions.tokens(text)
     val nl = greatest(floor((size(ws) + lit(4)) / lit(5)).cast("int"), lit(1))
     val lines = transform(sequence(lit(0), nl - 1), i => {
       val base = concat_ws(" ", slice(ws, i * 5 + 1, lit(5)))
       val bulleted = when(i % 7 === 0, concat(lit("- "), base)).otherwise(base)
       when(i % 5 === 0, concat(bulleted, lit("..."))).otherwise(bulleted)
     })
-    val mlText = array_join(lines, "\n")
+    array_join(lines, "\n")
+  }
+
+  private def q57(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir).documents
-      .select(col("doc_id"), mlText.as("ml"))
+      .select(col("doc_id"), rewrapMultiline(col("text")).as("ml"))
       .select(col("doc_id"), TextFunctions.docLines(col("ml")).as("ls"))
       .select(col("doc_id"),
         size(col("ls")).cast("long").as("n_lines"),
@@ -848,6 +907,9 @@ object SparkEntry {
     "q56_decontam_clean"   -> q56 _,
     "q57_line_signals"     -> q57 _,
     "q58_dup_ngrams"       -> q58 _,
+    "q59_c4_clean"         -> q59 _,
+    "q60_tfidf_topk"       -> q60 _,
+    "q61_stratified"       -> q61 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -857,6 +919,25 @@ object SparkEntry {
     * as literals from the same Scala values the Spark plans use, so every
     * query in the suite is hash-compared — none fall back to rows-only.
     */
+  /** DuckDB CTEs reproducing [[rewrapMultiline]]: `tok` (tokens) and
+    * `wrapped` (doc_id, lines) — shared by the q57 and q59 oracles.
+    */
+  private val MlWrapCtes: String =
+    """tok AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+      |), wrapped AS (
+      |  SELECT doc_id,
+      |    [CASE WHEN i % 5 = 0 THEN
+      |       (CASE WHEN i % 7 = 0 THEN '- ' ELSE '' END)
+      |         || array_to_string(ws[i * 5 + 1 : i * 5 + 5], ' ') || '...'
+      |     ELSE
+      |       (CASE WHEN i % 7 = 0 THEN '- ' ELSE '' END)
+      |         || array_to_string(ws[i * 5 + 1 : i * 5 + 5], ' ')
+      |     END
+      |     FOR i IN range(greatest((len(ws) + 4) // 5, 1))] AS lines
+      |  FROM tok
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q22_minhash_lsh"       -> OracleSqlGen.q22Sql(),
     "q23_simhash"           -> OracleSqlGen.q23Sql(),
@@ -875,21 +956,51 @@ object SparkEntry {
     "q55_audio_meta"        -> OracleSqlGen.q55Sql(),
     "q56_decontam_clean"    -> OracleSqlGen.q56Sql(),
     "q58_dup_ngrams"        -> OracleSqlGen.q58Sql(),
-    "q57_line_signals" ->
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
-        |), wrapped AS (
+    "q61_stratified"        -> OracleSqlGen.q61Sql(),
+    // q59: same wrapped-lines CTEs as q57 (MlWrapCtes); COALESCE because
+    // DuckDB's array_to_string of an empty list is NULL where Spark's
+    // array_join is '' (a doc with no kept lines must clean to empty)
+    "q59_c4_clean" ->
+      ("WITH " + MlWrapCtes +
+      """, kept AS (
         |  SELECT doc_id,
-        |    [CASE WHEN i % 5 = 0 THEN
-        |       (CASE WHEN i % 7 = 0 THEN '- ' ELSE '' END)
-        |         || array_to_string(ws[i * 5 + 1 : i * 5 + 5], ' ') || '...'
-        |     ELSE
-        |       (CASE WHEN i % 7 = 0 THEN '- ' ELSE '' END)
-        |         || array_to_string(ws[i * 5 + 1 : i * 5 + 5], ' ')
-        |     END
-        |     FOR i IN range(greatest((len(ws) + 4) // 5, 1))] AS lines
-        |  FROM tok
-        |), ls AS (
+        |    COALESCE(array_to_string(
+        |      list_filter(
+        |        list_filter(lines, l -> length(l) > 0),
+        |        l -> regexp_matches(l, '[.!?]["'')\]]?\s*$')
+        |             AND len(regexp_extract_all(l, '\S+')) >= 5
+        |             AND NOT contains(lower(l), 'javascript')),
+        |      chr(10)), '') AS clean_text
+        |  FROM wrapped
+        |)
+        |SELECT doc_id, clean_text,
+        |  CAST(len(list_filter(string_split(clean_text, chr(10)), l -> length(l) > 0)) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT) AS n_sentences,
+        |  len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+        |    AND NOT contains(lower(clean_text), 'lorem ipsum')
+        |    AND NOT contains(clean_text, '{') AS c4_keep
+        |FROM kept""".stripMargin),
+    "q60_tfidf_topk" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+        |)
+        |SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    t.tf * n.n_docs / d.df AS tfidf,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY t.tf * n.n_docs / d.df DESC, t.term) AS rn
+        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+        |) WHERE rn <= 3""".stripMargin,
+    "q57_line_signals" ->
+      ("WITH " + MlWrapCtes +
+      """, ls AS (
         |  SELECT doc_id,
         |    list_filter(lines, l -> length(l) > 0) AS ls
         |  FROM wrapped
@@ -902,7 +1013,7 @@ object SparkEntry {
         |       ELSE len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•‣▪] '))) / len(ls) END AS bullet_frac,
         |  CASE WHEN len(ls) = 0 THEN NULL
         |       ELSE len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) / len(ls) END AS ellipsis_frac
-        |FROM ls""".stripMargin,
+        |FROM ls""".stripMargin),
     "q54_normalize" ->
       """SELECT doc_id, clean_text,
         |  CAST(len(regexp_extract_all(clean_text, '\S+')) AS BIGINT) AS n_tokens

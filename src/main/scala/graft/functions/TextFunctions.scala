@@ -288,6 +288,39 @@ object TextFunctions {
       top4 <= 0.16 &&
       nStopwords >= 2
 
+  // ---- C4 cleaning (Raffel et al. §2.2) — the line- and page-level
+  // rules C4 applies before dedup. Span-level (three-sentence) dedup is
+  // intentionally NOT here: the MinHash/SimHash family covers near-dup
+  // removal; these are the cheap per-row filters that run first. ----
+
+  /** C4's line keep rule: ends in terminal punctuation (. ! ? or a
+    * closing quote after one), has ≥ 5 words, and does not mention
+    * "javascript" (case-insensitive).
+    */
+  def c4LineKeep(l: Column): Column =
+    l.rlike("[.!?][\"')\\]]?\\s*$") &&
+      size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= 5 &&
+      !lower(l).contains("javascript")
+
+  /** The kept lines of a document under [[c4LineKeep]]. */
+  def c4CleanLines(c: Column): Column = filter(docLines(c), c4LineKeep _)
+
+  /** The document rebuilt from its kept lines (C4's cleaned page text). */
+  def c4CleanText(c: Column): Column = array_join(c4CleanLines(c), "\n")
+
+  /** Terminal-punctuation count — C4's sentence-count proxy. */
+  def sentenceCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[.!?]"), lit(0))).cast("long")
+
+  /** C4's page keep rule: ≥ 3 sentences, no "lorem ipsum", no curly
+    * brace (code), applied to the CLEANED text. The published bad-words
+    * list is out of scope (policy data, not an operator).
+    */
+  def c4PageKeep(cleaned: Column): Column =
+    sentenceCount(cleaned) >= 3 &&
+      !lower(cleaned).contains("lorem ipsum") &&
+      !cleaned.contains("{")
+
   /** MinHash signature: k independent permutations simulated by re-hashing
     * each shingle's base hash with the permutation index — xxhash64 over
     * (long, int), never per-permutation string building, so the hot path is

@@ -46,6 +46,32 @@ object Sampling {
   def hashBucketSql(idExpr: String, salt: String, buckets: Int = 10000): String =
     s"(${PortableHash.hash60Sql(s"'$salt:' || CAST($idExpr AS VARCHAR)")}) % $buckets"
 
+  /** Deterministic stratified FIXED-SIZE sample: the k rows of each group
+    * with the smallest portable hash of (salt, id) — the balanced
+    * per-class sample (k docs per language, k events per type) that
+    * fraction-sampling can't give when strata sizes differ by orders of
+    * magnitude. Hash order makes membership reproducible across runs and
+    * engines, and independent of input partitioning.
+    *
+    * Scale note: one shuffle on the group key, then a per-group sort.
+    * WindowExec sorts the whole group, so a single colossal stratum makes
+    * that task the straggler; when k/|group| is small and group sizes are
+    * known, pre-filter with [[sampleFraction]] at a few×(k/|group|) rate
+    * under the SAME salt — hash-prefix membership is monotone, so the
+    * pre-filter provably contains the final top-k and the window then
+    * sorts only the survivors.
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       k: Int, salt: String = "strat"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = PortableHash.hash60(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Weighted corpus mixture: each source is hash-downsampled to its
     * weight, tagged, and unioned by name — the deterministic version of
     * "mix 30% web, 60% books, 10% code". Rates above 1.0 are rejected

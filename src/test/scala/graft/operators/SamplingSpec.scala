@@ -62,4 +62,25 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, String)].collect().toMap
     a.foreach { case (id, sp) => assert(grown(id) == sp) }
   }
+
+  test("stratifiedSample draws exactly k per stratum, independent of partitioning") {
+    val df = (1 to 200).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val s1 = Sampling.stratifiedSample(df, "grp", "id", 10)
+    val counts = s1.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 10L, "b" -> 10L))
+    // membership is a function of (salt, id) order only — not of how the
+    // input happened to be partitioned
+    val s2 = Sampling.stratifiedSample(df.repartition(7), "grp", "id", 10)
+    assert(s1.select("id").as[Long].collect().toSet ==
+      s2.select("id").as[Long].collect().toSet)
+    // a different salt re-deals the draw
+    val s3 = Sampling.stratifiedSample(df, "grp", "id", 10, salt = "other")
+    assert(s1.select("id").as[Long].collect().toSet !=
+      s3.select("id").as[Long].collect().toSet)
+    // strata smaller than k survive whole
+    val small = Seq((1L, "x"), (2L, "x")).toDF("id", "grp")
+    assert(Sampling.stratifiedSample(small, "grp", "id", 10).count() == 2)
+  }
 }
