@@ -70,4 +70,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = plan("q40_percentiles")
     assert(!p.toLowerCase.contains("percentile("), p.take(800))
   }
+
+  test("q52/q58/q59: per-row quality signals never shuffle") {
+    for (q <- Seq("q52_quality_signals", "q58_dup_ngrams", "q59_c4_clean")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must be scan+project only:\n" + p.take(800))
+    }
+  }
+
+  test("q53/q56: the benchmark gram set broadcasts; the corpus never sort-merges") {
+    for (q <- Seq("q53_decontaminate", "q56_decontam_clean")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: " + p.take(800))
+      assert(!p.contains("SortMergeJoin"), s"$q corpus side must not shuffle for the probe:\n" + p.take(800))
+    }
+  }
+
+  test("q60: tf aggregation is partial (map-side combine) and the corpus count broadcasts") {
+    val p = plan("q60_tfidf_topk")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row corpus count must broadcast, not shuffle: " + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
