@@ -241,6 +241,44 @@ object OracleSqlGen {
        |) WHERE rn <= $k""".stripMargin
   }
 
+  // ---- q62: real AVI decode metadata + sampled-frame pixel checksum ----
+  // Mirrors q27Sql/q55Sql: the AVI generation parameters and per-frame
+  // pixel formulas are deterministic in doc_id (Multimodal.vWidthFor/
+  // vHeightFor/vFrameCountFor/vFpsFor/vRgbFor), so the oracle recomputes
+  // what the from-scratch RIFF walk + DIB decode must recover. Sample
+  // order: sampled frame (every `sampleEvery`-th), then row top-down,
+  // then column, then R,G,B — exactly the decoder's fold order.
+  def q62Sql(sampleEvery: Int = 2): String =
+    s"""WITH params AS (
+       |  SELECT doc_id,
+       |    CAST(4 + doc_id % 5 AS INTEGER) AS width,
+       |    CAST(3 + doc_id % 3 AS INTEGER) AS height,
+       |    CAST(3 + doc_id % 4 AS INTEGER) AS n_frames,
+       |    CAST(10 + doc_id % 5 AS INTEGER) AS fps,
+       |    CAST((3 + doc_id % 4 + ${sampleEvery - 1}) // $sampleEvery AS INTEGER) AS n_sampled
+       |  FROM documents
+       |), px AS (
+       |  SELECT doc_id, width, height, n_frames, fps, n_sampled,
+       |    [CASE i % 3
+       |       WHEN 0 THEN (doc_id + 7 * ((i // (width * height * 3)) * $sampleEvery)
+       |                    + 31 * ((i % (width * 3)) // 3)
+       |                    + 17 * ((i % (width * height * 3)) // (width * 3))) % 256
+       |       WHEN 1 THEN (3 * doc_id + 11 * ((i // (width * height * 3)) * $sampleEvery)
+       |                    + 7 * ((i % (width * 3)) // 3)
+       |                    + 11 * ((i % (width * height * 3)) // (width * 3))) % 256
+       |       ELSE (5 * doc_id + 13 * ((i // (width * height * 3)) * $sampleEvery)
+       |             + 13 * ((i % (width * 3)) // 3)
+       |             + 3 * ((i % (width * height * 3)) // (width * 3))) % 256
+       |     END
+       |     FOR i IN range(n_sampled * width * height * 3)] AS samples
+       |  FROM params
+       |)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  width, height, n_frames, fps, n_sampled,
+       |  list_reduce(list_prepend(0::BIGINT, samples),
+       |    (a, x) -> xor((a % ${1L << 55}) * 32 + (a >> 55), x)) AS checksum
+       |FROM px""".stripMargin
+
   // ---- q30: OR-amplified hyperplane-LSH near-dup pairs ----
   def q30Sql(minCosine: Double = 0.4, nPlanes: Int = 12, nTables: Int = 2,
              dim: Int = 64, seed: Long = 42L): String = {

@@ -835,6 +835,20 @@ object SparkEntry {
       .select(col("doc_id"), col("sample_rate"), col("channels"),
         col("n_frames"), col("checksum"))
 
+  // ---- q62: REAL AVI encode→decode round trip via mapPartitions ----
+  // Payloads are genuine RIFF/AVI containers with uncompressed 24-bit DIB
+  // frames of a deterministic pixel sequence; the decoder walks the RIFF
+  // tree from scratch, samples every 2nd frame, and checksums the decoded
+  // pixels — all replayed by the oracle from the same formulas. n_bytes
+  // is projected out as container framing (writer-dependent by contract,
+  // like q27/q55).
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideoMeta(
+      Multimodal.aviPayloads(Tables(s, dir).documents, "doc_id"),
+      "doc_id", "payload").toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("fps"), col("n_sampled"), col("checksum"))
+
   // ---- q31: as-of join — each view picks up the latest prior purchase ----
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir).events
@@ -910,6 +924,7 @@ object SparkEntry {
     "q59_c4_clean"         -> q59 _,
     "q60_tfidf_topk"       -> q60 _,
     "q61_stratified"       -> q61 _,
+    "q62_video_meta"       -> q62 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -957,6 +972,7 @@ object SparkEntry {
     "q56_decontam_clean"    -> OracleSqlGen.q56Sql(),
     "q58_dup_ngrams"        -> OracleSqlGen.q58Sql(),
     "q61_stratified"        -> OracleSqlGen.q61Sql(),
+    "q62_video_meta"        -> OracleSqlGen.q62Sql(),
     // q59: same wrapped-lines CTEs as q57 (MlWrapCtes); COALESCE because
     // DuckDB's array_to_string of an empty list is NULL where Spark's
     // array_join is '' (a doc with no kept lines must clean to empty)

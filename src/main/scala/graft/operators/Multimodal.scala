@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   * frame count plus a PCM sample checksum, under the same poison-row-safe
   * mapPartitions contract.
   *
-  * Only video remains stubbed ([[frameSample]]/[[resizeBytes]] treat the
-  * payload as raw bytes); video container formats have no JDK codec.
+  * The video path is REAL as well: [[aviFor]] writes genuine RIFF/AVI
+  * containers with uncompressed 24-bit DIB frames and [[decodeVideoMeta]]
+  * walks the RIFF tree (from scratch — the JDK has no AVI reader),
+  * decodes sampled frames, and checksums their pixels. Compressed video
+  * codecs stay out of scope (no JDK decoder); [[frameSample]]/
+  * [[resizeBytes]] remain as generic byte-level operators for opaque
+  * payloads of ANY format.
   */
 object Multimodal {
 
@@ -237,6 +242,190 @@ object Multimodal {
           decoded.getOrElse(AudioMeta(id, n.toLong, 0, 0, 0L, 0L))
         }
       }
+  }
+
+  // ---- video: real RIFF/AVI container with uncompressed DIB frames ----
+  // The container and frame parsing are from scratch (the JDK has no AVI
+  // reader — same build-it ethos as the CFB/BIFF8 Excel path). Frames are
+  // BI_RGB 24-bit bottom-up DIBs: LOSSLESS, so the decoded pixels are
+  // deterministic formulas the SQL oracle replays exactly — an MJPEG
+  // payload would decode via DCT rounding no SQL engine can reproduce.
+  // Compressed codecs (H.26x etc.) have no JDK decoder and stay out of
+  // scope; a '00dc'/non-BI_RGB stream is treated as undecodable.
+
+  def vWidthFor(id: Long): Int = (4 + id % 5).toInt
+  def vHeightFor(id: Long): Int = (3 + id % 3).toInt
+  def vFrameCountFor(id: Long): Int = (3 + id % 4).toInt
+  def vFpsFor(id: Long): Int = (10 + id % 5).toInt
+  /** RGB for (id, frame, x, y) — the video twin of [[rgbFor]]. */
+  def vRgbFor(id: Long, f: Int, x: Int, y: Int): (Int, Int, Int) = (
+    ((id + 7L * f + 31L * x + 17L * y) % 256).toInt,
+    ((3L * id + 11L * f + 7L * x + 11L * y) % 256).toInt,
+    ((5L * id + 13L * f + 13L * x + 3L * y) % 256).toInt)
+
+  /** Encode the deterministic frame sequence for `id` as a real AVI file:
+    * RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh 'vids'/'DIB ',
+    * strf BITMAPINFOHEADER}} → LIST(movi){'00db' DIB frames}.
+    */
+  def aviFor(id: Long): Array[Byte] = {
+    val w = vWidthFor(id); val h = vHeightFor(id)
+    val n = vFrameCountFor(id); val fps = vFpsFor(id)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride * h
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = { // little-endian
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def fourcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+
+    val strlSize = 4 + (8 + 56) + (8 + 40)        // 'strl' + strh + strf
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)  // 'hdrl' + avih + LIST(strl)
+    val moviSize = 4 + n * (8 + frameBytes)       // 'movi' + n frame chunks
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+
+    fourcc("RIFF"); u32(riffSize); fourcc("AVI ")
+    fourcc("LIST"); u32(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); u32(56)
+    u32(1000000L / fps); u32(0); u32(0); u32(0) // usec/frame, maxBps, pad, flags
+    u32(n); u32(0); u32(1); u32(frameBytes)     // totalFrames, initial, streams, bufSize
+    u32(w); u32(h); u32(0); u32(0); u32(0); u32(0)
+    fourcc("LIST"); u32(strlSize); fourcc("strl")
+    fourcc("strh"); u32(56)
+    fourcc("vids"); fourcc("DIB "); u32(0); u16(0); u16(0); u32(0)
+    u32(1); u32(fps); u32(0); u32(n)            // scale, rate, start, length
+    u32(frameBytes); u32(0); u32(0)             // bufSize, quality, sampleSize
+    u16(0); u16(0); u16(w); u16(h)              // rcFrame
+    fourcc("strf"); u32(40)
+    u32(40); u32(w); u32(h); u16(1); u16(24)    // biSize, w, h, planes, bpp
+    u32(0); u32(frameBytes); u32(0); u32(0); u32(0); u32(0) // BI_RGB, size, ...
+    fourcc("LIST"); u32(moviSize); fourcc("movi")
+    var f = 0
+    while (f < n) {
+      fourcc("00db"); u32(frameBytes)
+      var row = 0
+      while (row < h) {
+        val y = h - 1 - row // DIB rows are bottom-up
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = vRgbFor(id, f, x, y)
+          bos.write(b); bos.write(g); bos.write(r) // BGR
+          x += 1
+        }
+        var pad = w * 3
+        while (pad < stride) { bos.write(0); pad += 1 }
+        row += 1
+      }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** One REAL AVI per id (same mapPartitions contract as [[pngPayloads]]). */
+  def aviPayloads(df: DataFrame, idCol: String, out: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, aviFor(id))))
+      .toDF(idCol, out)
+  }
+
+  final case class VideoMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
+                             n_frames: Int, fps: Int, n_sampled: Int, checksum: Long)
+
+  /** Real video decode: walk the RIFF tree for avih (dimensions, frame
+    * count), the 'vids' strh (rate/scale → fps) and strf (must be BI_RGB
+    * 24-bit), then decode every `sampleEvery`-th '00db' frame's DIB to
+    * top-down RGB and fold the same rotate/xor checksum as the image and
+    * audio paths (sampled-frame-major, row-major, R then G then B).
+    * Undecodable, compressed ('00dc'), or non-BI_RGB payloads yield
+    * zeroed metadata — the shared poison-row contract.
+    */
+  def decodeVideoMeta(df: DataFrame, idCol: String, binCol: String,
+                      sampleEvery: Int = 2): Dataset[VideoMeta] = {
+    require(sampleEvery >= 1, "sampleEvery must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val n = if (bytes == null) 0 else bytes.length
+          (try decodeAviMeta(id, bytes, sampleEvery)
+          catch { case scala.util.control.NonFatal(_) => None })
+            .getOrElse(VideoMeta(id, n.toLong, 0, 0, 0, 0, 0, 0L))
+        }
+      }
+  }
+
+  private def decodeAviMeta(id: Long, bytes: Array[Byte],
+                            sampleEvery: Int): Option[VideoMeta] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+
+    var width = 0; var height = 0; var totalFrames = 0; var fps = 0
+    var biCompression = -1L; var biBitCount = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
+
+    def walk(off: Int, end: Int): Unit = {
+      var p = off
+      while (p + 8 <= end) {
+        val t = tag(p); val sz = u32(p + 4).toInt
+        val body = p + 8
+        t match {
+          case "LIST" => walk(body + 4, body + sz) // skip the list type fourcc
+          case "avih" =>
+            width = u32(body + 32).toInt; height = u32(body + 36).toInt
+            totalFrames = u32(body + 16).toInt
+          case "strh" if tag(body) == "vids" =>
+            val scale = u32(body + 20); val rate = u32(body + 24)
+            if (scale > 0) fps = (rate / scale).toInt
+          case "strf" if biCompression == -1L =>
+            biBitCount = (u32(body + 12) >> 16).toInt // planes u16 | bpp u16
+            biCompression = u32(body + 16)
+          case "00db" => frames += ((body, sz))
+          case _ => () // '00dc'/unknown chunks are skipped, not decoded
+        }
+        p = body + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length)
+    if (width <= 0 || height <= 0 || frames.isEmpty ||
+      biCompression != 0L || biBitCount != 24) return None
+
+    val stride = ((width * 3 + 3) / 4) * 4
+    var crc = 0L
+    def fold(v: Int): Unit =
+      crc = ((crc % (1L << 55)) * 32L + (crc >>> 55)) ^ v.toLong
+    var sampled = 0
+    var k = 0
+    while (k < frames.length) {
+      val (foff, flen) = frames(k)
+      if (flen < stride * height) return None
+      var y = 0
+      while (y < height) {
+        val rowOff = foff + (height - 1 - y) * stride // bottom-up → top-down
+        var x = 0
+        while (x < width) {
+          val px = rowOff + x * 3
+          fold(bytes(px + 2) & 0xff) // R
+          fold(bytes(px + 1) & 0xff) // G
+          fold(bytes(px) & 0xff)     // B
+          x += 1
+        }
+        y += 1
+      }
+      sampled += 1
+      k += sampleEvery
+    }
+    Some(VideoMeta(id, bytes.length.toLong, width, height,
+      if (totalFrames > 0) totalFrames else frames.length, fps, sampled, crc))
   }
 
   /** Evenly-spaced "frame" samples from a binary payload (video-style

@@ -75,6 +75,49 @@ class MultimodalMedianSpec extends AnyFunSuite with SparkSpec {
     assert(meta(2L).n_bytes == 0 && meta(2L).sample_rate == 0)
   }
 
+  test("aviPayloads + decodeVideoMeta: REAL AVI round trip recovers sampled frames") {
+    val docs = Seq(0L, 1L, 2L, 3L, 4L, 100L).toDF("doc_id")
+    val meta = Multimodal.decodeVideoMeta(
+        Multimodal.aviPayloads(docs, "doc_id"), "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    // payloads are genuine RIFF/AVI containers
+    val avi = Multimodal.aviFor(3L)
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    meta.foreach { case (id, m) =>
+      assert(m.width == Multimodal.vWidthFor(id) && m.height == Multimodal.vHeightFor(id))
+      assert(m.n_frames == Multimodal.vFrameCountFor(id))
+      assert(m.fps == Multimodal.vFpsFor(id))
+      assert(m.n_sampled == (m.n_frames + 1) / 2)
+      // checksum must equal the fold over the GENERATOR's pixel formulas
+      // for every SECOND frame — i.e. the RIFF walk + bottom-up DIB decode
+      // recovered each sampled frame exactly
+      var crc = 0L
+      def fold(v: Int): Unit = crc = ((crc % (1L << 55)) * 32L + (crc >>> 55)) ^ v.toLong
+      for (f <- 0 until m.n_frames by 2; y <- 0 until m.height; x <- 0 until m.width) {
+        val (r, g, b) = Multimodal.vRgbFor(id, f, x, y)
+        fold(r); fold(g); fold(b)
+      }
+      assert(m.checksum == crc, s"sampled-frame checksum mismatch for id=$id")
+    }
+  }
+
+  test("decodeVideoMeta zeroes compressed streams and garbage instead of failing") {
+    // flip the '00db' (uncompressed) frame tags to '00dc' (compressed):
+    // a stream we have no decoder for must zero out, not miscount
+    val compressed = Multimodal.aviFor(5L)
+    for (i <- 0 until compressed.length - 3
+         if compressed(i) == '0' && compressed(i + 1) == '0' &&
+           compressed(i + 2) == 'd' && compressed(i + 3) == 'b')
+      compressed(i + 3) = 'c'
+    val docs = Seq((5L, compressed), (6L, "not a movie".getBytes("UTF-8")),
+      (7L, Array.empty[Byte])).toDF("doc_id", "payload")
+    val meta = Multimodal.decodeVideoMeta(docs, "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(5L).width == 0 && meta(5L).checksum == 0L && meta(5L).n_bytes > 0)
+    assert(meta(6L).width == 0 && meta(7L).width == 0)
+  }
+
   test("frameSample slices evenly spaced frames; short payloads yield fewer") {
     val df = Seq(("x" * 100, 1), ("ab", 2)).toDF("text", "id")
     val out = df.select(col("id"),
