@@ -86,4 +86,31 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(dup == 0, s"adjusted panel must have unique (key, time) grain; lk=$lk")
     }
   }
+
+  test("topNgramFraction / dupNgramFraction match their naive definitions") {
+    // small vocabulary forces gram repeats; the sorted-run folds must agree
+    // with the brute-force groupBy-count definitions on every random doc
+    val docGen: Gen[List[String]] =
+      Gen.choose(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee")))
+    val docs = samples(docGen, 40)
+    val df = docs.map(_.mkString(" ")).toDF("t")
+    for (n <- Seq(2, 3)) {
+      val got = df.select(
+        graft.functions.TextFunctions.topNgramFraction(col("t"), n).as("top"),
+        graft.functions.TextFunctions.dupNgramFraction(col("t"), n).as("dup")).collect()
+      docs.zip(got).foreach { case (toks, row) =>
+        if (toks.size < n) {
+          assert(row.isNullAt(0) && row.isNullAt(1), s"toks=$toks n=$n")
+        } else {
+          val grams = toks.sliding(n).map(_.mkString(" ")).toList
+          val counts = grams.groupBy(identity).map(_._2.size)
+          val expTop = counts.max.toDouble * n / toks.size
+          val expDup = counts.filter(_ > 1).sum.toDouble / grams.size
+          assert(row.getDouble(0) == expTop, s"top mismatch: toks=$toks n=$n")
+          assert(row.getDouble(1) == expDup, s"dup mismatch: toks=$toks n=$n")
+        }
+      }
+    }
+  }
 }
