@@ -849,6 +849,21 @@ object SparkEntry {
       .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
         col("fps"), col("n_sampled"), col("checksum"))
 
+  // ---- q63: skew-safe salted join — the fact side's per-row salt joins
+  //      against the ×factor-replicated dim side, spreading any hot key
+  //      over `factor` reducers; the aggregate proves row-identity with
+  //      the plain join (which is what the oracle runs). ----
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val fact = t.lineitem.select(col("l_orderkey").as("orderkey"),
+      col("l_linenumber"), col("l_quantity"))
+    val dim = t.orders.select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+    ops.SkewJoin.saltedJoin(fact, dim, Seq("orderkey"),
+        Seq("orderkey", "l_linenumber"), factor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+  }
+
   // ---- q31: as-of join — each view picks up the latest prior purchase ----
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir).events
@@ -925,6 +940,7 @@ object SparkEntry {
     "q60_tfidf_topk"       -> q60 _,
     "q61_stratified"       -> q61 _,
     "q62_video_meta"       -> q62 _,
+    "q63_skew_join"        -> q63 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -973,6 +989,12 @@ object SparkEntry {
     "q58_dup_ngrams"        -> OracleSqlGen.q58Sql(),
     "q61_stratified"        -> OracleSqlGen.q61Sql(),
     "q62_video_meta"        -> OracleSqlGen.q62Sql(),
+    // q63: salting is semantics-preserving, so the oracle is simply the
+    // PLAIN join + aggregation — the hash proves row-identity.
+    "q63_skew_join" ->
+      """SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     // q59: same wrapped-lines CTEs as q57 (MlWrapCtes); COALESCE because
     // DuckDB's array_to_string of an empty list is NULL where Spark's
     // array_join is '' (a doc with no kept lines must clean to empty)
