@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis column expressions for large-scale document pipelines:
   * token counting, quality scoring, language ID, shingling, MinHash and
-  * SimHash fingerprints. All are composed from codegen'd built-ins
-  * (`org.apache.spark.sql.functions`) — no UDFs — so they stay inside
-  * whole-stage codegen and scale linearly with no shuffle of their own.
+  * SimHash fingerprints. All are composed from built-ins
+  * (`org.apache.spark.sql.functions`) — no UDFs, so nothing crosses a
+  * serialization boundary and everything scales linearly with no shuffle
+  * of its own. Scalar expressions ride whole-stage codegen; the
+  * higher-order array folds (`transform`/`filter`/`aggregate`) evaluate
+  * through Catalyst's interpreted path but remain inside the same stage.
   */
 object TextFunctions {
 
@@ -147,8 +150,8 @@ object TextFunctions {
     * word n-gram: max_gram_count * n / token_count. The mode count is
     * computed per row as `array_sort` over the grams + one `aggregate`
     * fold tracking the longest run of equal adjacent grams — O(g log g)
-    * per document (the sort dominates), all built-ins, inside whole-stage
-    * codegen with no shuffle. The relational alternative (explode → count
+    * per document (the sort dominates), all built-ins, one stage, no
+    * shuffle. The relational alternative (explode → count
     * → max) would shuffle the whole corpus's grams; a naive per-row
     * distinct×scan fold is O(g²) and stalls an executor on one long
     * boilerplate document. Null when the document has fewer than n tokens.
