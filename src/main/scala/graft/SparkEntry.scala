@@ -876,6 +876,58 @@ object SparkEntry {
       Seq("purchase_value", "purchase_ts"))
   }
 
+  // ---- q64: token-window chunking — every document cut into ≤32-token
+  //      windows whose starts advance by 24 (overlapping), the
+  //      context-length stage of a training pipeline. Pure per-row
+  //      tokenize + explode: no shuffle, linear in corpus size. ----
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    operators.Chunking.chunkByTokens(
+        Tables(s, dir).documents.select(col("doc_id"), col("text")), "text",
+        maxTokens = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        col("n_chunk_tokens"))
+
+  // ---- q65: sequence packing — the corpus's token stream laid end-to-end
+  //      in portable-hash order and cut into 2048-token bins. The global
+  //      running offset comes from the two-phase distributed prefix sum
+  //      (range partition → per-partition subtotals → broadcast offsets),
+  //      NEVER a single-task `Window.orderBy` — the plan shape is pinned
+  //      in PrefixSumSpec. The oracle replays the identical cumsum with a
+  //      plain SQL window over the same portable-hash order. ----
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    ops.PrefixSum.packSequences(docs, "doc_id", "n_tokens", binTokens = 2048)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("bin_first"), col("bin_last"), col("n_bins"))
+  }
+
+  // ---- q66: Bloom-pre-filtered semi join — lineitem restricted to URGENT
+  //      orders, with the probe filtered by a literal-embedded Bloom
+  //      filter of the build keys BEFORE its shuffle (the runtime-filter
+  //      pattern, §ops.BloomJoin). The trailing semi join erases Bloom
+  //      false positives, so the oracle is the plain EXISTS. ----
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+    ops.BloomJoin.bloomSemiJoin(t.lineitem, urgent,
+        "l_orderkey", "o_orderkey", expectedItems = 100000, fpp = 0.01)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
+  // ---- q67: k-anonymity suppression — customers generalized to
+  //      (mktsegment, $1000 balance band) and every row whose group has
+  //      fewer than 5 members suppressed. One QI-tuple shuffle; the group
+  //      size attaches in the same (unordered) window stage. ----
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val gen = Tables(s, dir).customer.select(
+      col("c_custkey"), col("c_mktsegment"),
+      ops.Anonymize.bandNumeric(col("c_acctbal"), 1000.0).as("bal_band"))
+    ops.Anonymize.kAnonymize(gen,
+      Seq(col("c_mktsegment"), col("bal_band")), k = 5)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -941,6 +993,10 @@ object SparkEntry {
     "q61_stratified"       -> q61 _,
     "q62_video_meta"       -> q62 _,
     "q63_skew_join"        -> q63 _,
+    "q64_chunk_tokens"     -> q64 _,
+    "q65_pack_sequences"   -> q65 _,
+    "q66_bloom_semi_join"  -> q66 _,
+    "q67_k_anonymity"      -> q67 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -995,6 +1051,60 @@ object SparkEntry {
       """SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS n_rows
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q64_chunk_tokens" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+        |), n AS (
+        |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n
+        |  FROM tok WHERE len(ws) > 0
+        |), e AS (
+        |  SELECT doc_id, ws, n,
+        |    unnest(range((greatest(n - 32, 0) + 23) // 24 + 1)) AS i
+        |  FROM n
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  array_to_string(ws[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+        |  least(32, n - i * 24) AS n_chunk_tokens
+        |FROM e""".stripMargin,
+    "q65_pack_sequences" -> {
+      val h = graft.functions.PortableHash.hash60Sql(
+        "'pack:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+        |    $h AS h
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\\S+')) > 0
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 2048 AS bin_first,
+        |  (start_offset + n_tokens - 1) // 2048 AS bin_last,
+        |  (start_offset + n_tokens - 1) // 2048 - start_offset // 2048 + 1
+        |    AS n_bins
+        |FROM c""".stripMargin
+    },
+    // q66: the Bloom pre-filter is semantics-preserving (false positives
+    // die in the trailing semi join), so the oracle is the plain EXISTS.
+    "q66_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
+    "q67_k_anonymity" ->
+      """SELECT c_custkey, c_mktsegment, bal_band, group_size FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    count(*) OVER (PARTITION BY c_mktsegment,
+        |      CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS group_size
+        |  FROM customer)
+        |WHERE group_size >= 5""".stripMargin,
     // q59: same wrapped-lines CTEs as q57 (MlWrapCtes); COALESCE because
     // DuckDB's array_to_string of an empty list is NULL where Spark's
     // array_join is '' (a doc with no kept lines must clean to empty)

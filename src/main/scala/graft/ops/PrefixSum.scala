@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.functions.{IntOps, PortableHash}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed global prefix sum, and the sequence-packing operator built
+  * on it ("concatenate the corpus and cut every B tokens" — how training
+  * examples are packed from variable-length documents).
+  *
+  * A global running total is the textbook case where the obvious Spark
+  * plan does not scale: `sum(...).over(Window.orderBy(key))` with no
+  * partition key collapses the whole dataset into ONE task
+  * (`Exchange SinglePartition`). This operator is the two-phase scan used
+  * by TeraSort-style jobs instead:
+  *
+  *   1. range-repartition by the order key (`RangePartitioning` — the
+  *      same machinery as a distributed sort) and sort within partitions;
+  *   2. aggregate ONE subtotal per partition and collect them — the only
+  *      driver-side data is `numPartitions` longs (bounded by the
+  *      partition count, not the data);
+  *   3. broadcast the exclusive per-partition offsets back and add each
+  *      row's within-partition running total.
+  *
+  * Every phase is balanced across executors; no task ever sees more than
+  * its partition. The partitioned frame is persisted (DISK_ONLY) so the
+  * subtotal job and the caller's action observe identical partition ids —
+  * release it via [[graft.Storage.releaseAll]] after the action, the same
+  * caller-release contract as the dedup signature tables.
+  */
+object PrefixSum {
+
+  /** Adds `out` = the EXCLUSIVE running total of `valueCol` (cast to
+    * long) over rows in ascending `orderCols` order: the sum of all
+    * strictly-preceding rows, 0 for the global first row. The order key
+    * should be unique (tie-break with the row id) — equal keys get an
+    * arbitrary but deterministic relative order within a partition.
+    */
+  def exclusiveCumsum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+                      out: String, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val np = if (numPartitions > 0) numPartitions
+             else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df
+      .withColumn("__v", valueCol.cast("long"))
+      .repartitionByRange(np, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.DISK_ONLY)
+    // One long per partition to the driver — bounded by np, not the data.
+    val partials = parted.groupBy(col("__pid")).agg(sum(col("__v")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until np).map(partials.getOrElse(_, 0L))
+      .scanLeft(0L)(_ + _).init.zipWithIndex.map { case (off, p) => (p, off) }
+    import spark.implicits._
+    val offDf = offsets.toDF("__pid", "__offset")
+    // Within-partition exclusive running total: the window repartitions by
+    // __pid, so each (equal-sized) range partition is one window group —
+    // never a single global task.
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(out, coalesce(sum(col("__v")).over(w), lit(0L)) + col("__offset"))
+      .drop("__pid", "__v", "__offset")
+  }
+
+  /** Sequence packing: orders documents deterministically by portable hash
+    * of (salt, id), lays their token counts end-to-end, and cuts the
+    * resulting token stream into bins of `binTokens` — each row gains its
+    * global `start_offset` plus the first/last bin it lands in and the
+    * number of bins it spans (documents crossing a cut belong to several).
+    * Membership is a pure function of (salt, corpus), so re-packing is
+    * reproducible across runs and engines. Rows whose `tokensCol` is not
+    * positive are dropped (they occupy no bin).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    binTokens: Long, salt: String = "pack",
+                    numPartitions: Int = 0): DataFrame = {
+    require(binTokens > 0, "binTokens must be positive")
+    val h = PortableHash.hash60(
+      concat(lit(salt + ":"), col(idCol).cast("string")))
+    val cum = exclusiveCumsum(
+      df.filter(col(tokensCol) > 0).withColumn("__h", h),
+      Seq(col("__h"), col(idCol)), col(tokensCol), "start_offset",
+      numPartitions)
+    val b = lit(binTokens)
+    cum
+      .withColumn("bin_first", IntOps.intDiv(col("start_offset"), b))
+      .withColumn("bin_last",
+        IntOps.intDiv(col("start_offset") + col(tokensCol).cast("long") - 1, b))
+      .withColumn("n_bins", col("bin_last") - col("bin_first") + 1)
+      .drop("__h")
+  }
+}
