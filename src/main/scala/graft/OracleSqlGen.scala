@@ -682,4 +682,39 @@ object OracleSqlGen {
        |      ORDER BY cos_sim DESC, cand_id) AS rn
        |  FROM scored) WHERE rn <= $k""".stripMargin
   }
+
+  // ---- q68: count-min sketch frequency estimates for the exact top-k ----
+  // The sketch is replayed relationally: one (j, bucket) row per token
+  // occurrence per hash row (UNION ALL over the same driver-side
+  // constants the Spark plan embeds), grouped into bucket counts, then
+  // min-joined against the exact top-k probes.
+  def q68Sql(depth: Int = 4, width: Int = 256, topK: Int = 20,
+             seed: Long = 42L): String = {
+    val consts = PortableHash.permConstants(depth, seed)
+    val jb = consts.zipWithIndex.map { case ((r, c), j) =>
+      s"SELECT token, $j AS j, ${PortableHash.permuteSql("h", r, c)} % $width AS bucket FROM h"
+    }.mkString("\n  UNION ALL ")
+    val pjb = consts.zipWithIndex.map { case ((r, c), j) =>
+      s"SELECT token, exact_n, $j AS j, ${PortableHash.permuteSql("h", r, c)} % $width AS bucket FROM ph"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents
+       |), h AS (
+       |  SELECT token, ${PortableHash.hash60Sql("token")} AS h FROM tok
+       |), jb AS (
+       |  $jb
+       |), sk AS (
+       |  SELECT j, bucket, count(*) AS cnt FROM jb GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT token, count(*) AS exact_n FROM tok GROUP BY 1
+       |  ORDER BY exact_n DESC, token LIMIT $topK
+       |), ph AS (
+       |  SELECT token, exact_n, ${PortableHash.hash60Sql("token")} AS h FROM exact
+       |), pjb AS (
+       |  $pjb
+       |)
+       |SELECT token, exact_n, min(COALESCE(sk.cnt, 0)) AS est_n
+       |FROM pjb LEFT JOIN sk USING (j, bucket)
+       |GROUP BY token, exact_n""".stripMargin
+  }
 }

@@ -928,6 +928,22 @@ object SparkEntry {
       Seq(col("c_mktsegment"), col("bal_band")), k = 5)
   }
 
+  // ---- q68: count-min sketch — the exact top-20 tokens' frequencies
+  //      estimated from a 4×256 sketch built in one map-side-combined
+  //      shuffle (≤ depth·width rows cross the exchange) and broadcast
+  //      for estimation; est_n ≥ exact_n by construction (pinned in
+  //      CountMinSpec), and the oracle replays the sketch relationally
+  //      from the same portable-hash constants. ----
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir).documents
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token").asc).limit(20)
+    val sk = operators.CountMin.sketch(toks, "token", depth = 4, width = 256)
+    operators.CountMin.estimate(sk, exact, "token", depth = 4, width = 256)
+      .select(col("token"), col("exact_n"), col("est_n"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -997,6 +1013,7 @@ object SparkEntry {
     "q65_pack_sequences"   -> q65 _,
     "q66_bloom_semi_join"  -> q66 _,
     "q67_k_anonymity"      -> q67 _,
+    "q68_cms_freq"         -> q68 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1097,6 +1114,7 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag""".stripMargin,
+    "q68_cms_freq"          -> OracleSqlGen.q68Sql(),
     "q67_k_anonymity" ->
       """SELECT c_custkey, c_mktsegment, bal_band, group_size FROM (
         |  SELECT c_custkey, c_mktsegment,

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.functions.PortableHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch — fixed-size frequency estimation over an unbounded
+  * token stream (Cormode & Muthukrishnan 2005): `depth` hash rows ×
+  * `width` buckets of counts; a token's estimated frequency is the MIN of
+  * its bucket counts across rows, which never under-estimates and
+  * over-estimates by at most the collision mass of a row.
+  *
+  * Scale shape: the sketch build is one `groupBy (row, bucket)` with
+  * map-side partial aggregation — every task emits at most depth·width
+  * partial rows, so the exchange carries sketch-sized data regardless of
+  * corpus size, and the finished sketch (≤ depth·width rows) broadcasts
+  * for estimation. The hash rows reuse the engine's portable 60-bit
+  * rotate-xor family ([[graft.functions.PortableHash]]), so the DuckDB
+  * oracle replays the sketch bit-identically — the estimates are
+  * deterministic functions of the corpus, not RNG draws.
+  */
+object CountMin {
+
+  /** The d (rotation, xor) pairs defining the sketch's hash rows. */
+  def rowConstants(depth: Int, seed: Long = 42L): Seq[(Int, Long)] =
+    PortableHash.permConstants(depth, seed)
+
+  /** Bucket of a token under hash row (rot, xorConst): permuted 60-bit
+    * hash mod width — non-negative, so `%` agrees across engines.
+    */
+  def bucketOf(token: Column, rot: Int, xorConst: Long, width: Int): Column =
+    PortableHash.permute(PortableHash.hash60(token), rot, xorConst) % width
+
+  private def rowBuckets(token: Column, depth: Int, width: Int,
+                         seed: Long): Column =
+    array(rowConstants(depth, seed).zipWithIndex.map { case ((r, c), j) =>
+      struct(lit(j).as("j"), bucketOf(token, r, c, width).as("bucket"))
+    }: _*)
+
+  /** Build the sketch table (j, bucket, cnt) from one token occurrence per
+    * input row.
+    */
+  def sketch(tokens: DataFrame, tokenCol: String, depth: Int, width: Int,
+             seed: Long = 42L): DataFrame = {
+    require(depth > 0, "depth must be positive")
+    require(width > 0, "width must be positive")
+    tokens
+      .select(explode(rowBuckets(col(tokenCol), depth, width, seed)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate each probe row's token frequency as `est_n` = min over
+    * the sketch's rows of the token's bucket count (0 if a bucket is
+    * empty — only possible for tokens the sketch never saw). The sketch
+    * side is broadcast; probes keep all their columns.
+    */
+  def estimate(sk: DataFrame, probes: DataFrame, tokenCol: String,
+               depth: Int, width: Int, seed: Long = 42L): DataFrame = {
+    val pjb = probes.select(col(tokenCol)).distinct()
+      .withColumn("jb", explode(rowBuckets(col(tokenCol), depth, width, seed)))
+    val est = pjb
+      .join(broadcast(sk),
+        pjb("jb.j") === sk("j") && pjb("jb.bucket") === sk("bucket"), "left")
+      .groupBy(pjb(tokenCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
+    probes.join(broadcast(est), Seq(tokenCol))
+  }
+}

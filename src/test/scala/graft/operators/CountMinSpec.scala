@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.PortableHash
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CountMinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // ---- plain-Scala replica of the portable 60-bit family ----
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+  private def rot60(h: Long, r: Int): Long =
+    (h % (1L << (60 - r))) * (1L << r) + (h >>> (60 - r))
+  private def bucketOf(t: String, rot: Int, c: Long, w: Int): Long =
+    (rot60(hash60(t), rot) ^ c) % w
+
+  /** Naive CMS built in Scala with the same constants. */
+  private def naiveEstimates(tokens: Seq[String], depth: Int, width: Int,
+                             seed: Long): Map[String, Long] = {
+    val consts = PortableHash.permConstants(depth, seed)
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    tokens.foreach { t =>
+      consts.zipWithIndex.foreach { case ((r, c), j) =>
+        val k = (j, bucketOf(t, r, c, width))
+        cells(k) = cells.getOrElse(k, 0L) + 1
+      }
+    }
+    tokens.distinct.map { t =>
+      t -> consts.zipWithIndex.map { case ((r, c), j) =>
+        cells.getOrElse((j, bucketOf(t, r, c, width)), 0L)
+      }.min
+    }.toMap
+  }
+
+  // Zipf-ish corpus: token "t<k>" appears 60/k times — guaranteed collisions
+  // at width 16 so the over-estimation path is actually exercised.
+  private val tokens: Seq[String] =
+    (1 to 30).flatMap(k => Seq.fill(60 / k)(s"t$k"))
+
+  test("sketch + estimate equal the naive count-min with identical constants") {
+    val df = tokens.map(Tuple1(_)).toDF("token")
+    for ((d, w) <- Seq((2, 16), (4, 64))) {
+      val sk = CountMin.sketch(df, "token", d, w)
+      val probes = df.distinct()
+      val got = CountMin.estimate(sk, probes, "token", d, w)
+        .select(col("token"), col("est_n")).as[(String, Long)].collect().toMap
+      assert(got == naiveEstimates(tokens, d, w, 42L), s"d=$d w=$w")
+    }
+  }
+
+  test("estimates never under-count, and are exact at collision-free width") {
+    val df = tokens.map(Tuple1(_)).toDF("token")
+    val exact = tokens.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val narrow = CountMin.estimate(CountMin.sketch(df, "token", 4, 16),
+        df.distinct(), "token", 4, 16)
+      .select(col("token"), col("est_n")).as[(String, Long)].collect().toMap
+    exact.foreach { case (t, n) => assert(narrow(t) >= n, t) }
+    // 2^16 buckets for 30 distinct tokens: collisions in all 4 rows are
+    // astronomically unlikely, so every estimate is exact.
+    val wide = CountMin.estimate(CountMin.sketch(df, "token", 4, 65536),
+        df.distinct(), "token", 4, 65536)
+      .select(col("token"), col("est_n")).as[(String, Long)].collect().toMap
+    assert(wide == exact)
+  }
+
+  test("tokens the sketch never saw estimate to 0") {
+    val sk = CountMin.sketch(tokens.map(Tuple1(_)).toDF("token"), "token", 4, 1 << 20)
+    val got = CountMin.estimate(sk, Seq("absent-token").toDF("token"),
+        "token", 4, 1 << 20)
+      .select(col("est_n")).as[Long].collect()
+    assert(got.toSeq == Seq(0L))
+  }
+
+  test("the sketch is bounded by depth×width and conserves per-row mass") {
+    val df = tokens.map(Tuple1(_)).toDF("token")
+    val sk = CountMin.sketch(df, "token", 3, 8).collect()
+    assert(sk.length <= 3 * 8)
+    val perRow = sk.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(perRow.values.toSet == Set(tokens.size.toLong))
+  }
+}
