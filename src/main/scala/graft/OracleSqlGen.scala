@@ -717,4 +717,25 @@ object OracleSqlGen {
        |FROM pjb LEFT JOIN sk USING (j, bucket)
        |GROUP BY token, exact_n""".stripMargin
   }
+
+  // ---- q69: int8 scalar quantization — codes and checksum replayed
+  // exactly. floor() precedes the BIGINT cast (DuckDB's double→int cast
+  // rounds, Spark's truncates; an integral double casts identically).
+  def q69Sql(): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), mm AS (
+       |  SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM v
+       |), q AS (
+       |  SELECT vec_id, vmin, vmax,
+       |    CASE WHEN vmax > vmin
+       |      THEN [least(CAST(floor((x - vmin) * 255.0 / (vmax - vmin)) AS BIGINT), 255)
+       |            FOR x IN v]
+       |      ELSE [CAST(0 AS BIGINT) FOR x IN v] END AS codes
+       |  FROM mm
+       |)
+       |SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims, vmin, vmax,
+       |  list_reduce(list_prepend(0::BIGINT, codes),
+       |    (acc, c) -> xor(${PortableHash.rot60Sql("acc", 5)}, c)) AS code_checksum
+       |FROM q""".stripMargin
 }

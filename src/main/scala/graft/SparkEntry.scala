@@ -944,6 +944,17 @@ object SparkEntry {
       .select(col("token"), col("exact_n"), col("est_n"))
   }
 
+  // ---- q69: int8 embedding quantization — per-vector min-max codes with
+  //      an order-sensitive portable checksum; pure per-row array math,
+  //      no shuffle (the oracle replays codes and checksum exactly). ----
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    operators.Quantize.quantizeInt8(
+        Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")),
+        "embedding")
+      .select(col("vec_id"), size(col("codes")).cast("long").as("n_dims"),
+        col("vmin"), col("vmax"),
+        operators.Quantize.codeChecksum(col("codes")).as("code_checksum"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1014,6 +1025,7 @@ object SparkEntry {
     "q66_bloom_semi_join"  -> q66 _,
     "q67_k_anonymity"      -> q67 _,
     "q68_cms_freq"         -> q68 _,
+    "q69_quantize_int8"    -> q69 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1115,6 +1127,7 @@ object SparkEntry {
         |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag""".stripMargin,
     "q68_cms_freq"          -> OracleSqlGen.q68Sql(),
+    "q69_quantize_int8"     -> OracleSqlGen.q69Sql(),
     "q67_k_anonymity" ->
       """SELECT c_custkey, c_mktsegment, bal_band, group_size FROM (
         |  SELECT c_custkey, c_mktsegment,

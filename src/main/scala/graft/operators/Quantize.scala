@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.functions.PortableHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Int8 scalar quantization of embedding vectors — the 4× storage/bandwidth
+  * reduction step an ANN index applies before sharding a 100 TB embedding
+  * corpus (the IVF/LSH operators then score quantized codes and re-rank the
+  * short list at full precision).
+  *
+  * Per-vector min-max quantization: code = floor((x − vmin)·255 / (vmax −
+  * vmin)), clamped to 255; a constant vector (vmax == vmin) quantizes to
+  * all-zero codes. Everything is per-row array arithmetic over doubles
+  * (float→double widening is exact) with a fixed operation order, so an
+  * external engine replays the codes bit-identically — floor runs BEFORE
+  * the integer cast because DuckDB's double→BIGINT cast rounds where
+  * Spark's truncates, and an integral value casts identically in both.
+  */
+object Quantize {
+
+  /** Adds `vmin`, `vmax` (per-vector, double) and `codes` (array<long> of
+    * 0..255) for the float/double array column `vecCol`.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val vmin = array_min(v)
+    val vmax = array_max(v)
+    val codes = when(vmax > vmin,
+        transform(v, x =>
+          least(floor((x - vmin) * 255.0 / (vmax - vmin)).cast("long"), lit(255L))))
+      .otherwise(transform(v, _ => lit(0L)))
+    df.withColumn("vmin", vmin).withColumn("vmax", vmax)
+      .withColumn("codes", codes)
+  }
+
+  /** Reconstruction of a codes array back to doubles:
+    * vmin + code·(vmax − vmin) / 255.
+    */
+  def dequantizeInt8(codes: Column, vmin: Column, vmax: Column): Column =
+    transform(codes, c => vmin + c.cast("double") * (vmax - vmin) / 255.0)
+
+  /** Order-sensitive integer checksum of a codes array in the portable
+    * 60-bit domain (rotate-xor fold — no left shifts, no overflow, same
+    * value in any engine with the [[PortableHash]] SQL forms).
+    */
+  def codeChecksum(codes: Column): Column =
+    aggregate(codes, lit(0L), (acc, c) => PortableHash.rot60(acc, 5).bitwiseXOR(c))
+}
