@@ -955,6 +955,17 @@ object SparkEntry {
         col("vmin"), col("vmax"),
         operators.Quantize.codeChecksum(col("codes")).as("code_checksum"))
 
+  // ---- q70: inverted index — token → document frequency + capped sorted
+  //      posting list (CSV-joined for the gate; the operator returns the
+  //      real array). The cap is the scale guard: stop-word postings are
+  //      the whole corpus, so only row_number ≤ cap survivors reach the
+  //      list aggregation. ----
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    operators.InvertedIndex.postings(
+        Tables(s, dir).documents, "doc_id", "text", maxPostings = 10)
+      .select(col("token"), col("df"),
+        array_join(col("postings").cast("array<string>"), ",").as("postings_csv"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1026,6 +1037,7 @@ object SparkEntry {
     "q67_k_anonymity"      -> q67 _,
     "q68_cms_freq"         -> q68 _,
     "q69_quantize_int8"    -> q69 _,
+    "q70_inverted_index"   -> q70 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1128,6 +1140,23 @@ object SparkEntry {
         |GROUP BY l_returnflag""".stripMargin,
     "q68_cms_freq"          -> OracleSqlGen.q68Sql(),
     "q69_quantize_int8"     -> OracleSqlGen.q69Sql(),
+    "q70_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+        |    FROM documents)
+        |), dfx AS (
+        |  SELECT token, count(*) AS df FROM toks GROUP BY 1
+        |), ranked AS (
+        |  SELECT token, doc_id,
+        |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |  FROM toks
+        |), posts AS (
+        |  SELECT token,
+        |    array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings_csv
+        |  FROM ranked WHERE rn <= 10 GROUP BY token
+        |)
+        |SELECT token, df, postings_csv FROM dfx JOIN posts USING (token)""".stripMargin,
     "q67_k_anonymity" ->
       """SELECT c_custkey, c_mktsegment, bal_band, group_size FROM (
         |  SELECT c_custkey, c_mktsegment,

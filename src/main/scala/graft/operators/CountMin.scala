@@ -66,4 +66,13 @@ object CountMin {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
     probes.join(broadcast(est), Seq(tokenCol))
   }
+
+  /** Merge two sketches built with the SAME (depth, width, seed): CMS is
+    * linear, so the cell-wise sum equals the sketch of the concatenated
+    * corpora EXACTLY (pinned in CountMinSpec) — an ingest pipeline keeps
+    * one running sketch and merges each batch's, never rescanning.
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("j"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
 }

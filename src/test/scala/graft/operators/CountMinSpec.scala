@@ -76,6 +76,17 @@ class CountMinSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq(0L))
   }
 
+  test("merging batch sketches equals sketching the concatenated corpus") {
+    val (batchA, batchB) = tokens.splitAt(tokens.size / 3)
+    val merged = CountMin.merge(
+        CountMin.sketch(batchA.map(Tuple1(_)).toDF("token"), "token", 3, 32),
+        CountMin.sketch(batchB.map(Tuple1(_)).toDF("token"), "token", 3, 32))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = CountMin.sketch(tokens.map(Tuple1(_)).toDF("token"), "token", 3, 32)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
   test("the sketch is bounded by depth×width and conserves per-row mass") {
     val df = tokens.map(Tuple1(_)).toDF("token")
     val sk = CountMin.sketch(df, "token", 3, 8).collect()
