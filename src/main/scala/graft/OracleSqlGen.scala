@@ -738,4 +738,43 @@ object OracleSqlGen {
        |  list_reduce(list_prepend(0::BIGINT, codes),
        |    (acc, c) -> xor(${PortableHash.rot60Sql("acc", 5)}, c)) AS code_checksum
        |FROM q""".stripMargin
+
+  // ---- q71: BM25 — the identical fully-parenthesized arithmetic as
+  // operators.Bm25.topK, constants printed in exponent form, terms in
+  // the same sorted order, so the double scores are bit-identical.
+  def q71Sql(queryTerms: Seq[String] = Seq("merge", "stream", "window"),
+             topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): String = {
+    val terms = queryTerms.distinct.sorted
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ws, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n    ")
+    val dfCols = terms.indices.map { i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+    }.mkString(",\n    ")
+    val anyTf = terms.indices.map(i => s"tf_$i").mkString(" + ")
+    val score = terms.indices.map { i =>
+      s"(((n_docs - df_$i) + 5.0e-01) / (df_$i + 5.0e-01)) * " +
+        s"((CAST(tf_$i AS DOUBLE) * ${dbl(k1 + 1)}) / " +
+        s"(CAST(tf_$i AS DOUBLE) + ${dbl(k1)} * (${dbl(1 - b)} + " +
+        s"(${dbl(b)} * (dl / (CAST(total_dl AS DOUBLE) / n_docs))))))"
+    }.mkString("(", " + ", ")")
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+       |), per AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM base
+       |), agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS total_dl,
+       |    $dfCols
+       |  FROM per
+       |), scored AS (
+       |  SELECT doc_id, $score AS score
+       |  FROM per CROSS JOIN agg
+       |  WHERE $anyTf > 0
+       |)
+       |SELECT doc_id, score FROM scored
+       |ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
+  }
 }

@@ -966,6 +966,15 @@ object SparkEntry {
       .select(col("token"), col("df"),
         array_join(col("postings").cast("array<string>"), ",").as("postings_csv"))
 
+  // ---- q71: BM25 ranking for a fixed query — per-row tf over the
+  //      document's own tokens (the corpus is never exploded), one
+  //      broadcast stats row, fixed-order fully-parenthesized score
+  //      arithmetic (bit-exact in both engines; rational idf surrogate
+  //      documented in operators.Bm25), TakeOrdered top-10. ----
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    operators.Bm25.topK(Tables(s, dir).documents, "doc_id", "text",
+      queryTerms = Seq("merge", "stream", "window"), topK = 10)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1038,6 +1047,7 @@ object SparkEntry {
     "q68_cms_freq"         -> q68 _,
     "q69_quantize_int8"    -> q69 _,
     "q70_inverted_index"   -> q70 _,
+    "q71_bm25_topk"        -> q71 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1140,6 +1150,7 @@ object SparkEntry {
         |GROUP BY l_returnflag""".stripMargin,
     "q68_cms_freq"          -> OracleSqlGen.q68Sql(),
     "q69_quantize_int8"     -> OracleSqlGen.q69Sql(),
+    "q71_bm25_topk"         -> OracleSqlGen.q71Sql(),
     "q70_inverted_index" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, token FROM (
