@@ -777,4 +777,19 @@ object OracleSqlGen {
        |SELECT doc_id, score FROM scored
        |ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
   }
+
+  // ---- q72: batch replay of the streaming count-min sketch over the
+  // events table's event_type column — same constants, same cells.
+  def q72Sql(depth: Int = 4, width: Int = 64, seed: Long = 42L): String = {
+    val consts = PortableHash.permConstants(depth, seed)
+    val jb = consts.zipWithIndex.map { case ((r, c), j) =>
+      s"SELECT $j AS j, ${PortableHash.permuteSql("h", r, c)} % $width AS bucket FROM h"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH h AS (
+       |  SELECT ${PortableHash.hash60Sql("event_type")} AS h FROM events
+       |), jb AS (
+       |  $jb
+       |)
+       |SELECT j, bucket, count(*) AS cnt FROM jb GROUP BY 1, 2""".stripMargin
+  }
 }

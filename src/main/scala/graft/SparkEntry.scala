@@ -975,6 +975,25 @@ object SparkEntry {
     operators.Bm25.topK(Tables(s, dir).documents, "doc_id", "text",
       queryTerms = Seq("merge", "stream", "window"), topK = 10)
 
+  // ---- q72: STREAMING count-min sketch — the identical CountMin.sketch
+  //      operator code run on an unbounded source in complete mode: the
+  //      depth×width cells are the streaming state, BOUNDED regardless of
+  //      stream length (no watermark needed — the sketch never grows).
+  //      The DuckDB oracle replays the batch sketch over the same events,
+  //      so streaming/batch sketch parity is the hash check itself. ----
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.readEventsStream(s, dir)
+      .select(col("event_type").as("token"))
+    val sk = operators.CountMin.sketch(ev, "token", depth = 4, width = 64)
+    val name = s"graft_stream_cms_${streamSeq.incrementAndGet()}"
+    val q = withShufflePartitions(s, 8) {
+      sk.writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.table(name).select(col("j"), col("bucket"), col("cnt"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1048,6 +1067,7 @@ object SparkEntry {
     "q69_quantize_int8"    -> q69 _,
     "q70_inverted_index"   -> q70 _,
     "q71_bm25_topk"        -> q71 _,
+    "q72_stream_cms"       -> q72 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1151,6 +1171,7 @@ object SparkEntry {
     "q68_cms_freq"          -> OracleSqlGen.q68Sql(),
     "q69_quantize_int8"     -> OracleSqlGen.q69Sql(),
     "q71_bm25_topk"         -> OracleSqlGen.q71Sql(),
+    "q72_stream_cms"        -> OracleSqlGen.q72Sql(),
     "q70_inverted_index" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, token FROM (
