@@ -994,6 +994,17 @@ object SparkEntry {
     s.table(name).select(col("j"), col("bucket"), col("cnt"))
   }
 
+  // ---- q73: Z-order (Morton) values — the multi-dimensional layout key
+  //      a lakehouse writer clusters on so scans filtered on EITHER key
+  //      skip most files (locality quantified in ZOrderSpec); pure
+  //      per-row bit arithmetic, no left shifts (oracle replays it). ----
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem.select(
+      col("l_orderkey"), col("l_linenumber"),
+      ops.ZOrder.zValue(Seq(
+        pmod(col("l_partkey"), lit(1024)),
+        pmod(col("l_suppkey"), lit(1024))), bits = 10).as("zval"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1068,6 +1079,7 @@ object SparkEntry {
     "q70_inverted_index"   -> q70 _,
     "q71_bm25_topk"        -> q71 _,
     "q72_stream_cms"       -> q72 _,
+    "q73_zorder"           -> q73 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1172,6 +1184,10 @@ object SparkEntry {
     "q69_quantize_int8"     -> OracleSqlGen.q69Sql(),
     "q71_bm25_topk"         -> OracleSqlGen.q71Sql(),
     "q72_stream_cms"        -> OracleSqlGen.q72Sql(),
+    "q73_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${ops.ZOrder.zValueSql(Seq("l_partkey % 1024", "l_suppkey % 1024"), 10)} AS zval
+         |FROM lineitem""".stripMargin,
     "q70_inverted_index" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, token FROM (
