@@ -1005,6 +1005,16 @@ object SparkEntry {
         pmod(col("l_partkey"), lit(1024)),
         pmod(col("l_suppkey"), lit(1024))), bits = 10).as("zval"))
 
+  // ---- q74: HyperLogLog registers over the corpus's distinct tokens —
+  //      the integer register table IS the distributed artifact (≤ 2^p
+  //      rows cross the exchange); the float estimate is a driver-side
+  //      fold, accuracy pinned in HyperLogLogSpec. ----
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    operators.HyperLogLog.registers(
+      Tables(s, dir).documents
+        .select(explode(TextFunctions.tokens(col("text"))).as("token")),
+      "token", p = 6)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1080,6 +1090,7 @@ object SparkEntry {
     "q71_bm25_topk"        -> q71 _,
     "q72_stream_cms"       -> q72 _,
     "q73_zorder"           -> q73 _,
+    "q74_hll_registers"    -> q74 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1188,6 +1199,9 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber,
          |  ${ops.ZOrder.zValueSql(Seq("l_partkey % 1024", "l_suppkey % 1024"), 10)} AS zval
          |FROM lineitem""".stripMargin,
+    "q74_hll_registers" -> operators.HyperLogLog.registersSql(
+      "token", p = 6,
+      from = "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents)"),
     "q70_inverted_index" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, token FROM (

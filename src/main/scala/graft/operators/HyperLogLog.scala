@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.{IntOps, PortableHash}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog distinct-count sketching (Flajolet et al. 2007) over the
+  * portable 60-bit hash family: 2^p registers, each holding the maximum
+  * "rank" (leading-zero count + 1 of the hash suffix) seen — a
+  * fixed-size distinct-count summary of an unbounded stream.
+  *
+  * The REGISTER TABLE is the operator's output: all-integer state, built
+  * with one map-side-combined `groupBy(register).max(rank)` whose
+  * exchange carries at most 2^p rows per task — and, being integers from
+  * the portable family, replayed bit-identically by the DuckDB oracle
+  * (the rank uses `length(bin(x))` for bit-length, which both engines
+  * define identically on positives). The floating-point cardinality
+  * ESTIMATE is a driver-side fold over ≤ 2^p registers
+  * ([[estimateFromRegisters]]) — deliberately not a column expression,
+  * so no cross-engine float comparison is needed.
+  *
+  * Merging sketches of two corpora = per-register max ([[merge]]) —
+  * like the count-min merge, an ingest pipeline never rescans.
+  */
+object HyperLogLog {
+
+  /** Rank of a 60-bit hash under precision p: leading zeros of the
+    * (60−p)-bit suffix, plus one. Suffix 0 (all zeros) gets the maximum
+    * rank 61−p.
+    */
+  private def rankOf(h: Column, p: Int): Column = {
+    val s = IntOps.intDiv(h, lit(1L << p))
+    when(s === 0, lit(61 - p))
+      .otherwise(lit(60 - p) - length(bin(s)) + 1)
+  }
+
+  /** Register table (register, max_rank) for the values of `keyCol`;
+    * at most 2^p rows (only observed registers appear).
+    */
+  def registers(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+    require(p >= 2 && p <= 30, s"p out of range: $p")
+    val h = PortableHash.hash60(col(keyCol).cast("string"))
+    df.select((h % lit(1L << p)).as("register"),
+        // long, matching SQL engines where length() is BIGINT
+        rankOf(h, p).cast("long").as("rank"))
+      .groupBy(col("register"))
+      .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** SQL (DuckDB) replay of [[registers]] for expression `e`. */
+  def registersSql(e: String, p: Int, from: String): String = {
+    val m = 1L << p
+    s"""SELECT register, max(rank) AS max_rank FROM (
+       |  SELECT h % $m AS register,
+       |    CASE WHEN h // $m = 0 THEN ${61 - p}
+       |         ELSE ${60 - p} - length(bin(h // $m)) + 1 END AS rank
+       |  FROM (SELECT ${PortableHash.hash60Sql(e)} AS h FROM $from)
+       |) GROUP BY register""".stripMargin
+  }
+
+  /** HLL merge: the union's sketch is the per-register max. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("register"))
+      .agg(max(col("max_rank")).as("max_rank"))
+
+  /** Driver-side cardinality estimate from a collected register table:
+    * the standard HLL raw estimate with the small-range (linear
+    * counting) correction. Plain Scala — the distributed artifact is the
+    * integer register table, not this float.
+    */
+  def estimateFromRegisters(regs: Seq[(Long, Long)], p: Int): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    val byReg = regs.toMap
+    val sum = (0 until m).map(r =>
+      math.pow(2.0, -byReg.getOrElse(r.toLong, 0L).toDouble)).sum
+    val raw = alpha * m * m / sum
+    val zeros = m - regs.count(_._2 > 0)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+}
