@@ -1015,6 +1015,29 @@ object SparkEntry {
         .select(explode(TextFunctions.tokens(col("text"))).as("token")),
       "token", p = 6)
 
+  // ---- q75: interval OVERLAP join via bucketing — open-order windows vs
+  //      finished-order windows (deterministic synthetic spans from the
+  //      orders table), each pair emitted exactly once through the
+  //      first-overlap-bucket ownership rule; never a BNLJ cartesian. ----
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders
+    def iv(status: String, p: String) = {
+      val start = datediff(to_date(col("o_orderdate")),
+        to_date(lit("1970-01-01"))).cast("long")
+      o.filter(col("o_orderstatus") === status).select(
+        col("o_orderkey").as(s"${p}key"),
+        col("o_orderpriority").as(s"${p}prio"),
+        start.as(s"${p}s"),
+        (start + pmod(col("o_orderkey"), lit(20)) + 1).as(s"${p}e"))
+    }
+    ops.RangeJoin.bucketedOverlap(
+        iv("O", "a"), col("as"), col("ae"),
+        iv("F", "b"), col("bs"), col("be"), bucketWidth = 16)
+      .groupBy(col("aprio"), col("bprio"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("akey")).as("sum_akey"), sum(col("bkey")).as("sum_bkey"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1091,6 +1114,7 @@ object SparkEntry {
     "q72_stream_cms"       -> q72 _,
     "q73_zorder"           -> q73 _,
     "q74_hll_registers"    -> q74 _,
+    "q75_overlap_join"     -> q75 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1202,6 +1226,27 @@ object SparkEntry {
     "q74_hll_registers" -> operators.HyperLogLog.registersSql(
       "token", p = 6,
       from = "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents)"),
+    // q75: the bucket decomposition is semantics-preserving, so the oracle
+    // is the plain non-equi overlap join (DuckDB plans it as an IEJoin).
+    "q75_overlap_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS akey, o_orderpriority AS aprio,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      + (o_orderkey % 20) + 1 AS e
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |), b AS (
+        |  SELECT o_orderkey AS bkey, o_orderpriority AS bprio,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      + (o_orderkey % 20) + 1 AS e
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |)
+        |SELECT aprio, bprio, count(*) AS n_pairs,
+        |  CAST(sum(akey) AS BIGINT) AS sum_akey,
+        |  CAST(sum(bkey) AS BIGINT) AS sum_bkey
+        |FROM a JOIN b ON a.s < b.e AND b.s < a.e
+        |GROUP BY aprio, bprio""".stripMargin,
     "q70_inverted_index" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, token FROM (

@@ -29,22 +29,27 @@ import org.apache.spark.sql.functions._
   *                    interval span so intervals explode into O(1) buckets
   */
 object RangeJoin {
+
+  /** Floor-division bucket of an integral value (round toward -inf for
+    * negative epochs): a double round-trip would lose precision past 2^53
+    * and silently drop matches for nanosecond-scale encodings. `Column./`
+    * is double division, so the exact quotient goes through Catalyst's
+    * IntegralDivide (`div`).
+    */
+  private def bucketOfW(c: Column, w: Column): Column = {
+    val v = c.cast("long")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.expression(v - pmod(v, w)),
+        org.apache.spark.sql.GraftColumnBridge.expression(w)))
+  }
+
   def bucketedContainment(probe: DataFrame, probeTime: Column,
                           intervals: DataFrame, startCol: Column, endCol: Column,
                           bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val w = lit(bucketWidth)
-    // Pure-integer floor division (round toward -inf for negative epochs):
-    // a double round-trip would lose precision past 2^53 and silently drop
-    // matches for nanosecond-scale encodings. `Column./` is double division,
-    // so the exact quotient goes through Catalyst's IntegralDivide (`div`).
-    def bucketOf(c: Column): Column = {
-      val v = c.cast("long")
-      org.apache.spark.sql.GraftColumnBridge.column(
-        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          org.apache.spark.sql.GraftColumnBridge.expression(v - pmod(v, w)),
-          org.apache.spark.sql.GraftColumnBridge.expression(w)))
-    }
+    def bucketOf(c: Column): Column = bucketOfW(c, w)
     val iv = intervals
       .withColumn("__start", startCol.cast("long"))
       .withColumn("__end", endCol.cast("long"))
@@ -57,5 +62,35 @@ object RangeJoin {
     p.join(iv, Seq("__bucket"))
       .filter(col("__t") >= col("__start") && col("__t") < col("__end"))
       .drop("__bucket", "__t", "__start", "__end")
+  }
+
+  /** Interval×interval OVERLAP join (half-open: a.s < b.e AND b.s < a.e)
+    * by the same fixed-width bucketing: both sides explode onto their
+    * covered buckets and equi-join per bucket. A pair sharing several
+    * buckets is emitted EXACTLY once without any distinct/shuffle-dedup:
+    * the pair is kept only in the bucket containing max(a.start, b.start)
+    * — the overlap's first instant, which both intervals provably cover.
+    * Cost is O(|a|·spanA/w + |b|·spanB/w + matched pairs) through an
+    * ordinary shuffled hash join — never the BNLJ cartesian the raw
+    * non-equi condition plans.
+    */
+  def bucketedOverlap(a: DataFrame, aStart: Column, aEnd: Column,
+                      b: DataFrame, bStart: Column, bEnd: Column,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    def side(df: DataFrame, s: Column, e: Column, p: String): DataFrame =
+      df.withColumn(s"__${p}s", s.cast("long"))
+        .withColumn(s"__${p}e", e.cast("long"))
+        .filter(col(s"__${p}e") > col(s"__${p}s"))
+        .withColumn("__bucket", explode(
+          sequence(bucketOfW(col(s"__${p}s"), w), bucketOfW(col(s"__${p}e") - 1, w))))
+    val ea = side(a, aStart, aEnd, "a")
+    val eb = side(b, bStart, bEnd, "b")
+    ea.join(eb, Seq("__bucket"))
+      .filter(col("__as") < col("__be") && col("__bs") < col("__ae"))
+      .filter(col("__bucket") ===
+        bucketOfW(greatest(col("__as"), col("__bs")), w))
+      .drop("__bucket", "__as", "__ae", "__bs", "__be")
   }
 }

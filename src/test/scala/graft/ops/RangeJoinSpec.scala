@@ -46,4 +46,28 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
       .select(col("pid"), col("ivid")).collect()
     assert(got.length == 1)
   }
+
+  test("bucketedOverlap equals the naive overlap join, each pair exactly once") {
+    val a = Seq(("a1", 0L, 10L), ("a2", 5L, 6L), ("a3", -7L, -2L),
+        ("a4", 90L, 200L), ("a5", 3L, 3L)) // empty: matches nothing
+      .toDF("aid", "as", "ae")
+    val b = Seq(("b1", 9L, 12L), ("b2", -3L, 4L), ("b3", 100L, 101L),
+        ("b4", 5L, 6L), ("b5", 300L, 400L)) // disjoint from everything
+      .toDF("bid", "bs", "be")
+    // The bare predicate s1<e2 AND s2<e1 assumes non-empty intervals; an
+    // empty [s,s) is the empty set and must match nothing, so the naive
+    // reference carries the same non-emptiness guard the operator applies.
+    val expected = a.filter(col("ae") > col("as"))
+      .join(b.filter(col("be") > col("bs")),
+        col("as") < col("be") && col("bs") < col("ae"))
+      .select(col("aid"), col("bid")).as[(String, String)].collect().toSet
+    assert(expected.nonEmpty)
+    for (w <- Seq(1L, 4L, 16L, 1000L)) {
+      val got = RangeJoin.bucketedOverlap(a, col("as"), col("ae"),
+          b, col("bs"), col("be"), bucketWidth = w)
+        .select(col("aid"), col("bid")).as[(String, String)].collect().toSeq
+      assert(got.toSet == expected, s"width=$w")
+      assert(got.size == got.toSet.size, s"width=$w produced duplicate pairs")
+    }
+  }
 }
