@@ -1038,6 +1038,15 @@ object SparkEntry {
         sum(col("akey")).as("sum_akey"), sum(col("bkey")).as("sum_bkey"))
   }
 
+  // ---- q76: per-user EWMA of event values — an order-sensitive float
+  //      fold with the accumulation order fixed by (micros, event_id)
+  //      sort, so the oracle's ordered list_reduce replays it
+  //      bit-identically (α = 0.25, exactly representable). ----
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    ops.TimeSeries.ewmaLast(Tables(s, dir).events, "user_id",
+      orderCol = col("ts"), tieCol = col("event_id"),
+      valueCol = "value", alpha = 0.25)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1115,6 +1124,7 @@ object SparkEntry {
     "q73_zorder"           -> q73 _,
     "q74_hll_registers"    -> q74 _,
     "q75_overlap_join"     -> q75 _,
+    "q76_ewma"             -> q76 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1247,6 +1257,14 @@ object SparkEntry {
         |  CAST(sum(bkey) AS BIGINT) AS sum_bkey
         |FROM a JOIN b ON a.s < b.e AND b.s < a.e
         |GROUP BY aprio, bprio""".stripMargin,
+    // q76: ordered list_reduce = the same seeded left fold; ordering by
+    // micros (epoch_ns // 1000) matches Spark's nanos→micros truncation.
+    "q76_ewma" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  list_reduce(
+        |    list(value ORDER BY epoch_ns(ts) // 1000, event_id),
+        |    (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+        |FROM events GROUP BY user_id""".stripMargin,
     "q70_inverted_index" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, token FROM (
