@@ -70,9 +70,19 @@ object RangeJoin {
     * buckets is emitted EXACTLY once without any distinct/shuffle-dedup:
     * the pair is kept only in the bucket containing max(a.start, b.start)
     * — the overlap's first instant, which both intervals provably cover.
-    * Cost is O(|a|·spanA/w + |b|·spanB/w + matched pairs) through an
-    * ordinary shuffled hash join — never the BNLJ cartesian the raw
+    * An ordinary shuffled hash join — never the BNLJ cartesian the raw
     * non-equi condition plans.
+    *
+    * Cost model: each bucket is a local cross product, so candidates ≈
+    * Σ_buckets |a_b|·|b_b| ≈ densityA·densityB·width per bucket-interval
+    * of time — roughly (1 + width/medianSpan)× the true pair count. Pick
+    * `bucketWidth` near the median span; on dense data the join is
+    * CANDIDATE-bound, not shuffle-bound (measured at sf0.1: ~100 M bucket
+    * candidates for 20.6 M real pairs at width 16 — ~5× excess; a
+    * single-node sort-based IEJoin examines less, and a partition-local
+    * dual-sorted merge scan is the known next step if this op ever tops a
+    * profile). At any width the answer is identical (RangeJoinSpec pins
+    * widths 1/4/16/1000).
     */
   def bucketedOverlap(a: DataFrame, aStart: Column, aEnd: Column,
                       b: DataFrame, bStart: Column, bEnd: Column,

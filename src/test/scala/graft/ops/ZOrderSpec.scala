@@ -41,13 +41,11 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     val lexArea = partitionArea(
       pts.repartitionByRange(16, col("x"), col("y"))
         .sortWithinPartitions(col("x"), col("y")))
-    // 16 z-partitions of a 32×32 grid ≈ 16 aligned 8×8 tiles (area sum
-    // ≈ 1024); a lexicographic sort gives 16 full-height stripes
-    // (area sum ≈ 32×32×... each stripe spans all of y: 2×32 × 16 = 1024?
-    // no: stripes of width 2 spanning y=0..31 → area 2*32=64 each, sum
-    // 1024 as well — BUT pruning on y alone sees every stripe. The
-    // discriminating metric is the y-range: every lex partition spans the
-    // full y domain; z partitions don't.
+    // Bounding-box AREA alone can't separate the layouts (16 aligned 8×8
+    // z-tiles and 16 width-2 full-height lex stripes both sum to 1024 on
+    // a 32×32 grid); the discriminating metric is the second dimension's
+    // per-partition RANGE — a scan filtered on y alone must read every
+    // lex stripe, but skips most z-tiles.
     val yRanges = (df: org.apache.spark.sql.DataFrame) =>
       df.withColumn("pid", spark_partition_id())
         .groupBy("pid").agg((max("y") - min("y") + 1).as("yr"))
