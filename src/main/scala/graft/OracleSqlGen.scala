@@ -778,6 +778,26 @@ object OracleSqlGen {
        |ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
   }
 
+  // ---- q77: dedup resolution — the q22 candidate pipeline (verbatim, as
+  // a nested-WITH CTE), thresholded, symmetrized, transitively closed by
+  // a recursive CTE; component = min over self and everything reachable.
+  def q77Sql(threshold: Double = 0.5): String = {
+    val cand = q22Sql().linesIterator.map("  " + _).mkString("\n")
+    s"""WITH RECURSIVE cand AS (
+       |$cand
+       |), edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM cand WHERE est_jaccard >= ${dbl(threshold)}
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM cand WHERE est_jaccard >= ${dbl(threshold)}
+       |), reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |)
+       |SELECT u AS doc_id, least(u, min(v)) AS component
+       |FROM reach GROUP BY u""".stripMargin
+  }
+
   // ---- q72: batch replay of the streaming count-min sketch over the
   // events table's event_type column — same constants, same cells.
   def q72Sql(depth: Int = 4, width: Int = 64, seed: Long = 42L): String = {

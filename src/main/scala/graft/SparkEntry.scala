@@ -1047,6 +1047,20 @@ object SparkEntry {
       orderCol = col("ts"), tieCol = col("event_id"),
       valueCol = "value", alpha = 0.25)
 
+  // ---- q77: dedup RESOLUTION — LSH candidate pairs (portable family,
+  //      est_jaccard ≥ 0.5) resolved into duplicate clusters by
+  //      min-label connected components; every clustered document maps
+  //      to its canonical (minimum) id. The oracle recomputes the same
+  //      pairs and closes them with a recursive CTE. ----
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashCandidatesPortable(
+        Tables(s, dir).documents, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+    operators.ConnectedComponents.components(
+        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .select(col("node").as("doc_id"), col("component"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1125,6 +1139,7 @@ object SparkEntry {
     "q74_hll_registers"    -> q74 _,
     "q75_overlap_join"     -> q75 _,
     "q76_ewma"             -> q76 _,
+    "q77_dedup_resolve"    -> q77 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1229,6 +1244,7 @@ object SparkEntry {
     "q69_quantize_int8"     -> OracleSqlGen.q69Sql(),
     "q71_bm25_topk"         -> OracleSqlGen.q71Sql(),
     "q72_stream_cms"        -> OracleSqlGen.q72Sql(),
+    "q77_dedup_resolve"     -> OracleSqlGen.q77Sql(),
     "q73_zorder" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  ${ops.ZOrder.zValueSql(Seq("l_partkey % 1024", "l_suppkey % 1024"), 10)} AS zval
