@@ -1061,6 +1061,15 @@ object SparkEntry {
       .select(col("node").as("doc_id"), col("component"))
   }
 
+  // ---- q78: SCD type-2 dimension versioning — each customer's order
+  //      priority timeline becomes [valid_from, valid_to) versions,
+  //      consecutive duplicates collapsed; one key shuffle, both windows
+  //      share the same sort (pinned in ScdSpec). ----
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    ops.Scd.fromChangeLog(Tables(s, dir).orders,
+        keyCols = Seq("o_custkey"), orderCol = col("o_orderdate"),
+        tieCol = col("o_orderkey"), valueCols = Seq("o_orderpriority"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1140,6 +1149,7 @@ object SparkEntry {
     "q75_overlap_join"     -> q75 _,
     "q76_ewma"             -> q76 _,
     "q77_dedup_resolve"    -> q77 _,
+    "q78_scd2"             -> q78 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1245,6 +1255,24 @@ object SparkEntry {
     "q71_bm25_topk"         -> OracleSqlGen.q71Sql(),
     "q72_stream_cms"        -> OracleSqlGen.q72Sql(),
     "q77_dedup_resolve"     -> OracleSqlGen.q77Sql(),
+    // q78: same opener rule — first row per key (prev tiebreak NULL) or a
+    // null-safe value change — then lead over the openers only.
+    "q78_scd2" ->
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev_tie,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev_val
+        |  FROM orders
+        |), openers AS (
+        |  SELECT * FROM ordered
+        |  WHERE prev_tie IS NULL OR prev_val IS DISTINCT FROM o_orderpriority
+        |)
+        |SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |FROM openers""".stripMargin,
     "q73_zorder" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  ${ops.ZOrder.zValueSql(Seq("l_partkey % 1024", "l_suppkey % 1024"), 10)} AS zval
