@@ -1070,6 +1070,29 @@ object SparkEntry {
         keyCols = Seq("o_custkey"), orderCol = col("o_orderdate"),
         tieCol = col("o_orderkey"), valueCols = Seq("o_orderpriority"))
 
+  // ---- q79: cube with grouping_id — all four aggregation levels in one
+  //      pass (the rollup sibling, q34); Spark expands the grouping sets
+  //      before the shuffle so it stays one map-side-combined agg. ----
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"))
+
+  // ---- q80: boolean conjunctive retrieval — documents containing ALL
+  //      query terms, decided per row from the document's own token
+  //      array: zero shuffle, the boolean counterpart of q71's ranked
+  //      retrieval. ----
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("merge", "stream", "window", "scan")
+    Tables(s, dir).documents
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__ts"))
+      .filter(terms.map(t => array_contains(col("__ts"), t)).reduce(_ && _))
+      .select(col("doc_id"), size(col("__ts")).cast("long").as("n_tokens"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1150,6 +1173,8 @@ object SparkEntry {
     "q76_ewma"             -> q76 _,
     "q77_dedup_resolve"    -> q77 _,
     "q78_scd2"             -> q78 _,
+    "q79_cube"             -> q79 _,
+    "q80_bool_retrieval"   -> q80 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1273,6 +1298,20 @@ object SparkEntry {
         |  lead(o_orderdate) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey) AS valid_to
         |FROM openers""".stripMargin,
+    "q79_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | count(*) AS n_rows,
+        | sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q80_bool_retrieval" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |FROM documents
+        |WHERE list_contains(regexp_extract_all(text, '\S+'), 'merge')
+        |  AND list_contains(regexp_extract_all(text, '\S+'), 'stream')
+        |  AND list_contains(regexp_extract_all(text, '\S+'), 'window')
+        |  AND list_contains(regexp_extract_all(text, '\S+'), 'scan')""".stripMargin,
     "q73_zorder" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  ${ops.ZOrder.zValueSql(Seq("l_partkey % 1024", "l_suppkey % 1024"), 10)} AS zval
