@@ -1081,6 +1081,28 @@ object SparkEntry {
         count(lit(1)).as("n_rows"),
         sum(col("l_quantity")).as("sum_qty"))
 
+  // ---- q81: point-in-time (temporal) join — every shipped line picks up
+  //      the priority its customer's orders carried AT SHIP TIME: an
+  //      end-of-date snapshot dim (arg-max by orderkey, so equal-date
+  //      versions are unambiguous) as-of-joined backward on shipdate.
+  //      One key shuffle via AsofJoin's union+window formulation. ----
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val dim = t.orders
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(struct(col("o_orderkey"), col("o_orderpriority")))
+        .getField("o_orderpriority").as("prio_at_ship"))
+      .withColumnRenamed("o_orderdate", "ship_ts")
+    val facts = t.lineitem
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("l_shipdate").as("ship_ts"))
+    ops.AsofJoin.backward(facts, dim, Seq("o_custkey"), "ship_ts",
+        Seq("prio_at_ship"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("prio_at_ship"))
+  }
+
   // ---- q80: boolean conjunctive retrieval — documents containing ALL
   //      query terms, decided per row from the document's own token
   //      array: zero shuffle, the boolean counterpart of q71's ranked
@@ -1175,6 +1197,7 @@ object SparkEntry {
     "q78_scd2"             -> q78 _,
     "q79_cube"             -> q79 _,
     "q80_bool_retrieval"   -> q80 _,
+    "q81_temporal_join"    -> q81 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1312,6 +1335,20 @@ object SparkEntry {
         |  AND list_contains(regexp_extract_all(text, '\S+'), 'stream')
         |  AND list_contains(regexp_extract_all(text, '\S+'), 'window')
         |  AND list_contains(regexp_extract_all(text, '\S+'), 'scan')""".stripMargin,
+    "q81_temporal_join" ->
+      """WITH dim AS (
+        |  SELECT o_custkey, o_orderdate AS ship_ts,
+        |    arg_max(o_orderpriority, o_orderkey) AS prio_at_ship
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |), facts AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+        |    l.l_shipdate AS ship_ts
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |)
+        |SELECT f.l_orderkey, f.l_linenumber, d.prio_at_ship
+        |FROM facts f
+        |ASOF LEFT JOIN dim d
+        |ON f.o_custkey = d.o_custkey AND f.ship_ts >= d.ship_ts""".stripMargin,
     "q73_zorder" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  ${ops.ZOrder.zValueSql(Seq("l_partkey % 1024", "l_suppkey % 1024"), 10)} AS zval
