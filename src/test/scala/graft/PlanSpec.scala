@@ -93,4 +93,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "the 1-row corpus count must broadcast, not shuffle: " + p.take(1200))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q64/q69/q73/q80: per-row operators (chunk/quantize/zorder/retrieval) never shuffle") {
+    for (q <- Seq("q64_chunk_tokens", "q69_quantize_int8", "q73_zorder",
+        "q80_bool_retrieval")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must be scan+project only:\n" + p.take(800))
+    }
+  }
+
+  test("q68: the count-min sketch build combines map-side before its sketch-sized exchange") {
+    val p = plan("q68_cms_freq")
+    assert(p.contains("partial_count"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q66: the Bloom pre-filter sits on the probe scan before any join") {
+    val p = plan("q66_bloom_semi_join")
+    assert(p.contains("might_contain"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
