@@ -66,7 +66,15 @@ object Bench {
     // untouched queries by seconds under sandbox load that isolated re-runs
     // couldn't reproduce — a run whose loadavg dwarfs the worker count
     // should be read as contended, not as a code regression.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The gate artifact was truncated by log-tail capture in round 6 (lost
+    // q01–q16 + loadavg fields) — also persist the line to a file so the
+    // committed artifact is complete regardless of stdout capture.
+    try {
+      val w = new java.io.PrintWriter("bench_last.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -30,6 +30,14 @@ object Bm25 {
     * above the limit makes Catalyst plan a full global sort instead of
     * `TakeOrderedAndProject` — the limit IS the terminal operator so the
     * top-k stays a per-partition heap + k-row merge.
+    *
+    * RANKING CAVEAT (see the object scaladoc's determinism note): the
+    * rational idf surrogate is monotone in the classic log-idf PER TERM,
+    * but the SUM over several terms is not rank-equivalent to canonical
+    * BM25 — a multi-term query can order its top-k differently than
+    * Robertson's formula would. Use this form where cross-engine replay
+    * matters; callers needing canonical BM25 ordering should wrap each
+    * term's idf in `log(...)` (at the cost of ULP drift across engines).
     */
   def topK(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], topK: Int,

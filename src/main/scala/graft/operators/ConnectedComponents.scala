@@ -58,6 +58,12 @@ object ConnectedComponents {
         .select(col("node"),
           least(col("l1"), coalesce(col("j_label"), col("l1"))).as("label"),
           (least(col("l1"), coalesce(col("j_label"), col("l1"))) < col("l0")).as("changed"))
+      // Accumulator updated inside a TRANSFORMATION: task retries or
+      // speculative execution can over-count changed labels. That is
+      // benign here by direction — over-counting only schedules an extra
+      // (idempotent) round; it can never report 0 while labels are still
+      // moving, because a task that observed a change contributes ≥ 1 on
+      // every (re)run and an unchanged round adds nothing on any run.
       val acc = spark.sparkContext.longAccumulator("cc-changed")
       val rdd = next.rdd.map { r => if (r.getBoolean(2)) acc.add(1L); r }
       rdd.cache()

@@ -21,11 +21,20 @@ object Quantize {
 
   /** Adds `vmin`, `vmax` (per-vector, double) and `codes` (array<long> of
     * 0..255) for the float/double array column `vecCol`.
+    *
+    * Non-finite elements (NaN/±Inf) quantize the whole vector to all-zero
+    * codes with null vmin/vmax, the same degenerate bucket as a constant
+    * vector: without the guard a single NaN makes vmax NaN, Spark casts
+    * the NaN code to 0 while DuckDB's CAST(NaN AS BIGINT) ERRORS — so a
+    * poisoned corpus would crash a replaying engine instead of diverging
+    * visibly. (The multimodal poison-row contract, applied to floats.)
     */
   def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
-    val vmin = array_min(v)
-    val vmax = array_max(v)
+    val finite = forall(v, x =>
+      !isnan(x) && x > lit(Double.NegativeInfinity) && x < lit(Double.PositiveInfinity))
+    val vmin = when(finite, array_min(v))
+    val vmax = when(finite, array_max(v))
     val codes = when(vmax > vmin,
         transform(v, x =>
           least(floor((x - vmin) * 255.0 / (vmax - vmin)).cast("long"), lit(255L))))

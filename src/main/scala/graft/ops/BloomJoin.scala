@@ -36,6 +36,21 @@ object BloomJoin {
                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0 && fpp < 1, "fpp must be in (0,1)")
+    // Enforce the integral-key contract loudly: stat.bloomFilter inserts
+    // string keys via putBinary, while the probe below checks the LONG
+    // domain (mightContainLong) — a string build key would silently drop
+    // (nearly) every probe row instead of erroring.
+    def integral(df: DataFrame, name: String): Boolean = {
+      import org.apache.spark.sql.types._
+      df.schema(name).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    require(integral(build, buildKey) && integral(probe, probeKey),
+      s"bloomSemiJoin requires integral key columns; got " +
+        s"$buildKey: ${build.schema(buildKey).dataType.simpleString}, " +
+        s"$probeKey: ${probe.schema(probeKey).dataType.simpleString}")
     val bf = build.stat.bloomFilter(buildKey, expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)

@@ -58,7 +58,14 @@ object PrefixSum {
     val offDf = offsets.toDF("__pid", "__offset")
     // Within-partition exclusive running total: the window repartitions by
     // __pid, so each (equal-sized) range partition is one window group —
-    // never a single global task.
+    // never a single global task. Honest cost note: Catalyst cannot prove
+    // the existing RangePartitioning satisfies partitionBy(__pid), so this
+    // window inserts a SECOND full-data hash exchange (+ re-sort) after the
+    // range shuffle — the data is shuffled twice. Both shuffles are
+    // balanced (no SinglePartition stage, which is what the spec pins); if
+    // prefix sums ever top a profile, replace this window with a
+    // mapPartitions running total over the persisted range-partitioned
+    // frame to drop the second exchange.
     val w = Window.partitionBy(col("__pid"))
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)

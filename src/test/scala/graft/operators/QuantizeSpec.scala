@@ -48,6 +48,25 @@ class QuantizeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("non-finite vectors take the degenerate bucket: null bounds, zero codes") {
+    // Without the guard, one NaN poisons vmax; Spark casts the NaN code to
+    // 0 while DuckDB's CAST(NaN AS BIGINT) errors — a replaying oracle
+    // would crash instead of diverging visibly.
+    val poisoned = Seq(
+      (1L, Seq(0.0f, Float.NaN, 1.0f)),
+      (2L, Seq(Float.PositiveInfinity, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)),             // control: finite row unaffected
+    ).toDF("vec_id", "embedding")
+    val q = Quantize.quantizeInt8(poisoned, "embedding")
+      .select(col("vec_id"), col("vmin"), col("vmax"), col("codes"))
+      .as[(Long, Option[Double], Option[Double], Seq[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(q(1L)._2.isEmpty && q(1L)._3.isEmpty && q(1L)._4 == Seq(0L, 0L, 0L))
+    assert(q(2L)._2.isEmpty && q(2L)._3.isEmpty && q(2L)._4 == Seq(0L, 0L))
+    assert(q(3L)._2.contains(0.0) && q(3L)._3.contains(1.0) &&
+      q(3L)._4 == Seq(0L, 255L))
+  }
+
   test("codeChecksum is order-sensitive") {
     val df = Seq(
       (1L, Seq(1L, 2L, 3L)),

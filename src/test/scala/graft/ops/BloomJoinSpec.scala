@@ -43,6 +43,18 @@ class BloomJoinSpec extends AnyFunSuite with SparkSpec {
       s"filter should sit below the join in the plan tree:\n$plan")
   }
 
+  test("string keys fail loudly instead of silently dropping rows") {
+    // stat.bloomFilter would insert strings via putBinary while the probe
+    // checks the long domain — the contract violation must error, not
+    // return a near-empty "exact" result.
+    val sProbe = Seq(("3", "a")).toDF("k", "payload")
+    val sBuild = Seq(Tuple1("3")).toDF("bk")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.bloomSemiJoin(sProbe, sBuild, "k", "bk", expectedItems = 10)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("null probe keys are dropped (same as the semi join's null semantics)") {
     val p = Seq((Some(3L), "a"), (None, "b")).toDF("k", "payload")
     val got = BloomJoin.bloomSemiJoin(p, build, "k", "bk",
