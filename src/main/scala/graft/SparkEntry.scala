@@ -1015,10 +1015,12 @@ object SparkEntry {
         .select(explode(TextFunctions.tokens(col("text"))).as("token")),
       "token", p = 6)
 
-  // ---- q75: interval OVERLAP join via bucketing — open-order windows vs
-  //      finished-order windows (deterministic synthetic spans from the
-  //      orders table), each pair emitted exactly once through the
-  //      first-overlap-bucket ownership rule; never a BNLJ cartesian. ----
+  // ---- q75: interval OVERLAP join — open-order windows vs finished-order
+  //      windows (deterministic synthetic spans from the orders table) via
+  //      the partition-local dual-sorted merge sweep: one co-partitioning
+  //      exchange, pairs examined ≈ pairs emitted (the round-6 bucketed
+  //      variant examined ~5× more candidates than real pairs at sf0.1);
+  //      never a BNLJ cartesian. ----
   private def q75(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir).orders
     def iv(status: String, p: String) = {
@@ -1030,9 +1032,9 @@ object SparkEntry {
         start.as(s"${p}s"),
         (start + pmod(col("o_orderkey"), lit(20)) + 1).as(s"${p}e"))
     }
-    ops.RangeJoin.bucketedOverlap(
+    ops.RangeJoin.sortedOverlap(
         iv("O", "a"), col("as"), col("ae"),
-        iv("F", "b"), col("bs"), col("be"), bucketWidth = 16)
+        iv("F", "b"), col("bs"), col("be"))
       .groupBy(col("aprio"), col("bprio"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("akey")).as("sum_akey"), sum(col("bkey")).as("sum_bkey"))
