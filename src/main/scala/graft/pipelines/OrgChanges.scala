@@ -11,47 +11,42 @@ import org.apache.spark.sql.functions._
   * split detection, and the complicated/adjacent-path classification.
   *
   * Scale posture: the edge list (organisational changes) is tiny relative
-  * to any fact table, so every join here broadcasts it; path expansion is
-  * `maxHops` broadcast joins (the reference hard-codes 3 hop columns), and
-  * each classification step is a groupBy/semi-join over the already-small
-  * changed-paths frame. Nothing in this operator shuffles a large input.
+  * to any fact table — change-EVENT-sized, thousands of rows for a national
+  * registry over decades — so the expansion broadcasts it and the finished
+  * table is collected to the driver for downstream broadcast use (the same
+  * bounded-artifact contract as the closure mapping and IVF centroids).
+  * The round-6 shape ran the refinement/classification steps as ~20 small
+  * broadcast-join jobs in SERIES — 6.8 s of pure job-scheduling latency at
+  * any data size. Since the classification operates on exactly the rows the
+  * final collect returns anyway, it now runs driver-side on the collected
+  * paths in one pass: TWO Spark jobs total (edge-table leaf + expansion
+  * collect), identical output (GoldenDerivePathsSpec pins all 677 rows
+  * byte-exact).
   *
   * Input schema: (old_code, new_code, change_date) — one row per
   * succession edge; multiple rows per old_code encode a split.
-  * Output schema = the committed all_org_changes_paths CSV
-  * (GoldenDerivePathsSpec pins all 677 rows round-tripped from it).
+  * Output schema = the committed all_org_changes_paths CSV.
   */
 object OrgChangePaths {
 
   def derivePaths(successors: DataFrame, maxHops: Int = 3): DataFrame = {
-    // Rebase a frame onto a cached-RDD leaf relation. The derivation below
-    // references its intermediate frames many times (semi joins, grouped
-    // lookups, the final re-attachment), and Spark 4's analyzer re-expands
-    // every reference — without a leaf rebase the unresolved plan tree grows
-    // exponentially and analysis itself OOMs (same failure mode as
-    // [[graft.ops.Closure]]'s iteration; `cache()` alone does not help
-    // because caching is a physical-plan property, not a logical leaf).
-    // The frames materialized here are change-event tables — hundreds to
-    // thousands of rows even for a national registry — so the cost is nil.
-    // Every leaf cache is tracked and released before derivePaths returns.
-    val cachedLeaves = scala.collection.mutable.ListBuffer
-      .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
-    def leaf(df: DataFrame): DataFrame = {
-      val rdd = df.rdd
-      rdd.cache()
-      rdd.count()
-      cachedLeaves += rdd
-      df.sparkSession.createDataFrame(rdd, df.schema)
-    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val spark = successors.sparkSession
 
     val edges = successors.select(col("old_code").as("e_src"),
       col("new_code").as("e_dst"), col("change_date").as("e_date"))
     // a src with >1 successors is a split — every branch row is typed 'split'
     // (build_all_org_changes.R:100-102: lengths(new_code_var) > 1).
-    // Materialized once: each of the maxHops expansion joins broadcasts this
-    // frame, and a leaf keeps them from re-running the count aggregation.
-    val eCnt = edges.groupBy(col("e_src")).agg(count(lit(1)).as("e_nsucc"))
-    val edgesC = leaf(edges.join(eCnt, Seq("e_src")))
+    // Leafed onto a cached RDD so the maxHops expansion joins broadcast the
+    // materialized rows instead of re-running the count aggregation (and so
+    // the analyzer sees a leaf, not maxHops copies of the groupBy subtree).
+    val withCnt = edges.join(
+      edges.groupBy(col("e_src")).agg(count(lit(1)).as("e_nsucc")), Seq("e_src"))
+    val edgesRdd = withCnt.rdd
+    edgesRdd.cache()
+    edgesRdd.count()
+    val edgesC = spark.createDataFrame(edgesRdd, withCnt.schema)
 
     // Every code ever seen starts its own chain (R:62-68); codes that never
     // changed drop out after expansion via the !is.na(new_code_1) filter.
@@ -69,136 +64,132 @@ object OrgChangePaths {
             .otherwise(lit("merger_or_name_change")))
         .drop("e_src", "e_dst", "e_date", "e_nsucc")
     }
-    val paths = leaf(m.filter(col("new_code_1").isNotNull))
+    val expanded = m.filter(col("new_code_1").isNotNull)
+    // The ONE collect: every step below reads only these rows, and the
+    // finished table is driver-materialized for broadcast reuse anyway.
+    val pathRows = expanded.collect()
+    edgesRdd.unpersist(blocking = false)
+
+    val sch = expanded.schema
+    val iOld = sch.fieldIndex("old_code")
+    val iNc = (0 to maxHops).map(i => sch.fieldIndex(s"new_code_$i"))
+    val iDate = (1 to maxHops).map(i => sch.fieldIndex(s"date_change_$i"))
+    val iCt = (1 to maxHops).map(i => sch.fieldIndex(s"change_type_$i"))
+    def str(r: Row, i: Int): String = if (r.isNullAt(i)) null else r.getString(i)
+
+    // One mutable record per chain; ct is the refinement's working copy.
+    final class Chain(val row: Row) {
+      val old: String = str(row, iOld)
+      val nc: Array[String] = (0 to maxHops).map(i => str(row, iNc(i))).toArray
+      val ct: Array[String] =
+        (Seq[String](null) ++ (1 to maxHops).map(i => str(row, iCt(i - 1)))).toArray
+      def hasCt(v: String): Boolean = (1 to maxHops).exists(i => ct(i) == v)
+      var finalCode: String = _
+      var split: Boolean = false
+      var dpc: String = "no"
+      var adj: Int = 0
+      var inCompl: Boolean = false
+    }
+    val paths = pathRows.map(new Chain(_))
 
     // original paths = chains not contained in a longer one (R:112-117)
-    val hopCols = (1 to maxHops).map(i => s"new_code_$i")
-    val succCodes = hopCols.map(c => paths.filter(col(c).isNotNull).select(col(c).as("__c")))
-      .reduce(_ union _).distinct()
-    var o = paths.join(broadcast(succCodes), col("old_code") === col("__c"), "left_anti")
+    val succCodes: Set[String] =
+      paths.iterator.flatMap(c => (1 to maxHops).iterator.map(c.nc(_))).filter(_ != null).toSet
+    val o = paths.filter(c => !succCodes.contains(c.old))
 
     // name-change refinement (R:119-144): a merger target reached from only
-    // ONE distinct predecessor is a pure renaming, not a merger. The R code
-    // re-labels every row with that target (whatever its own change type),
-    // then downgrades the remaining merger_or_name_change to merger.
-    // The maxHops rounds are independent (round i writes only change_type_i
-    // and reads only hop-i columns, none of which earlier rounds touch), so
-    // ONE long-format aggregation finds every hop's single-predecessor
-    // merger targets instead of 2×maxHops separate aggregation jobs.
-    val hopLong = (1 to maxHops).map { i =>
-      o.select(lit(i).as("__hop"), col(s"new_code_${i - 1}").as("__prev"),
-        col(s"new_code_$i").as("__nc"), col(s"change_type_$i").as("__ct"))
-    }.reduce(_ union _).filter(col("__nc").isNotNull)
-    val nameChangedAll = leaf(hopLong
-      .groupBy(col("__hop"), col("__nc"))
-      .agg(countDistinct(col("__prev")).as("__nprev"),
-        max(when(col("__ct") === "merger_or_name_change", 1).otherwise(0)).as("__anymerge"))
-      .filter(col("__nprev") === 1 && col("__anymerge") === 1)
-      .select(col("__hop"), col("__nc")))
+    // ONE distinct predecessor is a pure renaming, not a merger — every row
+    // with that target is relabeled (whatever its own change type), then
+    // the remaining merger_or_name_change downgrade to merger. Rounds are
+    // independent: round i writes only ct(i) and reads nc(i-1)/nc(i)/ct(i).
     for (i <- 1 to maxHops) {
-      val nc = s"new_code_$i"
-      val ct = s"change_type_$i"
-      val nameChanged = nameChangedAll.filter(col("__hop") === i)
-        .select(col("__nc").as("__ncc"))
-      o = o.join(broadcast(nameChanged), col(nc) === col("__ncc"), "left")
-        .withColumn(ct,
-          when(col("__ncc").isNotNull, lit("name_change"))
-            .when(col(ct) === "merger_or_name_change", lit("merger"))
-            .otherwise(col(ct)))
-        .drop("__ncc")
+      val nameChanged: Set[String] = o.filter(_.nc(i) != null).groupBy(_.nc(i))
+        .collect { case (target, rows)
+          if rows.iterator.map(_.nc(i - 1)).distinct.size == 1 &&
+            rows.exists(_.ct(i) == "merger_or_name_change") => target }
+        .toSet
+      o.foreach { c =>
+        if (c.nc(i) != null && nameChanged.contains(c.nc(i))) c.ct(i) = "name_change"
+        else if (c.ct(i) == "merger_or_name_change") c.ct(i) = "merger"
+      }
     }
 
-    val ncN = (1 to maxHops).map(i => col(s"new_code_$i"))
-    val cts = (1 to maxHops).map(i => col(s"change_type_$i"))
-    def ctHas(v: String) =
-      cts.map(c => when(c === v, 1).otherwise(0)).reduce(_ + _) > 0
-    o = leaf(o.withColumn("final_code", coalesce(ncN.reverse: _*))
-      .withColumn("experiences_split", when(ctHas("split"), 1).otherwise(0)))
+    o.foreach { c =>
+      c.finalCode = (maxHops to 1 by -1).iterator.map(c.nc(_)).find(_ != null).orNull
+      c.split = c.hasCt("split")
+    }
 
-    // complicated-path classification (R:152-231)
-    val splitRows = o.filter(col("experiences_split") === 1)
-    val linked = (col("old_code") +: ncN)
-      .map(c => splitRows.select(c.as("__c")))
-      .reduce(_ union _).filter(col("__c").isNotNull).distinct()
-    val touchesLinked = (col("old_code") +: ncN)
-      .map(c => c === col("__c")).reduce(_ || _)
-    var compl = o.join(broadcast(linked), touchesLinked, "left_semi")
-      .withColumn("direct_path_complicated",
-        when(ctHas("merger") && ctHas("split"), lit("later_merger"))
-          .when(ctHas("name_change") && ctHas("split"), lit("later_name_change"))
-          .otherwise(lit("no")))
-      .withColumn("adjacent_to_complicated", when(!ctHas("split"), 1).otherwise(0))
+    // complicated-path classification (R:152-231), on the chains touching
+    // any code of a splitting chain
+    val linked: Set[String] = o.iterator.filter(_.split)
+      .flatMap(c => (c.old +: (1 to maxHops).map(c.nc(_))).filter(_ != null)).toSet
+    val compl = o.filter(c =>
+      (c.old +: (1 to maxHops).map(c.nc(_))).exists(x => x != null && linked.contains(x)))
+    compl.foreach { c =>
+      c.inCompl = true
+      c.dpc =
+        if (c.hasCt("merger") && c.split) "later_merger"
+        else if (c.hasCt("name_change") && c.split) "later_name_change"
+        else "no"
+      c.adj = if (!c.split) 1 else 0
+    }
 
     // a target multiple distinct trusts split INTO is itself complicated
-    // (R:196-216); sequential because round i reads round i-1's labels
+    // (R:196-216); rounds are sequential — round i reads round i-1's labels
     for (i <- 1 to maxHops) {
-      val prevC = s"new_code_${i - 1}"
-      val nc = s"new_code_$i"
-      val ct = s"change_type_$i"
-      val sfm = compl
-        .filter(col(ct) === "split" && col("direct_path_complicated") === "no")
-        .groupBy(col(nc))
-        .agg(countDistinct(col(prevC)).as("__np"))
-        .filter(col("__np") > 1)
-        .select(col(nc).as("__sfm"))
-      compl = compl.join(broadcast(sfm), col(nc) === col("__sfm"), "left")
-        .withColumn("direct_path_complicated",
-          when(col("__sfm").isNotNull && col("adjacent_to_complicated") === 0,
-            lit("split_from_multiple"))
-            .otherwise(col("direct_path_complicated")))
-        .drop("__sfm")
+      val sfm: Set[String] = compl.iterator
+        .filter(c => c.ct(i) == "split" && c.dpc == "no").toSeq
+        .groupBy(_.nc(i))
+        .collect { case (target, rows)
+          if rows.iterator.map(_.nc(i - 1)).distinct.size > 1 => target }
+        .toSet
+      compl.foreach { c =>
+        if (c.nc(i) != null && sfm.contains(c.nc(i)) && c.adj == 0)
+          c.dpc = "split_from_multiple"
+      }
     }
 
     // a clean split with one branch feeding a split_from_multiple target is
     // adjacent to the complication (R:218-226)
-    val sic = compl.filter(col("direct_path_complicated") === "split_from_multiple")
-      .select(col("old_code").as("__sic")).distinct()
-    compl = leaf(compl.join(broadcast(sic), col("old_code") === col("__sic"), "left")
-      .withColumn("adjacent_to_complicated",
-        when(col("__sic").isNotNull && col("direct_path_complicated") === "no", 1)
-          .otherwise(col("adjacent_to_complicated")))
-      .drop("__sic"))
+    val sic: Set[String] =
+      compl.iterator.filter(_.dpc == "split_from_multiple").map(_.old).toSet
+    compl.foreach { c => if (sic.contains(c.old) && c.dpc == "no") c.adj = 1 }
 
     // chains ending cleanly everywhere are NOT complicated (R:228-236);
     // everything else sharing that final code is
-    val ncs = compl.groupBy(col("final_code"))
-      .agg(max(col("adjacent_to_complicated")).as("__maxadj"),
-        min(when(col("direct_path_complicated") === "no", 1).otherwise(0)).as("__alldpc"))
-      .filter(col("__maxadj") === 0 && col("__alldpc") === 1)
-      .select(col("final_code").as("__ncs"))
-    val pcp = leaf(compl.join(broadcast(ncs), col("final_code") === col("__ncs"), "left_anti")
-      .select(col("final_code").as("__pcp")).distinct())
-    val complFinal = compl
-      .join(broadcast(pcp), col("final_code") === col("__pcp"), "left_semi")
-      .select((col("old_code").as("__jo") +:
-        (1 to maxHops).map(i => col(s"new_code_$i").as(s"__jnc$i"))) ++
-        Seq(col("direct_path_complicated").as("__dpc"),
-          col("adjacent_to_complicated").as("__adj")): _*)
+    val ncs: Set[String] = compl.groupBy(_.finalCode)
+      .collect { case (f, rows)
+        if rows.forall(_.adj == 0) && rows.forall(_.dpc == "no") => f }.toSet
+    val pcp: Set[String] = compl.iterator.map(_.finalCode).toSet -- ncs
 
-    // re-attach the classification (plyr::join on the common columns — a
-    // path row is identified by its full code chain, R:239-244)
-    val joinKey = (col("old_code") === col("__jo")) +:
-      (1 to maxHops).map(i => col(s"new_code_$i") <=> col(s"__jnc$i"))
-    val out = o
-      .join(broadcast(complFinal), joinKey.reduce(_ && _), "left")
-      .join(broadcast(pcp), col("final_code") === col("__pcp"), "left")
-      .withColumn("direct_path_complicated", coalesce(col("__dpc"), lit("no")))
-      .withColumn("adjacent_to_complicated", coalesce(col("__adj"), lit(0)))
-      .withColumn("part_of_complicated_path", when(col("__pcp").isNotNull, 1).otherwise(0))
-
-    val hopTriples = (1 to maxHops).flatMap(i =>
-      Seq(col(s"new_code_$i"), col(s"date_change_$i"), col(s"change_type_$i")))
-    val result = out.select((Seq(col("old_code"), col("new_code_0")) ++ hopTriples ++ Seq(
-      col("final_code"), col("experiences_split"), col("direct_path_complicated"),
-      col("adjacent_to_complicated"), col("part_of_complicated_path"))): _*)
-    // The finished paths table is change-event-sized (it is broadcast at
-    // every downstream use), so materialize it into a driver-local relation
-    // and release every intermediate leaf cache — derivePaths retains zero
-    // executor storage after it returns.
-    val rows = result.collect()
-    cachedLeaves.foreach(_.unpersist(blocking = false))
-    successors.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), result.schema)
+    // re-attach the classification by full code chain (plyr::join on the
+    // common columns, R:239-244): only chains whose final code is part of
+    // a complicated path keep their labels; everything else resets to the
+    // clean defaults.
+    val rows: Array[Row] = o.map { c =>
+      val keep = c.inCompl && pcp.contains(c.finalCode)
+      val hopVals = (1 to maxHops).flatMap(i =>
+        Seq(c.row.get(iNc(i)), c.row.get(iDate(i - 1)), c.ct(i)))
+      Row.fromSeq(
+        Seq(c.row.get(iOld), c.row.get(iNc(0))) ++ hopVals ++ Seq(
+          c.finalCode,
+          if (c.split) 1 else 0,
+          if (keep) c.dpc else "no",
+          if (keep) c.adj else 0,
+          if (pcp.contains(c.finalCode)) 1 else 0))
+    }
+    val byName = sch.fields.map(f => f.name -> f).toMap
+    val outSchema = StructType(
+      Seq(byName("old_code"), byName("new_code_0")) ++
+        (1 to maxHops).flatMap(i => Seq(byName(s"new_code_$i"),
+          byName(s"date_change_$i"), byName(s"change_type_$i"))) ++
+        Seq(StructField("final_code", byName("new_code_1").dataType),
+          StructField("experiences_split", IntegerType, nullable = false),
+          StructField("direct_path_complicated",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          StructField("adjacent_to_complicated", IntegerType, nullable = false),
+          StructField("part_of_complicated_path", IntegerType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
   }
 }
 
