@@ -37,6 +37,88 @@ object SketchExpressions {
     */
   def wordShingles(tokens: Column, k: Int): Column =
     GraftColumnBridge.column(WordShinglesExpr(GraftColumnBridge.expression(tokens), k))
+
+  /** Column API: Gopher top-n-gram fraction over a token array, equal to
+    * [[TextFunctions.topNgramFractionOfBuiltin]].
+    */
+  def topNgramFraction(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      NgramRunFractionExpr(GraftColumnBridge.expression(tokens), n, top = true))
+
+  /** Column API: Gopher duplicate-n-gram fraction over a token array, equal
+    * to [[TextFunctions.dupNgramFractionOfBuiltin]].
+    */
+  def dupNgramFraction(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      NgramRunFractionExpr(GraftColumnBridge.expression(tokens), n, top = false))
+}
+
+/** The shared kernel of Gopher's top-n-gram and duplicate-n-gram signals,
+  * natively: build the document's word n-gram strings, sort them, scan the
+  * runs of equal adjacent grams once, and return
+  *   top = true  → max_run · n / n_tokens   (top-gram token coverage)
+  *   top = false → grams-in-runs>1 / n_grams (duplicate-gram mass)
+  * as a double; null when the document has fewer than n tokens (matching
+  * the built-in formulations' ratio-null semantics bit-for-bit — the
+  * division is the same int→double cast Divide the Column form evaluates).
+  *
+  * The built-in formulation (array_sort + an `aggregate` struct fold per
+  * signal) is correct but interpreted — Spark's higher-order functions
+  * don't participate in whole-stage codegen, and the fold allocates a
+  * struct per gram. This is one tight JVM loop per row; q52 (three top-n
+  * signals) and q58 (six dup-n signals) run on it.
+  */
+case class NgramRunFractionExpr(child: Expression, n: Int, top: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "n must be >= 1")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nTok = arr.numElements()
+    val g = nTok - n + 1
+    if (g <= 0) return null
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val sh = new Array[org.apache.spark.unsafe.types.UTF8String](g)
+    var i = 0
+    while (i < g) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      // concatWs skips null parts — same as the built-ins' concat_ws, so a
+      // null token degrades identically in both formulations
+      sh(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    // any total order groups equal grams adjacently, which is all the run
+    // scan needs — natural UTF8String (binary) order, like array_sort
+    java.util.Arrays.sort(sh.asInstanceOf[Array[Object]])
+    var run = 1
+    var best = 1
+    var dup = 0
+    i = 1
+    while (i < g) {
+      if (sh(i).equals(sh(i - 1))) run += 1
+      else {
+        if (run > 1) dup += run
+        if (run > best) best = run
+        run = 1
+      }
+      i += 1
+    }
+    if (run > 1) dup += run
+    if (run > best) best = run
+    java.lang.Double.valueOf(
+      if (top) (best * n).toDouble / nTok.toDouble
+      else dup.toDouble / g.toDouble)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Word k-shingles of an array<string>: element i is tokens[i..i+k-1] joined

@@ -147,18 +147,22 @@ object TextFunctions {
     ratio(size(ts) - size(array_distinct(ts)), size(ts))
 
   /** Fraction of the document's tokens covered by its single most frequent
-    * word n-gram: max_gram_count * n / token_count. The mode count is
-    * computed per row as `array_sort` over the grams + one `aggregate`
-    * fold tracking the longest run of equal adjacent grams — O(g log g)
-    * per document (the sort dominates), all built-ins, one stage, no
-    * shuffle. The relational alternative (explode → count
-    * → max) would shuffle the whole corpus's grams; a naive per-row
-    * distinct×scan fold is O(g²) and stalls an executor on one long
-    * boilerplate document. Null when the document has fewer than n tokens.
+    * word n-gram: max_gram_count * n / token_count — O(g log g) per
+    * document (sort grams, scan runs of equal adjacent grams), one stage,
+    * no shuffle. The relational alternative (explode → count → max) would
+    * shuffle the whole corpus's grams; a naive per-row distinct×scan fold
+    * is O(g²) and stalls an executor on one long boilerplate document.
+    * Null when the document has fewer than n tokens. Routed through the
+    * native run-scan expression ([[SketchExpressions.topNgramFraction]] —
+    * the built-in `array_sort` + `aggregate` fold below is the parity
+    * reference, pinned equal in PropertySpec/SketchParitySpec).
     */
   def topNgramFraction(c: Column, n: Int): Column = topNgramFractionOf(tokens(c), n)
 
-  def topNgramFractionOf(ts: Column, n: Int): Column = {
+  def topNgramFractionOf(ts: Column, n: Int): Column =
+    SketchExpressions.topNgramFraction(ts, n)
+
+  def topNgramFractionOfBuiltin(ts: Column, n: Int): Column = {
     val gs = array_sort(SketchExpressions.wordShingles(ts, n))
     val best = aggregate(
       gs,
@@ -178,12 +182,16 @@ object TextFunctions {
     * grams sitting in runs of length > 1 after sorting, over total grams
     * (Gopher's duplicate-n-gram family, n = 5..10, measured in grams
     * rather than the paper's characters). Same sorted-run machinery as
-    * [[topNgramFractionOf]]: O(g log g) per row, all built-ins, no
-    * shuffle. Null when the document has fewer than n tokens.
+    * [[topNgramFractionOf]]: O(g log g) per row, no shuffle, native
+    * run-scan expression with the built-in fold kept as the pinned parity
+    * reference. Null when the document has fewer than n tokens.
     */
   def dupNgramFraction(c: Column, n: Int): Column = dupNgramFractionOf(tokens(c), n)
 
-  def dupNgramFractionOf(ts: Column, n: Int): Column = {
+  def dupNgramFractionOf(ts: Column, n: Int): Column =
+    SketchExpressions.dupNgramFraction(ts, n)
+
+  def dupNgramFractionOfBuiltin(ts: Column, n: Int): Column = {
     val gs = array_sort(SketchExpressions.wordShingles(ts, n))
     val closeRun = (run: Column, dup: Column) =>
       dup + when(run > 1, run).otherwise(lit(0))

@@ -48,6 +48,30 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     df.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("native ngram run fractions match the built-in folds bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("the", "cat", "sat", "mat", "dog", "ünï", "x")
+    val randomDocs = (1 to 40).map(_ =>
+      (1 to rnd.nextInt(60)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    val edgeDocs = Seq("", "a", "a b", "a a a a a a", "one two three",
+      "a b a b a b a b", "ünï çø∂é ünï çø∂é ünï")
+    for (n <- Seq(2, 3, 5)) {
+      val df = (edgeDocs ++ randomDocs).toDF("t")
+        .select(TextFunctions.tokens(col("t")).as("ts"))
+        .select(
+          TextFunctions.topNgramFractionOf(col("ts"), n).as("top_native"),
+          TextFunctions.topNgramFractionOfBuiltin(col("ts"), n).as("top_builtin"),
+          TextFunctions.dupNgramFractionOf(col("ts"), n).as("dup_native"),
+          TextFunctions.dupNgramFractionOfBuiltin(col("ts"), n).as("dup_builtin"))
+      df.collect().foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"n=$n top null mismatch: $r")
+        if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), s"n=$n $r")
+        assert(r.isNullAt(2) == r.isNullAt(3), s"n=$n dup null mismatch: $r")
+        if (!r.isNullAt(2)) assert(r.getDouble(2) == r.getDouble(3), s"n=$n $r")
+      }
+    }
+  }
+
   test("native MinHash expression matches the built-in HOF formulation bit-for-bit") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog again and again",
