@@ -1117,6 +1117,18 @@ object SparkEntry {
       .select(col("doc_id"), size(col("__ts")).cast("long").as("n_tokens"))
   }
 
+  // ---- q82: weighted (A-ES) reservoir sampling — 50 documents drawn with
+  //      probability proportional to (capped) token count, WITHOUT
+  //      replacement. The A-ES key u^(1/w) is realized as the max of w
+  //      integer hash draws (identical distribution, zero float drift), so
+  //      the oracle replays the exact sample; top-k is
+  //      TakeOrderedAndProject, never a global sort. ----
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents.select(col("doc_id"),
+      least(TextFunctions.tokenCount(col("text")), lit(32L)).as("w"))
+    operators.Sampling.weightedSample(docs, "doc_id", "w", k = 50, salt = "q82")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1200,6 +1212,7 @@ object SparkEntry {
     "q79_cube"             -> q79 _,
     "q80_bool_retrieval"   -> q80 _,
     "q81_temporal_join"    -> q81 _,
+    "q82_weighted_sample"  -> q82 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1351,6 +1364,20 @@ object SparkEntry {
         |FROM facts f
         |ASOF LEFT JOIN dim d
         |ON f.o_custkey = d.o_custkey AND f.ship_ts >= d.ship_ts""".stripMargin,
+    // q82: the A-ES key is pure integer hashing (max of w draws), so the
+    // oracle replays the exact sample — no float pow/ln anywhere.
+    "q82_weighted_sample" ->
+      s"""WITH weighted AS (
+         |  SELECT doc_id,
+         |    least(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 32) AS w
+         |  FROM documents
+         |), keyed AS (
+         |  SELECT doc_id, w,
+         |    ${operators.Sampling.weightedKeySql("doc_id", "w", "q82")} AS wrs_key
+         |  FROM weighted WHERE w > 0
+         |)
+         |SELECT doc_id, w, wrs_key FROM keyed
+         |ORDER BY wrs_key DESC, doc_id ASC LIMIT 50""".stripMargin,
     "q73_zorder" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  ${ops.ZOrder.zValueSql(Seq("l_partkey % 1024", "l_suppkey % 1024"), 10)} AS zval

@@ -72,6 +72,60 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Weighted reservoir sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES, "Weighted random sampling with a reservoir", IPL 97(5), 2006):
+    * item i draws key u_i^(1/w_i) and the k largest keys win, giving
+    * first-pick probability w_i/Σw and the exact without-replacement
+    * recursion thereafter. The float key is the classic cross-engine trap
+    * (pow/ln drift by ULPs and flip top-k boundary ties), so the key here
+    * is `max over j in 1..w of hash60(salt:id:j)` — the maximum of w
+    * uniform draws, whose CDF x^w is EXACTLY the distribution of
+    * u^(1/w) — keeping the whole sample in integer arithmetic:
+    * reproducible across runs, partitionings, and engines (the DuckDB
+    * oracle replays it bit-for-bit via [[weightedKeySql]]).
+    *
+    * Scale shape: a pure per-row projection (O(weight) md5 hashes, no
+    * RNG state) followed by a global top-k that plans as
+    * TakeOrderedAndProject — per-partition heaps and a k-row merge, never
+    * a global sort or shuffle of the corpus. The draw expansion bills
+    * O(w) hashes per row, the right trade for the integer-exactness win
+    * when weights are token-count-sized; `maxWeight` makes an oversized
+    * weight fail LOUDLY (never a silent clamp, which would skew inclusion
+    * probabilities). Corpora with unbounded raw weights should bucket
+    * them first — A-ES only needs relative weights. Rows with weight ≤ 0
+    * are excluded (P ∝ w, and w = 0 must never sample).
+    *
+    * Output: the k sampled rows with their integer `wrs_key` appended
+    * (ties broken by id ascending; 60-bit keys make real ties
+    * negligible but deterministic).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     salt: String = "wrs", maxWeight: Int = 4096): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(maxWeight > 0, "maxWeight must be positive")
+    val w = col(weightCol).cast("long")
+    val wOk = when(w <= lit(maxWeight.toLong), w).otherwise(
+      raise_error(concat(
+        lit(s"weightedSample: weight exceeds maxWeight=$maxWeight for id="),
+        col(idCol).cast("string"))).cast("long"))
+    val key = array_max(transform(sequence(lit(1L), wOk), j =>
+      PortableHash.hash60(concat(lit(salt + ":"), col(idCol).cast("string"),
+        lit(":"), j.cast("string")))))
+    df.filter(w > 0)
+      .withColumn("wrs_key", key)
+      .orderBy(col("wrs_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** DuckDB expression for [[weightedSample]]'s key — same hash family,
+    * same draw expansion (list comprehensions correlate where
+    * generate_series cannot).
+    */
+  def weightedKeySql(idExpr: String, weightExpr: String, salt: String): String =
+    s"list_max([${PortableHash.hash60Sql(
+      s"'$salt:' || CAST($idExpr AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} " +
+      s"FOR j IN range(1, ($weightExpr) + 1)])"
+
   /** Weighted corpus mixture: each source is hash-downsampled to its
     * weight, tagged, and unioned by name — the deterministic version of
     * "mix 30% web, 60% books, 10% code". Rates above 1.0 are rejected

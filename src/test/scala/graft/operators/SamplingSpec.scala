@@ -63,6 +63,67 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     a.foreach { case (id, sp) => assert(grown(id) == sp) }
   }
 
+  // Driver-side replica of the operator's integer A-ES key.
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+  private def aesKey(salt: String, id: Long, w: Long): Long =
+    (1L to w).map(j => hash60(s"$salt:$id:$j")).max
+
+  test("weightedSample equals the naive A-ES computation, partition-independent") {
+    val df = (0L until 300L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val expected = (0L until 300L).map(i => (i, i % 7 + 1))
+      .map { case (i, w) => (i, aesKey("t", i, w)) }
+      .sortBy { case (i, key) => (-key, i) }.take(25)
+    val got = Sampling.weightedSample(df, "id", "w", k = 25, salt = "t")
+      .select(col("id"), col("wrs_key")).as[(Long, Long)].collect().toSeq
+    assert(got.sortBy { case (i, key) => (-key, i) } == expected)
+    val repart = Sampling.weightedSample(df.repartition(7), "id", "w", k = 25, salt = "t")
+      .select(col("id")).as[Long].collect().toSet
+    assert(repart == expected.map(_._1).toSet)
+  }
+
+  test("weightedSample inclusion probability is monotone in weight") {
+    // 600 items in three weight classes 1/4/16 (200 each), k = 100:
+    // proportional-allocation expectation is ~4.8 / ~19 / ~76 inclusions.
+    // The draw is deterministic under the fixed salt, so the bounds below
+    // pin monotonicity without flakiness.
+    val df = (0L until 600L)
+      .map(i => (i, Seq(1L, 4L, 16L)(i.toInt % 3))).toDF("id", "w")
+    val counts = Sampling.weightedSample(df, "id", "w", k = 100, salt = "mono")
+      .groupBy(col("w")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (c1, c4, c16) =
+      (counts.getOrElse(1L, 0L), counts.getOrElse(4L, 0L), counts.getOrElse(16L, 0L))
+    assert(c1 < c4 && c4 < c16, s"not monotone: $counts")
+    assert(c1 <= 15 && c16 >= 55, s"far from proportional allocation: $counts")
+    assert(c1 + c4 + c16 == 100)
+  }
+
+  test("weightedSample excludes non-positive weights and plans a top-k, not a sort") {
+    val df = Seq((1L, 5L), (2L, 0L), (3L, -4L), (4L, 2L)).toDF("id", "w")
+    val out = Sampling.weightedSample(df, "id", "w", k = 10, salt = "z")
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 4L))
+    // A literal-backed frame constant-folds away, so pin the plan on a
+    // codegen'd leaf (the BloomJoinSpec pattern): the top-k must be
+    // per-partition heaps + a k-row merge, never a global Sort.
+    val big = spark.range(0, 10000).select(col("id"), (col("id") % 9 + 1).as("w"))
+    val plan = Sampling.weightedSample(big, "id", "w", k = 10, salt = "z")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("weightedSample fails loudly on a weight above maxWeight") {
+    val df = Seq((1L, 3L), (2L, 50L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(df, "id", "w", k = 5, salt = "z", maxWeight = 10).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("stratifiedSample draws exactly k per stratum, independent of partitioning") {
     val df = (1 to 200).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "grp")
