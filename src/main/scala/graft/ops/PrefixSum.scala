@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.functions.{IntOps, PortableHash}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -21,14 +20,17 @@ import org.apache.spark.storage.StorageLevel
   *   2. aggregate ONE subtotal per partition and collect them — the only
   *      driver-side data is `numPartitions` longs (bounded by the
   *      partition count, not the data);
-  *   3. broadcast the exclusive per-partition offsets back and add each
-  *      row's within-partition running total.
+  *   3. ship the exclusive per-partition offsets back in the task closure
+  *      and scan each partition once, seeding its running total with its
+  *      offset.
   *
   * Every phase is balanced across executors; no task ever sees more than
-  * its partition. The partitioned frame is persisted (DISK_ONLY) so the
-  * subtotal job and the caller's action observe identical partition ids —
-  * release it via [[graft.Storage.releaseAll]] after the action, the same
-  * caller-release contract as the dedup signature tables.
+  * its partition, and the range shuffle is the ONLY full-data exchange
+  * (phase 3 is a per-partition scan in place — plan-pinned). The
+  * partitioned frame is persisted (DISK_ONLY) so the subtotal job and the
+  * caller's action observe identical partition ids — release it via
+  * [[graft.Storage.releaseAll]] after the action, the same caller-release
+  * contract as the dedup signature tables.
   */
 object PrefixSum {
 
@@ -52,27 +54,43 @@ object PrefixSum {
     // One long per partition to the driver — bounded by np, not the data.
     val partials = parted.groupBy(col("__pid")).agg(sum(col("__v")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until np).map(partials.getOrElse(_, 0L))
-      .scanLeft(0L)(_ + _).init.zipWithIndex.map { case (off, p) => (p, off) }
-    import spark.implicits._
-    val offDf = offsets.toDF("__pid", "__offset")
-    // Within-partition exclusive running total: the window repartitions by
-    // __pid, so each (equal-sized) range partition is one window group —
-    // never a single global task. Honest cost note: Catalyst cannot prove
-    // the existing RangePartitioning satisfies partitionBy(__pid), so this
-    // window inserts a SECOND full-data hash exchange (+ re-sort) after the
-    // range shuffle — the data is shuffled twice. Both shuffles are
-    // balanced (no SinglePartition stage, which is what the spec pins); if
-    // prefix sums ever top a profile, replace this window with a
-    // mapPartitions running total over the persisted range-partitioned
-    // frame to drop the second exchange.
-    val w = Window.partitionBy(col("__pid"))
-      .orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    parted
-      .join(broadcast(offDf), Seq("__pid"))
-      .withColumn(out, coalesce(sum(col("__v")).over(w), lit(0L)) + col("__offset"))
-      .drop("__pid", "__v", "__offset")
+    val offsets: Map[Int, Long] = (0 until np).map(partials.getOrElse(_, 0L))
+      .scanLeft(0L)(_ + _).init.zipWithIndex.map { case (off, p) => (p, off) }.toMap
+    // Within-partition exclusive running total as a per-partition scan over
+    // the persisted frame, seeded with the partition's broadcast offset.
+    // The obvious Window.partitionBy(__pid) would shuffle the WHOLE dataset
+    // a second time (Catalyst cannot prove the RangePartitioning output
+    // satisfies a hash partitionBy, so it inserts another full exchange +
+    // re-sort); the scan below reads the rows where the range shuffle left
+    // them — the ONE full-data exchange is the range partition itself
+    // (plan-pinned). Rows are already sorted within partitions, and the
+    // persisted frame guarantees the scan sees the same partition ids the
+    // subtotal job computed.
+    val schema = parted.schema
+    val pidIdx = schema.fieldIndex("__pid")
+    val vIdx = schema.fieldIndex("__v")
+    val keepIdx = schema.fields.indices
+      .filterNot(i => i == pidIdx || i == vIdx).toArray
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keepIdx.map(schema.fields) :+
+        org.apache.spark.sql.types.StructField(out,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    parted.mapPartitions { rows =>
+      var seeded = false
+      var running = 0L
+      rows.map { r =>
+        if (!seeded) { running = offsets.getOrElse(r.getInt(pidIdx), 0L); seeded = true }
+        val vals = new Array[Any](keepIdx.length + 1)
+        var i = 0
+        while (i < keepIdx.length) { vals(i) = r.get(keepIdx(i)); i += 1 }
+        vals(keepIdx.length) = running
+        // sum() over the window skipped nulls; the scan does the same
+        if (!r.isNullAt(vIdx)) running += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+    }
   }
 
   /** Sequence packing: orders documents deterministically by portable hash

@@ -35,6 +35,10 @@ class PrefixSumSpec extends AnyFunSuite with SparkSpec {
     val plan = scalable.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), plan)
     assert(plan.toLowerCase.contains("rangepartitioning"), plan)
+    // the range shuffle is the ONLY full-data exchange: the per-partition
+    // scan replaced the Window.partitionBy(__pid) that used to hash-shuffle
+    // the whole dataset a second time
+    assert(!plan.toLowerCase.contains("hashpartitioning"), plan)
     val naivePlan = data(50)
       .withColumn("cum", sum(col("v")).over(
         Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, -1)))
