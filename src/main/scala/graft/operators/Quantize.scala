@@ -30,17 +30,27 @@ object Quantize {
     * visibly. (The multimodal poison-row contract, applied to floats.)
     */
   def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
+    // Staged projection (the BM25/q52 lesson): bind the widened array and
+    // the per-vector bounds as COLUMNS and reference those in the codes
+    // lambda. Inlining the array_min/array_max expression trees into the
+    // lambda body would re-evaluate them per ELEMENT — O(d²) per vector.
+    // CollapseProject keeps non-cheap aliases with multiple consumers in
+    // their own Project, so each bound is computed once per row.
+    val v = col("__v")
     val finite = forall(v, x =>
       !isnan(x) && x > lit(Double.NegativeInfinity) && x < lit(Double.PositiveInfinity))
-    val vmin = when(finite, array_min(v))
-    val vmax = when(finite, array_max(v))
-    val codes = when(vmax > vmin,
-        transform(v, x =>
-          least(floor((x - vmin) * 255.0 / (vmax - vmin)).cast("long"), lit(255L))))
-      .otherwise(transform(v, _ => lit(0L)))
-    df.withColumn("vmin", vmin).withColumn("vmax", vmax)
-      .withColumn("codes", codes)
+    val vmin = col("vmin")
+    val vmax = col("vmax")
+    df.withColumn("__v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("__finite", finite)
+      .withColumn("vmin", when(col("__finite"), array_min(v)))
+      .withColumn("vmax", when(col("__finite"), array_max(v)))
+      .withColumn("codes",
+        when(vmax > vmin,
+          transform(v, x =>
+            least(floor((x - vmin) * 255.0 / (vmax - vmin)).cast("long"), lit(255L))))
+          .otherwise(transform(v, _ => lit(0L))))
+      .drop("__v", "__finite")
   }
 
   /** Reconstruction of a codes array back to doubles:
