@@ -75,4 +75,48 @@ object CountMin {
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("j"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+
+  // ---- xxhash64 fast path — the production family (the same fast /
+  // portable split as the MinHash and SimHash operators: md5 keeps the
+  // gate oracle-able, xxhash64 is ~an order of magnitude cheaper per
+  // token). Same sketch table schema, same estimate/merge semantics —
+  // `merge` works across either family's sketches (never mix families
+  // in one sketch: bucket functions differ). ----
+
+  /** Bucket of a token under fast hash row j: xxhash64(token, j) folded
+    * non-negative with pmod (xxhash64 is full-range signed).
+    */
+  def bucketOfFast(token: Column, j: Int, width: Int): Column =
+    pmod(xxhash64(token, lit(j)), lit(width.toLong))
+
+  private def rowBucketsFast(token: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { j =>
+      struct(lit(j).as("j"), bucketOfFast(token, j, width).as("bucket"))
+    }: _*)
+
+  /** [[sketch]] on the xxhash64 family — identical shape (one map-side-
+    * combined groupBy, sketch-sized exchange), cheaper per-token work.
+    */
+  def sketchFast(tokens: DataFrame, tokenCol: String, depth: Int,
+                 width: Int): DataFrame = {
+    require(depth > 0, "depth must be positive")
+    require(width > 0, "width must be positive")
+    tokens
+      .select(explode(rowBucketsFast(col(tokenCol), depth, width)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[estimate]] against a [[sketchFast]]-built sketch. */
+  def estimateFast(sk: DataFrame, probes: DataFrame, tokenCol: String,
+                   depth: Int, width: Int): DataFrame = {
+    val pjb = probes.select(col(tokenCol)).distinct()
+      .withColumn("jb", explode(rowBucketsFast(col(tokenCol), depth, width)))
+    val est = pjb
+      .join(broadcast(sk),
+        pjb("jb.j") === sk("j") && pjb("jb.bucket") === sk("bucket"), "left")
+      .groupBy(pjb(tokenCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
+    probes.join(broadcast(est), Seq(tokenCol))
+  }
 }

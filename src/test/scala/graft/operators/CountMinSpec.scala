@@ -87,6 +87,34 @@ class CountMinSpec extends AnyFunSuite with SparkSpec {
     assert(merged == whole)
   }
 
+  test("fast family: never under-counts, exact when collision-free, mass-conserving") {
+    val df = tokens.map(Tuple1(_)).toDF("token")
+    val exact = tokens.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val narrow = CountMin.estimateFast(CountMin.sketchFast(df, "token", 4, 16),
+        df.distinct(), "token", 4, 16)
+      .select(col("token"), col("est_n")).as[(String, Long)].collect().toMap
+    exact.foreach { case (t, n) => assert(narrow(t) >= n, t) }
+    val wide = CountMin.estimateFast(CountMin.sketchFast(df, "token", 4, 65536),
+        df.distinct(), "token", 4, 65536)
+      .select(col("token"), col("est_n")).as[(String, Long)].collect().toMap
+    assert(wide == exact)
+    val sk = CountMin.sketchFast(df, "token", 3, 8).collect()
+    assert(sk.length <= 3 * 8)
+    val perRow = sk.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(perRow.values.toSet == Set(tokens.size.toLong))
+  }
+
+  test("fast family: merging batch sketches equals sketching the concatenation") {
+    val (batchA, batchB) = tokens.splitAt(tokens.size / 3)
+    val merged = CountMin.merge(
+        CountMin.sketchFast(batchA.map(Tuple1(_)).toDF("token"), "token", 3, 32),
+        CountMin.sketchFast(batchB.map(Tuple1(_)).toDF("token"), "token", 3, 32))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = CountMin.sketchFast(tokens.map(Tuple1(_)).toDF("token"), "token", 3, 32)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
   test("the sketch is bounded by depth×width and conserves per-row mass") {
     val df = tokens.map(Tuple1(_)).toDF("token")
     val sk = CountMin.sketch(df, "token", 3, 8).collect()
