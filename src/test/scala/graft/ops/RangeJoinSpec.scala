@@ -132,6 +132,11 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     val got = RangeJoin.sortedOverlap(e, col("as"), col("ae"),
         ovB, col("bs"), col("be"), numRanges = 4)
     assert(got.count() == 0)
+    // both sides empty: the quantile pass sees an empty relation — must
+    // yield an empty result, not throw
+    val eb = ovB.filter(lit(false))
+    assert(RangeJoin.sortedOverlap(e, col("as"), col("ae"),
+      eb, col("bs"), col("be"), numRanges = 4).count() == 0)
   }
 
   test("sortedOverlap rejects colliding column names") {
