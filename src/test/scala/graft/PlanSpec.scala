@@ -113,4 +113,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("might_contain"), p.take(1200))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q75: the overlap join is the merge sweep — no join node, one co-partitioning") {
+    val p = plan("q75_overlap_join")
+    for (node <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p.contains(node), s"$node in:\n" + p.take(1200))
+    assert(p.contains("hashpartitioning(__rid"), p.take(1200))
+  }
+
+  test("q82: the weighted sample is a top-k heap merge, never a global sort") {
+    val p = plan("q82_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("Exchange"), "per-row key projection must not shuffle:\n" + p.take(1200))
+  }
 }
