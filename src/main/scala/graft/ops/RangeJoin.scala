@@ -140,6 +140,13 @@ object RangeJoin {
     * not the partition — dense same-instant cliques imply a quadratic
     * OUTPUT, at which point the output, not the sweep, is the cost.
     *
+    * Skew: equi-frequency cuts cannot split EQUAL start values, so a hot
+    * instant (many intervals sharing one start) lands in a single range —
+    * that task's work is emission-proportional (the pairs genuinely exist
+    * and all contain the hot instant), but it is one task; if such data
+    * shows up, pre-aggregate identical (start, end, payload) rows with a
+    * count and multiply pair weights downstream.
+    *
     * Boundary precision: quantile cuts travel as doubles, so start
     * encodings past 2^53 may round cut points — that skews range BALANCE
     * only; membership/ownership are computed in exact long arithmetic and
