@@ -27,17 +27,38 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q03_join_broadcast")(spark, "/root/testdata/sf0.001")
 
-  // ---- q01: A1 grouped NA-preserving sum + avg/count (pricing summary) ----
-  private def q01(s: SparkSession, dir: String): DataFrame =
+  // ---- q01: A1 grouped NA-preserving sum + avg/count (pricing summary).
+  //      The money columns are 2dp decimals stored as doubles; summing the
+  //      doubles directly drifts by ULPs at sf0.1 row counts (the two
+  //      engines accumulate in different orders, and round(...,6) cannot
+  //      absorb order drift at 5e9 magnitude — measured: 2 ULPs on
+  //      sum_disc_price). So each row's cents are reconstructed as exact
+  //      integers (floor(x*100+0.5) — the same IEEE multiply/add/floor in
+  //      both engines), the sums run in the integer domain (order-exact at
+  //      ANY scale; ~3e15 at sf0.1, overflow no earlier than sf~1000), and
+  //      one final division produces the double. ----
+  /** Exact integer cents of a 2dp-decimal-stored-as-double column:
+    * floor(x·100 + 0.5) — the same IEEE multiply/add/floor in Spark and
+    * DuckDB, correct for negatives while |representation error| < 0.005.
+    * Sums of these are order-exact, where raw double sums drift by ULPs
+    * once groups reach sf0.1 row counts (see q01's comment).
+    */
+  private def cents(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
+
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    val epC = cents(col("l_extendedprice"))
+    val dC  = cents(col("l_discount"))
+    val tC  = cents(col("l_tax"))
     Tables(s, dir).lineitem
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("sum_disc_price"),
-        round(sum(when(col("l_tax") > 0.05, col("l_tax"))), 6).as("sum_high_tax"),
+        (sum(epC).cast("double") / 100.0).as("sum_base_price"),
+        (sum(epC * (lit(100L) - dC)).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(when(tC > 5, tC)).cast("double") / 100.0).as("sum_high_tax"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         count(lit(1)).as("n_rows"))
+  }
 
   // ---- q02: F2-F5 predicates + P1 projection + string scalar functions ----
   private def q02(s: SparkSession, dir: String): DataFrame =
@@ -61,7 +82,7 @@ object SparkEntry {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("c_acctbal")), 6).as("sum_acctbal"))
+        (sum(cents(col("c_acctbal"))).cast("double") / 100.0).as("sum_acctbal"))
   }
 
   // ---- q04/q05: F6 membership split (left_semi / left_anti) ----
@@ -72,14 +93,16 @@ object SparkEntry {
     val t = Tables(s, dir)
     t.customer.join(urgentCusts(t), col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 6).as("sum_acctbal"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(cents(col("c_acctbal"))).cast("double") / 100.0).as("sum_acctbal"))
   }
 
   private def q05(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     t.customer.join(urgentCusts(t), col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 6).as("sum_acctbal"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(cents(col("c_acctbal"))).cast("double") / 100.0).as("sum_acctbal"))
   }
 
   // ---- q06: A3 deterministic first-per-group (latest order per customer) ----
@@ -130,7 +153,8 @@ object SparkEntry {
         Array(col("l_quantity"), col("l_discount"), col("l_tax")),
         "measure", "val")
       .groupBy(col("measure"))
-      .agg(round(sum(col("val")), 6).as("total"), count(lit(1)).as("n"))
+      .agg((sum(cents(col("val"))).cast("double") / 100.0).as("total"),
+        count(lit(1)).as("n"))
 
   // ---- q11: U2 posexplode of embedding arrays → per-label centroids ----
   private def q11(s: SparkSession, dir: String): DataFrame =
@@ -424,7 +448,7 @@ object SparkEntry {
         col("__pd"), iv, col("start_d"), col("end_d"), bucketWidth = 7L)
       .groupBy(col("iv_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 6).as("sum_price"))
+        (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("sum_price"))
       .withColumnRenamed("iv_custkey", "o_custkey")
   }
 
@@ -1579,15 +1603,24 @@ object SparkEntry {
         |    AND top_4gram_frac <= 0.16
         |    AND n_stopwords >= 2 AS gopher_keep
         |FROM sig""".stripMargin,
+    // q01: money summed as exact integer cents (see the query's comment) —
+    // sum(BIGINT) is HUGEINT in DuckDB, hence the casts before dividing.
     "q01_group_sum" ->
-      """SELECT l_returnflag, l_linestatus,
+      """WITH c AS (
+        |  SELECT l_returnflag, l_linestatus, l_quantity,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep_c,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d_c,
+        |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t_c
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
-        | round(sum(l_extendedprice), 6) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-        | round(sum(CASE WHEN l_tax > 0.05 THEN l_tax END), 6) AS sum_high_tax,
+        | CAST(sum(ep_c) AS DOUBLE) / 100 AS sum_base_price,
+        | CAST(sum(ep_c * (100 - d_c)) AS DOUBLE) / 10000 AS sum_disc_price,
+        | CAST(sum(CASE WHEN t_c > 5 THEN t_c END) AS DOUBLE) / 100 AS sum_high_tax,
         | round(avg(l_quantity), 6) AS avg_qty,
         | count(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+        |FROM c GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_filter_project" ->
       """SELECT p_partkey, upper(p_name) AS p_name_upper,
@@ -1600,7 +1633,7 @@ object SparkEntry {
 
     "q03_join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
-        | round(sum(c_acctbal), 6) AS sum_acctbal
+        | CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_acctbal
         |FROM customer
         |LEFT JOIN nation ON c_nationkey = n_nationkey
         |LEFT JOIN region ON n_regionkey = r_regionkey
@@ -1608,7 +1641,7 @@ object SparkEntry {
 
     "q04_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
-        | round(sum(c_acctbal), 6) AS sum_acctbal
+        | CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_acctbal
         |FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
@@ -1616,7 +1649,7 @@ object SparkEntry {
 
     "q05_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
-        | round(sum(c_acctbal), 6) AS sum_acctbal
+        | CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_acctbal
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
@@ -1656,11 +1689,11 @@ object SparkEntry {
         |FROM orders WHERE o_orderstatus <> 'O'""".stripMargin,
 
     "q10_unpivot" ->
-      """SELECT 'l_quantity' AS measure, round(sum(l_quantity), 6) AS total, count(*) AS n FROM lineitem
+      """SELECT 'l_quantity' AS measure, CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total, count(*) AS n FROM lineitem
         |UNION ALL
-        |SELECT 'l_discount' AS measure, round(sum(l_discount), 6) AS total, count(*) AS n FROM lineitem
+        |SELECT 'l_discount' AS measure, CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total, count(*) AS n FROM lineitem
         |UNION ALL
-        |SELECT 'l_tax' AS measure, round(sum(l_tax), 6) AS total, count(*) AS n FROM lineitem""".stripMargin,
+        |SELECT 'l_tax' AS measure, CAST(sum(CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total, count(*) AS n FROM lineitem""".stripMargin,
 
     "q11_explode_pos" ->
       """SELECT label, pos, round(avg(x), 6) AS avg_x, count(*) AS n FROM (
@@ -1891,7 +1924,7 @@ object SparkEntry {
     "q39_range_join" ->
       """WITH iv AS (SELECT o_custkey, min(o_orderdate) AS sd FROM orders GROUP BY o_custkey)
         |SELECT iv.o_custkey, count(*) AS n_orders,
-        | round(sum(o.o_totalprice), 6) AS sum_price
+        | CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_price
         |FROM iv JOIN orders o
         |  ON o.o_orderdate >= iv.sd AND o.o_orderdate < iv.sd + INTERVAL 7 DAY
         |GROUP BY iv.o_custkey""".stripMargin,
