@@ -1141,6 +1141,37 @@ object SparkEntry {
       .select(col("doc_id"), size(col("__ts")).cast("long").as("n_tokens"))
   }
 
+  // ---- q83: STREAMING sessionization (flatMapGroupsWithState, event-time
+  //      timeout) on the bounded events replay — the custom-state operator
+  //      q18 is the batch analog of, now gate-visible. Emission semantics
+  //      on a bounded run are exactly streaming's: a session emits when a
+  //      LATER event closes it (gap exceeded) or when its event-time
+  //      timeout fires under the final watermark (max event time − 2h);
+  //      each user's still-open trailing session correctly stays in state
+  //      awaiting more data. The state machine works in MILLISECONDS
+  //      (Timestamp.getTime), so the oracle sessionizes in the ms domain
+  //      and replays total_value as the same (ms, event_id)-ordered left
+  //      fold (the q76 pattern). ----
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.streaming.EventStreams.readEventsStream(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.EventStreams.EventRow]
+    val sess = graft.streaming.EventStreams.sessionize(ev, gapSeconds = 1800)
+    val name = s"graft_stream_sess_${streamSeq.incrementAndGet()}"
+    val q = withShufflePartitions(s, 8) {
+      sess.toDF.writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.table(name).select(
+      col("user_id"),
+      col("session_start").cast("timestamp_ntz").as("session_start"),
+      col("session_end").cast("timestamp_ntz").as("session_end"),
+      col("n_events"),
+      col("total_value"))
+  }
+
   // ---- q82: weighted (A-ES) reservoir sampling — 50 documents drawn with
   //      probability proportional to (capped) token count, WITHOUT
   //      replacement. The A-ES key u^(1/w) is realized as the max of w
@@ -1237,6 +1268,7 @@ object SparkEntry {
     "q80_bool_retrieval"   -> q80 _,
     "q81_temporal_join"    -> q81 _,
     "q82_weighted_sample"  -> q82 _,
+    "q83_stream_sessions"  -> q83 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1402,6 +1434,36 @@ object SparkEntry {
          |)
          |SELECT doc_id, w, wrs_key FROM keyed
          |ORDER BY wrs_key DESC, doc_id ASC LIMIT 50""".stripMargin,
+    // q83: the streaming state machine works in ms (Timestamp.getTime), so
+    // sessions are islands over epoch_ms with (ms, event_id) tie-break; a
+    // session is emitted iff a later event closed it (sid < the user's max)
+    // or its timeout (last + 30 min) fell strictly below the final
+    // watermark (max event ms − 2 h). total_value replays the state's
+    // ordered accumulation as a left fold (q76 pattern).
+    "q83_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS tms FROM events
+        |), marked AS (
+        |  SELECT *, CASE WHEN tms - lag(tms) OVER w IS NULL THEN 1
+        |    WHEN tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)
+        |), isl AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |), sess AS (
+        |  SELECT user_id, sid,
+        |    make_timestamp(min(tms) * 1000) AS session_start,
+        |    make_timestamp(max(tms) * 1000) AS session_end,
+        |    count(*) AS n_events,
+        |    list_reduce(list(value ORDER BY tms, event_id), (acc, x) -> acc + x) AS total_value,
+        |    max(tms) AS last_ms
+        |  FROM isl GROUP BY user_id, sid
+        |), wm AS (SELECT max(tms) - 7200000 AS w FROM e),
+        |lastsid AS (SELECT user_id, max(sid) AS msid FROM sess GROUP BY user_id)
+        |SELECT s.user_id, s.session_start, s.session_end, s.n_events, s.total_value
+        |FROM sess s JOIN lastsid l ON s.user_id = l.user_id, wm
+        |WHERE s.sid < l.msid OR s.last_ms + 1800000 < wm.w""".stripMargin,
     "q73_zorder" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  ${ops.ZOrder.zValueSql(Seq("l_partkey % 1024", "l_suppkey % 1024"), 10)} AS zval
