@@ -4,14 +4,24 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.util.Random
+
 class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  /** Resolve on BOTH paths (driver union-find and the distributed
+    * pointer-jumping loop, forced via localEdgeThreshold = 0), assert
+    * they agree, return the shared result.
+    */
   private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
-    val got = ConnectedComponents.components(edges.toDF("u", "v"))
+    val df = edges.toDF("u", "v")
+    val local = ConnectedComponents.components(df)
+      .as[(Long, Long)].collect().toMap
+    val dist = ConnectedComponents.components(df, localEdgeThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     graft.Storage.releaseAll(spark)
-    got
+    assert(local == dist, "driver union-find and distributed loop diverge")
+    local
   }
 
   test("components resolve to the minimum id, across chain/triangle/singleton-edge") {
@@ -35,5 +45,55 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
   test("edge direction and duplication do not matter") {
     val a = cc(Seq((5L, 9L), (9L, 5L), (5L, 9L), (7L, 9L)))
     assert(a == Map(5L -> 5L, 7L -> 5L, 9L -> 5L))
+  }
+
+  test("randomized graph: both paths agree with a reference union-find") {
+    val rnd = new Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val got = cc(edges)
+
+    // reference: naive repeated relabeling to fixpoint
+    var label = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> n).toMap
+    var moved = true
+    while (moved) {
+      moved = false
+      for ((a, b) <- edges) {
+        val m = math.min(label(a), label(b))
+        if (label(a) != m) { label += a -> m; moved = true }
+        if (label(b) != m) { label += b -> m; moved = true }
+      }
+    }
+    assert(got == label)
+  }
+
+  test("string keys resolve on the driver path with UTF-8 (Spark min) ordering") {
+    // "é" (é, 2 UTF-8 bytes) vs "z": UTF-8 byte order puts "z" (0x7a)
+    // below "é" (0xc3a9) — same as Spark's min; UTF-16 agrees here, but the
+    // supplementary char below ("😀" = 😀, 4 bytes 0xf0...) sorts
+    // ABOVE "￿" in UTF-8 while String.compareTo puts it BELOW — the
+    // driver ordering must match Spark, not compareTo.
+    val sup = "😀"
+    val edges = Seq(("z", "é"), (sup, "￿"), ("b", "a")).toDF("u", "v")
+    val local = ConnectedComponents.components(edges)
+      .as[(String, String)].collect().toMap
+    val dist = ConnectedComponents.components(edges, localEdgeThreshold = 0L)
+      .as[(String, String)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    assert(local == dist)
+    assert(local("z") == "z" && local("é") == "z")
+    assert(local(sup) == "￿" && local("￿") == "￿")
+    assert(local("a") == "a" && local("b") == "a")
+  }
+
+  test("null endpoints are rejected loudly") {
+    val edges = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(3L), Some(4L)))
+      .toDF("u", "v")
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.components(edges).collect()
+    }
+    graft.Storage.releaseAll(spark)
+    assert(e.getMessage.contains("null edge endpoints"))
   }
 }
