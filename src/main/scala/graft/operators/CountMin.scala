@@ -107,6 +107,30 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[sketchFast]] as ONE native aggregate ([[graft.functions.CmsSketchAgg]])
+    * — the production build: no depth-× row explosion before the partial
+    * aggregate; each map task folds tokens straight into a depth·width
+    * long-array buffer and the exchange carries one buffer per task
+    * (depth·width·8 bytes) regardless of corpus size. Cell-for-cell equal
+    * to [[sketchFast]] (pinned in CountMinSpec), same (j, bucket, cnt)
+    * table out, so [[estimateFast]] and [[merge]] work unchanged.
+    */
+  def sketchAggFast(tokens: DataFrame, tokenCol: String, depth: Int,
+                    width: Int): DataFrame = {
+    require(depth > 0, "depth must be positive")
+    require(width > 0, "width must be positive")
+    tokens
+      .agg(graft.functions.CmsSketchAgg.cells(col(tokenCol), depth, width)
+        .as("cells"))
+      .select(posexplode(col("cells")).as(Seq("pos", "cnt")))
+      .filter(col("cnt") > 0L)
+      .select(
+        graft.functions.IntOps.intDiv(col("pos"), lit(width.toLong))
+          .cast("int").as("j"),
+        pmod(col("pos").cast("long"), lit(width.toLong)).as("bucket"),
+        col("cnt"))
+  }
+
   /** [[estimate]] against a [[sketchFast]]-built sketch. */
   def estimateFast(sk: DataFrame, probes: DataFrame, tokenCol: String,
                    depth: Int, width: Int): DataFrame = {

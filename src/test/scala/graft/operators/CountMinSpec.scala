@@ -115,6 +115,31 @@ class CountMinSpec extends AnyFunSuite with SparkSpec {
     assert(merged == whole)
   }
 
+  test("native aggregate build is cell-for-cell equal to sketchFast (nulls, repartitioned, merge-compatible)") {
+    // nulls included: the builtin xxhash64 SKIPS null inputs (seed passes
+    // through), so a null token lands in row j's hash-of-j bucket — the
+    // aggregate must replay that, not drop the row.
+    val withNulls = tokens.map(Option(_)) ++ Seq(None, None, None)
+    // 7 partitions so partial buffers actually serialize and merge
+    val df = withNulls.map(Tuple1(_)).toDF("token").repartition(7)
+    for ((d, w) <- Seq((3, 16), (4, 64))) {
+      val viaAgg = CountMin.sketchAggFast(df, "token", d, w)
+        .as[(Int, Long, Long)].collect().toSet
+      val viaExplode = CountMin.sketchFast(df, "token", d, w)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(viaAgg == viaExplode, s"d=$d w=$w")
+    }
+    // the table is interchangeable: merge across build paths, estimate on top
+    val (batchA, batchB) = tokens.splitAt(tokens.size / 3)
+    val merged = CountMin.merge(
+        CountMin.sketchAggFast(batchA.map(Tuple1(_)).toDF("token"), "token", 3, 32),
+        CountMin.sketchFast(batchB.map(Tuple1(_)).toDF("token"), "token", 3, 32))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = CountMin.sketchAggFast(tokens.map(Tuple1(_)).toDF("token"), "token", 3, 32)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
   test("the sketch is bounded by depth×width and conserves per-row mass") {
     val df = tokens.map(Tuple1(_)).toDF("token")
     val sk = CountMin.sketch(df, "token", 3, 8).collect()
