@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Declarative per-vintage source spec: the canonical ingestion path
   * replacing the reference's copy-pasted read/rename blocks
   * (S4-S8, P5-P7 in SURVEY §2). Excel is read natively with NO external
-  * jars — OOXML (.xlsx) via [[Excel]] and legacy BIFF8 (.xls) via [[Xls]],
+  * jars — OOXML (.xlsx) via [[Excel]] and legacy BIFF8 and BIFF5/7 (.xls) via [[Xls]],
   * dispatched per file by extension — alongside CSV/Parquet staging.
   *
   * @param paths            file or glob paths (multi-path scan, S6)
@@ -119,7 +119,7 @@ object StagingReader {
 
   /** S4 — distributed Excel scan (.xlsx AND legacy .xls) with NO external
     * jars: the `binaryFile` source ships each workbook's bytes to an
-    * executor, where [[Excel]] StAX-parses (xlsx) or [[Xls]] BIFF8-parses
+    * executor, where [[Excel]] StAX-parses (xlsx) or [[Xls]] BIFF-parses
     * (.xls) the selected sheet — per-file dispatch, so one glob covers the
     * mixed vintages the reference collects. One task per file (workbook
     * containers are not splittable); a 100 TB drop of many
@@ -154,7 +154,7 @@ object StagingReader {
       .getOrElse(allFiles)
 
     // container dispatch by extension behind one neutral view: legacy
-    // BIFF8 (.xls) and OOXML (.xlsx/.xlsm) expose the same
+    // BIFF (.xls) and OOXML (.xlsx/.xlsm) expose the same
     // (sheet names, grid-by-index) surface, so selection logic exists once.
     // `allSheets` returns EVERY matching sheet with its name — the
     // pre-2009 All_quarters shape, one workbook per fiscal year with a

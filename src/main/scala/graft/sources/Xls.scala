@@ -2,13 +2,23 @@ package graft.sources
 
 import scala.collection.mutable
 
-/** Self-contained legacy Excel (.xls, BIFF8) parsing — no POI, no external
-  * jars. A .xls file is an OLE2/CFB compound document (MS-CFB) whose
-  * "Workbook" stream is a sequence of BIFF8 records (MS-XLS). The subset a
-  * staging pipeline needs — sheet catalog, shared strings, cell values,
-  * number-format-driven date rendering, 1900/1904 date system — is parsed
-  * here with plain JDK byte twiddling, mirroring [[Excel]]'s contract for
-  * the zip/XML (.xlsx) container.
+/** Self-contained legacy Excel (.xls, BIFF8 AND BIFF5/7) parsing — no POI,
+  * no external jars. A .xls file is an OLE2/CFB compound document (MS-CFB)
+  * whose "Workbook" (BIFF8) or "Book" (BIFF5/7, Excel 5/95) stream is a
+  * sequence of BIFF records (MS-XLS). The subset a staging pipeline needs —
+  * sheet catalog, shared strings, cell values, number-format-driven date
+  * rendering, 1900/1904 date system — is parsed here with plain JDK byte
+  * twiddling, mirroring [[Excel]]'s contract for the zip/XML (.xlsx)
+  * container.
+  *
+  * BIFF5/7 differs from BIFF8 only in its string encoding for this record
+  * subset: no SST/LABELSST (LABEL/RSTRING carry inline byte strings),
+  * BOUNDSHEET names and FORMAT codes are 8-bit-length byte strings, and
+  * all byte strings decode through the workbook's CODEPAGE record
+  * (windows-1252 for every NHS-era file; the decoder honours whatever
+  * codepage the record declares). Numeric records (NUMBER/RK/MULRK),
+  * BOOLERR, FORMULA and the date machinery are byte-identical across
+  * versions. The BOF version field (0x0500 vs 0x0600) selects the mode.
   *
   * Reference surface replaced: the extractors collect `.xls` alongside
   * `.xlsx` (scripts/supporting-facilities/extract_supporting_facilities_main.py:143-149,
@@ -32,7 +42,10 @@ object Xls {
                                stream: Array[Byte],
                                sst: IndexedSeq[String],
                                dateXfs: Set[Int],
-                               date1904: Boolean) {
+                               date1904: Boolean,
+                               biff5: Boolean = false,
+                               charset: java.nio.charset.Charset =
+                                 java.nio.charset.StandardCharsets.ISO_8859_1) {
     def sheetNames: Seq[String] = sheets.map(_._1)
 
     /** First sheet whose name matches the regex, case-insensitively — the
@@ -182,8 +195,10 @@ object Xls {
   // BIFF8 records
   // ---------------------------------------------------------------------
 
-  private val RecBofBiff8 = 0x0809
+  private val RecBofBiff8 = 0x0809 // BIFF5/7 share this BOF id; vers differs
   private val RecEof = 0x000A
+  private val RecCodepage = 0x0042
+  private val RecRString = 0x00D6
   private val RecContinue = 0x003C
   private val RecBoundsheet = 0x0085
   private val RecSst = 0x00FC
@@ -275,6 +290,31 @@ object Xls {
       }
     }
 
+  /** Charset for a CODEPAGE record value: the windows codepage family
+    * (1252 etc.), with the historical aliases BIFF5 writers used. 1200
+    * (UTF-16, what BIFF8 declares) never decodes byte strings.
+    */
+  private def charsetFor(codepage: Int): java.nio.charset.Charset = {
+    def lookup(n: String): Option[java.nio.charset.Charset] =
+      try Some(java.nio.charset.Charset.forName(n)) catch { case _: Exception => None }
+    codepage match {
+      case 367 => java.nio.charset.StandardCharsets.US_ASCII
+      case 10000 => lookup("MacRoman")
+        .getOrElse(java.nio.charset.StandardCharsets.ISO_8859_1)
+      case cp => lookup(s"windows-$cp").orElse(lookup(s"cp$cp"))
+        .getOrElse(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+  }
+
+  /** BIFF5 byte string at `off`: `lenBytes`-wide length then codepage
+    * characters.
+    */
+  private def byteString(b: Array[Byte], off: Int, lenBytes: Int,
+                         cs: java.nio.charset.Charset): String = {
+    val cch = if (lenBytes == 1) u8(b, off) else u16(b, off)
+    new String(b, off + lenBytes, cch, cs)
+  }
+
   /** Short (8-bit length) unicode string — BOUNDSHEET names. */
   private def shortUnicode(b: Array[Byte], off: Int): String = {
     val cch = u8(b, off)
@@ -294,21 +334,30 @@ object Xls {
     * xlsx date-token heuristic; builtin ifmt ids share the xlsx table).
     */
   def open(fileBytes: Array[Byte]): XlsWorkbook = {
-    // BIFF5/7 names the stream "Book"; we only parse BIFF8 ("Workbook"),
-    // matching readxl's supported range for NHS-era files.
+    // BIFF8 names the stream "Workbook"; BIFF5/7 (Excel 5/95) names it
+    // "Book". Try both; anything else is not an Excel compound file.
     val stream =
       try cfbStream(fileBytes, "Workbook")
       catch {
         case e: IllegalArgumentException if e.getMessage != null &&
           e.getMessage.contains("no stream") =>
-          throw new IllegalArgumentException(
-            "xls: found a 'Book' (BIFF5/7) or non-Excel compound file; only BIFF8 .xls is supported", e)
+          try cfbStream(fileBytes, "Book")
+          catch {
+            case e2: IllegalArgumentException if e2.getMessage != null &&
+              e2.getMessage.contains("no stream") =>
+              throw new IllegalArgumentException(
+                "xls: compound file has neither a 'Workbook' (BIFF8) nor a 'Book' (BIFF5/7) stream", e)
+          }
       }
-    require(stream.length >= 4 && u16(stream, 0) == RecBofBiff8,
-      "xls: Workbook stream does not start with a BIFF8 BOF")
+    require(stream.length >= 6 && u16(stream, 0) == RecBofBiff8,
+      "xls: workbook stream does not start with a BIFF5+ BOF " +
+        "(BIFF2-4 single-stream files are not supported)")
+    // BOF vers: 0x0600 = BIFF8, 0x0500 = BIFF5/7 (Excel 5 and 95 share it)
+    val biff5 = u16(stream, 4) < 0x0600
 
     val sheets = mutable.ArrayBuffer.empty[(String, Int)]
     var date1904 = false
+    var charset = java.nio.charset.StandardCharsets.ISO_8859_1: java.nio.charset.Charset
     val customDateFmts = mutable.Set.empty[Int]
     val xfFmts = mutable.ArrayBuffer.empty[Int]
     val sstStrings = mutable.ArrayBuffer.empty[String]
@@ -322,16 +371,22 @@ object Xls {
         case RecBofBiff8 => depth += 1
         case RecEof => depth -= 1; if (depth <= 0) done = true
         case RecDateMode => date1904 = u16(r.data, 0) == 1
+        case RecCodepage => if (biff5) charset = charsetFor(u16(r.data, 0))
         case RecFormat =>
           val ifmt = u16(r.data, 0)
-          val cur = new RecCursor(IndexedSeq(java.util.Arrays.copyOfRange(r.data, 2, r.data.length)))
-          if (Excel.isDateFormatCode(cur.readUnicodeString())) customDateFmts += ifmt
-        case RecXf => xfFmts += u16(r.data, 2)
+          val code =
+            if (biff5) byteString(r.data, 2, 1, charset)
+            else new RecCursor(IndexedSeq(
+              java.util.Arrays.copyOfRange(r.data, 2, r.data.length))).readUnicodeString()
+          if (Excel.isDateFormatCode(code)) customDateFmts += ifmt
+        case RecXf => xfFmts += u16(r.data, 2) // ifmt at offset 2 in BIFF5 and BIFF8
         case RecBoundsheet =>
           val pos = i32(r.data, 0)
           val typ = u8(r.data, 5) // 0 = worksheet
-          if (typ == 0) sheets += ((shortUnicode(r.data, 6), pos))
-        case RecSst =>
+          if (typ == 0) sheets += ((
+            if (biff5) byteString(r.data, 6, 1, charset)
+            else shortUnicode(r.data, 6), pos))
+        case RecSst => // BIFF8 only; BIFF5 has no shared string table
           val parts = mutable.ArrayBuffer(r.data)
           while (it.hasNext && it.head.typ == RecContinue) parts += it.next().data
           val cur = new RecCursor(parts.toIndexedSeq)
@@ -346,7 +401,8 @@ object Xls {
     val dateXfs = xfFmts.zipWithIndex.collect {
       case (fmt, i) if Excel.BuiltinDateFmts(fmt) || customDateFmts(fmt) => i
     }.toSet
-    XlsWorkbook(sheets.toSeq, stream, sstStrings.toIndexedSeq, dateXfs, date1904)
+    XlsWorkbook(sheets.toSeq, stream, sstStrings.toIndexedSeq, dateXfs,
+      date1904, biff5, charset)
   }
 
   /** Decode an RK value: 30-bit int or truncated IEEE double, either
@@ -422,9 +478,14 @@ object Xls {
           if (isst >= 0 && isst < wb.sst.length)
             put(u16(r.data, 0), u16(r.data, 2), wb.sst(isst))
         case RecLabel =>
-          val cur = new RecCursor(IndexedSeq(
-            java.util.Arrays.copyOfRange(r.data, 6, r.data.length)))
-          put(u16(r.data, 0), u16(r.data, 2), cur.readUnicodeString())
+          put(u16(r.data, 0), u16(r.data, 2),
+            if (wb.biff5) byteString(r.data, 6, 2, wb.charset)
+            else new RecCursor(IndexedSeq(
+              java.util.Arrays.copyOfRange(r.data, 6, r.data.length))).readUnicodeString())
+        case RecRString if wb.biff5 =>
+          // rich-text label: like LABEL plus trailing formatting runs,
+          // which the staging contract (raw strings) ignores
+          put(u16(r.data, 0), u16(r.data, 2), byteString(r.data, 6, 2, wb.charset))
         case RecBoolErr =>
           val isErr = u8(r.data, 7) == 1
           if (!isErr) // error cells → null, like sentinel-na text
@@ -443,9 +504,13 @@ object Xls {
               (0 until 8).map(k => (r.data(6 + k).toLong & 0xFF) << (8 * k)).reduce(_ | _)))
         case RecString =>
           pendingString.foreach { case (row, col) =>
-            val parts = mutable.ArrayBuffer(r.data)
-            while (it.hasNext && it.head.typ == RecContinue) parts += it.next().data
-            val v = new RecCursor(parts.toIndexedSeq).readUnicodeString()
+            val v =
+              if (wb.biff5) byteString(r.data, 0, 2, wb.charset)
+              else {
+                val parts = mutable.ArrayBuffer(r.data)
+                while (it.hasNext && it.head.typ == RecContinue) parts += it.next().data
+                new RecCursor(parts.toIndexedSeq).readUnicodeString()
+              }
             if (v.nonEmpty) put(row, col, v) // empty → null (xlsx parity)
           }
           pendingString = None

@@ -174,7 +174,7 @@ object XlsFixtures {
     * the 4096 cutoff go to the ministream via the miniFAT; larger ones get
     * regular FAT sectors.
     */
-  private def cfb(stream: Array[Byte]): Array[Byte] = {
+  private def cfb(stream: Array[Byte], streamName: String = "Workbook"): Array[Byte] = {
     val sec = 512
     val mini = stream.length < 4096
 
@@ -212,7 +212,7 @@ object XlsFixtures {
     val dir = new B()
       .bytes(dirEntry("Root Entry", 5, 1,
         if (mini) payloadStart else 0xFFFFFFFE, if (mini) payload.length else 0))
-      .bytes(dirEntry("Workbook", 2, -1,
+      .bytes(dirEntry(streamName, 2, -1,
         if (mini) 0 else payloadStart, stream.length))
       .bytes(dirEntry("", 0, -1, -1, 0))
       .bytes(dirEntry("", 0, -1, -1, 0))
@@ -264,5 +264,114 @@ object XlsFixtures {
     val stream = workbookStream(sheets, date1904, sstCap)
     cfb(if (stream.length >= padStreamTo) stream
         else java.util.Arrays.copyOf(stream, padStreamTo))
+  }
+
+  // ------------------------------------------------------------------
+  // BIFF5 (Excel 5/95) builder — the legacy-legacy vintage: "Book"
+  // stream, no SST (strings inline in LABEL/RSTRING as codepage byte
+  // strings), 8-bit-length byte strings for BOUNDSHEET names and FORMAT
+  // codes, CODEPAGE record declaring the byte-string encoding.
+  // ------------------------------------------------------------------
+
+  final case class Rich(s: String) // → RSTRING (label + formatting runs)
+
+  /** BIFF5 byte string with a `lenBytes`-wide length prefix. */
+  private def byteString5(s: String, lenBytes: Int,
+                          cs: java.nio.charset.Charset): Array[Byte] = {
+    val chars = s.getBytes(cs)
+    val b = new B
+    if (lenBytes == 1) b.u8(chars.length) else b.u16(chars.length)
+    b.bytes(chars).result
+  }
+
+  /** The BIFF5 Book stream: same substream layout as BIFF8, BIFF5 string
+    * encodings.
+    */
+  private def bookStream5(sheets: Seq[(String, Seq[Seq[Any]])],
+                          date1904: Boolean, codepage: Int,
+                          cs: java.nio.charset.Charset): Array[Byte] = {
+    def bof(dt: Int) = rec(0x0809)(_.u16(0x0500).u16(dt).u16(0x0DBB).u16(0x07CC))
+    val eof = rec(0x000A)(_ => ())
+
+    val sheetStreams: Seq[Array[Byte]] = sheets.map { case (_, rows) =>
+      val body = new B().bytes(bof(0x0010))
+      rows.zipWithIndex.foreach { case (cells, ri) =>
+        var ci = 0
+        while (ci < cells.length) {
+          cells(ci) match {
+            case null => ci += 1
+            case v: Int =>
+              var j = ci
+              while (j < cells.length && cells(j).isInstanceOf[Int]) j += 1
+              if (j - ci >= 2) {
+                body.bytes(rec(0x00BD) { b =>
+                  b.u16(ri).u16(ci)
+                  (ci until j).foreach(k =>
+                    b.u16(0).u32((cells(k).asInstanceOf[Int] << 2) | 0x02))
+                  b.u16(j - 1)
+                })
+                ci = j
+              } else {
+                body.bytes(rec(0x027E)(_.u16(ri).u16(ci).u16(0).u32((v << 2) | 0x02)))
+                ci += 1
+              }
+            case other =>
+              val r = other match {
+                case s: String => // BIFF5: inline LABEL, no SST
+                  rec(0x0204)(_.u16(ri).u16(ci).u16(0).bytes(byteString5(s, 2, cs)))
+                case Inline(s) =>
+                  rec(0x0204)(_.u16(ri).u16(ci).u16(0).bytes(byteString5(s, 2, cs)))
+                case Rich(s) => // RSTRING: label chars then formatting runs
+                  rec(0x00D6)(_.u16(ri).u16(ci).u16(0).bytes(byteString5(s, 2, cs))
+                    .u8(1).u8(0).u8(0)) // one trailing (char, font) run
+                case b: Boolean =>
+                  rec(0x0205)(_.u16(ri).u16(ci).u16(0).u8(if (b) 1 else 0).u8(0))
+                case DateSerial(d) => rec(0x0203)(_.u16(ri).u16(ci).u16(1).f64(d))
+                case DateTimeSerial(d) => rec(0x0203)(_.u16(ri).u16(ci).u16(2).f64(d))
+                case Styled(d, s) => rec(0x0203)(_.u16(ri).u16(ci).u16(s).f64(d))
+                case FormulaStr(s) =>
+                  rec(0x0006)(_.u16(ri).u16(ci).u16(0)
+                    .u8(0).u8(0).u32(0).u16(0xFFFF) // string-result marker
+                    .u16(0).u32(0).u16(0)) ++
+                    rec(0x0207)(_.bytes(byteString5(s, 2, cs)))
+                case d: Double => rec(0x0203)(_.u16(ri).u16(ci).u16(0).f64(d))
+                case l: Long => rec(0x0203)(_.u16(ri).u16(ci).u16(0).f64(l.toDouble))
+                case x => throw new IllegalArgumentException(s"fixture cell: $x")
+              }
+              body.bytes(r)
+              ci += 1
+          }
+        }
+      }
+      body.bytes(eof).result
+    }
+
+    def globals(offsets: Seq[Int]): Array[Byte] = {
+      val g = new B().bytes(bof(0x0005))
+      g.bytes(rec(0x0042)(_.u16(codepage)))
+      g.bytes(rec(0x0022)(_.u16(if (date1904) 1 else 0)))
+      g.bytes(rec(0x041E)(_.u16(165).bytes(byteString5("yyyy-mm-dd hh:mm", 1, cs))))
+      Seq(0, 14, 165, 2).foreach(ifmt =>
+        g.bytes(rec(0x00E0)(_.u16(0).u16(ifmt).bytes(new Array[Byte](12)))))
+      sheets.zip(offsets).foreach { case ((name, _), off) =>
+        g.bytes(rec(0x0085)(_.u32(off).u16(0).bytes(byteString5(name, 1, cs))))
+      }
+      g.bytes(eof).result
+    }
+
+    val fixedLen = globals(sheets.map(_ => 0)).length // offsets are fixed-width
+    val offsets = sheetStreams.scanLeft(fixedLen)(_ + _.length).init
+    val out = new B().bytes(globals(offsets))
+    sheetStreams.foreach(out.bytes)
+    out.result
+  }
+
+  /** Assemble a complete BIFF5 (Excel 5/95) .xls file. */
+  def xls5(sheets: Seq[(String, Seq[Seq[Any]])],
+           date1904: Boolean = false,
+           codepage: Int = 1252): Array[Byte] = {
+    val cs = java.nio.charset.Charset.forName(
+      if (codepage == 367) "US-ASCII" else s"windows-$codepage")
+    cfb(bookStream5(sheets, date1904, codepage, cs), streamName = "Book")
   }
 }

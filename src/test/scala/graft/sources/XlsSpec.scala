@@ -15,7 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class XlsSpec extends AnyFunSuite with SparkSpec {
 
   import ExcelFixtures.{Inline, DateSerial, DateTimeSerial, Styled, xlsx}
-  import XlsFixtures.{xls, FormulaStr}
+  import XlsFixtures.{xls, xls5, FormulaStr, Rich}
 
   private def write(dir: java.io.File, name: String, bytes: Array[Byte]): Unit = {
     val f = new FileOutputStream(new java.io.File(dir, name))
@@ -139,6 +139,49 @@ class XlsSpec extends AnyFunSuite with SparkSpec {
     val byN = df.collect().map(r => r.getAs[String]("n") -> r.getAs[String]("quarter")).toMap
     assert(byN == Map("1" -> "Q1", "2" -> "Q2", "3" -> "Q3", "4" -> "Q4"),
       s"sheet labels must map to fiscal quarters, got $byN")
+  }
+
+  test("BIFF5: inline LABEL/RSTRING codepage strings, numerics, booleans, formula strings, dates") {
+    val bytes = xls5(Seq("Données" -> Seq(
+      Seq("org", "café", "open", "ratio"),
+      Seq("RA1", 42, true, 3.25),
+      Seq(Rich("Trusts – provisional"), null, false, FormulaStr("n/a")),
+      Seq(Inline("RA3"), 7, 8, 9), // consecutive ints → one MULRK
+      Seq(DateSerial(40574), DateTimeSerial(40574.604166666664), Styled(123.45, 3)),
+    )))
+    val wb = Xls.open(bytes)
+    assert(wb.biff5)
+    assert(wb.sst.isEmpty, "BIFF5 has no shared string table")
+    assert(wb.sheetNames == Seq("Données"), "sheet name decodes via the codepage")
+    val grid = Xls.sheetGrid(wb, 0)
+    assert(grid(0).toSeq == Seq("org", "café", "open", "ratio"))
+    assert(grid(1).toSeq == Seq("RA1", "42", "TRUE", "3.25"))
+    assert(grid(2).toSeq == Seq("Trusts – provisional", null, "FALSE", "n/a"))
+    assert(grid(3).toSeq == Seq("RA3", "7", "8", "9"))
+    assert(grid(4).take(3).toSeq == Seq("2011-01-31", "2011-01-31 14:30:00", "123.45"),
+      "builtin ifmt 14 and byte-string custom FORMAT render; plain style stays raw")
+  }
+
+  test("BIFF5: 1904 date system and non-default codepage decode") {
+    val wb04 = Xls.open(
+      xls5(Seq("D" -> Seq(Seq("d"), Seq(DateSerial(40574 - 1462)))), date1904 = true))
+    assert(Xls.sheetGrid(wb04, 0)(1)(0) == "2011-01-31")
+    // windows-1251 (Cyrillic): byte 0xC0 is "А", not "À"
+    val wb51 = Xls.open(xls5(Seq("Лист" -> Seq(Seq("Атлас"))), codepage = 1251))
+    assert(wb51.sheetNames == Seq("Лист"))
+    assert(Xls.sheetGrid(wb51, 0)(0).toSeq == Seq("Атлас"))
+  }
+
+  test("BIFF5 and BIFF8 vintages of the same table read identically through one glob") {
+    val dir = Files.createTempDirectory("graft_xls_biff5_mix").toFile
+    val rows = Seq(
+      "Provider" -> Seq(Seq("org_code", "n_beds"): Seq[Any], Seq("RA1", 10): Seq[Any]))
+    write(dir, "Beds_1998.xls", xls5(rows))  // Excel 95 vintage
+    write(dir, "Beds_2009.xls", xls(rows))   // Excel 97+ vintage
+    val df = StagingReader.readExcelStaging(spark,
+      Seq(s"${dir.getAbsolutePath}/*.xls"), sheetName = Some("^provider$"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("Beds_1998.xls", "RA1", "10"), ("Beds_2009.xls", "RA1", "10")))
   }
 
   test("SourceSpec format=excel flows .xls through the staging pipeline (sentinels, clean names)") {
