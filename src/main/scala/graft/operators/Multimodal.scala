@@ -244,14 +244,22 @@ object Multimodal {
       }
   }
 
-  // ---- video: real RIFF/AVI container with uncompressed DIB frames ----
+  // ---- video: real RIFF/AVI containers, uncompressed DIB and MJPEG ----
   // The container and frame parsing are from scratch (the JDK has no AVI
-  // reader — same build-it ethos as the CFB/BIFF8 Excel path). Frames are
-  // BI_RGB 24-bit bottom-up DIBs: LOSSLESS, so the decoded pixels are
-  // deterministic formulas the SQL oracle replays exactly — an MJPEG
-  // payload would decode via DCT rounding no SQL engine can reproduce.
-  // Compressed codecs (H.26x etc.) have no JDK decoder and stay out of
-  // scope; a '00dc'/non-BI_RGB stream is treated as undecodable.
+  // reader — same build-it ethos as the CFB/BIFF8 Excel path). Two frame
+  // codecs decode:
+  //   - BI_RGB 24-bit bottom-up DIBs ('00db'): LOSSLESS, so the decoded
+  //     pixels are deterministic formulas the SQL oracle replays exactly —
+  //     this is the gate-visible (q62) family.
+  //   - MJPEG ('MJPG' strf + '00dc' chunks): each frame is a standalone
+  //     baseline JPEG, decoded with the JDK's own ImageIO JPEG reader —
+  //     REAL lossy decode, spec-pinned against an independent ImageIO read
+  //     of the same frame bytes (DCT rounding is deterministic within a
+  //     JVM but not SQL-replayable, so this family is spec-covered rather
+  //     than hash-oracled).
+  // Inter-frame codecs (H.26x etc.) have no JDK decoder and stay out of
+  // scope; their streams — and a '00dc' chunk under a non-MJPG strf —
+  // zero out by the poison-row contract.
 
   def vWidthFor(id: Long): Int = (4 + id % 5).toInt
   def vHeightFor(id: Long): Int = (3 + id % 3).toInt
@@ -323,6 +331,69 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Encode the same deterministic frame sequence as a real MJPEG AVI:
+    * identical container layout to [[aviFor]] but the stream declares
+    * 'MJPG' and each '00dc' chunk is a standalone baseline JPEG produced
+    * by the JDK encoder (variable-size chunks, word-aligned).
+    */
+  def aviMjpgFor(id: Long): Array[Byte] = {
+    val w = vWidthFor(id); val h = vHeightFor(id)
+    val n = vFrameCountFor(id); val fps = vFpsFor(id)
+    val jpegs: IndexedSeq[Array[Byte]] = (0 until n).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = vRgbFor(id, f, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val fb = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", fb)
+      fb.toByteArray
+    }
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def fourcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+
+    val bufSize = jpegs.map(_.length).max
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+
+    fourcc("RIFF"); u32(riffSize); fourcc("AVI ")
+    fourcc("LIST"); u32(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); u32(56)
+    u32(1000000L / fps); u32(0); u32(0); u32(0)
+    u32(n); u32(0); u32(1); u32(bufSize)
+    u32(w); u32(h); u32(0); u32(0); u32(0); u32(0)
+    fourcc("LIST"); u32(strlSize); fourcc("strl")
+    fourcc("strh"); u32(56)
+    fourcc("vids"); fourcc("MJPG"); u32(0); u16(0); u16(0); u32(0)
+    u32(1); u32(fps); u32(0); u32(n)
+    u32(bufSize); u32(0); u32(0)
+    u16(0); u16(0); u16(w); u16(h)
+    fourcc("strf"); u32(40)
+    u32(40); u32(w); u32(h); u16(1); u16(24)
+    fourcc("MJPG"); u32(bufSize.toLong); u32(0); u32(0); u32(0); u32(0)
+    fourcc("LIST"); u32(moviSize); fourcc("movi")
+    jpegs.foreach { j =>
+      fourcc("00dc"); u32(j.length.toLong); bos.write(j, 0, j.length)
+      if ((j.length & 1) == 1) bos.write(0) // word alignment
+    }
+    bos.toByteArray
+  }
+
   /** One REAL AVI per id (same mapPartitions contract as [[pngPayloads]]). */
   def aviPayloads(df: DataFrame, idCol: String, out: String = "payload"): DataFrame = {
     val spark = df.sparkSession
@@ -336,12 +407,14 @@ object Multimodal {
                              n_frames: Int, fps: Int, n_sampled: Int, checksum: Long)
 
   /** Real video decode: walk the RIFF tree for avih (dimensions, frame
-    * count), the 'vids' strh (rate/scale → fps) and strf (must be BI_RGB
-    * 24-bit), then decode every `sampleEvery`-th '00db' frame's DIB to
-    * top-down RGB and fold the same rotate/xor checksum as the image and
-    * audio paths (sampled-frame-major, row-major, R then G then B).
-    * Undecodable, compressed ('00dc'), or non-BI_RGB payloads yield
-    * zeroed metadata — the shared poison-row contract.
+    * count), the 'vids' strh (rate/scale → fps) and strf, then decode
+    * every `sampleEvery`-th frame to top-down RGB and fold the same
+    * rotate/xor checksum as the image and audio paths
+    * (sampled-frame-major, row-major, R then G then B). BI_RGB 24-bit
+    * streams decode their '00db' DIBs in place; 'MJPG' streams decode
+    * their '00dc' JPEG frames through ImageIO. Undecodable payloads —
+    * garbage, inter-frame codecs, a '00dc' chunk under a non-MJPG strf —
+    * yield zeroed metadata (the shared poison-row contract).
     */
   def decodeVideoMeta(df: DataFrame, idCol: String, binCol: String,
                       sampleEvery: Int = 2): Dataset[VideoMeta] = {
@@ -371,7 +444,8 @@ object Multimodal {
 
     var width = 0; var height = 0; var totalFrames = 0; var fps = 0
     var biCompression = -1L; var biBitCount = -1
-    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
+    val dbFrames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // '00db' (off, len)
+    val dcFrames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // '00dc' (off, len)
 
     def walk(off: Int, end: Int): Unit = {
       var p = off
@@ -389,43 +463,74 @@ object Multimodal {
           case "strf" if biCompression == -1L =>
             biBitCount = (u32(body + 12) >> 16).toInt // planes u16 | bpp u16
             biCompression = u32(body + 16)
-          case "00db" => frames += ((body, sz))
-          case _ => () // '00dc'/unknown chunks are skipped, not decoded
+          case "00db" => dbFrames += ((body, sz))
+          case "00dc" => dcFrames += ((body, sz))
+          case _ => () // unknown chunks are skipped, not decoded
         }
         p = body + sz + (sz & 1) // chunks are word-aligned
       }
     }
     walk(12, bytes.length)
-    if (width <= 0 || height <= 0 || frames.isEmpty ||
-      biCompression != 0L || biBitCount != 24) return None
+    if (width <= 0 || height <= 0) return None
 
-    val stride = ((width * 3 + 3) / 4) * 4
     var crc = 0L
     def fold(v: Int): Unit =
       crc = ((crc % (1L << 55)) * 32L + (crc >>> 55)) ^ v.toLong
     var sampled = 0
-    var k = 0
-    while (k < frames.length) {
-      val (foff, flen) = frames(k)
-      if (flen < stride * height) return None
-      var y = 0
-      while (y < height) {
-        val rowOff = foff + (height - 1 - y) * stride // bottom-up → top-down
-        var x = 0
-        while (x < width) {
-          val px = rowOff + x * 3
-          fold(bytes(px + 2) & 0xff) // R
-          fold(bytes(px + 1) & 0xff) // G
-          fold(bytes(px) & 0xff)     // B
-          x += 1
+
+    val Mjpg = 0x47504A4DL // 'MJPG' as a little-endian fourcc
+    if (biCompression == 0L && biBitCount == 24 && dbFrames.nonEmpty) {
+      // uncompressed bottom-up DIB frames
+      val stride = ((width * 3 + 3) / 4) * 4
+      var k = 0
+      while (k < dbFrames.length) {
+        val (foff, flen) = dbFrames(k)
+        if (flen < stride * height) return None
+        var y = 0
+        while (y < height) {
+          val rowOff = foff + (height - 1 - y) * stride // bottom-up → top-down
+          var x = 0
+          while (x < width) {
+            val px = rowOff + x * 3
+            fold(bytes(px + 2) & 0xff) // R
+            fold(bytes(px + 1) & 0xff) // G
+            fold(bytes(px) & 0xff)     // B
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        sampled += 1
+        k += sampleEvery
       }
-      sampled += 1
-      k += sampleEvery
-    }
-    Some(VideoMeta(id, bytes.length.toLong, width, height,
-      if (totalFrames > 0) totalFrames else frames.length, fps, sampled, crc))
+      Some(VideoMeta(id, bytes.length.toLong, width, height,
+        if (totalFrames > 0) totalFrames else dbFrames.length, fps, sampled, crc))
+    } else if (biCompression == Mjpg && dcFrames.nonEmpty) {
+      // MJPEG: each '00dc' chunk is a standalone JPEG — JDK ImageIO decode
+      var k = 0
+      while (k < dcFrames.length) {
+        val (foff, flen) = dcFrames(k)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, foff, flen))
+        if (img == null || img.getWidth != width || img.getHeight != height)
+          return None
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val rgb = img.getRGB(x, y)
+            fold((rgb >> 16) & 0xff) // R
+            fold((rgb >> 8) & 0xff)  // G
+            fold(rgb & 0xff)         // B
+            x += 1
+          }
+          y += 1
+        }
+        sampled += 1
+        k += sampleEvery
+      }
+      Some(VideoMeta(id, bytes.length.toLong, width, height,
+        if (totalFrames > 0) totalFrames else dcFrames.length, fps, sampled, crc))
+    } else None
   }
 
   /** Evenly-spaced "frame" samples from a binary payload (video-style

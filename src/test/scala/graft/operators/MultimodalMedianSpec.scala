@@ -118,6 +118,62 @@ class MultimodalMedianSpec extends AnyFunSuite with SparkSpec {
     assert(meta(6L).width == 0 && meta(7L).width == 0)
   }
 
+  test("MJPEG AVI: '00dc' JPEG frames decode through ImageIO (real lossy decode)") {
+    val ids = Seq(0L, 1L, 5L, 9L)
+    val payloads = ids.toDF("doc_id").as[Long]
+      .mapPartitions(it => it.map(id => (id, Multimodal.aviMjpgFor(id))))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.decodeVideoMeta(payloads, "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    ids.foreach { id =>
+      val m = meta(id)
+      assert(m.width == Multimodal.vWidthFor(id) && m.height == Multimodal.vHeightFor(id))
+      assert(m.n_frames == Multimodal.vFrameCountFor(id) && m.fps == Multimodal.vFpsFor(id))
+      assert(m.n_sampled == (m.n_frames + 1) / 2)
+      // expected checksum: independently re-encode each sampled frame with
+      // the same JDK JPEG encoder, read it back with ImageIO, fold pixels —
+      // decodeVideoMeta must recover exactly these (lossy) decoded values
+      var crc = 0L
+      def fold(v: Int): Unit = crc = ((crc % (1L << 55)) * 32L + (crc >>> 55)) ^ v.toLong
+      var lossless = 0L
+      def foldL(v: Int): Unit =
+        lossless = ((lossless % (1L << 55)) * 32L + (lossless >>> 55)) ^ v.toLong
+      for (f <- 0 until m.n_frames by 2) {
+        val img = new java.awt.image.BufferedImage(
+          m.width, m.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until m.height; x <- 0 until m.width) {
+          val (r, g, b) = Multimodal.vRgbFor(id, f, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          foldL(r); foldL(g); foldL(b)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        for (y <- 0 until m.height; x <- 0 until m.width) {
+          val rgb = back.getRGB(x, y)
+          fold((rgb >> 16) & 0xff); fold((rgb >> 8) & 0xff); fold(rgb & 0xff)
+        }
+      }
+      assert(m.checksum == crc, s"MJPEG decoded-pixel checksum mismatch for id=$id")
+      assert(m.checksum != lossless,
+        s"id=$id: JPEG decode should be lossy — equal checksums mean the " +
+          "decoder read the generator formulas, not the JPEG frames")
+    }
+  }
+
+  test("MJPEG AVI with a corrupt frame zeroes out (poison row), not fails") {
+    val avi = Multimodal.aviMjpgFor(5L)
+    // find the first '00dc' chunk and scramble its JPEG body
+    val idx = (0 until avi.length - 3).find(i =>
+      avi(i) == '0' && avi(i + 1) == '0' && avi(i + 2) == 'd' && avi(i + 3) == 'c').get
+    for (k <- idx + 10 until math.min(idx + 40, avi.length)) avi(k) = 0x55
+    val meta = Multimodal.decodeVideoMeta(
+        Seq((5L, avi)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().head
+    assert(meta.width == 0 && meta.checksum == 0L && meta.n_bytes > 0)
+  }
+
   test("frameSample slices evenly spaced frames; short payloads yield fewer") {
     val df = Seq(("x" * 100, 1), ("ab", 2)).toDF("text", "id")
     val out = df.select(col("id"),
