@@ -35,13 +35,16 @@ object Bm25 {
     * rational idf surrogate is monotone in the classic log-idf PER TERM,
     * but the SUM over several terms is not rank-equivalent to canonical
     * BM25 — a multi-term query can order its top-k differently than
-    * Robertson's formula would. Use this form where cross-engine replay
-    * matters; callers needing canonical BM25 ordering should wrap each
-    * term's idf in `log(...)` (at the cost of ULP drift across engines).
+    * Robertson's formula would. Use the default where cross-engine
+    * replay matters; pass `logIdf = true` for canonical BM25 ranking
+    * (the Lucene form ln(1 + (N − df + 0.5)/(df + 0.5)), always
+    * positive) at the cost of `ln`'s ULP drift across engines — that
+    * mode is spec-pinned against a naive Scala BM25, not hash-oracled.
     */
   def topK(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], topK: Int,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75,
+           logIdf: Boolean = false): DataFrame = {
     require(queryTerms.nonEmpty, "at least one query term")
     require(topK > 0, "topK must be positive")
     val terms = queryTerms.distinct.sorted
@@ -68,7 +71,8 @@ object Bm25 {
     def termScore(i: Int): Column = {
       val tf = col(s"tf_$i").cast("double")
       val df = col(s"df_$i")
-      val idf = ((col("n_docs") - df) + lit(0.5)) / (df + lit(0.5))
+      val rational = ((col("n_docs") - df) + lit(0.5)) / (df + lit(0.5))
+      val idf = if (logIdf) log(rational + lit(1.0)) else rational
       idf * ((tf * lit(k1 + 1)) /
         (tf + lit(k1) * (lit(1 - b) + (lit(b) * (col("dl") / avgdl)))))
     }

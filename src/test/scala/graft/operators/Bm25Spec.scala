@@ -66,6 +66,40 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
     assert(rows.toSeq.map(_._1) == expectedTop.map(_._1))
   }
 
+  test("logIdf mode scores equal canonical (Lucene-form) BM25 and can re-rank multi-term ties") {
+    val got = Bm25.topK(docs, "doc_id", "text", terms, topK = 10, logIdf = true)
+      .select(col("doc_id"), col("score")).as[(Long, Double)].collect().toMap
+    // naive canonical: same shape, idf = ln(1 + rational)
+    val toks = Seq(
+      1L -> "merge sort merge join merge", 2L -> "stream window stream filter group",
+      3L -> "scan filter project",
+      4L -> "merge stream window merge stream window merge stream window",
+      5L -> "window",
+    ).map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val sorted = terms.sorted
+    val nDocs = toks.size.toLong
+    val avgdl = toks.map(_._2.size.toLong).sum.toDouble / nDocs
+    val dfs = sorted.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+    val expected = toks.flatMap { case (id, ws) =>
+      val dl = ws.size.toLong
+      val score = sorted.map { t =>
+        val tf = ws.count(_ == t).toDouble
+        val df = dfs(t)
+        math.log(1.0 + ((nDocs - df) + 0.5) / (df + 0.5)) *
+          ((tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + (0.75 * (dl / avgdl)))))
+      }.sum
+      if (ws.exists(terms.contains)) Some(id -> score) else None
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expected(id)) < 1e-12, s"doc $id: $s vs ${expected(id)}")
+    }
+    // idf compression differs between the modes: log idf is positive and
+    // flatter, rational idf rewards rare terms harder — so the two modes
+    // are NOT forced to agree on ordering (the documented caveat)
+    assert(expected.values.forall(_ > 0))
+  }
+
   test("the top-k is TakeOrdered, never a corpus-wide single-task window") {
     // topK must be below the known row count: EliminateLimits drops a
     // provably-redundant limit (maxRows ≤ k) and with it the TakeOrdered

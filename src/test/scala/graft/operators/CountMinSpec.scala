@@ -140,6 +140,25 @@ class CountMinSpec extends AnyFunSuite with SparkSpec {
     assert(merged == whole)
   }
 
+  test("native aggregate build folds raw tokens — no Generate below the partial aggregate") {
+    val df = tokens.map(Tuple1(_)).toDF("token")
+    val agg = CountMin.sketchAggFast(df, "token", 4, 1024)
+      .queryExecution.executedPlan.toString
+    assert(agg.contains("ObjectHashAggregate"),
+      "TypedImperativeAggregate should plan as ObjectHashAggregate:\n" + agg.take(800))
+    // the only Generate is the trailing SKETCH-SIZED posexplode of the
+    // final cell array; the corpus side (below partial_cms_sketch, which
+    // prints after it top-down) must feed the aggregate directly
+    val belowPartial = agg.substring(agg.indexOf("partial_cms_sketch"))
+    assert(!belowPartial.contains("Generate"),
+      "tokens must fold directly into the buffer, not explode first:\n" + agg.take(800))
+    // the composed build DOES explode the corpus — the cost the aggregate removes
+    val composed = CountMin.sketchFast(df, "token", 4, 1024)
+      .queryExecution.executedPlan.toString
+    val composedBelowPartial = composed.substring(composed.indexOf("partial_count"))
+    assert(composedBelowPartial.contains("Generate"))
+  }
+
   test("the sketch is bounded by depth×width and conserves per-row mass") {
     val df = tokens.map(Tuple1(_)).toDF("token")
     val sk = CountMin.sketch(df, "token", 3, 8).collect()
