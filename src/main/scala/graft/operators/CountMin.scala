@@ -31,10 +31,17 @@ object CountMin {
   def bucketOf(token: Column, rot: Int, xorConst: Long, width: Int): Column =
     PortableHash.permute(PortableHash.hash60(token), rot, xorConst) % width
 
-  private def rowBuckets(token: Column, depth: Int, width: Int,
-                         seed: Long): Column =
+  /** The depth (j, bucket) structs from an ALREADY-STAGED 60-bit hash
+    * column: the md5 is the expensive part and every row's bucket is a
+    * cheap integer permute of the same hash, so the hash is bound once
+    * per token (the staged-projection discipline — an inlined
+    * `hash60(token)` tree repeated per row re-runs md5 depth times).
+    */
+  private def rowBucketsOf(h60: Column, depth: Int, width: Int,
+                           seed: Long): Column =
     array(rowConstants(depth, seed).zipWithIndex.map { case ((r, c), j) =>
-      struct(lit(j).as("j"), bucketOf(token, r, c, width).as("bucket"))
+      struct(lit(j).as("j"),
+        (PortableHash.permute(h60, r, c) % width).as("bucket"))
     }: _*)
 
   /** Build the sketch table (j, bucket, cnt) from one token occurrence per
@@ -45,7 +52,8 @@ object CountMin {
     require(depth > 0, "depth must be positive")
     require(width > 0, "width must be positive")
     tokens
-      .select(explode(rowBuckets(col(tokenCol), depth, width, seed)).as("jb"))
+      .select(PortableHash.hash60(col(tokenCol)).as("__h60"))
+      .select(explode(rowBucketsOf(col("__h60"), depth, width, seed)).as("jb"))
       .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -58,7 +66,9 @@ object CountMin {
   def estimate(sk: DataFrame, probes: DataFrame, tokenCol: String,
                depth: Int, width: Int, seed: Long = 42L): DataFrame = {
     val pjb = probes.select(col(tokenCol)).distinct()
-      .withColumn("jb", explode(rowBuckets(col(tokenCol), depth, width, seed)))
+      .withColumn("__h60", PortableHash.hash60(col(tokenCol)))
+      .withColumn("jb", explode(rowBucketsOf(col("__h60"), depth, width, seed)))
+      .drop("__h60")
     val est = pjb
       .join(broadcast(sk),
         pjb("jb.j") === sk("j") && pjb("jb.bucket") === sk("bucket"), "left")

@@ -39,8 +39,13 @@ object HyperLogLog {
     */
   def registers(df: DataFrame, keyCol: String, p: Int): DataFrame = {
     require(p >= 2 && p <= 30, s"p out of range: $p")
-    val h = PortableHash.hash60(col(keyCol).cast("string"))
-    df.select((h % lit(1L << p)).as("register"),
+    // Stage the md5-family hash ONCE per row (the staged-projection
+    // discipline): register and rank both reference it, and rankOf's
+    // when/otherwise branches reference its suffix again — inlining the
+    // hash60 tree would re-run md5 ~3x per row.
+    val h = col("__h60")
+    df.select(PortableHash.hash60(col(keyCol).cast("string")).as("__h60"))
+      .select((h % lit(1L << p)).as("register"),
         // long, matching SQL engines where length() is BIGINT
         rankOf(h, p).cast("long").as("rank"))
       .groupBy(col("register"))
