@@ -26,8 +26,21 @@ object PortableHash {
 
   val Mask60: Long = (1L << 60) - 1
 
-  /** 60-bit base hash: value of the first 15 hex chars of md5(s). */
+  /** 60-bit base hash: value of the first 15 hex chars of md5(s) —
+    * natively ([[SketchExpressions.hash60]] reads the digest's top 60
+    * bits directly, skipping the hex-string materialization and base-16
+    * re-parse the built-in chain pays). Bit-equal to [[hash60Builtin]],
+    * pinned in FunctionsSpec; the SQL oracle keeps the built-in
+    * formulation ([[hash60Sql]]) — that equivalence IS the portability
+    * contract.
+    */
   def hash60(c: Column): Column =
+    SketchExpressions.hash60(c.cast("string"))
+
+  /** The pure-built-in formulation, kept as the cross-engine parity
+    * reference (and the exact shape [[hash60Sql]] mirrors in DuckDB).
+    */
+  def hash60Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Rotate a 60-bit value left by r (1 <= r <= 59): no left shifts. */

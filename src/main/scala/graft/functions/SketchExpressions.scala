@@ -51,6 +51,55 @@ object SketchExpressions {
   def dupNgramFraction(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(
       NgramRunFractionExpr(GraftColumnBridge.expression(tokens), n, top = false))
+
+  /** Column API: the portable 60-bit md5 hash, equal to
+    * [[PortableHash.hash60Builtin]]. */
+  def hash60(s: Column): Column =
+    GraftColumnBridge.column(Hash60Expr(GraftColumnBridge.expression(s)))
+}
+
+/** The portable family's base hash, natively: the top 60 bits of the MD5
+  * digest of the UTF-8 string. The built-in formulation
+  * `conv(substring(md5(s), 1, 15), 16, 10)` computes the same value the
+  * long way round — materialize a 32-char lowercase hex STRING of the
+  * digest, slice it, parse it back digit-by-digit in base 16 — all pure
+  * overhead around the digest itself; DuckDB still runs that formulation
+  * (it IS the portability contract), Spark just reads the bits directly:
+  * the first 15 hex chars are exactly the big-endian top 60 bits of the
+  * digest's first 8 bytes. Bit-equality with the built-in chain is pinned
+  * in FunctionsSpec; every md5-family operator (MinHash/CMS/HLL/
+  * sampling/weighted draws) rides on it.
+  */
+case class Hash60Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hash60"
+
+  // one digest instance per thread, reused across rows (digest() resets)
+  @transient private lazy val md =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue: java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.getBytes
+      case b: Array[Byte] => b
+      case other => throw new IllegalStateException(
+        s"hash60 expects a string/binary input, got ${other.getClass}")
+    }
+    val d = md.get().digest(bytes)
+    var u = 0L
+    var i = 0
+    while (i < 8) { u = (u << 8) | (d(i) & 0xffL); i += 1 }
+    u >>> 4 // drop the 16th hex digit: 60 bits, always non-negative
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Hash60Expr =
+    copy(child = newChild)
 }
 
 /** The shared kernel of Gopher's top-n-gram and duplicate-n-gram signals,

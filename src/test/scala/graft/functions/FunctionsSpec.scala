@@ -40,6 +40,21 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(r(1).getSeq[String](0).isEmpty)
   }
 
+  test("native hash60 matches the built-in md5 chain bit-for-bit") {
+    val df = Seq("", "a", "hello world", "café – ﬁ 😀", "x" * 3000,
+        "line\nbreak\ttab")
+      .toDF("s").select(
+        PortableHash.hash60(col("s")).as("native"),
+        PortableHash.hash60Builtin(col("s")).as("builtin"))
+    df.collect().foreach { r =>
+      assert(!r.isNullAt(0) && r.getLong(0) == r.getLong(1))
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= PortableHash.Mask60)
+    }
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(PortableHash.hash60(col("s"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("native wordShingles matches the built-in formulation exactly") {
     val df = Seq("the quick brown fox jumps over", "a b c", "one two", "")
       .toDF("t").select(
