@@ -56,6 +56,47 @@ object SketchExpressions {
     * [[PortableHash.hash60Builtin]]. */
   def hash60(s: Column): Column =
     GraftColumnBridge.column(Hash60Expr(GraftColumnBridge.expression(s)))
+
+  /** Column API: count of a string array's elements that match `regex`,
+    * equal to `size(filter(arr, _.rlike(regex)))`. */
+  def countMatching(arr: Column, regex: String): Column =
+    GraftColumnBridge.column(
+      CountMatchingExpr(GraftColumnBridge.expression(arr), regex))
+}
+
+/** `size(filter(arr, _.rlike(regex)))` natively: the same java.util.regex
+  * engine and `Matcher.find()` semantics RLike evaluates, minus the
+  * per-element interpreted-lambda machinery (higher-order functions don't
+  * participate in codegen, and the filter materializes the kept elements
+  * just to count them). Null elements never match — rlike null-propagates
+  * into the filter's not-kept branch — and a null array is null, matching
+  * the built-in chain exactly (pinned in FunctionsSpec). The line/word
+  * signal family (bullet lines, ellipsis lines, alpha words) rides on it.
+  */
+case class CountMatchingExpr(child: Expression, regex: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "count_matching"
+
+  @transient private lazy val pattern = java.util.regex.Pattern.compile(regex)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val total = arr.numElements()
+    var n = 0
+    var i = 0
+    while (i < total) {
+      if (!arr.isNullAt(i) &&
+        pattern.matcher(arr.getUTF8String(i).toString).find()) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountMatchingExpr =
+    copy(child = newChild)
 }
 
 /** The portable family's base hash, natively: the top 60 bits of the MD5

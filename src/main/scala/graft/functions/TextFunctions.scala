@@ -213,13 +213,13 @@ object TextFunctions {
   def bulletLineFraction(c: Column): Column = bulletLineFractionOf(docLines(c))
 
   def bulletLineFractionOf(ls: Column): Column =
-    ratio(size(filter(ls, l => l.rlike("^\\s*[-*•‣▪] "))), size(ls))
+    ratio(SketchExpressions.countMatching(ls, "^\\s*[-*•‣▪] "), size(ls))
 
   /** Fraction of lines ending in an ellipsis. */
   def ellipsisLineFraction(c: Column): Column = ellipsisLineFractionOf(docLines(c))
 
   def ellipsisLineFractionOf(ls: Column): Column =
-    ratio(size(filter(ls, l => l.rlike("(\\.\\.\\.|…)$"))), size(ls))
+    ratio(SketchExpressions.countMatching(ls, "(\\.\\.\\.|…)$"), size(ls))
 
   /** `#` or ellipsis occurrences per token (Gopher's symbol-to-word ratio). */
   def symbolToWordRatio(c: Column): Column = symbolToWordRatioOf(c, tokens(c))
@@ -234,7 +234,7 @@ object TextFunctions {
   def alphaWordFraction(c: Column): Column = alphaWordFractionOf(tokens(c))
 
   def alphaWordFractionOf(ts: Column): Column =
-    ratio(size(filter(ts, w => w.rlike("[A-Za-z]"))), size(ts))
+    ratio(SketchExpressions.countMatching(ts, "[A-Za-z]"), size(ts))
 
   /** Mean non-whitespace chars per token, from precomputed tokens. */
   def avgTokenLenOf(c: Column, ts: Column): Column =

@@ -40,6 +40,29 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(r(1).getSeq[String](0).isEmpty)
   }
 
+  test("native countMatching equals size(filter(rlike)) incl. null elements and null arrays") {
+    val bullet = "^\\s*[-*•‣▪] "
+    val data = Seq(
+      Some(Seq(Some("- a bullet"), Some("  • indented"), Some("plain"), None)),
+      Some(Seq[Option[String]]()),
+      None,
+      Some(Seq(Some("* star "), Some("▪ block"), Some("-nospace"), Some("…"))))
+    val df = data.toDF("ls").select(
+      SketchExpressions.countMatching(col("ls"), bullet).as("native"),
+      size(filter(col("ls"), l => l.rlike(bullet))).as("builtin"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getInt(0) == r.getInt(1), r.toString)
+    }
+    // the three signal wrappers produce identical fractions to the HOF form
+    val lines = Seq(Seq("- x y", "word...", "plain …", "• b", "last"))
+      .toDF("ls")
+    val got = lines.select(
+      TextFunctions.bulletLineFractionOf(col("ls")).as("b"),
+      TextFunctions.ellipsisLineFractionOf(col("ls")).as("e")).collect().head
+    assert(got.getDouble(0) == 2.0 / 5 && got.getDouble(1) == 2.0 / 5)
+  }
+
   test("native hash60 matches the built-in md5 chain bit-for-bit") {
     val df = Seq("", "a", "hello world", "café – ﬁ 😀", "x" * 3000,
         "line\nbreak\ttab")
