@@ -62,6 +62,75 @@ object SketchExpressions {
   def countMatching(arr: Column, regex: String): Column =
     GraftColumnBridge.column(
       CountMatchingExpr(GraftColumnBridge.expression(arr), regex))
+
+  /** Column API: the PORTABLE-family MinHash signature — k minima of the
+    * rotate-xor permutations of [[Hash60Expr]] over a shingle array; null
+    * on empty input. Equal to the relational explode → hash → groupBy-min
+    * formulation (pinned in OperatorsSpec). */
+  def minhashPortable(shingles: Column, k: Int, seed: Long = 42L): Column =
+    GraftColumnBridge.column(
+      PortableMinHashExpr(GraftColumnBridge.expression(shingles), k, seed))
+}
+
+/** The md5-family MinHash signature in one pass per document — the
+  * portable twin of [[MinHashSignatureExpr]]. The relational formulation
+  * (explode shingles → hash60 → groupBy(doc).agg(k mins)) amplifies the
+  * corpus by shingles-per-document and pays a full shuffle just to
+  * re-group what was already row-local; this computes the same k minima
+  * in a tight loop over the shingle array — one md5 per shingle, k
+  * integer rotate-xor permutes per hash, zero exchange. Bit-equality
+  * with the relational form (and so with the DuckDB replay, which keeps
+  * the relational shape) is pinned in OperatorsSpec; empty arrays return
+  * null and null elements are skipped, mirroring how the explode path
+  * drops those rows before the aggregate.
+  */
+case class PortableMinHashExpr(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "k must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash60"
+
+  @transient private lazy val consts: Array[(Int, Long)] =
+    PortableHash.permConstants(k, seed).toArray
+
+  @transient private lazy val md =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue: java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val d = md.get().digest(arr.getUTF8String(i).getBytes)
+        var u = 0L
+        var b = 0
+        while (b < 8) { u = (u << 8) | (d(b) & 0xffL); b += 1 }
+        val h = u >>> 4 // == Hash60Expr: top 60 digest bits
+        var j = 0
+        while (j < k) {
+          val (r, c) = consts(j)
+          // rot60 then xor — same math as PortableHash.permute, in longs
+          val p = (((h & ((1L << (60 - r)) - 1)) << r) | (h >>> (60 - r))) ^ c
+          if (p < mins(j)) mins(j) = p
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!seen) null else new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableMinHashExpr =
+    copy(child = newChild)
 }
 
 /** `size(filter(arr, _.rlike(regex)))` natively: the same java.util.regex

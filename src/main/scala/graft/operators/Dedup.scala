@@ -100,11 +100,33 @@ object Dedup {
   def minhashSignaturesPortable(docs: DataFrame, idCol: String, textCol: String,
                                 shingleK: Int, numHashes: Int,
                                 seed: Long = 42L): DataFrame = {
-    import graft.functions.PortableHash
-    val consts = PortableHash.permConstants(numHashes, seed)
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    val hashed = spread
+    // One native pass per document (PortableMinHashExpr): the relational
+    // explode → hash → groupBy-min formulation below is kept as the parity
+    // reference — it amplifies the corpus by shingles-per-document and
+    // pays a shuffle to re-group row-local data (the shape the DuckDB
+    // oracle still replays).
+    spread
+      .select(col(idCol).as("doc_id"),
+        graft.functions.SketchExpressions.minhashPortable(
+          TextFunctions.wordShingles(col(textCol), shingleK), numHashes, seed)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
+  /** The relational formulation of [[minhashSignaturesPortable]] — explode
+    * shingles, hash, groupBy k mins — kept as the bit-for-bit parity
+    * reference for the native expression (pinned in OperatorsSpec) and as
+    * the literal shape of the oracle's SQL replay.
+    */
+  def minhashSignaturesPortableRelational(docs: DataFrame, idCol: String,
+                                          textCol: String, shingleK: Int,
+                                          numHashes: Int,
+                                          seed: Long = 42L): DataFrame = {
+    import graft.functions.PortableHash
+    val consts = PortableHash.permConstants(numHashes, seed)
+    val hashed = docs
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.wordShingles(col(textCol), shingleK)).as("g"))
       .select(col("doc_id"), PortableHash.hash60(col("g")).as("h"))

@@ -40,6 +40,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(cand.contains((0L, 2L)) || cand.contains((1L, 2L)), s"near-dup pair missing: $cand")
   }
 
+  test("native portable MinHash signatures equal the relational explode/groupBy form bit-for-bit") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different text with other words entirely here now"),
+      (4L, "too short"),        // below shingle k: absent from BOTH forms
+      (5L, ""),
+    ).toDF("doc_id", "text")
+    val native = Dedup.minhashSignaturesPortable(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val relational = Dedup.minhashSignaturesPortableRelational(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == Set(1L, 2L, 3L) && native == relational)
+  }
+
   test("nearDups end-to-end: verified jaccard filters true near-dups only") {
     val nd = Dedup.nearDups(docs, "doc_id", "text", threshold = 0.5).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
