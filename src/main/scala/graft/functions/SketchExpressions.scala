@@ -70,6 +70,75 @@ object SketchExpressions {
   def minhashPortable(shingles: Column, k: Int, seed: Long = 42L): Column =
     GraftColumnBridge.column(
       PortableMinHashExpr(GraftColumnBridge.expression(shingles), k, seed))
+
+  /** Column API: the PORTABLE-family 60-bit SimHash over a token array —
+    * majority vote per bit of the tokens' [[Hash60Expr]] values; 0 for
+    * empty/missing input. Equal to the relational explode → hash →
+    * 60-bit-sum formulation (pinned in OperatorsSpec). */
+  def simhashPortable(tokens: Column): Column =
+    org.apache.spark.sql.functions.coalesce(
+      GraftColumnBridge.column(
+        PortableSimHashExpr(GraftColumnBridge.expression(tokens))),
+      org.apache.spark.sql.functions.lit(0L))
+}
+
+/** The md5-family 60-bit SimHash in one pass per document — the portable
+  * twin of [[SimHash64Expr]] and the native form of
+  * [[graft.operators.Dedup.simhash60PortableRelational]]: for each token,
+  * one digest; for each of the 60 bits, a vote; bit set when votes·2 >
+  * token count. The relational form explodes tokens and runs 61
+  * aggregates (count + 60 bit sums) through a shuffle just to re-group
+  * row-local data. Parity niceties mirrored exactly: a null token element
+  * counts toward the total (explode emits its row; count(1) counts it)
+  * but votes for no bits (sum skips its null hash); an empty array
+  * yields 0 through the wrapper's coalesce, as the relational left-join
+  * back to the corpus does.
+  */
+case class PortableSimHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash60"
+
+  @transient private lazy val md =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue: java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null // wrapper coalesces to 0 (left-join semantics)
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val d = md.get().digest(arr.getUTF8String(i).getBytes)
+        var u = 0L
+        var b = 0
+        while (b < 8) { u = (u << 8) | (d(b) & 0xffL); b += 1 }
+        val h = u >>> 4
+        var bit = 0
+        while (bit < 60) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 60) {
+      if (votes(bit).toLong * 2 > n.toLong) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSimHashExpr =
+    copy(child = newChild)
 }
 
 /** The md5-family MinHash signature in one pass per document — the

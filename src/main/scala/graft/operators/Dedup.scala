@@ -170,14 +170,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
   }
 
-  /** 60-bit SimHash in the portable hash family: explode tokens, one md5
-    * per token, 60 bit-count sums via groupBy (map-side combinable), then
-    * pack the majority votes. Tokenless documents get fingerprint 0 via the
-    * left join back to the corpus — same semantics as the native
-    * [[graft.functions.SketchExpressions.simhash]] (empty → 0).
-    * Returns (doc_id, simhash).
+  /** 60-bit SimHash in the portable hash family — one native pass per
+    * document ([[graft.functions.SketchExpressions.simhashPortable]]):
+    * one md5 per token, majority vote per bit, tokenless documents 0.
+    * Returns (doc_id, simhash). The relational formulation below is the
+    * parity reference and the shape the oracle replays.
     */
-  def simhash60Portable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash60Portable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.SketchExpressions.simhashPortable(
+        TextFunctions.tokens(col(textCol))).as("simhash"))
+
+  /** The relational formulation of [[simhash60Portable]]: explode tokens,
+    * one md5 per token, 60 bit-count sums via groupBy (map-side
+    * combinable), pack the majority votes, left-join tokenless documents
+    * back as 0. Kept as the bit-for-bit parity reference for the native
+    * expression (pinned in OperatorsSpec) and the literal shape of the
+    * oracle's SQL replay.
+    */
+  def simhash60PortableRelational(docs: DataFrame, idCol: String,
+                                  textCol: String): DataFrame = {
     import graft.functions.PortableHash
     val hashed = docs
       .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("t"))

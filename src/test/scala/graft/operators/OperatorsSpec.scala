@@ -57,6 +57,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(native.keySet == Set(1L, 2L, 3L) && native == relational)
   }
 
+  test("native portable SimHash equals the relational bit-vote form bit-for-bit") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words"),
+      (4L, ""),                     // tokenless → 0 in both forms
+      (5L, "one"),
+    ).toDF("doc_id", "text")
+    val native = Dedup.simhash60Portable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val relational = Dedup.simhash60PortableRelational(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == relational)
+    assert(native(4L) == 0L)
+  }
+
   test("nearDups end-to-end: verified jaccard filters true near-dups only") {
     val nd = Dedup.nearDups(docs, "doc_id", "text", threshold = 0.5).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
