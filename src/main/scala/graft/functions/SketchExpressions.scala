@@ -71,6 +71,12 @@ object SketchExpressions {
     GraftColumnBridge.column(
       PortableMinHashExpr(GraftColumnBridge.expression(shingles), k, seed))
 
+  /** Column API: whitespace tokens, equal to
+    * `regexp_extract_all(c, "\\S+", 0)` (pinned in FunctionsSpec). */
+  def whitespaceTokens(c: Column): Column =
+    GraftColumnBridge.column(
+      WhitespaceTokensExpr(GraftColumnBridge.expression(c)))
+
   /** Column API: the PORTABLE-family 60-bit SimHash over a token array —
     * majority vote per bit of the tokens' [[Hash60Expr]] values; 0 for
     * empty/missing input. Equal to the relational explode → hash →
@@ -80,6 +86,46 @@ object SketchExpressions {
       GraftColumnBridge.column(
         PortableSimHashExpr(GraftColumnBridge.expression(tokens))),
       org.apache.spark.sql.functions.lit(0L))
+}
+
+/** `regexp_extract_all(s, "\\S+", 0)` natively — the corpus tokenizer,
+  * which every text query runs first, as one byte scan instead of a regex
+  * engine pass. Equivalence is structural: Java's `\s` is exactly the six
+  * ASCII bytes {space, \t, \n, \x0B, \f, \r}, and no byte of a multi-byte
+  * UTF-8 character can equal an ASCII byte, so maximal runs of
+  * non-whitespace BYTES are precisely the regex's maximal runs of
+  * non-whitespace CHARACTERS (pinned against the regex form in
+  * FunctionsSpec, incl. unicode whitespace lookalikes such as U+00A0,
+  * which neither form treats as a separator). Token values are UTF8String
+  * slices of the input — no per-match java.lang.String materialization.
+  */
+case class WhitespaceTokensExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ws_tokens"
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start)
+        out += org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, start, i - start)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WhitespaceTokensExpr =
+    copy(child = newChild)
 }
 
 /** The md5-family 60-bit SimHash in one pass per document — the portable

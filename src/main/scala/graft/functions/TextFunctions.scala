@@ -17,7 +17,16 @@ object TextFunctions {
   /** Whitespace-delimited tokens. `regexp_extract_all('\S+')` rather than
     * `split` so empty strings yield an empty array with no edge cases.
     */
-  def tokens(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
+  /** Whitespace tokens — natively ([[SketchExpressions.whitespaceTokens]]:
+    * one byte scan, no regex engine, no per-match String). Equal to
+    * [[tokensBuiltin]], pinned in FunctionsSpec.
+    */
+  def tokens(c: Column): Column = SketchExpressions.whitespaceTokens(c)
+
+  /** The regex formulation, kept as the parity reference (and the shape
+    * the oracle SQL replays).
+    */
+  def tokensBuiltin(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 

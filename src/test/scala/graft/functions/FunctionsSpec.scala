@@ -63,6 +63,25 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got.getDouble(0) == 2.0 / 5 && got.getDouble(1) == 2.0 / 5)
   }
 
+  test("native whitespace tokenizer equals regexp_extract_all('\\S+') exactly") {
+    val data = Seq(
+      "plain words here",
+      "  leading and   multiple   gaps\tand\ttabs\n",
+      "",
+      "   \t \r\n ",                       // whitespace-only → empty array
+      "café – ﬁ 😀 ok",                 // multi-byte chars inside tokens
+      "nbsp is-not-a-separator",      // U+00A0 is NOT \s in Java regex
+      "\u000Bvertical\u000Ctab\rcr")
+    val df = (data.map(Option(_)) :+ None).toDF("s").select(
+      TextFunctions.tokens(col("s")).as("native"),
+      TextFunctions.tokensBuiltin(col("s")).as("builtin"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+  }
+
   test("native hash60 matches the built-in md5 chain bit-for-bit") {
     val df = Seq("", "a", "hello world", "café – ﬁ 😀", "x" * 3000,
         "line\nbreak\ttab")
