@@ -75,7 +75,14 @@ object SketchExpressions {
     * `regexp_extract_all(c, "\\S+", 0)` (pinned in FunctionsSpec). */
   def whitespaceTokens(c: Column): Column =
     GraftColumnBridge.column(
-      WhitespaceTokensExpr(GraftColumnBridge.expression(c)))
+      WhitespaceTokensExpr(GraftColumnBridge.expression(c), newlineOnly = false))
+
+  /** Column API: non-empty lines, equal to
+    * `filter(split(c, "\n"), l => length(l) > 0)` (pinned in
+    * FunctionsSpec) — the same byte scan with LF as the only separator. */
+  def nonEmptyLines(c: Column): Column =
+    GraftColumnBridge.column(
+      WhitespaceTokensExpr(GraftColumnBridge.expression(c), newlineOnly = true))
 
   /** Column API: the PORTABLE-family 60-bit SimHash over a token array —
     * majority vote per bit of the tokens' [[Hash60Expr]] values; 0 for
@@ -98,16 +105,21 @@ object SketchExpressions {
   * FunctionsSpec, incl. unicode whitespace lookalikes such as U+00A0,
   * which neither form treats as a separator). Token values are UTF8String
   * slices of the input — no per-match java.lang.String materialization.
+  *
+  * `newlineOnly = true` is the line splitter: the same scan with LF as
+  * the only separator, equal to `filter(split(s, "\n"), length(_) > 0)`
+  * (empty segments between consecutive LFs drop out of both forms).
   */
-case class WhitespaceTokensExpr(child: Expression)
+case class WhitespaceTokensExpr(child: Expression, newlineOnly: Boolean)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
-  override def prettyName: String = "ws_tokens"
+  override def prettyName: String = if (newlineOnly) "ws_lines" else "ws_tokens"
 
   private def isWs(b: Byte): Boolean =
-    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+    if (newlineOnly) b == 0x0A
+    else b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
 
   override protected def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes

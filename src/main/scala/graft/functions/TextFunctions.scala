@@ -138,7 +138,10 @@ object TextFunctions {
   // parallel, linear in corpus size at any scale. ----
 
   /** Non-empty lines of a document (trailing-newline artifacts dropped). */
-  def docLines(c: Column): Column =
+  def docLines(c: Column): Column = SketchExpressions.nonEmptyLines(c)
+
+  /** The built-in formulation of [[docLines]] — the parity reference. */
+  def docLinesBuiltin(c: Column): Column =
     filter(split(c, "\n"), l => length(l) > 0)
 
   /** Fraction of lines that are duplicates of an earlier line:

@@ -82,6 +82,24 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("native line splitter equals filter(split('\\n'), nonempty) exactly") {
+    val data = Seq(
+      "one line",
+      "a\nb\nc",
+      "a\n\n\nb",            // empty segments drop in both forms
+      "\ntrailing\n",
+      "tabs\tstay put\non one line",
+      "")
+    val df = (data.map(Option(_)) :+ None).toDF("s").select(
+      TextFunctions.docLines(col("s")).as("native"),
+      TextFunctions.docLinesBuiltin(col("s")).as("builtin"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+  }
+
   test("native hash60 matches the built-in md5 chain bit-for-bit") {
     val df = Seq("", "a", "hello world", "café – ﬁ 😀", "x" * 3000,
         "line\nbreak\ttab")
