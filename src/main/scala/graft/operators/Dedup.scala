@@ -107,12 +107,23 @@ object Dedup {
     // reference — it amplifies the corpus by shingles-per-document and
     // pays a shuffle to re-group row-local data (the shape the DuckDB
     // oracle still replays).
+    //
+    // The too-short-document filter runs BELOW the projection on the cheap
+    // tokenizer, not above it as `sig.isNotNull`: predicate pushdown
+    // inlines a filtered alias's whole expression tree into the Filter
+    // node, and an isNotNull over the sig alias re-evaluates every md5
+    // per row (seen in the plan: `Condition: isnotnull(minhash60(...))`
+    // beneath the Project computing the same). Token count ≥ k is
+    // equivalent — wordShingles is empty exactly below k tokens, and
+    // shingle elements are never null — so sig is provably non-null for
+    // every surviving row.
     spread
+      .filter(size(graft.functions.SketchExpressions.whitespaceTokens(
+        col(textCol))) >= shingleK)
       .select(col(idCol).as("doc_id"),
         graft.functions.SketchExpressions.minhashPortable(
           TextFunctions.wordShingles(col(textCol), shingleK), numHashes, seed)
           .as("sig"))
-      .filter(col("sig").isNotNull)
   }
 
   /** The relational formulation of [[minhashSignaturesPortable]] — explode
