@@ -57,11 +57,18 @@ object ConnectedComponents {
     * @param localEdgeThreshold symmetric-edge-count bound (×2 raw edges)
     *        under which the graph resolves driver-side; 0 forces the
     *        distributed loop (the spec uses this to pin path parity)
+    * @param localByteThreshold estimated driver-heap bound for the same
+    *        guard: row count alone under-guards string-keyed graphs (2M
+    *        edges × long keys can be GBs collected), so the local path
+    *        also requires symCount × estimated-row-bytes — key widths
+    *        measured with one agg over the cached symmetric edges, plus
+    *        JVM object overhead — to fit this budget (ADVICE r7)
     * @return (`node`, `component`) for every node incident to an edge,
     *         `component` = the minimum node id of its component
     */
   def components(edges: DataFrame, maxIter: Int = 50,
-                 localEdgeThreshold: Long = 1000000L): DataFrame = {
+                 localEdgeThreshold: Long = 1000000L,
+                 localByteThreshold: Long = 256L << 20): DataFrame = {
     val spark = edges.sparkSession
     val sym0 = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
@@ -71,10 +78,26 @@ object ConnectedComponents {
     val symCount = symRdd.count()
     val keyType = sym0.schema("u").dataType
 
+    def fitsByteBudget: Boolean = {
+      // Estimated driver bytes per collected Row: two boxed keys plus Row
+      // + array overhead (~64). Strings cost ~2 bytes/char UTF-16 plus
+      // ~48/object; the widths come from one small agg over the cached
+      // edges (local path only — the distributed loop never pays this).
+      val perRow: Long = keyType match {
+        case StringType =>
+          val r = spark.createDataFrame(symRdd, sym0.schema)
+            .agg(avg(length(col("u")) + length(col("v")))).head()
+          val avgChars = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+          64L + 2 * 48L + (2 * avgChars).toLong
+        case _ => 64L + 2 * 16L
+      }
+      symCount * perRow <= localByteThreshold
+    }
+
     val localResult: Option[DataFrame] =
-      if (symCount > 2L * localEdgeThreshold) None
+      if (symCount > 2L * localEdgeThreshold || !fitsByteBudget) None
       else driverOrdering(keyType).map { ord =>
-        val rows = symRdd.collect() // bounded: symCount checked above
+        val rows = symRdd.collect() // bounded: symCount + bytes checked above
         // Loud contract (the BloomJoin precedent): a null endpoint has no
         // defined component and would NPE deep inside the distributed
         // loop's changed-flag read — fail at the boundary instead.

@@ -505,12 +505,17 @@ object Multimodal {
       Some(VideoMeta(id, bytes.length.toLong, width, height,
         if (totalFrames > 0) totalFrames else dbFrames.length, fps, sampled, crc))
     } else if (biCompression == Mjpg && dcFrames.nonEmpty) {
-      // MJPEG: each '00dc' chunk is a standalone JPEG — JDK ImageIO decode
+      // MJPEG: each '00dc' chunk is a standalone JPEG — JDK ImageIO decode.
+      // Wrap the slice in a MemoryCacheImageInputStream: ImageIO.read on a
+      // bare InputStream spools through the default DISK-backed cache — a
+      // temp file created and deleted per sampled frame inside executors
+      // (ADVICE r7). The slice is already in memory; keep it there.
       var k = 0
       while (k < dcFrames.length) {
         val (foff, flen) = dcFrames(k)
         val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes, foff, flen))
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes, foff, flen)))
         if (img == null || img.getWidth != width || img.getHeight != height)
           return None
         var y = 0

@@ -45,7 +45,7 @@ object Xls {
                                date1904: Boolean,
                                biff5: Boolean = false,
                                charset: java.nio.charset.Charset =
-                                 java.nio.charset.StandardCharsets.ISO_8859_1) {
+                                 Xls.Windows1252) {
     def sheetNames: Seq[String] = sheets.map(_._1)
 
     /** First sheet whose name matches the regex, case-insensitively — the
@@ -290,19 +290,29 @@ object Xls {
       }
     }
 
+  private def lookupCharset(n: String): Option[java.nio.charset.Charset] =
+    try Some(java.nio.charset.Charset.forName(n)) catch { case _: Exception => None }
+
+  /** The de-facto default for BIFF5 files that never declare a CODEPAGE:
+    * real Excel 5/95 writers on Windows used the ANSI codepage, almost
+    * always 1252 — which differs from ISO-8859-1 in 0x80-0x9F (curly
+    * quotes, dashes, the euro), exactly the bytes UK/US business files use.
+    */
+  private[sources] val Windows1252: java.nio.charset.Charset =
+    lookupCharset("windows-1252")
+      .getOrElse(java.nio.charset.StandardCharsets.ISO_8859_1)
+
   /** Charset for a CODEPAGE record value: the windows codepage family
     * (1252 etc.), with the historical aliases BIFF5 writers used. 1200
     * (UTF-16, what BIFF8 declares) never decodes byte strings.
     */
   private def charsetFor(codepage: Int): java.nio.charset.Charset = {
-    def lookup(n: String): Option[java.nio.charset.Charset] =
-      try Some(java.nio.charset.Charset.forName(n)) catch { case _: Exception => None }
+    def lookup = lookupCharset _
     codepage match {
       case 367 => java.nio.charset.StandardCharsets.US_ASCII
-      case 10000 => lookup("MacRoman")
-        .getOrElse(java.nio.charset.StandardCharsets.ISO_8859_1)
+      case 10000 => lookup("MacRoman").getOrElse(Windows1252)
       case cp => lookup(s"windows-$cp").orElse(lookup(s"cp$cp"))
-        .getOrElse(java.nio.charset.StandardCharsets.ISO_8859_1)
+        .getOrElse(Windows1252)
     }
   }
 
@@ -355,10 +365,17 @@ object Xls {
     // BOF vers: 0x0600 = BIFF8, 0x0500 = BIFF5/7 (Excel 5 and 95 share it)
     val biff5 = u16(stream, 4) < 0x0600
 
-    val sheets = mutable.ArrayBuffer.empty[(String, Int)]
+    // BIFF5 byte strings in the globals (FORMAT codes, BOUNDSHEET names)
+    // decode with the workbook CODEPAGE — but some writers emit FORMAT or
+    // BOUNDSHEET records BEFORE the CODEPAGE record, so collect the raw
+    // bytes during the scan and decode only once the substream is done and
+    // the final charset is known (ADVICE r7; default windows-1252 above).
+    val sheets = mutable.ArrayBuffer.empty[(String, Int)]     // BIFF8 inline
+    val rawSheets = mutable.ArrayBuffer.empty[(Rec, Int)]     // BIFF5 deferred
     var date1904 = false
-    var charset = java.nio.charset.StandardCharsets.ISO_8859_1: java.nio.charset.Charset
+    var charset = Windows1252: java.nio.charset.Charset
     val customDateFmts = mutable.Set.empty[Int]
+    val rawFormats = mutable.ArrayBuffer.empty[Rec]            // BIFF5 deferred
     val xfFmts = mutable.ArrayBuffer.empty[Int]
     val sstStrings = mutable.ArrayBuffer.empty[String]
 
@@ -373,19 +390,21 @@ object Xls {
         case RecDateMode => date1904 = u16(r.data, 0) == 1
         case RecCodepage => if (biff5) charset = charsetFor(u16(r.data, 0))
         case RecFormat =>
-          val ifmt = u16(r.data, 0)
-          val code =
-            if (biff5) byteString(r.data, 2, 1, charset)
-            else new RecCursor(IndexedSeq(
+          if (biff5) rawFormats += r
+          else {
+            val ifmt = u16(r.data, 0)
+            val code = new RecCursor(IndexedSeq(
               java.util.Arrays.copyOfRange(r.data, 2, r.data.length))).readUnicodeString()
-          if (Excel.isDateFormatCode(code)) customDateFmts += ifmt
+            if (Excel.isDateFormatCode(code)) customDateFmts += ifmt
+          }
         case RecXf => xfFmts += u16(r.data, 2) // ifmt at offset 2 in BIFF5 and BIFF8
         case RecBoundsheet =>
           val pos = i32(r.data, 0)
           val typ = u8(r.data, 5) // 0 = worksheet
-          if (typ == 0) sheets += ((
-            if (biff5) byteString(r.data, 6, 1, charset)
-            else shortUnicode(r.data, 6), pos))
+          if (typ == 0) {
+            if (biff5) rawSheets += ((r, pos))
+            else sheets += ((shortUnicode(r.data, 6), pos))
+          }
         case RecSst => // BIFF8 only; BIFF5 has no shared string table
           val parts = mutable.ArrayBuffer(r.data)
           while (it.hasNext && it.head.typ == RecContinue) parts += it.next().data
@@ -398,10 +417,22 @@ object Xls {
       }
     }
 
+    // Deferred BIFF5 decodes, now under the substream's final charset.
+    rawFormats.foreach { r =>
+      val ifmt = u16(r.data, 0)
+      if (Excel.isDateFormatCode(byteString(r.data, 2, 1, charset)))
+        customDateFmts += ifmt
+    }
+    val allSheets =
+      if (biff5) rawSheets.map { case (r, pos) =>
+        (byteString(r.data, 6, 1, charset), pos)
+      }.toSeq
+      else sheets.toSeq
+
     val dateXfs = xfFmts.zipWithIndex.collect {
       case (fmt, i) if Excel.BuiltinDateFmts(fmt) || customDateFmts(fmt) => i
     }.toSet
-    XlsWorkbook(sheets.toSeq, stream, sstStrings.toIndexedSeq, dateXfs,
+    XlsWorkbook(allSheets, stream, sstStrings.toIndexedSeq, dateXfs,
       date1904, biff5, charset)
   }
 

@@ -87,6 +87,24 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
     assert(local("a") == "a" && local("b") == "a")
   }
 
+  test("byte budget routes wide string keys to the distributed loop, same result") {
+    // 6 edges but ~1 KB keys: the row count is tiny, the collected bytes
+    // are not — a small localByteThreshold must force the distributed
+    // path (and still agree with the unconstrained driver path).
+    def wide(tag: String) = tag * 300
+    val edges = Seq(
+      (wide("a"), wide("b")), (wide("b"), wide("c")),
+      (wide("x"), wide("y")), (wide("p"), wide("q")),
+      (wide("q"), wide("r")), (wide("r"), wide("p"))).toDF("u", "v")
+    val local = ConnectedComponents.components(edges)
+      .as[(String, String)].collect().toMap
+    val budgeted = ConnectedComponents.components(edges, localByteThreshold = 1024L)
+      .as[(String, String)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    assert(local == budgeted)
+    assert(budgeted(wide("c")) == wide("a") && budgeted(wide("r")) == wide("p"))
+  }
+
   test("null endpoints are rejected loudly") {
     val edges = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(3L), Some(4L)))
       .toDF("u", "v")

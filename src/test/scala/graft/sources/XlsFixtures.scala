@@ -289,7 +289,8 @@ object XlsFixtures {
     */
   private def bookStream5(sheets: Seq[(String, Seq[Seq[Any]])],
                           date1904: Boolean, codepage: Int,
-                          cs: java.nio.charset.Charset): Array[Byte] = {
+                          cs: java.nio.charset.Charset,
+                          codepageMode: String): Array[Byte] = {
     def bof(dt: Int) = rec(0x0809)(_.u16(0x0500).u16(dt).u16(0x0DBB).u16(0x07CC))
     val eof = rec(0x000A)(_ => ())
 
@@ -348,7 +349,7 @@ object XlsFixtures {
 
     def globals(offsets: Seq[Int]): Array[Byte] = {
       val g = new B().bytes(bof(0x0005))
-      g.bytes(rec(0x0042)(_.u16(codepage)))
+      if (codepageMode == "early") g.bytes(rec(0x0042)(_.u16(codepage)))
       g.bytes(rec(0x0022)(_.u16(if (date1904) 1 else 0)))
       g.bytes(rec(0x041E)(_.u16(165).bytes(byteString5("yyyy-mm-dd hh:mm", 1, cs))))
       Seq(0, 14, 165, 2).foreach(ifmt =>
@@ -356,6 +357,8 @@ object XlsFixtures {
       sheets.zip(offsets).foreach { case ((name, _), off) =>
         g.bytes(rec(0x0085)(_.u32(off).u16(0).bytes(byteString5(name, 1, cs))))
       }
+      // some real-world writers emit CODEPAGE after FORMAT/BOUNDSHEET
+      if (codepageMode == "late") g.bytes(rec(0x0042)(_.u16(codepage)))
       g.bytes(eof).result
     }
 
@@ -366,12 +369,18 @@ object XlsFixtures {
     out.result
   }
 
-  /** Assemble a complete BIFF5 (Excel 5/95) .xls file. */
+  /** Assemble a complete BIFF5 (Excel 5/95) .xls file. `codepageMode`:
+    * "early" (record before the strings, the common layout), "late"
+    * (after FORMAT/BOUNDSHEET — seen from real writers), or "none"
+    * (no CODEPAGE record at all — reader must assume windows-1252).
+    */
   def xls5(sheets: Seq[(String, Seq[Seq[Any]])],
            date1904: Boolean = false,
-           codepage: Int = 1252): Array[Byte] = {
+           codepage: Int = 1252,
+           codepageMode: String = "early"): Array[Byte] = {
     val cs = java.nio.charset.Charset.forName(
       if (codepage == 367) "US-ASCII" else s"windows-$codepage")
-    cfb(bookStream5(sheets, date1904, codepage, cs), streamName = "Book")
+    cfb(bookStream5(sheets, date1904, codepage, cs, codepageMode),
+      streamName = "Book")
   }
 }

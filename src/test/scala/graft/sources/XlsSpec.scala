@@ -172,6 +172,25 @@ class XlsSpec extends AnyFunSuite with SparkSpec {
     assert(Xls.sheetGrid(wb51, 0)(0).toSeq == Seq("Атлас"))
   }
 
+  test("BIFF5: no CODEPAGE record defaults to windows-1252, not ISO-8859-1") {
+    // 0x93/0x94 are curly quotes in windows-1252 but C1 controls in
+    // ISO-8859-1 — the exact bytes real Excel 5/95 files rely on.
+    val wb = Xls.open(xls5(Seq("Q1 “Adj”" -> Seq(
+      Seq("col"), Seq("say “hi” – now"))), codepageMode = "none"))
+    assert(wb.sheetNames == Seq("Q1 “Adj”"))
+    assert(Xls.sheetGrid(wb, 0)(1)(0) == "say “hi” – now")
+  }
+
+  test("BIFF5: CODEPAGE record after FORMAT/BOUNDSHEET still decodes them") {
+    // windows-1251: byte 0xC0 is "А"; an eager decode under the default
+    // charset would have rendered the sheet name as "Àòëàñ"-style mojibake.
+    val wb = Xls.open(xls5(Seq("Лист" -> Seq(Seq("Атлас"))),
+      codepage = 1251, codepageMode = "late"))
+    assert(wb.sheetNames == Seq("Лист"),
+      "BOUNDSHEET byte string must decode under the late CODEPAGE")
+    assert(Xls.sheetGrid(wb, 0)(0).toSeq == Seq("Атлас"))
+  }
+
   test("BIFF5 and BIFF8 vintages of the same table read identically through one glob") {
     val dir = Files.createTempDirectory("graft_xls_biff5_mix").toFile
     val rows = Seq(
