@@ -718,6 +718,46 @@ object OracleSqlGen {
        |GROUP BY token, exact_n""".stripMargin
   }
 
+  // ---- q84: CMS heavy hitters — the sketch replays exactly as in q68;
+  // the threshold is ceil(phi·N) over the total occurrence count (the
+  // same IEEE double product both engines compute), and a token survives
+  // iff its sketch estimate AND its exact count clear it — the same
+  // prefilter + exact-verify semantics as the Spark plan.
+  def q84Sql(phi: Double = 0.05, depth: Int = 4, width: Int = 1024,
+             seed: Long = 42L): String = {
+    val consts = PortableHash.permConstants(depth, seed)
+    val jb = consts.zipWithIndex.map { case ((r, c), j) =>
+      s"SELECT token, $j AS j, ${PortableHash.permuteSql("h", r, c)} % $width AS bucket FROM h"
+    }.mkString("\n  UNION ALL ")
+    val djb = consts.zipWithIndex.map { case ((r, c), j) =>
+      s"SELECT token, $j AS j, ${PortableHash.permuteSql("h", r, c)} % $width AS bucket FROM dh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT substr(unnest(regexp_extract_all(text, '\\S+')), 1, 1) AS token
+       |  FROM documents
+       |), thresh AS (
+       |  SELECT GREATEST(1, CAST(ceil($phi * count(*)) AS BIGINT)) AS t FROM tok
+       |), h AS (
+       |  SELECT token, ${PortableHash.hash60Sql("token")} AS h FROM tok
+       |), jb AS (
+       |  $jb
+       |), sk AS (
+       |  SELECT j, bucket, count(*) AS cnt FROM jb GROUP BY 1, 2
+       |), dh AS (
+       |  SELECT DISTINCT token, ${PortableHash.hash60Sql("token")} AS h FROM tok
+       |), djb AS (
+       |  $djb
+       |), est AS (
+       |  SELECT token, min(COALESCE(sk.cnt, 0)) AS est_n
+       |  FROM djb LEFT JOIN sk USING (j, bucket) GROUP BY token
+       |), exact AS (
+       |  SELECT token, count(*) AS exact_n FROM tok GROUP BY 1
+       |)
+       |SELECT e.token, x.exact_n, e.est_n
+       |FROM est e JOIN exact x USING (token) CROSS JOIN thresh
+       |WHERE e.est_n >= thresh.t AND x.exact_n >= thresh.t""".stripMargin
+  }
+
   // ---- q69: int8 scalar quantization — codes and checksum replayed
   // exactly. floor() precedes the BIGINT cast (DuckDB's double→int cast
   // rounds, Spark's truncates; an integral double casts identically).

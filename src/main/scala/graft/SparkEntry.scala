@@ -1184,6 +1184,24 @@ object SparkEntry {
     operators.Sampling.weightedSample(docs, "doc_id", "w", k = 50, salt = "q82")
   }
 
+  // ---- q84: CMS heavy hitters — every token-prefix bucket holding ≥ 5%
+  //      of all occurrences, found by sketch-prefilter + exact verify:
+  //      the CMS builds in one sketch-sized exchange, broadcasts as
+  //      literal arrays into a MAP-ONLY conjunctive filter (short-circuit:
+  //      a non-heavy occurrence pays one hash row), and only survivors
+  //      reach the exact groupBy — no full-corpus groupBy anywhere. CMS
+  //      never under-estimates, so the prefilter cannot drop a true heavy
+  //      hitter; the exact count removes its false positives, making the
+  //      RESULT exact (and est_n ≥ exact_n rides along, oracle-replayed
+  //      from the same portable constants). ----
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir).documents
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(substring(col("tok"), 1, 1).as("token"))
+    operators.CountMin.heavyHitters(toks, "token", phi = 0.05,
+      depth = 4, width = 1024)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1269,6 +1287,7 @@ object SparkEntry {
     "q81_temporal_join"    -> q81 _,
     "q82_weighted_sample"  -> q82 _,
     "q83_stream_sessions"  -> q83 _,
+    "q84_heavy_hitters"    -> q84 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1370,6 +1389,7 @@ object SparkEntry {
         |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag""".stripMargin,
     "q68_cms_freq"          -> OracleSqlGen.q68Sql(),
+    "q84_heavy_hitters"     -> OracleSqlGen.q84Sql(),
     "q69_quantize_int8"     -> OracleSqlGen.q69Sql(),
     "q71_bm25_topk"         -> OracleSqlGen.q71Sql(),
     "q72_stream_cms"        -> OracleSqlGen.q72Sql(),

@@ -153,4 +153,84 @@ object CountMin {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
     probes.join(broadcast(est), Seq(tokenCol))
   }
+
+  // ---- heavy hitters: sketch-prefilter + exact verify ----
+
+  /** Every token whose frequency is ≥ ceil(phi · N) (N = total token
+    * occurrences), as (token, exact_n, est_n) — EXACT results found
+    * WITHOUT ever grouping the full corpus by token.
+    *
+    * Two passes over the data, both scale-shaped:
+    *   1. the CMS build — sketch-sized exchange ([[sketchAggFast]] /
+    *      [[sketch]]);
+    *   2. a MAP-ONLY prefilter: the finished sketch collects into
+    *      depth literal arrays (bounded: depth·width cells, ~2 MB at
+    *      4×65536) and each occurrence's estimate is a `least` of
+    *      `element_at` lookups — CMS never under-estimates, so dropping
+    *      occurrences with est < threshold can never drop a true heavy
+    *      hitter. Only survivors (per-key frequency ≥ φN by definition,
+    *      so ≤ 1/φ distinct keys plus collision false-positives) reach
+    *      the exact groupBy, whose map-side combine collapses them to a
+    *      few rows per task. The exact count then removes the false
+    *      positives: the RESULT is exact; the sketch only buys the plan.
+    *
+    * The estimate itself rides along as `est_n` (≥ `exact_n` by
+    * construction, pinned in CountMinSpec).
+    */
+  def heavyHittersFast(tokens: DataFrame, tokenCol: String, phi: Double,
+                       depth: Int, width: Int): DataFrame =
+    heavyHittersFrom(tokens, tokenCol, phi, depth, width,
+      sketchAggFast(tokens, tokenCol, depth, width),
+      (tok, j) => pmod(xxhash64(tok, lit(j)), lit(width.toLong)))
+
+  /** [[heavyHittersFast]] on the portable md5 family — the oracle-able
+    * gate formulation.
+    */
+  def heavyHitters(tokens: DataFrame, tokenCol: String, phi: Double,
+                   depth: Int, width: Int, seed: Long = 42L): DataFrame = {
+    val consts = rowConstants(depth, seed)
+    heavyHittersFrom(tokens, tokenCol, phi, depth, width,
+      sketch(tokens, tokenCol, depth, width, seed),
+      (tok, j) => {
+        val (r, c) = consts(j)
+        PortableHash.permute(PortableHash.hash60(tok), r, c) % width
+      })
+  }
+
+  /** Shared heavy-hitter core over a built sketch. `bucketOf(token, j)`
+    * yields hash row j's bucket for a raw token column.
+    */
+  private def heavyHittersFrom(tokens: DataFrame, tokenCol: String,
+                               phi: Double, depth: Int, width: Int,
+                               sk: DataFrame,
+                               bucketOf: (Column, Int) => Column): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, "phi must be in (0, 1]")
+    // Bounded driver read: the sketch is ≤ depth·width cells by
+    // construction (the same broadcast-sketch contract as estimate()).
+    val cells = Array.fill(depth)(new Array[Long](width))
+    sk.collect().foreach { r =>
+      cells(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2)
+    }
+    val total = cells(0).sum // row 0 counts every occurrence exactly once
+    val thresh = math.max(1L, math.ceil(phi * total).toLong)
+
+    def lookup(tok: Column, j: Int): Column =
+      element_at(typedLit(cells(j).toSeq), bucketOf(tok, j).cast("int") + 1)
+
+    // min ≥ t ⟺ EVERY row's bucket ≥ t, so the prefilter is a
+    // conjunction, not a `least(...) ≥ t`: FilterExec splits conjuncts
+    // and short-circuits, so a typical (non-heavy) occurrence pays ONE
+    // hash-row evaluation — this beats staging the hash in a projection,
+    // which predicate pushdown would re-inline anyway (the round-7
+    // pushdown-inlining lesson).
+    val survivors = tokens.filter(
+      (0 until depth).map(j => lookup(col(tokenCol), j) >= thresh)
+        .reduce(_ && _))
+    survivors
+      .groupBy(col(tokenCol)).agg(count(lit(1)).as("exact_n"))
+      .filter(col("exact_n") >= thresh)
+      .select(col(tokenCol), col("exact_n"),
+        (0 until depth).map(lookup(col(tokenCol), _))
+          .reduce((a, b) => least(a, b)).as("est_n"))
+  }
 }

@@ -159,6 +159,34 @@ class CountMinSpec extends AnyFunSuite with SparkSpec {
     assert(composedBelowPartial.contains("Generate"))
   }
 
+  test("heavy hitters are EXACT despite the sketch prefilter, on both families") {
+    val df = tokens.map(Tuple1(_)).toDF("token")
+    val n = tokens.size.toLong
+    for (phi <- Seq(0.005, 0.02, 0.1)) {
+      val thresh = math.max(1L, math.ceil(phi * n).toLong)
+      val expect = tokens.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= thresh).toMap
+      // narrow width (16) forces collisions: the prefilter admits false
+      // positives and the exact count must remove every one of them
+      for (w <- Seq(16, 1024)) {
+        val portable = CountMin.heavyHitters(df, "token", phi, 4, w)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        assert(portable.map(t => t._1 -> t._2).toMap == expect,
+          s"portable phi=$phi w=$w")
+        portable.foreach { case (t, exa, est) =>
+          assert(est >= exa, s"CMS must never under-estimate: $t") }
+        val fast = CountMin.heavyHittersFast(df, "token", phi, 4, w)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        assert(fast == expect, s"fast phi=$phi w=$w")
+      }
+    }
+  }
+
+  test("heavy hitters on an empty corpus return no rows") {
+    val empty = Seq.empty[String].map(Tuple1(_)).toDF("token")
+    assert(CountMin.heavyHitters(empty, "token", 0.01, 2, 16).count() == 0L)
+  }
+
   test("the sketch is bounded by depth×width and conserves per-row mass") {
     val df = tokens.map(Tuple1(_)).toDF("token")
     val sk = CountMin.sketch(df, "token", 3, 8).collect()
