@@ -1202,6 +1202,21 @@ object SparkEntry {
       depth = 4, width = 1024)
   }
 
+  // ---- q85: Hilbert-curve index — q73's Z-order sibling with the
+  //      stronger locality guarantee (consecutive positions are ALWAYS
+  //      grid neighbors, pinned in HilbertSpec). One staged projection
+  //      per level keeps the unroll linear in bits (plan-pinned); pure
+  //      per-row long arithmetic, no shuffle; the oracle replays the
+  //      identical per-level walk as nested selects. ----
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    ops.Hilbert.withHilbert(
+      Tables(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(256)).as("hx"),
+        pmod(col("l_suppkey"), lit(256)).as("hy")),
+      col("hx"), col("hy"), bits = 8, "hval")
+      .select(col("l_orderkey"), col("l_linenumber"), col("hval"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1288,6 +1303,7 @@ object SparkEntry {
     "q82_weighted_sample"  -> q82 _,
     "q83_stream_sessions"  -> q83 _,
     "q84_heavy_hitters"    -> q84 _,
+    "q85_hilbert"          -> q85 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1390,6 +1406,10 @@ object SparkEntry {
         |GROUP BY l_returnflag""".stripMargin,
     "q68_cms_freq"          -> OracleSqlGen.q68Sql(),
     "q84_heavy_hitters"     -> OracleSqlGen.q84Sql(),
+    "q85_hilbert" -> ops.Hilbert.hilbertSql(
+      from = "lineitem", keys = Seq("l_orderkey", "l_linenumber"),
+      xExpr = "l_partkey % 256", yExpr = "l_suppkey % 256",
+      bits = 8, outCol = "hval"),
     "q69_quantize_int8"     -> OracleSqlGen.q69Sql(),
     "q71_bm25_topk"         -> OracleSqlGen.q71Sql(),
     "q72_stream_cms"        -> OracleSqlGen.q72Sql(),
