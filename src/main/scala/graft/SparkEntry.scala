@@ -1217,6 +1217,34 @@ object SparkEntry {
       col("hx"), col("hy"), bits = 8, "hval")
       .select(col("l_orderkey"), col("l_linenumber"), col("hval"))
 
+  // ---- q86: weighted sampling WITH replacement — inverse-CDF over the
+  //      distributed prefix sum (one range exchange; k broadcast draws
+  //      probe by interval containment map-side). Draw positions are
+  //      integer hash60 values, so the oracle replays the exact sample;
+  //      complements q82's without-replacement A-ES. ----
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents.select(col("doc_id"),
+      least(TextFunctions.tokenCount(col("text")), lit(32L)).as("w"))
+    operators.Sampling.weightedSampleReplacement(docs, "doc_id", "w",
+      k = 40, salt = "q86")
+  }
+
+  // ---- q87: within-document repetition removal — C4's duplicate-unit
+  //      drop as an order-preserving first-occurrence filter over the
+  //      document's own (staged) unit array; pure per-row array work, no
+  //      shuffle, and the oracle replays the same indexed-lambda filter.
+  //      Token units give the synthetic corpus dense in-document repeats;
+  //      the multi-line path is spec-pinned in TextFunctionsSpec. ----
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("units"))
+      .select(col("doc_id"), col("units"),
+        TextFunctions.firstOccurrencesOf(col("units")).as("kept"))
+      .select(col("doc_id"),
+        size(col("units")).cast("long").as("n_units"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1304,6 +1332,8 @@ object SparkEntry {
     "q83_stream_sessions"  -> q83 _,
     "q84_heavy_hitters"    -> q84 _,
     "q85_hilbert"          -> q85 _,
+    "q86_weighted_replace" -> q86 _,
+    "q87_dedup_units"      -> q87 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1410,6 +1440,41 @@ object SparkEntry {
       from = "lineitem", keys = Seq("l_orderkey", "l_linenumber"),
       xExpr = "l_partkey % 256", yExpr = "l_suppkey % 256",
       bits = 8, outCol = "hval"),
+    // q86: the draw positions are pure integer hashes, so the oracle
+    // replays the exact sample; sum() OVER returns HUGEINT (cast back).
+    "q86_weighted_replace" ->
+      s"""WITH weighted AS (
+         |  SELECT doc_id,
+         |    least(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 32) AS w
+         |  FROM documents
+         |), pos AS (
+         |  SELECT doc_id, w,
+         |    CAST(sum(w) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - w AS s
+         |  FROM weighted WHERE w > 0
+         |), tot AS (
+         |  SELECT CAST(sum(w) AS BIGINT) AS tw FROM weighted WHERE w > 0
+         |), draws AS (
+         |  SELECT CAST(j AS BIGINT) AS draw_id,
+         |    (${functions.PortableHash.hash60Sql("'q86:' || CAST(j AS VARCHAR)")}) % tw AS pos
+         |  FROM range(1, 41) t(j) CROSS JOIN tot
+         |)
+         |SELECT d.draw_id, p.doc_id, p.w
+         |FROM draws d JOIN pos p ON d.pos >= p.s AND d.pos < p.s + p.w""".stripMargin,
+    // q87: DuckDB's indexed list lambda is 1-based where Spark's is
+    // 0-based; both keep element i iff its first occurrence is i.
+    "q87_dedup_units" ->
+      """WITH u AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS units FROM documents
+        |), k AS (
+        |  SELECT doc_id, units,
+        |    list_filter(units, (x, i) -> list_position(units, x) = i) AS kept
+        |  FROM u
+        |)
+        |SELECT doc_id, CAST(len(units) AS BIGINT) AS n_units,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  COALESCE(array_to_string(kept, ' '), '') AS clean_text
+        |FROM k""".stripMargin,
     "q69_quantize_int8"     -> OracleSqlGen.q69Sql(),
     "q71_bm25_topk"         -> OracleSqlGen.q71Sql(),
     "q72_stream_cms"        -> OracleSqlGen.q72Sql(),

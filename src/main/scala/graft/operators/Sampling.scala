@@ -126,6 +126,55 @@ object Sampling {
       s"'$salt:' || CAST($idExpr AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} " +
       s"FOR j IN range(1, ($weightExpr) + 1)])"
 
+  /** Weighted sampling WITH replacement: `k` independent draws, each
+    * landing on a row with probability proportional to its weight —
+    * inverse-CDF over a distributed prefix sum, NOT k passes over the
+    * data:
+    *
+    *   1. [[graft.ops.PrefixSum.exclusiveCumsum]] lays the weights
+    *      end-to-end in `idCol` order (one range exchange — the only
+    *      full-data shuffle; the total weight W falls out of the same
+    *      pass);
+    *   2. draw j's position is `hash60(salt:j) % W` — k deterministic
+    *      integer positions computed in-engine, so the DuckDB oracle
+    *      replays the exact sample;
+    *   3. each draw finds its row by interval containment
+    *      (`start ≤ pos < start + w`) against the k-row broadcast —
+    *      a map-side nested-loop probe, k comparisons per row.
+    *
+    * Returns (draw_id, id, w); the same row appears once per draw that
+    * hit it (that is what "with replacement" means). Complements
+    * [[weightedSample]] (A-ES, without replacement). Position bias from
+    * `% W` is ≤ W / 2^60 — deterministic, not drift. Caller releases
+    * storage after its action (the PrefixSum persist contract).
+    */
+  def weightedSampleReplacement(df: DataFrame, idCol: String,
+                                weightCol: String, k: Int,
+                                salt: String = "wrsr"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    val weighted = df.select(col(idCol), col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+    val cum = graft.ops.PrefixSum.exclusiveCumsum(
+      weighted, Seq(col(idCol)), col("w"), "start")
+    val totalRow = cum.agg(max(col("start") + col("w"))).head()
+    if (totalRow.isNullAt(0))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("draw_id",
+            org.apache.spark.sql.types.LongType, nullable = false))
+          ++ cum.schema.filter(f => f.name == idCol || f.name == "w")))
+    val total = totalRow.getLong(0)
+    val draws = spark.range(1, k + 1L).select(
+      col("id").as("draw_id"),
+      (PortableHash.hash60(concat(lit(salt + ":"), col("id").cast("string")))
+        % total).as("pos"))
+    cum.join(broadcast(draws),
+        col("pos") >= col("start") && col("pos") < col("start") + col("w"))
+      .select(col("draw_id"), col(idCol), col("w"))
+  }
+
   /** Weighted corpus mixture: each source is hash-downsampled to its
     * weight, tagged, and unioned by name — the deterministic version of
     * "mix 30% web, 60% books, 10% code". Rates above 1.0 are rejected

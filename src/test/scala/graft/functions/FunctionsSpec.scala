@@ -7,6 +7,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class FunctionsSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  test("firstOccurrencesOf keeps order and first copies, over lines and tokens") {
+    // the C4 duplicate-line drop: real multi-line text through docLines
+    val text = "keep me\ndup line\nkeep me\nother\ndup line\nlast"
+    val lines = Seq(text).toDF("t")
+      .select(TextFunctions.docLines(col("t")).as("ls"))
+      .select(TextFunctions.firstOccurrencesOf(col("ls")))
+      .as[Seq[String]].head()
+    assert(lines == Seq("keep me", "dup line", "other", "last"))
+    // degenerate shapes: all-same, all-unique, empty
+    val cases = Seq(
+      ("a a a a", Seq("a")),
+      ("x y z", Seq("x", "y", "z")),
+      ("", Seq.empty[String]))
+    cases.foreach { case (in, want) =>
+      val got = Seq(in).toDF("t")
+        .select(TextFunctions.tokens(col("t")).as("u"))
+        .select(TextFunctions.firstOccurrencesOf(col("u")))
+        .as[Seq[String]].head()
+      assert(got == want, in)
+    }
+  }
+
   test("tokenCount / charCount / stopwordCount on hand strings") {
     val df = Seq("the cat sat on the mat", "", "  spaced   out  ").toDF("t").select(
       TextFunctions.tokenCount(col("t")).as("n"),

@@ -124,6 +124,44 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("weightedSampleReplacement equals the driver inverse-CDF reference") {
+    val items = (0L until 200L).map(i => (i, i % 5)) // weights 0..4; 0s excluded
+    val df = items.toDF("id", "w")
+    // driver reference: exclusive prefix sums in id order, positions from
+    // the same hash
+    val pos = items.filter(_._2 > 0)
+      .scanLeft((-1L, 0L, 0L)) { case ((_, _, cum), (id, w)) => (id, w, cum + w) }
+      .drop(1).map { case (id, w, cumEnd) => (id, w, cumEnd - w, cumEnd) }
+    val total = pos.last._4
+    val expected = (1L to 30L).map { j =>
+      val p = hash60(s"r:$j") % total
+      val hit = pos.find(e => p >= e._3 && p < e._4).get
+      (j, hit._1, hit._2)
+    }.toSet
+    val got = Sampling.weightedSampleReplacement(df, "id", "w", k = 30, salt = "r")
+      .as[(Long, Long, Long)].collect().toSet
+    graft.Storage.releaseAll(spark)
+    assert(got == expected)
+    assert(got.size == 30, "every draw lands on exactly one row")
+    // with replacement: at least one id drawn more than once at this k/N
+    assert(expected.groupBy(_._2).exists(_._2.size > 1),
+      "fixture sanity: the salt should produce a repeat draw")
+  }
+
+  test("weightedSampleReplacement is partition-independent and empty-safe") {
+    val df = (0L until 120L).map(i => (i, i % 3 + 1)).toDF("id", "w")
+    val one = Sampling.weightedSampleReplacement(df, "id", "w", 15, "p")
+      .as[(Long, Long, Long)].collect().toSet
+    val many = Sampling.weightedSampleReplacement(df.repartition(11), "id", "w", 15, "p")
+      .as[(Long, Long, Long)].collect().toSet
+    graft.Storage.releaseAll(spark)
+    assert(one == many)
+    val empty = Sampling.weightedSampleReplacement(
+      Seq.empty[(Long, Long)].toDF("id", "w"), "id", "w", 5, "p")
+    assert(empty.count() == 0L)
+    graft.Storage.releaseAll(spark)
+  }
+
   test("stratifiedSample draws exactly k per stratum, independent of partitioning") {
     val df = (1 to 200).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "grp")
