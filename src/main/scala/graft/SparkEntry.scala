@@ -1245,6 +1245,29 @@ object SparkEntry {
         size(col("kept")).cast("long").as("n_kept"),
         array_join(col("kept"), " ").as("clean_text"))
 
+  // ---- q88: temperature-scaled stratum resampling (the multilingual
+  //      alpha-sampling recipe at alpha = 0.5): kept shares go to
+  //      ∝ p^0.5 — the smallest stratum keeps everything, the dominant
+  //      one is cut hardest. One stratum-count agg (bounded driver
+  //      read), integer thresholds, per-row hash keep/drop — the oracle
+  //      recomputes identical thresholds (sqrt/divide/floor are
+  //      correctly-rounded IEEE in both engines) and replays the exact
+  //      sample. Output is the per-stratum before/after census. ----
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir).documents
+      .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text"))))
+      .select(concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string")).as("occ_id"),
+        substring(col("col"), 1, 1).as("stratum"))
+    val kept = operators.Sampling.temperatureResample(
+      tok, "occ_id", "stratum", alpha = 0.5, salt = "q88")
+    tok.groupBy(col("stratum")).agg(count(lit(1)).as("n_orig"))
+      .join(kept.groupBy(col("stratum")).agg(count(lit(1)).as("n_kept")),
+        Seq("stratum"), "left")
+      .select(col("stratum"), col("n_orig"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1334,6 +1357,7 @@ object SparkEntry {
     "q85_hilbert"          -> q85 _,
     "q86_weighted_replace" -> q86 _,
     "q87_dedup_units"      -> q87 _,
+    "q88_temperature_mix"  -> q88 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1461,6 +1485,30 @@ object SparkEntry {
          |)
          |SELECT d.draw_id, p.doc_id, p.w
          |FROM draws d JOIN pos p ON d.pos >= p.s AND d.pos < p.s + p.w""".stripMargin,
+    // q88: thresholds recompute from the counts with sqrt/divide/floor
+    // (correctly-rounded IEEE in both engines → identical integers).
+    "q88_temperature_mix" ->
+      s"""WITH tok AS (
+         |  SELECT CAST(doc_id AS VARCHAR) || ':' ||
+         |      CAST(generate_subscripts(ws, 1) - 1 AS VARCHAR) AS occ_id,
+         |    substr(unnest(ws), 1, 1) AS stratum
+         |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents)
+         |), cnt AS (
+         |  SELECT stratum, count(*) AS n_orig FROM tok GROUP BY 1
+         |), mn AS (
+         |  SELECT min(n_orig) AS nmin FROM cnt
+         |), thr AS (
+         |  SELECT stratum, n_orig,
+         |    CAST(floor(10000 * sqrt(CAST(nmin AS DOUBLE) / n_orig)) AS BIGINT) AS t
+         |  FROM cnt CROSS JOIN mn
+         |), kept AS (
+         |  SELECT tok.stratum, count(*) AS n_kept
+         |  FROM tok JOIN thr ON tok.stratum = thr.stratum
+         |  WHERE (${functions.PortableHash.hash60Sql("'q88:' || occ_id")}) % 10000 < thr.t
+         |  GROUP BY 1
+         |)
+         |SELECT thr.stratum, thr.n_orig, COALESCE(kept.n_kept, 0) AS n_kept
+         |FROM thr LEFT JOIN kept USING (stratum)""".stripMargin,
     // q87: DuckDB's indexed list lambda is 1-based where Spark's is
     // 0-based; both keep element i iff its first occurrence is i.
     "q87_dedup_units" ->

@@ -175,6 +175,46 @@ object Sampling {
       .select(col("draw_id"), col(idCol), col("w"))
   }
 
+  /** Temperature-scaled stratum resampling — the multilingual
+    * alpha-sampling recipe: the kept corpus's stratum shares are
+    * ∝ p_s^alpha, flattening a skewed distribution toward balance
+    * (alpha = 1 is the natural distribution, alpha → 0 uniform).
+    * Downsampling can only REMOVE rows, so rates anchor on the smallest
+    * stratum: stratum s keeps the hash-fraction
+    * `(n_min / n_s)^(1-alpha)` — the smallest stratum keeps everything
+    * and the head is cut hardest (kept_s ∝ n_s^alpha). Callers who
+    * cannot afford the head reduction should replicate the tail
+    * upstream instead (the [[mixCorpora]] oversampling note).
+    *
+    * One small count aggregate collects a single row per stratum
+    * (bounded by stratum cardinality — languages, domains, sources; for
+    * very high-cardinality strata join a broadcast threshold table
+    * instead of the literal CASE chain this builds). Keep/drop is the
+    * same per-row (salt, id) hash as every sampler here, compared
+    * against an INTEGER per-stratum threshold — at alpha = 0.5 the
+    * threshold math is sqrt/divide/floor (all correctly-rounded IEEE),
+    * so the DuckDB oracle recomputes identical thresholds from the
+    * counts and replays the exact sample. Other alphas use pow, whose
+    * final ulp may differ across engines — a threshold could then
+    * differ by one bucket; membership stays deterministic per engine.
+    */
+  def temperatureResample(df: DataFrame, idCol: String, stratumCol: String,
+                          alpha: Double = 0.5, salt: String = "temp",
+                          buckets: Int = 10000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val counts = df.groupBy(col(stratumCol)).count().collect()
+      .map(r => r.get(0) -> r.getLong(1)) // one row per stratum
+    if (counts.isEmpty) return df.limit(0)
+    val nMin = counts.map(_._2).min.toDouble
+    def rate(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(nMin / n) else math.pow(nMin / n, 1 - alpha)
+    val thrCol = counts.foldLeft(lit(0L)) { case (acc, (s, n)) =>
+      when(col(stratumCol) <=> lit(s),
+        lit(math.floor(buckets * rate(n)).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), salt, buckets) < thrCol)
+  }
+
   /** Weighted corpus mixture: each source is hash-downsampled to its
     * weight, tagged, and unioned by name — the deterministic version of
     * "mix 30% web, 60% books, 10% code". Rates above 1.0 are rejected

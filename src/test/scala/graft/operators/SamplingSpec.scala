@@ -162,6 +162,44 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     graft.Storage.releaseAll(spark)
   }
 
+  test("temperatureResample flattens skew toward p^alpha: tail keeps all, head is cut") {
+    // strata sized 640 / 160 / 40 (16:4:1); alpha = 0.5 rates anchor on
+    // the smallest: sqrt(40/640) = 0.25, sqrt(40/160) = 0.5, 1.0 — kept
+    // shares go to ~4:2:1 = p^0.5
+    val rows = (0L until 640L).map(i => (s"a$i", "big")) ++
+      (0L until 160L).map(i => (s"b$i", "mid")) ++
+      (0L until 40L).map(i => (s"c$i", "small"))
+    val df = rows.toDF("id", "s")
+    val kept = Sampling.temperatureResample(df, "id", "s", alpha = 0.5, salt = "t5")
+      .as[(String, String)].collect()
+    val byS = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byS("small") == 40, "smallest stratum keeps every row")
+    // exact driver replay of threshold + hash membership
+    def expectKept(stratum: String, thr: Long): Int =
+      rows.filter(_._2 == stratum).count(r => hash60(s"t5:${r._1}") % 10000 < thr)
+    assert(byS("big") == expectKept("big", 2500))
+    assert(byS("mid") == expectKept("mid", 5000))
+    // flattening: kept-count ratio compresses from 16:1 toward 4:1
+    val keptRatio = byS("big").toDouble / byS("small")
+    assert(keptRatio < 6.0 && keptRatio > 2.0, s"ratio $keptRatio")
+    // partition independence
+    val repart = Sampling.temperatureResample(df.repartition(13), "id", "s",
+      alpha = 0.5, salt = "t5").as[(String, String)].collect().toSet
+    assert(repart == kept.toSet)
+  }
+
+  test("temperatureResample at alpha=1 is the natural distribution; bad alpha rejected") {
+    val rows = (0L until 100L).map(i => (s"a$i", "x")) ++
+      (0L until 50L).map(i => (s"b$i", "y"))
+    val df = rows.toDF("id", "s")
+    val kept = Sampling.temperatureResample(df, "id", "s", alpha = 1.0, salt = "t1")
+      .as[(String, String)].collect()
+    assert(kept.length == 150, "alpha = 1 resamples nothing")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureResample(df, "id", "s", alpha = 0.0)
+    }
+  }
+
   test("stratifiedSample draws exactly k per stratum, independent of partitioning") {
     val df = (1 to 200).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "grp")
