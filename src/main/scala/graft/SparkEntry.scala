@@ -1268,6 +1268,16 @@ object SparkEntry {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  // ---- q89: exact-phrase search, scan form — each document verifies
+  //      its own token array in place (size(filter(starts, all terms
+  //      align))): one scan, zero explode/shuffle/join, with a cheap
+  //      substring prefilter pushed at the raw text so the exact count
+  //      bills only on candidate docs. The positional-index join form
+  //      is spec-pinned equal (overlaps included) in InvertedIndexSpec. ----
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    operators.InvertedIndex.phraseMatches(
+      Tables(s, dir).documents, "doc_id", "text", Seq("merge", "stream"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1358,6 +1368,7 @@ object SparkEntry {
     "q86_weighted_replace" -> q86 _,
     "q87_dedup_units"      -> q87 _,
     "q88_temperature_mix"  -> q88 _,
+    "q89_phrase_search"    -> q89 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1509,6 +1520,16 @@ object SparkEntry {
          |)
          |SELECT thr.stratum, thr.n_orig, COALESCE(kept.n_kept, 0) AS n_kept
          |FROM thr LEFT JOIN kept USING (stratum)""".stripMargin,
+    // q89: the same start-position comprehension, overlaps included.
+    "q89_phrase_search" ->
+      """SELECT doc_id, n_matches FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 2 THEN
+        |      CAST(len([s FOR s IN range(0, len(ws) - 1)
+        |                IF ws[s + 1] = 'merge' AND ws[s + 2] = 'stream']) AS BIGINT)
+        |    ELSE 0 END AS n_matches
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents))
+        |WHERE n_matches >= 1""".stripMargin,
     // q87: DuckDB's indexed list lambda is 1-based where Spark's is
     // 0-based; both keep element i iff its first occurrence is i.
     "q87_dedup_units" ->

@@ -37,4 +37,67 @@ object InvertedIndex {
       .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
     dfCounts.join(capped, Seq("token"))
   }
+
+  /** Exact-phrase search, scan form: (doc_id, n_matches) for every
+    * document containing the token sequence `phrase`, counting every
+    * (overlapping) start position. Each document verifies its OWN token
+    * array in place — `size(filter(starts, all-terms-align))` — so the
+    * plan is a single scan with zero explode, zero shuffle and zero
+    * joins: the right phrase plan when no index exists, at any corpus
+    * size. The token array is staged once (staged-projection
+    * discipline); the oracle replays the same start-position
+    * comprehension.
+    */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+                    phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val n = phrase.length
+    // Cheap pushable prefilter on the RAW text (every phrase term must
+    // appear as a substring — necessary, not sufficient), so the exact
+    // count below runs on the few candidate docs. Filtering on the
+    // n_matches alias inlines its tree into the pushed-down Filter (the
+    // round-7 pushdown-inlining lesson): with the prefilter that double
+    // evaluation bills only on candidates, not the corpus.
+    val pre = phrase.distinct.map(t => col(textCol).contains(t)).reduce(_ && _)
+    docs.filter(pre)
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
+        when(size(col("__ws")) >= n,
+          size(filter(sequence(lit(0), size(col("__ws")) - n), s =>
+            phrase.zipWithIndex.map { case (t, j) =>
+              element_at(col("__ws"), s + (j + 1)) === lit(t)
+            }.reduce(_ && _))))
+          .otherwise(0).cast("long").as("n_matches"))
+      .filter(col("n_matches") >= 1L)
+  }
+
+  /** Exact-phrase search, positional-index form: the corpus explodes to
+    * (doc, pos, token) occurrences, keeps ONLY the phrase's terms (the
+    * pushed-down `isin` makes each side posting-sized, never
+    * corpus-sized), and verifies adjacency by equi-joining term i's
+    * occurrences to term i+1's on (doc, pos + 1). Agrees with
+    * [[phraseMatches]] on every input (spec-pinned, overlapping matches
+    * included); the shape to prefer when the occurrence table is already
+    * materialized as an index and a corpus re-scan is the thing being
+    * avoided.
+    */
+  def phraseSearchIndexed(docs: DataFrame, idCol: String, textCol: String,
+                          phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val occ = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(col("token").isin(phrase.distinct: _*))
+    val first = occ.filter(col("token") === phrase.head)
+      .select(col("doc_id"), col("pos").as("end_pos"))
+    val chained = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (t, _)) =>
+        val o = occ.filter(col("token") === t)
+          .select(col("doc_id").as("__d2"), col("pos").as("__p2"))
+        acc.join(o, acc("doc_id") === col("__d2")
+            && col("__p2") === acc("end_pos") + 1)
+          .select(col("doc_id"), col("__p2").as("end_pos"))
+    }
+    chained.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+  }
 }

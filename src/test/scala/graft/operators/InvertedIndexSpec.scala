@@ -33,6 +33,43 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((50L, Seq(1L, 2L, 3L, 4L, 5L))))
   }
 
+  test("phraseMatches counts overlapping starts; scan and indexed forms agree") {
+    val corpus = Seq(
+      (1L, "the merge stream runs a merge stream here"), // 2 matches
+      (2L, "merge alone then stream apart"),             // terms, no phrase
+      (3L, "a a a a"),                                   // repeated-term case
+      (4L, "merge stream"),                              // exact doc
+      (5L, ""),                                          // empty
+      (6L, "prefix merge stream suffix merge")).toDF("doc_id", "text")
+    val scan = InvertedIndex.phraseMatches(corpus, "doc_id", "text",
+      Seq("merge", "stream")).as[(Long, Long)].collect().toMap
+    assert(scan == Map(1L -> 2L, 4L -> 1L, 6L -> 1L))
+    val indexed = InvertedIndex.phraseSearchIndexed(corpus, "doc_id", "text",
+      Seq("merge", "stream")).as[(Long, Long)].collect().toMap
+    assert(indexed == scan)
+    // repeated-term phrase: "a a" in "a a a a" has 3 overlapping starts
+    val rep = InvertedIndex.phraseMatches(corpus, "doc_id", "text", Seq("a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(rep == Map(3L -> 3L))
+    assert(InvertedIndex.phraseSearchIndexed(corpus, "doc_id", "text",
+      Seq("a", "a")).as[(Long, Long)].collect().toMap == rep)
+    // single-term phrase degenerates to occurrence counting
+    val single = InvertedIndex.phraseMatches(corpus, "doc_id", "text", Seq("merge"))
+      .as[(Long, Long)].collect().toMap
+    assert(single == Map(1L -> 2L, 2L -> 1L, 4L -> 1L, 6L -> 2L))
+  }
+
+  test("phraseMatches plans a single scan: no Exchange, no Generate, no join") {
+    val big = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        concat(lit("tok"), col("id").cast("string"), lit(" merge stream")).as("text"))
+    val plan = InvertedIndex.phraseMatches(big, "doc_id", "text",
+      Seq("merge", "stream")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Generate"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("the posting cap trims BEFORE the shuffle (partial WindowGroupLimit)") {
     val plan = InvertedIndex.postings(docs, "doc_id", "text", 10)
       .queryExecution.executedPlan.toString
