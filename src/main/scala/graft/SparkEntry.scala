@@ -1278,6 +1278,17 @@ object SparkEntry {
     operators.InvertedIndex.phraseMatches(
       Tables(s, dir).documents, "doc_id", "text", Seq("merge", "stream"))
 
+  // ---- q90: GROUPED HyperLogLog — one sketch per group in one pass
+  //      (approx distinct parts per return flag): the exchange carries at
+  //      most groups × 2^p integer rows, replacing a (group, key)
+  //      distinct shuffle; the all-integer register table is the output
+  //      and the oracle replays it exactly (per-group float estimates
+  //      fold driver-side, accuracy pinned in HyperLogLogSpec). ----
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    operators.HyperLogLog.registersByGroup(
+      Tables(s, dir).lineitem.select(col("l_returnflag"), col("l_partkey")),
+      "l_returnflag", "l_partkey", p = 6)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1369,6 +1380,7 @@ object SparkEntry {
     "q87_dedup_units"      -> q87 _,
     "q88_temperature_mix"  -> q88 _,
     "q89_phrase_search"    -> q89 _,
+    "q90_hll_by_group"     -> q90 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1645,6 +1657,9 @@ object SparkEntry {
     "q74_hll_registers" -> operators.HyperLogLog.registersSql(
       "token", p = 6,
       from = "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents)"),
+    "q90_hll_by_group" -> operators.HyperLogLog.registersByGroupSql(
+      "l_returnflag", "l_returnflag", "CAST(l_partkey AS VARCHAR)", p = 6,
+      from = "lineitem"),
     // q75: the bucket decomposition is semantics-preserving, so the oracle
     // is the plain non-equi overlap join (DuckDB plans it as an IEJoin).
     "q75_overlap_join" ->

@@ -68,6 +68,45 @@ object HyperLogLog {
     a.unionByName(b).groupBy(col("register"))
       .agg(max(col("max_rank")).as("max_rank"))
 
+  /** GROUPED register tables: one HLL sketch per value of `groupCol` —
+    * approximate distinct-per-group (distinct users per page, distinct
+    * n-grams per source) in ONE pass with bounded state. The exchange
+    * key widens to (group, register), so each map task emits at most
+    * groups × 2^p partial rows — still sketch-sized per group, and the
+    * answer for G groups is G fixed-size sketches instead of a
+    * `distinct` shuffle of every (group, key) pair. Merging two runs
+    * stays per-(group, register) max. Output (group, register,
+    * max_rank) is all-integer — the oracle replays it exactly;
+    * per-group estimates fold driver-side from each group's ≤ 2^p rows
+    * ([[estimateFromRegisters]]).
+    */
+  def registersByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                       p: Int): DataFrame = {
+    require(p >= 2 && p <= 30, s"p out of range: $p")
+    val h = col("__h60")
+    df.select(col(groupCol),
+        PortableHash.hash60(col(keyCol).cast("string")).as("__h60"))
+      .select(col(groupCol),
+        (h % lit(1L << p)).as("register"),
+        rankOf(h, p).cast("long").as("rank"))
+      .groupBy(col(groupCol), col("register"))
+      .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** SQL (DuckDB) replay of [[registersByGroup]]; `groupName` must match
+    * the Spark side's group column name (the compare is name-keyed).
+    */
+  def registersByGroupSql(groupExpr: String, groupName: String, e: String,
+                          p: Int, from: String): String = {
+    val m = 1L << p
+    s"""SELECT g AS $groupName, register, max(rank) AS max_rank FROM (
+       |  SELECT g, h % $m AS register,
+       |    CASE WHEN h // $m = 0 THEN ${61 - p}
+       |         ELSE ${60 - p} - length(bin(h // $m)) + 1 END AS rank
+       |  FROM (SELECT $groupExpr AS g, ${PortableHash.hash60Sql(e)} AS h FROM $from)
+       |) GROUP BY g, register""".stripMargin
+  }
+
   /** Driver-side cardinality estimate from a collected register table:
     * the standard HLL raw estimate with the small-range (linear
     * counting) correction. Plain Scala — the distributed artifact is the

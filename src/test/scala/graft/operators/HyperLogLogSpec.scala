@@ -59,4 +59,27 @@ class HyperLogLogSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(math.round(HyperLogLog.estimateFromRegisters(regs, 6)) == 3L)
   }
+
+  test("grouped registers equal each group's independent sketch; estimates track sizes") {
+    // three groups with distinct counts 400 / 50 / 3 (plus duplicates)
+    val rows = (0 until 400).map(i => ("big", s"b$i")) ++
+      (0 until 50).flatMap(i => Seq(("mid", s"m$i"), ("mid", s"m$i"))) ++
+      Seq(("tiny", "x"), ("tiny", "y"), ("tiny", "z"))
+    val df = rows.toDF("g", "k")
+    val grouped = HyperLogLog.registersByGroup(df, "g", "k", p = 6)
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    for (g <- Seq("big", "mid", "tiny")) {
+      val solo = HyperLogLog.registers(
+          rows.filter(_._1 == g).map(r => Tuple1(r._2)).toDF("k"), "k", 6)
+        .as[(Long, Long)].collect().toSeq
+      assert(grouped(g).sortBy(_._1) == solo.sortBy(_._1), g)
+    }
+    val est = grouped.view.mapValues(r =>
+      HyperLogLog.estimateFromRegisters(r, 6)).toMap
+    assert(math.round(est("tiny")) == 3L, "linear counting per group")
+    assert(math.abs(est("mid") - 50) / 50.0 < 0.3, s"mid ${est("mid")}")
+    assert(math.abs(est("big") - 400) / 400.0 < 0.3, s"big ${est("big")}")
+    assert(est("big") > est("mid") && est("mid") > est("tiny"))
+  }
 }
