@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,16 +59,25 @@ object InvertedIndex {
     // round-7 pushdown-inlining lesson): with the prefilter that double
     // evaluation bills only on candidates, not the corpus.
     val pre = phrase.distinct.map(t => col(textCol).contains(t)).reduce(_ && _)
+    // Count via arrays_zip of n SHIFTED SLICES, filtered on the struct's
+    // own fields: the lambda body never references the token array, so
+    // when pushdown inlines this tree into the Filter the tokenizer runs
+    // a constant ~2n times per row — a lambda body that indexed the
+    // outer array (element_at(__ws, s+j)) re-tokenizes PER ELEMENT once
+    // inlined, O(len²) per candidate (seen in the plan audit).
+    def nMatches(ws: Column): Column = {
+      val starts = greatest(size(ws) - (n - 1), lit(0)) // 0 when doc < phrase
+      val zipped = arrays_zip(phrase.indices.map(j =>
+        slice(ws, lit(j + 1), starts)): _*)
+      size(filter(zipped, p =>
+        phrase.zipWithIndex.map { case (t, j) =>
+          p.getField(j.toString) === lit(t)
+        }.reduce(_ && _)))
+    }
     docs.filter(pre)
       .select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("__ws"))
-      .select(col("doc_id"),
-        when(size(col("__ws")) >= n,
-          size(filter(sequence(lit(0), size(col("__ws")) - n), s =>
-            phrase.zipWithIndex.map { case (t, j) =>
-              element_at(col("__ws"), s + (j + 1)) === lit(t)
-            }.reduce(_ && _))))
-          .otherwise(0).cast("long").as("n_matches"))
+      .select(col("doc_id"), nMatches(col("__ws")).cast("long").as("n_matches"))
       .filter(col("n_matches") >= 1L)
   }
 
