@@ -1289,6 +1289,21 @@ object SparkEntry {
       Tables(s, dir).lineitem.select(col("l_returnflag"), col("l_partkey")),
       "l_returnflag", "l_partkey", p = 6)
 
+  // ---- q91: per-group winsorization — prices clipped to each return
+  //      flag's exact [p05, p95] (the outlier-clipping step before
+  //      feature scaling): shuffle-parallel quantiles (q40 machinery) →
+  //      one-row-per-group broadcast → map-side clip. Clip DECISIONS are
+  //      ulp-safe (an interpolated bound lies strictly between adjacent
+  //      data values); outputs round 6 per the q40 precedent. ----
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    ops.Percentiles.winsorize(
+        Tables(s, dir).lineitem.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice", pLo = 0.05, pHi = 0.95,
+        out = "clipped")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(col("clipped"), 6).as("clipped"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1381,6 +1396,7 @@ object SparkEntry {
     "q88_temperature_mix"  -> q88 _,
     "q89_phrase_search"    -> q89 _,
     "q90_hll_by_group"     -> q90 _,
+    "q91_winsorize"        -> q91 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2187,6 +2203,19 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
         | quantile_cont(l_quantity, 0.5) AS median_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // q91: same quantile_cont bounds as q40; clip decisions are ulp-safe,
+    // outputs rounded to 6 like q40's interpolated quantiles.
+    "q91_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  round(least(greatest(l.l_extendedprice, b.lo), b.hi), 6) AS clipped
+        |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
 
     "q41_stream_sliding" ->
       """SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))

@@ -77,4 +77,33 @@ object Percentiles {
     }
     picked.select(outCols: _*)
   }
+
+  /** Winsorization — clip `valueCol` to its group's [pLo, pHi] exact
+    * quantiles (the outlier-clipping step before feature scaling or loss
+    * weighting). The bounds table is one row per group
+    * ([[exactQuantiles]] — shuffle-parallel, never a single-task
+    * reduce), broadcast back over the data for a map-side clip; nulls
+    * pass through unclipped (both engines' `greatest` would otherwise
+    * SKIP the null and resurrect a bound).
+    *
+    * Cross-engine note: comparisons against an interpolated bound are
+    * ulp-safe — a non-integral-rank bound lies strictly between two
+    * adjacent distinct data values, so a final-ulp difference cannot
+    * flip any row's clip decision; only a row OUTPUT at the bound
+    * carries the interpolation ulp (the q40 round-6 precedent applies
+    * to the gate's output).
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                pLo: Double, pHi: Double, out: String): DataFrame = {
+    require(pLo >= 0 && pLo < pHi && pHi <= 1,
+      s"need 0 <= pLo < pHi <= 1: $pLo, $pHi")
+    val bounds = exactQuantiles(df, groupCols, valueCol,
+      Seq("__wlo" -> pLo, "__whi" -> pHi))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(out,
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(col(valueCol).cast("double"),
+            col("__wlo")), col("__whi"))))
+      .drop("__wlo", "__whi")
+  }
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PercentilesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Spark's Percentile.getPercentile / DuckDB quantile_cont reference. */
+  private def quantileCont(sorted: Seq[Double], p: Double): Double = {
+    val pos = p * (sorted.length - 1)
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    if (lo == hi) sorted(lo)
+    else (hi - pos) * sorted(lo) + (pos - lo) * sorted(hi)
+  }
+
+  test("exactQuantiles equals the interpolating reference, per group, with dups") {
+    val rows = (1 to 37).map(i => ("a", (i % 11).toDouble)) ++
+      (1 to 10).map(i => ("b", i * 100.0))
+    val got = Percentiles.exactQuantiles(rows.toDF("g", "v"), Seq("g"), "v",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    for (g <- Seq("a", "b")) {
+      val sorted = rows.filter(_._1 == g).map(_._2).sorted
+      val want = (quantileCont(sorted, 0.25), quantileCont(sorted, 0.5),
+        quantileCont(sorted, 0.95))
+      assert(got(g) == want, g)
+    }
+  }
+
+  test("winsorize clips to the group bounds, passes nulls, leaves inliers alone") {
+    val rows = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", Some(4.0)),
+      ("a", Some(5.0)), ("a", Some(6.0)), ("a", Some(7.0)), ("a", Some(8.0)),
+      ("a", Some(9.0)), ("a", Some(1000.0)), // outlier
+      ("a", None),
+      ("b", Some(-50.0)), ("b", Some(0.0)), ("b", Some(1.0)), ("b", Some(2.0)),
+      ("b", Some(3.0)))
+    val df = rows.toDF("g", "v")
+    val got = Percentiles.winsorize(df, Seq("g"), "v", 0.1, 0.9, "c")
+      .select(col("g"), col("v"), col("c"))
+      .as[(String, Option[Double], Option[Double])].collect()
+    val bounds = Seq("a", "b").map { g =>
+      val sorted = rows.filter(r => r._1 == g && r._2.isDefined).map(_._2.get).sorted
+      g -> (quantileCont(sorted, 0.1), quantileCont(sorted, 0.9))
+    }.toMap
+    got.foreach {
+      case (_, None, c) => assert(c.isEmpty, "null passes through unclipped")
+      case (g, Some(v), Some(c)) =>
+        val (lo, hi) = bounds(g)
+        assert(c == math.min(math.max(v, lo), hi), s"$g $v")
+      case other => fail(s"unexpected $other")
+    }
+    // the outlier was actually clipped and an inlier was not
+    assert(got.exists { case (g, v, c) => g == "a" && v.contains(1000.0) && !c.contains(1000.0) })
+    assert(got.exists { case (g, v, c) => g == "a" && v.contains(5.0) && c.contains(5.0) })
+  }
+
+  test("winsorize guards its quantile range") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Percentiles.winsorize(df, Seq("g"), "v", 0.9, 0.1, "c")
+    }
+  }
+}
