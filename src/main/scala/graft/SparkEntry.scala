@@ -1304,6 +1304,20 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         round(col("clipped"), 6).as("clipped"))
 
+  // ---- q92: per-group min-max feature scaling — exact min/max bounds
+  //      (one map-side-combined agg, broadcast back) and a single
+  //      correctly-rounded IEEE division, so the scaled features are
+  //      bit-identical across runs, partitionings, and engines — no
+  //      rounding needed (unlike any variance-based scaler, whose float
+  //      SUM is partial-order-dependent). ----
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    ops.Percentiles.minMaxScale(
+        Tables(s, dir).lineitem.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice", out = "scaled")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("scaled"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1397,6 +1411,7 @@ object SparkEntry {
     "q89_phrase_search"    -> q89 _,
     "q90_hll_by_group"     -> q90 _,
     "q91_winsorize"        -> q91 _,
+    "q92_minmax_scale"     -> q92 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2215,6 +2230,17 @@ object SparkEntry {
         |)
         |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
         |  round(least(greatest(l.l_extendedprice, b.lo), b.hi), 6) AS clipped
+        |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
+
+    // q92: exact bounds + one division — bit-identical, no rounding.
+    "q92_minmax_scale" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  CASE WHEN b.mx = b.mn THEN 0.0
+        |       ELSE (l.l_extendedprice - b.mn) / (b.mx - b.mn) END AS scaled
         |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
 
     "q41_stream_sliding" ->

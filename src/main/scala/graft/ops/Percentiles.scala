@@ -106,4 +106,28 @@ object Percentiles {
             col("__wlo")), col("__whi"))))
       .drop("__wlo", "__whi")
   }
+
+  /** Per-group min-max scaling to [0, 1] — the deterministic feature
+    * normalization (z-score needs a variance whose floating SUM depends
+    * on partial-aggregation order; min/max are exact and the single
+    * division is correctly-rounded IEEE, so the scaled values are
+    * bit-identical across runs, partitionings, and engines). One
+    * map-side-combined bounds aggregation broadcast back; a constant
+    * group (max = min) scales to 0.0 by convention; nulls pass through.
+    */
+  def minMaxScale(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  out: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val bounds = df.filter(col(valueCol).isNotNull)
+      .groupBy(gcols: _*)
+      .agg(min(col(valueCol).cast("double")).as("__mn"),
+        max(col(valueCol).cast("double")).as("__mx"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(out,
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .when(col("__mx") === col("__mn"), lit(0.0))
+          .otherwise((col(valueCol).cast("double") - col("__mn")) /
+            (col("__mx") - col("__mn"))))
+      .drop("__mn", "__mx")
+  }
 }

@@ -59,6 +59,19 @@ class PercentilesSpec extends AnyFunSuite with SparkSpec {
     assert(got.exists { case (g, v, c) => g == "a" && v.contains(5.0) && c.contains(5.0) })
   }
 
+  test("minMaxScale maps group extremes to 0/1, constants to 0, nulls through") {
+    val rows = Seq(
+      ("a", Some(10.0)), ("a", Some(20.0)), ("a", Some(15.0)), ("a", None),
+      ("c", Some(7.0)), ("c", Some(7.0))) // constant group
+    val got = Percentiles.minMaxScale(rows.toDF("g", "v"), Seq("g"), "v", "s")
+      .select(col("g"), col("v"), col("s"))
+      .as[(String, Option[Double], Option[Double])].collect().toSet
+    assert(got == Set(
+      ("a", Some(10.0), Some(0.0)), ("a", Some(20.0), Some(1.0)),
+      ("a", Some(15.0), Some(0.5)), ("a", None, None),
+      ("c", Some(7.0), Some(0.0)), ("c", Some(7.0), Some(0.0))))
+  }
+
   test("winsorize guards its quantile range") {
     val df = Seq(("a", 1.0)).toDF("g", "v")
     intercept[IllegalArgumentException] {
