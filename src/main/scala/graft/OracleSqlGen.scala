@@ -758,6 +758,45 @@ object OracleSqlGen {
        |WHERE e.est_n >= thresh.t AND x.exact_n >= thresh.t""".stripMargin
   }
 
+  // ---- q93: fixed-point PageRank — every iteration unrolled as a plain
+  // CTE (SQL forbids aggregation in a recursive term); all arithmetic is
+  // integer (// division, exact commutative long sums), so the ranks
+  // replay to the last bit with no tolerance.
+  def q93Sql(iterations: Int = 5, scale: Long = 1000000000000L,
+             dampNum: Long = 85, dampDen: Long = 100): String = {
+    val base = s"(($scale * ${dampDen - dampNum}) // $dampDen) // c.n"
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.node,
+         |    $base + (COALESCE(m.in_mass, 0) * $dampNum) // $dampDen AS rank
+         |  FROM nodes CROSS JOIN c
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS in_mass
+         |    FROM r${i - 1} r JOIN e ON r.node = e.src JOIN deg d ON d.src = e.src
+         |    GROUP BY 1) m USING (node)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS p,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS s
+       |  FROM lineitem
+       |), e AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT p AS src, s AS dst FROM pairs
+       |    UNION ALL SELECT s AS src, p AS dst FROM pairs)
+       |), deg AS (
+       |  SELECT src, count(*) AS outdeg FROM e GROUP BY 1
+       |), nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+       |), c AS (
+       |  SELECT count(*) AS n FROM nodes
+       |), r0 AS (
+       |  SELECT node, $scale // c.n AS rank FROM nodes CROSS JOIN c
+       |), $iters
+       |SELECT node, rank FROM r$iterations""".stripMargin
+  }
+
   // ---- q69: int8 scalar quantization — codes and checksum replayed
   // exactly. floor() precedes the BIGINT cast (DuckDB's double→int cast
   // rounds, Spark's truncates; an integral double casts identically).

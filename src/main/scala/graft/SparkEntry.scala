@@ -1318,6 +1318,23 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("scaled"))
 
+  // ---- q93: fixed-point PageRank over the symmetrized part↔supplier
+  //      graph — link analysis whose integer arithmetic (scaled longs,
+  //      floor divisions, exact commutative long sums) is bit-identical
+  //      across runs, partitionings, AND engines: the oracle unrolls the
+  //      same 5 iterations as plain CTEs and matches with NO tolerance
+  //      (a float PageRank's per-node sum depends on reduction order).
+  //      Each round = one src join + one map-side-combined dst sum,
+  //      rebased on a cached-RDD leaf (the Closure pattern). ----
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables(s, dir).lineitem.select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("p"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("sn"))
+    val edges = pairs.select(col("p").as("src"), col("sn").as("dst"))
+      .union(pairs.select(col("sn").as("src"), col("p").as("dst")))
+    operators.PageRank.ranks(edges, iterations = 5)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1412,6 +1429,7 @@ object SparkEntry {
     "q90_hll_by_group"     -> q90 _,
     "q91_winsorize"        -> q91 _,
     "q92_minmax_scale"     -> q92 _,
+    "q93_pagerank"         -> q93 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1688,6 +1706,7 @@ object SparkEntry {
     "q74_hll_registers" -> operators.HyperLogLog.registersSql(
       "token", p = 6,
       from = "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents)"),
+    "q93_pagerank"          -> OracleSqlGen.q93Sql(),
     "q90_hll_by_group" -> operators.HyperLogLog.registersByGroupSql(
       "l_returnflag", "l_returnflag", "CAST(l_partkey AS VARCHAR)", p = 6,
       from = "lineitem"),

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class PageRankSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)], iterations: Int = 5,
+                    scale: Long = 1000000000000L): Map[String, Long] = {
+    val df = edges.toDF("src", "dst")
+    val got = PageRank.ranks(df, iterations = iterations, scale = scale)
+      .as[(String, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    got
+  }
+
+  /** Driver-side replay of the exact integer recurrence. */
+  private def reference(edges: Seq[(String, String)], iterations: Int,
+                        scale: Long = 1000000000000L,
+                        dampNum: Long = 85, dampDen: Long = 100): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = nodes.size.toLong
+    val base = scale * (dampDen - dampNum) / dampDen / n
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iterations) {
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(p => r(p._1) / outdeg(p._1)).sum
+      }
+      r = nodes.map(v => v -> (base + in.getOrElse(v, 0L) * dampNum / dampDen)).toMap
+    }
+    r
+  }
+
+  test("matches a driver-side integer replay on a small directed graph") {
+    val edges = Seq(
+      "a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a", "d" -> "c", "d" -> "a")
+    assert(ranks(edges) == reference(edges, 5))
+  }
+
+  test("hub of a star graph outranks the leaves; symmetric ring is uniform") {
+    val star = (1 to 8).flatMap(i => Seq(s"leaf$i" -> "hub", "hub" -> s"leaf$i"))
+    val r = ranks(star)
+    assert((1 to 8).forall(i => r("hub") > r(s"leaf$i")))
+    assert((1 to 8).map(i => r(s"leaf$i")).distinct.size == 1)
+
+    val ring = (0 until 6).map(i => s"n$i" -> s"n${(i + 1) % 6}")
+    val rr = ranks(ring)
+    assert(rr.values.toSeq.distinct.size == 1)
+  }
+
+  test("dangling nodes leak mass deterministically (documented semantics)") {
+    // b has no out-edges: its damped mass is dropped, not redistributed.
+    val edges = Seq("a" -> "b", "c" -> "b", "b0" -> "a", "b0" -> "c")
+    assert(ranks(edges) == reference(edges, 5))
+  }
+
+  test("duplicate edges collapse before degree counting") {
+    val dup = Seq("a" -> "b", "a" -> "b", "b" -> "a")
+    assert(ranks(dup) == ranks(Seq("a" -> "b", "b" -> "a")))
+  }
+}
