@@ -797,6 +797,50 @@ object OracleSqlGen {
        |SELECT node, rank FROM r$iterations""".stripMargin
   }
 
+  // ---- q94: fixed-point k-means — every Lloyd round unrolled as plain
+  // CTEs. All arithmetic integer (scaled-long coords, exact long sums,
+  // truncating // division — toward-zero in BOTH engines), argmin ties
+  // break ORDER BY dist, cid — so assignments replay with no tolerance.
+  def q94Sql(k: Int = 8, iterations: Int = 5, scale: Long = 1000000L,
+             dim: Int = 64): String = {
+    def assignFrom(c: String) =
+      s"""SELECT vec_id, x, cid FROM (
+         |  SELECT p.vec_id, p.x, c.cid,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      list_sum([(p.x[i] - c.c[i]) * (p.x[i] - c.c[i])
+         |                FOR i IN range(1, ${dim + 1})]), c.cid) AS rn
+         |  FROM pts p CROSS JOIN $c c) t
+         |WHERE rn = 1""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""a$i AS (
+         |${assignFrom(s"c${i - 1}")}
+         |), s$i AS (
+         |  SELECT cid, t.dim AS dim, CAST(sum(x[t.dim]) AS BIGINT) AS sv,
+         |         count(*) AS n
+         |  FROM a$i CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS dim) t
+         |  GROUP BY 1, 2
+         |), c$i AS (
+         |  SELECT prev.cid, COALESCE(m.c, prev.c) AS c
+         |  FROM c${i - 1} prev LEFT JOIN (
+         |    SELECT cid, list(sv // n ORDER BY dim) AS c FROM s$i
+         |    GROUP BY cid) m USING (cid)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pts AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE) * $scale.0) AS BIGINT)
+       |     FOR x IN embedding] AS x
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+       |         x AS c
+       |  FROM (SELECT vec_id, x FROM pts ORDER BY vec_id LIMIT $k) s
+       |), $iters
+       |SELECT vec_id, cid AS cluster FROM (
+       |${assignFrom(s"c$iterations")}
+       |) fin""".stripMargin
+  }
+
   // ---- q69: int8 scalar quantization — codes and checksum replayed
   // exactly. floor() precedes the BIGINT cast (DuckDB's double→int cast
   // rounds, Spark's truncates; an integral double casts identically).

@@ -1335,6 +1335,16 @@ object SparkEntry {
     operators.PageRank.ranks(edges, iterations = 5)
   }
 
+  // ---- q94: fixed-point k-means over the embeddings table — the
+  //      SemDeDup-style semantic clustering pass, in scaled-long
+  //      arithmetic (exact long distance sums, truncating centroid
+  //      division, lowest-cid tiebreak, k-lowest-id init) so the full
+  //      Lloyd iteration replays bit-exactly in the DuckDB oracle
+  //      (every round unrolled as plain CTEs, NO tolerance). ----
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    operators.KMeans.assign(Tables(s, dir).embeddings, "vec_id", "embedding",
+      k = 8, iterations = 5)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1430,6 +1440,7 @@ object SparkEntry {
     "q91_winsorize"        -> q91 _,
     "q92_minmax_scale"     -> q92 _,
     "q93_pagerank"         -> q93 _,
+    "q94_kmeans"           -> q94 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1707,6 +1718,7 @@ object SparkEntry {
       "token", p = 6,
       from = "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents)"),
     "q93_pagerank"          -> OracleSqlGen.q93Sql(),
+    "q94_kmeans"            -> OracleSqlGen.q94Sql(),
     "q90_hll_by_group" -> operators.HyperLogLog.registersByGroupSql(
       "l_returnflag", "l_returnflag", "CAST(l_partkey AS VARCHAR)", p = 6,
       from = "lineitem"),

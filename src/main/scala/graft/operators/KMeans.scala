@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means (the SemDeDup / semantic-clustering workhorse:
+  * Abbas et al. 2023 cluster embeddings before within-cluster dedup) in
+  * FIXED-POINT integer arithmetic, so the clustering is bit-identical
+  * across runs, partitionings, and engines — a DuckDB oracle replays
+  * every Lloyd round to the last bit with no tolerance. A float k-means
+  * cannot promise that: each centroid update sums doubles in
+  * partition-dependent order, and one ULP of centroid drift can flip a
+  * boundary point's assignment.
+  *
+  * Determinism ingredients:
+  *   - coordinates are scaled longs: `floor(double(x) · scale)` (floor
+  *     BEFORE the integral cast — DuckDB's double→int cast rounds,
+  *     Spark's truncates; an integral double casts identically);
+  *   - distances are exact long sums of squared differences;
+  *   - ties in the nearest-centroid argmin break to the LOWEST centroid
+  *     id (lexicographic struct min here, `ORDER BY dist, cid` there);
+  *   - centroid updates divide exact long sums by member counts with
+  *     TRUNCATING division — Spark's `div` and DuckDB's `//` both
+  *     truncate toward zero (−7/2 = −3 in both), so signed coordinates
+  *     replay exactly;
+  *   - init is the k lowest-id points (cid = rank), not a seeded RNG;
+  *   - a cluster that empties keeps its previous centroid.
+  *
+  * Scale shape: the classic distributed Lloyd step — centroids are
+  * O(k·d) and live on the driver (collected once per round, exactly as
+  * Spark MLlib's KMeans does); each round is ONE scan of the points with
+  * the k distance expressions inlined as literal arrays (zero joins,
+  * zero shuffles of the points) feeding a map-side-combined k-row
+  * aggregate whose exchange carries ≤ k·partitions rows. The scaled
+  * points are cached once on an RDD leaf; iterations do not grow
+  * lineage because only the centroid LITERALS change per round. Caller
+  * releases storage after its action ([[graft.Storage.releaseAll]]).
+  */
+object KMeans {
+
+  /** Cluster `points` and return every point's final assignment.
+    *
+    * @param points frame with an id column and an array<float/double>
+    *               vector column of uniform dimension
+    * @param k      number of clusters (capped at the point count)
+    * @param iterations Lloyd rounds (assign → re-center), all executed —
+    *               no early-exit, so the oracle unrolls the same count
+    * @param scale  fixed-point scale for coordinates (10^6 keeps
+    *               64-dim squared distances ≪ Long.MaxValue)
+    * @return (idCol, `cluster`) — cluster is the centroid index in
+    *         [0, k), from the final assignment pass
+    */
+  def assign(points: DataFrame, idCol: String, vecCol: String,
+             k: Int = 8, iterations: Int = 5,
+             scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(iterations >= 0, "iterations must be >= 0")
+    val spark = points.sparkSession
+    val scaled0 = points.select(
+      col(idCol).as("__id"),
+      transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(scale.toDouble)).cast("long")).as("__x"))
+    val rdd = scaled0.rdd
+    rdd.cache()
+    val pts = spark.createDataFrame(rdd, scaled0.schema)
+
+    // Deterministic init: the k lowest-id points, cid = rank order.
+    var centroids: Array[Array[Long]] = pts.orderBy(col("__id")).limit(k)
+      .select(col("__x")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(centroids.nonEmpty, "k-means needs at least one point")
+    val d = centroids(0).length
+
+    def nearest(cs: Array[Array[Long]]): Column = {
+      val candidates = cs.zipWithIndex.map { case (c, j) =>
+        val diff = zip_with(col("__x"), typedLit(c.toSeq),
+          (a, b) => (a - b) * (a - b))
+        struct(
+          aggregate(diff, lit(0L), (acc, v) => acc + v).as("d"),
+          lit(j).as("cid"))
+      }
+      array_min(array(candidates: _*)).getField("cid")
+    }
+
+    var i = 0
+    while (i < iterations) {
+      val sumCols = (0 until d).map(j =>
+        sum(element_at(col("__x"), j + 1)).as(s"s$j"))
+      val stats = pts.withColumn("cid", nearest(centroids))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+        .map(r => r.getInt(0) -> r).toMap
+      centroids = centroids.zipWithIndex.map { case (prev, cid) =>
+        stats.get(cid) match {
+          case Some(r) =>
+            val n = r.getLong(1)
+            Array.tabulate(d)(j => r.getLong(2 + j) / n)
+          case None => prev // emptied cluster keeps its centroid
+        }
+      }
+      i += 1
+    }
+
+    pts.select(col("__id").as(idCol), nearest(centroids).as("cluster"))
+  }
+}

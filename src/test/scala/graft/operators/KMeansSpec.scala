@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+class KMeansSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000L
+
+  private def run(points: Seq[(Long, Seq[Float])], k: Int,
+                  iterations: Int = 5): Map[Long, Int] = {
+    val df = points.toDF("vec_id", "embedding")
+    val got = KMeans.assign(df, "vec_id", "embedding", k, iterations)
+      .as[(Long, Int)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    got
+  }
+
+  /** Driver-side replay of the exact integer Lloyd recurrence. */
+  private def reference(points: Seq[(Long, Seq[Float])], k: Int,
+                        iterations: Int): Map[Long, Int] = {
+    val pts = points.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * S).toLong).toArray
+    }
+    var cs = pts.sortBy(_._1).take(k).map(_._2)
+    def nearest(x: Array[Long]): Int =
+      cs.zipWithIndex.map { case (c, j) =>
+        (x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+      }.min._2
+    for (_ <- 1 to iterations) {
+      val byCluster = pts.groupBy { case (_, x) => nearest(x) }
+      cs = cs.zipWithIndex.map { case (prev, cid) =>
+        byCluster.get(cid) match {
+          case Some(members) =>
+            val n = members.size
+            Array.tabulate(prev.length)(j =>
+              members.map(_._2(j)).sum / n) // toward-zero, like both engines
+          case None => prev
+        }
+      }
+    }
+    pts.map { case (id, x) => id -> nearest(x) }.toMap
+  }
+
+  test("matches a driver-side integer replay on random points (incl. negatives)") {
+    val rnd = new Random(7)
+    val pts = (0L until 200L).map(id =>
+      id -> Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+    assert(run(pts, k = 5) == reference(pts, 5, 5))
+  }
+
+  test("recovers well-separated blobs as pure clusters") {
+    // Ids interleave across blobs so the k-lowest-id init seeds one
+    // centroid per blob (first-k init is deterministic, not k-means++;
+    // a pathological id order can seed all centroids in one blob).
+    val rnd = new Random(11)
+    val centers = Seq(-0.8f, 0.0f, 0.8f)
+    val pts = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      i.toLong -> Seq.fill(4)(c + rnd.nextFloat() * 0.05f)
+    }
+    val got = run(pts, k = 3, iterations = 10)
+    def labels(blob: Int) =
+      (0 until 90).filter(_ % 3 == blob).map(i => got(i.toLong)).toSet
+    assert((0 until 3).forall(b => labels(b).size == 1))
+    assert((0 until 3).flatMap(labels).toSet.size == 3)
+  }
+
+  test("an emptied cluster keeps its previous centroid (and replay agrees)") {
+    // Two coincident low-id points seed two centroids at the same spot:
+    // all mass assigns to the lower cid, the other empties immediately.
+    val pts = Seq(
+      0L -> Seq(0.5f, 0.5f), 1L -> Seq(0.5f, 0.5f),
+      2L -> Seq(0.51f, 0.5f), 3L -> Seq(-0.5f, -0.5f))
+    assert(run(pts, k = 2) == reference(pts, 2, 5))
+  }
+
+  test("equidistant points break ties to the lowest centroid id") {
+    // ±0.25 is exactly representable in float, so the scaled coords are
+    // exactly ±250000 and 0.0 is EXACTLY equidistant (0.4f would not be:
+    // its double widening floors asymmetrically).
+    val pts = Seq(0L -> Seq(-0.25f), 1L -> Seq(0.25f), 2L -> Seq(0.0f))
+    val got = run(pts, k = 2, iterations = 0)
+    assert(got(2L) == 0)
+    assert(got == reference(pts, 2, 0))
+  }
+}
