@@ -797,12 +797,15 @@ object OracleSqlGen {
        |SELECT node, rank FROM r$iterations""".stripMargin
   }
 
-  // ---- q94: fixed-point k-means — every Lloyd round unrolled as plain
-  // CTEs. All arithmetic integer (scaled-long coords, exact long sums,
-  // truncating // division — toward-zero in BOTH engines), argmin ties
-  // break ORDER BY dist, cid — so assignments replay with no tolerance.
-  def q94Sql(k: Int = 8, iterations: Int = 5, scale: Long = 1000000L,
-             dim: Int = 64): String = {
+  // ---- q94/q95: fixed-point k-means — every Lloyd round unrolled as
+  // plain CTEs. All arithmetic integer (scaled-long coords, exact long
+  // sums, truncating // division — toward-zero in BOTH engines), argmin
+  // ties break ORDER BY dist, cid — so assignments replay with no
+  // tolerance. `kmeansCtes` emits the shared chain ending in an `asg`
+  // CTE (vec_id → final cluster) that q94 selects directly and q95
+  // builds the SemDeDup pair pass on.
+  private def kmeansCtes(k: Int, iterations: Int, scale: Long,
+                         dim: Int): String = {
     def assignFrom(c: String) =
       s"""SELECT vec_id, x, cid FROM (
          |  SELECT p.vec_id, p.x, c.cid,
@@ -826,7 +829,7 @@ object OracleSqlGen {
          |    GROUP BY cid) m USING (cid)
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH pts AS (
+    s"""pts AS (
        |  SELECT vec_id,
        |    [CAST(floor(CAST(x AS DOUBLE) * $scale.0) AS BIGINT)
        |     FOR x IN embedding] AS x
@@ -835,11 +838,36 @@ object OracleSqlGen {
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
        |         x AS c
        |  FROM (SELECT vec_id, x FROM pts ORDER BY vec_id LIMIT $k) s
-       |), $iters
-       |SELECT vec_id, cid AS cluster FROM (
+       |), $iters, asg AS (
+       |  SELECT vec_id, cid AS cluster FROM (
        |${assignFrom(s"c$iterations")}
-       |) fin""".stripMargin
+       |) fin
+       |)""".stripMargin
   }
+
+  def q94Sql(k: Int = 8, iterations: Int = 5, scale: Long = 1000000L,
+             dim: Int = 64): String =
+    s"""WITH ${kmeansCtes(k, iterations, scale, dim)}
+       |SELECT vec_id, cluster FROM asg""".stripMargin
+
+  // ---- q95: SemDeDup — within-cluster cosine pairs only (the k-means
+  // chain bounds the pair space); a point is dropped when a LOWER-id
+  // same-cluster point has rounded cosine ≥ tau. Cosine arithmetic is
+  // the q29 parity shape: DOUBLE[] dot products fold in array order.
+  def q95Sql(k: Int = 8, iterations: Int = 5, scale: Long = 1000000L,
+             dim: Int = 64, tau: Double = 0.3): String =
+    s"""WITH ${kmeansCtes(k, iterations, scale, dim)}, ev AS (
+       |  SELECT a.vec_id, a.cluster, e.embedding::DOUBLE[] AS v
+       |  FROM asg a JOIN embeddings e USING (vec_id)
+       |), dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM ev a JOIN ev b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v)
+       |    / (sqrt(list_dot_product(a.v, a.v))
+       |       * sqrt(list_dot_product(b.v, b.v))), 6) >= $tau
+       |)
+       |SELECT e.vec_id, e.cluster, d.vec_id IS NULL AS kept
+       |FROM ev e LEFT JOIN dropped d ON e.vec_id = d.vec_id""".stripMargin
 
   // ---- q69: int8 scalar quantization — codes and checksum replayed
   // exactly. floor() precedes the BIGINT cast (DuckDB's double→int cast

@@ -1345,6 +1345,22 @@ object SparkEntry {
     operators.KMeans.assign(Tables(s, dir).embeddings, "vec_id", "embedding",
       k = 8, iterations = 5)
 
+  // ---- q95: SemDeDup — semantic dedup over the q94 clusters: cosine
+  //      pairs are formed only WITHIN a cluster (the clustering bounds
+  //      the quadratic pair space to Σ n_c²), and a point is dropped
+  //      when a lower-id cluster-mate has rounded cosine ≥ 0.3. The
+  //      oracle replays the full chain: the bit-exact unrolled Lloyd
+  //      CTEs, then the q29-shape double cosine (array-order dot fold,
+  //      round-6-guarded threshold). ----
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val asg = operators.KMeans.assign(emb, "vec_id", "embedding",
+      k = 8, iterations = 5)
+    operators.Dedup.semDedup(
+      emb.join(asg, "vec_id"), "vec_id", "embedding", "cluster",
+      minCosine = 0.3)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1441,6 +1457,7 @@ object SparkEntry {
     "q92_minmax_scale"     -> q92 _,
     "q93_pagerank"         -> q93 _,
     "q94_kmeans"           -> q94 _,
+    "q95_semdedup"         -> q95 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1719,6 +1736,7 @@ object SparkEntry {
       from = "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents)"),
     "q93_pagerank"          -> OracleSqlGen.q93Sql(),
     "q94_kmeans"            -> OracleSqlGen.q94Sql(),
+    "q95_semdedup"          -> OracleSqlGen.q95Sql(),
     "q90_hll_by_group" -> operators.HyperLogLog.registersByGroupSql(
       "l_returnflag", "l_returnflag", "CAST(l_partkey AS VARCHAR)", p = 6,
       from = "lineitem"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{SketchExpressions, TextFunctions}
+import graft.functions.{SketchExpressions, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -321,5 +321,44 @@ object Dedup {
       .withColumn("hamming", TextFunctions.hamming64(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup that bounds the
+    * quadratic pair space by clustering FIRST — cosine pairs are only
+    * formed within a cluster, so total pair cost is Σ n_c², not n².
+    * A point is dropped when a LOWER-id point in its cluster is
+    * semantically near (rounded cosine ≥ `minCosine`) — a deterministic
+    * greedy keep-first rule, not a transitive closure, so the decision
+    * for x depends only on x's own pairs.
+    *
+    * Cosine parity matches q29: the double dot product folds dimensions
+    * in array order (bit-identical in DuckDB's `list_dot_product`),
+    * round-6 guards the threshold decision.
+    *
+    * Scale shape: one equi-join on the cluster key (candidates), one
+    * map-side-combined distinct of dropped ids, one left anti-style
+    * mark-join back onto the points. The cluster key must be granular
+    * enough that n_c² stays bounded — that is the caller's k (SemDeDup
+    * runs k ≈ corpus/1e4 in the paper).
+    *
+    * @param points frame carrying id, vector, and cluster columns
+    *               (e.g. [[KMeans.assign]] joined back onto the corpus)
+    * @return (idCol, clusterCol, `kept`) for EVERY input point
+    */
+  def semDedup(points: DataFrame, idCol: String, vecCol: String,
+               clusterCol: String, minCosine: Double): DataFrame = {
+    val a = points.select(col(clusterCol).as("__c"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), VectorFunctions.normSq(col(vecCol)).as("na"))
+    val b = points.select(col(clusterCol).as("__c"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), VectorFunctions.normSq(col(vecCol)).as("nb"))
+    val dropped = a.join(b, "__c")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(VectorFunctions.cosineFromNormSq(
+        VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")), 6))
+      .filter(col("cos_sim") >= minCosine)
+      .select(col("id_b").as("__dropped_id")).distinct()
+    points.join(dropped, points(idCol) === dropped("__dropped_id"), "left")
+      .select(col(idCol), col(clusterCol),
+        col("__dropped_id").isNull.as("kept"))
   }
 }
