@@ -869,6 +869,49 @@ object OracleSqlGen {
        |SELECT e.vec_id, e.cluster, d.vec_id IS NULL AS kept
        |FROM ev e LEFT JOIN dropped d ON e.vec_id = d.vec_id""".stripMargin
 
+  // ---- q96: substring-level duplication stats — grams hash through the
+  // portable md5-60 path, counts and the interval-union fold are all
+  // integer, the covered fraction is one IEEE division: exact replay.
+  // DuckDB list slices are 1-based-inclusive (ws[i : i+k-1] is k tokens,
+  // matching Spark's slice(ts, i, k)); list comprehensions CAN correlate
+  // with outer columns (unlike generate_series).
+  def q96Sql(k: Int = 8, minCount: Long = 2L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |  FROM documents
+       |), n AS (
+       |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens FROM t
+       |), g0 AS (
+       |  SELECT doc_id,
+       |    [{'s': CAST(i AS BIGINT),
+       |      'gh': ${PortableHash.hash60Sql(
+                 s"list_aggregate(ws[i : i + ${k - 1}], 'string_agg', chr(31))")}}
+       |     FOR i IN range(1, CAST(greatest(n_tokens - ${k - 1} + 1, 1) AS INTEGER))] AS gs
+       |  FROM n
+       |), g AS (
+       |  SELECT doc_id, u.s AS start, u.gh AS gh
+       |  FROM (SELECT doc_id, unnest(gs) AS u FROM g0)
+       |), c AS (
+       |  SELECT gh FROM g GROUP BY gh HAVING count(*) >= $minCount
+       |), d AS (
+       |  SELECT doc_id, list_sort(list(start)) AS starts,
+       |         count(*) AS n_dup_grams
+       |  FROM g JOIN c USING (gh) GROUP BY doc_id
+       |), cov AS (
+       |  SELECT doc_id, n_dup_grams,
+       |    $k + COALESCE(CAST(list_sum(
+       |      [least($k, starts[i + 1] - starts[i])
+       |       FOR i IN range(1, CAST(len(starts) AS INTEGER))]) AS BIGINT), 0) AS dup_tokens
+       |  FROM d
+       |)
+       |SELECT n.doc_id, n.n_tokens,
+       |  COALESCE(cov.n_dup_grams, 0) AS n_dup_grams,
+       |  COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+       |  CASE WHEN n.n_tokens = 0 THEN 0.0
+       |       ELSE CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE)
+       |            / CAST(n.n_tokens AS DOUBLE) END AS dup_frac
+       |FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id""".stripMargin
+
   // ---- q69: int8 scalar quantization — codes and checksum replayed
   // exactly. floor() precedes the BIGINT cast (DuckDB's double→int cast
   // rounds, Spark's truncates; an integral double casts identically).

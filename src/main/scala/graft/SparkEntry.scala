@@ -1361,6 +1361,16 @@ object SparkEntry {
       minCosine = 0.3)
   }
 
+  // ---- q96: substring-level duplication stats (Lee et al. 2022) — which
+  //      SPANS of each document also occur elsewhere in the corpus:
+  //      8-token grams shuffle as portable md5-60 hashes, corpus-wide
+  //      counts flag duplicated grams, and each doc reports its
+  //      duplicated-gram count, interval-union covered tokens, and
+  //      covered fraction (one IEEE division — exact replay). ----
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    operators.SubstringDedup.dupSpanStats(
+      Tables(s, dir).documents, "doc_id", "text", k = 8, minCount = 2L)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1458,6 +1468,7 @@ object SparkEntry {
     "q93_pagerank"         -> q93 _,
     "q94_kmeans"           -> q94 _,
     "q95_semdedup"         -> q95 _,
+    "q96_dup_spans"        -> q96 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1737,6 +1748,7 @@ object SparkEntry {
     "q93_pagerank"          -> OracleSqlGen.q93Sql(),
     "q94_kmeans"            -> OracleSqlGen.q94Sql(),
     "q95_semdedup"          -> OracleSqlGen.q95Sql(),
+    "q96_dup_spans"         -> OracleSqlGen.q96Sql(),
     "q90_hll_by_group" -> operators.HyperLogLog.registersByGroupSql(
       "l_returnflag", "l_returnflag", "CAST(l_partkey AS VARCHAR)", p = 6,
       from = "lineitem"),
