@@ -1371,6 +1371,17 @@ object SparkEntry {
     operators.SubstringDedup.dupSpanStats(
       Tables(s, dir).documents, "doc_id", "text", k = 8, minCount = 2L)
 
+  // ---- q97: per-source quota cap (RefinedWeb-style per-domain limit) —
+  //      keep at most 10 docs per source, drawn in salted-hash order
+  //      (unbiased and stable: a larger cap extends the kept set without
+  //      resampling); id tiebreak makes the cut total, so the oracle
+  //      replays rank and membership exactly. ----
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.capPerGroup(
+        Tables(s, dir).documents, Seq("source"), "doc_id",
+        cap = 10, salt = "cap")
+      .select(col("doc_id"), col("source"), col("rank_in_group"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1469,6 +1480,7 @@ object SparkEntry {
     "q94_kmeans"           -> q94 _,
     "q95_semdedup"         -> q95 _,
     "q96_dup_spans"        -> q96 _,
+    "q97_cap_per_source"   -> q97 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1749,6 +1761,14 @@ object SparkEntry {
     "q94_kmeans"            -> OracleSqlGen.q94Sql(),
     "q95_semdedup"          -> OracleSqlGen.q95Sql(),
     "q96_dup_spans"         -> OracleSqlGen.q96Sql(),
+    "q97_cap_per_source" ->
+      s"""SELECT doc_id, source, rank_in_group FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY
+         |      ${functions.PortableHash.hash60Sql(
+               "'cap:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rank_in_group
+         |  FROM documents) t
+         |WHERE rank_in_group <= 10""".stripMargin,
     "q90_hll_by_group" -> operators.HyperLogLog.registersByGroupSql(
       "l_returnflag", "l_returnflag", "CAST(l_partkey AS VARCHAR)", p = 6,
       from = "lineitem"),

@@ -231,4 +231,29 @@ object Sampling {
         .withColumn("corpus", lit(name))
     }.reduce(_ unionByName _)
   }
+
+  /** Per-group quota cap (RefinedWeb-style per-domain limits): keep at
+    * most `cap` rows per group, chosen by SALTED-HASH order — an unbiased
+    * deterministic draw, not "first by id" (which would bias toward old
+    * documents) — with the id as tiebreak so the cut is total. Returns
+    * the survivors with their 1-based `rank_in_group`.
+    *
+    * Scale shape: one hash shuffle on the group key feeding a windowed
+    * rank — the exchange is the unavoidable group-by; the hash order
+    * means re-running with a larger cap EXTENDS each group's kept set
+    * (rank is stable), so caps can be tuned without resampling. A group
+    * far larger than a partition (one mega-domain) is the AQE skew-join
+    * territory documented at [[graft.ops.SkewJoin]]; caps in practice
+    * cut such groups hardest.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                  cap: Int, salt: String = "cap"): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(PortableHash.hash60(
+        concat(lit(salt + ":"), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("rank_in_group", row_number().over(w).cast("long"))
+      .filter(col("rank_in_group") <= cap)
+  }
 }

@@ -200,6 +200,27 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("capPerGroup enforces the quota, keeps small groups whole, and a larger cap extends the kept set") {
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+      .union(Seq((1000L, "tiny"), (1001L, "tiny")).toDF("id", "g"))
+    val kept = Sampling.capPerGroup(df, Seq("g"), "id", cap = 20)
+    val byGroup = kept.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup == Map("g0" -> 20L, "g1" -> 20L, "g2" -> 20L, "tiny" -> 2L))
+    assert(kept.agg(max("rank_in_group")).head.getLong(0) == 20L)
+
+    // Determinism + prefix property: cap=20 survivors ⊂ cap=30 survivors,
+    // with identical ranks.
+    val small = kept.select("id", "rank_in_group")
+      .as[(Long, Long)].collect().toMap
+    val large = Sampling.capPerGroup(df, Seq("g"), "id", cap = 30)
+      .select("id", "rank_in_group").as[(Long, Long)].collect().toMap
+    assert(small.forall { case (id, rk) => large.get(id).contains(rk) })
+
+    // Hash order, not id order: the kept set is not just the lowest ids.
+    assert(!small.keySet.filterNot(_ >= 1000L).forall(_ < 60L))
+  }
+
   test("stratifiedSample draws exactly k per stratum, independent of partitioning") {
     val df = (1 to 200).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "grp")
