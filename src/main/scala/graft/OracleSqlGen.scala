@@ -37,8 +37,11 @@ object OracleSqlGen {
     }.mkString("(", " + ", ")")
 
   // ---- q22: portable MinHash-LSH candidate pairs ----
-  def q22Sql(shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-             seed: Long = 42L): String = {
+  /** The shared MinHash-LSH CTE chain through `pairs` (and `sig`), reused
+    * by q22 (pair list + signature agreement) and q98 (near-dup clusters).
+    */
+  private def minhashPairCtes(shingleK: Int, numHashes: Int, bands: Int,
+                              seed: Long): String = {
     val rows = numHashes / bands
     val consts = PortableHash.permConstants(numHashes, seed)
     val mins = consts.zipWithIndex.map { case ((r, c), j) =>
@@ -46,7 +49,7 @@ object OracleSqlGen {
     }.mkString(",\n      ")
     val sigList = (0 until numHashes).map(j => s"m$j").mkString("[", ", ", "]")
     val shingle = (0 until shingleK).map(i => s"ws[i + $i]").mkString(" || ' ' || ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
        |), sh AS (
        |  SELECT doc_id,
@@ -66,7 +69,12 @@ object OracleSqlGen {
        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
        |  FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket
        |  WHERE a.doc_id < b2.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  def q22Sql(shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+             seed: Long = 42L): String =
+    s"""WITH ${minhashPairCtes(shingleK, numHashes, bands, seed)}
        |SELECT p.doc_a, p.doc_b,
        |  round(CAST(list_sum([CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END
        |                       FOR j IN range(1, ${numHashes + 1})]) AS DOUBLE)
@@ -74,7 +82,30 @@ object OracleSqlGen {
        |FROM pairs p
        |JOIN sig sa ON p.doc_a = sa.doc_id
        |JOIN sig sb ON p.doc_b = sb.doc_id""".stripMargin
-  }
+
+  // ---- q98: near-dup clustering end-to-end — the q22 LSH pairs become
+  // the edge list of a graph whose connected components are the dup
+  // clusters; every doc labels with the MINIMUM doc_id it can reach
+  // (symmetric closure via a recursive CTE — exact, engine-agnostic),
+  // singletons label themselves, and the cluster minimum is the kept
+  // representative.
+  def q98Sql(shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+             seed: Long = 42L): String =
+    s"""WITH RECURSIVE ${minhashPairCtes(shingleK, numHashes, bands, seed)}, e AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+       |), lbl AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+       |  FROM reach GROUP BY a
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(l.cluster, d.doc_id) AS cluster,
+       |  d.doc_id = COALESCE(l.cluster, d.doc_id) AS is_rep
+       |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id""".stripMargin
 
   // ---- q23: portable SimHash + rolling fingerprint ----
   def q23Sql(): String = {

@@ -1382,6 +1382,26 @@ object SparkEntry {
         cap = 10, salt = "cap")
       .select(col("doc_id"), col("source"), col("rank_in_group"))
 
+  // ---- q98: near-dup clustering end-to-end — the q22 MinHash-LSH pairs
+  //      become an edge list, connected components (pointer jumping, run
+  //      to FIXPOINT) label every doc with the minimum reachable doc_id,
+  //      and the cluster minimum is the kept representative. Singleton
+  //      docs cluster as themselves. The oracle replays the pairs with
+  //      the shared q22 CTE chain and closes them with a recursive CTE —
+  //      exact because both sides compute the true components, not a
+  //      fixed-round approximation. ----
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val comp = operators.ConnectedComponents.components(pairs)
+    docs.select(col("doc_id"))
+      .join(comp, docs("doc_id") === comp("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+      .withColumn("is_rep", col("doc_id") === col("cluster"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1481,6 +1501,7 @@ object SparkEntry {
     "q95_semdedup"         -> q95 _,
     "q96_dup_spans"        -> q96 _,
     "q97_cap_per_source"   -> q97 _,
+    "q98_neardup_clusters" -> q98 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1761,6 +1782,7 @@ object SparkEntry {
     "q94_kmeans"            -> OracleSqlGen.q94Sql(),
     "q95_semdedup"          -> OracleSqlGen.q95Sql(),
     "q96_dup_spans"         -> OracleSqlGen.q96Sql(),
+    "q98_neardup_clusters"  -> OracleSqlGen.q98Sql(),
     "q97_cap_per_source" ->
       s"""SELECT doc_id, source, rank_in_group FROM (
          |  SELECT doc_id, source,
