@@ -1402,6 +1402,19 @@ object SparkEntry {
       .withColumn("is_rep", col("doc_id") === col("cluster"))
   }
 
+  // ---- q99: histogram-sketch quantiles — the single-pass MERGEABLE
+  //      alternative to q40's exact quantiles: one map-side-combined
+  //      (group, bin) count (exchange ≤ groups × bins rows), then the
+  //      rank walk runs on the tiny histogram. All integer (cents,
+  //      truncating divisions, exact rational rank ceilings) — the
+  //      oracle replays estimates to the last bit. ----
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    operators.HistogramSketch.quantileSketch(
+      Tables(s, dir).lineitem.select(col("l_returnflag"),
+        cents(col("l_extendedprice")).as("price_cents")),
+      Seq("l_returnflag"), "price_cents", binWidth = 100000L,
+      quantiles = Seq((1, 2), (19, 20), (99, 100)))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1502,6 +1515,7 @@ object SparkEntry {
     "q96_dup_spans"        -> q96 _,
     "q97_cap_per_source"   -> q97 _,
     "q98_neardup_clusters" -> q98 _,
+    "q99_hist_quantiles"   -> q99 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1783,6 +1797,29 @@ object SparkEntry {
     "q95_semdedup"          -> OracleSqlGen.q95Sql(),
     "q96_dup_spans"         -> OracleSqlGen.q96Sql(),
     "q98_neardup_clusters"  -> OracleSqlGen.q98Sql(),
+    // q99: same integer walk — ranks are exact rational ceilings, both
+    // engines truncate // toward zero, sum(BIGINT) OVER casts back from
+    // DuckDB's HUGEINT.
+    "q99_hist_quantiles" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 100000 AS bin,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |), w AS (
+        |  SELECT l_returnflag, bin, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM h
+        |), q AS (SELECT * FROM (VALUES (1, 2), (19, 20), (99, 100)) t(p_num, p_den))
+        |SELECT l_returnflag, p_num, p_den, n,
+        |  bin * 100000 + ((r - before) * 100000) // cnt AS est
+        |FROM (
+        |  SELECT w.*, q.p_num, q.p_den,
+        |    (q.p_num * n + q.p_den - 1) // q.p_den AS r,
+        |    cum - cnt AS before
+        |  FROM w CROSS JOIN q) t
+        |WHERE before < r AND r <= cum""".stripMargin,
     "q97_cap_per_source" ->
       s"""SELECT doc_id, source, rank_in_group FROM (
          |  SELECT doc_id, source,

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.functions.IntOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-width histogram sketch quantiles — the single-pass mergeable
+  * alternative to exact distributed quantiles (q40's machinery sorts or
+  * multi-passes; a histogram is ONE map-side-combined aggregation whose
+  * partial states merge by addition, so it composes with streaming and
+  * incremental ingest for free). Error is bounded by the bin width:
+  * the estimate lands in the true quantile's bin.
+  *
+  * Everything is integer — bins by truncating division of non-negative
+  * values, ranks as exact rational ceilings (`(num·n + den − 1) div
+  * den`), within-bin interpolation as one more integer division — so
+  * the estimates replay bit-exactly in the DuckDB oracle (both engines
+  * truncate integral division toward zero; inputs are non-negative).
+  *
+  * Scale shape: the ONLY full-data pass is the (group, bin) count —
+  * map-side combined, the exchange carries ≤ groups × bins rows. The
+  * cumulative-rank walk runs on the tiny histogram (a per-group window
+  * over ≤ bins rows), never on the data.
+  */
+object HistogramSketch {
+
+  /** Estimate per-group quantiles of a NON-NEGATIVE long column.
+    *
+    * @param quantiles rational quantiles as (numerator, denominator),
+    *                  e.g. (1,2) = p50, (19,20) = p95; rank = ceil(q·n)
+    * @param binWidth  histogram bin width in the value's own units
+    * @return (groupCols..., `p_num`, `p_den`, `n`, `est`) — `est` =
+    *         bin·w + ((rank − cumBefore)·w) div binCount, the bin lower
+    *         bound plus proportional within-bin offset
+    */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     binWidth: Long,
+                     quantiles: Seq[(Int, Int)] = Seq((1, 2), (19, 20))): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (num, den) =>
+      require(num >= 1 && num <= den, s"quantile $num/$den out of (0,1]")
+    }
+    val gs = groupCols.map(col)
+    val hist = df
+      .groupBy(gs :+ IntOps.intDiv(col(valueCol), lit(binWidth)).as("__bin"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val wOrd = Window.partitionBy(gs: _*).orderBy(col("__bin"))
+    val wAll = Window.partitionBy(gs: _*)
+    val walk = hist
+      .withColumn("__cum", sum(col("__cnt")).over(wOrd))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .withColumn("__before", col("__cum") - col("__cnt"))
+    val perQ = quantiles.map { case (num, den) =>
+      val rank = IntOps.intDiv(
+        lit(num.toLong) * col("__n") + (den - 1), lit(den.toLong))
+      walk
+        .withColumn("__rank", rank)
+        .filter(col("__before") < col("__rank") &&
+          col("__rank") <= col("__cum"))
+        .select(gs ++ Seq(
+          lit(num).as("p_num"), lit(den).as("p_den"), col("__n").as("n"),
+          (col("__bin") * binWidth + IntOps.intDiv(
+            (col("__rank") - col("__before")) * binWidth,
+            col("__cnt"))).as("est")): _*)
+    }
+    perQ.reduce(_ unionByName _)
+  }
+}
