@@ -1415,6 +1415,19 @@ object SparkEntry {
       Seq("l_returnflag"), "price_cents", binWidth = 100000L,
       quantiles = Seq((1, 2), (19, 20), (99, 100)))
 
+  // ---- q100: per-group z-score from EXACT integer moments — z =
+  //      (n·x − S)/sqrt(n·Q − S²) with S, Q exact long sums, so the only
+  //      float ops are one correctly-rounded sqrt and one division:
+  //      bit-identical in both engines, NO rounding, NO tolerance —
+  //      the determinism a float mean/variance cannot give. ----
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    ops.Percentiles.zscoreExact(
+        Tables(s, dir).lineitem.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity").cast("long").as("qty")),
+        Seq("l_returnflag"), "qty", out = "z")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("z"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1516,6 +1529,7 @@ object SparkEntry {
     "q97_cap_per_source"   -> q97 _,
     "q98_neardup_clusters" -> q98 _,
     "q99_hist_quantiles"   -> q99 _,
+    "q100_zscore"          -> q100 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1797,6 +1811,22 @@ object SparkEntry {
     "q95_semdedup"          -> OracleSqlGen.q95Sql(),
     "q96_dup_spans"         -> OracleSqlGen.q96Sql(),
     "q98_neardup_clusters"  -> OracleSqlGen.q98Sql(),
+    // q100: integral doubles cast to BIGINT identically in both engines
+    // (DuckDB rounds, Spark truncates — equal on integral inputs); the
+    // moments are exact longs, so z replays with no tolerance.
+    "q100_zscore" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |         AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  CASE WHEN n * q - s * s = 0 THEN 0.0
+        |       ELSE CAST(n * CAST(l_quantity AS BIGINT) - s AS DOUBLE)
+        |            / sqrt(CAST(n * q - s * s AS DOUBLE)) END AS z
+        |FROM lineitem l JOIN m USING (l_returnflag)""".stripMargin,
     // q99: same integer walk — ranks are exact rational ceilings, both
     // engines truncate // toward zero, sum(BIGINT) OVER casts back from
     // DuckDB's HUGEINT.

@@ -130,4 +130,42 @@ object Percentiles {
             (col("__mx") - col("__mn"))))
       .drop("__mn", "__mx")
   }
+
+  /** Per-group population z-score from EXACT integer moments — the
+    * standardization scaler that is bit-identical across runs,
+    * partitionings, and engines, which no naive float implementation is
+    * (a float mean/variance sums doubles in partition order). The trick:
+    * for integer values,
+    *
+    *   z = (x − S/n) / (σ) = (n·x − S) / sqrt(n·Q − S²)
+    *
+    * where S = Σx and Q = Σx² are EXACT long sums (map-side combined),
+    * so the only floating arithmetic is one correctly-rounded sqrt and
+    * one correctly-rounded division — identical in every IEEE-754
+    * engine. Zero-variance groups emit 0.0.
+    *
+    * Overflow bound: n·Q must fit a long — for values |x| ≤ V that is
+    * n² · V² < 2^63, e.g. V = 50 allows n ≈ 6·10⁷ rows per group; above
+    * that, pre-scale the values down or split groups (documented, not
+    * silently widened — decimal arithmetic would change the parity
+    * story).
+    */
+  def zscoreExact(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  out: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val v = col(valueCol).cast("long")
+    val moments = df.filter(col(valueCol).isNotNull)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"),
+        sum(v * v).as("__q"))
+    df.join(broadcast(moments), groupCols)
+      .withColumn(out, {
+        val disc = col("__n") * col("__q") - col("__s") * col("__s")
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .when(disc === 0L, lit(0.0))
+          .otherwise((col("__n") * v - col("__s")).cast("double") /
+            sqrt(disc.cast("double")))
+      })
+      .drop("__n", "__s", "__q")
+  }
 }

@@ -72,6 +72,41 @@ class PercentilesSpec extends AnyFunSuite with SparkSpec {
       ("c", Some(7.0), Some(0.0)), ("c", Some(7.0), Some(0.0))))
   }
 
+  test("zscoreExact matches the float reference, zero-variance groups emit 0") {
+    val rows = Seq(
+      ("a", Some(1L)), ("a", Some(2L)), ("a", Some(3L)), ("a", Some(10L)),
+      ("a", None),
+      ("b", Some(5L)), ("b", Some(5L)), ("b", Some(5L)), // zero variance
+      ("c", Some(-4L)), ("c", Some(4L)))
+    val got = Percentiles.zscoreExact(rows.toDF("g", "v"), Seq("g"), "v", "z")
+      .select(col("g"), col("v"), col("z"))
+      .as[(String, Option[Long], Option[Double])].collect()
+    got.foreach {
+      case (_, None, z) => assert(z.isEmpty, "null passes through")
+      case (g, Some(v), Some(z)) =>
+        val vs = rows.filter(r => r._1 == g && r._2.isDefined).map(_._2.get.toDouble)
+        val n = vs.length
+        val mean = vs.sum / n
+        val varP = vs.map(x => (x - mean) * (x - mean)).sum / n
+        if (varP == 0.0) assert(z == 0.0, s"$g constant group")
+        else assert(math.abs(z - (v - mean) / math.sqrt(varP)) < 1e-12, s"$g $v")
+      case other => fail(s"unexpected $other")
+    }
+    // population z of {-4, 4} is exactly -1/+1 — exact moments make it bitwise
+    assert(got.filter(_._1 == "c").flatMap(_._3).sorted.toSeq == Seq(-1.0, 1.0))
+  }
+
+  test("zscoreExact is invariant to partitioning (exact moments, no float sums)") {
+    val rows = (1 to 997).map(i => ("g", (i * 37 % 101).toLong))
+    val one = Percentiles.zscoreExact(
+      rows.toDF("g", "v").repartition(1), Seq("g"), "v", "z")
+      .select(col("v"), col("z")).as[(Long, Double)].collect().toMap
+    val many = Percentiles.zscoreExact(
+      rows.toDF("g", "v").repartition(32), Seq("g"), "v", "z")
+      .select(col("v"), col("z")).as[(Long, Double)].collect().toMap
+    assert(one == many, "bit-identical across partitionings")
+  }
+
   test("winsorize guards its quantile range") {
     val df = Seq(("a", 1.0)).toDF("g", "v")
     intercept[IllegalArgumentException] {
