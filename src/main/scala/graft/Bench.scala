@@ -15,6 +15,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -47,11 +48,18 @@ object Bench {
     // no query's measurement rides on caches leaked by an earlier one.
     val samples = 3
     val loadStart = loadavg()
+    // A failed query must never masquerade as a fast one (round 8: 11
+    // analysis-failing events queries read as 0.05s "speedups" in the gate
+    // artifact) — failures are tracked per query and surfaced in the JSON.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = ordered.map { case (name, fn) =>
       val times = (1 to samples).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: $e")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         Storage.releaseAll(spark)
         dt
@@ -61,12 +69,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Self-labeling contention: 1-minute system load average at start and
     // end of the timed region. Round 3/4/5 gate runs each "regressed"
     // untouched queries by seconds under sandbox load that isolated re-runs
     // couldn't reproduce — a run whose loadavg dwarfs the worker count
     // should be read as contended, not as a code regression.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The gate artifact was truncated by log-tail capture in round 6 (lost
     // q01–q16 + loadavg fields) — also persist the line to a file so the

@@ -15,17 +15,45 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame      = t("part")
   def orders: DataFrame    = t("orders")
   def lineitem: DataFrame  = t("lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long (legacy flag) and surface a TIMESTAMP_NTZ
-    * column truncated to micros — the same truncation DuckDB applies, so the
-    * oracle agrees. `div` keeps the conversion integral (floor for the
-    * positive epochs in play).
+  /** events.parquet's `ts` physical type has drifted across testdata
+    * generations (TIMESTAMP(NANOS) → TIMESTAMP(MICROS) between rounds 7
+    * and 8), so the reader branches on what the file actually carries
+    * rather than assuming either layout — see [[Tables.normalizeEventTs]].
+    * The legacy nanos-as-long flag is set up front because a NANOS file
+    * cannot even be schema-read without it (and it is a no-op for MICROS).
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    Tables.normalizeEventTs(t("events"))
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  import org.apache.spark.sql.types._
+
+  /** Normalize the events `ts` column to TIMESTAMP_NTZ(micros) regardless of
+    * the parquet physical type the driver generated:
+    *   - LongType: legacy nanos-as-long read of a TIMESTAMP(NANOS) file —
+    *     integer-divide to micros (floor; epochs in play are positive), the
+    *     same truncation DuckDB applies, so the oracle agrees.
+    *   - TimestampNTZType: already the target type (Spark's NTZ inference on
+    *     an isAdjustedToUTC=false MICROS column); pass through.
+    *   - TimestampType: session-tz-interpreted read of the same column; every
+    *     entry point pins spark.sql.session.timeZone=UTC, so the cast to NTZ
+    *     is value-identity with the DuckDB oracle's naive TIMESTAMP.
+    * Any other type fails loudly — a future testdata drift must break the
+    * suite (TestdataSchemaSpec), never silently skew the gate.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    case TimestampNTZType => df
+    case TimestampType => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    case other =>
+      throw new IllegalStateException(
+        s"events.ts has unsupported parquet-read type $other; " +
+          "extend Tables.normalizeEventTs for the new testdata layout")
+  }
 }

@@ -27,18 +27,21 @@ object EventStreams {
     */
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
-  /** Streaming read of the events parquet in a scale-factor dir. The file
-    * carries TIMESTAMP(NANOS): read nanos as long, truncate to micros
-    * (same policy as Tables.events) and expose a UTC timestamp.
+  /** Streaming read of the events parquet in a scale-factor dir. The file's
+    * `ts` physical type has drifted across testdata generations (NANOS long
+    * vs MICROS timestamp), so the batch-probed schema decides the conversion
+    * — same branch as [[graft.Tables.normalizeEventTs]], but surfacing a
+    * session-tz TimestampType (streaming watermarks/windows require it; all
+    * entry points pin UTC so values match the batch NTZ reader).
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
-    spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(raw).withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Tumbling-window aggregate (event-time, watermarked). */
