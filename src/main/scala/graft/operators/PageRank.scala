@@ -1,8 +1,10 @@
 package graft.operators
 
 import graft.functions.IntOps
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** PageRank (Brin & Page 1998) in FIXED-POINT integer arithmetic — link
   * analysis for corpus curation (rank-weighted sampling, seed selection,
@@ -15,70 +17,230 @@ import org.apache.spark.sql.functions._
   *
   *   r'(v) = (scale·(den−num))/den/N  +  (num · Σ_{u→v} r(u)/outdeg(u))/den
   *
-  * with all divisions integer (`IntOps.intDiv`; inputs are non-negative
-  * so floor = truncate in both engines). Truncation loses ≤ 1 unit per
-  * division — at scale 10^12 that is relative error ~10^-12 per term,
-  * far below the damping fixpoint's own convergence tolerance, and —
-  * the point — IDENTICALLY in both engines.
+  * with all divisions integer (floor; inputs are non-negative so floor =
+  * truncate in both engines). Truncation loses ≤ 1 unit per division — at
+  * scale 10^12 that is relative error ~10^-12 per term, far below the
+  * damping fixpoint's own convergence tolerance, and — the point —
+  * IDENTICALLY in both engines.
   *
-  * Scale shape: out-degrees and the node list are computed once; each of
-  * the fixed `iterations` rounds is one join on `src` plus one
-  * map-side-combined sum on `dst` — the classic distributed PageRank
-  * step. Each round rebases the rank frame onto a fresh cached-RDD leaf
-  * (the Closure pattern: carrying the join loop's lineage squares plan
-  * statistics until planning hangs). Dangling nodes (no out-edges)
-  * leak their damped mass rather than redistributing it — deterministic
-  * and documented; feed a symmetrized edge list if total mass must be
-  * conserved. Caller releases storage after its action
-  * ([[graft.Storage.releaseAll]]).
+  * Scale shape. Two layouts, chosen by node count — the MLlib shape
+  * (data-sized state distributed, model-sized state on the driver):
+  *
+  *   - `n <= broadcastMaxNodes` (the common case; rank state is ~16
+  *     bytes/node, exactly the bound ANY broadcast-rank PageRank implies):
+  *     node keys are dictionary-compressed to dense int ids once at
+  *     setup (two broadcast joins over the raw edges — profiling the
+  *     string-keyed loop showed per-round columnar decode + string
+  *     hashing of the edge cache was 90% of the round cost), and the
+  *     edge list is cached as TWO INT COLUMNS, partitioned by `src` by
+  *     the one shuffle that also collapses duplicate edges. Each round
+  *     broadcasts the node-sized (id → rank/outdeg) contribution table,
+  *     hash-joins it against the cached int edges, and collects the
+  *     map-side-combined dst sums — ONE job per round, zero per-round
+  *     Exchange on the edge side, nothing data-sized ever on the driver.
+  *   - larger graphs: ranks stay distributed, rebased each round onto a
+  *     cached-RDD leaf (the Closure pattern — carrying the loop's
+  *     lineage squares plan statistics until planning hangs), and the
+  *     sort-merge join reuses the cached `src` partitioning, so each
+  *     round shuffles only the node-sized rank frame — never the edges.
+  *
+  * (The round-7/8 layout reshuffled the full string-keyed edge list
+  * every round — at 100 TB that per-iteration reshuffle is THE
+  * scale-killer this layout removes.)
+  *
+  * Dangling nodes (no out-edges) leak their damped mass rather than
+  * redistributing it — deterministic and documented; feed a symmetrized
+  * edge list if total mass must be conserved. Caller releases storage
+  * after its action ([[graft.Storage.releaseAll]]).
   */
 object PageRank {
 
+  /** One damped-update round of the DISTRIBUTED-state path; separated so
+    * PlanSpec can pin the plan shape.
+    */
+  private[graft] def step(nodes: DataFrame, edgesDeg: DataFrame, ranks: DataFrame,
+                          base: Long, dampNum: Long, dampDen: Long,
+                          broadcastRanks: Boolean): DataFrame = {
+    val rankSide = if (broadcastRanks) broadcast(ranks) else ranks
+    val contribs = edgesDeg
+      .join(rankSide, edgesDeg("src") === rankSide("node"))
+      .select(col("dst"),
+        IntOps.intDiv(col("rank"), col("outdeg")).as("c"))
+    // Every node contributes an explicit zero, so the dst-sum alone yields
+    // one row per node (in_mass = 0 for nodes with no in-edges) and no
+    // second per-round join is needed. Adding zeros to an exact long sum
+    // changes nothing — bit-identity with the two-join formulation holds.
+    contribs
+      .unionByName(nodes.select(col("node").as("dst"), lit(0L).as("c")))
+      .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      .select(col("dst").as("node"),
+        (lit(base) + IntOps.intDiv(col("in_mass") * dampNum, lit(dampDen)))
+          .as("rank"))
+  }
+
+  /** The driver-path adjacency build (did, sids) — separated so PlanSpec
+    * can pin its shape: two BroadcastHashJoins for the id mapping, ONE
+    * Exchange (the repartition by did) feeding both the duplicate
+    * collapse and the in-neighbor gather, no SortMergeJoin.
+    */
+  private[graft] def adjacencyPlan(e: DataFrame, srcIds: DataFrame,
+                                   dstIds: DataFrame): DataFrame = e
+    .join(broadcast(srcIds), e("src") === srcIds("node"))
+    .join(broadcast(dstIds), e("dst") === dstIds("node2"))
+    .select(col("id").as("sid"), col("id2").as("did"))
+    .repartition(col("did"))
+    .groupBy(col("did"), col("sid")).agg(lit(1))
+    .groupBy(col("did")).agg(collect_list(col("sid")).as("sids"))
+
   /** @param edges two-column frame (`src`, `dst`) of directed edges;
     *        duplicates are collapsed
+    * @param broadcastMaxNodes graphs up to this many nodes keep the
+    *        node-sized rank state driver-local and broadcast the per-round
+    *        contribution table (~16 bytes/node — the same bound the
+    *        broadcast itself implies); larger graphs keep ranks
+    *        distributed and shuffle only the rank frame against the
+    *        cached src-partitioned edges
     * @return (`node`, `rank`) — fixed-point ranks after exactly
     *         `iterations` rounds from the uniform start
     */
   def ranks(edges: DataFrame, iterations: Int = 10,
             scale: Long = 1000000000000L,
-            dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+            dampNum: Long = 85, dampDen: Long = 100,
+            broadcastMaxNodes: Long = 10000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).distinct()
-    val eRdd = e.rdd
-    eRdd.cache()
-    val edgeFrame = spark.createDataFrame(eRdd, e.schema)
-    val deg = edgeFrame.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val withDeg = edgeFrame.join(deg, "src")
-    val wdRdd = withDeg.rdd
-    wdRdd.cache()
-    val edgesDeg = spark.createDataFrame(wdRdd, withDeg.schema)
+    val e = edges.select(col("src"), col("dst"))
+    // Node inventory: one distinct shuffle over both endpoint columns.
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes0.count()
+    if (n == 0) {
+      val out = nodes0.withColumn("rank", lit(0L))
+      nodes0.unpersist(blocking = false)
+      return out
+    }
+    if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L))
+      ranksDriverState(spark, e, nodes0, n.toInt, iterations, scale, dampNum, dampDen)
+    else
+      ranksDistributedState(spark, e, nodes0, n, iterations, scale, dampNum, dampDen)
+  }
 
-    val nodes0 = edgeFrame.select(col("src").as("node"))
-      .union(edgeFrame.select(col("dst").as("node"))).distinct()
+  /** Common case: dense-int dictionary compression + a cached CSR-style
+    * in-adjacency (did → array of in-neighbor ids) + driver-held
+    * node-sized rank state — the GraphX/Pregel layout reduced to its
+    * essentials. Per round: broadcast the n-long contribution vector
+    * (c_u = rank_u div outdeg_u), one MAP-ONLY job sums it over each
+    * node's in-neighbor array, collect n rows. No per-round shuffle, no
+    * per-round hash aggregation (profiling showed Spark's hash-agg
+    * machinery at ~0.4 µs/edge was the round floor once the edge scan
+    * itself was int-compressed), and nothing data-sized ever reaches the
+    * driver. Per-round work: O(edges/partition) adds per task, O(n)
+    * driver longs — both bounded contracts.
+    */
+  private def ranksDriverState(spark: SparkSession, e: DataFrame, nodes0: DataFrame,
+                               n: Int, iterations: Int, scale: Long,
+                               dampNum: Long, dampDen: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
+    nodes0.unpersist(blocking = false)
+    val nodeType = nodes0.schema.fields(0).dataType
+    val idRows: java.util.List[Row] =
+      nodeVals.zipWithIndex.map { case (v, i) => Row(v, i) }.toSeq.asJava
+    val idSchema = StructType(Seq(
+      StructField("node", nodeType, nullable = true),
+      StructField("id", IntegerType, nullable = false)))
+    val srcIds = spark.createDataFrame(idRows, idSchema)
+    val dstIds = srcIds.select(col("node").as("node2"), col("id").as("id2"))
+    // ONE int shuffle builds both the dedup and the adjacency: map the
+    // endpoints to ids via broadcast joins, partition by did, collapse
+    // duplicate edges (the (did,sid) aggregate is satisfied by the did
+    // partitioning), then gather each node's in-neighbors (same
+    // partitioning again — no further exchange). Long sums are exact and
+    // commutative, so the gather order is free.
+    val adj: org.apache.spark.rdd.RDD[(Int, Array[Int])] =
+      adjacencyPlan(e, srcIds, dstIds)
+        .rdd.map(r => (r.getInt(0), r.getSeq[Int](1).toArray))
+    adj.cache()
+    // Out-degrees from the deduped adjacency itself (sid occurrences
+    // across all in-neighbor arrays) — one pass over the cached CSR, no
+    // second shuffle. Per-partition O(n) scratch, within the driver-path
+    // memory contract (n <= broadcastMaxNodes).
+    val outdeg = adj.treeAggregate(new Array[Long](n))(
+      seqOp = { (acc, kv) =>
+        val sids = kv._2
+        var j = 0
+        while (j < sids.length) { acc(sids(j)) += 1; j += 1 }
+        acc
+      },
+      combOp = { (a, b) =>
+        var j = 0
+        while (j < n) { a(j) += b(j); j += 1 }
+        a
+      })
+
+    val base = scale * (dampDen - dampNum) / dampDen / n
+    var rank = Array.fill(n)(scale / n)
+    var i = 0
+    while (i < iterations) {
+      // Driver half: c_u = rank_u div outdeg_u — O(n) longs, bounded by
+      // broadcastMaxNodes (floor division; inputs non-negative, so it
+      // matches the SQL `div` of the distributed path and the oracle).
+      val c = new Array[Long](n)
+      var u = 0
+      while (u < n) {
+        if (outdeg(u) > 0) c(u) = rank(u) / outdeg(u)
+        u += 1
+      }
+      val bc = spark.sparkContext.broadcast(c)
+      val sums = adj.map { case (did, sids) =>
+        val cv = bc.value
+        var s = 0L
+        var j = 0
+        while (j < sids.length) { s += cv(sids(j)); j += 1 }
+        (did, s)
+      }.collect()
+      bc.destroy()
+      val next = Array.fill(n)(base)
+      sums.foreach { case (did, s) => next(did) = base + s * dampNum / dampDen }
+      rank = next
+      i += 1
+    }
+    val outSchema = StructType(Seq(
+      StructField("node", nodeType, nullable = true),
+      StructField("rank", LongType, nullable = false)))
+    val outRows: java.util.List[Row] =
+      Array.tabulate(n)(i0 => Row(nodeVals(i0), rank(i0))).toSeq.asJava
+    spark.createDataFrame(outRows, outSchema)
+  }
+
+  /** Big-graph fallback: distributed rank frame, rebased per round onto a
+    * cached-RDD leaf; the join reuses the cached edge partitioning so only
+    * the rank frame shuffles.
+    */
+  private def ranksDistributedState(spark: SparkSession, e: DataFrame, nodes0: DataFrame,
+                                    n: Long, iterations: Int, scale: Long,
+                                    dampNum: Long, dampDen: Long): DataFrame = {
+    // ONE edge shuffle: partition by src, collapse duplicates (satisfied
+    // by the src partitioning) and count out-degrees with a sort-only
+    // window over the same partitioning; cached still partitioned by the
+    // per-round join key.
+    val edgesDeg = e
+      .repartition(col("src"))
+      .groupBy(col("src"), col("dst")).agg(lit(1))
+      .select(col("src"), col("dst"))
+      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .persist()
     val nRdd = nodes0.rdd
     nRdd.cache()
     val nodes = spark.createDataFrame(nRdd, nodes0.schema)
-    val n = nRdd.count()
-    if (n == 0) return nodes.withColumn("rank", lit(0L))
     val base = scale * (dampDen - dampNum) / dampDen / n
-
     var ranks = nodes.withColumn("rank", lit(scale / n))
     var prev: Option[org.apache.spark.rdd.RDD[Row]] = None
     var i = 0
     while (i < iterations) {
-      val contribs = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("node"))
-        .select(col("dst"),
-          IntOps.intDiv(col("rank"), col("outdeg")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-      val next = nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (lit(base) + IntOps.intDiv(
-            coalesce(col("in_mass"), lit(0L)) * dampNum, lit(dampDen)))
-            .as("rank"))
+      val next = step(nodes, edgesDeg, ranks, base, dampNum, dampDen,
+        broadcastRanks = false)
       val rdd = next.rdd
       rdd.cache()
       rdd.count()

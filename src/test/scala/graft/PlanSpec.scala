@@ -127,4 +127,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
     assert(!p.contains("Exchange"), "per-row key projection must not shuffle:\n" + p.take(1200))
   }
+
+  test("q93: PageRank adjacency build — broadcast id mapping, one edge shuffle, no SMJ") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    val e = spark.createDataFrame(
+      Seq(Row("a", "b"), Row("b", "c"), Row("c", "a")).asJava,
+      StructType(Seq(StructField("src", StringType), StructField("dst", StringType))))
+    val ids = spark.createDataFrame(
+      Seq(Row("a", 0), Row("b", 1), Row("c", 2)).asJava,
+      StructType(Seq(StructField("node", StringType), StructField("id", IntegerType))))
+    val p = operators.PageRank.adjacencyPlan(e, ids,
+      ids.select(col("node").as("node2"), col("id").as("id2")))
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // the ONE edge shuffle: repartition by did; the dedup aggregate and the
+    // in-neighbor gather both reuse it, so no ENSURE_REQUIREMENTS exchange
+    // may appear above it.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "adjacency build must shuffle the edges exactly once:\n" + p.take(1500))
+  }
 }
