@@ -835,7 +835,11 @@ object OracleSqlGen {
   // tolerance. `kmeansCtes` emits the shared chain ending in an `asg`
   // CTE (vec_id → final cluster) that q94 selects directly and q95
   // builds the SemDeDup pair pass on.
-  private def kmeansCtes(k: Int, iterations: Int, scale: Long,
+  // k arrives as a SQL expression (`kSql`) because the chain is fully
+  // relational in k — it appears only in the init LIMIT — which lets the
+  // gate derive k from the corpus size exactly as the Spark side does
+  // (KMeans.kForTargetClusterSize): ceil(count/target) clamped to maxK.
+  private def kmeansCtes(kSql: String, iterations: Int, scale: Long,
                          dim: Int): String = {
     def assignFrom(c: String) =
       s"""SELECT vec_id, x, cid FROM (
@@ -868,7 +872,7 @@ object OracleSqlGen {
        |), c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
        |         x AS c
-       |  FROM (SELECT vec_id, x FROM pts ORDER BY vec_id LIMIT $k) s
+       |  FROM (SELECT vec_id, x FROM pts ORDER BY vec_id LIMIT $kSql) s
        |), $iters, asg AS (
        |  SELECT vec_id, cid AS cluster FROM (
        |${assignFrom(s"c$iterations")}
@@ -876,18 +880,31 @@ object OracleSqlGen {
        |)""".stripMargin
   }
 
-  def q94Sql(k: Int = 8, iterations: Int = 5, scale: Long = 1000000L,
+  /** Derived-k SQL: the same ceil(n/target) ∧ maxK clamp as
+    * KMeans.kForTargetClusterSize (DuckDB allows a scalar subquery as
+    * LIMIT). The IEEE quotient argument for ceil-parity is at the Spark
+    * helper's scaladoc.
+    */
+  private def derivedKSql(targetClusterSize: Long, maxK: Int): String =
+    s"(SELECT least(CAST(ceil(count(*) / $targetClusterSize.0) AS BIGINT), $maxK) " +
+      "FROM embeddings)"
+
+  def q94Sql(targetClusterSize: Long = 2500L, maxK: Int = 4096,
+             iterations: Int = 5, scale: Long = 1000000L,
              dim: Int = 64): String =
-    s"""WITH ${kmeansCtes(k, iterations, scale, dim)}
+    s"""WITH ${kmeansCtes(derivedKSql(targetClusterSize, maxK), iterations, scale, dim)}
        |SELECT vec_id, cluster FROM asg""".stripMargin
 
-  // ---- q95: SemDeDup — within-cluster cosine pairs only (the k-means
-  // chain bounds the pair space); a point is dropped when a LOWER-id
-  // same-cluster point has rounded cosine ≥ tau. Cosine arithmetic is
-  // the q29 parity shape: DOUBLE[] dot products fold in array order.
-  def q95Sql(k: Int = 8, iterations: Int = 5, scale: Long = 1000000L,
+  // ---- q95: SemDeDup — within-cluster cosine pairs only, with k DERIVED
+  // from the corpus size (ceil(n/target)) so the pair space Σ n_c² stays
+  // ≈ n · targetClusterSize — linear in the corpus — instead of n²/k at
+  // fixed k. A point is dropped when a LOWER-id same-cluster point has
+  // rounded cosine ≥ tau. Cosine arithmetic is the q29 parity shape:
+  // DOUBLE[] dot products fold in array order.
+  def q95Sql(targetClusterSize: Long = 2500L, maxK: Int = 4096,
+             iterations: Int = 5, scale: Long = 1000000L,
              dim: Int = 64, tau: Double = 0.3): String =
-    s"""WITH ${kmeansCtes(k, iterations, scale, dim)}, ev AS (
+    s"""WITH ${kmeansCtes(derivedKSql(targetClusterSize, maxK), iterations, scale, dim)}, ev AS (
        |  SELECT a.vec_id, a.cluster, e.embedding::DOUBLE[] AS v
        |  FROM asg a JOIN embeddings e USING (vec_id)
        |), dropped AS (

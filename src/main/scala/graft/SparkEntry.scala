@@ -1340,22 +1340,26 @@ object SparkEntry {
   //      arithmetic (exact long distance sums, truncating centroid
   //      division, lowest-cid tiebreak, k-lowest-id init) so the full
   //      Lloyd iteration replays bit-exactly in the DuckDB oracle
-  //      (every round unrolled as plain CTEs, NO tolerance). ----
+  //      (every round unrolled as plain CTEs, NO tolerance). k is
+  //      DERIVED from the corpus (ceil(n/2500), the SemDeDup
+  //      cluster-size discipline); the oracle derives the identical k
+  //      with a scalar-subquery LIMIT. ----
   private def q94(s: SparkSession, dir: String): DataFrame =
-    operators.KMeans.assign(Tables(s, dir).embeddings, "vec_id", "embedding",
-      k = 8, iterations = 5)
+    operators.KMeans.assignAuto(Tables(s, dir).embeddings, "vec_id", "embedding",
+      targetClusterSize = 2500L, iterations = 5)
 
   // ---- q95: SemDeDup — semantic dedup over the q94 clusters: cosine
-  //      pairs are formed only WITHIN a cluster (the clustering bounds
-  //      the quadratic pair space to Σ n_c²), and a point is dropped
-  //      when a lower-id cluster-mate has rounded cosine ≥ 0.3. The
-  //      oracle replays the full chain: the bit-exact unrolled Lloyd
-  //      CTEs, then the q29-shape double cosine (array-order dot fold,
-  //      round-6-guarded threshold). ----
+  //      pairs are formed only WITHIN a cluster, and k grows with the
+  //      corpus (ceil(n/2500)), so the pair space Σ n_c² stays
+  //      ≈ n · 2500 — LINEAR in the corpus, not n²/k at fixed k. A
+  //      point is dropped when a lower-id cluster-mate has rounded
+  //      cosine ≥ 0.3. The oracle replays the full chain: the bit-exact
+  //      unrolled Lloyd CTEs (same derived k), then the q29-shape double
+  //      cosine (array-order dot fold, round-6-guarded threshold). ----
   private def q95(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir).embeddings
-    val asg = operators.KMeans.assign(emb, "vec_id", "embedding",
-      k = 8, iterations = 5)
+    val asg = operators.KMeans.assignAuto(emb, "vec_id", "embedding",
+      targetClusterSize = 2500L, iterations = 5)
     operators.Dedup.semDedup(
       emb.join(asg, "vec_id"), "vec_id", "embedding", "cluster",
       minCosine = 0.3)

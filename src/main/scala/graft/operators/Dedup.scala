@@ -337,9 +337,14 @@ object Dedup {
     *
     * Scale shape: one equi-join on the cluster key (candidates), one
     * map-side-combined distinct of dropped ids, one left anti-style
-    * mark-join back onto the points. The cluster key must be granular
-    * enough that n_c² stays bounded — that is the caller's k (SemDeDup
-    * runs k ≈ corpus/1e4 in the paper).
+    * mark-join back onto the points. THE CONTRACT: candidate-pair work
+    * is Θ(Σ n_c²) ≈ n · avg_cluster_size, so the cluster key MUST be
+    * granular in proportion to the corpus — a fixed k makes this
+    * operator quadratic (n²/k) at 100 TB. Derive k from a target
+    * cluster size ([[KMeans.kForTargetClusterSize]] /
+    * [[KMeans.assignAuto]]; SemDeDup's published setting is k ≈
+    * corpus/10⁴ for exactly this reason), which keeps the pair space
+    * LINEAR in the corpus at a fixed per-point cost.
     *
     * @param points frame carrying id, vector, and cluster columns
     *               (e.g. [[KMeans.assign]] joined back onto the corpus)

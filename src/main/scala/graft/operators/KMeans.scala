@@ -38,6 +38,38 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** Derive k from a TARGET CLUSTER SIZE — the SemDeDup discipline
+    * (Abbas et al. 2023 run k ≈ corpus/10⁴ for 100M points precisely to
+    * bound within-cluster work). Any within-cluster-quadratic consumer
+    * ([[Dedup.semDedup]]) does Θ(Σ n_c²) ≈ n · cluster_size work, so k
+    * must GROW with the corpus: k = ⌈n / targetClusterSize⌉, clamped to
+    * [1, maxK]. The maxK ceiling exists because each Lloyd round carries
+    * the k·d centroid matrix as one plan literal and collects k·d longs
+    * to the driver — both fine into the thousands, not the millions.
+    * Matches the oracle's `ceil(count(*) / target)` exactly: the IEEE
+    * double quotient n/target is ≥ 1/target away from any integer it is
+    * not exactly equal to, so the two ceil paths cannot disagree.
+    */
+  def kForTargetClusterSize(n: Long, targetClusterSize: Long,
+                            maxK: Int = 4096): Int = {
+    require(targetClusterSize >= 1, "targetClusterSize must be >= 1")
+    require(maxK >= 1, "maxK must be >= 1")
+    val k = (n + targetClusterSize - 1) / targetClusterSize
+    math.max(1L, math.min(k, maxK.toLong)).toInt
+  }
+
+  /** [[assign]] with k derived from the corpus size ([[kForTargetClusterSize]]):
+    * one count job, then the standard Lloyd chain. This is the entry point
+    * quadratic consumers should use — it keeps their pair space linear in
+    * the corpus at a fixed per-point cost.
+    */
+  def assignAuto(points: DataFrame, idCol: String, vecCol: String,
+                 targetClusterSize: Long, iterations: Int = 5,
+                 scale: Long = 1000000L, maxK: Int = 4096): DataFrame =
+    assign(points, idCol, vecCol,
+      k = kForTargetClusterSize(points.count(), targetClusterSize, maxK),
+      iterations = iterations, scale = scale)
+
   /** Cluster `points` and return every point's final assignment.
     *
     * @param points frame with an id column and an array<float/double>
@@ -71,15 +103,22 @@ object KMeans {
     require(centroids.nonEmpty, "k-means needs at least one point")
     val d = centroids(0).length
 
+    // One literal centroid MATRIX per round (array of (cid, coords)
+    // structs) traversed by a single transform/aggregate chain — the plan
+    // carries ONE k·d literal instead of k separate d-sized expression
+    // trees, so plan size and analysis cost stay O(1) in k and larger
+    // derived k (see [[kForTargetClusterSize]]) stays plannable. The
+    // lexicographic struct-min keeps the (dist, cid) tiebreak identical
+    // to the unrolled form, so the oracle replay is unchanged.
     def nearest(cs: Array[Array[Long]]): Column = {
-      val candidates = cs.zipWithIndex.map { case (c, j) =>
-        val diff = zip_with(col("__x"), typedLit(c.toSeq),
-          (a, b) => (a - b) * (a - b))
+      val mat = array(cs.zipWithIndex.map { case (c, j) =>
+        struct(lit(j).as("cid"), typedLit(c.toSeq).as("c"))
+      }: _*)
+      array_min(transform(mat, cent =>
         struct(
-          aggregate(diff, lit(0L), (acc, v) => acc + v).as("d"),
-          lit(j).as("cid"))
-      }
-      array_min(array(candidates: _*)).getField("cid")
+          aggregate(zip_with(col("__x"), cent.getField("c"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v).as("d"),
+          cent.getField("cid").as("cid")))).getField("cid")
     }
 
     var i = 0

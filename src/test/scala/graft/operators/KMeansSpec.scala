@@ -87,4 +87,37 @@ class KMeansSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) == 0)
     assert(got == reference(pts, 2, 0))
   }
+
+  test("kForTargetClusterSize: ceil, clamps, oracle-parity arithmetic") {
+    assert(KMeans.kForTargetClusterSize(5000, 2500) == 2)
+    assert(KMeans.kForTargetClusterSize(5001, 2500) == 3)
+    assert(KMeans.kForTargetClusterSize(1, 2500) == 1)
+    assert(KMeans.kForTargetClusterSize(0, 2500) == 1)
+    assert(KMeans.kForTargetClusterSize(100000000L, 10, maxK = 4096) == 4096)
+    // the SemDeDup-paper shape: 100M points, target 1e4 → k ≈ 10k
+    assert(KMeans.kForTargetClusterSize(100000000L, 10000, maxK = 100000) == 10000)
+  }
+
+  test("derived k bounds the SemDeDup pair space on a mega input") {
+    // 2000 spread points in ONE notional corpus: at fixed k=1 the pair
+    // space would be n(n-1)/2 ≈ 2.0M. assignAuto derives k = ceil(n/100)
+    // = 20, and Lloyd on spread data splits the mass so Σ n_c² stays
+    // within a small multiple of n · target — the linear-in-n contract
+    // semDedup's scaladoc documents.
+    val rnd = new Random(23)
+    val pts = (0L until 2000L).map(id => id -> Seq.fill(4)(rnd.nextFloat() * 2f - 1f))
+    val df = pts.toDF("vec_id", "embedding")
+    val asg = KMeans.assignAuto(df, "vec_id", "embedding",
+      targetClusterSize = 100L, iterations = 5)
+    val sizes = asg.groupBy("cluster").count()
+      .as[(Int, Long)].collect().map(_._2)
+    graft.Storage.releaseAll(spark)
+    val n = 2000L
+    val pairSpace = sizes.map(c => c * c).sum
+    assert(sizes.sum == n)
+    assert(sizes.length > 10, s"derived k should split the corpus, got ${sizes.length} clusters")
+    assert(pairSpace <= 4 * n * 100,
+      s"pair space $pairSpace exceeds 4·n·target — clustering failed to bound the quadratic")
+    assert(pairSpace < n * n / 4, "pair space must be far below the all-pairs square")
+  }
 }
