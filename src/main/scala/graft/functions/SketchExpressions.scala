@@ -84,6 +84,13 @@ object SketchExpressions {
     GraftColumnBridge.column(
       WhitespaceTokensExpr(GraftColumnBridge.expression(c), newlineOnly = true))
 
+  /** Column API: order-preserving first-occurrence filter, equal to
+    * [[TextFunctions.firstOccurrencesOfBuiltin]] (pinned in FunctionsSpec)
+    * — one hash-set pass instead of the built-in's O(n²) scan. */
+  def firstOccurrences(arr: Column): Column =
+    GraftColumnBridge.column(
+      FirstOccurrencesExpr(GraftColumnBridge.expression(arr)))
+
   /** Column API: the PORTABLE-family 60-bit SimHash over a token array —
     * majority vote per bit of the tokens' [[Hash60Expr]] values; 0 for
     * empty/missing input. Equal to the relational explode → hash →
@@ -488,6 +495,45 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
 /** 64-bit SimHash of an array<string>: bit i of the result is set iff the
   * majority of token hashes have bit i set. Empty input → 0L.
   */
+/** Order-preserving first-occurrence filter over an array<string> — the
+  * within-document repetition-removal primitive, in ONE hash-set pass
+  * (O(n) expected) where the built-in
+  * `filter(ls, (x, i) => array_position(ls, x) === i + 1)` is O(n²)
+  * comparisons per document and stalls an executor on a pathological
+  * 100k-line boilerplate page. Semantics are pinned equal to the built-in
+  * form in FunctionsSpec: first copy of each element kept in order, and
+  * NULL elements dropped (array_position's null propagation makes the
+  * built-in's predicate null, which filter treats as false).
+  */
+case class FirstOccurrencesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      math.max(16, n * 2))
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (seen.add(s)) out.add(s)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
 

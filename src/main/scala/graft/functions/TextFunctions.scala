@@ -152,17 +152,24 @@ object TextFunctions {
   def dupLineFractionOf(ls: Column): Column =
     ratio(size(ls) - size(array_distinct(ls)), size(ls))
 
-  /** Order-preserving first-occurrence filter over a STAGED array column
-    * — the within-document repetition-removal primitive (C4's
-    * duplicate-line drop, applied to whatever unit the caller staged:
-    * lines, sentences, tokens). Keeps element i iff no earlier element
-    * equals it. O(n²) comparisons per row over per-document-sized arrays
-    * (no shuffle, no explode); pass a STAGED column, not an expression —
-    * the lambda references the array once per element, so an inlined
-    * tree would re-evaluate per element (the staged-projection
-    * discipline).
+  /** Order-preserving first-occurrence filter over an array column — the
+    * within-document repetition-removal primitive (C4's duplicate-line
+    * drop, applied to whatever unit the caller staged: lines, sentences,
+    * tokens). Keeps element i iff no earlier element equals it; null
+    * elements drop. Routed through the native one-hash-set-pass
+    * expression ([[SketchExpressions.firstOccurrences]], O(n) expected
+    * per document) — the built-in form below is O(n²) comparisons per
+    * row and exists as the parity reference (pinned in FunctionsSpec).
     */
   def firstOccurrencesOf(ls: Column): Column =
+    SketchExpressions.firstOccurrences(ls)
+
+  /** The built-in formulation of [[firstOccurrencesOf]] — the parity
+    * reference. Pass a STAGED column, not an expression — the lambda
+    * references the array once per element, so an inlined tree would
+    * re-evaluate per element (the staged-projection discipline).
+    */
+  def firstOccurrencesOfBuiltin(ls: Column): Column =
     filter(ls, (x, i) => array_position(ls, x) === i.cast("long") + lit(1L))
 
   /** Fraction of tokens that are repeats of an earlier token. */

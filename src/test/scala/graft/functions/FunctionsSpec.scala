@@ -29,6 +29,38 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("firstOccurrencesOf: native pass is pinned to the built-in form, incl. nulls") {
+    val cases: Seq[Seq[String]] = Seq(
+      Seq("a", "b", "a", "c", "b", "a"),
+      Seq("x"),
+      Seq.empty[String],
+      Seq("dup", "dup", "dup"),
+      Seq("", "a", "", "b"),               // empty strings are real values
+      Seq(null, "a", null, "a", "b"))      // nulls drop in BOTH forms
+    val df = cases.toDF("ls")
+    val got = df.select(
+      TextFunctions.firstOccurrencesOf(col("ls")).as("native"),
+      TextFunctions.firstOccurrencesOfBuiltin(col("ls")).as("builtin"))
+    got.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+    // null array passes through as null in both forms
+    val nr = Seq(Option.empty[Seq[String]]).toDF("ls").select(
+      TextFunctions.firstOccurrencesOf(col("ls")),
+      TextFunctions.firstOccurrencesOfBuiltin(col("ls"))).head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
+  test("firstOccurrencesOf handles a pathological 50k-line document in one pass") {
+    // The built-in O(n²) form would do ~1.25e9 comparisons here; the native
+    // hash-set pass is linear. Verified against a driver-side reference.
+    val lines = (0 until 50000).map(i => s"line${i % 1000}")
+    val got = Seq(lines).toDF("ls")
+      .select(TextFunctions.firstOccurrencesOf(col("ls")))
+      .as[Seq[String]].head()
+    assert(got == lines.distinct)
+  }
+
   test("tokenCount / charCount / stopwordCount on hand strings") {
     val df = Seq("the cat sat on the mat", "", "  spaced   out  ").toDF("t").select(
       TextFunctions.tokenCount(col("t")).as("n"),
