@@ -79,11 +79,16 @@ object Bench {
     println(line)
     // The gate artifact was truncated by log-tail capture in round 6 (lost
     // q01–q16 + loadavg fields) — also persist the line to a file so the
-    // committed artifact is complete regardless of stdout capture.
-    try {
-      val w = new java.io.PrintWriter("bench_last.json")
-      try w.println(line) finally w.close()
-    } catch { case _: Throwable => () }
+    // committed artifact is complete regardless of stdout capture. ONLY
+    // full-suite runs write it: a SPARK_GRAFT_ONLY subset run must never
+    // clobber the committed full-suite measurement (it did in rounds 8
+    // and 9).
+    if (only.isEmpty) {
+      try {
+        val w = new java.io.PrintWriter("bench_last.json")
+        try w.println(line) finally w.close()
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

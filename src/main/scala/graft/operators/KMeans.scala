@@ -38,6 +38,34 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** Column API: index of the nearest centroid (exact long squared
+    * distance, ties to the lowest cid) — one native k·d long loop per
+    * point instead of k interpreted higher-order-function lambdas (the
+    * HOF form below, kept as the parity reference, re-enters the lambda
+    * interpreter per element; profiled ~5× slower at k=20, d=64).
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Long]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      NearestCentroidExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec),
+        centroids.map(_.toSeq).toSeq))
+
+  /** The built-in formulation of [[nearestCentroid]] — the parity
+    * reference (pinned equal in KMeansSpec): one literal centroid matrix
+    * traversed by a transform/aggregate chain, lexicographic struct-min
+    * for the (dist, cid) tiebreak.
+    */
+  def nearestCentroidBuiltin(vec: Column, cs: Array[Array[Long]]): Column = {
+    val mat = array(cs.zipWithIndex.map { case (c, j) =>
+      struct(lit(j).as("cid"), typedLit(c.toSeq).as("c"))
+    }: _*)
+    array_min(transform(mat, cent =>
+      struct(
+        aggregate(zip_with(vec, cent.getField("c"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v).as("d"),
+        cent.getField("cid").as("cid")))).getField("cid")
+  }
+
   /** Derive k from a TARGET CLUSTER SIZE — the SemDeDup discipline
     * (Abbas et al. 2023 run k ≈ corpus/10⁴ for 100M points precisely to
     * bound within-cluster work). Any within-cluster-quadratic consumer
@@ -103,23 +131,13 @@ object KMeans {
     require(centroids.nonEmpty, "k-means needs at least one point")
     val d = centroids(0).length
 
-    // One literal centroid MATRIX per round (array of (cid, coords)
-    // structs) traversed by a single transform/aggregate chain — the plan
-    // carries ONE k·d literal instead of k separate d-sized expression
-    // trees, so plan size and analysis cost stay O(1) in k and larger
-    // derived k (see [[kForTargetClusterSize]]) stays plannable. The
-    // lexicographic struct-min keeps the (dist, cid) tiebreak identical
-    // to the unrolled form, so the oracle replay is unchanged.
-    def nearest(cs: Array[Array[Long]]): Column = {
-      val mat = array(cs.zipWithIndex.map { case (c, j) =>
-        struct(lit(j).as("cid"), typedLit(c.toSeq).as("c"))
-      }: _*)
-      array_min(transform(mat, cent =>
-        struct(
-          aggregate(zip_with(col("__x"), cent.getField("c"),
-            (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v).as("d"),
-          cent.getField("cid").as("cid")))).getField("cid")
-    }
+    // Native argmin over the centroid matrix (see [[NearestCentroidExpr]]):
+    // the matrix rides as ONE constructor value, so plan size stays O(1)
+    // in k and larger derived k (see [[kForTargetClusterSize]]) stays
+    // plannable; the arithmetic and (dist, cid) tiebreak are pinned equal
+    // to the higher-order-function form in KMeansSpec.
+    def nearest(cs: Array[Array[Long]]): Column =
+      KMeans.nearestCentroid(col("__x"), cs)
 
     var i = 0
     while (i < iterations) {
@@ -143,4 +161,55 @@ object KMeans {
 
     pts.select(col("__id").as(idCol), nearest(centroids).as("cluster"))
   }
+}
+
+/** Argmin over a literal centroid matrix for one scaled-long point: exact
+  * long squared distances, strict `<` so ties keep the LOWEST cid — the
+  * same arithmetic and tiebreak as [[KMeans.nearestCentroidBuiltin]]
+  * (pinned in KMeansSpec). Null input, or a vector whose dimension does
+  * not match the centroids', yields null (the uniform-dimension
+  * requirement is part of [[KMeans.assign]]'s contract).
+  */
+case class NearestCentroidExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    centroids: Seq[Seq[Long]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+  @transient private lazy val mat: Array[Array[Long]] =
+    centroids.map(_.toArray).toArray
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val d = mat(0).length
+    if (arr.numElements() != d) return null
+    val x = arr.toLongArray()
+    var best = Long.MaxValue
+    var bestCid = 0
+    var j = 0
+    while (j < mat.length) {
+      val c = mat(j)
+      var s = 0L
+      var i = 0
+      while (i < d) {
+        val diff = x(i) - c(i)
+        s += diff * diff
+        i += 1
+      }
+      if (s < best) { best = s; bestCid = j }
+      j += 1
+    }
+    java.lang.Integer.valueOf(bestCid)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NearestCentroidExpr =
+    copy(child = newChild)
 }

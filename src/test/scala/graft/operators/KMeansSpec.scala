@@ -88,6 +88,24 @@ class KMeansSpec extends AnyFunSuite with SparkSpec {
     assert(got == reference(pts, 2, 0))
   }
 
+  test("native nearest-centroid is pinned to the HOF form, incl. exact ties") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(31)
+    val cs: Array[Array[Long]] = Array.fill(7)(Array.fill(6)(rnd.nextLong() % 1000L))
+    // random vectors plus EXACT copies of centroids 3 and 5 (distance 0
+    // to two different centroids is impossible; distance ties between two
+    // non-identical centroids are exercised by the mirrored pair below)
+    val mirrored = Array(10L, 0L, 0L, 0L, 0L, 0L)
+    val tieCs = cs ++ Array(mirrored.map(-_), mirrored)   // cid 7 and 8 equidistant from 0
+    val vecs: Seq[Seq[Long]] = Seq.fill(50)(Seq.fill(6)(rnd.nextLong() % 1000L)) ++
+      Seq(cs(3).toSeq, cs(5).toSeq, Seq(0L, 0L, 0L, 0L, 0L, 0L))
+    val df = vecs.toDF("__x")
+    val r = df.select(
+      KMeans.nearestCentroid(col("__x"), tieCs).as("native"),
+      KMeans.nearestCentroidBuiltin(col("__x"), tieCs).as("hof")).collect()
+    r.foreach(row => assert(row.getInt(0) == row.getInt(1), row.toString))
+  }
+
   test("kForTargetClusterSize: ceil, clamps, oracle-parity arithmetic") {
     assert(KMeans.kForTargetClusterSize(5000, 2500) == 2)
     assert(KMeans.kForTargetClusterSize(5001, 2500) == 3)
