@@ -1054,4 +1054,45 @@ object OracleSqlGen {
        |)
        |SELECT j, bucket, count(*) AS cnt FROM jb GROUP BY 1, 2""".stripMargin
   }
+
+  // ---- q101: Reciprocal Rank Fusion — q71's BM25 list (nested verbatim,
+  // topK=50) full-outer-joined with the q19-shape cosine list for query
+  // vec_id 0; each side's rank is a (score desc, id) row_number, the
+  // fused score is COALESCE(1/(60+r_lex), 0) + COALESCE(1/(60+r_sem), 0)
+  // — the same fixed two-term IEEE sum the Spark fold emits.
+  def q101Sql(queryTerms: Seq[String] = Seq("merge", "stream", "window"),
+              listK: Int = 50, kRrf: Int = 60, topK: Int = 10): String = {
+    val lex = q71Sql(queryTerms, topK = listK).linesIterator
+      .map("  " + _).mkString("\n")
+    s"""WITH lex AS (
+       |$lex
+       |), lexr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       |  FROM lex
+       |), q AS (
+       |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+       |), c AS (
+       |  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv
+       |  FROM embeddings WHERE vec_id <> 0
+       |), sem AS (
+       |  SELECT doc_id,
+       |    round(list_dot_product(qv, cv)
+       |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+       |      6) AS cos_sim
+       |  FROM c, q
+       |), semr AS (
+       |  SELECT doc_id, r FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r
+       |    FROM sem) t
+       |  WHERE r <= $listK
+       |), fused AS (
+       |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |    COALESCE(1.0 / ($kRrf.0 + CAST(l.r AS DOUBLE)), 0.0)
+       |      + COALESCE(1.0 / ($kRrf.0 + CAST(s.r AS DOUBLE)), 0.0) AS rrf_score
+       |  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+       |)
+       |SELECT doc_id, rrf_score FROM fused
+       |ORDER BY rrf_score DESC, doc_id LIMIT $topK""".stripMargin
+  }
 }

@@ -1432,6 +1432,25 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("z"))
 
+  // ---- q101: Reciprocal Rank Fusion — the hybrid-retrieval combiner:
+  //      BM25 lexical top-50 (q71's operator) fused with embedding-cosine
+  //      semantic top-50 (q19's operator, query vec_id 0) by
+  //      rank-reciprocal sums 1/(60 + rank). Ranks are (score desc, id)
+  //      row_numbers over the BOUNDED candidate lists; the fused score is
+  //      a fixed-order two-term IEEE sum, so the oracle replays it
+  //      bit-exactly. vec_id ≡ doc_id row correspondence of the synthetic
+  //      tables stands in for a real doc↔embedding key. ----
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val lex = operators.Bm25.topK(Tables(s, dir).documents, "doc_id", "text",
+      queryTerms = Seq("merge", "stream", "window"), topK = 50)
+    val emb = Tables(s, dir).embeddings
+    val sem = operators.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+      .select(col("cand_id").as("doc_id"), col("cos_sim").as("score"))
+    operators.RankFusion.rrf(Seq(lex, sem), "doc_id", "score",
+      kRrf = 60, topK = 10)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1534,6 +1553,7 @@ object SparkEntry {
     "q98_neardup_clusters" -> q98 _,
     "q99_hist_quantiles"   -> q99 _,
     "q100_zscore"          -> q100 _,
+    "q101_rrf_fusion"      -> q101 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1831,6 +1851,7 @@ object SparkEntry {
         |       ELSE CAST(n * CAST(l_quantity AS BIGINT) - s AS DOUBLE)
         |            / sqrt(CAST(n * q - s * s AS DOUBLE)) END AS z
         |FROM lineitem l JOIN m USING (l_returnflag)""".stripMargin,
+    "q101_rrf_fusion"       -> OracleSqlGen.q101Sql(),
     // q99: same integer walk — ranks are exact rational ceilings, both
     // engines truncate // toward zero, sum(BIGINT) OVER casts back from
     // DuckDB's HUGEINT.
