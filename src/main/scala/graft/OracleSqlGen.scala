@@ -960,6 +960,41 @@ object OracleSqlGen {
        |            / CAST(n.n_tokens AS DOUBLE) END AS dup_frac
        |FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id""".stripMargin
 
+  // ---- q102: the q96 chain's REMOVAL counterpart — token i survives iff
+  // no duplicated-gram start s has s <= i < s + k; the kept tokens
+  // re-render single-space joined, exactly the Spark two-pointer cut.
+  def q102Sql(k: Int = 8, minCount: Long = 2L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |  FROM documents
+       |), n AS (
+       |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens FROM t
+       |), g0 AS (
+       |  SELECT doc_id,
+       |    [{'s': CAST(i AS BIGINT),
+       |      'gh': ${PortableHash.hash60Sql(
+                 s"list_aggregate(ws[i : i + ${k - 1}], 'string_agg', chr(31))")}}
+       |     FOR i IN range(1, CAST(greatest(n_tokens - ${k - 1} + 1, 1) AS INTEGER))] AS gs
+       |  FROM n
+       |), g AS (
+       |  SELECT doc_id, u.s AS start, u.gh AS gh
+       |  FROM (SELECT doc_id, unnest(gs) AS u FROM g0)
+       |), c AS (
+       |  SELECT gh FROM g GROUP BY gh HAVING count(*) >= $minCount
+       |), d AS (
+       |  SELECT doc_id, list_sort(list(start)) AS starts
+       |  FROM g JOIN c USING (gh) GROUP BY doc_id
+       |), kept AS (
+       |  SELECT n.doc_id, n.n_tokens,
+       |    [n.ws[i] FOR i IN range(1, CAST(n.n_tokens AS INTEGER) + 1)
+       |     IF len(list_filter(COALESCE(d.starts, CAST([] AS BIGINT[])),
+       |            s -> s <= i AND i < s + $k)) = 0] AS ks
+       |  FROM n LEFT JOIN d ON n.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, n_tokens, CAST(len(ks) AS BIGINT) AS n_kept,
+       |  COALESCE(list_aggregate(ks, 'string_agg', ' '), '') AS clean_text
+       |FROM kept""".stripMargin
+
   // ---- q69: int8 scalar quantization — codes and checksum replayed
   // exactly. floor() precedes the BIGINT cast (DuckDB's double→int cast
   // rounds, Spark's truncates; an integral double casts identically).

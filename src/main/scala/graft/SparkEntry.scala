@@ -1451,6 +1451,16 @@ object SparkEntry {
       kRrf = 60, topK = 10)
   }
 
+  // ---- q102: substring-level dup REMOVAL (the q96 stats' cut
+  //      counterpart, Lee 2022 ExactSubstr at gram granularity): every
+  //      token covered by a corpus-duplicated 8-gram is dropped and the
+  //      document re-renders from its kept tokens. The cut is a native
+  //      two-pointer merge (O(tokens+starts) per doc); the oracle replays
+  //      token survival per index and the single-space re-join. ----
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    operators.SubstringDedup.removeDupSpans(
+      Tables(s, dir).documents, "doc_id", "text", k = 8, minCount = 2L)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1554,6 +1564,7 @@ object SparkEntry {
     "q99_hist_quantiles"   -> q99 _,
     "q100_zscore"          -> q100 _,
     "q101_rrf_fusion"      -> q101 _,
+    "q102_dup_span_removal" -> q102 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1852,6 +1863,7 @@ object SparkEntry {
         |            / sqrt(CAST(n * q - s * s AS DOUBLE)) END AS z
         |FROM lineitem l JOIN m USING (l_returnflag)""".stripMargin,
     "q101_rrf_fusion"       -> OracleSqlGen.q101Sql(),
+    "q102_dup_span_removal" -> OracleSqlGen.q102Sql(),
     // q99: same integer walk — ranks are exact rational ceilings, both
     // engines truncate // toward zero, sum(BIGINT) OVER casts back from
     // DuckDB's HUGEINT.

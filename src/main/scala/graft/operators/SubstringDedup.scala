@@ -81,4 +81,118 @@ object SubstringDedup {
           .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double")
             / col("n_tokens").cast("double")).as("dup_frac"))
   }
+
+  /** The REMOVAL counterpart of [[dupSpanStats]] — Lee et al. 2022's
+    * ExactSubstr cut applied at gram granularity: every token covered by
+    * at least one corpus-duplicated k-gram is dropped, and the document
+    * is re-rendered from its kept tokens (single-space joined — the
+    * token array is the unit of this operator, so original whitespace is
+    * deliberately not preserved; short-of-k documents keep all tokens).
+    * Deterministic with no cross-document coordination: coverage depends
+    * only on corpus-wide gram counts.
+    *
+    * Scale shape: identical to [[dupSpanStats]] up to the per-doc sorted
+    * start list; the cut itself is a native two-pointer merge over
+    * (tokens, starts) — O(tokens + starts) per document, not the
+    * O(tokens · starts) an exists-per-token formulation costs (that form
+    * remains as the spec parity reference).
+    *
+    * @return (idCol, `n_tokens`, `n_kept`, `clean_text`) — one row per
+    *         input document; `n_tokens` − `n_kept` equals
+    *         [[dupSpanStats]]'s `dup_tokens` (spec-pinned)
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minCount: Long = 2L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = docs.select(col(idCol),
+        TextFunctions.tokens(col(textCol)).as("__ts"))
+      .withColumn("n_tokens", size(col("__ts")).cast("long"))
+
+    val grams = toks
+      .filter(col("n_tokens") >= k)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1L), col("n_tokens") - (k - 1)),
+        i => struct(i.as("start"),
+          PortableHash.hash60(
+            array_join(slice(col("__ts"), i.cast("int"), lit(k)), Sep))
+            .as("gh")))).as("g"))
+      .select(col(idCol), col("g.start").as("start"), col("g.gh").as("gh"))
+
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("gh"))
+
+    val dupStarts = grams.join(dupGrams, "gh")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("start"))).as("__starts"))
+
+    toks.join(dupStarts, Seq(idCol), "left")
+      .withColumn("__kept", uncoveredTokens(col("__ts"),
+        coalesce(col("__starts"), array().cast("array<bigint>")), k))
+      .select(col(idCol), col("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("clean_text"))
+  }
+
+  /** Column API: tokens NOT covered by any k-wide window starting at one
+    * of `starts` (1-based, sorted ascending) — native two-pointer merge.
+    * Parity reference: [[uncoveredTokensBuiltin]] (pinned in
+    * SubstringDedupSpec).
+    */
+  def uncoveredTokens(tokens: org.apache.spark.sql.Column,
+                      starts: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(UncoveredTokensExpr(
+      org.apache.spark.sql.GraftColumnBridge.expression(tokens),
+      org.apache.spark.sql.GraftColumnBridge.expression(starts), k))
+
+  /** The exists-per-token built-in formulation — O(tokens · starts), spec
+    * parity reference only.
+    */
+  def uncoveredTokensBuiltin(tokens: org.apache.spark.sql.Column,
+                             starts: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    filter(tokens, (_, i) =>
+      size(filter(starts, s =>
+        s <= i.cast("long") + 1L && i.cast("long") + 1L < s + lit(k.toLong))) === 0)
+}
+
+/** Two-pointer cover filter: token i (1-based) is dropped iff some start
+  * s (sorted ascending, intervals [s, s+k)) covers it. All intervals
+  * share length k, so sorted starts ⇒ monotone interval ends and one
+  * forward pointer suffices: O(tokens + starts) per document. Null
+  * tokens/starts arrays yield null.
+  */
+case class UncoveredTokensExpr(
+    tokens: org.apache.spark.sql.catalyst.expressions.Expression,
+    starts: org.apache.spark.sql.catalyst.expressions.Expression,
+    k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def left: org.apache.spark.sql.catalyst.expressions.Expression = tokens
+  override def right: org.apache.spark.sql.catalyst.expressions.Expression = starts
+  override def dataType: org.apache.spark.sql.types.DataType = tokens.dataType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any, s: Any): Any = {
+    val toks = t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val sts = s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = toks.numElements()
+    val m = sts.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var p = 0
+    var i = 1L // 1-based token index, matching the gram starts
+    while (i <= n) {
+      while (p < m && sts.getLong(p) + k <= i) p += 1
+      val covered = p < m && sts.getLong(p) <= i
+      if (!covered) out.add(toks.getUTF8String((i - 1).toInt))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): UncoveredTokensExpr =
+    copy(tokens = newLeft, starts = newRight)
 }

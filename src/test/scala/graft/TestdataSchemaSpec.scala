@@ -69,6 +69,14 @@ class TestdataSchemaSpec extends AnyFunSuite with SparkSpec {
       s"events.ts raw type $t is not handled by Tables.normalizeEventTs — extend it")
   }
 
+  test("streaming events reader surfaces a session-tz timestamp on real testdata") {
+    assume(available, s"$sfDir not present in this environment")
+    val st = streaming.EventStreams.readEventsStream(spark, sfDir).schema
+    assert(st("ts").dataType == TimestampType,
+      s"streaming ts must be TimestampType (watermark input), got ${st("ts").dataType}")
+    assert(st.fieldNames.toSeq == expectedColumns("events"))
+  }
+
   test("date columns read as timestamps (orders, lineitem)") {
     assume(available, s"$sfDir not present in this environment")
     def isTs(dt: DataType): Boolean = dt == TimestampType || dt == TimestampNTZType

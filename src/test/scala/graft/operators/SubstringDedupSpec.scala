@@ -63,4 +63,58 @@ class SubstringDedupSpec extends AnyFunSuite with SparkSpec {
     assert(run(docs, k = 3, minCount = 3L)(0L)._2 == 1L) // 3 occurrences
     assert(run(docs, k = 3, minCount = 4L)(0L)._2 == 0L)
   }
+
+  private def runRemove(docs: Seq[(Long, String)], k: Int,
+                        minCount: Long = 2L): Map[Long, (Long, Long, String)] = {
+    val df = docs.toDF("doc_id", "text")
+    SubstringDedup.removeDupSpans(df, "doc_id", "text", k, minCount)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("removeDupSpans cuts exactly the covered tokens and keeps the rest in order") {
+    val got = runRemove(Seq(
+      0L -> "x1 x2 a b c x3 x4",
+      1L -> "y1 a b c y2 y3 y4"), k = 3)
+    assert(got(0L) == ((7L, 4L, "x1 x2 x3 x4")))
+    assert(got(1L) == ((7L, 4L, "y1 y2 y3 y4")))
+  }
+
+  test("removeDupSpans: kept count complements dupSpanStats coverage on every doc") {
+    val docs = Seq(
+      0L -> "a b c d z1 z2",
+      1L -> "w1 w2 a b c d",
+      2L -> "a b c z1 z2 a b c",     // within-doc repetition
+      3L -> "only unique tokens here",
+      4L -> "",
+      5L -> "a b")                   // shorter than k
+    val stats = run(docs, k = 3)
+    val removed = runRemove(docs, k = 3)
+    docs.foreach { case (id, _) =>
+      val (n, _, dupTokens, _) = stats(id)
+      val (n2, kept, _) = removed(id)
+      assert(n == n2 && n - kept == dupTokens, s"doc $id")
+    }
+    // fully-duplicated doc 2 loses everything covered: both "a b c" copies
+    assert(removed(2L)._3 == "z1 z2")
+  }
+
+  test("native uncoveredTokens matches the exists-per-token builtin form") {
+    import org.apache.spark.sql.functions.col
+    val rows: Seq[(Seq[String], Seq[Long])] = Seq(
+      (Seq("t1", "t2", "t3", "t4", "t5"), Seq(2L)),
+      (Seq("t1", "t2", "t3", "t4", "t5"), Seq(1L, 3L)),     // overlapping
+      (Seq("t1", "t2", "t3"), Seq.empty[Long]),
+      (Seq.empty[String], Seq.empty[Long]),
+      (Seq("t1", "t2", "t3", "t4", "t5", "t6"), Seq(1L, 4L)))  // adjacent
+    val df = rows.toDF("ts", "ss")
+    Seq(1, 2, 3).foreach { k =>
+      val r = df.select(
+        SubstringDedup.uncoveredTokens(col("ts"), col("ss"), k).as("native"),
+        SubstringDedup.uncoveredTokensBuiltin(col("ts"), col("ss"), k).as("builtin"))
+      r.collect().foreach { row =>
+        assert(row.getSeq[String](0) == row.getSeq[String](1), s"k=$k $row")
+      }
+    }
+  }
 }
