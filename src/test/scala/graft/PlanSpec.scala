@@ -128,6 +128,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Exchange"), "per-row key projection must not shuffle:\n" + p.take(1200))
   }
 
+  test("q101: fused top-k terminates in TakeOrderedAndProject, no cartesian product") {
+    val p = plan("q101_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q102: dup-span removal joins gram hashes, never crossing the corpus") {
+    val p = plan("q102_dup_span_removal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(p.contains("partial_count"), "gram counts must combine map-side: " + p.take(1200))
+  }
+
   test("q93: PageRank adjacency build — broadcast id mapping, one edge shuffle, no SMJ") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
