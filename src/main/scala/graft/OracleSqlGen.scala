@@ -995,6 +995,36 @@ object OracleSqlGen {
        |  COALESCE(list_aggregate(ks, 'string_agg', ' '), '') AS clean_text
        |FROM kept""".stripMargin
 
+  // ---- q103: cross-source contamination matrix — distinct (source, gh)
+  // pairs self-join per gram (equivalent to the engine's bounded
+  // pair expansion: both count distinct shared ghs per ordered source
+  // pair, both exclude grams in more than `cap` sources).
+  def q103Sql(k: Int = 8, cap: Int = 64): String =
+    s"""WITH t AS (
+       |  SELECT source, regexp_extract_all(text, '\\S+') AS ws
+       |  FROM documents
+       |), n AS (
+       |  SELECT source, ws, CAST(len(ws) AS BIGINT) AS n_tokens FROM t
+       |  WHERE len(ws) >= $k
+       |), g0 AS (
+       |  SELECT source,
+       |    [${PortableHash.hash60Sql(
+              s"list_aggregate(ws[i : i + ${k - 1}], 'string_agg', chr(31))")}
+       |     FOR i IN range(1, CAST(n_tokens - ${k - 1} + 1 AS INTEGER))] AS gs
+       |  FROM n
+       |), g AS (
+       |  SELECT DISTINCT source, unnest(gs) AS gh FROM g0
+       |), cnt AS (
+       |  SELECT gh FROM g GROUP BY gh
+       |  HAVING count(*) BETWEEN 2 AND $cap
+       |)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(count(*) AS BIGINT) AS shared_grams
+       |FROM g a
+       |JOIN g b ON a.gh = b.gh AND a.source < b.source
+       |JOIN cnt ON cnt.gh = a.gh
+       |GROUP BY 1, 2""".stripMargin
+
   // ---- q69: int8 scalar quantization — codes and checksum replayed
   // exactly. floor() precedes the BIGINT cast (DuckDB's double→int cast
   // rounds, Spark's truncates; an integral double casts identically).

@@ -1461,6 +1461,16 @@ object SparkEntry {
     operators.SubstringDedup.removeDupSpans(
       Tables(s, dir).documents, "doc_id", "text", k = 8, minCount = 2L)
 
+  // ---- q103: cross-source contamination matrix — distinct shared
+  //      8-gram hashes per source pair (the mixing/decontamination
+  //      diagnostic): distinct (source, gh) one shuffle, per-gram source
+  //      sets gathered on the same partitioning, upper-triangle pair
+  //      expansion bounded by the 64-source boilerplate cap. The oracle
+  //      replays it as the equivalent per-gram self-join. ----
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    operators.SubstringDedup.crossSourceOverlap(
+      Tables(s, dir).documents, "text", "source", k = 8, maxSourcesPerGram = 64)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1565,6 +1575,7 @@ object SparkEntry {
     "q100_zscore"          -> q100 _,
     "q101_rrf_fusion"      -> q101 _,
     "q102_dup_span_removal" -> q102 _,
+    "q103_source_overlap"  -> q103 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1864,6 +1875,7 @@ object SparkEntry {
         |FROM lineitem l JOIN m USING (l_returnflag)""".stripMargin,
     "q101_rrf_fusion"       -> OracleSqlGen.q101Sql(),
     "q102_dup_span_removal" -> OracleSqlGen.q102Sql(),
+    "q103_source_overlap"   -> OracleSqlGen.q103Sql(),
     // q99: same integer walk — ranks are exact rational ceilings, both
     // engines truncate // toward zero, sum(BIGINT) OVER casts back from
     // DuckDB's HUGEINT.

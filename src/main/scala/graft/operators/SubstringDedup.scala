@@ -135,6 +135,50 @@ object SubstringDedup {
         array_join(col("__kept"), " ").as("clean_text"))
   }
 
+  /** Cross-source contamination matrix: for every pair of corpus sources,
+    * the number of DISTINCT k-gram hashes occurring in both — the
+    * diagnostic behind mixing and decontamination decisions (how much of
+    * source A's text already leaks into source B).
+    *
+    * Scale shape: grams reduce to distinct (source, gh) pairs (one
+    * map-side-combined shuffle on the hash), each gram's source set is
+    * gathered ONCE (same gh partitioning — no second exchange), and the
+    * upper-triangle pair expansion is per-gram array work bounded by
+    * `maxSourcesPerGram`² — a gram in more sources than the cap is
+    * excluded as universal boilerplate (it would dominate every cell
+    * AND blow the pair space at web scale, where `source` is a domain
+    * with ~1M values). The final matrix aggregate carries
+    * O(sources²) rows at most.
+    *
+    * @return (`source_a`, `source_b`, `shared_grams`) with
+    *         source_a < source_b — only pairs sharing ≥ 1 gram appear
+    */
+  def crossSourceOverlap(docs: DataFrame, textCol: String, sourceCol: String,
+                         k: Int = 8, maxSourcesPerGram: Int = 64): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxSourcesPerGram >= 2, "maxSourcesPerGram must be >= 2")
+    val grams = docs
+      .select(col(sourceCol).as("__src"),
+        TextFunctions.tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", size(col("__ts")).cast("long"))
+      .filter(col("__n") >= k)
+      .select(col("__src"), explode(transform(
+        sequence(lit(1L), col("__n") - (k - 1)),
+        i => PortableHash.hash60(
+          array_join(slice(col("__ts"), i.cast("int"), lit(k)), Sep))))
+        .as("gh"))
+      .distinct()
+    val bySources = grams.groupBy(col("gh"))
+      .agg(sort_array(collect_set(col("__src"))).as("__ss"))
+      .filter(size(col("__ss")).between(2, maxSourcesPerGram))
+    bySources
+      .select(explode(flatten(transform(col("__ss"), (a, i) =>
+        transform(slice(col("__ss"), i + 2, size(col("__ss"))),
+          b => struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** Column API: tokens NOT covered by any k-wide window starting at one
     * of `starts` (1-based, sorted ascending) — native two-pointer merge.
     * Parity reference: [[uncoveredTokensBuiltin]] (pinned in

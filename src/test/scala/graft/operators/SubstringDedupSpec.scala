@@ -99,6 +99,35 @@ class SubstringDedupSpec extends AnyFunSuite with SparkSpec {
     assert(removed(2L)._3 == "z1 z2")
   }
 
+  private def runOverlap(docs: Seq[(String, String)], k: Int,
+                         cap: Int = 64): Map[(String, String), Long] = {
+    val df = docs.toDF("source", "text")
+    SubstringDedup.crossSourceOverlap(df, "text", "source", k, cap)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+  }
+
+  test("crossSourceOverlap counts distinct shared grams per source pair") {
+    val got = runOverlap(Seq(
+      "A" -> "a b c x1 x2",
+      "A" -> "a b c x3 x4",        // same gram twice in A — still ONE distinct gh
+      "B" -> "y1 a b c y2",
+      "B" -> "p q r y3 y4",
+      "C" -> "p q r z1 z2 a b c"), k = 3)
+    assert(got(("A", "B")) == 1L)  // "a b c"
+    assert(got(("A", "C")) == 1L)  // "a b c"
+    assert(got(("B", "C")) == 2L)  // "a b c" and "p q r"
+    assert(!got.contains(("B", "A")), "only upper-triangle pairs")
+  }
+
+  test("crossSourceOverlap drops grams above the source cap as boilerplate") {
+    val boiler = "w1 w2 w3"  // in every source
+    val docs = Seq("A", "B", "C", "D").map(s => s -> s"$boiler uniq_$s")
+    assert(runOverlap(docs, k = 3).isEmpty == false)
+    // cap 3 < 4 sources → the only shared gram is excluded everywhere
+    assert(runOverlap(docs, k = 3, cap = 3).isEmpty)
+  }
+
   test("native uncoveredTokens matches the exists-per-token builtin form") {
     import org.apache.spark.sql.functions.col
     val rows: Seq[(Seq[String], Seq[Long])] = Seq(
