@@ -1471,6 +1471,21 @@ object SparkEntry {
     operators.SubstringDedup.crossSourceOverlap(
       Tables(s, dir).documents, "text", "source", k = 8, maxSourcesPerGram = 64)
 
+  // ---- q104: phrase search over a MATERIALIZED positional index — the
+  //      q50/q51 store pattern applied to retrieval: positional
+  //      occurrences land bucketed by doc_id (sorted by token, pos), so
+  //      the adjacency self-joins AND the per-doc count are co-located
+  //      and the query-time plan carries zero shuffle Exchange
+  //      (plan-pinned). Result ≡ q89's scan form; the oracle is the
+  //      same start-position comprehension. The measured cost is
+  //      build + query — the honest index contract. ----
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    operators.InvertedIndex.buildPhraseStore(
+      Tables(s, dir).documents, "doc_id", "text", "graft_phrase_store", buckets = 8)
+    operators.InvertedIndex.phraseSearchStored(s, "graft_phrase_store",
+      Seq("merge", "stream"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1576,6 +1591,7 @@ object SparkEntry {
     "q101_rrf_fusion"      -> q101 _,
     "q102_dup_span_removal" -> q102 _,
     "q103_source_overlap"  -> q103 _,
+    "q104_phrase_store"    -> q104 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1729,6 +1745,18 @@ object SparkEntry {
          |FROM thr LEFT JOIN kept USING (stratum)""".stripMargin,
     // q89: the same start-position comprehension, overlaps included.
     "q89_phrase_search" ->
+      """SELECT doc_id, n_matches FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 2 THEN
+        |      CAST(len([s FOR s IN range(0, len(ws) - 1)
+        |                IF ws[s + 1] = 'merge' AND ws[s + 2] = 'stream']) AS BIGINT)
+        |    ELSE 0 END AS n_matches
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents))
+        |WHERE n_matches >= 1""".stripMargin,
+    // q104: the stored-index search returns exactly the q89 result — the
+    // oracle is the identical comprehension (the index is an artifact,
+    // not a semantic).
+    "q104_phrase_store" ->
       """SELECT doc_id, n_matches FROM (
         |  SELECT doc_id,
         |    CASE WHEN len(ws) >= 2 THEN

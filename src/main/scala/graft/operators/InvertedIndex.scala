@@ -92,11 +92,68 @@ object InvertedIndex {
     * avoided.
     */
   def phraseSearchIndexed(docs: DataFrame, idCol: String, textCol: String,
-                          phrase: Seq[String]): DataFrame = {
+                          phrase: Seq[String]): DataFrame =
+    chainAdjacency(positionalOccurrences(docs, idCol, textCol), phrase)
+
+  /** The positional-occurrence frame (doc_id, pos, token) — one row per
+    * token occurrence; the storage layout of the materialized phrase
+    * index.
+    */
+  def positionalOccurrences(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
+
+  /** Materialize the positional occurrences as a parquet table BUCKETED
+    * by doc_id and sorted by (token, pos). The layout choice is the
+    * whole point: per-term scans prune row groups on the token sort
+    * order, and every query-time operation — the n−1 adjacency
+    * self-joins on doc_id AND the final per-doc match count — is
+    * co-located by the bucketing, so a stored phrase search plans with
+    * ZERO shuffle Exchange (PlanSpec-pinned). Build once per corpus
+    * (one tokenize + one bucketed write); at 100 TB the index is the
+    * difference between re-tokenizing the corpus per phrase query and
+    * an exchange-free probe of the few matching row groups.
+    */
+  def buildPhraseStore(docs: DataFrame, idCol: String, textCol: String,
+                       table: String, buckets: Int): Unit = {
+    // A rebuild must succeed even when a PREVIOUS session's warehouse
+    // directory survives without catalog metadata (in-memory catalog +
+    // on-disk warehouse): overwrite-saveAsTable only replaces tables the
+    // catalog knows about, and errors LOCATION_ALREADY_EXISTS otherwise.
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    graft.sources.Sinks.parquetBucketed(
+      positionalOccurrences(docs, idCol, textCol), table, buckets,
+      bucketCols = Seq("doc_id"), sortCols = Seq("token", "pos"))
+  }
+
+  /** Exact-phrase search over a [[buildPhraseStore]] table — same
+    * semantics as [[phraseMatches]]/[[phraseSearchIndexed]]
+    * (spec-pinned), zero Exchange at query time.
+    */
+  def phraseSearchStored(spark: org.apache.spark.sql.SparkSession,
+                         table: String, phrase: Seq[String]): DataFrame =
+    chainAdjacency(spark.table(table), phrase)
+
+  /** Adjacency chain over an occurrence frame: start from the phrase
+    * head's positions, join each next term at pos+1, count chains per
+    * doc. Join and count key is doc_id throughout, so a doc_id-bucketed
+    * source keeps the whole chain exchange-free.
+    */
+  private def chainAdjacency(occ0: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")
-    val occ = docs.select(col(idCol).as("doc_id"),
-        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
-      .filter(col("token").isin(phrase.distinct: _*))
+    val occ = occ0.filter(col("token").isin(phrase.distinct: _*))
     val first = occ.filter(col("token") === phrase.head)
       .select(col("doc_id"), col("pos").as("end_pos"))
     val chained = phrase.zipWithIndex.drop(1).foldLeft(first) {

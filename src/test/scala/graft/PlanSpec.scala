@@ -141,6 +141,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count"), "gram counts must combine map-side: " + p.take(1200))
   }
 
+  test("q104: stored phrase search is exchange-free end-to-end") {
+    // the query function builds the doc_id-bucketed store, then searches:
+    // adjacency joins and the per-doc count must all reuse the bucketing.
+    val p = plan("q104_phrase_store")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed store must co-locate joins and count:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("q93: PageRank adjacency build — broadcast id mapping, one edge shuffle, no SMJ") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -59,6 +59,31 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSpec {
     assert(single == Map(1L -> 2L, 2L -> 1L, 4L -> 1L, 6L -> 2L))
   }
 
+  test("stored-index search agrees with the scan form and plans no Exchange") {
+    val corpus = Seq(
+      (1L, "the merge stream runs a merge stream here"),
+      (2L, "merge alone then stream apart"),
+      (3L, "a a a a"),
+      (4L, "merge stream"),
+      (5L, ""),
+      (6L, "prefix merge stream suffix merge")).toDF("doc_id", "text")
+    dropTable("graft_phrase_store_spec")
+    InvertedIndex.buildPhraseStore(corpus, "doc_id", "text",
+      "graft_phrase_store_spec", buckets = 2)
+    val stored = InvertedIndex.phraseSearchStored(spark,
+      "graft_phrase_store_spec", Seq("merge", "stream"))
+    assert(stored.as[(Long, Long)].collect().toMap == Map(1L -> 2L, 4L -> 1L, 6L -> 1L))
+    val plan = stored.queryExecution.executedPlan.toString
+    // no SHUFFLE exchange anywhere: joins either broadcast a tiny side or
+    // reuse the doc_id bucketing, and the count aggregates in place.
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "doc_id bucketing must co-locate the whole chain:\n" + plan)
+    // repeated-term phrase over the store too
+    assert(InvertedIndex.phraseSearchStored(spark, "graft_phrase_store_spec",
+      Seq("a", "a")).as[(Long, Long)].collect().toMap == Map(3L -> 3L))
+    dropTable("graft_phrase_store_spec")
+  }
+
   test("phraseMatches plans a single scan: no Exchange, no Generate, no join") {
     val big = spark.range(0, 1000)
       .select(col("id").as("doc_id"),
