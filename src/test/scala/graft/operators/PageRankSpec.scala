@@ -61,4 +61,24 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     val dup = Seq("a" -> "b", "a" -> "b", "b" -> "a")
     assert(ranks(dup) == ranks(Seq("a" -> "b", "b" -> "a")))
   }
+
+  test("the big-graph distributed path is bit-identical to the driver path") {
+    // broadcastMaxNodes = 1 forces the distributed rank frame + cached
+    // src-partitioned edge join; fixed-point arithmetic must make the two
+    // layouts agree to the last bit (and both match the driver replay).
+    val rnd = new scala.util.Random(17)
+    val edges: Seq[(String, String)] = (0 until 300).map(_ =>
+      s"n${rnd.nextInt(40)}" -> s"n${rnd.nextInt(40)}")
+    val df = edges.toDF("src", "dst")
+    def collectRanks(maxNodes: Long): Map[String, Long] = {
+      val got = PageRank.ranks(df, iterations = 4, broadcastMaxNodes = maxNodes)
+        .as[(String, Long)].collect().toMap
+      graft.Storage.releaseAll(spark)
+      got
+    }
+    val distributed = collectRanks(1L)
+    val driver = collectRanks(10000000L)
+    assert(distributed == driver)
+    assert(driver == reference(edges, 4))
+  }
 }
