@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{DotProductExpr, MinHashSignatureExpr, SimHash64Expr, WordShinglesExpr}
+import graft.functions.{DotProductExpr, FirstOccurrencesExpr, MinHashSignatureExpr, SimHash64Expr, WordShinglesExpr}
+import graft.operators.UncoveredTokensExpr
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -19,6 +20,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *  - graft_minhash(shingles, k)      → array<bigint>
   *  - graft_simhash(tokens)           → bigint
   *  - graft_dot(vec_a, vec_b)         → double
+  *  - graft_first_occurrences(arr)    → array<string> (order-preserving dedup)
+  *  - graft_uncovered_tokens(tokens, starts, k) → array<string> (dup-span cut)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -47,5 +50,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProductExpr(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_first_occurrences"),
+      new ExpressionInfo(classOf[FirstOccurrencesExpr].getName, "graft_first_occurrences"),
+      (args: Seq[Expression]) => FirstOccurrencesExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_uncovered_tokens"),
+      new ExpressionInfo(classOf[UncoveredTokensExpr].getName, "graft_uncovered_tokens"),
+      (args: Seq[Expression]) =>
+        UncoveredTokensExpr(args.head, args(1),
+          intLit(args(2), "graft_uncovered_tokens k"))))
   }
 }

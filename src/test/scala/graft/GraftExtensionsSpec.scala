@@ -43,6 +43,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql.getAs[Double]("d") == 11.0)
   }
 
+  test("round-9 expressions reach SQL: first occurrences and the dup-span cut") {
+    val r = spark.sql(
+      """SELECT graft_first_occurrences(array('a', 'b', 'a', 'c', 'b')) AS fo,
+        |       graft_uncovered_tokens(array('t1', 't2', 't3', 't4', 't5'),
+        |                              array(2L), 2) AS cut""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](1) == Seq("t1", "t4", "t5"))
+  }
+
   test("non-literal k is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash(array('a'), 1 + 1)").collect()
