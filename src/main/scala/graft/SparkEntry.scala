@@ -1486,6 +1486,19 @@ object SparkEntry {
       Seq("merge", "stream"))
   }
 
+  // ---- q105: built-in session windows (batch form) — the declarative
+  //      sibling of q83's custom-state sessionizer: session_window merges
+  //      events ≤ 30 min apart (tie-merge probed and spec-pinned),
+  //      window = [first, last + gap]. The oracle replays the islands
+  //      walk with the same > gap break rule and an interval-shifted end;
+  //      the float session total rounds at 6 (the q20 precedent). ----
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.sessionWindowAgg(Tables(s, dir).events)
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1592,6 +1605,7 @@ object SparkEntry {
     "q102_dup_span_removal" -> q102 _,
     "q103_source_overlap"  -> q103 _,
     "q104_phrase_store"    -> q104 _,
+    "q105_session_window"  -> q105 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1765,6 +1779,24 @@ object SparkEntry {
         |    ELSE 0 END AS n_matches
         |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents))
         |WHERE n_matches >= 1""".stripMargin,
+    // q105: built-in session windows — islands with the same ≤-gap merge
+    // (is_new on STRICTLY > 30 min), end = last event + gap.
+    "q105_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), isl AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, round(sum(value), 6) AS total_value
+        |FROM isl GROUP BY user_id, sid""".stripMargin,
     // q87: DuckDB's indexed list lambda is 1-based where Spark's is
     // 0-based; both keep element i iff its first occurrence is i.
     "q87_dedup_units" ->

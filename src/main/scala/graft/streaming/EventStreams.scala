@@ -83,6 +83,28 @@ object EventStreams {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Session windows via the BUILT-IN `session_window` — the declarative
+    * sibling of [[sessionize]]: one groupBy, no custom state code, and
+    * the same merge rule (a pair exactly `gap` apart merges — probed and
+    * spec-pinned; windows are [first, last + gap]). Works identically as
+    * a batch aggregation and a watermarked streaming query — in batch
+    * the watermark is a no-op. Prefer this form when the per-session
+    * output is a plain aggregate; drop to [[sessionize]] only for
+    * custom state transitions the aggregate language can't express.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Stateful sessionization: one state object per user, sessions closed by
     * a `gapSeconds` quiet period or event-time timeout (watermark-driven).
     * The custom-state analog of the batch gaps-and-islands query (q18).

@@ -59,6 +59,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(sessions(1).n_events == 1 && sessions(1).total_value == 3.0)
   }
 
+  test("sessionWindowAgg: tie at exactly the gap MERGES; batch and stream agree") {
+    // the probed built-in rule: [first, last + gap] windows, ≤-gap merge —
+    // an event exactly 30 min after the previous one stays in the session.
+    val rows = Seq(
+      EventRow(1, ts(0), 1, "click", 1.0),
+      EventRow(2, ts(30), 1, "click", 2.0),    // exactly the 30-min gap → merges
+      EventRow(3, ts(61), 1, "click", 4.0),    // 31 min later → new session
+      EventRow(4, ts(10), 2, "view", 8.0))
+    val batch = EventStreams.sessionWindowAgg(rows.toDF())
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().toSet
+    assert(batch == Set(
+      (1L, ts(0), ts(60), 2L, 3.0),
+      (1L, ts(61), ts(91), 1L, 4.0),
+      (2L, ts(10), ts(40), 1L, 8.0)))
+    // identical logic through the streaming path (watermarked, append)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    ms.addData(rows)
+    val q = EventStreams.sessionWindowAgg(ms.toDF(), watermark = Some("2 hours"))
+      .writeStream.outputMode("complete").format("memory").queryName("t_sw").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_sw")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().toSet
+    assert(streamed == batch)
+    spark.catalog.dropTempView("t_sw")
+  }
+
   test("sliding windows assign events to overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[EventRow]
