@@ -50,4 +50,21 @@ class RankFusionSpec extends AnyFunSuite with SparkSpec {
     val a = Seq(5L -> 0.2, 6L -> 0.9)
     assert(fuse(Seq(a)).map(_._1) == Seq(6L, 5L))
   }
+
+  test("randomized parity with the driver replay across list counts and shapes") {
+    val rnd = new scala.util.Random(41)
+    (1 to 5).foreach { trial =>
+      val nLists = 1 + rnd.nextInt(3)
+      val lists = Seq.fill(nLists) {
+        val n = 1 + rnd.nextInt(25)
+        // duplicate scores on purpose: the id tiebreak must keep ranks total
+        Seq.fill(n)(rnd.nextInt(40).toLong -> (rnd.nextInt(5) / 4.0))
+          .distinctBy(_._1)
+      }
+      val kRrf = 1 + rnd.nextInt(80)
+      val topK = 1 + rnd.nextInt(12)
+      assert(fuse(lists, kRrf, topK) == reference(lists, kRrf, topK),
+        s"trial $trial: lists=$lists kRrf=$kRrf topK=$topK")
+    }
+  }
 }
