@@ -60,13 +60,21 @@ class TestdataSchemaSpec extends AnyFunSuite with SparkSpec {
       "— timestamp unit conversion is wrong for the current testdata layout")
   }
 
-  test("raw events.ts layout is one normalizeEventTs handles") {
-    assume(available, s"$sfDir not present in this environment")
+  test("raw events.ts layout is one normalizeEventTs handles — at EVERY scale factor") {
+    // round-8's drift happened to hit all three sf dirs identically, but
+    // the generator could change one at a time — check each that exists.
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => s"/root/testdata/$s")
+      .filter(d => new java.io.File(d).isDirectory)
+    assume(dirs.nonEmpty, "no testdata present in this environment")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val t = raw.schema("ts").dataType
-    assert(t == LongType || t == TimestampType || t == TimestampNTZType,
-      s"events.ts raw type $t is not handled by Tables.normalizeEventTs — extend it")
+    dirs.foreach { d =>
+      val t = spark.read.parquet(s"$d/events.parquet").schema("ts").dataType
+      assert(t == LongType || t == TimestampType || t == TimestampNTZType,
+        s"$d events.ts raw type $t is not handled by Tables.normalizeEventTs — extend it")
+      val ev = Tables(spark, d).events
+      assert(ev.schema("ts").dataType == TimestampNTZType, d)
+    }
   }
 
   test("streaming events reader surfaces a session-tz timestamp on real testdata") {
