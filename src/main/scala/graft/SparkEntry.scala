@@ -1499,6 +1499,26 @@ object SparkEntry {
         col("session_end").cast("timestamp_ntz").as("session_end"),
         col("n_events"), col("total_value"))
 
+  // ---- q106: stream-static enrichment join — the events stream joins
+  //      the customer dimension (broadcast per micro-batch; the static
+  //      side never enters streaming state) and aggregates hourly by
+  //      market segment. Complete-mode replay over the bounded run, so
+  //      the oracle is the plain batch join+aggregate. ----
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val agg = graft.streaming.EventStreams.enrichedHourlyAggregates(
+      graft.streaming.EventStreams.readEventsStream(s, dir),
+      Tables(s, dir).customer, "user_id", "c_custkey", "c_mktsegment")
+    val name = s"graft_stream_enrich_${streamSeq.incrementAndGet()}"
+    val q = withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.table(name).select(
+      col("window.start").cast("timestamp_ntz").as("hour"),
+      col("c_mktsegment"), col("n_events"), col("total_value"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1606,6 +1626,7 @@ object SparkEntry {
     "q103_source_overlap"  -> q103 _,
     "q104_phrase_store"    -> q104 _,
     "q105_session_window"  -> q105 _,
+    "q106_stream_enrich"   -> q106 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2389,6 +2410,13 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value), 6) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // q106: the stream-static enrichment replays as the plain batch
+    // dim join + hourly aggregate.
+    "q106_stream_enrich" ->
+      """SELECT date_trunc('hour', e.ts) AS hour, c.c_mktsegment,
+        | count(*) AS n_events, round(sum(e.value), 6) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q26_binary_payload" ->
       """SELECT doc_id,

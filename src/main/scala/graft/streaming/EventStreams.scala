@@ -51,6 +51,26 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("total_value"))
 
+  /** Stream-static enrichment: the unbounded stream joins a BOUNDED
+    * dimension broadcast per micro-batch (the stream-static contract —
+    * the static side never enters streaming state, and a dimension
+    * update is picked up at the next batch), then aggregates by
+    * (event-time window, dimension attribute). The canonical enrichment
+    * shape: at any scale the dimension costs what a broadcast dim join
+    * costs, and stream state stays (windows × attributes)-sized under
+    * watermark eviction.
+    */
+  def enrichedHourlyAggregates(events: DataFrame, dim: DataFrame,
+                               eventKey: String, dimKey: String, dimAttr: String,
+                               watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim.select(col(dimKey), col(dimAttr))),
+        col(eventKey) === col(dimKey))
+      .groupBy(window(col("ts"), "1 hour"), col(dimAttr))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+
   /** Sliding-window counts (1 hour window, 15 minute slide). */
   def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

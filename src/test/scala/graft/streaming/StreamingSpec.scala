@@ -88,6 +88,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     spark.catalog.dropTempView("t_sw")
   }
 
+  test("stream-static enrichment equals the batch dim join + aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "SEG_A"), (11L, "SEG_B"), (12L, "SEG_A")).toDF("ck", "seg")
+    val rows = Seq(
+      EventRow(1, ts(5), 10, "click", 1.0),
+      EventRow(2, ts(20), 11, "click", 2.0),
+      EventRow(3, ts(65), 12, "view", 3.0),
+      EventRow(4, ts(70), 10, "click", 4.0),
+      EventRow(5, ts(75), 99, "view", 8.0))   // no dim row → dropped (inner)
+    val ms = MemoryStream[EventRow]
+    ms.addData(rows)
+    val q = EventStreams.enrichedHourlyAggregates(ms.toDF(), dim, "user_id", "ck", "seg")
+      .writeStream.outputMode("complete").format("memory").queryName("t_enrich").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_enrich")
+      .select(col("window.start").as("h"), col("seg"), col("n_events"), col("total_value"))
+    val batch = rows.toDF().join(dim, col("user_id") === col("ck"))
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("seg"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("total_value"))
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() == 3)  // user 99 never appears
+    spark.catalog.dropTempView("t_enrich")
+  }
+
   test("sliding windows assign events to overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[EventRow]
