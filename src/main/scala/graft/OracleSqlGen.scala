@@ -1025,6 +1025,26 @@ object OracleSqlGen {
        |JOIN cnt ON cnt.gh = a.gh
        |GROUP BY 1, 2""".stripMargin
 
+  // ---- q107: budgeted corpus assembly — per-source budgets come from
+  // THE SAME Sampling.budgetsFor call the Spark plan uses, embedded as
+  // literals; the window replays the salted-hash draw + inclusive
+  // running cost.
+  def q107Sql(weights: Seq[(String, Double)], totalBudget: Long,
+              salt: String = "mix"): String = {
+    val budgets = operators.Sampling.budgetsFor(weights, totalBudget)
+    val inList = budgets.map(b => s"'${b._1}'").mkString(", ")
+    val budgetCase = budgets.map { case (s, b) =>
+      s"WHEN source = '$s' THEN $b"
+    }.mkString("CASE ", " ", " END")
+    s"""SELECT doc_id, source, cum_cost FROM (
+       |  SELECT doc_id, source,
+       |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY
+       |      ${PortableHash.hash60Sql(s"'$salt:' || CAST(doc_id AS VARCHAR)")}, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
+       |  FROM documents WHERE source IN ($inList)) t
+       |WHERE cum_cost <= $budgetCase""".stripMargin
+  }
+
   // ---- q69: int8 scalar quantization — codes and checksum replayed
   // exactly. floor() precedes the BIGINT cast (DuckDB's double→int cast
   // rounds, Spark's truncates; an integral double casts identically).

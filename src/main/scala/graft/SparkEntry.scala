@@ -1519,6 +1519,19 @@ object SparkEntry {
       col("c_mktsegment"), col("n_events"), col("total_value"))
   }
 
+  // ---- q107: budgeted corpus assembly — mixing RATIOS become an actual
+  //      bounded corpus: four weighted sources draw docs in salted-hash
+  //      order and keep them while the per-source running char total
+  //      fits ⌊w_s/Σw · 6000⌋ (strict fit, never overshoots). Budgets
+  //      are computed ONCE in Scala and embedded as literals in both the
+  //      plan and the oracle. ----
+  private val q107Weights = Seq(
+    "src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.assembleToBudget(
+      Tables(s, dir).documents, "doc_id", "n_chars", "source",
+      q107Weights, totalBudget = 6000L)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1627,6 +1640,7 @@ object SparkEntry {
     "q104_phrase_store"    -> q104 _,
     "q105_session_window"  -> q105 _,
     "q106_stream_enrich"   -> q106 _,
+    "q107_budget_mix"      -> q107 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1957,6 +1971,7 @@ object SparkEntry {
     "q101_rrf_fusion"       -> OracleSqlGen.q101Sql(),
     "q102_dup_span_removal" -> OracleSqlGen.q102Sql(),
     "q103_source_overlap"   -> OracleSqlGen.q103Sql(),
+    "q107_budget_mix"       -> OracleSqlGen.q107Sql(q107Weights, 6000L),
     // q99: same integer walk — ranks are exact rational ceilings, both
     // engines truncate // toward zero, sum(BIGINT) OVER casts back from
     // DuckDB's HUGEINT.

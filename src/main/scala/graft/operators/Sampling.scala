@@ -246,6 +246,57 @@ object Sampling {
     * territory documented at [[graft.ops.SkewJoin]]; caps in practice
     * cut such groups hardest.
     */
+  /** Per-source budgets for [[assembleToBudget]]: source s gets
+    * ⌊w_s / Σw · totalBudget⌋ cost units. Driver-side Scala arithmetic —
+    * the SAME call feeds the oracle-SQL generator, so both engines see
+    * identical literal budgets by construction.
+    */
+  def budgetsFor(weights: Seq[(String, Double)], totalBudget: Long): Seq[(String, Long)] = {
+    require(weights.nonEmpty, "need at least one weighted source")
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    val wsum = weights.map(_._2).sum
+    weights.map { case (s, w) => s -> (w / wsum * totalBudget).toLong }
+  }
+
+  /** Token/char/byte-budget corpus assembly — "build an N-unit mix at
+    * these source weights", the step that turns mixing RATIOS into an
+    * actual bounded corpus. Each weighted source draws documents in
+    * salted-hash order (the [[capPerGroup]] draw: uniform, deterministic,
+    * stable under reruns) and keeps a document while the source's RUNNING
+    * cost total — inclusive — still fits its budget (strict fit: the mix
+    * may undershoot by less than one document per source, never
+    * overshoot). Sources without a weight are excluded.
+    *
+    * Scale shape: one shuffle by source + a per-source running-sum window
+    * (the q97 pattern; cost and hash are the only carried columns). For a
+    * corpus dominated by a few whale sources, run those sources through
+    * [[graft.ops.PrefixSum]]'s range-partitioned cumulative sum instead
+    * of a single-partition window — same arithmetic, no single-task
+    * group.
+    *
+    * @param costCol integer per-document cost (token/char/byte count)
+    * @return (idCol, sourceCol, `cum_cost`) for every kept document
+    */
+  def assembleToBudget(docs: DataFrame, idCol: String, costCol: String,
+                       sourceCol: String, weights: Seq[(String, Double)],
+                       totalBudget: Long, salt: String = "mix"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgets = budgetsFor(weights, totalBudget)
+    val budgetExpr = budgets.tail.foldLeft(
+      when(col(sourceCol) === budgets.head._1, lit(budgets.head._2))) {
+      case (acc, (s, b)) => acc.when(col(sourceCol) === s, lit(b))
+    }
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(PortableHash.hash60(
+        concat(lit(salt + ":"), col(idCol).cast("string"))), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .filter(col(sourceCol).isin(budgets.map(_._1): _*))
+      .withColumn("cum_cost", sum(col(costCol)).over(w).cast("long"))
+      .filter(col("cum_cost") <= budgetExpr)
+      .select(col(idCol), col(sourceCol), col("cum_cost"))
+  }
+
   def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
                   cap: Int, salt: String = "cap"): DataFrame = {
     require(cap >= 1, "cap must be >= 1")

@@ -241,4 +241,32 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     val small = Seq((1L, "x"), (2L, "x")).toDF("id", "grp")
     assert(Sampling.stratifiedSample(small, "grp", "id", 10).count() == 2)
   }
+
+  test("assembleToBudget: budget math, strict fit, and exclusion of unweighted sources") {
+    assert(Sampling.budgetsFor(Seq("a" -> 4.0, "b" -> 2.0, "c" -> 1.0, "d" -> 1.0), 6000L)
+      == Seq("a" -> 3000L, "b" -> 1500L, "c" -> 750L, "d" -> 750L))
+    val docs = (1 to 120).map { i =>
+      val src = Seq("a", "b", "c")(i % 3)
+      (i.toLong, src, 40L + i % 7)   // ~40-46 cost units each
+    }.toDF("id", "source", "cost")
+    val got = Sampling.assembleToBudget(docs, "id", "cost", "source",
+      Seq("a" -> 2.0, "b" -> 1.0), totalBudget = 900L)
+      .as[(Long, String, Long)].collect()
+    // weighted sources only, and the inclusive running total never overshoots
+    val perSource = got.groupBy(_._2)
+    assert(perSource.keySet == Set("a", "b"))
+    assert(perSource("a").map(_._3).max <= 600L)   // 2/3 × 900
+    assert(perSource("b").map(_._3).max <= 300L)   // 1/3 × 900
+    // strict fit: each source's next-in-hash-order doc would have overshot,
+    // i.e. the kept sets are maximal prefixes (cum_cost is the running sum)
+    perSource.values.foreach { rows =>
+      val cums = rows.map(_._3).sorted
+      assert(cums.zip(cums.tail).forall { case (x, y) => y > x })
+    }
+    // selection is a pure function of (salt, id): partitioning can't move it
+    val again = Sampling.assembleToBudget(docs.repartition(7), "id", "cost",
+      "source", Seq("a" -> 2.0, "b" -> 1.0), totalBudget = 900L)
+      .as[(Long, String, Long)].collect()
+    assert(got.toSet == again.toSet)
+  }
 }
