@@ -151,6 +151,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       p.take(1200))
   }
 
+  test("q107: budget assembly shuffles once by source; the cum-sum rides that partitioning") {
+    val p = plan("q107_budget_mix")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "one source shuffle only:\n" + p.take(1200))
+    assert(p.contains("Window"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q93: PageRank adjacency build — broadcast id mapping, one edge shuffle, no SMJ") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

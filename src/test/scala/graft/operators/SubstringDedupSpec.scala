@@ -128,6 +128,31 @@ class SubstringDedupSpec extends AnyFunSuite with SparkSpec {
     assert(runOverlap(docs, k = 3, cap = 3).isEmpty)
   }
 
+  test("crossSourceOverlap: randomized parity with a naive driver reference") {
+    val rnd = new scala.util.Random(53)
+    (1 to 3).foreach { trial =>
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+      val docs: Seq[(String, String)] = (0 until 30).map { i =>
+        val src = s"s${rnd.nextInt(5)}"
+        src -> Seq.fill(4 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val k = 2
+      val got = runOverlap(docs, k)
+      // naive reference: distinct (source, gram-string) pairs, per-gram
+      // source sets, upper-triangle counts (no cap hit at 5 sources)
+      val grams = docs.flatMap { case (src, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        ws.sliding(k).filter(_.length == k).map(g => (src, g.mkString("\u001f")))
+      }.distinct
+      val bySources = grams.groupBy(_._2).values
+        .map(_.map(_._1).distinct.sorted).filter(_.size >= 2)
+      val want = bySources.flatMap(ss =>
+        for (i <- ss.indices; j <- i + 1 until ss.size) yield (ss(i), ss(j)))
+        .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("native uncoveredTokens matches the exists-per-token builtin form") {
     import org.apache.spark.sql.functions.col
     val rows: Seq[(Seq[String], Seq[Long])] = Seq(
