@@ -1532,6 +1532,21 @@ object SparkEntry {
       Tables(s, dir).documents, "doc_id", "n_chars", "source",
       q107Weights, totalBudget = 6000L)
 
+  // ---- q108: THREE-dimensional Hilbert layout index (Skilling 2004) —
+  //      q85's 2-D walk generalized: unit-step locality across all three
+  //      clustered columns, where a 3-column Z-order takes block-boundary
+  //      jumps. Staged per (level, dim); the oracle replays the identical
+  //      transform + transposed Morton interleave. ----
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    ops.Hilbert.withHilbertN(
+      Tables(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(64)).as("hx"),
+        pmod(col("l_suppkey"), lit(64)).as("hy"),
+        pmod(col("l_quantity").cast("long"), lit(64)).as("hz")),
+      Seq(col("hx"), col("hy"), col("hz")), bits = 6, "hval")
+      .select(col("l_orderkey"), col("l_linenumber"), col("hval"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1641,6 +1656,7 @@ object SparkEntry {
     "q105_session_window"  -> q105 _,
     "q106_stream_enrich"   -> q106 _,
     "q107_budget_mix"      -> q107 _,
+    "q108_hilbert3"        -> q108 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1747,6 +1763,11 @@ object SparkEntry {
       from = "lineitem", keys = Seq("l_orderkey", "l_linenumber"),
       xExpr = "l_partkey % 256", yExpr = "l_suppkey % 256",
       bits = 8, outCol = "hval"),
+    "q108_hilbert3" -> ops.Hilbert.hilbertNSql(
+      from = "lineitem", keys = Seq("l_orderkey", "l_linenumber"),
+      coordExprs = Seq("l_partkey % 64", "l_suppkey % 64",
+        "CAST(l_quantity AS BIGINT) % 64"),
+      bits = 6, outCol = "hval"),
     // q86: the draw positions are pure integer hashes, so the oracle
     // replays the exact sample; sum() OVER returns HUGEINT (cast back).
     "q86_weighted_replace" ->

@@ -113,4 +113,174 @@ object Hilbert {
       .sortWithinPartitions(col("__hv"))
       .drop("__hv")
   }
+
+  // ------------------------------------------------------------------
+  // n-dimensional Hilbert (Skilling, "Programming the Hilbert curve",
+  // AIP Conf. Proc. 707 (2004) 381): AxesToTranspose — per bit level,
+  // each dimension either inverts the low bits of dim 0 or exchanges
+  // low bits with it, then a Gray-style fold — followed by the Morton
+  // interleave of the transposed form (dim 0 most significant within a
+  // level). Same staging discipline as the 2-D walk: every level×dim
+  // update is its own projection with the shared xor-mask staged, so
+  // the expression tree is LINEAR in bits·dims; all arithmetic is
+  // &, XOR, CASE and multiplies by literal powers of two (no shifts
+  // except the oracle-safe `>>`), replayed verbatim by the oracle.
+  // Bijectivity and the unit-step adjacency property are spec-pinned
+  // for n = 2..4 (HilbertSpec). Inputs in [0, 2^bits); dims·bits ≤ 62.
+  // ------------------------------------------------------------------
+
+  /** Append `outCol` = n-D Hilbert index of `coords` (one column per
+    * dimension). The walk runs as ONE native expression per row
+    * ([[HilbertNExpr]] — the [[hilbertIndexN]] loop verbatim): a staged
+    * column formulation of the bits·dims Skilling steps stacked enough
+    * projections that whole-stage codegen bailed out and the whole plan
+    * fell back to interpreted expression eval (measured 3.1 s at sf0.1
+    * vs 0.2 s native) — exactly the hot-loop case the native-expression
+    * preference exists for. The ORACLE still replays the identical
+    * staged arithmetic relationally ([[hilbertNSql]]), so the native
+    * loop is cross-engine-verified by every gate run.
+    */
+  def withHilbertN(df: DataFrame, coords: Seq[Column], bits: Int,
+                   outCol: String): DataFrame = {
+    val n = coords.size
+    require(n >= 2, "need at least 2 dimensions")
+    require(bits > 0 && n * bits <= 62, s"dims*bits must be in (0, 62]: $n*$bits")
+    df.withColumn(outCol,
+      org.apache.spark.sql.GraftColumnBridge.column(HilbertNExpr(
+        coords.map(c => org.apache.spark.sql.GraftColumnBridge.expression(
+          c.cast("long"))), bits)))
+  }
+
+  /** SQL (DuckDB) replay of [[withHilbertN]]: the same per-(level, dim)
+    * unroll as nested selects.
+    */
+  def hilbertNSql(from: String, keys: Seq[String], coordExprs: Seq[String],
+                  bits: Int, outCol: String): String = {
+    val n = coordExprs.size
+    require(n >= 2 && bits > 0 && n * bits <= 62)
+    val ks = keys.mkString(", ")
+    val hs = (0 until n).map(i => s"h$i")
+    var inner = s"SELECT $ks, " + coordExprs.zipWithIndex.map { case (e, i) =>
+      s"CAST($e AS BIGINT) AS h$i"
+    }.mkString(", ") + s" FROM $from"
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        val others = hs.filter(c => c != "h0" && c != s"h$i")
+        val keep = if (others.nonEmpty) others.mkString(", ", ", ", "") else ""
+        val hiOut = if (i == 0) ""
+        else s", CASE WHEN (h$i & $q) <> 0 THEN h$i ELSE xor(h$i, ht) END AS h$i"
+        inner =
+          s"""SELECT $ks,
+             |  CASE WHEN (h$i & $q) <> 0 THEN xor(h0, $p) ELSE xor(h0, ht) END AS h0$hiOut$keep
+             |FROM (SELECT $ks, ${hs.mkString(", ")}, (xor(h0, h$i) & $p) AS ht FROM ($inner))""".stripMargin
+        i += 1
+      }
+      q >>= 1
+    }
+    val grayCols = (0 until n).map(i =>
+      (0 to i).map(j => s"h$j").reduce((a, b) => s"xor($a, $b)") + s" AS h$i")
+    inner = s"SELECT $ks, ${grayCols.mkString(", ")} FROM ($inner)"
+    val tExpr = {
+      var t = "CAST(0 AS BIGINT)"
+      var qq = 1L << (bits - 1)
+      while (qq > 1) {
+        t = s"xor($t, CASE WHEN (h${n - 1} & $qq) <> 0 THEN ${qq - 1} ELSE 0 END)"
+        qq >>= 1
+      }
+      t
+    }
+    inner = s"SELECT $ks, ${hs.mkString(", ")}, $tExpr AS ht FROM ($inner)"
+    inner = s"SELECT $ks, " +
+      (0 until n).map(i => s"xor(h$i, ht) AS h$i").mkString(", ") + s" FROM ($inner)"
+    val interleave = (for {
+      j <- 0 until bits
+      k <- 0 until n
+    } yield s"((h$k >> $j) & 1) * ${1L << (j * n + (n - 1 - k))}")
+      .mkString("(", " + ", ")")
+    s"SELECT $ks, $interleave AS $outCol FROM ($inner)"
+  }
+
+  /** Driver-side reference of the n-D walk — spec parity and tooling. */
+  def hilbertIndexN(coords0: Seq[Long], bits: Int): Long = {
+    val n = coords0.length
+    val x = coords0.toArray
+    val m = 1L << (bits - 1)
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = m
+    while (q > 1) { if ((x(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      var k = 0
+      while (k < n) {
+        out |= ((x(k) >> j) & 1L) << (j * n + (n - 1 - k))
+        k += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Range-partition and sort along the n-D curve — the write-side
+    * clustering step, one range exchange.
+    */
+  def clusterByHilbertN(df: DataFrame, coords: Seq[Column], bits: Int,
+                        numPartitions: Int): DataFrame = {
+    require(numPartitions > 0, "numPartitions must be positive")
+    withHilbertN(df, coords, bits, "__hv")
+      .repartitionByRange(numPartitions, col("__hv"))
+      .sortWithinPartitions(col("__hv"))
+      .drop("__hv")
+  }
+}
+
+/** The Skilling walk as one native per-row loop ([[Hilbert.hilbertIndexN]]
+  * semantics exactly; null if any coordinate is null).
+  */
+case class HilbertNExpr(children: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                        bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(children.size >= 2 && bits > 0 && children.size * bits <= 62)
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val n = children.size
+    val coords = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      coords(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    java.lang.Long.valueOf(
+      Hilbert.hilbertIndexN(scala.collection.immutable.ArraySeq.unsafeWrapArray(coords), bits))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression]): HilbertNExpr =
+    copy(children = newChildren)
 }

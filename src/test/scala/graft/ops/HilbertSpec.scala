@@ -88,4 +88,58 @@ class HilbertSpec extends AnyFunSuite with SparkSpec {
       Hilbert.withHilbert(Seq((1L, 1L)).toDF("x", "y"), col("x"), col("y"), 32, "h")
     }
   }
+
+  test("n-D reference is bijective with unit-step adjacency (n = 2, 3, 4)") {
+    for (n <- 2 to 4; bits <- 2 to (if (n == 2) 4 else 2)) {
+      val side = 1 << bits
+      val total = math.pow(side, n).toInt
+      val byIndex = new Array[Seq[Long]](total)
+      def loop(dims: Int, acc: List[Long]): Unit =
+        if (dims == 0) {
+          val c = acc.reverse
+          val h = Hilbert.hilbertIndexN(c, bits)
+          assert(h >= 0 && h < total, s"n=$n bits=$bits out of range: $h")
+          assert(byIndex(h.toInt) == null, s"n=$n bits=$bits collision at $h")
+          byIndex(h.toInt) = c
+        } else (0 until side).foreach(v => loop(dims - 1, v.toLong :: acc))
+      loop(n, Nil)
+      (1 until total).foreach { i =>
+        val d = byIndex(i - 1).zip(byIndex(i)).map { case (u, v) => math.abs(u - v) }.sum
+        assert(d == 1, s"n=$n bits=$bits: jump of $d between ${i - 1} and $i")
+      }
+    }
+  }
+
+  test("n-D column walk matches the driver reference on random points") {
+    val rnd = new scala.util.Random(61)
+    for (n <- Seq(3, 4); bits <- Seq(2, 5)) {
+      val pts: Seq[Seq[Long]] =
+        Seq.fill(40)(Seq.fill(n)(rnd.nextInt(1 << bits).toLong))
+      val df = pts.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toDF("id", "cs")
+      val coords = (0 until n).map(i => element_at(col("cs"), i + 1))
+      val got = Hilbert.withHilbertN(df, coords, bits, "h")
+        .select("id", "h").as[(Long, Long)].collect().toMap
+      pts.zipWithIndex.foreach { case (c, i) =>
+        assert(got(i.toLong) == Hilbert.hilbertIndexN(c, bits),
+          s"n=$n bits=$bits point=$c")
+      }
+    }
+  }
+
+  test("n-D walk at n=2 is itself a valid Hilbert curve (adjacency via the column form)") {
+    // The Skilling orientation differs from the 2-D xy2d walk's — both are
+    // Hilbert curves; pin the property, not cross-variant equality.
+    val bits = 3
+    val side = 1 << bits
+    val df = (for (x <- 0 until side; y <- 0 until side)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val got = Hilbert.withHilbertN(df, Seq(col("x"), col("y")), bits, "h")
+      .select("h", "x", "y").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0 until side * side).map(_.toLong))
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(math.abs(a._2 - b._2) + math.abs(a._3 - b._3) == 1)
+    }
+  }
 }
