@@ -1547,6 +1547,26 @@ object SparkEntry {
       Seq(col("hx"), col("hy"), col("hz")), bits = 6, "hval")
       .select(col("l_orderkey"), col("l_linenumber"), col("hval"))
 
+  // ---- q109: data-quality audit — expectation checks as one report:
+  //      five row predicates in a single conditional-aggregate scan,
+  //      key uniqueness via rows − distinct keys, and referential
+  //      integrity via a broadcast anti-join count. Exact integers; the
+  //      oracle replays every rule with no tolerance. ----
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    operators.Audit.report(Seq(
+      operators.Audit.rowChecks(li, Seq(
+        "quantity_in_1_50" -> !col("l_quantity").between(1, 50),
+        "price_positive" -> (col("l_extendedprice") <= 0),
+        "shipdate_not_null" -> col("l_shipdate").isNull,
+        "discount_in_0_10pct" -> !col("l_discount").between(0.0, 0.10),
+        "flag_domain" -> !col("l_returnflag").isin("A", "N", "R"))),
+      operators.Audit.uniqueness(li, Seq("l_orderkey", "l_linenumber"),
+        "orderline_unique"),
+      operators.Audit.referential(li, "l_orderkey",
+        Tables(s, dir).orders, "o_orderkey", "orderkey_resolves")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1657,6 +1677,7 @@ object SparkEntry {
     "q106_stream_enrich"   -> q106 _,
     "q107_budget_mix"      -> q107 _,
     "q108_hilbert3"        -> q108 _,
+    "q109_quality_audit"   -> q109 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1763,6 +1784,39 @@ object SparkEntry {
       from = "lineitem", keys = Seq("l_orderkey", "l_linenumber"),
       xExpr = "l_partkey % 256", yExpr = "l_suppkey % 256",
       bits = 8, outCol = "hval"),
+    // q109: every rule replays exactly — conditional-aggregate counts,
+    // rows − distinct keys (no null keys in the data, so the engines'
+    // null-skip conventions for DISTINCT agree), and a NOT EXISTS count
+    // (same null semantics as the anti-join: a null key never matches).
+    "q109_quality_audit" ->
+      """SELECT 'quantity_in_1_50' AS check_name,
+        |  CAST(sum(CASE WHEN COALESCE(NOT (l_quantity BETWEEN 1 AND 50), TRUE)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM lineitem
+        |UNION ALL
+        |SELECT 'price_positive',
+        |  CAST(sum(CASE WHEN COALESCE(l_extendedprice <= 0, TRUE)
+        |           THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'shipdate_not_null',
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'discount_in_0_10pct',
+        |  CAST(sum(CASE WHEN COALESCE(NOT (l_discount BETWEEN 0.0 AND 0.10), TRUE)
+        |           THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'flag_domain',
+        |  CAST(sum(CASE WHEN COALESCE(l_returnflag NOT IN ('A', 'N', 'R'), TRUE)
+        |           THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'orderline_unique',
+        |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orderkey_resolves',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey))""".stripMargin,
     "q108_hilbert3" -> ops.Hilbert.hilbertNSql(
       from = "lineitem", keys = Seq("l_orderkey", "l_linenumber"),
       coordExprs = Seq("l_partkey % 64", "l_suppkey % 64",

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality audit — expectation checks as a first-class operator
+  * (the dbt-test / Great-Expectations layer of a production pipeline):
+  * each rule yields one (check_name, violations) row, so a pipeline can gate
+  * a load on `violations == 0` or track data drift over time.
+  *
+  * Scale shape per rule family:
+  *   - row predicates: ALL checks evaluate in ONE corpus scan as
+  *     conditional aggregates (`sum(case when violated)`) — no shuffle
+  *     beyond the single 1-row aggregate, however many rules ride along;
+  *   - uniqueness: violations = rows − distinct keys, one
+  *     map-side-combined distinct count;
+  *   - referential integrity: a LEFT ANTI count against the parent's
+  *     distinct keys — the parent side reduces to its key set before the
+  *     join, and a broadcast hint applies when the key set is dim-sized.
+  *
+  * All counts are exact integers — the DuckDB oracle replays every rule
+  * with no tolerance.
+  */
+object Audit {
+
+  /** Evaluate row-level rules in one scan. Each rule is (name, VIOLATION
+    * predicate) — a row where the predicate is true (null predicate
+    * results count as violations too: an un-evaluable expectation is not
+    * a pass).
+    */
+  def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "at least one check")
+    val aggs = checks.map { case (name, violated) =>
+      sum(when(coalesce(violated, lit(true)), 1L).otherwise(0L)).as(name)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // one row per check, in the caller's order
+    checks.map { case (name, _) =>
+      row.select(lit(name).as("check_name"),
+        coalesce(col(name), lit(0L)).as("violations"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Uniqueness violations on a key: rows beyond the first per key
+    * (`n_rows − n_distinct_keys`) — 0 iff the key is unique.
+    */
+  def uniqueness(df: DataFrame, keyCols: Seq[String], name: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    df.agg(count(lit(1)).as("__n"),
+        countDistinct(keyCols.head, keyCols.tail: _*).as("__d"))
+      .select(lit(name).as("check_name"), (col("__n") - col("__d")).as("violations"))
+  }
+
+  /** Referential-integrity violations: child rows whose key has no match
+    * in the parent (null child keys violate too — an unresolvable
+    * reference). Parent reduces to its distinct key set first.
+    */
+  def referential(child: DataFrame, childKey: String,
+                  parent: DataFrame, parentKey: String,
+                  name: String, broadcastParent: Boolean = true): DataFrame = {
+    val keys0 = parent.select(col(parentKey).as("__pk")).distinct()
+    val keys = if (broadcastParent) broadcast(keys0) else keys0
+    child.select(col(childKey).as("__ck"))
+      .join(keys, col("__ck") === col("__pk"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("check_name"), col("violations"))
+  }
+
+  /** Assemble a report from rule-family frames (each (check_name, violations)). */
+  def report(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "at least one part")
+    parts.reduce(_ unionAll _)
+  }
+}
