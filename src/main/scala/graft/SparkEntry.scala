@@ -1567,6 +1567,22 @@ object SparkEntry {
         Tables(s, dir).orders, "o_orderkey", "orderkey_resolves")))
   }
 
+  // ---- q110: snapshot diff (change-data-capture) — added/removed/
+  //      changed keys between two deterministic derivations of the
+  //      orders table: "before" drops keys ≡ 0 (mod 101), "after" drops
+  //      keys ≡ 0 (mod 97) and bumps o_totalprice where ≡ 0 (mod 89).
+  //      One full-outer key join, payload packed per side, null-safe
+  //      struct compare; exact set semantics. ----
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders
+    val before = o.filter(col("o_orderkey") % 101 =!= 0)
+    val after = o.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    ops.SnapshotDiff.diff(before, after, Seq("o_orderkey"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1678,6 +1694,7 @@ object SparkEntry {
     "q107_budget_mix"      -> q107 _,
     "q108_hilbert3"        -> q108 _,
     "q109_quality_audit"   -> q109 _,
+    "q110_snapshot_diff"   -> q110 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1784,6 +1801,37 @@ object SparkEntry {
       from = "lineitem", keys = Seq("l_orderkey", "l_linenumber"),
       xExpr = "l_partkey % 256", yExpr = "l_suppkey % 256",
       bits = 8, outCol = "hval"),
+    // q110: the diff replays as a FULL JOIN with IS DISTINCT FROM on the
+    // one payload column that can change (the others ride along in the
+    // struct compare — replay them all for exactness).
+    "q110_snapshot_diff" ->
+      """WITH b AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 101 <> 0
+        |), a AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |)
+        |SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |  CASE WHEN a.o_orderkey IS NULL THEN 'removed'
+        |       WHEN b.o_orderkey IS NULL THEN 'added'
+        |       WHEN (b.o_custkey IS DISTINCT FROM a.o_custkey)
+        |         OR (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)
+        |         OR (b.o_totalprice IS DISTINCT FROM a.o_totalprice)
+        |         OR (b.o_orderdate IS DISTINCT FROM a.o_orderdate)
+        |         OR (b.o_orderpriority IS DISTINCT FROM a.o_orderpriority)
+        |       THEN 'changed' END AS change
+        |FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey
+        |WHERE CASE WHEN a.o_orderkey IS NULL THEN 'removed'
+        |           WHEN b.o_orderkey IS NULL THEN 'added'
+        |           WHEN (b.o_custkey IS DISTINCT FROM a.o_custkey)
+        |             OR (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)
+        |             OR (b.o_totalprice IS DISTINCT FROM a.o_totalprice)
+        |             OR (b.o_orderdate IS DISTINCT FROM a.o_orderdate)
+        |             OR (b.o_orderpriority IS DISTINCT FROM a.o_orderpriority)
+        |           THEN 'changed' END IS NOT NULL""".stripMargin,
     // q109: every rule replays exactly — conditional-aggregate counts,
     // rows − distinct keys (no null keys in the data, so the engines'
     // null-skip conventions for DISTINCT agree), and a NOT EXISTS count
