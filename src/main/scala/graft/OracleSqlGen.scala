@@ -1041,7 +1041,8 @@ object OracleSqlGen {
        |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY
        |      ${PortableHash.hash60Sql(s"'$salt:' || CAST(doc_id AS VARCHAR)")}, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
-       |  FROM documents WHERE source IN ($inList)) t
+       |  FROM documents
+       |  WHERE source IN ($inList) AND n_chars IS NOT NULL AND n_chars >= 0) t
        |WHERE cum_cost <= $budgetCase""".stripMargin
   }
 

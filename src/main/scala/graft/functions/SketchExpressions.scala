@@ -511,6 +511,17 @@ case class FirstOccurrencesExpr(child: Expression)
   override def dataType: DataType = child.dataType
   override def nullable: Boolean = true
 
+  // SQL-reachable (graft_first_occurrences): reject non-string arrays at
+  // analysis time instead of ClassCastException inside an executor
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_first_occurrences expects array<string>, got ${other.simpleString}")
+    }
+
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null

@@ -26,28 +26,37 @@ object Audit {
   /** Evaluate row-level rules in one scan. Each rule is (name, VIOLATION
     * predicate) — a row where the predicate is true (null predicate
     * results count as violations too: an un-evaluable expectation is not
-    * a pass).
+    * a pass). The report unpivots the single aggregate row via `stack`,
+    * so the plan is structurally ONE scan — not one reused-exchange copy
+    * per rule.
     */
   def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "at least one check")
-    val aggs = checks.map { case (name, violated) =>
-      sum(when(coalesce(violated, lit(true)), 1L).otherwise(0L)).as(name)
+    require(checks.map(_._1).distinct.size == checks.size,
+      "check names must be distinct")
+    require(checks.forall(!_._1.contains("'")), "check names must not contain quotes")
+    val aggs = checks.zipWithIndex.map { case ((_, violated), i) =>
+      sum(when(coalesce(violated, lit(true)), 1L).otherwise(0L)).as(s"__c$i")
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    // one row per check, in the caller's order
-    checks.map { case (name, _) =>
-      row.select(lit(name).as("check_name"),
-        coalesce(col(name), lit(0L)).as("violations"))
-    }.reduce(_ unionAll _)
+    val stackArgs = checks.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', coalesce(__c$i, 0L)" }
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${checks.size}, $stackArgs) AS (check_name, violations)"))
   }
 
   /** Uniqueness violations on a key: rows beyond the first per key
-    * (`n_rows − n_distinct_keys`) — 0 iff the key is unique.
+    * (`n_rows − n_distinct_keys`) — 0 iff the key is unique. The key is
+    * counted as a STRUCT, so null key components form real (countable)
+    * key values — two (null, 1) rows are one duplicate, exactly like
+    * SQL's `count(DISTINCT (a, b))` (a bare multi-column countDistinct
+    * would skip null-keyed rows and over-report).
     */
   def uniqueness(df: DataFrame, keyCols: Seq[String], name: String): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column")
     df.agg(count(lit(1)).as("__n"),
-        countDistinct(keyCols.head, keyCols.tail: _*).as("__d"))
+        countDistinct(struct(keyCols.map(col): _*)).as("__d"))
       .select(lit(name).as("check_name"), (col("__n") - col("__d")).as("violations"))
   }
 

@@ -121,14 +121,21 @@ object InvertedIndex {
     // directory survives without catalog metadata (in-memory catalog +
     // on-disk warehouse): overwrite-saveAsTable only replaces tables the
     // catalog knows about, and errors LOCATION_ALREADY_EXISTS otherwise.
+    // Qualified names would resolve to <warehouse>/<db>.db/<table>, and a
+    // non-file warehouse (hdfs://, s3a://) never matches java.io.File —
+    // restrict to the supported shape rather than silently skipping the
+    // cleanup and failing later with LOCATION_ALREADY_EXISTS.
+    require(!table.contains("."),
+      s"buildPhraseStore expects an unqualified table name, got '$table'")
     val spark = docs.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = new java.io.File(warehouse, table.toLowerCase)
+    val warehouseUri = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    require(warehouseUri.getScheme == null || warehouseUri.getScheme == "file",
+      s"orphan cleanup supports file: warehouses only, got $warehouseUri")
+    val loc = new java.io.File(warehouseUri.getPath, table.toLowerCase)
     if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()
       }
       rm(loc)

@@ -166,9 +166,13 @@ object KMeans {
 /** Argmin over a literal centroid matrix for one scaled-long point: exact
   * long squared distances, strict `<` so ties keep the LOWEST cid — the
   * same arithmetic and tiebreak as [[KMeans.nearestCentroidBuiltin]]
-  * (pinned in KMeansSpec). Null input, or a vector whose dimension does
-  * not match the centroids', yields null (the uniform-dimension
-  * requirement is part of [[KMeans.assign]]'s contract).
+  * (pinned in KMeansSpec). Null input, a null element, or a vector whose
+  * dimension does not match the centroids', yields null (the
+  * uniform-dimension requirement is part of [[KMeans.assign]]'s
+  * contract). DOMAIN NOTE: distances must fit a long — [[KMeans.assign]]'s
+  * scale keeps d·(2·scale)² ≪ 2⁶³; outside that domain this native loop
+  * wraps where the ANSI-mode HOF reference would throw, so the parity pin
+  * holds only on the documented domain.
   */
 case class NearestCentroidExpr(
     child: org.apache.spark.sql.catalyst.expressions.Expression,
@@ -190,7 +194,15 @@ case class NearestCentroidExpr(
     val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val d = mat(0).length
     if (arr.numElements() != d) return null
-    val x = arr.toLongArray()
+    // null elements propagate to a null cid (the HOF parity form's
+    // behavior), rather than crashing toLongArray
+    val x = new Array[Long](d)
+    var e = 0
+    while (e < d) {
+      if (arr.isNullAt(e)) return null
+      x(e) = arr.getLong(e)
+      e += 1
+    }
     var best = Long.MaxValue
     var bestCid = 0
     var j = 0

@@ -95,18 +95,22 @@ object PageRank {
   /** @param edges two-column frame (`src`, `dst`) of directed edges;
     *        duplicates are collapsed
     * @param broadcastMaxNodes graphs up to this many nodes keep the
-    *        node-sized rank state driver-local and broadcast the per-round
-    *        contribution table (~16 bytes/node — the same bound the
-    *        broadcast itself implies); larger graphs keep ranks
-    *        distributed and shuffle only the rank frame against the
-    *        cached src-partitioned edges
+    *        node-sized rank state driver-local. The honest driver cost
+    *        is NOT 16 bytes/node: the node dictionary lives as boxed
+    *        rows while the id mapping materializes (≈100–200 bytes/node
+    *        for string keys), the per-round broadcast ships 8 bytes/node,
+    *        and the out-degree treeAggregate allocates one 8·n-byte
+    *        scratch per partition. The 2M default is comfortable in a
+    *        few-GB driver; raise it only with driver/executor memory to
+    *        match. Larger graphs keep ranks distributed and shuffle only
+    *        the rank frame against the cached src-partitioned edges.
     * @return (`node`, `rank`) — fixed-point ranks after exactly
     *         `iterations` rounds from the uniform start
     */
   def ranks(edges: DataFrame, iterations: Int = 10,
             scale: Long = 1000000000000L,
             dampNum: Long = 85, dampDen: Long = 100,
-            broadcastMaxNodes: Long = 10000000L): DataFrame = {
+            broadcastMaxNodes: Long = 2000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
     val spark = edges.sparkSession

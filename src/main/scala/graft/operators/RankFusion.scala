@@ -38,6 +38,12 @@ object RankFusion {
     val ranked = lists.zipWithIndex.map { case (df, i) =>
       val w = Window.orderBy(col(scoreCol).desc, col(idCol))
       df.select(col(idCol), col(scoreCol))
+        // an id may legitimately appear several times in a raw retriever
+        // output (one row per matching chunk); RRF is defined over ranked
+        // DISTINCT items, so collapse to each id's best score first —
+        // without this, duplicate ids take several rank slots and the
+        // full-outer fold fans out into duplicated, inflated rows
+        .groupBy(col(idCol)).agg(max(col(scoreCol)).as(scoreCol))
         .withColumn("__r", row_number().over(w))
         .select(col(idCol).as(s"__id$i"),
           (lit(1.0) / (lit(kRrf.toDouble) + col("__r").cast("double")))

@@ -292,6 +292,11 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .filter(col(sourceCol).isin(budgets.map(_._1): _*))
+      // the never-overshoot/maximal-prefix contract needs a well-defined
+      // non-negative cost: a null cost would ride for free (window sums
+      // skip nulls) and a negative one makes cum_cost non-monotone, so
+      // both are excluded from the draw rather than silently mispriced
+      .filter(col(costCol).isNotNull && col(costCol) >= 0)
       .withColumn("cum_cost", sum(col(costCol)).over(w).cast("long"))
       .filter(col("cum_cost") <= budgetExpr)
       .select(col(idCol), col(sourceCol), col("cum_cost"))

@@ -218,6 +218,21 @@ case class UncoveredTokensExpr(
   override def dataType: org.apache.spark.sql.types.DataType = tokens.dataType
   override def nullable: Boolean = true
 
+  // SQL-reachable (graft_uncovered_tokens): an int-literal starts array —
+  // the natural SQL spelling `array(2)` — must fail at analysis, not read
+  // 4-byte slots as longs inside an executor
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types._
+    (tokens.dataType, starts.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (t, s) => TypeCheckResult.TypeCheckFailure(
+        "graft_uncovered_tokens expects (array<string>, array<bigint>), got " +
+          s"(${t.simpleString}, ${s.simpleString})")
+    }
+  }
+
   override def nullSafeEval(t: Any, s: Any): Any = {
     val toks = t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val sts = s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

@@ -26,8 +26,13 @@ object SnapshotDiff {
     */
   def diff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "at least one key column")
-    require(before.columns.sameElements(after.columns),
-      "before/after schemas must match")
+    // Names AND types: type drift between snapshots is a core CDC
+    // hazard — caught here as a clear error, not a deep analysis
+    // exception (or a silent coercion) inside the struct comparison.
+    require(
+      before.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        after.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"before/after schemas must match exactly; got ${before.schema.simpleString} vs ${after.schema.simpleString}")
     val payload = before.columns.filterNot(keys.contains)
     def pack(df: DataFrame, tag: String): DataFrame = {
       val v =

@@ -38,6 +38,24 @@ class AuditSpec extends AnyFunSuite with SparkSpec {
     assert(got == ("fk_resolves", 2L))  // 9 and null
   }
 
+  test("uniqueness treats null key components as real key values (oracle parity)") {
+    // two (null, 1) rows are ONE duplicate — count(DISTINCT struct) must
+    // not skip null-keyed rows the way a bare multi-column countDistinct does
+    val t = Seq((Option.empty[Long], 1), (Option.empty[Long], 1), (Some(1L), 1))
+      .toDF("k1", "k2")
+    val got = Audit.uniqueness(t, Seq("k1", "k2"), "u").as[(String, Long)].head()
+    assert(got == ("u", 1L))
+  }
+
+  test("duplicate or quoted check names are rejected up front") {
+    intercept[IllegalArgumentException] {
+      Audit.rowChecks(rows, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+    intercept[IllegalArgumentException] {
+      Audit.rowChecks(rows, Seq("bad'name" -> lit(true)))
+    }
+  }
+
   test("an empty frame audits clean (zero violations, not null)") {
     val empty = rows.filter(lit(false))
     val got = Audit.report(Seq(

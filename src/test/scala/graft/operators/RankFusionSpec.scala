@@ -51,6 +51,16 @@ class RankFusionSpec extends AnyFunSuite with SparkSpec {
     assert(fuse(Seq(a)).map(_._1) == Seq(6L, 5L))
   }
 
+  test("duplicate ids within a list collapse to their best score before ranking") {
+    // a retriever emitting one row per matching chunk must not let one
+    // doc occupy several rank slots or fan out the fold join
+    val withDups = Seq(1L -> 0.9, 1L -> 0.5, 2L -> 0.7)
+    val clean = Seq(1L -> 0.9, 2L -> 0.7)
+    assert(fuse(Seq(withDups)) == fuse(Seq(clean)))
+    assert(fuse(Seq(withDups, withDups)).map(_._1).distinct.size ==
+      fuse(Seq(withDups, withDups)).size)
+  }
+
   test("randomized parity with the driver replay across list counts and shapes") {
     val rnd = new scala.util.Random(41)
     (1 to 5).foreach { trial =>
