@@ -1563,8 +1563,11 @@ object SparkEntry {
         "flag_domain" -> !col("l_returnflag").isin("A", "N", "R"))),
       operators.Audit.uniqueness(li, Seq("l_orderkey", "l_linenumber"),
         "orderline_unique"),
+      // gate-scale orders' key set is dim-sized — opt in to the broadcast
+      // explicitly (the operator's safe default is a shuffled anti-join)
       operators.Audit.referential(li, "l_orderkey",
-        Tables(s, dir).orders, "o_orderkey", "orderkey_resolves")))
+        Tables(s, dir).orders, "o_orderkey", "orderkey_resolves",
+        broadcastParent = true)))
   }
 
   // ---- q110: snapshot diff (change-data-capture) — added/removed/

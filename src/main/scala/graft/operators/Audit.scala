@@ -26,24 +26,26 @@ object Audit {
   /** Evaluate row-level rules in one scan. Each rule is (name, VIOLATION
     * predicate) — a row where the predicate is true (null predicate
     * results count as violations too: an un-evaluable expectation is not
-    * a pass). The report unpivots the single aggregate row via `stack`,
-    * so the plan is structurally ONE scan — not one reused-exchange copy
-    * per rule.
+    * a pass). The report unpivots the single aggregate row to one row per
+    * rule through the Column API (an exploded struct array — check names
+    * ride as `lit` literals, so a name is DATA, never parsed SQL text: no
+    * quote/backslash escaping surface), and the plan is structurally ONE
+    * scan — not one reused-exchange copy per rule.
     */
   def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "at least one check")
     require(checks.map(_._1).distinct.size == checks.size,
       "check names must be distinct")
-    require(checks.forall(!_._1.contains("'")), "check names must not contain quotes")
     val aggs = checks.zipWithIndex.map { case ((_, violated), i) =>
       sum(when(coalesce(violated, lit(true)), 1L).otherwise(0L)).as(s"__c$i")
     }
-    val stackArgs = checks.zipWithIndex
-      .map { case ((name, _), i) => s"'$name', coalesce(__c$i, 0L)" }
-      .mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(
-        s"stack(${checks.size}, $stackArgs) AS (check_name, violations)"))
+      .select(explode(array(checks.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("check_name"),
+          coalesce(col(s"__c$i"), lit(0L)).as("violations"))
+      }: _*)).as("kv"))
+      .select(col("kv.check_name").as("check_name"),
+        col("kv.violations").as("violations"))
   }
 
   /** Uniqueness violations on a key: rows beyond the first per key
@@ -63,10 +65,16 @@ object Audit {
   /** Referential-integrity violations: child rows whose key has no match
     * in the parent (null child keys violate too — an unresolvable
     * reference). Parent reduces to its distinct key set first.
+    *
+    * `broadcastParent` defaults FALSE: the safe default for a
+    * parent of unknown size is a shuffled anti-join (AQE still upgrades
+    * it to broadcast when the collected key set proves small). Pass true
+    * only when the parent's distinct key set is known dim-sized — a
+    * fact-sized parent's key set would blow the driver/broadcast limit.
     */
   def referential(child: DataFrame, childKey: String,
                   parent: DataFrame, parentKey: String,
-                  name: String, broadcastParent: Boolean = true): DataFrame = {
+                  name: String, broadcastParent: Boolean = false): DataFrame = {
     val keys0 = parent.select(col(parentKey).as("__pk")).distinct()
     val keys = if (broadcastParent) broadcast(keys0) else keys0
     child.select(col(childKey).as("__ck"))

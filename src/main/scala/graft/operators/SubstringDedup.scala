@@ -242,9 +242,19 @@ case class UncoveredTokensExpr(
     var p = 0
     var i = 1L // 1-based token index, matching the gram starts
     while (i <= n) {
-      while (p < m && sts.getLong(p) + k <= i) p += 1
+      // Null ELEMENTS must match the builtin parity form exactly: a null
+      // start contributes a null predicate to the builtin's inner filter
+      // (excluded — covers nothing), and sort_array places nulls FIRST, so
+      // skipping them here preserves the two-pointer monotonicity; a null
+      // token passes the builtin's outer filter untouched (its lambda never
+      // reads the value), so it stays in the output AS null rather than
+      // being read out of an UnsafeArrayData null slot as garbage.
+      while (p < m && (sts.isNullAt(p) || sts.getLong(p) + k <= i)) p += 1
       val covered = p < m && sts.getLong(p) <= i
-      if (!covered) out.add(toks.getUTF8String((i - 1).toInt))
+      if (!covered) {
+        out.add(if (toks.isNullAt((i - 1).toInt)) null
+                else toks.getUTF8String((i - 1).toInt))
+      }
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)

@@ -47,13 +47,21 @@ class AuditSpec extends AnyFunSuite with SparkSpec {
     assert(got == ("u", 1L))
   }
 
-  test("duplicate or quoted check names are rejected up front") {
+  test("duplicate check names are rejected up front") {
     intercept[IllegalArgumentException] {
       Audit.rowChecks(rows, Seq("a" -> lit(true), "a" -> lit(false)))
     }
-    intercept[IllegalArgumentException] {
-      Audit.rowChecks(rows, Seq("bad'name" -> lit(true)))
-    }
+  }
+
+  test("check names are data, not SQL text: quotes and backslashes pass through") {
+    // the unpivot is built with the Column API, so names that would break
+    // (or inject into) a stack(...) SQL string are just literal values
+    val got = Audit.rowChecks(rows, Seq(
+      "bad'name" -> (col("price") <= 0),
+      "trailing\\" -> lit(false),
+      "a', 1L); drop--" -> lit(true)))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("bad'name" -> 2L, "trailing\\" -> 0L, "a', 1L); drop--" -> 5L))
   }
 
   test("an empty frame audits clean (zero violations, not null)") {

@@ -171,4 +171,32 @@ class SubstringDedupSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("uncoveredTokens null-element parity: null tokens kept as null, null starts cover nothing") {
+    // SQL callers (graft_uncovered_tokens) can pass arrays with null
+    // elements; the builtin form keeps an uncovered null token (its lambda
+    // never reads the value) and a null start's predicate is null (filter
+    // excludes it — covers nothing). The native two-pointer path must agree
+    // rather than reading garbage from an UnsafeArrayData null slot.
+    import org.apache.spark.sql.functions.col
+    // build via Rows so a null Long survives into an array<bigint>
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("ss",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+    val data = Seq(
+      org.apache.spark.sql.Row(Seq("t1", null, "t3", "t4", null), Seq(2L)),
+      org.apache.spark.sql.Row(Seq(null, "t2", "t3"), Seq.empty[Long]),
+      org.apache.spark.sql.Row(Seq("t1", "t2", "t3", "t4"), Seq(null, 3L)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(data), schema)
+    Seq(1, 2, 3).foreach { k =>
+      val r = df.select(
+        SubstringDedup.uncoveredTokens(col("ts"), col("ss"), k).as("native"),
+        SubstringDedup.uncoveredTokensBuiltin(col("ts"), col("ss"), k).as("builtin"))
+      r.collect().foreach { row =>
+        assert(row.getSeq[String](0) == row.getSeq[String](1), s"k=$k $row")
+      }
+    }
+  }
 }
