@@ -116,33 +116,51 @@ object InvertedIndex {
     * an exchange-free probe of the few matching row groups.
     */
   def buildPhraseStore(docs: DataFrame, idCol: String, textCol: String,
-                       table: String, buckets: Int): Unit = {
-    // A rebuild must succeed even when a PREVIOUS session's warehouse
-    // directory survives without catalog metadata (in-memory catalog +
-    // on-disk warehouse): overwrite-saveAsTable only replaces tables the
-    // catalog knows about, and errors LOCATION_ALREADY_EXISTS otherwise.
-    // Qualified names would resolve to <warehouse>/<db>.db/<table>, and a
-    // non-file warehouse (hdfs://, s3a://) never matches java.io.File —
-    // restrict to the supported shape rather than silently skipping the
-    // cleanup and failing later with LOCATION_ALREADY_EXISTS.
+                       table: String, buckets: Int,
+                       path: Option[String] = None): Unit = {
+    // Rebuild contract: a build REPLACES any prior index under this name.
+    // Dropping a known MANAGED table removes its data with it, but two
+    // stale-location hazards remain: (a) a previous session's warehouse
+    // directory surviving without catalog metadata (in-memory catalog +
+    // durable warehouse), and (b) an EXTERNAL location (`path`) whose data
+    // outlives its DROP by design. overwrite-saveAsTable only replaces
+    // tables the catalog knows about and errors LOCATION_ALREADY_EXISTS on
+    // a surviving directory, so the stale location is removed through the
+    // HADOOP FileSystem API — resolving file:, hdfs://, s3a://, or any
+    // other configured scheme alike (the round-9 java.io.File cleanup
+    // silently supported file: warehouses only).
     require(!table.contains("."),
       s"buildPhraseStore expects an unqualified table name, got '$table'")
     val spark = docs.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouseUri = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-    require(warehouseUri.getScheme == null || warehouseUri.getScheme == "file",
-      s"orphan cleanup supports file: warehouses only, got $warehouseUri")
-    val loc = new java.io.File(warehouseUri.getPath, table.toLowerCase)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(loc)
+    val wasKnown = spark.catalog.tableExists(table)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val staleLoc: Option[org.apache.hadoop.fs.Path] = path match {
+      case Some(p) => Some(new org.apache.hadoop.fs.Path(p))
+      case None if !wasKnown =>
+        // would-be managed location in the default database — only an
+        // ORPHAN needs cleanup here (dropping a known managed table
+        // already removed its directory)
+        val db = spark.catalog.getDatabase("default").locationUri
+        Some(new org.apache.hadoop.fs.Path(db, table.toLowerCase))
+      case None => None
     }
-    graft.sources.Sinks.parquetBucketed(
-      positionalOccurrences(docs, idCol, textCol), table, buckets,
-      bucketCols = Seq("doc_id"), sortCols = Seq("token", "pos"))
+    staleLoc.foreach { loc =>
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val occ = positionalOccurrences(docs, idCol, textCol)
+    path match {
+      case Some(p) =>
+        // external table: catalog holds only metadata (incl. the bucket
+        // spec); the index data lives wherever `p` points — the
+        // object-store deployment shape
+        occ.write.mode("overwrite").format("parquet").option("path", p)
+          .bucketBy(buckets, "doc_id").sortBy("token", "pos")
+          .saveAsTable(table)
+      case None =>
+        graft.sources.Sinks.parquetBucketed(occ, table, buckets,
+          bucketCols = Seq("doc_id"), sortCols = Seq("token", "pos"))
+    }
   }
 
   /** Exact-phrase search over a [[buildPhraseStore]] table — same

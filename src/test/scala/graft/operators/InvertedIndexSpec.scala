@@ -84,6 +84,66 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSpec {
     dropTable("graft_phrase_store_spec")
   }
 
+  test("phrase store builds at an explicit external path, rebuilds over stale data, stays exchange-free") {
+    val corpus = Seq(
+      (1L, "the merge stream runs a merge stream here"),
+      (2L, "merge alone then stream apart"),
+      (4L, "merge stream")).toDF("doc_id", "text")
+    // non-warehouse location — the object-store deployment shape (catalog
+    // metadata only; data wherever `path` points)
+    val ext = java.nio.file.Files.createTempDirectory("graft_phrase_ext").toFile
+    val extPath = new java.io.File(ext, "store").getAbsolutePath
+    try {
+      dropTable("graft_phrase_ext_spec")
+      InvertedIndex.buildPhraseStore(corpus, "doc_id", "text",
+        "graft_phrase_ext_spec", buckets = 2, path = Some(extPath))
+      val stored = InvertedIndex.phraseSearchStored(spark,
+        "graft_phrase_ext_spec", Seq("merge", "stream"))
+      assert(stored.as[(Long, Long)].collect().toMap == Map(1L -> 2L, 4L -> 1L))
+      // bucket metadata must survive the external path: the whole chain
+      // still co-locates on the doc_id bucketing
+      assert(!stored.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      // REBUILD over the same path: external data outlives DROP by design,
+      // so the build must clear the stale location itself (via Hadoop FS,
+      // not java.io.File — the scheme-agnostic contract)
+      spark.sql("DROP TABLE graft_phrase_ext_spec")
+      assert(new java.io.File(extPath).exists(), "external data must survive DROP")
+      InvertedIndex.buildPhraseStore(corpus.filter(col("doc_id") =!= 2L),
+        "doc_id", "text", "graft_phrase_ext_spec", buckets = 2, path = Some(extPath))
+      assert(InvertedIndex.phraseSearchStored(spark, "graft_phrase_ext_spec",
+        Seq("merge", "stream")).as[(Long, Long)].collect().toMap
+        == Map(1L -> 2L, 4L -> 1L))
+      spark.sql("DROP TABLE IF EXISTS graft_phrase_ext_spec")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(ext)
+    }
+  }
+
+  test("phrase store rebuild clears an orphaned warehouse directory the catalog forgot") {
+    val corpus = Seq((1L, "merge stream")).toDF("doc_id", "text")
+    dropTable("graft_phrase_orphan_spec")
+    // simulate a previous session's surviving managed directory with no
+    // catalog entry (in-memory catalog + durable warehouse)
+    val db = new java.net.URI(spark.catalog.getDatabase("default").locationUri)
+    val orphan = new java.io.File(
+      if (db.getScheme == null) new java.io.File(db.getPath)
+      else new java.io.File(db), "graft_phrase_orphan_spec")
+    orphan.mkdirs()
+    val stale = new java.io.File(orphan, "stale.parquet")
+    java.nio.file.Files.write(stale.toPath, Array[Byte](1, 2, 3))
+    InvertedIndex.buildPhraseStore(corpus, "doc_id", "text",
+      "graft_phrase_orphan_spec", buckets = 2)
+    assert(!stale.exists(), "the stale file must be cleaned before the write")
+    assert(InvertedIndex.phraseSearchStored(spark, "graft_phrase_orphan_spec",
+      Seq("merge", "stream")).as[(Long, Long)].collect().toMap == Map(1L -> 1L))
+    dropTable("graft_phrase_orphan_spec")
+  }
+
   test("phraseMatches plans a single scan: no Exchange, no Generate, no join") {
     val big = spark.range(0, 1000)
       .select(col("id").as("doc_id"),
