@@ -917,6 +917,59 @@ object OracleSqlGen {
        |SELECT e.vec_id, e.cluster, d.vec_id IS NULL AS kept
        |FROM ev e LEFT JOIN dropped d ON e.vec_id = d.vec_id""".stripMargin
 
+  // ---- q112: TWO-LEVEL fixed-point k-means — both levels unrolled as
+  // plain CTEs. Level 1 reuses the q94 chain at k₁ = ⌈√k_total⌉ (IEEE
+  // sqrt is correctly rounded, so both engines' ceil lands on the same
+  // integer); level 2 runs an independent Lloyd INSIDE each coarse group:
+  // init is the ⌈n_g/target⌉ lowest-id points per group, assignment
+  // argmins only over same-group centroids (the p.g = c.g join), updates
+  // group by (g, cid). All arithmetic stays integer, so the full
+  // hierarchy replays with no tolerance.
+  def q112Sql(targetClusterSize: Long = 25L, maxK: Int = 4096,
+              iterations: Int = 3, scale: Long = 1000000L,
+              dim: Int = 64): String = {
+    val k1Sql =
+      s"(SELECT CAST(ceil(sqrt(least(CAST(ceil(count(*) / $targetClusterSize.0) AS BIGINT), $maxK))) AS BIGINT) FROM embeddings)"
+    def fineAssign(c: String) =
+      s"""SELECT vec_id, g, x, cid FROM (
+         |  SELECT p.vec_id, p.g, p.x, c.cid,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      list_sum([(p.x[i] - c.c[i]) * (p.x[i] - c.c[i])
+         |                FOR i IN range(1, ${dim + 1})]), c.cid) AS rn
+         |  FROM p2 p JOIN $c c ON p.g = c.g) t
+         |WHERE rn = 1""".stripMargin
+    val fineIters = (1 to iterations).map { i =>
+      s"""b$i AS (
+         |${fineAssign(s"f${i - 1}")}
+         |), u$i AS (
+         |  SELECT g, cid, t.dim AS dim, CAST(sum(x[t.dim]) AS BIGINT) AS sv,
+         |         count(*) AS n
+         |  FROM b$i CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS dim) t
+         |  GROUP BY 1, 2, 3
+         |), f$i AS (
+         |  SELECT prev.g, prev.cid, COALESCE(m.c, prev.c) AS c
+         |  FROM f${i - 1} prev LEFT JOIN (
+         |    SELECT g, cid, list(sv // n ORDER BY dim) AS c FROM u$i
+         |    GROUP BY g, cid) m USING (g, cid)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${kmeansCtes(k1Sql, iterations, scale, dim)}, p2 AS (
+       |  SELECT p.vec_id, p.x, a.cluster AS g FROM pts p JOIN asg a USING (vec_id)
+       |), f0 AS (
+       |  SELECT g, CAST(rn - 1 AS INTEGER) AS cid, x AS c FROM (
+       |    SELECT g, x,
+       |      row_number() OVER (PARTITION BY g ORDER BY vec_id) AS rn,
+       |      count(*) OVER (PARTITION BY g) AS ng
+       |    FROM p2) t
+       |  WHERE rn <= least(CAST(ceil(ng / $targetClusterSize.0) AS BIGINT), $maxK)
+       |), $fineIters
+       |SELECT vec_id, g AS coarse, cid AS fine,
+       |  CAST(g AS BIGINT) * $maxK + cid AS cluster
+       |FROM (
+       |${fineAssign(s"f$iterations")}
+       |) fin""".stripMargin
+  }
+
   // ---- q96: substring-level duplication stats — grams hash through the
   // portable md5-60 path, counts and the interval-union fold are all
   // integer, the covered fraction is one IEEE division: exact replay.

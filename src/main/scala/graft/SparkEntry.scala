@@ -1586,6 +1586,18 @@ object SparkEntry {
     ops.SnapshotDiff.diff(before, after, Seq("o_orderkey"))
   }
 
+  // ---- q112: TWO-LEVEL fixed-point k-means — the scale path past flat
+  //      Lloyd's per-point k·d ceiling: a coarse pass at k₁ = ⌈√k⌉, then
+  //      per-coarse-group fine passes at k₂(g) = ⌈n_g/target⌉, every
+  //      round one scan against ONE broadcast centroid map (plan O(1) in
+  //      k, per-point cost ~2√k·d). Same fixed-point discipline as q94
+  //      (scaled longs, truncating division, lowest-cid ties, lowest-id
+  //      init per group), so the oracle unrolls BOTH levels as plain
+  //      CTEs with no tolerance. ----
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    operators.KMeans.assignTwoLevel(Tables(s, dir).embeddings,
+      "vec_id", "embedding", targetClusterSize = 25L, iterations = 3)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1698,6 +1710,7 @@ object SparkEntry {
     "q108_hilbert3"        -> q108 _,
     "q109_quality_audit"   -> q109 _,
     "q110_snapshot_diff"   -> q110 _,
+    "q112_kmeans_twolevel" -> q112 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2076,6 +2089,7 @@ object SparkEntry {
     "q93_pagerank"          -> OracleSqlGen.q93Sql(),
     "q94_kmeans"            -> OracleSqlGen.q94Sql(),
     "q95_semdedup"          -> OracleSqlGen.q95Sql(),
+    "q112_kmeans_twolevel"  -> OracleSqlGen.q112Sql(),
     "q96_dup_spans"         -> OracleSqlGen.q96Sql(),
     "q98_neardup_clusters"  -> OracleSqlGen.q98Sql(),
     // q100: integral doubles cast to BIGINT identically in both engines

@@ -344,7 +344,10 @@ object Dedup {
     * cluster size ([[KMeans.kForTargetClusterSize]] /
     * [[KMeans.assignAuto]]; SemDeDup's published setting is k ≈
     * corpus/10⁴ for exactly this reason), which keeps the pair space
-    * LINEAR in the corpus at a fixed per-point cost.
+    * LINEAR in the corpus at a fixed per-point cost. When the derived k
+    * itself reaches the hundreds, cluster with [[KMeans.assignTwoLevel]]
+    * instead (group by its injective `cluster` label): same pair-space
+    * bound at ~2√k·d per-point assignment cost instead of k·d.
     *
     * @param points frame carrying id, vector, and cluster columns
     *               (e.g. [[KMeans.assign]] joined back onto the corpus)

@@ -43,12 +43,30 @@ object KMeans {
     * point instead of k interpreted higher-order-function lambdas (the
     * HOF form below, kept as the parity reference, re-enters the lambda
     * interpreter per element; profiled ~5× slower at k=20, d=64).
+    * The matrix rides INSIDE the expression node — plan and task
+    * serialization grow O(k·d); prefer [[nearestCentroidBcast]] (what
+    * [[assign]] plans) whose broadcast handle keeps the plan O(1) in k.
     */
   def nearestCentroid(vec: Column, centroids: Array[Array[Long]]): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       NearestCentroidExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(vec),
         centroids.map(_.toSeq).toSeq))
+
+  /** [[nearestCentroid]] reading the centroid matrix from ONE torrent
+    * broadcast instead of carrying it in the expression tree: the plan,
+    * its string form, and every serialized task stay O(1) in k (pinned in
+    * KMeansSpec with SizeEstimator at k=24 vs k=512), and executors fetch
+    * the matrix once per node through the broadcast machinery — the form
+    * that keeps large derived k ([[kForTargetClusterSize]]) plannable.
+    * Same arithmetic and (dist, cid) tiebreak as the literal and HOF
+    * forms (spec-pinned equal).
+    */
+  def nearestCentroidBcast(vec: Column,
+      centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      NearestCentroidBcastExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec), centroids))
 
   /** The built-in formulation of [[nearestCentroid]] — the parity
     * reference (pinned equal in KMeansSpec): one literal centroid matrix
@@ -131,23 +149,32 @@ object KMeans {
     require(centroids.nonEmpty, "k-means needs at least one point")
     val d = centroids(0).length
 
-    // Native argmin over the centroid matrix (see [[NearestCentroidExpr]]):
-    // the matrix rides as ONE constructor value, so plan size stays O(1)
-    // in k and larger derived k (see [[kForTargetClusterSize]]) stays
-    // plannable; the arithmetic and (dist, cid) tiebreak are pinned equal
-    // to the higher-order-function form in KMeansSpec.
-    def nearest(cs: Array[Array[Long]]): Column =
-      KMeans.nearestCentroid(col("__x"), cs)
+    // Native argmin against a BROADCAST centroid matrix (see
+    // [[NearestCentroidBcastExpr]]): the plan carries only the broadcast
+    // handle, so plan size and task serialization stay O(1) in k and
+    // larger derived k (see [[kForTargetClusterSize]]) stays plannable;
+    // the arithmetic and (dist, cid) tiebreak are pinned equal to the
+    // literal and higher-order-function forms in KMeansSpec. Each round's
+    // broadcast is destroyed after its collect; the FINAL one must
+    // outlive this call (the returned frame is lazy) and is reclaimed by
+    // the context cleaner when the frame is GC'd.
+    def nearest(cs: Array[Array[Long]]):
+        (Column, org.apache.spark.broadcast.Broadcast[Array[Array[Long]]]) = {
+      val b = spark.sparkContext.broadcast(cs)
+      (KMeans.nearestCentroidBcast(col("__x"), b), b)
+    }
 
     var i = 0
     while (i < iterations) {
       val sumCols = (0 until d).map(j =>
         sum(element_at(col("__x"), j + 1)).as(s"s$j"))
-      val stats = pts.withColumn("cid", nearest(centroids))
+      val (cidCol, b) = nearest(centroids)
+      val stats = pts.withColumn("cid", cidCol)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"), sumCols: _*)
         .collect()
         .map(r => r.getInt(0) -> r).toMap
+      b.destroy()
       centroids = centroids.zipWithIndex.map { case (prev, cid) =>
         stats.get(cid) match {
           case Some(r) =>
@@ -159,7 +186,120 @@ object KMeans {
       i += 1
     }
 
-    pts.select(col("__id").as(idCol), nearest(centroids).as("cluster"))
+    pts.select(col("__id").as(idCol), nearest(centroids)._1.as("cluster"))
+  }
+
+  /** TWO-LEVEL Lloyd — the scale path past flat k-means' per-point k·d
+    * ceiling. Flat assignment at derived k = n/target evaluates every
+    * centroid per point, so per-point cost GROWS with the corpus; the
+    * hierarchical form clusters twice:
+    *
+    *  1. a COARSE pass with k₁ = ⌈√k⌉ clusters (flat [[assign]]), then
+    *  2. a FINE pass inside each coarse cluster c with
+    *     k₂(c) = ⌈n_c/target⌉ clusters — every fine round is still ONE
+    *     scan (argmin against the point's own coarse block of a single
+    *     broadcast map) feeding one map-side-combined (coarse, fine)
+    *     aggregate.
+    *
+    * Per-point cost is k₁·d + k₂(c)·d ≈ 2·√k·d — at k = 512 that is
+    * ~2× the flat k = 24 rate instead of ~21× (measured: see NEXT.md),
+    * and it stays ~√-bounded as the corpus grows. Total centroid state
+    * is still Θ(k·d) longs, but it lives in ONE broadcast (plan O(1),
+    * spec-pinned) and only k rows cross the driver per round — the
+    * MLlib-shaped bound, fine into the hundreds of thousands of
+    * clusters.
+    *
+    * Every ingredient keeps the fixed-point determinism contract of
+    * [[assign]] (scaled-long coords, exact long sums, truncating
+    * division, lowest-cid ties, k-lowest-id init per coarse group, an
+    * emptied fine cluster keeps its centroid), so the DuckDB oracle
+    * replays both levels bit-exactly (q112).
+    *
+    * @return (idCol, `coarse`, `fine`, `cluster`) — cluster =
+    *         coarse·maxK + fine, injective because fine < maxK by the
+    *         per-group clamp; quadratic consumers ([[Dedup.semDedup]])
+    *         group by it directly.
+    */
+  def assignTwoLevel(points: DataFrame, idCol: String, vecCol: String,
+                     targetClusterSize: Long, iterations: Int = 5,
+                     scale: Long = 1000000L, maxK: Int = 4096): DataFrame = {
+    require(targetClusterSize >= 1, "targetClusterSize must be >= 1")
+    require(iterations >= 0, "iterations must be >= 0")
+    val spark = points.sparkSession
+    val kTotal = kForTargetClusterSize(points.count(), targetClusterSize, maxK)
+    // ⌈√k⌉ — IEEE sqrt is correctly rounded, so DuckDB's
+    // ceil(sqrt(k)) lands on the identical integer
+    val k1 = math.ceil(math.sqrt(kTotal.toDouble)).toInt
+    val coarse = assign(points, idCol, vecCol, k = k1,
+      iterations = iterations, scale = scale)
+
+    val scaled0 = points.select(
+      col(idCol).as("__id"),
+      transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(scale.toDouble)).cast("long")).as("__x"))
+      .join(coarse.select(col(idCol).as("__id"), col("cluster").as("__g")), "__id")
+    val rdd = scaled0.rdd
+    rdd.cache()
+    val pts = spark.createDataFrame(rdd, scaled0.schema)
+
+    // Init: the k₂(g) lowest-id points of each coarse group, fine cid =
+    // rank order within the group (the per-group analog of flat init).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+    val initRows = pts
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__ng", count(lit(1)).over(wAll))
+      .filter(col("__rn") <= least(
+        ceil(col("__ng") / lit(targetClusterSize.toDouble)).cast("long"),
+        lit(maxK.toLong)))
+      .select(col("__g"), (col("__rn") - 1).cast("int").as("cid"), col("__x"))
+      .collect()
+    require(initRows.nonEmpty, "two-level k-means needs at least one point")
+    val d = initRows.head.getSeq[Long](2).length
+    var cents: Map[Int, Array[Array[Long]]] = initRows
+      .groupBy(_.getInt(0))
+      .map { case (g, rows) =>
+        g -> rows.sortBy(_.getInt(1)).map(_.getSeq[Long](2).toArray)
+      }
+
+    def fineCol(cs: Map[Int, Array[Array[Long]]]):
+        (Column, org.apache.spark.broadcast.Broadcast[Map[Int, Array[Array[Long]]]]) = {
+      val b = spark.sparkContext.broadcast(cs)
+      (org.apache.spark.sql.GraftColumnBridge.column(
+        NearestCentroidGroupExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("__g")),
+          org.apache.spark.sql.GraftColumnBridge.expression(col("__x")), b)), b)
+    }
+
+    var i = 0
+    while (i < iterations) {
+      val sumCols = (0 until d).map(j =>
+        sum(element_at(col("__x"), j + 1)).as(s"s$j"))
+      val (cidCol, b) = fineCol(cents)
+      val stats = pts.withColumn("cid", cidCol)
+        .groupBy(col("__g"), col("cid"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+      b.destroy()
+      cents = cents.map { case (g, arr) =>
+        g -> arr.zipWithIndex.map { case (prev, cid) =>
+          stats.get((g, cid)) match {
+            case Some(r) =>
+              val n = r.getLong(2)
+              Array.tabulate(d)(j => r.getLong(3 + j) / n)
+            case None => prev // emptied fine cluster keeps its centroid
+          }
+        }
+      }
+      i += 1
+    }
+
+    pts.select(col("__id").as(idCol), col("__g").as("coarse"),
+        fineCol(cents)._1.as("fine"))
+      .withColumn("cluster",
+        col("coarse").cast("long") * lit(maxK.toLong) + col("fine").cast("long"))
   }
 }
 
@@ -191,11 +331,92 @@ case class NearestCentroidExpr(
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
-    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // null elements propagate to a null cid (the HOF parity form's
+    // behavior), rather than crashing toLongArray — see the shared kernel
+    NearestCentroidEval.nearest(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], mat)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NearestCentroidExpr =
+    copy(child = newChild)
+}
+
+/** [[NearestCentroidExpr]] with the centroid matrix behind a BROADCAST
+  * handle instead of a constructor literal: the expression node (and with
+  * it the plan string, analyzed tree, and every serialized task closure)
+  * is O(1) in k — KMeansSpec pins SizeEstimator(k=512) ≈
+  * SizeEstimator(k=24) — while executors fetch the matrix once per node
+  * via the torrent broadcast. Identical arithmetic, null handling, and
+  * (dist, cid) tiebreak (spec-pinned against both sibling forms); the
+  * same long-domain note as [[NearestCentroidExpr]] applies.
+  */
+case class NearestCentroidBcastExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val mat = centroids.value
+    NearestCentroidEval.nearest(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], mat)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NearestCentroidBcastExpr =
+    copy(child = newChild)
+}
+
+/** Per-GROUP nearest centroid for two-level Lloyd
+  * ([[KMeans.assignTwoLevel]]): the broadcast carries one centroid block
+  * per coarse group, the group child selects the block, and the argmin
+  * runs only over that block — per-point cost is the BLOCK size, not the
+  * total cluster count. Null group, a group with no block, or a
+  * null/mismatched vector yields null.
+  */
+case class NearestCentroidGroupExpr(
+    group: org.apache.spark.sql.catalyst.expressions.Expression,
+    vec: org.apache.spark.sql.catalyst.expressions.Expression,
+    centroids: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Array[Long]]]])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def left: org.apache.spark.sql.catalyst.expressions.Expression = group
+  override def right: org.apache.spark.sql.catalyst.expressions.Expression = vec
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(g: Any, v: Any): Any =
+    centroids.value.get(g.asInstanceOf[Int]) match {
+      case Some(mat) => NearestCentroidEval.nearest(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], mat)
+      case None => null
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): NearestCentroidGroupExpr =
+    copy(group = newLeft, vec = newRight)
+}
+
+/** The shared argmin kernel of the three nearest-centroid forms: exact
+  * long squared distances, strict `<` keeps the LOWEST cid on ties, null
+  * elements / dimension mismatch yield null (boxed Integer or null out).
+  */
+private[operators] object NearestCentroidEval {
+  def nearest(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+              mat: Array[Array[Long]]): Any = {
+    if (mat.isEmpty) return null
     val d = mat(0).length
     if (arr.numElements() != d) return null
-    // null elements propagate to a null cid (the HOF parity form's
-    // behavior), rather than crashing toLongArray
     val x = new Array[Long](d)
     var e = 0
     while (e < d) {
@@ -220,8 +441,4 @@ case class NearestCentroidExpr(
     }
     java.lang.Integer.valueOf(bestCid)
   }
-
-  override protected def withNewChildInternal(
-      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NearestCentroidExpr =
-    copy(child = newChild)
 }

@@ -106,6 +106,113 @@ class KMeansSpec extends AnyFunSuite with SparkSpec {
     r.foreach(row => assert(row.getInt(0) == row.getInt(1), row.toString))
   }
 
+  test("broadcast nearest-centroid is pinned to the literal and HOF forms") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(43)
+    val cs: Array[Array[Long]] = Array.fill(9)(Array.fill(5)(rnd.nextLong() % 1000L))
+    val tied = Array(7L, 0L, 0L, 0L, 0L)
+    val all = cs ++ Array(tied.map(-_), tied)
+    val vecs: Seq[Seq[Long]] = Seq.fill(60)(Seq.fill(5)(rnd.nextLong() % 1000L)) ++
+      Seq(cs(2).toSeq, Seq(0L, 0L, 0L, 0L, 0L))
+    val b = spark.sparkContext.broadcast(all)
+    val r = vecs.toDF("__x").select(
+      KMeans.nearestCentroidBcast(col("__x"), b).as("bcast"),
+      KMeans.nearestCentroid(col("__x"), all).as("lit"),
+      KMeans.nearestCentroidBuiltin(col("__x"), all).as("hof")).collect()
+    r.foreach { row =>
+      assert(row.getInt(0) == row.getInt(1) && row.getInt(1) == row.getInt(2),
+        row.toString)
+    }
+    b.destroy()
+  }
+
+  test("broadcast form keeps the expression O(1) in k; the literal form grows") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.GraftColumnBridge
+    def mat(k: Int): Array[Array[Long]] =
+      Array.tabulate(k)(i => Array.tabulate(64)(j => (i * 64 + j).toLong))
+    def estimate(c: org.apache.spark.sql.Column): Long =
+      org.apache.spark.util.SizeEstimator.estimate(GraftColumnBridge.expression(c))
+    val b24 = spark.sparkContext.broadcast(mat(24))
+    val b512 = spark.sparkContext.broadcast(mat(512))
+    val sB24 = estimate(KMeans.nearestCentroidBcast(col("x"), b24))
+    val sB512 = estimate(KMeans.nearestCentroidBcast(col("x"), b512))
+    val sL24 = estimate(KMeans.nearestCentroid(col("x"), mat(24)))
+    val sL512 = estimate(KMeans.nearestCentroid(col("x"), mat(512)))
+    // the broadcast node is a handle: k=512 costs what k=24 costs
+    assert(sB512 <= 2 * sB24,
+      s"broadcast expression must stay O(1) in k: $sB24 -> $sB512")
+    // the literal node embeds the matrix: 512/24 ≈ 21× more state
+    assert(sL512 > 10 * sL24,
+      s"literal expression should grow with k (sanity): $sL24 -> $sL512")
+    // and at equal k the broadcast node is far smaller than the literal
+    assert(sB512 * 10 < sL512, s"$sB512 vs $sL512")
+    b24.destroy(); b512.destroy()
+  }
+
+  /** Driver-side replay of two-level Lloyd: coarse = [[reference]] at
+    * k₁ = ⌈√k_total⌉, then an independent [[reference]] run inside each
+    * coarse group at k₂ = min(⌈n_g/target⌉, maxK).
+    */
+  private def referenceTwoLevel(points: Seq[(Long, Seq[Float])], target: Long,
+                                iterations: Int, maxK: Int = 4096): Map[Long, (Int, Int)] = {
+    val kTotal = KMeans.kForTargetClusterSize(points.size.toLong, target, maxK)
+    val k1 = math.ceil(math.sqrt(kTotal.toDouble)).toInt
+    val coarse = reference(points, k1, iterations)
+    points.groupBy { case (id, _) => coarse(id) }.flatMap { case (g, members) =>
+      val ng = members.size.toLong
+      val k2 = math.min(math.ceil(ng.toDouble / target).toLong, maxK.toLong).toInt
+      val fine = reference(members, k2, iterations)
+      members.map { case (id, _) => id -> (g, fine(id)) }
+    }
+  }
+
+  test("two-level assignment matches the per-group driver replay") {
+    val rnd = new Random(17)
+    val pts = (0L until 300L).map(id =>
+      id -> Seq.fill(6)(rnd.nextFloat() * 2f - 1f))
+    val df = pts.toDF("vec_id", "embedding")
+    val got = KMeans.assignTwoLevel(df, "vec_id", "embedding",
+      targetClusterSize = 20L, iterations = 4)
+      .as[(Long, Int, Int, Long)].collect()
+    graft.Storage.releaseAll(spark)
+    val want = referenceTwoLevel(pts, target = 20L, iterations = 4)
+    assert(got.map(r => r._1 -> ((r._2, r._3))).toMap == want)
+    // the combined label is the injective coarse·maxK + fine encoding
+    got.foreach { case (_, c, f, lbl) => assert(lbl == c.toLong * 4096L + f) }
+  }
+
+  test("two-level assignment is partitioning-invariant") {
+    val rnd = new Random(29)
+    val pts = (0L until 240L).map(id =>
+      id -> Seq.fill(4)(rnd.nextFloat() * 2f - 1f))
+    val df = pts.toDF("vec_id", "embedding")
+    val a = KMeans.assignTwoLevel(df, "vec_id", "embedding", 15L, iterations = 3)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    graft.Storage.releaseAll(spark)
+    val b = KMeans.assignTwoLevel(df.repartition(7), "vec_id", "embedding",
+      15L, iterations = 3)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    graft.Storage.releaseAll(spark)
+    assert(a == b)
+  }
+
+  test("two-level keeps the pair space linear with √k-bounded per-point cost") {
+    val rnd = new Random(37)
+    val n = 2000L
+    val pts = (0L until n).map(id => id -> Seq.fill(4)(rnd.nextFloat() * 2f - 1f))
+    val df = pts.toDF("vec_id", "embedding")
+    val asg = KMeans.assignTwoLevel(df, "vec_id", "embedding",
+      targetClusterSize = 100L, iterations = 5)
+    val sizes = asg.groupBy("cluster").count().as[(Long, Long)].collect().map(_._2)
+    graft.Storage.releaseAll(spark)
+    assert(sizes.sum == n)
+    val pairSpace = sizes.map(c => c * c).sum
+    assert(pairSpace <= 6 * n * 100,
+      s"pair space $pairSpace exceeds 6·n·target")
+    assert(pairSpace < n * n / 4)
+  }
+
   test("kForTargetClusterSize: ceil, clamps, oracle-parity arithmetic") {
     assert(KMeans.kForTargetClusterSize(5000, 2500) == 2)
     assert(KMeans.kForTargetClusterSize(5001, 2500) == 3)
