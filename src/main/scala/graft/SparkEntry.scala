@@ -1586,6 +1586,23 @@ object SparkEntry {
     ops.SnapshotDiff.diff(before, after, Seq("o_orderkey"))
   }
 
+  // ---- q111: Space-Saving heavy hitters — the deterministic-per-key
+  //      sibling of q84's CMS: ONE aggregate pass builds an m-counter
+  //      summary (summary-sized exchange — each map task ships ≤ m
+  //      entries), candidate tokens read off the summary with per-key
+  //      bounds (true ∈ [est−err, est]), the blind-spot guarantee
+  //      delta < threshold is CHECKED, and an exact groupBy over only
+  //      the ≤ m candidates removes false positives — the result is
+  //      exact and order-independent even though the summary content
+  //      isn't (q84 discipline: the sketch buys the plan, not the
+  //      answer). ----
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir).documents
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(substring(col("tok"), 1, 2).as("token"))
+    operators.SpaceSaving.heavyHittersExact(toks, "token", phi = 0.02, m = 256)
+  }
+
   // ---- q112: TWO-LEVEL fixed-point k-means — the scale path past flat
   //      Lloyd's per-point k·d ceiling: a coarse pass at k₁ = ⌈√k⌉, then
   //      per-coarse-group fine passes at k₂(g) = ⌈n_g/target⌉, every
@@ -1710,6 +1727,7 @@ object SparkEntry {
     "q108_hilbert3"        -> q108 _,
     "q109_quality_audit"   -> q109 _,
     "q110_snapshot_diff"   -> q110 _,
+    "q111_space_saving"    -> q111 _,
     "q112_kmeans_twolevel" -> q112 _,
   )
 
@@ -2089,6 +2107,20 @@ object SparkEntry {
     "q93_pagerank"          -> OracleSqlGen.q93Sql(),
     "q94_kmeans"            -> OracleSqlGen.q94Sql(),
     "q95_semdedup"          -> OracleSqlGen.q95Sql(),
+    // q111: Space-Saving's exact-verify output is a pure function of the
+    // corpus (the summary only prefilters), so the oracle is the plain
+    // exact heavy-hitter query — same discipline as q84's exact_n.
+    "q111_space_saving" ->
+      """WITH tok AS (
+        |  SELECT substr(unnest(regexp_extract_all(text, '\S+')), 1, 2) AS token
+        |  FROM documents
+        |), thresh AS (
+        |  SELECT GREATEST(1, CAST(ceil(0.02 * count(*)) AS BIGINT)) AS t FROM tok
+        |)
+        |SELECT token, count(*) AS exact_n
+        |FROM tok CROSS JOIN thresh
+        |GROUP BY token, thresh.t
+        |HAVING count(*) >= thresh.t""".stripMargin,
     "q112_kmeans_twolevel"  -> OracleSqlGen.q112Sql(),
     "q96_dup_spans"         -> OracleSqlGen.q96Sql(),
     "q98_neardup_clusters"  -> OracleSqlGen.q98Sql(),
