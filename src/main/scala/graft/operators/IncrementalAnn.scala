@@ -52,6 +52,13 @@ object IncrementalAnn {
       .sortBy("tbl", "bucket")
       .saveAsTable(table)
 
+  /** Compact the embedding store — same maintenance contract as
+    * [[IncrementalDedup.compactStore]]: one file per bucket, bucket spec
+    * (and the store-side shuffle-free ingest plan) preserved verbatim.
+    */
+  def compactStore(spark: SparkSession, table: String): Unit =
+    graft.sources.Sinks.compactBucketed(spark, table)
+
   private def verified(pairs: DataFrame, minCosine: Double): DataFrame =
     pairs
       .withColumn("cos_sim", round(VectorFunctions.cosineFromNormSq(

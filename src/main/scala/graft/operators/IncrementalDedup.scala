@@ -71,6 +71,17 @@ object IncrementalDedup {
       .sortBy("band", "bucket")
       .saveAsTable(table)
 
+  /** Compact the signature store (either layout): per-batch appends
+    * accumulate one file per (bucket × task) per ingest, and at the
+    * 100 TB steady state the small-file count — not the data — becomes
+    * the scan cost. Rewrites to one file per bucket, preserving the
+    * bucket spec so every cross-generation join stays store-side
+    * shuffle-free (spec-pinned: same plan, bit-identical results).
+    * Run it on a maintenance cadence (every N ingests), not per batch.
+    */
+  def compactStore(spark: SparkSession, table: String): Unit =
+    graft.sources.Sinks.compactBucketed(spark, table)
+
   /** Candidate pairs between the store (doc_a) and a new batch (doc_b):
     * equi-join on (band, bucket). The store scan's bucketing satisfies the
     * join distribution, so only the batch side is exchanged — the corpus

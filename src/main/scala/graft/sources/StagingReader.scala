@@ -344,4 +344,48 @@ object Sinks {
 
   def csvSingleFile(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Compact a bucketed table in place: rewrite all its data into a fresh
+    * table with the SAME bucket/sort spec (read from the catalog), then
+    * atomically swap names. Every `mode("append")` to a bucketed table
+    * adds one file per (bucket × writing task) — an incremental store
+    * ingesting thousands of batches accumulates thousands of small files
+    * per bucket, and small-file count, not data size, becomes the scan
+    * cost at the 100 TB steady state. The rewrite pre-partitions on the
+    * bucket columns into exactly `buckets` tasks (repartition and the
+    * bucketed writer share the HashPartitioning family), so the
+    * compacted table carries ONE file per non-empty bucket; the bucket
+    * spec — and with it every shuffle-free read-time join the store's
+    * consumers pin — survives verbatim (IncrementalDedupSpec /
+    * IncrementalAnnSpec pin results AND plan shape across compaction).
+    */
+  def compactBucketed(spark: SparkSession, table: String): Unit = {
+    require(!table.contains("."),
+      s"compactBucketed expects an unqualified table name, got '$table'")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table '$table' is not bucketed — nothing to preserve, use a plain rewrite"))
+    val tmp = table + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    val cols = spec.bucketColumnNames.map(col)
+    // Route each row by the WRITER'S bucket-id expression —
+    // pmod(murmur3(bucketCols), buckets), the same formula the bucketed
+    // writer applies — so every bucket's rows land wholly in one task and
+    // the writer emits exactly one file per non-empty bucket. (A plain
+    // repartition(buckets, bucketCols) is not reliable here: its shuffle
+    // can be elided against the bucketed scan's reported partitioning
+    // while the actual read runs on file splits, leaving buckets spread
+    // across tasks.)
+    val df = spark.table(table)
+      .repartition(spec.numBuckets, pmod(hash(cols: _*), lit(spec.numBuckets)))
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+       w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+     else w).saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
 }

@@ -67,4 +67,31 @@ class IncrementalAnnSpec extends AnyFunSuite with SparkSpec {
     }
     graft.Storage.releaseAll(spark)
   }
+
+  test("compaction preserves results and the exchange-free store-side plan") {
+    dropTable(storeTable)
+    dropTable(storeTable + "__compacting")
+    IncrementalAnn.appendToStore(bucketed(Seq(1L -> vBase)), storeTable, buckets = 4)
+    IncrementalAnn.appendToStore(bucketed(Seq(2L -> vFar)), storeTable, buckets = 4)
+    val batch = bucketed(Seq(20L -> vNear))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    def canon() = IncrementalAnn.ingestNearDups(spark, storeTable, batch, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = canon()
+    assert(before.nonEmpty)
+
+    IncrementalAnn.compactStore(spark, storeTable)
+
+    assert(canon() == before, "pairs must be bit-identical across compaction")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = IncrementalAnn.crossGenerationPairs(
+        spark.table(storeTable), batch, minCosine = 0.5)
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(joined.queryExecution.executedPlan.toString).length
+      assert(exchanges == 1, "bucket spec must survive compaction")
+    }
+    graft.Storage.releaseAll(spark)
+  }
 }

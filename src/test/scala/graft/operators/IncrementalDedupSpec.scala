@@ -137,6 +137,61 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
     graft.Storage.releaseAll(spark)
   }
 
+  test("compaction: one file per bucket, bit-identical candidates, store side still exchange-free") {
+    dropTable(storeTable)
+    dropTable(storeTable + "__compacting")
+    // three ingest generations → ≥ 3 file sets accumulated in the store
+    Seq(1L -> base, 2L -> (base + " again"), 3L -> (base + " more")).foreach {
+      case (id, text) =>
+        IncrementalDedup.appendToStore(IncrementalDedup.bandedSignatures(
+          docsDf(Seq(id -> text)), "doc_id", "text"), storeTable, buckets = 4)
+    }
+    def parquetFiles(): Int = {
+      val loc = new java.net.URI(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(storeTable)).location.toString)
+      Option(new java.io.File(loc.getPath).listFiles()).get
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = parquetFiles()
+    assert(filesBefore > 4, s"three appends should exceed one file per bucket, got $filesBefore")
+    val b4 = IncrementalDedup.bandedSignatures(
+      docsDf(Seq(40L -> (base + " extra"))), "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    def canon() = IncrementalDedup.ingestCandidates(spark, storeTable, b4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = canon()
+
+    IncrementalDedup.compactStore(spark, storeTable)
+
+    val filesAfter = parquetFiles()
+    assert(filesAfter <= 4 && filesAfter < filesBefore,
+      s"compaction must leave ≤ one file per bucket: $filesBefore -> $filesAfter")
+    assert(canon() == before, "candidates must be bit-identical across compaction")
+    // the compacted store still reads in place: batch side only exchanges
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = IncrementalDedup.crossGenerationCandidates(spark.table(storeTable), b4)
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(joined.queryExecution.executedPlan.toString).length
+      assert(exchanges == 1, "bucket spec must survive compaction")
+    }
+    // further appends still land in the same spec
+    IncrementalDedup.appendToStore(b4, storeTable, buckets = 4)
+    assert(spark.table(storeTable).select(col("doc_id")).distinct().count() == 4)
+    graft.Storage.releaseAll(spark)
+  }
+
+  test("compaction refuses a non-bucketed table") {
+    import spark.implicits._
+    dropTable("graft_tst_plain")
+    Seq((1L, "x")).toDF("a", "b").write.saveAsTable("graft_tst_plain")
+    intercept[IllegalArgumentException] {
+      graft.sources.Sinks.compactBucketed(spark, "graft_tst_plain")
+    }
+    dropTable("graft_tst_plain")
+  }
+
   test("appends accumulate generations: a third batch sees both prior ones") {
     dropTable(storeTable)
     IncrementalDedup.appendToStore(IncrementalDedup.bandedSignatures(
