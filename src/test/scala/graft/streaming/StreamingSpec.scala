@@ -112,6 +112,113 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     spark.catalog.dropTempView("t_enrich")
   }
 
+  // ---- checkpoint/restart recovery: the operational contract at scale.
+  // A streaming pipeline over 100 TB will be killed and resumed; the
+  // checkpoint must carry BOTH source offsets (exactly-once: no batch
+  // replays into the sink) and operator state (watermark + open windows /
+  // sessions: aggregates spanning the interruption must still be
+  // complete). A file source + file sink is the fault-tolerant pairing —
+  // restarts reconcile through the offset log and the sink's commit log.
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+
+  private def writeBatch(dir: java.io.File, rows: Seq[EventRow]): Unit =
+    rows.toDF().coalesce(1).write.mode("append")
+      .parquet(dir.getAbsolutePath)
+
+  /** Run one availableNow pass of `plan` over the parquet dir, appending
+    * finalized rows to the parquet sink at `out` with checkpoint `cp`.
+    */
+  private def runPass(in: java.io.File, out: java.io.File, cp: java.io.File,
+                      plan: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    val schema = Seq.empty[EventRow].toDF().schema
+    val src = spark.readStream.schema(schema).parquet(in.getAbsolutePath)
+    val q = plan(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out.getAbsolutePath)
+      .start()
+    q.awaitTermination()
+  }
+
+  test("checkpoint restart: interrupted hourly aggregation resumes exactly-once, state intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    try {
+      val dirs = Seq("in", "out", "cp", "in2", "out2", "cp2")
+        .map(n => n -> new java.io.File(root, n)).toMap
+      // batch 1 leaves windows w0 and w1 OPEN (watermark 2h behind);
+      // batch 2 adds to w1 ACROSS the restart and pushes the watermark
+      // past both, so emission happens entirely in the resumed run —
+      // counts are only right if the checkpoint recovered the state.
+      val batch1 = Seq(
+        EventRow(1, ts(5), 10, "click", 1.0),
+        EventRow(2, ts(20), 10, "click", 2.0),
+        EventRow(3, ts(70), 11, "view", 3.0))
+      val batch2 = Seq(
+        EventRow(4, ts(90), 10, "view", 4.0),
+        EventRow(5, ts(300), 10, "click", 0.5)) // watermark driver; own window stays open
+      val agg = (df: org.apache.spark.sql.DataFrame) =>
+        EventStreams.hourlyAggregates(df)
+          .select(col("window.start").as("h"), col("event_type"),
+            col("n_events"), col("total_value"))
+
+      // interrupted: process batch 1, STOP, add batch 2, resume from cp
+      writeBatch(dirs("in"), batch1)
+      runPass(dirs("in"), dirs("out"), dirs("cp"), agg)
+      writeBatch(dirs("in"), batch2)
+      runPass(dirs("in"), dirs("out"), dirs("cp"), agg)
+      // uninterrupted reference: same data, one run
+      writeBatch(dirs("in2"), batch1)
+      writeBatch(dirs("in2"), batch2)
+      runPass(dirs("in2"), dirs("out2"), dirs("cp2"), agg)
+
+      def read(d: java.io.File) = spark.read.parquet(d.getAbsolutePath)
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      val resumed = read(dirs("out"))
+      assert(resumed == read(dirs("out2")),
+        "resumed run must equal the uninterrupted run")
+      // window w0 aggregates ONLY pre-restart events; w1 spans the restart
+      assert(resumed == Set(
+        (ts(0), "click", 2L, 3.0),
+        (ts(60), "view", 2L, 7.0)), resumed.toString)
+
+      // exactly-once: an idle restart (no new data) must add nothing
+      runPass(dirs("in"), dirs("out"), dirs("cp"), agg)
+      assert(read(dirs("out")) == resumed, "idle restart must not re-emit")
+    } finally rmTree(root)
+  }
+
+  test("checkpoint restart: a session OPEN across the interruption merges correctly (q105 shape)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt_sw").toFile
+    try {
+      val in = new java.io.File(root, "in")
+      val out = new java.io.File(root, "out")
+      val cp = new java.io.File(root, "cp")
+      val sw = (df: org.apache.spark.sql.DataFrame) =>
+        EventStreams.sessionWindowAgg(df, gap = "30 minutes",
+          watermark = Some("2 hours"))
+      // session opens before the restart, EXTENDS after it
+      writeBatch(in, Seq(
+        EventRow(1, ts(0), 1, "click", 1.0),
+        EventRow(2, ts(10), 1, "click", 2.0)))
+      runPass(in, out, cp, sw)
+      writeBatch(in, Seq(
+        EventRow(3, ts(15), 1, "view", 4.0),     // merges into the open session
+        EventRow(4, ts(600), 2, "click", 0.5)))  // watermark driver
+      runPass(in, out, cp, sw)
+      val got = spark.read.parquet(out.getAbsolutePath)
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+        .collect().toSet
+      // one session [00:00, 00:45], THREE events — two before the restart,
+      // one after: only recovered session state can produce this row
+      assert(got == Set((1L, ts(0), ts(45), 3L, 7.0)), got.toString)
+    } finally rmTree(root)
+  }
+
   test("sliding windows assign events to overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[EventRow]
