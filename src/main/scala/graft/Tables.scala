@@ -19,11 +19,13 @@ final case class Tables(spark: SparkSession, dir: String) {
     * generations (TIMESTAMP(NANOS) → TIMESTAMP(MICROS) between rounds 7
     * and 8), so the reader branches on what the file actually carries
     * rather than assuming either layout — see [[Tables.normalizeEventTs]].
-    * The legacy nanos-as-long flag is set up front because a NANOS file
-    * cannot even be schema-read without it (and it is a no-op for MICROS).
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` when the file
+    * carries NANOS (it cannot even be schema-read without it); the reader
+    * ensures it via [[Tables.initEventCompat]], which never overrides a
+    * session where the flag was set explicitly.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.initEventCompat(spark)
     Tables.normalizeEventTs(t("events"))
   }
   def documents: DataFrame = t("documents")
@@ -32,6 +34,21 @@ final case class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   import org.apache.spark.sql.types._
+
+  private val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Entry-point initializer for the events readers' one session-conf
+    * requirement: a TIMESTAMP(NANOS) events.parquet can only be read with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (harmless for MICROS
+    * files — the flag only changes how NANOS columns surface). Idempotent,
+    * and a NO-OP on any session where the flag is ALREADY SET explicitly:
+    * a shared-session caller's deliberate configuration is never
+    * overridden (TestdataSchemaSpec pins both behaviors). Callers reading
+    * events through their own `spark.read` must apply the same flag.
+    */
+  def initEventCompat(spark: SparkSession): Unit =
+    if (!spark.sessionState.conf.contains(NanosFlag))
+      spark.conf.set(NanosFlag, "true")
 
   /** Normalize the events `ts` column to TIMESTAMP_NTZ(micros) regardless of
     * the parquet physical type the driver generated:

@@ -35,7 +35,9 @@ object EventStreams {
     * entry points pin UTC so values match the batch NTZ reader).
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same one-flag session requirement as the batch reader — ensured via
+    // the documented initializer, never overriding an explicit setting
+    graft.Tables.initEventCompat(spark)
     val schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
     val raw = spark.readStream
       .schema(schema)

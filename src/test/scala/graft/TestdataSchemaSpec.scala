@@ -77,6 +77,32 @@ class TestdataSchemaSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("initEventCompat sets the nanos flag once and never overrides an explicit setting") {
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    // getOption surfaces registered defaults — detect EXPLICIT settings
+    val prior = if (spark.sessionState.conf.contains(flag))
+      Some(spark.conf.get(flag)) else None
+    try {
+      // unset session → the initializer supplies true
+      spark.conf.unset(flag)
+      Tables.initEventCompat(spark)
+      assert(spark.conf.get(flag) == "true")
+      // idempotent
+      Tables.initEventCompat(spark)
+      assert(spark.conf.get(flag) == "true")
+      // an EXPLICIT caller setting is respected, not overridden
+      spark.conf.set(flag, "false")
+      Tables.initEventCompat(spark)
+      assert(spark.conf.get(flag) == "false",
+        "the initializer must no-op on a deliberately configured session")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(flag, v)
+        case None => spark.conf.unset(flag)
+      }
+    }
+  }
+
   test("streaming events reader surfaces a session-tz timestamp on real testdata") {
     assume(available, s"$sfDir not present in this environment")
     val st = streaming.EventStreams.readEventsStream(spark, sfDir).schema
