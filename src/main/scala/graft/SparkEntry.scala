@@ -1615,6 +1615,18 @@ object SparkEntry {
     operators.KMeans.assignTwoLevel(Tables(s, dir).embeddings,
       "vec_id", "embedding", targetClusterSize = 25L, iterations = 3)
 
+  // ---- q113: edit-distance record linkage WITHOUT all-pairs — FastSS
+  //      deletion-neighborhood blocking (lossless for levenshtein ≤ d:
+  //      any edit script's matched subsequence is a shared ≤d-deletion
+  //      variant), candidates equi-join on the variant string, exact
+  //      built-in levenshtein verifies. The quadratic form this replaces
+  //      is q43's bounded cross join; this one scales to corpus-sized
+  //      name linkage because nothing ever leaves a blocking bucket. ----
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    ops.FuzzyJoin.linkSelf(
+      Tables(s, dir).supplier.select(col("s_suppkey"), col("s_name")),
+      "s_suppkey", "s_name", maxDist = 1)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1729,6 +1741,7 @@ object SparkEntry {
     "q110_snapshot_diff"   -> q110 _,
     "q111_space_saving"    -> q111 _,
     "q112_kmeans_twolevel" -> q112 _,
+    "q113_fuzzy_link"      -> q113 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2122,6 +2135,15 @@ object SparkEntry {
         |GROUP BY token, thresh.t
         |HAVING count(*) >= thresh.t""".stripMargin,
     "q112_kmeans_twolevel"  -> OracleSqlGen.q112Sql(),
+    // q113: the oracle is the quadratic definition the blocking replaces;
+    // levenshtein is the same classic unit-cost edit distance in both
+    // engines and the distance is integral, so the hash has no float risk.
+    "q113_fuzzy_link" ->
+      """SELECT a.s_suppkey AS id_a, a.s_name AS name_a,
+        |       b.s_suppkey AS id_b, b.s_name AS name_b,
+        |       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
     "q96_dup_spans"         -> OracleSqlGen.q96Sql(),
     "q98_neardup_clusters"  -> OracleSqlGen.q98Sql(),
     // q100: integral doubles cast to BIGINT identically in both engines

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance record linkage without all-pairs: FastSS / symmetric-delete
+  * blocking (Bocek et al. 2007, "Fast Similarity Search in Large
+  * Dictionaries"). The reference harmonises trust identities across vintages
+  * by exact code joins plus hand-curated rename tables
+  * (scripts/org-changes/build_trust_lookup.R:24-46); a 100 TB corpus needs
+  * the automated sibling — linking near-identical name strings — and the
+  * naive form is a quadratic cross join.
+  *
+  * Candidate generation is LOSSLESS for levenshtein <= d: align any edit
+  * script between a and b, delete from `a` its substituted+deleted
+  * positions and from `b` its substituted+inserted positions — both at most
+  * d deletions — and the remainders are the same matched subsequence. So
+  * joining the <=d-deletion neighborhoods by equality finds every true
+  * pair, and the exact (codegen'd, built-in) `levenshtein` verify removes
+  * false candidates. No distance computation ever runs outside a shared
+  * blocking bucket.
+  *
+  * Scale shape: neighborhoods are generated per-row (no shuffle), the
+  * candidate join is a plain equi-join on the variant string (shuffle on
+  * the variant hash — never a cartesian), and pairs are deduplicated
+  * before the verify so each candidate pair costs one distance. Variant
+  * count is C(len, <=d) per string: right-sized for linkage distances
+  * d <= 2; beyond that, segment-partition blocking (PassJoin) is the
+  * appropriate tool and this operator refuses rather than degrade.
+  */
+object FuzzyJoin {
+
+  /** All strings obtainable from `s` by deleting at most `d` characters,
+    * deduplicated, including `s` itself (the d=0 variant).
+    */
+  def deletionVariants(s: Column, d: Int): Column = {
+    require(d >= 1 && d <= 2,
+      s"deletion-neighborhood blocking is for linkage distances 1..2, got $d")
+    var acc = array(s)
+    for (_ <- 1 to d) {
+      val expanded = flatten(transform(acc, v =>
+        when(length(v) <= 0, array()).otherwise(
+          transform(sequence(lit(1), length(v)), i =>
+            concat(v.substr(lit(1), i - 1), v.substr(i + 1, length(v)))))))
+      acc = array_distinct(concat(acc, expanded))
+    }
+    acc
+  }
+
+  /** Link `left` to `right`: every (id_a, id_b) with
+    * levenshtein(name_a, name_b) <= maxDist, with the exact distance.
+    */
+  def link(left: DataFrame, right: DataFrame,
+           leftId: String, leftStr: String,
+           rightId: String, rightStr: String, maxDist: Int): DataFrame = {
+    val lv = left.select(col(leftId).as("id_a"), col(leftStr).as("name_a"),
+      explode(deletionVariants(col(leftStr), maxDist)).as("__v"))
+    val rv = right.select(col(rightId).as("id_b"), col(rightStr).as("name_b"),
+      explode(deletionVariants(col(rightStr), maxDist)).as("__v"))
+    lv.join(rv, "__v")
+      .select(col("id_a"), col("name_a"), col("id_b"), col("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Self-linkage: unordered pairs (id_a < id_b) within `maxDist`. */
+  def linkSelf(df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame =
+    link(df, df, idCol, strCol, idCol, strCol, maxDist)
+      .filter(col("id_a") < col("id_b"))
+}

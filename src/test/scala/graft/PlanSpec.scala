@@ -181,4 +181,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       "adjacency build must shuffle the edges exactly once:\n" + p.take(1500))
   }
+
+  test("q113: fuzzy linkage is an equi join on the variant, never a cartesian") {
+    val p = plan("q113_fuzzy_link")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    // the verify predicate must sit ABOVE the join, not be a join condition
+    // forcing a nested loop: the join key is the generated variant column
+    assert(p.contains("Generate explode"), p.take(1200))
+  }
 }
