@@ -1627,6 +1627,18 @@ object SparkEntry {
       Tables(s, dir).supplier.select(col("s_suppkey"), col("s_name")),
       "s_suppkey", "s_name", maxDist = 1)
 
+  // ---- q114: EXACT set-similarity join via prefix filtering — the
+  //      lossless sibling of q22's MinHash banding: records order their
+  //      tokens by global rarity, keep a ⌊n(1−τ)⌋+1 prefix, and any pair
+  //      with Jaccard ≥ τ must collide on a prefix token (pigeonhole over
+  //      the ⌈τn⌉−1 suffix). Candidates equi-join on the rare prefix
+  //      tokens; exact array-intersection verifies. ----
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    operators.SetSimJoin.joinSelf(
+      Tables(s, dir).documents.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks")),
+      "doc_id", "toks", tau = 0.9)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1742,6 +1754,7 @@ object SparkEntry {
     "q111_space_saving"    -> q111 _,
     "q112_kmeans_twolevel" -> q112 _,
     "q113_fuzzy_link"      -> q113 _,
+    "q114_setsim_join"     -> q114 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2144,6 +2157,23 @@ object SparkEntry {
         |       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
         |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
+    // q114: oracle is the quadratic definition prefix filtering replaces;
+    // the similarity is ONE division of exact integer set sizes, so both
+    // engines produce the identical double and the τ comparison agrees.
+    "q114_setsim_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS ts
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |         / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+        |         AS jaccard
+        |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |        / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+        |      >= 0.9""".stripMargin,
     "q96_dup_spans"         -> OracleSqlGen.q96Sql(),
     "q98_neardup_clusters"  -> OracleSqlGen.q98Sql(),
     // q100: integral doubles cast to BIGINT identically in both engines

@@ -182,6 +182,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "adjacency build must shuffle the edges exactly once:\n" + p.take(1500))
   }
 
+  test("q114: prefix-filtered similarity join has no cartesian; df count combines map-side") {
+    val p = plan("q114_setsim_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    // the document-frequency count must partial-aggregate before its shuffle
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
   test("q113: fuzzy linkage is an equi join on the variant, never a cartesian") {
     val p = plan("q113_fuzzy_link")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Prefix-filtered set-similarity join vs the quadratic ground truth: the
+  * candidate rule must be lossless (blocked == brute force, including a
+  * pair sitting EXACTLY on the τ boundary) and the float slack in the
+  * prefix-length arithmetic must only ever over-cover.
+  */
+class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // id 1 ⊃ id 2 with Jaccard exactly 18/20 = 0.9 (the τ boundary);
+  // clusters of four sets sharing 15 of 16 tokens (pairwise 15/17 ≈ .88);
+  // id 999 is empty and must never pair
+  private lazy val corpus = {
+    val a = (0 until 20).map(i => s"t$i")
+    val b = (0 until 18).map(i => s"t$i")
+    val clusters = (0 until 40).map { i =>
+      (100 + i, (0 until 15).map(k => s"w${(i / 4) * 100 + k}") :+ s"x$i")
+    }
+    (Seq((1, a), (2, b), (999, Seq.empty[String])) ++ clusters).toDF("id", "toks")
+  }
+
+  private def brute(tau: Double) = {
+    val d = corpus.select(col("id"), array_distinct(col("toks")).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val l = d.select(col("id").as("doc_a"), col("ts").as("ta"))
+    val r = d.select(col("id").as("doc_b"), col("ts").as("tb"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    l.crossJoin(r).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("ta")) + size(col("tb")) - inter))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getDouble(2))).toSet
+  }
+
+  private def blocked(tau: Double) =
+    SetSimJoin.joinSelf(corpus, "id", "toks", tau)
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getDouble(2))).toSet
+
+  test("τ=0.9: blocked join equals brute force, including the exact-boundary pair") {
+    val exact = brute(0.9)
+    assert(exact.contains((1, 2, 0.9)), "18/20 must qualify at τ=0.9 (boundary inclusion)")
+    assert(blocked(0.9) == exact)
+  }
+
+  test("τ=0.85: cluster pairs (15/17) join; blocked equals brute force") {
+    val exact = brute(0.85)
+    assert(exact.size > brute(0.9).size, "lowering τ must admit the cluster pairs")
+    assert(blocked(0.85) == exact)
+  }
+
+  test("τ=0.5 dense regime: blocked equals brute force") {
+    assert(blocked(0.5) == brute(0.5))
+  }
+
+  test("empty token sets never pair") {
+    assert(blocked(0.5).forall { case (a, b, _) => a != 999 && b != 999 })
+  }
+
+  test("prefix length arithmetic: ⌊n(1−τ)⌋+1 with over-cover-only slack") {
+    val d = corpus.filter(col("id") === 1).select(
+      array_distinct(col("toks")).as("ts"))
+    // n=20, τ=0.9 → p = ⌊2.0…⌋+1; fl(20·0.1) may land a hair above 2, the
+    // slack must still give 3 (never 2·=under-cover, never 4=waste)
+    val p = d.select((floor(size(col("ts")) * lit(1.0 - 0.9) + lit(1e-6)) + 1)
+      .cast("int")).head().getInt(0)
+    assert(p == 3)
+  }
+}
