@@ -1639,6 +1639,16 @@ object SparkEntry {
         TextFunctions.tokens(col("text")).as("toks")),
       "doc_id", "toks", tau = 0.9)
 
+  // ---- q115: panel completeness / gap detection — the reference's
+  //      printed which-quarters-exist coverage audit
+  //      (build_datasets_main.py:311-315) as a one-shuffle operator:
+  //      per-entity expected range, set difference, and gap endpoints are
+  //      array arithmetic on the grouped state, bounded by the month span
+  //      rather than the row count. ----
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    ops.PanelGaps.report(Tables(s, dir).orders.select(col("o_custkey"),
+      col("o_orderdate")), Seq("o_custkey"), "o_orderdate")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1755,6 +1765,7 @@ object SparkEntry {
     "q112_kmeans_twolevel" -> q112 _,
     "q113_fuzzy_link"      -> q113 _,
     "q114_setsim_join"     -> q114 _,
+    "q115_panel_gaps"      -> q115 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2174,6 +2185,36 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
         |        / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
         |      >= 0.9""".stripMargin,
+    // q115: the oracle replays the month-range semantics with
+    // generate_series + anti join; counts are exact integers and gap
+    // endpoints are DATEs, so the compare is type- and value-exact.
+    "q115_panel_gaps" ->
+      """WITH m AS (
+        |  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS mon
+        |  FROM orders
+        |), b AS (
+        |  SELECT o_custkey, min(mon) AS lo, max(mon) AS hi,
+        |         CAST(count(*) AS BIGINT) AS months_present
+        |  FROM m GROUP BY 1
+        |), e AS (
+        |  SELECT o_custkey,
+        |         CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |           CAST(hi AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS mon
+        |  FROM b
+        |), g AS (
+        |  SELECT e.o_custkey, e.mon FROM e
+        |  ANTI JOIN m ON e.o_custkey = m.o_custkey AND e.mon = m.mon
+        |), gg AS (
+        |  SELECT o_custkey, min(mon) AS first_gap, max(mon) AS last_gap
+        |  FROM g GROUP BY 1
+        |)
+        |SELECT b.o_custkey,
+        |  CAST(date_diff('month', b.lo, b.hi) + 1 AS BIGINT) AS months_expected,
+        |  b.months_present,
+        |  CAST(date_diff('month', b.lo, b.hi) + 1 - b.months_present AS BIGINT)
+        |    AS months_missing,
+        |  gg.first_gap, gg.last_gap
+        |FROM b LEFT JOIN gg ON b.o_custkey = gg.o_custkey""".stripMargin,
     "q96_dup_spans"         -> OracleSqlGen.q96Sql(),
     "q98_neardup_clusters"  -> OracleSqlGen.q98Sql(),
     // q100: integral doubles cast to BIGINT identically in both engines
