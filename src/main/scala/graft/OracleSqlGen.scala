@@ -1234,4 +1234,43 @@ object OracleSqlGen {
        |SELECT doc_id, rrf_score FROM fused
        |ORDER BY rrf_score DESC, doc_id LIMIT $topK""".stripMargin
   }
+
+  /** q116: Pearson matrix from exact integer moments. The SQL is GENERATED
+    * from the same measure list the Spark plan uses so the pair order, the
+    * cent scaling, and the fixed IEEE finish tree
+    * (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²)·(n·Σy² − Σy²)) stay mirrored —
+    * every moment is an exact BIGINT, so no summation-order risk; round()
+    * never sees a .5 tie because 2-decimal measures ×100 land on integers
+    * up to float noise.
+    */
+  def q116Sql(): String = {
+    val ms = Seq(
+      "quantity" -> "CAST(l_quantity AS BIGINT)",
+      "discount" -> "CAST(round(l_discount * 100) AS BIGINT)",
+      "tax"      -> "CAST(round(l_tax * 100) AS BIGINT)")
+    val names = ms.map(_._1)
+    val sel = ms.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val sums = (names.map(n => s"CAST(sum($n) AS BIGINT) AS s_$n") ++
+      names.map(n => s"CAST(sum($n*$n) AS BIGINT) AS ss_$n") ++
+      names.combinations(2).map { case Seq(a, b) =>
+        s"CAST(sum($a*$b) AS BIGINT) AS sp_${a}_$b"
+      }).mkString(",\n       ")
+    def vn(x: String) =
+      s"(CAST(n AS DOUBLE)*CAST(ss_$x AS DOUBLE) - CAST(s_$x AS DOUBLE)*CAST(s_$x AS DOUBLE))"
+    val pairs = names.combinations(2).map { case Seq(a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+         |  CASE WHEN ${vn(a)} = 0 OR ${vn(b)} = 0 THEN NULL
+         |       ELSE (CAST(n AS DOUBLE)*CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE)*CAST(s_$b AS DOUBLE))
+         |            / sqrt(${vn(a)} * ${vn(b)})
+         |  END AS corr
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT $sel FROM lineitem),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |       $sums
+       |  FROM v
+       |)
+       |$pairs""".stripMargin
+  }
 }

@@ -1649,6 +1649,17 @@ object SparkEntry {
     ops.PanelGaps.report(Tables(s, dir).orders.select(col("o_custkey"),
       col("o_orderdate")), Seq("o_custkey"), "o_orderdate")
 
+  // ---- q116: pairwise Pearson matrix from EXACT integer moments in ONE
+  //      partial-aggregated scan (q100's discipline extended to the moment
+  //      matrix): fixed-decimal measures scale to cent-longs, every moment
+  //      is an exact commuting long, and the finish is a fixed IEEE tree —
+  //      no Welford/summation-order sensitivity at any partition count. ----
+  private def q116(s: SparkSession, dir: String): DataFrame =
+    ops.Correlation.matrixExact(Tables(s, dir).lineitem, Seq(
+      "quantity" -> col("l_quantity").cast("long"),
+      "discount" -> round(col("l_discount") * 100).cast("long"),
+      "tax"      -> round(col("l_tax") * 100).cast("long")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1766,6 +1777,7 @@ object SparkEntry {
     "q113_fuzzy_link"      -> q113 _,
     "q114_setsim_join"     -> q114 _,
     "q115_panel_gaps"      -> q115 _,
+    "q116_corr_matrix"     -> q116 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2215,6 +2227,7 @@ object SparkEntry {
         |    AS months_missing,
         |  gg.first_gap, gg.last_gap
         |FROM b LEFT JOIN gg ON b.o_custkey = gg.o_custkey""".stripMargin,
+    "q116_corr_matrix"      -> OracleSqlGen.q116Sql(),
     "q96_dup_spans"         -> OracleSqlGen.q96Sql(),
     "q98_neardup_clusters"  -> OracleSqlGen.q98Sql(),
     // q100: integral doubles cast to BIGINT identically in both engines
