@@ -1660,6 +1660,21 @@ object SparkEntry {
       "discount" -> round(col("l_discount") * 100).cast("long"),
       "tax"      -> round(col("l_tax") * 100).cast("long")))
 
+  // ---- q117: MAD robust outlier scores — the outlier detector whose
+  //      scale estimate the outliers can't corrupt (50% breakdown vs the
+  //      mean/stddev's 0). A deterministic ×20 corruption on ~0.2% of
+  //      rows stands in for the heavy tail the bounded synthetic prices
+  //      lack. Two shuffle-parallel exact-median passes, bounds broadcast
+  //      back; no sums anywhere, so scores are bit-identical across
+  //      engines for arbitrary doubles. ----
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    ops.Percentiles.madOutliers(
+      Tables(s, dir).lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"),
+        (col("l_extendedprice") *
+          when(col("l_orderkey") % 499 === 0, 20).otherwise(1)).as("price")),
+      Seq("l_returnflag"), "price", threshold = 3.5)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1778,6 +1793,7 @@ object SparkEntry {
     "q114_setsim_join"     -> q114 _,
     "q115_panel_gaps"      -> q115 _,
     "q116_corr_matrix"     -> q116 _,
+    "q117_mad_outliers"    -> q117 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2228,6 +2244,31 @@ object SparkEntry {
         |  gg.first_gap, gg.last_gap
         |FROM b LEFT JOIN gg ON b.o_custkey = gg.o_custkey""".stripMargin,
     "q116_corr_matrix"      -> OracleSqlGen.q116Sql(),
+    // q117: quantile_cont is bit-identical to exactQuantiles'
+    // interpolation; the score is one subtract, one multiply, one divide
+    // on identical doubles — no sums, so no order sensitivity to hash.
+    "q117_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    l_extendedprice * (CASE WHEN l_orderkey % 499 = 0 THEN 20 ELSE 1 END)
+        |      AS price
+        |  FROM lineitem
+        |), med AS (
+        |  SELECT l_returnflag, quantile_cont(price, 0.5) AS med
+        |  FROM v GROUP BY 1
+        |), d AS (
+        |  SELECT v.*, med.med FROM v JOIN med USING (l_returnflag)
+        |), mad AS (
+        |  SELECT l_returnflag, quantile_cont(abs(price - med), 0.5) AS mad
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT d.l_orderkey, d.l_linenumber, d.l_returnflag, d.price,
+        |  CASE WHEN mad.mad = 0 THEN NULL
+        |       ELSE (d.price - d.med) / (1.4826 * mad.mad) END AS robust_z,
+        |  CASE WHEN mad.mad = 0 THEN NULL
+        |       ELSE abs((d.price - d.med) / (1.4826 * mad.mad)) > 3.5
+        |  END AS is_outlier
+        |FROM d JOIN mad USING (l_returnflag)""".stripMargin,
     "q96_dup_spans"         -> OracleSqlGen.q96Sql(),
     "q98_neardup_clusters"  -> OracleSqlGen.q98Sql(),
     // q100: integral doubles cast to BIGINT identically in both engines

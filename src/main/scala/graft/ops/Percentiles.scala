@@ -150,6 +150,44 @@ object Percentiles {
     * silently widened — decimal arithmetic would change the parity
     * story).
     */
+  /** Robust outlier detection via the Median Absolute Deviation: per
+    * group, z_rob = (x − median) / (1.4826·MAD) with MAD =
+    * median(|x − median|) — the standard robust scale (1.4826 ≈ 1/Φ⁻¹(¾)
+    * makes it consistent with σ under normality) that a mean/stddev
+    * z-score cannot provide, because the outliers being hunted corrupt
+    * the mean and stddev themselves (breakdown point 0 vs MAD's 50%).
+    *
+    * Two [[exactQuantiles]] passes (shuffle-parallel, never a single-task
+    * percentile reduce) with group-row bounds broadcast back — the
+    * two-scan shape is inherent to the statistic (the deviation needs the
+    * median first). Cross-engine parity: there are NO data sums anywhere —
+    * medians pick or midpoint-average identical input doubles, the
+    * deviation is one subtraction, the score one multiply and one divide —
+    * so every engine computes bit-identical scores for arbitrary double
+    * inputs (integrality is not required, unlike the moment-based ops).
+    * Zero-MAD groups (≥50% of the group at the median) yield null scores:
+    * the statistic is undefined there, and both engines would otherwise
+    * produce division artifacts that disagree.
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  threshold: Double, out: String = "robust_z"): DataFrame = {
+    val meds = exactQuantiles(df, groupCols, valueCol, Seq("__med" -> 0.5))
+    val withMed = df.join(broadcast(meds), groupCols)
+      .withColumn("__absdev",
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(abs(col(valueCol).cast("double") - col("__med"))))
+    val mads = exactQuantiles(withMed, groupCols, "__absdev", Seq("__mad" -> 0.5))
+    withMed.join(broadcast(mads), groupCols)
+      .withColumn(out,
+        when(col(valueCol).isNull || col("__mad") === 0d, lit(null).cast("double"))
+          .otherwise((col(valueCol).cast("double") - col("__med")) /
+            (lit(1.4826) * col("__mad"))))
+      .withColumn("is_outlier",
+        when(col(out).isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col(out)) > threshold))
+      .drop("__absdev", "__med", "__mad")
+  }
+
   def zscoreExact(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   out: String): DataFrame = {
     val gcols = groupCols.map(col)

@@ -113,4 +113,45 @@ class PercentilesSpec extends AnyFunSuite with SparkSpec {
       Percentiles.winsorize(df, Seq("g"), "v", 0.9, 0.1, "c")
     }
   }
+
+  test("madOutliers: hand-computed medians, scores, and the lone outlier") {
+    // med = 5.5; absdevs sorted: .5 .5 1.5 1.5 2.5 2.5 3.5 3.5 4.5 94.5
+    // → MAD = 2.5; z_rob(100) = 94.5/(1.4826·2.5) ≈ 25.5 — only outlier
+    val vals = (1 to 9).map(_.toDouble) :+ 100.0
+    val df = vals.map(("a", _)).toDF("g", "v")
+    // output order: g, v, robust_z, is_outlier (join key leads)
+    val out = Percentiles.madOutliers(df, Seq("g"), "v", threshold = 3.5)
+      .collect().map(r => r.getDouble(1) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(100.0)._1 == 94.5 / (1.4826 * 2.5))
+    assert(out(100.0)._2)
+    assert(out(1.0)._1 == -4.5 / (1.4826 * 2.5) && !out(1.0)._2)
+    assert(out.count(_._2._2) == 1, "exactly one outlier")
+  }
+
+  test("madOutliers: zero-MAD groups and null values yield null, not artifacts") {
+    val df = (Seq(("z", Some(5.0)), ("z", Some(5.0)), ("z", Some(5.0)),
+      ("z", Some(9.0)), ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(30.0)),
+      ("a", None))).toDF("g", "v")
+    val rows = Percentiles.madOutliers(df, Seq("g"), "v", threshold = 3.5).collect()
+    val z = rows.filter(_.getString(0) == "z")
+    assert(z.forall(r => r.isNullAt(2) && r.isNullAt(3)),
+      "≥50% at the median → MAD 0 → undefined score")
+    val aNull = rows.filter(r => r.getString(0) == "a" && r.isNullAt(1))
+    assert(aNull.length == 1 && aNull.head.isNullAt(2) && aNull.head.isNullAt(3))
+    // group a: med 2, absdev {1,0,28} → MAD 1; 30 → z = 28/1.4826 > 3.5
+    val a30 = rows.find(r => !r.isNullAt(1) && r.getDouble(1) == 30.0).get
+    assert(a30.getDouble(2) == 28.0 / 1.4826 && a30.getBoolean(3))
+  }
+
+  test("madOutliers broadcasts both bounds tables back over the data") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val p = Percentiles.madOutliers(df, Seq("g"), "v", 3.5)
+      .queryExecution.executedPlan.toString
+    // the med join appears twice in the tree (feeding the MAD aggregate
+    // AND the final score join) — what matters is that every join
+    // broadcasts the group-row bounds and none sort-merges the data
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
 }
