@@ -1675,6 +1675,28 @@ object SparkEntry {
           when(col("l_orderkey") % 499 === 0, 20).otherwise(1)).as("price")),
       Seq("l_returnflag"), "price", threshold = 3.5)
 
+  // ---- q118: exact triangle counting by degree-ordered orientation —
+  //      the graph-statistics sibling of q93's PageRank: wedges form only
+  //      in oriented out-neighborhoods (out-degree O(√m) on ANY graph, so
+  //      a hub contributes via its neighbors' tiny out-lists, never its
+  //      own d²), closed against the canonical edge set. The graph is a
+  //      circulant ring (diffs 1,2,3) over the part keys plus hub
+  //      attachments every 50th node — triangle-rich and skewed, unlike
+  //      q93's bipartite part-supplier graph. ----
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir).part.select(col("p_partkey").as("k"))
+    // contiguous keyspace size; the oracle derives the same n via a
+    // scalar subquery (q94's derived-constant discipline)
+    val n = p.count()
+    val ring = p.select(col("k"), explode(array(lit(1L), lit(2L), lit(3L))).as("d"))
+      .select(col("k").as("src"), ((col("k") + col("d")) % n).as("dst"))
+    val hubs = p.filter(col("k") % 50 === 0)
+    val edges = ring
+      .union(hubs.select(col("k").as("src"), lit(0L).as("dst")))
+      .union(hubs.select(col("k").as("src"), lit(1L).as("dst")))
+    operators.Triangles.perNode(edges, "src", "dst")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1794,6 +1816,7 @@ object SparkEntry {
     "q115_panel_gaps"      -> q115 _,
     "q116_corr_matrix"     -> q116 _,
     "q117_mad_outliers"    -> q117 _,
+    "q118_triangles"       -> q118 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2244,6 +2267,37 @@ object SparkEntry {
         |  gg.first_gap, gg.last_gap
         |FROM b LEFT JOIN gg ON b.o_custkey = gg.o_custkey""".stripMargin,
     "q116_corr_matrix"      -> OracleSqlGen.q116Sql(),
+    // q118: the oracle enumerates triangles directly over the canonical
+    // a<b edge set (each triangle once as a<b<c) and attributes corners;
+    // counts are exact integers.
+    "q118_triangles" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+        |e0 AS (
+        |  SELECT p_partkey AS x,
+        |         (p_partkey + d.d) % (SELECT n FROM nn) AS y
+        |  FROM part CROSS JOIN (VALUES (1), (2), (3)) AS d(d)
+        |  UNION ALL
+        |  SELECT p_partkey, CAST(0 AS BIGINT) FROM part WHERE p_partkey % 50 = 0
+        |  UNION ALL
+        |  SELECT p_partkey, CAST(1 AS BIGINT) FROM part WHERE p_partkey % 50 = 0
+        |),
+        |canon AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM e0 WHERE x <> y
+        |),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM canon e1
+        |  JOIN canon e2 ON e2.a = e1.b
+        |  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |FROM (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri
+        |)
+        |GROUP BY node""".stripMargin,
     // q117: quantile_cont is bit-identical to exactQuantiles'
     // interpolation; the score is one subtract, one multiply, one divide
     // on identical doubles — no sums, so no order sensitivity to hash.
