@@ -1697,6 +1697,23 @@ object SparkEntry {
     operators.Triangles.perNode(edges, "src", "dst")
   }
 
+  // ---- q119: source-distribution drift matrix — pairwise cosine of
+  //      token COUNT vectors, the exact-integer-moment stand-in for KL
+  //      drift (Shannon forms need order-sensitive float sums and libm
+  //      transcendentals that don't replay across engines). One count
+  //      aggregation, a per-token pair join partially aggregated
+  //      map-side, moments broadcast back. ----
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.sourceCosineMatrix(
+      Tables(s, dir).documents, "source", "text")
+
+  // ---- q120: per-source vocabulary concentration — Simpson collision
+  //      probability Σc²/T² and inverse-Simpson effective vocabulary,
+  //      exact integer moments with single-IEEE finishes. ----
+  private def q120(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.simpsonDiversity(
+      Tables(s, dir).documents, "source", "text")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1817,6 +1834,8 @@ object SparkEntry {
     "q116_corr_matrix"     -> q116 _,
     "q117_mad_outliers"    -> q117 _,
     "q118_triangles"       -> q118 _,
+    "q119_source_cosine"   -> q119 _,
+    "q120_simpson"         -> q120 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2267,6 +2286,46 @@ object SparkEntry {
         |  gg.first_gap, gg.last_gap
         |FROM b LEFT JOIN gg ON b.o_custkey = gg.o_custkey""".stripMargin,
     "q116_corr_matrix"      -> OracleSqlGen.q116Sql(),
+    // q119/q120: every aggregate is a commuting integer sum; finishes are
+    // single IEEE ops — bit-identical across engines by construction.
+    "q119_source_cosine" ->
+      """WITH tc AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT source, CAST(sum(c * c) AS BIGINT) AS ssq FROM tc GROUP BY 1
+        |), x AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         CAST(sum(a.c * b.c) AS BIGINT) AS sab
+        |  FROM tc a JOIN tc b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT x.source_a, x.source_b,
+        |  CAST(x.sab AS DOUBLE)
+        |    / (sqrt(CAST(ma.ssq AS DOUBLE)) * sqrt(CAST(mb.ssq AS DOUBLE)))
+        |    AS cosine
+        |FROM x
+        |JOIN m ma ON ma.source = x.source_a
+        |JOIN m mb ON mb.source = x.source_b""".stripMargin,
+    "q120_simpson" ->
+      """WITH tc AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS tokens_total,
+        |  CAST(count(*) AS BIGINT) AS distinct_tokens,
+        |  CAST(CAST(sum(c * c) AS BIGINT) AS DOUBLE)
+        |    / (CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+        |       * CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)) AS simpson,
+        |  (CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+        |   * CAST(CAST(sum(c) AS BIGINT) AS DOUBLE))
+        |    / CAST(CAST(sum(c * c) AS BIGINT) AS DOUBLE) AS effective_vocab
+        |FROM tc GROUP BY source""".stripMargin,
     // q118: the oracle enumerates triangles directly over the canonical
     // a<b edge set (each triangle once as a<b<c) and attributes corners;
     // counts are exact integers.

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computable distribution stats: fixtures chosen so the moment
+  * arithmetic lands on exactly-representable values (perfect-square Σc²),
+  * making the equality assertions EXACT — identical count vectors cosine
+  * at 1.0, partial overlap at 9/25, disjoint pairs are absent, and
+  * Simpson endpoints hit 1/k and 1.
+  */
+class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // counts {a:3, b:4} → Σc² = 25, √25 = 5 exact
+  private lazy val docs = Seq(
+    ("same1", "a a a b b b b"),
+    ("same2", "a a a b b b b"),
+    ("half", "a a a c c c c"),
+    ("disj", "q r s"),
+  ).toDF("source", "text")
+
+  test("cosine matrix: identical vectors 1.0 exact, overlap 9/25, disjoint absent") {
+    val m = CorpusStats.sourceCosineMatrix(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("same1", "same2")) == 1.0)
+    assert(m(("half", "same1")) == 0.36 && m(("half", "same2")) == 0.36)
+    assert(!m.keySet.exists { case (x, y) => x == "disj" || y == "disj" },
+      "no shared token → no pair row")
+    assert(m.size == 3)
+  }
+
+  test("simpson diversity: uniform hits 1/k, single-token hits 1") {
+    val d2 = Seq(("uni", "u v w x"), ("conc", "m m m m")).toDF("source", "text")
+    val m = CorpusStats.simpsonDiversity(d2, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m("uni") == ((4L, 4L, 0.25, 4.0)))
+    assert(m("conc") == ((4L, 1L, 1.0, 1.0)))
+  }
+
+  test("pair aggregation combines map-side before the shuffle") {
+    val p = CorpusStats.sourceCosineMatrix(docs, "source", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+}
