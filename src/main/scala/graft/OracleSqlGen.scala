@@ -1235,6 +1235,72 @@ object OracleSqlGen {
        |ORDER BY rrf_score DESC, doc_id LIMIT $topK""".stripMargin
   }
 
+  /** q121: KMV distinct estimates. The k smallest distinct portable
+    * hashes are replayed with a rank window; the estimator
+    * (k−1)·2⁶⁰/h_k is a two-op IEEE tree ((k−1)·2⁶⁰ is exact — 8
+    * significand bits times a power of two), identical in both engines.
+    */
+  def q121Sql(k: Int = 256): String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS t
+       |  FROM documents
+       |), h AS (
+       |  SELECT DISTINCT source, ${PortableHash.hash60Sql("t")} AS h FROM tok
+       |), r AS (
+       |  SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM h
+       |), sk AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS nd,
+       |         max(CASE WHEN rn = $k THEN h END) AS hk
+       |  FROM r WHERE rn <= $k GROUP BY source
+       |), ex AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM h GROUP BY source
+       |)
+       |SELECT sk.source,
+       |  CASE WHEN sk.nd < $k THEN CAST(sk.nd AS DOUBLE)
+       |       ELSE (${(k - 1).toDouble} * 1152921504606846976.0)
+       |            / CAST(sk.hk AS DOUBLE) END AS n_est,
+       |  ex.n_exact
+       |FROM sk JOIN ex ON sk.source = ex.source""".stripMargin
+
+  /** q122: KMV intersection matrix via the min-theta rule, replayed over
+    * the same rank-limited hash lists (1-based list slice = the k
+    * smallest).
+    */
+  def q122Sql(k: Int = 256): String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS t
+       |  FROM documents
+       |), h AS (
+       |  SELECT DISTINCT source, ${PortableHash.hash60Sql("t")} AS h FROM tok
+       |), r AS (
+       |  SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM h
+       |), sk AS (
+       |  SELECT source, list(h ORDER BY h) AS mins
+       |  FROM r WHERE rn <= $k GROUP BY source
+       |), p AS (
+       |  SELECT a.source AS group_a, b.source AS group_b,
+       |         a.mins AS ma, b.mins AS mb,
+       |         least(
+       |           CASE WHEN len(a.mins) < $k THEN 1152921504606846976
+       |                ELSE a.mins[$k] END,
+       |           CASE WHEN len(b.mins) < $k THEN 1152921504606846976
+       |                ELSE b.mins[$k] END) AS th
+       |  FROM sk a JOIN sk b ON a.source < b.source
+       |)
+       |SELECT group_a, group_b,
+       |  CASE WHEN len(ma) < $k AND len(mb) < $k
+       |       THEN CAST(len(list_filter(list_intersect(ma, mb),
+       |                                 x -> x < th)) AS DOUBLE)
+       |       ELSE (CAST(len(list_filter(list_intersect(ma, mb),
+       |                                  x -> x < th)) AS DOUBLE)
+       |             * 1152921504606846976.0) / CAST(th AS DOUBLE)
+       |  END AS inter_est
+       |FROM p""".stripMargin
+
   /** q116: Pearson matrix from exact integer moments. The SQL is GENERATED
     * from the same measure list the Spark plan uses so the pair order, the
     * cent scaling, and the fixed IEEE finish tree

@@ -1714,6 +1714,27 @@ object SparkEntry {
     operators.CorpusStats.simpsonDiversity(
       Tables(s, dir).documents, "source", "text")
 
+  // ---- q121/q122: KMV (bottom-k theta) sketches — the distinct-count
+  //      family whose states compose under SET ALGEBRA: union = merged
+  //      minima, intersection via the min-theta rule (HLL registers
+  //      can't intersect). One native TypedImperativeAggregate ships ≤ k
+  //      longs per map task; the k smallest distinct hashes are a pure
+  //      function of the value set, so the estimates replay exactly from
+  //      sorted hashes in the oracle. q121 carries the exact distinct
+  //      alongside (q84 discipline: the sketch buys the plan, the gate
+  //      checks the answer); q122 crosses sketch ROWS, never data. ----
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    operators.KmvSketch.distinctByGroup(
+      Tables(s, dir).documents.select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok")),
+      Seq("source"), "tok", k = 256, withExact = true)
+
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    operators.KmvSketch.intersectionMatrix(
+      Tables(s, dir).documents.select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok")),
+      "source", "tok", k = 256)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1836,6 +1857,8 @@ object SparkEntry {
     "q118_triangles"       -> q118 _,
     "q119_source_cosine"   -> q119 _,
     "q120_simpson"         -> q120 _,
+    "q121_kmv_distinct"    -> q121 _,
+    "q122_kmv_intersect"   -> q122 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2286,6 +2309,8 @@ object SparkEntry {
         |  gg.first_gap, gg.last_gap
         |FROM b LEFT JOIN gg ON b.o_custkey = gg.o_custkey""".stripMargin,
     "q116_corr_matrix"      -> OracleSqlGen.q116Sql(),
+    "q121_kmv_distinct"     -> OracleSqlGen.q121Sql(),
+    "q122_kmv_intersect"    -> OracleSqlGen.q122Sql(),
     // q119/q120: every aggregate is a commuting integer sum; finishes are
     // single IEEE ops — bit-identical across engines by construction.
     "q119_source_cosine" ->
