@@ -840,42 +840,43 @@ object OracleSqlGen {
   // gate derive k from the corpus size exactly as the Spark side does
   // (KMeans.kForTargetClusterSize): ceil(count/target) clamped to maxK.
   private def kmeansCtes(kSql: String, iterations: Int, scale: Long,
-                         dim: Int): String = {
+                         dim: Int, sfx: String = "",
+                         vecExpr: String = "embedding"): String = {
     def assignFrom(c: String) =
       s"""SELECT vec_id, x, cid FROM (
          |  SELECT p.vec_id, p.x, c.cid,
          |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
          |      list_sum([(p.x[i] - c.c[i]) * (p.x[i] - c.c[i])
          |                FOR i IN range(1, ${dim + 1})]), c.cid) AS rn
-         |  FROM pts p CROSS JOIN $c c) t
+         |  FROM pts$sfx p CROSS JOIN $c c) t
          |WHERE rn = 1""".stripMargin
     val iters = (1 to iterations).map { i =>
-      s"""a$i AS (
-         |${assignFrom(s"c${i - 1}")}
-         |), s$i AS (
+      s"""a$i$sfx AS (
+         |${assignFrom(s"c${i - 1}$sfx")}
+         |), s$i$sfx AS (
          |  SELECT cid, t.dim AS dim, CAST(sum(x[t.dim]) AS BIGINT) AS sv,
          |         count(*) AS n
-         |  FROM a$i CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS dim) t
+         |  FROM a$i$sfx CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS dim) t
          |  GROUP BY 1, 2
-         |), c$i AS (
+         |), c$i$sfx AS (
          |  SELECT prev.cid, COALESCE(m.c, prev.c) AS c
-         |  FROM c${i - 1} prev LEFT JOIN (
-         |    SELECT cid, list(sv // n ORDER BY dim) AS c FROM s$i
+         |  FROM c${i - 1}$sfx prev LEFT JOIN (
+         |    SELECT cid, list(sv // n ORDER BY dim) AS c FROM s$i$sfx
          |    GROUP BY cid) m USING (cid)
          |)""".stripMargin
     }.mkString(", ")
-    s"""pts AS (
+    s"""pts$sfx AS (
        |  SELECT vec_id,
        |    [CAST(floor(CAST(x AS DOUBLE) * $scale.0) AS BIGINT)
-       |     FOR x IN embedding] AS x
+       |     FOR x IN $vecExpr] AS x
        |  FROM embeddings
-       |), c0 AS (
+       |), c0$sfx AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
        |         x AS c
-       |  FROM (SELECT vec_id, x FROM pts ORDER BY vec_id LIMIT $kSql) s
-       |), $iters, asg AS (
+       |  FROM (SELECT vec_id, x FROM pts$sfx ORDER BY vec_id LIMIT $kSql) s
+       |), $iters, asg$sfx AS (
        |  SELECT vec_id, cid AS cluster FROM (
-       |${assignFrom(s"c$iterations")}
+       |${assignFrom(s"c$iterations$sfx")}
        |) fin
        |)""".stripMargin
   }
@@ -1233,6 +1234,49 @@ object OracleSqlGen {
        |)
        |SELECT doc_id, rrf_score FROM fused
        |ORDER BY rrf_score DESC, doc_id LIMIT $topK""".stripMargin
+  }
+
+  /** q123: product quantization + ADC search — the FULL pipeline
+    * replayed: m independent Lloyd chains over 1-based subvector slices
+    * (each the exact q94 fixed-point chain, suffix-disambiguated), final
+    * assignments as the codes, the query's m×k distance table as exact
+    * long arithmetic over the trained centroids, ADC = the m-way join of
+    * codes to tables summing exact longs, and a deterministic
+    * (dist, id) top-k. No floats anywhere — training included — so there
+    * is NO tolerance in the compare.
+    */
+  def q123Sql(m: Int = 4, k: Int = 16, iterations: Int = 3,
+              scale: Long = 1000000L, dim: Int = 64,
+              queryId: Long = 0L, topK: Int = 25): String = {
+    require(dim % m == 0)
+    val subDim = dim / m
+    val chains = (0 until m).map { s =>
+      kmeansCtes(k.toString, iterations, scale, subDim, s"_p$s",
+        s"embedding[${s * subDim + 1}:${(s + 1) * subDim}]")
+    }.mkString(", ")
+    val dtabs = (0 until m).map { s =>
+      s"""dtab$s AS (
+         |  SELECT c.cid,
+         |    CAST(list_sum([(q.x[i] - c.c[i]) * (q.x[i] - c.c[i])
+         |                   FOR i IN range(1, ${subDim + 1})]) AS BIGINT) AS d2
+         |  FROM c${iterations}_p$s c CROSS JOIN
+         |       (SELECT x FROM pts_p$s WHERE vec_id = $queryId) q
+         |)""".stripMargin
+    }.mkString(", ")
+    val joins = (1 until m).map(s =>
+      s"""  JOIN asg_p$s a$s ON a$s.vec_id = a0.vec_id
+         |  JOIN dtab$s t$s ON t$s.cid = a$s.cluster""".stripMargin)
+      .mkString("\n")
+    val sumExpr = (0 until m).map(s => s"t$s.d2").mkString(" + ")
+    s"""WITH $chains, $dtabs, adc AS (
+       |  SELECT a0.vec_id, CAST($sumExpr AS BIGINT) AS adc_dist
+       |  FROM asg_p0 a0
+       |  JOIN dtab0 t0 ON t0.cid = a0.cluster
+       |$joins
+       |)
+       |SELECT vec_id AS cand_id, adc_dist FROM adc
+       |WHERE vec_id <> $queryId
+       |ORDER BY adc_dist, vec_id LIMIT $topK""".stripMargin
   }
 
   /** q121: KMV distinct estimates. The k smallest distinct portable

@@ -1735,6 +1735,19 @@ object SparkEntry {
         explode(TextFunctions.tokens(col("text"))).as("tok")),
       "source", "tok", k = 256)
 
+  // ---- q123: product quantization + ADC search — the memory-bounded
+  //      scan path of the ANN family (Jégou 2011): vectors compress to m
+  //      codebook indices, the query scans CODES (m table lookups per
+  //      vector, reading only the code columns), top-k by the quantized
+  //      distance. Training, encoding, the distance table, and the ADC
+  //      sum all stay in the fixed-point long domain, so the ENTIRE
+  //      pipeline — Lloyd training included — replays in the oracle with
+  //      no tolerance. ----
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    operators.ProductQuantizer.adcTopK(Tables(s, dir).embeddings,
+      "vec_id", "embedding", dim = 64, m = 4, k = 16, iterations = 3,
+      queryId = 0L, topK = 25)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1859,6 +1872,7 @@ object SparkEntry {
     "q120_simpson"         -> q120 _,
     "q121_kmv_distinct"    -> q121 _,
     "q122_kmv_intersect"   -> q122 _,
+    "q123_pq_adc"          -> q123 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2311,6 +2325,7 @@ object SparkEntry {
     "q116_corr_matrix"      -> OracleSqlGen.q116Sql(),
     "q121_kmv_distinct"     -> OracleSqlGen.q121Sql(),
     "q122_kmv_intersect"    -> OracleSqlGen.q122Sql(),
+    "q123_pq_adc"           -> OracleSqlGen.q123Sql(),
     // q119/q120: every aggregate is a commuting integer sum; finishes are
     // single IEEE ops — bit-identical across engines by construction.
     "q119_source_cosine" ->

@@ -131,6 +131,24 @@ object KMeans {
   def assign(points: DataFrame, idCol: String, vecCol: String,
              k: Int = 8, iterations: Int = 5,
              scale: Long = 1000000L): DataFrame = {
+    val (pts, centroids) = fit(points, idCol, vecCol, k, iterations, scale)
+    val b = points.sparkSession.sparkContext.broadcast(centroids)
+    pts.select(col("__id").as(idCol),
+      KMeans.nearestCentroidBcast(col("__x"), b).as("cluster"))
+  }
+
+  /** The Lloyd training core behind [[assign]], exposed for consumers
+    * that need the CODEBOOK itself (product quantization trains one per
+    * subspace): returns the cached scaled-long point frame
+    * (`__id`, `__x`) and the final centroid matrix. Identical
+    * determinism contract to [[assign]] — scaled-long coords, exact long
+    * sums, truncating division, lowest-cid ties, k-lowest-id init, an
+    * emptied cluster keeps its centroid — so oracles replay the returned
+    * codebook exactly.
+    */
+  def fit(points: DataFrame, idCol: String, vecCol: String,
+          k: Int, iterations: Int,
+          scale: Long = 1000000L): (DataFrame, Array[Array[Long]]) = {
     require(k >= 1, "k must be >= 1")
     require(iterations >= 0, "iterations must be >= 0")
     val spark = points.sparkSession
@@ -186,7 +204,7 @@ object KMeans {
       i += 1
     }
 
-    pts.select(col("__id").as(idCol), nearest(centroids)._1.as("cluster"))
+    (pts, centroids)
   }
 
   /** TWO-LEVEL Lloyd — the scale path past flat k-means' per-point k·d
