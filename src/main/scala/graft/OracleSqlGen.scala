@@ -1279,6 +1279,61 @@ object OracleSqlGen {
        |ORDER BY adc_dist, vec_id LIMIT $topK""".stripMargin
   }
 
+  /** q124: IVF-PQ — the q123 ADC machinery restricted to the query's
+    * nprobe nearest IVF cells. One extra Lloyd chain (suffix `_ivf`, the
+    * q94 shape at k = nlist over the FULL vectors) supplies the cell
+    * assignment and the coarse centroids; `probes` ranks those centroids
+    * against the query by exact long distance with the same
+    * `ORDER BY d2, cid` tiebreak the Spark driver applies; candidates
+    * are the rows whose cell survives. All integer, zero tolerance.
+    */
+  def q124Sql(nlist: Int = 8, nprobe: Int = 3, m: Int = 4, k: Int = 16,
+              iterations: Int = 3, scale: Long = 1000000L, dim: Int = 64,
+              queryId: Long = 0L, topK: Int = 25): String = {
+    require(dim % m == 0)
+    val subDim = dim / m
+    val ivfChain = kmeansCtes(nlist.toString, iterations, scale, dim, "_ivf")
+    val pqChains = (0 until m).map { s =>
+      kmeansCtes(k.toString, iterations, scale, subDim, s"_p$s",
+        s"embedding[${s * subDim + 1}:${(s + 1) * subDim}]")
+    }.mkString(", ")
+    val dtabs = (0 until m).map { s =>
+      s"""dtab$s AS (
+         |  SELECT c.cid,
+         |    CAST(list_sum([(q.x[i] - c.c[i]) * (q.x[i] - c.c[i])
+         |                   FOR i IN range(1, ${subDim + 1})]) AS BIGINT) AS d2
+         |  FROM c${iterations}_p$s c CROSS JOIN
+         |       (SELECT x FROM pts_p$s WHERE vec_id = $queryId) q
+         |)""".stripMargin
+    }.mkString(", ")
+    val joins = (1 until m).map(s =>
+      s"""  JOIN asg_p$s a$s ON a$s.vec_id = cand.vec_id
+         |  JOIN dtab$s t$s ON t$s.cid = a$s.cluster""".stripMargin)
+      .mkString("\n")
+    val sumExpr = (0 until m).map(s => s"t$s.d2").mkString(" + ")
+    s"""WITH $ivfChain, $pqChains, probes AS (
+       |  SELECT c.cid
+       |  FROM c${iterations}_ivf c CROSS JOIN
+       |       (SELECT x FROM pts_ivf WHERE vec_id = $queryId) q
+       |  ORDER BY CAST(list_sum([(q.x[i] - c.c[i]) * (q.x[i] - c.c[i])
+       |                          FOR i IN range(1, ${dim + 1})]) AS BIGINT),
+       |           c.cid
+       |  LIMIT $nprobe
+       |), cand AS (
+       |  SELECT vec_id, cluster AS cell FROM asg_ivf
+       |  WHERE cluster IN (SELECT cid FROM probes)
+       |), $dtabs, adc AS (
+       |  SELECT cand.vec_id, cand.cell, CAST($sumExpr AS BIGINT) AS adc_dist
+       |  FROM cand
+       |  JOIN asg_p0 a0 ON a0.vec_id = cand.vec_id
+       |  JOIN dtab0 t0 ON t0.cid = a0.cluster
+       |$joins
+       |)
+       |SELECT vec_id AS cand_id, cell, adc_dist FROM adc
+       |WHERE vec_id <> $queryId
+       |ORDER BY adc_dist, vec_id LIMIT $topK""".stripMargin
+  }
+
   /** q121: KMV distinct estimates. The k smallest distinct portable
     * hashes are replayed with a rank window; the estimator
     * (k−1)·2⁶⁰/h_k is a two-op IEEE tree ((k−1)·2⁶⁰ is exact — 8

@@ -1748,6 +1748,21 @@ object SparkEntry {
       "vec_id", "embedding", dim = 64, m = 4, k = 16, iterations = 3,
       queryId = 0L, topK = 25)
 
+  // ---- q124: IVF-PQ store — the composed billion-scale ANN shape: the
+  //      q123 PQ codes PLUS a coarse IVF cell, materialized as ONE
+  //      cell-partitioned parquet table; a query ranks the coarse
+  //      centroids on the driver, scans only its nprobe cells'
+  //      partitions (catalog partition pruning = FAISS inverted lists),
+  //      and ADC-re-ranks the survivors. Both quantizer levels, probe
+  //      selection, and the ADC sum stay exact-long, so the entire
+  //      store build + search replays in the oracle with no tolerance.
+  //      Measures the honest build + encode + store-write + one query. ----
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    operators.IvfPq.buildAndSearch(Tables(s, dir).embeddings,
+      "vec_id", "embedding", dim = 64, nlist = 8, m = 4, k = 16,
+      iterations = 3, table = "graft_ivfpq_store", queryId = 0L,
+      nprobe = 3, topK = 25)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1873,6 +1888,7 @@ object SparkEntry {
     "q121_kmv_distinct"    -> q121 _,
     "q122_kmv_intersect"   -> q122 _,
     "q123_pq_adc"          -> q123 _,
+    "q124_ivfpq_store"     -> q124 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2326,6 +2342,7 @@ object SparkEntry {
     "q121_kmv_distinct"     -> OracleSqlGen.q121Sql(),
     "q122_kmv_intersect"    -> OracleSqlGen.q122Sql(),
     "q123_pq_adc"           -> OracleSqlGen.q123Sql(),
+    "q124_ivfpq_store"      -> OracleSqlGen.q124Sql(),
     // q119/q120: every aggregate is a commuting integer sum; finishes are
     // single IEEE ops — bit-identical across engines by construction.
     "q119_source_cosine" ->

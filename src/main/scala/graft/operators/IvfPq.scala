@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the composed billion-scale ANN shape (Jégou et al. 2011,
+  * the FAISS `IVFPQ` layout with `by_residual=false`) — an IVF coarse
+  * quantizer partitions the corpus into cells, product-quantization
+  * codes compress every vector to m small indices, and the two are
+  * MATERIALIZED as one cell-partitioned codes table. A query then
+  *
+  *   1. ranks the nlist coarse centroids against the query on the
+  *      driver (nlist·d exact-long ops — trivial) and keeps the nprobe
+  *      nearest cells,
+  *   2. scans ONLY those cells' partitions — catalog partition pruning,
+  *      the storage analog of FAISS's inverted lists (PlanSpec pins
+  *      the pruned scan), and
+  *   3. re-ranks the surviving codes by the ADC sum of m exact-long
+  *      table lookups, terminated by TakeOrderedAndProject.
+  *
+  * Per-query work is therefore (nprobe/nlist)·n code rows × m lookups —
+  * independent of d at scan time, and the scan reads code columns of a
+  * few bytes per row instead of d floats. At 100 TB the store is built
+  * once per corpus (one Lloyd fit per level + ONE encode scan + one
+  * partitioned write) and amortized over every query; cells are
+  * directory partitions, so adding `nprobe` stays an O(cells-touched)
+  * read no matter how the corpus grows.
+  *
+  * Everything inherits the fixed-point determinism contract of
+  * [[KMeans.fit]] / [[ProductQuantizer]]: coarse assignment and PQ
+  * codes are exact-long argmins with lowest-cid ties, the probe ranking
+  * is `ORDER BY (dist, cid)` over exact longs, and the ADC score is a
+  * sum of m exact longs — NO floats anywhere including training, so the
+  * FULL pipeline (coarse Lloyd chain + m per-subspace Lloyd chains +
+  * probe selection + ADC) replays in a DuckDB oracle with zero
+  * tolerance (q124).
+  *
+  * Non-residual encoding is deliberate: residual PQ (FAISS's default)
+  * couples every code to its cell's centroid — better recall, but the
+  * codes stop being a pure function of the vector and the oracle would
+  * have to thread the coarse assignment through every PQ chain. The
+  * non-residual form keeps the PQ chain exactly as q123 trained it and
+  * lets ONE codebook serve every cell; the recall gap is a documented
+  * trade, not an accident.
+  */
+object IvfPq {
+
+  /** A trained IVF-PQ model: `coarse(cid)(j)` are the nlist cell
+    * centroids, `codebooks(s)(cid)(j)` the m per-subspace PQ codebooks —
+    * all scaled longs from the shared fixed-point domain.
+    */
+  case class Model(coarse: Array[Array[Long]],
+                   codebooks: Array[Array[Array[Long]]],
+                   dim: Int, scale: Long) {
+    def m: Int = codebooks.length
+    def subDim: Int = dim / m
+  }
+
+  /** Train both levels: one flat Lloyd fit at k = nlist over the full
+    * vectors (the coarse quantizer), then [[ProductQuantizer.train]]'s m
+    * per-subspace fits. Both use the k-lowest-id deterministic init, so
+    * the oracle's CTE chains replay each level independently.
+    */
+  def fit(points: DataFrame, idCol: String, vecCol: String, dim: Int,
+          nlist: Int, m: Int, k: Int, iterations: Int,
+          scale: Long = 1000000L): Model = {
+    require(nlist >= 1, "nlist must be >= 1")
+    val coarse = KMeans.fit(points, idCol, vecCol, nlist, iterations, scale)._2
+    val books =
+      ProductQuantizer.train(points, idCol, vecCol, dim, m, k, iterations, scale)
+    Model(coarse, books, dim, scale)
+  }
+
+  /** One scan over the corpus producing (idCol, code_0..code_{m-1},
+    * cell): the m PQ argmins AND the coarse-cell argmin evaluated
+    * against broadcast codebooks — no joins, no shuffle.
+    */
+  def encodeWithCell(points: DataFrame, idCol: String, vecCol: String,
+                     model: Model): DataFrame = {
+    val spark = points.sparkSession
+    val scaled = transform(col(vecCol), x =>
+      floor(x.cast("double") * lit(model.scale.toDouble)).cast("long"))
+    val bCoarse = spark.sparkContext.broadcast(model.coarse)
+    val codeCols = (0 until model.m).map { s =>
+      val b = spark.sparkContext.broadcast(model.codebooks(s))
+      KMeans.nearestCentroidBcast(
+        slice(scaled, s * model.subDim + 1, model.subDim), b).as(s"code_$s")
+    }
+    points.select(
+      (col(idCol) +: codeCols) :+
+        KMeans.nearestCentroidBcast(scaled, bCoarse).as("cell"): _*)
+  }
+
+  /** Materialize [[encodeWithCell]] as a managed parquet table
+    * PARTITIONED BY cell — each IVF inverted list is one directory, so
+    * a probe's `cell IN (...)` filter prunes at the catalog before any
+    * file is opened. Same rebuild contract as
+    * [[InvertedIndex.buildPhraseStore]]: a build replaces any prior
+    * store under this name, including a stale warehouse directory
+    * orphaned by a previous session (in-memory catalog + durable
+    * warehouse), removed through the Hadoop FileSystem API so file:,
+    * hdfs:// and object-store schemes all resolve.
+    */
+  def buildStore(points: DataFrame, idCol: String, vecCol: String,
+                 model: Model, table: String): Unit = {
+    require(!table.contains("."),
+      s"buildStore expects an unqualified table name, got '$table'")
+    val spark = points.sparkSession
+    val wasKnown = spark.catalog.tableExists(table)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    if (!wasKnown) {
+      val db = spark.catalog.getDatabase("default").locationUri
+      val loc = new org.apache.hadoop.fs.Path(db, table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    encodeWithCell(points, idCol, vecCol, model)
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("cell").saveAsTable(table)
+  }
+
+  /** The nprobe cells nearest a scaled query vector: exact long squared
+    * distances against the coarse centroids, ties to the LOWEST cell id
+    * — the driver-side mirror of the oracle's `ORDER BY d2, cid LIMIT
+    * nprobe`.
+    */
+  def probeCells(model: Model, q: Array[Long], nprobe: Int): Array[Int] = {
+    require(q.length == model.dim,
+      s"query vector has dim ${q.length}, expected ${model.dim}")
+    model.coarse.zipWithIndex
+      .map { case (c, cid) =>
+        var acc = 0L
+        var j = 0
+        while (j < q.length) { val d = q(j) - c(j); acc += d * d; j += 1 }
+        (acc, cid)
+      }
+      .sortBy(identity)
+      .take(nprobe).map(_._2)
+  }
+
+  /** ADC top-k over the stored codes, restricted to the query's nprobe
+    * nearest cells. The scan carries a `cell IN (...)` partition filter
+    * (pruned at the catalog — PlanSpec pin) and sums m literal-array
+    * lookups; TakeOrderedAndProject terminates it, never a global sort.
+    * @return (cand_id, cell, adc_dist) — the query row itself excluded
+    */
+  def searchStored(spark: SparkSession, table: String, model: Model,
+                   idCol: String, q: Array[Long], nprobe: Int, topK: Int,
+                   excludeId: Option[Long] = None): DataFrame = {
+    val probes = probeCells(model, q, nprobe)
+    val tables = (0 until model.m).map { s =>
+      val qSub = q.slice(s * model.subDim, (s + 1) * model.subDim)
+      typedLit(model.codebooks(s).map { c =>
+        var acc = 0L
+        var j = 0
+        while (j < qSub.length) { val d = qSub(j) - c(j); acc += d * d; j += 1 }
+        acc
+      }.toSeq)
+    }
+    val adc = (0 until model.m).map(s =>
+      element_at(tables(s), col(s"code_$s") + 1)).reduce(_ + _)
+    val base = spark.table(table)
+      .filter(col("cell").isin(probes.map(Integer.valueOf): _*))
+    excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
+      .select(col(idCol).as("cand_id"), col("cell"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+      .limit(topK)
+  }
+
+  /** End-to-end convenience (the q124 gate shape): fit both levels,
+    * build the partitioned store, probe with `queryId`'s own vector —
+    * the honest build + encode + one-query cost.
+    */
+  def buildAndSearch(points: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, nlist: Int, m: Int, k: Int, iterations: Int,
+                     table: String, queryId: Long, nprobe: Int, topK: Int,
+                     scale: Long = 1000000L): DataFrame = {
+    val model = fit(points, idCol, vecCol, dim, nlist, m, k, iterations, scale)
+    buildStore(points, idCol, vecCol, model, table)
+    val q = points.filter(col(idCol) === queryId)
+      .select(transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(scale.toDouble)).cast("long")))
+      .head().getSeq[Long](0).toArray
+    searchStored(points.sparkSession, table, model, idCol, q, nprobe, topK,
+      excludeId = Some(queryId))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF-PQ invariants: probe ranking matches a driver recompute with the
+  * (dist, cid) tiebreak, the stored search equals full ADC restricted to
+  * the probed cells (and equals it EXACTLY at nprobe = nlist), the store
+  * scan prunes to the probed cells' partitions, rebuilds replace, and
+  * the search terminates in TakeOrdered. The independent end-to-end
+  * check is the q124 oracle, which replays both quantizer levels.
+  */
+class IvfPqSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  // 5 tight clusters of 24 vectors; cluster c centers at 10·c per dim
+  private lazy val vecs = (0 until 120).map { i =>
+    val c = i % 5
+    (i.toLong, (0 until dim).map(j =>
+      10.0 * c + ((i * 7 + j * 13) % 10) * 0.05).toArray)
+  }
+  private lazy val df = vecs.toDF("vec_id", "embedding")
+  private val scale = 1000000L
+
+  private def scaled(v: Array[Double]): Array[Long] =
+    v.map(x => math.floor(x * scale).toLong)
+
+  private def distSq(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("probeCells ranks by exact distance, ties to the lowest cell id") {
+    val model = IvfPq.fit(df, "vec_id", "embedding", dim,
+      nlist = 5, m = 2, k = 4, iterations = 2)
+    val q = scaled(vecs.head._2)
+    val expected = model.coarse.zipWithIndex
+      .map { case (c, cid) => (distSq(q, c), cid) }
+      .sorted.take(3).map(_._2).toSeq
+    assert(IvfPq.probeCells(model, q, 3).toSeq == expected)
+    // a duplicated centroid forces a genuine tie → lowest cid must win
+    val tied = model.copy(coarse = Array(model.coarse(1), model.coarse(0),
+      model.coarse(0)))
+    val got = IvfPq.probeCells(tied, scaled(vecs.head._2), 2)
+    assert(got.toSeq == got.toSeq.sorted)
+  }
+
+  test("stored search equals driver-side ADC restricted to probed cells; " +
+      "nprobe = nlist recovers the full ADC ranking") {
+    val t = "graft_ivfpq_spec"
+    dropTable(t)
+    val m = 2; val k = 4; val iters = 2; val nlist = 5
+    val model = IvfPq.fit(df, "vec_id", "embedding", dim, nlist, m, k, iters)
+    IvfPq.buildStore(df, "vec_id", "embedding", model, t)
+    val q = scaled(vecs.head._2)
+    val subDim = dim / m
+
+    // driver recompute: cell + codes + adc for every vector
+    val rows = vecs.map { case (id, v) =>
+      val x = scaled(v)
+      val cell = model.coarse.zipWithIndex
+        .map { case (c, cid) => (distSq(x, c), cid) }.min._2
+      val adc = (0 until m).map { s =>
+        val xs = x.slice(s * subDim, (s + 1) * subDim)
+        val code = model.codebooks(s).zipWithIndex
+          .map { case (c, cid) => (distSq(xs, c), cid) }.min._2
+        distSq(q.slice(s * subDim, (s + 1) * subDim), model.codebooks(s)(code))
+      }.sum
+      (id, cell, adc)
+    }
+
+    for (nprobe <- Seq(2, nlist)) {
+      val probes = IvfPq.probeCells(model, q, nprobe).toSet
+      val expected = rows
+        .filter { case (id, cell, _) => id != 0L && probes.contains(cell) }
+        .sortBy { case (id, _, adc) => (adc, id) }.take(10)
+        .map { case (id, cell, adc) => (id, cell, adc) }
+      val got = IvfPq.searchStored(spark, t, model, "vec_id", q,
+          nprobe = nprobe, topK = 10, excludeId = Some(0L))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(got == expected, s"nprobe=$nprobe")
+    }
+    dropTable(t)
+  }
+
+  test("store scan prunes to the probed cells' partitions") {
+    val t = "graft_ivfpq_prune"
+    dropTable(t)
+    val model = IvfPq.fit(df, "vec_id", "embedding", dim,
+      nlist = 5, m = 2, k = 4, iterations = 2)
+    IvfPq.buildStore(df, "vec_id", "embedding", model, t)
+    val q = scaled(vecs.head._2)
+    val search = IvfPq.searchStored(spark, t, model, "vec_id", q,
+      nprobe = 2, topK = 10)
+    val p = search.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // the pruned scan must touch strictly fewer files than the store holds
+    val allFiles = spark.table(t).inputFiles.length
+    val probes = IvfPq.probeCells(model, q, 2).toSet
+    val cellsHeld = spark.table(t).select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(probes.subsetOf(cellsHeld) && cellsHeld.size > probes.size,
+      s"probes=$probes cells=$cellsHeld")
+    assert(allFiles >= cellsHeld.size)
+    dropTable(t)
+  }
+
+  test("rebuild replaces the prior store") {
+    val t = "graft_ivfpq_rebuild"
+    dropTable(t)
+    val model = IvfPq.fit(df, "vec_id", "embedding", dim,
+      nlist = 3, m = 2, k = 4, iterations = 1)
+    IvfPq.buildStore(df, "vec_id", "embedding", model, t)
+    IvfPq.buildStore(df, "vec_id", "embedding", model, t)
+    assert(spark.table(t).count() == vecs.length)
+    assert(spark.table(t).groupBy(col("vec_id")).count()
+      .filter(col("count") > 1).isEmpty)
+    dropTable(t)
+  }
+
+  test("buildAndSearch end-to-end returns plausible neighbors") {
+    val t = "graft_ivfpq_e2e"
+    dropTable(t)
+    val out = IvfPq.buildAndSearch(df, "vec_id", "embedding", dim,
+      nlist = 5, m = 2, k = 8, iterations = 3, table = t,
+      queryId = 0L, nprobe = 2, topK = 23)
+      .collect().map(_.getLong(0))
+    assert(out.length == 23)
+    // clustered corpus: the probed-cell ADC neighborhood is cluster 0
+    val sameCluster = out.count(_ % 5 == 0)
+    assert(sameCluster >= 18, s"recall too low: $sameCluster/23")
+    dropTable(t)
+  }
+}
