@@ -1763,6 +1763,19 @@ object SparkEntry {
       iterations = 3, table = "graft_ivfpq_store", queryId = 0L,
       nprobe = 3, topK = 25)
 
+  // ---- q125: PassJoin edit-distance linkage at d = 3 — the segment-
+  //      blocking regime FuzzyJoin's deletion neighborhoods refuse
+  //      (their variant count is C(len, d)). Document prefixes are the
+  //      honest linkage corpus here: near-dup documents differ by a few
+  //      characters, true pairs are SPARSE (≈320 of 12.5M at sf0.1), and
+  //      the blocked join must beat the quadratic scan the oracle runs.
+  //      Lossless by the segment pigeonhole, so blocked ≡ brute. ----
+  private def q125(s: SparkSession, dir: String): DataFrame =
+    ops.PassJoin.linkSelf(
+      Tables(s, dir).documents.select(col("doc_id"),
+        substring(col("text"), 1, 24).as("prefix")),
+      "doc_id", "prefix", maxDist = 3)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1889,6 +1902,7 @@ object SparkEntry {
     "q122_kmv_intersect"   -> q122 _,
     "q123_pq_adc"          -> q123 _,
     "q124_ivfpq_store"     -> q124 _,
+    "q125_passjoin"        -> q125 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2343,6 +2357,18 @@ object SparkEntry {
     "q122_kmv_intersect"    -> OracleSqlGen.q122Sql(),
     "q123_pq_adc"           -> OracleSqlGen.q123Sql(),
     "q124_ivfpq_store"      -> OracleSqlGen.q124Sql(),
+    // q125: the oracle is the quadratic definition segment blocking
+    // replaces (blocking is lossless — scaladoc pigeonhole argument);
+    // Spark's and DuckDB's levenshtein agree (the q113 precedent), and
+    // substring/substr are both 1-based and clamp identically.
+    "q125_passjoin" ->
+      """WITH p AS (SELECT doc_id, substr(text, 1, 24) AS prefix
+        |           FROM documents)
+        |SELECT a.doc_id AS id_a, a.prefix AS name_a,
+        |       b.doc_id AS id_b, b.prefix AS name_b,
+        |       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 3""".stripMargin,
     // q119/q120: every aggregate is a commuting integer sum; finishes are
     // single IEEE ops — bit-identical across engines by construction.
     "q119_source_cosine" ->

@@ -35,7 +35,8 @@ object FuzzyJoin {
     */
   def deletionVariants(s: Column, d: Int): Column = {
     require(d >= 1 && d <= 2,
-      s"deletion-neighborhood blocking is for linkage distances 1..2, got $d")
+      s"deletion-neighborhood blocking is for linkage distances 1..2, got $d" +
+        " — use PassJoin.linkSelf/link for larger radii")
     var acc = array(s)
     for (_ <- 1 to d) {
       val expanded = flatten(transform(acc, v =>
