@@ -1776,6 +1776,32 @@ object SparkEntry {
         substring(col("text"), 1, 24).as("prefix")),
       "doc_id", "prefix", maxDist = 3)
 
+  // ---- q126/q127/q128: the q114 prefix-filter join under the OTHER
+  //      similarity measures — each with its own lossless cmin bound
+  //      (cosine ⌈τ²n⌉, absolute overlap t, Dice ⌈nτ/(2−τ)⌉; scaladoc
+  //      derivations at SetSimJoin). Thresholds are set where this
+  //      extremely self-similar corpus yields a sparse (not
+  //      near-quadratic) result — the q114 bench lesson. Verifies are
+  //      exact ints plus ≤ one correctly-rounded IEEE op, so DuckDB
+  //      replays them bit-exactly. ----
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    operators.SetSimJoin.joinSelfCosine(
+      Tables(s, dir).documents.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks")),
+      "doc_id", "toks", tau = 0.99)
+
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    operators.SetSimJoin.joinSelfOverlap(
+      Tables(s, dir).documents.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks")),
+      "doc_id", "toks", minOverlap = 30)
+
+  private def q128(s: SparkSession, dir: String): DataFrame =
+    operators.SetSimJoin.joinSelfDice(
+      Tables(s, dir).documents.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks")),
+      "doc_id", "toks", tau = 0.995)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1903,6 +1929,9 @@ object SparkEntry {
     "q123_pq_adc"          -> q123 _,
     "q124_ivfpq_store"     -> q124 _,
     "q125_passjoin"        -> q125 _,
+    "q126_setsim_cosine"   -> q126 _,
+    "q127_setsim_overlap"  -> q127 _,
+    "q128_setsim_dice"     -> q128 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2369,6 +2398,45 @@ object SparkEntry {
         |       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
         |FROM p a JOIN p b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.prefix, b.prefix) <= 3""".stripMargin,
+    // q126/q127/q128: oracles are the quadratic definitions prefix
+    // filtering replaces (q114 precedent). cosine divides an exact int by
+    // a correctly-rounded sqrt of an exact int product; dice divides
+    // exact ints; overlap IS an exact int — all bit-identical across
+    // engines.
+    "q126_setsim_cosine" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS ts
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |         / sqrt(CAST(len(a.ts) * len(b.ts) AS DOUBLE)) AS cosine
+        |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |        / sqrt(CAST(len(a.ts) * len(b.ts) AS DOUBLE)) >= 0.99""".stripMargin,
+    "q127_setsim_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS ts
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS overlap
+        |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ts, b.ts)) >= 30""".stripMargin,
+    "q128_setsim_dice" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS ts
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(2 * len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |         / (len(a.ts) + len(b.ts)) AS dice
+        |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        |WHERE CAST(2 * len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |        / (len(a.ts) + len(b.ts)) >= 0.995""".stripMargin,
     // q119/q120: every aggregate is a commuting integer sum; finishes are
     // single IEEE ops — bit-identical across engines by construction.
     "q119_source_cosine" ->

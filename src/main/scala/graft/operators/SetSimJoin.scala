@@ -3,16 +3,29 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Exact token-set Jaccard similarity join via PREFIX FILTERING (the
+/** Exact token-set similarity join via PREFIX FILTERING (the
   * AllPairs/PPJoin candidate rule — Bayardo et al. 2007, Xiao et al. 2008):
   * the scalable sibling of q43's bounded cross join and the MinHash/LSH
   * family's exact cousin. Where LSH banding (operators/Dedup.scala) trades
   * recall for blocking, prefix filtering is LOSSLESS: order every record's
-  * tokens by one global rarity order; a record of n tokens keeps a prefix
-  * of p = ⌊n·(1−τ)⌋+1 rarest tokens; any pair with Jaccard ≥ τ must share
-  * ≥⌈τ·n⌉ tokens, which cannot all hide in the n−p = ⌈τ·n⌉−1 suffix
-  * positions — so every qualifying pair collides on some prefix token and
-  * the exact array-intersection verify never misses.
+  * tokens by one global rarity order; a record whose qualifying partners
+  * must share >= cmin of its n tokens keeps a prefix of p = n − cmin + 1
+  * rarest tokens; the shared cmin tokens cannot all hide in the n − p =
+  * cmin − 1 suffix positions — so every qualifying pair collides on some
+  * prefix token and the exact array-intersection verify never misses.
+  *
+  * The measures differ only in cmin — the minimum intersection a
+  * qualifying partner can have, minimized over partner sizes the length
+  * filter admits:
+  *   - Jaccard >= τ:  c >= τ(na+nb)/(1+τ), nb >= τ·na  ⇒ cmin = ⌈τ·n⌉
+  *   - cosine  >= τ:  c >= τ√(na·nb),      nb >= τ²·na ⇒ cmin = ⌈τ²·n⌉
+  *   - Dice    >= τ:  c >= τ(na+nb)/2,  nb >= na·τ/(2−τ) ⇒ cmin = ⌈n·τ/(2−τ)⌉
+  *   - overlap >= t (absolute):                            cmin = t
+  * (The overlap COEFFICIENT c/min(na,nb) admits no content-independent
+  * prefix: a 1-token subset qualifies at any τ, so its required overlap
+  * does not grow with n — the absolute-t form is the classic blocked
+  * variant, and callers can post-filter a coefficient from the returned
+  * exact sizes.)
   *
   * Scale shape: document frequencies are one map-side-combined count;
   * per-record ordering is a sort of each record's OWN tokens (no global
@@ -20,21 +33,101 @@ import org.apache.spark.sql.functions._
   * tokens in the corpus, so bucket sizes are the SMALLEST frequency tail,
   * never a cartesian; pairs deduplicate before the verify so each
   * candidate costs one intersection. Float discipline: prefix lengths and
-  * the length filter use a +1e-6 slack so IEEE rounding can only OVER-
-  * cover candidates (completeness is never at the mercy of a rounded
-  * τ·n crossing an integer); the final `jaccard ≥ τ` verify is a single
-  * division of exact integer sizes, bit-identical to any engine that
-  * evaluates the same definition.
+  * the length filter use a 1e-6 slack in the OVER-covering direction only
+  * (completeness is never at the mercy of a rounded threshold crossing an
+  * integer); the final verify is exact integer arithmetic plus at most
+  * one correctly-rounded IEEE op (one division, or division-by-sqrt) —
+  * bit-identical to any engine evaluating the same definition.
   */
 object SetSimJoin {
 
-  /** All unordered pairs (doc_a < doc_b) with exact Jaccard ≥ tau over the
+  /** The measure-specific pieces of the prefix-filter join. `cmin` must
+    * UNDER-estimate (slack downward) the true minimum intersection —
+    * a too-small cmin lengthens the prefix and only over-covers.
+    */
+  private sealed trait Measure {
+    def cmin(n: Column): Column
+    def lengthOk(na: Column, nb: Column): Column
+    def simName: String
+    def sim(c: Column, na: Column, nb: Column): Column
+    def keep(sim: Column): Column
+  }
+
+  private final case class JaccardM(tau: Double) extends Measure {
+    def cmin(n: Column): Column = ceil(n * lit(tau) - lit(1e-6)).cast("int")
+    def lengthOk(na: Column, nb: Column): Column =
+      na >= nb * lit(tau) - lit(1e-6) && nb >= na * lit(tau) - lit(1e-6)
+    def simName = "jaccard"
+    def sim(c: Column, na: Column, nb: Column): Column =
+      c.cast("double") / (na + nb - c)
+    def keep(s: Column): Column = s >= lit(tau)
+  }
+
+  private final case class CosineM(tau: Double) extends Measure {
+    private val t2 = tau * tau
+    def cmin(n: Column): Column = ceil(n * lit(t2) - lit(1e-6)).cast("int")
+    def lengthOk(na: Column, nb: Column): Column =
+      na >= nb * lit(t2) - lit(1e-6) && nb >= na * lit(t2) - lit(1e-6)
+    def simName = "cosine"
+    def sim(c: Column, na: Column, nb: Column): Column =
+      c.cast("double") / sqrt((na * nb).cast("double"))
+    def keep(s: Column): Column = s >= lit(tau)
+  }
+
+  private final case class DiceM(tau: Double) extends Measure {
+    private val r = tau / (2.0 - tau)
+    def cmin(n: Column): Column = ceil(n * lit(r) - lit(1e-6)).cast("int")
+    def lengthOk(na: Column, nb: Column): Column =
+      na >= nb * lit(r) - lit(1e-6) && nb >= na * lit(r) - lit(1e-6)
+    def simName = "dice"
+    def sim(c: Column, na: Column, nb: Column): Column =
+      (c * 2).cast("double") / (na + nb)
+    def keep(s: Column): Column = s >= lit(tau)
+  }
+
+  private final case class OverlapM(t: Int) extends Measure {
+    def cmin(n: Column): Column = lit(t)
+    def lengthOk(na: Column, nb: Column): Column = na >= t && nb >= t
+    def simName = "overlap"
+    def sim(c: Column, na: Column, nb: Column): Column = c.cast("long")
+    def keep(s: Column): Column = s >= lit(t.toLong)
+  }
+
+  /** All unordered pairs (doc_a < doc_b) with exact Jaccard >= tau over the
     * distinct elements of `tokensCol`, with the similarity. Records with
     * empty token sets never pair (Jaccard undefined).
     */
-  def joinSelf(df: DataFrame, idCol: String, tokensCol: String, tau: Double): DataFrame = {
+  def joinSelf(df: DataFrame, idCol: String, tokensCol: String,
+               tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    joinBy(df, idCol, tokensCol, JaccardM(tau))
+  }
 
+  /** Pairs with exact set cosine |A∩B|/√(|A|·|B|) >= tau. */
+  def joinSelfCosine(df: DataFrame, idCol: String, tokensCol: String,
+                     tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    joinBy(df, idCol, tokensCol, CosineM(tau))
+  }
+
+  /** Pairs with exact Dice 2|A∩B|/(|A|+|B|) >= tau. */
+  def joinSelfDice(df: DataFrame, idCol: String, tokensCol: String,
+                   tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    joinBy(df, idCol, tokensCol, DiceM(tau))
+  }
+
+  /** Pairs sharing at least `minOverlap` distinct tokens (the classic
+    * t-overlap join); the returned `overlap` is the exact shared count.
+    */
+  def joinSelfOverlap(df: DataFrame, idCol: String, tokensCol: String,
+                      minOverlap: Int): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    joinBy(df, idCol, tokensCol, OverlapM(minOverlap))
+  }
+
+  private def joinBy(df: DataFrame, idCol: String, tokensCol: String,
+                     m: Measure): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), array_distinct(col(tokensCol)).as("ts"))
       .withColumn("n", size(col("ts")))
       .filter(col("n") > 0)
@@ -42,15 +135,14 @@ object SetSimJoin {
     val tok = docs.select(col("doc_id"), col("n"), explode(col("ts")).as("tok"))
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
 
-    // each record's tokens in (rarity, token) order; prefix length with
-    // upward slack — over-covering by one token on an exact τ·n boundary
-    // is harmless, under-covering would lose pairs
+    // each record's tokens in (rarity, token) order; prefix p = n−cmin+1
+    // (cmin slacked downward — over-covering by one token on an exact
+    // threshold boundary is harmless, under-covering would lose pairs)
     val ordered = tok.join(dfreq, "tok")
       .groupBy(col("doc_id"), col("n"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("o"))
       .withColumn("ots", transform(col("o"), s => s.getField("tok")))
-      .withColumn("p",
-        (floor(col("n") * lit(1.0 - tau) + lit(1e-6)) + 1).cast("int"))
+      .withColumn("p", greatest(col("n") - m.cmin(col("n")) + 1, lit(1)))
       .select(col("doc_id"), col("n"), col("ots"), col("p"))
 
     val pre = ordered.select(col("doc_id"), col("n"),
@@ -58,10 +150,9 @@ object SetSimJoin {
     val cand = pre.select(col("doc_id").as("doc_a"), col("n").as("na"), col("ptok"))
       .join(pre.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("ptok")), "ptok")
       .filter(col("doc_a") < col("doc_b"))
-      // length filter (min ≥ τ·max follows from Jaccard ≥ τ); slack keeps
-      // it prune-only at float boundaries
-      .filter(col("na") >= col("nb") * tau - lit(1e-6) &&
-        col("nb") >= col("na") * tau - lit(1e-6))
+      // size filter implied by the measure's threshold; slack keeps it
+      // prune-only at float boundaries
+      .filter(m.lengthOk(col("na"), col("nb")))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
 
@@ -71,9 +162,8 @@ object SetSimJoin {
 
     val inter = size(array_intersect(col("ta"), col("tb")))
     withSets
-      .withColumn("jaccard",
-        inter.cast("double") / (size(col("ta")) + size(col("tb")) - inter))
-      .filter(col("jaccard") >= tau)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .withColumn(m.simName, m.sim(inter, size(col("ta")), size(col("tb"))))
+      .filter(m.keep(col(m.simName)))
+      .select(col("doc_a"), col("doc_b"), col(m.simName))
   }
 }

@@ -71,4 +71,71 @@ class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
       .cast("int")).head().getInt(0)
     assert(p == 3)
   }
+
+  // ---- the other measures: each blocked variant vs its own quadratic
+  // ground truth, thresholds placed to include an exact-boundary pair ----
+
+  private def bruteBy(simOf: (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.Column, keep: Double) = {
+    val d = corpus.select(col("id"), array_distinct(col("toks")).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val l = d.select(col("id").as("doc_a"), col("ts").as("ta"))
+    val r = d.select(col("id").as("doc_b"), col("ts").as("tb"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    l.crossJoin(r).filter(col("doc_a") < col("doc_b"))
+      .withColumn("sim", simOf(inter, size(col("ta")), size(col("tb"))))
+      .filter(col("sim") >= keep)
+      .select("doc_a", "doc_b", "sim")
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getDouble(2))).toSet
+  }
+
+  test("cosine: blocked equals brute force at the 18/√360 boundary and below") {
+    val cos = (c: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,
+               nb: org.apache.spark.sql.Column) =>
+      c.cast("double") / sqrt((na * nb).cast("double"))
+    val boundary = 18.0 / math.sqrt(360.0) // ids 1,2: 18 shared of 20×18
+    for (tau <- Seq(boundary, 0.85, 0.5)) {
+      val exact = bruteBy(cos, tau)
+      val got = SetSimJoin.joinSelfCosine(corpus, "id", "toks", tau)
+        .collect().map(x => (x.getInt(0), x.getInt(1), x.getDouble(2))).toSet
+      assert(got == exact, s"tau=$tau")
+      if (tau == boundary)
+        assert(exact.contains((1, 2, boundary)), "exact-boundary pair must qualify")
+    }
+  }
+
+  test("dice: blocked equals brute force incl. the 36/38 boundary") {
+    val dice = (c: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,
+                nb: org.apache.spark.sql.Column) =>
+      (c * 2).cast("double") / (na + nb)
+    val boundary = 36.0 / 38.0
+    for (tau <- Seq(boundary, 0.8)) {
+      val exact = bruteBy(dice, tau)
+      val got = SetSimJoin.joinSelfDice(corpus, "id", "toks", tau)
+        .collect().map(x => (x.getInt(0), x.getInt(1), x.getDouble(2))).toSet
+      assert(got == exact, s"tau=$tau")
+    }
+  }
+
+  test("overlap: blocked equals brute force at the exact t boundary") {
+    def brute(t: Int) = {
+      val d = corpus.select(col("id"), array_distinct(col("toks")).as("ts"))
+        .filter(size(col("ts")) > 0)
+      val l = d.select(col("id").as("doc_a"), col("ts").as("ta"))
+      val r = d.select(col("id").as("doc_b"), col("ts").as("tb"))
+      val inter = size(array_intersect(col("ta"), col("tb")))
+      l.crossJoin(r).filter(col("doc_a") < col("doc_b"))
+        .withColumn("overlap", inter.cast("long")).filter(col("overlap") >= t)
+        .select("doc_a", "doc_b", "overlap")
+        .collect().map(x => (x.getInt(0), x.getInt(1), x.getLong(2))).toSet
+    }
+    for (t <- Seq(18, 15, 2)) { // 18 = exact shared count of ids 1,2
+      val got = SetSimJoin.joinSelfOverlap(corpus, "id", "toks", t)
+        .collect().map(x => (x.getInt(0), x.getInt(1), x.getLong(2))).toSet
+      assert(got == brute(t), s"t=$t")
+    }
+    assert(SetSimJoin.joinSelfOverlap(corpus, "id", "toks", 18)
+      .collect().exists(r => r.getInt(0) == 1 && r.getInt(1) == 2))
+  }
 }
