@@ -1363,6 +1363,33 @@ object OracleSqlGen {
        |  ex.n_exact
        |FROM sk JOIN ex ON sk.source = ex.source""".stripMargin
 
+  /** q129: the q121 distinct estimate WITHOUT the exact-verify column —
+    * the sketch-store gate's shape. Deliberately identical arithmetic:
+    * the store's merged minima equal the one-shot minima (bottom-k is a
+    * pure set function), so the incremental path must reproduce this
+    * one-shot replay bit-for-bit.
+    */
+  def q129Sql(k: Int = 256): String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS t
+       |  FROM documents
+       |), h AS (
+       |  SELECT DISTINCT source, ${PortableHash.hash60Sql("t")} AS h FROM tok
+       |), r AS (
+       |  SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM h
+       |), sk AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS nd,
+       |         max(CASE WHEN rn = $k THEN h END) AS hk
+       |  FROM r WHERE rn <= $k GROUP BY source
+       |)
+       |SELECT source,
+       |  CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+       |       ELSE (${(k - 1).toDouble} * 1152921504606846976.0)
+       |            / CAST(hk AS DOUBLE) END AS n_est
+       |FROM sk""".stripMargin
+
   /** q122: KMV intersection matrix via the min-theta rule, replayed over
     * the same rank-limited hash lists (1-based list slice = the k
     * smallest).

@@ -1802,6 +1802,43 @@ object SparkEntry {
         TextFunctions.tokens(col("text")).as("toks")),
       "doc_id", "toks", tau = 0.995)
 
+  // ---- q129/q130: the KMV sketch store — q121/q122's estimates updated
+  //      in O(batch): each ingest appends its OWN batch's per-group
+  //      bottom-k rows to a group-bucketed log (never reading the store),
+  //      reads merge the log exchange-free, and compaction folds it under
+  //      the same bucket spec. Because k-minima are a pure function of
+  //      the value SET, the oracles are the ONE-SHOT rank-window replays
+  //      — they never hear about batches or compaction. q129: two-batch
+  //      ingest → distinct estimates; q130: three batches + a mid-history
+  //      compaction → intersection matrix. ----
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    operators.IncrementalKmv.dropStore(s, "graft_kmv_store")
+    for (g <- 0 to 1) {
+      val batch = docs.filter(pmod(col("doc_id"), lit(2)) === g)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      operators.IncrementalKmv.appendToStore(
+        operators.IncrementalKmv.sketchBatch(batch, "source", "tok", k = 256),
+        "graft_kmv_store", "source", buckets = 8)
+    }
+    operators.IncrementalKmv.distinctFromStore(s, "graft_kmv_store", "source", k = 256)
+  }
+
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    operators.IncrementalKmv.dropStore(s, "graft_kmv_theta")
+    for (g <- 0 to 2) {
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === g)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      operators.IncrementalKmv.appendToStore(
+        operators.IncrementalKmv.sketchBatch(batch, "source", "tok", k = 256),
+        "graft_kmv_theta", "source", buckets = 8)
+      if (g == 1) // fold mid-history: estimates must not notice
+        operators.IncrementalKmv.compactStore(s, "graft_kmv_theta", "source", k = 256)
+    }
+    operators.IncrementalKmv.intersectionFromStore(s, "graft_kmv_theta", "source", k = 256)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1932,6 +1969,8 @@ object SparkEntry {
     "q126_setsim_cosine"   -> q126 _,
     "q127_setsim_overlap"  -> q127 _,
     "q128_setsim_dice"     -> q128 _,
+    "q129_kmv_store"       -> q129 _,
+    "q130_kmv_store_intersect" -> q130 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2384,6 +2423,11 @@ object SparkEntry {
     "q116_corr_matrix"      -> OracleSqlGen.q116Sql(),
     "q121_kmv_distinct"     -> OracleSqlGen.q121Sql(),
     "q122_kmv_intersect"    -> OracleSqlGen.q122Sql(),
+    // q129/q130: the ONE-SHOT rank-window replays — bottom-k is a pure
+    // function of the value set, so the batched/compacted store must
+    // reproduce them bit-for-bit (the whole point of the theta family).
+    "q129_kmv_store"        -> OracleSqlGen.q129Sql(),
+    "q130_kmv_store_intersect" -> OracleSqlGen.q122Sql(),
     "q123_pq_adc"           -> OracleSqlGen.q123Sql(),
     "q124_ivfpq_store"      -> OracleSqlGen.q124Sql(),
     // q125: the oracle is the quadratic definition segment blocking

@@ -31,10 +31,16 @@ object KmvSketch {
   /** 2⁶⁰ — the hash domain size; a power of two, exact in a double. */
   val DomainSize = 1152921504606846976L
 
-  private def estimate(mins: Column, k: Int): Column =
+  /** The KMV estimator over a sorted minima array: exact size below k,
+    * else (k−1)·2⁶⁰/h_k. Exposed for sketch-frame consumers
+    * ([[IncrementalKmv]]).
+    */
+  def estimateCol(mins: Column, k: Int): Column =
     when(size(mins) < k, size(mins).cast("double"))
       .otherwise((lit((k - 1).toDouble) * lit(DomainSize.toDouble)) /
         get(mins, size(mins) - 1).cast("double"))
+
+  private def estimate(mins: Column, k: Int): Column = estimateCol(mins, k)
 
   /** Per-group distinct estimate; `withExact` adds the exact distinct (of
     * the same hash domain) for error auditing.
@@ -57,9 +63,19 @@ object KmvSketch {
     * group — group-count², never data².
     */
   def intersectionMatrix(df: DataFrame, groupCol: String, valueCol: String,
-                         k: Int): DataFrame = {
-    val sk = df.groupBy(col(groupCol))
-      .agg(KmvAgg.minima(PortableHash.hash60(col(valueCol)), k).as("mins"))
+                         k: Int): DataFrame =
+    intersectionFromSketches(
+      df.groupBy(col(groupCol))
+        .agg(KmvAgg.minima(PortableHash.hash60(col(valueCol)), k).as("mins")),
+      groupCol, k)
+
+  /** [[intersectionMatrix]] over an ALREADY-BUILT sketch frame
+    * (groupCol, mins) — the entry point for persisted sketch stores
+    * ([[IncrementalKmv]]), where the sketches were merged from batches
+    * rather than aggregated from raw values.
+    */
+  def intersectionFromSketches(sk: DataFrame, groupCol: String,
+                               k: Int): DataFrame = {
     val a = sk.select(col(groupCol).as("group_a"), col("mins").as("ma"))
     val b = sk.select(col(groupCol).as("group_b"), col("mins").as("mb"))
     def thetaHash(m: Column) =
