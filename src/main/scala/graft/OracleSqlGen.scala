@@ -1363,6 +1363,71 @@ object OracleSqlGen {
        |  ex.n_exact
        |FROM sk JOIN ex ON sk.source = ex.source""".stripMargin
 
+  /** q131/q132: BPE-style merge learning, every round unrolled. Per
+    * round: `pr` = all adjacent pairs with positions, `ch` = the winner
+    * (`ORDER BY c DESC, a, b LIMIT 1` — the Spark tiebreak), `mm` =
+    * greedy non-overlapping matches via islands arithmetic (consecutive
+    * match positions — only possible when left = right — keep even
+    * offsets from the run start), `st` = the rebuilt state (fused symbol
+    * at kept positions, positions consumed by a kept left neighbor
+    * dropped). All counting is exact integers, all symbols are exact
+    * string concatenations — no tolerance anywhere.
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val per = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""pr$r AS (
+         |  SELECT doc_id, i AS p, syms[i] AS a, syms[i + 1] AS b
+         |  FROM (SELECT doc_id, UNNEST(range(1, len(syms))) AS i, syms
+         |        FROM st$p)
+         |), ch$r AS (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM pr$r GROUP BY a, b
+         |  ORDER BY c DESC, a, b LIMIT 1
+         |), mm$r AS (
+         |  SELECT doc_id, p FROM (
+         |    SELECT x.doc_id, x.p,
+         |           min(x.p) OVER (PARTITION BY x.doc_id, x.p - x.rn) AS rs
+         |    FROM (SELECT pr.doc_id, pr.p,
+         |                 row_number() OVER (PARTITION BY pr.doc_id
+         |                                    ORDER BY pr.p) AS rn
+         |          FROM pr$r pr JOIN ch$r ch ON pr.a = ch.a AND pr.b = ch.b) x
+         |  ) y WHERE (p - rs) % 2 = 0
+         |), po$r AS (
+         |  SELECT doc_id, i, syms[i] AS sym
+         |  FROM (SELECT doc_id, UNNEST(range(1, len(syms) + 1)) AS i, syms
+         |        FROM st$p)
+         |), st$r AS (
+         |  SELECT po.doc_id,
+         |         list(CASE WHEN k.p IS NOT NULL
+         |                   THEN (SELECT a || ' ' || b FROM ch$r)
+         |                   ELSE po.sym END ORDER BY po.i) AS syms
+         |  FROM po$r po
+         |  LEFT JOIN mm$r k  ON k.doc_id = po.doc_id AND k.p = po.i
+         |  LEFT JOIN mm$r k2 ON k2.doc_id = po.doc_id AND k2.p = po.i - 1
+         |  WHERE k2.p IS NULL
+         |  GROUP BY po.doc_id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""st0 AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS syms
+       |  FROM documents
+       |), $per""".stripMargin
+  }
+
+  def q131Sql(rounds: Int = 4): String = {
+    val union = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS round, a AS left_sym, b AS right_sym, " +
+        s"c AS pair_count FROM ch$r").mkString("\nUNION ALL\n")
+    s"WITH ${bpeCtes(rounds)}\n$union"
+  }
+
+  def q132Sql(rounds: Int = 4, topK: Int = 50): String =
+    s"""WITH ${bpeCtes(rounds)}
+       |SELECT sym, CAST(count(*) AS BIGINT) AS n_occ
+       |FROM (SELECT UNNEST(syms) AS sym FROM st$rounds)
+       |GROUP BY sym ORDER BY n_occ DESC, sym LIMIT $topK""".stripMargin
+
   /** q129: the q121 distinct estimate WITHOUT the exact-verify column —
     * the sketch-store gate's shape. Deliberately identical arithmetic:
     * the store's merged minima equal the one-shot minima (bottom-k is a

@@ -1839,6 +1839,27 @@ object SparkEntry {
     operators.IncrementalKmv.intersectionFromStore(s, "graft_kmv_theta", "source", k = 256)
   }
 
+  // ---- q131/q132: BPE-style merge learning — the tokenizer-TRAINING
+  //      shape (word-level it is word2phrase): 4 rounds of pair-count →
+  //      argmax (ties lexicographic) → greedy left-to-right fuse, each
+  //      round one state scan + a driver argmax, state rebased on a
+  //      cached RDD leaf (the KMeans discipline). Counting, choice, and
+  //      the greedy islands rule are exact ints + string concat, so the
+  //      oracle unrolls all four rounds with zero tolerance. q131 = the
+  //      learned rules; q132 = post-merge symbol frequencies (exercises
+  //      every apply round end-to-end). ----
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    operators.BpeMerges.merges(
+      Tables(s, dir).documents.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks")),
+      "doc_id", "toks", numMerges = 4)
+
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    operators.BpeMerges.finalSymbolCounts(
+      Tables(s, dir).documents.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks")),
+      "doc_id", "toks", numMerges = 4, topK = 50)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1971,6 +1992,8 @@ object SparkEntry {
     "q128_setsim_dice"     -> q128 _,
     "q129_kmv_store"       -> q129 _,
     "q130_kmv_store_intersect" -> q130 _,
+    "q131_bpe_merges"      -> q131 _,
+    "q132_bpe_vocab"       -> q132 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2428,6 +2451,8 @@ object SparkEntry {
     // reproduce them bit-for-bit (the whole point of the theta family).
     "q129_kmv_store"        -> OracleSqlGen.q129Sql(),
     "q130_kmv_store_intersect" -> OracleSqlGen.q122Sql(),
+    "q131_bpe_merges"       -> OracleSqlGen.q131Sql(),
+    "q132_bpe_vocab"        -> OracleSqlGen.q132Sql(),
     "q123_pq_adc"           -> OracleSqlGen.q123Sql(),
     "q124_ivfpq_store"      -> OracleSqlGen.q124Sql(),
     // q125: the oracle is the quadratic definition segment blocking
