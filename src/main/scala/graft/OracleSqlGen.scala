@@ -1376,15 +1376,15 @@ object OracleSqlGen {
   private def bpeCtes(rounds: Int): String = {
     val per = (1 to rounds).map { r =>
       val p = r - 1
-      s"""pr$r AS (
+      s"""pr$r AS MATERIALIZED (
          |  SELECT doc_id, i AS p, syms[i] AS a, syms[i + 1] AS b
          |  FROM (SELECT doc_id, UNNEST(range(1, len(syms))) AS i, syms
          |        FROM st$p)
-         |), ch$r AS (
+         |), ch$r AS MATERIALIZED (
          |  SELECT a, b, CAST(count(*) AS BIGINT) AS c
          |  FROM pr$r GROUP BY a, b
          |  ORDER BY c DESC, a, b LIMIT 1
-         |), mm$r AS (
+         |), mm$r AS MATERIALIZED (
          |  SELECT doc_id, p FROM (
          |    SELECT x.doc_id, x.p,
          |           min(x.p) OVER (PARTITION BY x.doc_id, x.p - x.rn) AS rs
@@ -1393,11 +1393,11 @@ object OracleSqlGen {
          |                                    ORDER BY pr.p) AS rn
          |          FROM pr$r pr JOIN ch$r ch ON pr.a = ch.a AND pr.b = ch.b) x
          |  ) y WHERE (p - rs) % 2 = 0
-         |), po$r AS (
+         |), po$r AS MATERIALIZED (
          |  SELECT doc_id, i, syms[i] AS sym
          |  FROM (SELECT doc_id, UNNEST(range(1, len(syms) + 1)) AS i, syms
          |        FROM st$p)
-         |), st$r AS (
+         |), st$r AS MATERIALIZED (
          |  SELECT po.doc_id,
          |         list(CASE WHEN k.p IS NOT NULL
          |                   THEN (SELECT a || ' ' || b FROM ch$r)
@@ -1409,10 +1409,55 @@ object OracleSqlGen {
          |  GROUP BY po.doc_id
          |)""".stripMargin
     }.mkString(", ")
-    s"""st0 AS (
+    s"""st0 AS MATERIALIZED (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS syms
        |  FROM documents
        |), $per""".stripMargin
+  }
+
+  /** q133: k-core peeling, every round a plain CTE triple — edges
+    * induced by the previous survivors, degrees, the >= k filter. The
+    * graph is the q118 derived-constant discipline: a variable-density
+    * ring (node u links u+1..u+(1+u%5) mod n) that peels in cascades,
+    * plus a hub circulant (every 20th node to its 5 next hubs) that
+    * survives as the nonempty 5-core. Output = round-R survivors with
+    * their degree in round R's input subgraph. All integers.
+    */
+  def q133Sql(k: Int = 5, rounds: Int = 6): String = {
+    val per = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM canon e
+         |  JOIN a$p x ON e.a = x.node
+         |  JOIN a$p y ON e.b = y.node
+         |), d$r AS MATERIALIZED (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS node FROM e$r UNION ALL SELECT b FROM e$r)
+         |  GROUP BY node
+         |), a$r AS MATERIALIZED (
+         |  SELECT node FROM d$r WHERE deg >= $k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+       |e0 AS (
+       |  SELECT p_partkey AS x,
+       |         (p_partkey + d.d) % (SELECT n FROM nn) AS y
+       |  FROM part CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS d(d)
+       |  WHERE d.d <= 1 + p_partkey % 5
+       |  UNION ALL
+       |  SELECT p_partkey, (p_partkey + 20 * h.j) % (SELECT n FROM nn)
+       |  FROM part CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS h(j)
+       |  WHERE p_partkey % 20 = 0
+       |),
+       |canon AS MATERIALIZED (
+       |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+       |  FROM e0 WHERE x <> y
+       |),
+       |a0 AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM
+       |    (SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
+       |), $per
+       |SELECT node, deg FROM d$rounds WHERE deg >= $k""".stripMargin
   }
 
   def q131Sql(rounds: Int = 4): String = {

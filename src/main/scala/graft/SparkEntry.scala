@@ -1860,6 +1860,25 @@ object SparkEntry {
         TextFunctions.tokens(col("text")).as("toks")),
       "doc_id", "toks", numMerges = 4, topK = 50)
 
+  // ---- q133: k-core peeling — the dense-backbone extractor (template
+  //      farms / boilerplate rings in a near-dup graph). Variable-density
+  //      ring (peels in cascades over 5 rounds at every SF) + a hub
+  //      circulant that survives as the nonempty 5-core; 6 rounds pinned
+  //      so the oracle unrolls them as plain CTEs (fixed-round peel; the
+  //      true fixpoint sibling KCore.core is spec-pinned equal once
+  //      converged). ----
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir).part.select(col("p_partkey").as("k"))
+    val n = p.count()
+    val ring = p.select(col("k"),
+        explode(sequence(lit(1L), lit(1L) + pmod(col("k"), lit(5L)))).as("d"))
+      .select(col("k").as("src"), pmod(col("k") + col("d"), lit(n)).as("dst"))
+    val hubs = p.filter(pmod(col("k"), lit(20)) === 0)
+      .select(col("k"), explode(sequence(lit(1L), lit(5L))).as("j"))
+      .select(col("k").as("src"), pmod(col("k") + col("j") * 20, lit(n)).as("dst"))
+    operators.KCore.peel(ring.union(hubs), "src", "dst", k = 5, rounds = 6)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -1994,6 +2013,7 @@ object SparkEntry {
     "q130_kmv_store_intersect" -> q130 _,
     "q131_bpe_merges"      -> q131 _,
     "q132_bpe_vocab"       -> q132 _,
+    "q133_kcore"           -> q133 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2453,6 +2473,7 @@ object SparkEntry {
     "q130_kmv_store_intersect" -> OracleSqlGen.q122Sql(),
     "q131_bpe_merges"       -> OracleSqlGen.q131Sql(),
     "q132_bpe_vocab"        -> OracleSqlGen.q132Sql(),
+    "q133_kcore"            -> OracleSqlGen.q133Sql(),
     "q123_pq_adc"           -> OracleSqlGen.q123Sql(),
     "q124_ivfpq_store"      -> OracleSqlGen.q124Sql(),
     // q125: the oracle is the quadratic definition segment blocking

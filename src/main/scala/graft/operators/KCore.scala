@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by iterative peeling (Seidman 1983; Batagelj &
+  * Zaveršnik 2003 for the peeling formulation): repeatedly delete nodes
+  * of degree < k until the remainder — the k-core — is stable. The
+  * corpus-curation reading: the k-core of a near-duplicate / citation /
+  * hyperlink graph is its densely-interlinked backbone (template farms,
+  * boilerplate clusters, spam rings), the structure [[Triangles]] counts
+  * locally and [[ConnectedComponents]] ignores entirely.
+  *
+  * Two entry points:
+  *   - [[peel]] — a FIXED number of peeling rounds, the oracle-gated
+  *     form (q133): deterministic round count ⇒ the DuckDB oracle
+  *     unrolls exactly R rounds as plain CTEs, no fixpoint detection
+  *     needed. Each round keeps nodes whose degree in the subgraph
+  *     induced by the previous round's survivors is >= k.
+  *   - [[core]] — the true fixpoint: peel until the survivor count
+  *     stops changing (spec-pinned equal to [[peel]] once [[peel]]'s
+  *     round budget covers convergence).
+  *
+  * Scale shape: the edge list is canonicalized once and REBASED onto a
+  * cached RDD leaf; each round is two semi-joins of the edges against
+  * the (shrinking) alive set plus one map-side-combined degree count —
+  * the alive set is node-sized and broadcasts once it fits, so late
+  * rounds cost one edge scan each. Alive sets rebase per round (the
+  * [[KMeans.fit]] lineage discipline), so plan size is O(1) in rounds.
+  */
+object KCore {
+
+  private def canonical(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+
+  /** One peeling round: degrees of the subgraph induced by `alive`,
+    * then the >= k survivors. Returns the DEGREE frame (node, deg) —
+    * callers filter it.
+    */
+  private def roundDegrees(canon: DataFrame, alive: DataFrame): DataFrame =
+    canon
+      .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** `rounds` peeling rounds; returns the survivors with their degree in
+    * the final round's input subgraph: (node, deg), deg >= k.
+    */
+  def peel(edges: DataFrame, srcCol: String, dstCol: String,
+           k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+
+    def rebase(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.cache()
+      spark.createDataFrame(rdd, df.schema)
+    }
+
+    val canon = rebase(canonical(edges, srcCol, dstCol))
+    var alive = rebase(
+      canon.select(col("a").as("node"))
+        .union(canon.select(col("b").as("node"))).distinct())
+    var lastDeg: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      lastDeg = roundDegrees(canon, alive)
+      alive = rebase(lastDeg.filter(col("deg") >= k).select(col("node")))
+      r += 1
+    }
+    lastDeg.filter(col("deg") >= k)
+  }
+
+  /** The true k-core: peel to the fixpoint (survivor count stable).
+    * `maxRounds` bounds the loop — a graph peels at most node-count
+    * rounds, so hitting the bound means the budget was too small and
+    * the call throws rather than return a non-core.
+    */
+  def core(edges: DataFrame, srcCol: String, dstCol: String,
+           k: Int, maxRounds: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = edges.sparkSession
+
+    def rebase(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.cache()
+      spark.createDataFrame(rdd, df.schema)
+    }
+
+    val canon = rebase(canonical(edges, srcCol, dstCol))
+    var alive = rebase(
+      canon.select(col("a").as("node"))
+        .union(canon.select(col("b").as("node"))).distinct())
+    var n = alive.count()
+    var r = 0
+    while (r < maxRounds) {
+      val deg = rebase(roundDegrees(canon, alive))
+      val next = deg.filter(col("deg") >= k)
+      val nNext = next.count()
+      if (nNext == n) return deg.filter(col("deg") >= k)
+      alive = rebase(next.select(col("node")))
+      n = nNext
+      r += 1
+    }
+    throw new IllegalStateException(
+      s"k-core did not converge within $maxRounds rounds")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** k-core invariants: peel matches an in-memory reference round for
+  * round, the fixpoint `core` equals a converged `peel`, a clique
+  * survives its own k while trees vanish, and the plan is equi-joins
+  * only. The independent end-to-end check is the q133 oracle (6 rounds
+  * unrolled in SQL over the derived ring+hub graph).
+  */
+class KCoreSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // clique K6 (nodes 0-5) + a path 6-7-8-9 + pendant 10 off the clique +
+  // a C4 (20-23) that survives k=2 but not k=3
+  private lazy val edges: Seq[(Long, Long)] = {
+    val clique = for (i <- 0 to 5; j <- (i + 1) to 5) yield (i.toLong, j.toLong)
+    val path = Seq((6L, 7L), (7L, 8L), (8L, 9L))
+    val pendant = Seq((0L, 10L))
+    val c4 = Seq((20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L))
+    clique ++ path ++ pendant ++ c4
+  }
+
+  private def refPeel(k: Int, rounds: Int): Map[Long, Long] = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    var alive = canon.flatMap { case (a, b) => Seq(a, b) }.toSet
+    var deg = Map.empty[Long, Long]
+    for (_ <- 1 to rounds) {
+      deg = canon.filter { case (a, b) => alive(a) && alive(b) }
+        .flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      alive = deg.filter(_._2 >= k).keySet
+    }
+    deg.filter(_._2 >= k)
+  }
+
+  private def gotPeel(k: Int, rounds: Int): Map[Long, Long] =
+    KCore.peel(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("peel matches the reference for several (k, rounds)") {
+    for (k <- Seq(2, 3, 5); rounds <- Seq(1, 2, 4))
+      assert(gotPeel(k, rounds) == refPeel(k, rounds), s"k=$k rounds=$rounds")
+  }
+
+  test("5-core is exactly the K6 clique; path, pendant and C4 peel away") {
+    val got = gotPeel(5, 4)
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(got.values.forall(_ == 5L))
+  }
+
+  test("2-core keeps the C4 ring, drops the path and pendant") {
+    val got = gotPeel(2, 4).keySet
+    assert(Set(20L, 21L, 22L, 23L).subsetOf(got))
+    assert(!got.exists(Seq(7L, 8L, 9L, 10L).contains(_)))
+  }
+
+  test("fixpoint core equals a converged peel") {
+    for (k <- Seq(2, 3, 5)) {
+      val fix = KCore.core(edges.toDF("src", "dst"), "src", "dst", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fix == gotPeel(k, 10), s"k=$k") // 10 rounds covers convergence
+    }
+  }
+
+  test("a k beyond the densest core yields the empty frame") {
+    assert(KCore.core(edges.toDF("src", "dst"), "src", "dst", 6).isEmpty)
+  }
+
+  test("plan is equi-joins only — no cartesian product") {
+    val p = KCore.peel(edges.toDF("src", "dst"), "src", "dst", 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+}
