@@ -1473,6 +1473,18 @@ object OracleSqlGen {
        |FROM (SELECT UNNEST(syms) AS sym FROM st$rounds)
        |GROUP BY sym ORDER BY n_occ DESC, sym LIMIT $topK""".stripMargin
 
+  /** q134: per-doc shape of the final BPE state — docs that fused (or
+    * tokenized) to nothing drop out of the unnest/rebuild chain, so the
+    * LEFT JOIN restores them with an empty list (list[1] of an empty
+    * list is NULL in DuckDB, matching Spark's null-safe get()).
+    */
+  def q134Sql(rounds: Int = 4): String =
+    s"""WITH ${bpeCtes(rounds)}
+       |SELECT d.doc_id,
+       |       CAST(len(coalesce(st.syms, [])) AS BIGINT) AS n_syms,
+       |       coalesce(st.syms, [])[1] AS first_sym
+       |FROM documents d LEFT JOIN st$rounds st ON d.doc_id = st.doc_id""".stripMargin
+
   /** q129: the q121 distinct estimate WITHOUT the exact-verify column —
     * the sketch-store gate's shape. Deliberately identical arithmetic:
     * the store's merged minima equal the one-shot minima (bottom-k is a

@@ -1879,6 +1879,22 @@ object SparkEntry {
     operators.KCore.peel(ring.union(hubs), "src", "dst", k = 5, rounds = 6)
   }
 
+  // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
+  //      then re-encode the corpus by chaining the rules inside ONE
+  //      projection (single scan, no shuffle, no driver loop — the
+  //      frozen-vocabulary tokenization shape). Output per doc: symbol
+  //      count + head symbol; get() not element_at for the empty-doc
+  //      corner (ANSI), and the oracle LEFT JOINs docs that fused to
+  //      nothing. ----
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir).documents.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("toks"))
+    val (_, rules) = operators.BpeMerges.learn(toks, "doc_id", "toks", 4)
+    operators.BpeMerges.applyRules(toks, "doc_id", "toks", rules)
+      .select(col("doc_id"), size(col("syms")).cast("long").as("n_syms"),
+        get(col("syms"), lit(0)).as("first_sym"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_sum"        -> q01 _,
@@ -2014,6 +2030,7 @@ object SparkEntry {
     "q131_bpe_merges"      -> q131 _,
     "q132_bpe_vocab"       -> q132 _,
     "q133_kcore"           -> q133 _,
+    "q134_bpe_encode"      -> q134 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2474,6 +2491,7 @@ object SparkEntry {
     "q131_bpe_merges"       -> OracleSqlGen.q131Sql(),
     "q132_bpe_vocab"        -> OracleSqlGen.q132Sql(),
     "q133_kcore"            -> OracleSqlGen.q133Sql(),
+    "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
     "q123_pq_adc"           -> OracleSqlGen.q123Sql(),
     "q124_ivfpq_store"      -> OracleSqlGen.q124Sql(),
     // q125: the oracle is the quadratic definition segment blocking

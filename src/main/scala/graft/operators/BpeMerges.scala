@@ -107,6 +107,23 @@ object BpeMerges {
       .limit(topK)
   }
 
+  /** Apply an already-learned rule list in round order — the INFERENCE
+    * twin of [[learn]]: encode new text with a trained vocabulary. The
+    * rules chain as nested [[BpeMergeExpr]]s inside ONE projection, so
+    * encoding is a single scan with no shuffle and no driver loop —
+    * exactly what tokenizing a fresh 100 TB corpus against a frozen
+    * vocabulary needs. Applying the rules [[learn]] produced on the
+    * SAME corpus reproduces its final state (spec-pinned).
+    */
+  def applyRules(docs: DataFrame, idCol: String, tokensCol: String,
+                 rules: Seq[Rule]): DataFrame = {
+    val syms = rules.sortBy(_.round).foldLeft(col(tokensCol)) { (c, r) =>
+      org.apache.spark.sql.GraftColumnBridge.column(BpeMergeExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(c), r.left, r.right))
+    }
+    docs.select(col(idCol), syms.as("syms"))
+  }
+
   /** All adjacent (a, b) symbol pairs of the state — position i paired
     * with i+1, overlapping, the standard BPE count input.
     */

@@ -90,6 +90,26 @@ class BpeMergesSpec extends AnyFunSuite with SparkSpec {
     assert(fused == Seq("a", null, "a a"))
   }
 
+  test("applyRules on the training corpus reproduces learn's final state") {
+    val df = corpus.toDF("doc_id", "toks")
+    val (st, rules) = BpeMerges.learn(df, "doc_id", "toks", 4)
+    val applied = BpeMerges.applyRules(df, "doc_id", "toks", rules)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val learned = st.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(applied == learned)
+  }
+
+  test("applyRules encodes UNSEEN text with the frozen vocabulary, one scan") {
+    val train = corpus.toDF("doc_id", "toks")
+    val (_, rules) = BpeMerges.learn(train, "doc_id", "toks", 2)
+    val fresh = Seq((100L, Seq("the", "quick", "brown", "the", "quick")))
+      .toDF("doc_id", "toks")
+    val out = BpeMerges.applyRules(fresh, "doc_id", "toks", rules)
+    assert(out.collect().head.getSeq[String](1).contains("the quick"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1200))
+  }
+
   test("stops cleanly when the corpus fuses below any pair") {
     val df = Seq((1L, Seq("x", "y"))).toDF("doc_id", "toks")
     val (st, rules) = BpeMerges.learn(df, "doc_id", "toks", 10)
