@@ -1460,6 +1460,48 @@ object OracleSqlGen {
        |SELECT node, deg FROM d$rounds WHERE deg >= $k""".stripMargin
   }
 
+  /** q135: k-truss peeling — the q133 shape at EDGE level: each round
+    * enumerates triangles over the survivors (the q118 x<y<z join),
+    * counts each edge's support through a 3-way union, keeps
+    * support >= k−2. Same derived ring+hub graph; MATERIALIZED per the
+    * q133 lesson. All integers.
+    */
+  def q135Sql(k: Int = 5, rounds: Int = 4): String = {
+    val per = (1 to rounds).map { r =>
+      val prev = if (r == 1) "canon" else s"te${r - 1}"
+      s"""tt$r AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM $prev e1
+         |  JOIN $prev e2 ON e2.a = e1.b
+         |  JOIN $prev e3 ON e3.a = e1.a AND e3.b = e2.b
+         |), ts$r AS MATERIALIZED (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS support
+         |  FROM (SELECT x AS a, y AS b FROM tt$r
+         |        UNION ALL SELECT y, z FROM tt$r
+         |        UNION ALL SELECT x, z FROM tt$r)
+         |  GROUP BY a, b
+         |), te$r AS MATERIALIZED (
+         |  SELECT a, b FROM ts$r WHERE support >= ${k - 2}
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+       |e0 AS (
+       |  SELECT p_partkey AS x,
+       |         (p_partkey + d.d) % (SELECT n FROM nn) AS y
+       |  FROM part CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS d(d)
+       |  WHERE d.d <= 1 + p_partkey % 5
+       |  UNION ALL
+       |  SELECT p_partkey, (p_partkey + 20 * h.j) % (SELECT n FROM nn)
+       |  FROM part CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS h(j)
+       |  WHERE p_partkey % 20 = 0
+       |),
+       |canon AS MATERIALIZED (
+       |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+       |  FROM e0 WHERE x <> y
+       |), $per
+       |SELECT a, b, support FROM ts$rounds WHERE support >= ${k - 2}""".stripMargin
+  }
+
   def q131Sql(rounds: Int = 4): String = {
     val union = (1 to rounds).map(r =>
       s"SELECT CAST($r AS INTEGER) AS round, a AS left_sym, b AS right_sym, " +
@@ -1507,6 +1549,32 @@ object OracleSqlGen {
        |  FROM r WHERE rn <= $k GROUP BY source
        |)
        |SELECT source,
+       |  CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+       |       ELSE (${(k - 1).toDouble} * 1152921504606846976.0)
+       |            / CAST(hk AS DOUBLE) END AS n_est
+       |FROM sk""".stripMargin
+
+  /** q136: the streaming KMV's batch replay — identical estimator to
+    * q129 but grouped by event_type over distinct user hashes; the
+    * streaming result must equal it bit-for-bit because the bottom-k
+    * state is a pure function of the value set (micro-batch boundaries
+    * invisible).
+    */
+  def q136Sql(k: Int = 64): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |         ${PortableHash.hash60Sql("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events
+       |), r AS (
+       |  SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM h
+       |), sk AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+       |         max(CASE WHEN rn = $k THEN h END) AS hk
+       |  FROM r WHERE rn <= $k GROUP BY event_type
+       |)
+       |SELECT event_type,
        |  CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
        |       ELSE (${(k - 1).toDouble} * 1152921504606846976.0)
        |            / CAST(hk AS DOUBLE) END AS n_est

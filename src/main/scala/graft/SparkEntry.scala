@@ -1879,6 +1879,49 @@ object SparkEntry {
     operators.KCore.peel(ring.union(hubs), "src", "dst", k = 5, rounds = 6)
   }
 
+  // ---- q135: k-truss peeling — the EDGE-level sibling of q133 on the
+  //      same derived graph: each round re-counts every edge's triangle
+  //      support among the survivors (q118's x<y<z wedge join) and
+  //      keeps support ≥ k−2. Cascades 645→445→85→45 edges and leaves
+  //      the hub backbone as the 5-truss; 4 rounds pinned so the oracle
+  //      unrolls them (MATERIALIZED — the q133 lesson). ----
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir).part.select(col("p_partkey").as("k"))
+    val n = p.count()
+    val ring = p.select(col("k"),
+        explode(sequence(lit(1L), lit(1L) + pmod(col("k"), lit(5L)))).as("d"))
+      .select(col("k").as("src"), pmod(col("k") + col("d"), lit(n)).as("dst"))
+    val hubs = p.filter(pmod(col("k"), lit(20)) === 0)
+      .select(col("k"), explode(sequence(lit(1L), lit(5L))).as("j"))
+      .select(col("k").as("src"), pmod(col("k") + col("j") * 20, lit(n)).as("dst"))
+    operators.KTruss.peel(ring.union(hubs), "src", "dst", k = 5, rounds = 4)
+  }
+
+  // ---- q136: STREAMING KMV — the q72 contract applied to the theta
+  //      family: per-event-type bottom-k distinct-user state on an
+  //      unbounded source in complete mode; state is ≤ k longs per
+  //      group, BOUNDED regardless of stream length (no watermark — the
+  //      sketch never grows), and merges across micro-batches by the
+  //      same set algebra the incremental store uses. The oracle replays
+  //      the batch rank-window over the same events, so streaming/batch
+  //      sketch parity IS the hash check. k=64 spans both regimes:
+  //      exact (<k distinct) at sf0.001, estimated at sf0.01+. ----
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.readEventsStream(s, dir)
+      .select(col("event_type"), col("user_id"))
+    val sk = ev.groupBy(col("event_type"))
+      .agg(graft.functions.KmvAgg.minima(
+        graft.functions.PortableHash.hash60(col("user_id")), 64).as("__mins"))
+    val name = s"graft_stream_kmv_${streamSeq.incrementAndGet()}"
+    val q = withShufflePartitions(s, 8) {
+      sk.writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.table(name).select(col("event_type"),
+      operators.KmvSketch.estimateCol(col("__mins"), 64).as("n_est"))
+  }
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2031,6 +2074,8 @@ object SparkEntry {
     "q132_bpe_vocab"       -> q132 _,
     "q133_kcore"           -> q133 _,
     "q134_bpe_encode"      -> q134 _,
+    "q135_ktruss"          -> q135 _,
+    "q136_stream_kmv"      -> q136 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2492,6 +2537,8 @@ object SparkEntry {
     "q132_bpe_vocab"        -> OracleSqlGen.q132Sql(),
     "q133_kcore"            -> OracleSqlGen.q133Sql(),
     "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
+    "q135_ktruss"           -> OracleSqlGen.q135Sql(),
+    "q136_stream_kmv"       -> OracleSqlGen.q136Sql(),
     "q123_pq_adc"           -> OracleSqlGen.q123Sql(),
     "q124_ivfpq_store"      -> OracleSqlGen.q124Sql(),
     // q125: the oracle is the quadratic definition segment blocking

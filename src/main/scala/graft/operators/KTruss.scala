@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-truss decomposition — the EDGE-level sibling of [[KCore]] (Cohen
+  * 2008): repeatedly delete edges lying in fewer than k−2 triangles of
+  * the current subgraph. A k-truss is a strictly denser certificate
+  * than a k-core (every k-truss edge's endpoints share ≥ k−2 common
+  * neighbors), the standard community-backbone / spam-ring extractor
+  * one notch above [[Triangles]]' per-node counts.
+  *
+  * [[peel]] runs a FIXED number of rounds (the oracle-gated form, q135:
+  * the DuckDB oracle unrolls each round as MATERIALIZED CTEs — the
+  * q133 lesson); [[truss]] is the true fixpoint (edge-count-stable ⇒
+  * edge-set-stable, since survivors ⊆ current edges).
+  *
+  * Scale shape per round: triangle enumeration is the q118 wedge shape
+  * — two equi-joins of the id-oriented canonical edge list against
+  * itself (x<y<z, each triangle found once), then each triangle votes
+  * for its three edges through ONE explode feeding a map-side-combined
+  * count. Edges rebase on cached RDD leaves per round ([[KMeans.fit]]
+  * discipline), so plan size is O(1) in rounds and each round reads
+  * the previous round's MATERIALIZED survivors, not a growing lineage.
+  * (Degree-ordered orientation — [[Triangles]]' O(√m) bound — can
+  * replace the id orientation here if a skewed graph demands it; the
+  * support aggregation is orientation-agnostic.)
+  */
+object KTruss {
+
+  private def canonical(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+
+  /** Per-edge triangle support within the given canonical edge set:
+    * (a, b, support), edges in no triangle absent (support 0).
+    */
+  def supports(canon: DataFrame): DataFrame = {
+    val e1 = canon.select(col("a").as("x"), col("b").as("y"))
+    val e2 = canon.select(col("a").as("y2"), col("b").as("z"))
+    val e3 = canon.select(col("a").as("x3"), col("b").as("z3"))
+    val tri = e1.join(e2, col("y") === col("y2"))
+      .join(e3, col("x") === col("x3") && col("z") === col("z3"))
+      .select(col("x"), col("y"), col("z"))
+    tri.select(explode(array(
+        struct(col("x").as("a"), col("y").as("b")),
+        struct(col("y").as("a"), col("z").as("b")),
+        struct(col("x").as("a"), col("z").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+  }
+
+  /** `rounds` peeling rounds; returns the surviving edges with their
+    * support in the final round's input subgraph: (a, b, support),
+    * support >= k−2.
+    */
+  def peel(edges: DataFrame, srcCol: String, dstCol: String,
+           k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k-2 triangles per edge), got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+
+    def rebase(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.cache()
+      spark.createDataFrame(rdd, df.schema)
+    }
+
+    var alive = rebase(canonical(edges, srcCol, dstCol))
+    var lastSup: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      lastSup = supports(alive)
+      alive = rebase(lastSup.filter(col("support") >= k - 2)
+        .select(col("a"), col("b")))
+      r += 1
+    }
+    lastSup.filter(col("support") >= k - 2)
+  }
+
+  /** The true k-truss: peel to the fixpoint (surviving edge count
+    * stable). Throws past `maxRounds` rather than return a non-truss.
+    */
+  def truss(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxRounds: Int = 1000): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k-2 triangles per edge), got $k")
+    val spark = edges.sparkSession
+
+    def rebase(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.cache()
+      spark.createDataFrame(rdd, df.schema)
+    }
+
+    var alive = rebase(canonical(edges, srcCol, dstCol))
+    var n = alive.count()
+    var r = 0
+    while (r < maxRounds) {
+      val sup = rebase(supports(alive))
+      val next = sup.filter(col("support") >= k - 2)
+      val nNext = next.count()
+      if (nNext == n) return sup.filter(col("support") >= k - 2)
+      alive = rebase(next.select(col("a"), col("b")))
+      n = nNext
+      r += 1
+    }
+    throw new IllegalStateException(
+      s"k-truss did not converge within $maxRounds rounds")
+  }
+}

@@ -229,4 +229,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // a 1h window sliding by 15m puts one event into 4 windows
     assert(spark.table("t_sliding").count() == 4)
   }
+  test("streaming KMV across micro-batches equals the one-shot batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val rows = (0 until 120).map(i =>
+      EventRow(i.toLong, ts(i % 300), (i % 37).toLong,
+        Seq("click", "view", "error")(i % 3), 1.0))
+    val k = 8 // < 37 distinct users per type: the estimator regime
+    def kmvAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvAgg.minima(
+        graft.functions.PortableHash.hash60(col("user_id")), k).as("mins"))
+    // three separate micro-batches — state must merge across them
+    val q = kmvAgg(ms.toDF())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("t_kmv").start()
+    rows.grouped(40).foreach { g => ms.addData(g); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("t_kmv")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val batch = kmvAgg(rows.toDF())
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed == batch) // bit-identical minima, micro-batches invisible
+  }
 }
