@@ -1363,6 +1363,59 @@ object OracleSqlGen {
        |  ex.n_exact
        |FROM sk JOIN ex ON sk.source = ex.source""".stripMargin
 
+  /** q137/q138: batch-perceptron training, every round unrolled. The
+    * update Σ_{y·(w·x) <= 0} y·x is a commutative integer sum, so each
+    * round is one filter + d scalar sums; weights thread through as a
+    * one-row list CTE. All BIGINT, zero tolerance.
+    */
+  private def perceptronCtes(rounds: Int, dim: Int): String = {
+    val feat =
+      s"""feat AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    [CAST(1 AS BIGINT), CAST(length(text) AS BIGINT),
+         |     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT),
+         |     CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT),
+         |     CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)] AS x,
+         |    CAST(CASE WHEN length(source) = 4 THEN 1 ELSE -1 END AS BIGINT) AS y
+         |  FROM documents
+         |), w0 AS (SELECT [${Seq.fill(dim)("CAST(0 AS BIGINT)").mkString(", ")}] AS w)"""
+        .stripMargin
+    val per = (1 to rounds).map { r =>
+      val p = r - 1
+      val newW = (1 to dim).map(i =>
+        s"w.w[$i] + CAST(coalesce((SELECT sum(y * x[$i]) FROM m$r), 0) AS BIGINT)")
+        .mkString(",\n         |          ")
+      s"""m$r AS MATERIALIZED (
+         |  SELECT f.x, f.y FROM feat f CROSS JOIN w$p w
+         |  WHERE f.y * list_sum([w.w[i] * f.x[i]
+         |                        FOR i IN range(1, ${dim + 1})]) <= 0
+         |), w$r AS MATERIALIZED (
+         |  SELECT [$newW] AS w
+         |  FROM w$p w
+         |)""".stripMargin
+    }.mkString(", ")
+    s"$feat, $per"
+  }
+
+  def q137Sql(rounds: Int = 5, dim: Int = 5): String = {
+    val union = (1 to rounds).map(r =>
+      s"""SELECT CAST($r AS INTEGER) AS round, CAST(i - 1 AS INTEGER) AS idx,
+         |       w.w[i] AS weight
+         |FROM w$r w, (SELECT UNNEST(range(1, ${dim + 1})) AS i)""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"WITH ${perceptronCtes(rounds, dim)}\n$union"
+  }
+
+  def q138Sql(rounds: Int = 5, dim: Int = 5): String =
+    s"""WITH ${perceptronCtes(rounds, dim)}
+       |SELECT f.doc_id,
+       |  CAST(list_sum([w.w[i] * f.x[i]
+       |                 FOR i IN range(1, ${dim + 1})]) AS BIGINT) AS margin,
+       |  CAST(CASE WHEN list_sum([w.w[i] * f.x[i]
+       |                           FOR i IN range(1, ${dim + 1})]) > 0
+       |            THEN 1 ELSE -1 END AS INTEGER) AS predicted
+       |FROM feat f CROSS JOIN w$rounds w""".stripMargin
+
   /** q131/q132: BPE-style merge learning, every round unrolled. Per
     * round: `pr` = all adjacent pairs with positions, `ch` = the winner
     * (`ORDER BY c DESC, a, b LIMIT 1` — the Spark tiebreak), `mm` =

@@ -1922,6 +1922,35 @@ object SparkEntry {
       operators.KmvSketch.estimateCol(col("__mins"), 64).as("n_est"))
   }
 
+  // ---- q137/q138: batch-perceptron quality-filter TRAINING + scoring —
+  //      the CCNet/GPT-3-style linear doc filter, trained INSIDE the
+  //      engine in exact integer arithmetic: the batch update
+  //      Σ_{y·(w·x) ≤ 0} y·x is a commutative long sum (order/partition
+  //      free, unlike the sequential perceptron), so all 5 training
+  //      rounds replay in the oracle with zero tolerance. One scan +
+  //      d driver longs per round. q137 = per-round weights; q138 =
+  //      the corpus scored by the final weights (inference pass). ----
+  private def docFeatures(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      array(lit(1L), length(col("text")).cast("long"),
+        size(TextFunctions.tokens(col("text"))).cast("long"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "e", ""))).cast("long"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", ""))).cast("long")).as("x"),
+      when(length(col("source")) === 4, 1L).otherwise(-1L).as("y"))
+
+  private def q137(s: SparkSession, dir: String): DataFrame =
+    operators.Perceptron.trainHistory(
+      docFeatures(Tables(s, dir).documents), "x", "y", dim = 5, rounds = 5)
+
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val feats = docFeatures(Tables(s, dir).documents)
+    val w = operators.Perceptron
+      .trainWeights(feats, "x", "y", dim = 5, rounds = 5).last
+    operators.Perceptron.score(feats, "doc_id", "x", w)
+  }
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2076,6 +2105,8 @@ object SparkEntry {
     "q134_bpe_encode"      -> q134 _,
     "q135_ktruss"          -> q135 _,
     "q136_stream_kmv"      -> q136 _,
+    "q137_perceptron"      -> q137 _,
+    "q138_filter_score"    -> q138 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2539,6 +2570,8 @@ object SparkEntry {
     "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
     "q135_ktruss"           -> OracleSqlGen.q135Sql(),
     "q136_stream_kmv"       -> OracleSqlGen.q136Sql(),
+    "q137_perceptron"       -> OracleSqlGen.q137Sql(),
+    "q138_filter_score"     -> OracleSqlGen.q138Sql(),
     "q123_pq_adc"           -> OracleSqlGen.q123Sql(),
     "q124_ivfpq_store"      -> OracleSqlGen.q124Sql(),
     // q125: the oracle is the quadratic definition segment blocking
