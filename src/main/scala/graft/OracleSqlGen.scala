@@ -1363,6 +1363,62 @@ object OracleSqlGen {
        |  ex.n_exact
        |FROM sk JOIN ex ON sk.source = ex.source""".stripMargin
 
+  /** q139/q140: content-defined chunking. The oracle recomputes every
+    * window hash POSITIONALLY — Σ code·B^{w−1−j} with the per-power
+    * mod table embedded as a literal, one final mod (all products
+    * ≤ 65535·M ≪ 2⁶³, so no intermediate mod is needed) — where the
+    * Spark expression rolls incrementally; both are the same residue.
+    * Cuts → segments via a lag window; chunks are plain substr.
+    */
+  private def cdcCtes(w: Int, base: Long, m: Long, d: Long): String = {
+    val pw = {
+      val a = new Array[Long](w)
+      a(0) = 1L
+      for (k <- 1 until w) a(k) = a(k - 1) * base % m
+      a.mkString("[", ", ", "]")
+    }
+    s"""cdoc AS MATERIALIZED (
+       |  SELECT doc_id, text, length(text) AS n FROM documents
+       |), ch AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |    list_sum([CAST(unicode(substr(text, i + k - 1, 1)) AS BIGINT)
+       |                * ($pw)[$w - k + 1]
+       |              FOR k IN range(1, ${w + 1})]) % $m AS h
+       |  FROM (SELECT doc_id, text, UNNEST(range(1, n - $w + 2)) AS i
+       |        FROM cdoc WHERE n >= $w)
+       |), cuts AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, e FROM (
+       |    SELECT doc_id, i + $w - 1 AS e FROM ch WHERE h % $d = 0
+       |    UNION ALL
+       |    SELECT doc_id, n FROM cdoc WHERE n > 0)
+       |), seg AS (
+       |  SELECT doc_id, e,
+       |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS st
+       |  FROM cuts
+       |), chunk AS MATERIALIZED (
+       |  SELECT s.doc_id,
+       |         CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.st)
+       |              AS INTEGER) AS chunk_idx,
+       |         substr(d.text, s.st, s.e - s.st + 1) AS chunk
+       |  FROM seg s JOIN cdoc d USING (doc_id)
+       |)""".stripMargin
+  }
+
+  def q139Sql(w: Int = 16, base: Long = 31L, m: Long = 1000000007L,
+              d: Long = 64L): String =
+    s"""WITH ${cdcCtes(w, base, m, d)}
+       |SELECT doc_id, chunk_idx, CAST(length(chunk) AS BIGINT) AS chunk_len,
+       |       ${PortableHash.hash60Sql("chunk")} AS chunk_hash
+       |FROM chunk""".stripMargin
+
+  def q140Sql(w: Int = 16, base: Long = 31L, m: Long = 1000000007L,
+              d: Long = 64L, topK: Int = 100): String =
+    s"""WITH ${cdcCtes(w, base, m, d)}
+       |SELECT chunk, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_occ
+       |FROM chunk GROUP BY chunk HAVING count(*) > 1
+       |ORDER BY n_occ DESC, chunk LIMIT $topK""".stripMargin
+
   /** q137/q138: batch-perceptron training, every round unrolled. The
     * update Σ_{y·(w·x) <= 0} y·x is a commutative integer sum, so each
     * round is one filter + d scalar sums; weights thread through as a

@@ -1951,6 +1951,20 @@ object SparkEntry {
     operators.Perceptron.score(feats, "doc_id", "x", w)
   }
 
+  // ---- q139/q140: content-defined chunking (Rabin/LBFS) — shift-robust
+  //      storage dedup: boundaries follow CONTENT (rolling hash ≡ 0 mod
+  //      D), so identical passages chunk identically at any offset —
+  //      the complement of whole-doc (q16) and n-gram (q96) dedup. One
+  //      codegen-stage scan per doc; the oracle recomputes every window
+  //      hash positionally with a literal power table (same residue as
+  //      the incremental roll). q139 = chunk inventory; q140 = repeated-
+  //      chunk report (the dedup payoff). ----
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    operators.Cdc.inventory(Tables(s, dir).documents, "doc_id", "text")
+
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    operators.Cdc.repeatedChunks(Tables(s, dir).documents, "doc_id", "text")
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2107,6 +2121,8 @@ object SparkEntry {
     "q136_stream_kmv"      -> q136 _,
     "q137_perceptron"      -> q137 _,
     "q138_filter_score"    -> q138 _,
+    "q139_cdc_chunks"      -> q139 _,
+    "q140_cdc_dedup"       -> q140 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2572,6 +2588,8 @@ object SparkEntry {
     "q136_stream_kmv"       -> OracleSqlGen.q136Sql(),
     "q137_perceptron"       -> OracleSqlGen.q137Sql(),
     "q138_filter_score"     -> OracleSqlGen.q138Sql(),
+    "q139_cdc_chunks"       -> OracleSqlGen.q139Sql(),
+    "q140_cdc_dedup"        -> OracleSqlGen.q140Sql(),
     "q123_pq_adc"           -> OracleSqlGen.q123Sql(),
     "q124_ivfpq_store"      -> OracleSqlGen.q124Sql(),
     // q125: the oracle is the quadratic definition segment blocking
