@@ -1965,6 +1965,20 @@ object SparkEntry {
   private def q140(s: SparkSession, dir: String): DataFrame =
     operators.Cdc.repeatedChunks(Tables(s, dir).documents, "doc_id", "text")
 
+  // ---- q141/q142: ordered funnel + cohort retention — the two classic
+  //      event-sequence reports (batch complements of q18/q83 sessions).
+  //      Funnel: strict event-time ordering (stage i strictly after the
+  //      user's earliest stage i−1), one pushed-down scan + user-keyed
+  //      min/join per stage. Cohort: first-activity day × day-offset
+  //      activity matrix. Both exact ints + date arithmetic — replay
+  //      directly. ----
+  private def q141(s: SparkSession, dir: String): DataFrame =
+    ops.Funnel.funnelCounts(Tables(s, dir).events,
+      "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))
+
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    ops.Funnel.cohortRetention(Tables(s, dir).events, "user_id", "ts")
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2123,6 +2137,8 @@ object SparkEntry {
     "q138_filter_score"    -> q138 _,
     "q139_cdc_chunks"      -> q139 _,
     "q140_cdc_dedup"       -> q140 _,
+    "q141_funnel"          -> q141 _,
+    "q142_cohort"          -> q142 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2590,6 +2606,41 @@ object SparkEntry {
     "q138_filter_score"     -> OracleSqlGen.q138Sql(),
     "q139_cdc_chunks"       -> OracleSqlGen.q139Sql(),
     "q140_cdc_dedup"        -> OracleSqlGen.q140Sql(),
+    // q141/q142: min/join chains and date arithmetic over exact values —
+    // no float anywhere; DuckDB date_diff('day') ≡ Spark datediff on the
+    // truncated dates.
+    "q141_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1
+        |)
+        |SELECT CAST(0 AS INTEGER) AS stage_idx, 'signup' AS stage,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_users
+        |UNION ALL
+        |SELECT 1, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s1)
+        |UNION ALL
+        |SELECT 2, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s2)""".stripMargin,
+    "q142_cohort" ->
+      """WITH first AS (
+        |  SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort_day
+        |  FROM events GROUP BY 1
+        |), active AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events
+        |)
+        |SELECT f.cohort_day,
+        |       CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS k,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM active a JOIN first f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q123_pq_adc"           -> OracleSqlGen.q123Sql(),
     "q124_ivfpq_store"      -> OracleSqlGen.q124Sql(),
     // q125: the oracle is the quadratic definition segment blocking
