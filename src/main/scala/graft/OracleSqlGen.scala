@@ -841,7 +841,8 @@ object OracleSqlGen {
   // (KMeans.kForTargetClusterSize): ceil(count/target) clamped to maxK.
   private def kmeansCtes(kSql: String, iterations: Int, scale: Long,
                          dim: Int, sfx: String = "",
-                         vecExpr: String = "embedding"): String = {
+                         vecExpr: String = "embedding",
+                         srcTable: String = "embeddings"): String = {
     def assignFrom(c: String) =
       s"""SELECT vec_id, x, cid FROM (
          |  SELECT p.vec_id, p.x, c.cid,
@@ -869,7 +870,7 @@ object OracleSqlGen {
        |  SELECT vec_id,
        |    [CAST(floor(CAST(x AS DOUBLE) * $scale.0) AS BIGINT)
        |     FOR x IN $vecExpr] AS x
-       |  FROM embeddings
+       |  FROM $srcTable
        |), c0$sfx AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
        |         x AS c
@@ -1471,6 +1472,74 @@ object OracleSqlGen {
        |                           FOR i IN range(1, ${dim + 1})]) > 0
        |            THEN 1 ELSE -1 END AS INTEGER) AS predicted
        |FROM feat f CROSS JOIN w$rounds w""".stripMargin
+
+  /** q143: RESIDUAL IVF-PQ — q124 with `by_residual=true`. The coarse
+    * chain feeds a `resid` CTE (x − centroid[cell], exact longs); the m
+    * PQ chains train over residual slices at scale 1 (floor(double·1)
+    * is the identity on longs); the query builds one distance-table set
+    * PER PROBED CELL from its per-cell residual, and the ADC join keys
+    * on (cell, code). All integer, zero tolerance.
+    */
+  def q143Sql(nlist: Int = 8, nprobe: Int = 3, m: Int = 4, k: Int = 16,
+              iterations: Int = 3, scale: Long = 1000000L, dim: Int = 64,
+              queryId: Long = 0L, topK: Int = 25): String = {
+    require(dim % m == 0)
+    val subDim = dim / m
+    val ivfChain = kmeansCtes(nlist.toString, iterations, scale, dim, "_ivf")
+    val residCte =
+      s"""resid AS MATERIALIZED (
+         |  SELECT p.vec_id,
+         |    [p.x[i] - c.c[i] FOR i IN range(1, ${dim + 1})] AS rx
+         |  FROM pts_ivf p
+         |  JOIN asg_ivf a ON a.vec_id = p.vec_id
+         |  JOIN c${iterations}_ivf c ON c.cid = a.cluster
+         |)""".stripMargin
+    val pqChains = (0 until m).map { s =>
+      kmeansCtes(k.toString, iterations, scale = 1L, subDim, s"_p$s",
+        s"rx[${s * subDim + 1}:${(s + 1) * subDim}]", srcTable = "resid")
+    }.mkString(", ")
+    val dtabs = (0 until m).map { s =>
+      val lo = s * subDim
+      s"""dtab$s AS MATERIALIZED (
+         |  SELECT qr.cell, cb.cid,
+         |    CAST(list_sum([(qr.rx[$lo + i] - cb.c[i]) * (qr.rx[$lo + i] - cb.c[i])
+         |                   FOR i IN range(1, ${subDim + 1})]) AS BIGINT) AS d2
+         |  FROM qres qr CROSS JOIN c${iterations}_p$s cb
+         |)""".stripMargin
+    }.mkString(", ")
+    val joins = (1 until m).map(s =>
+      s"""  JOIN asg_p$s a$s ON a$s.vec_id = cand.vec_id
+         |  JOIN dtab$s t$s ON t$s.cell = cand.cell AND t$s.cid = a$s.cluster""".stripMargin)
+      .mkString("\n")
+    val sumExpr = (0 until m).map(s => s"t$s.d2").mkString(" + ")
+    s"""WITH $ivfChain, $residCte, $pqChains, probes AS MATERIALIZED (
+       |  SELECT c.cid
+       |  FROM c${iterations}_ivf c CROSS JOIN
+       |       (SELECT x FROM pts_ivf WHERE vec_id = $queryId) q
+       |  ORDER BY CAST(list_sum([(q.x[i] - c.c[i]) * (q.x[i] - c.c[i])
+       |                          FOR i IN range(1, ${dim + 1})]) AS BIGINT),
+       |           c.cid
+       |  LIMIT $nprobe
+       |), qres AS MATERIALIZED (
+       |  SELECT pr.cid AS cell,
+       |    [q.x[i] - c.c[i] FOR i IN range(1, ${dim + 1})] AS rx
+       |  FROM probes pr
+       |  JOIN c${iterations}_ivf c ON c.cid = pr.cid
+       |  CROSS JOIN (SELECT x FROM pts_ivf WHERE vec_id = $queryId) q
+       |), cand AS MATERIALIZED (
+       |  SELECT vec_id, cluster AS cell FROM asg_ivf
+       |  WHERE cluster IN (SELECT cid FROM probes)
+       |), $dtabs, adc AS (
+       |  SELECT cand.vec_id, cand.cell, CAST($sumExpr AS BIGINT) AS adc_dist
+       |  FROM cand
+       |  JOIN asg_p0 a0 ON a0.vec_id = cand.vec_id
+       |  JOIN dtab0 t0 ON t0.cell = cand.cell AND t0.cid = a0.cluster
+       |$joins
+       |)
+       |SELECT vec_id AS cand_id, cell, adc_dist FROM adc
+       |WHERE vec_id <> $queryId
+       |ORDER BY adc_dist, vec_id LIMIT $topK""".stripMargin
+  }
 
   /** q131/q132: BPE-style merge learning, every round unrolled. Per
     * round: `pr` = all adjacent pairs with positions, `ch` = the winner

@@ -1763,6 +1763,18 @@ object SparkEntry {
       iterations = 3, table = "graft_ivfpq_store", queryId = 0L,
       nprobe = 3, topK = 25)
 
+  // ---- q143: RESIDUAL IVF-PQ — q124 with by_residual=true: codes
+  //      encode x − coarse[cell], so one shared codebook set resolves
+  //      WITHIN-cell structure (the recall win, measured in IvfPqSpec);
+  //      queries build one exact-long table set per probed cell and the
+  //      ADC join keys on (cell, code). The oracle threads the coarse
+  //      assignment through all m residual-trained PQ chains. ----
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    operators.IvfPq.buildAndSearch(Tables(s, dir).embeddings,
+      "vec_id", "embedding", dim = 64, nlist = 8, m = 4, k = 16,
+      iterations = 3, table = "graft_ivfpq_res_store", queryId = 0L,
+      nprobe = 3, topK = 25, residual = true)
+
   // ---- q125: PassJoin edit-distance linkage at d = 3 — the segment-
   //      blocking regime FuzzyJoin's deletion neighborhoods refuse
   //      (their variant count is C(len, d)). Document prefixes are the
@@ -2139,6 +2151,7 @@ object SparkEntry {
     "q140_cdc_dedup"       -> q140 _,
     "q141_funnel"          -> q141 _,
     "q142_cohort"          -> q142 _,
+    "q143_ivfpq_residual"  -> q143 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2643,6 +2656,7 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
     "q123_pq_adc"           -> OracleSqlGen.q123Sql(),
     "q124_ivfpq_store"      -> OracleSqlGen.q124Sql(),
+    "q143_ivfpq_residual"   -> OracleSqlGen.q143Sql(),
     // q125: the oracle is the quadratic definition segment blocking
     // replaces (blocking is lossless — scaladoc pigeonhole argument);
     // Spark's and DuckDB's levenshtein agree (the q113 precedent), and

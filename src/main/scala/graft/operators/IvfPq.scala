@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF-PQ: the composed billion-scale ANN shape (Jégou et al. 2011,
@@ -35,25 +35,58 @@ import org.apache.spark.sql.functions._
   * probe selection + ADC) replays in a DuckDB oracle with zero
   * tolerance (q124).
   *
-  * Non-residual encoding is deliberate: residual PQ (FAISS's default)
-  * couples every code to its cell's centroid — better recall, but the
-  * codes stop being a pure function of the vector and the oracle would
-  * have to thread the coarse assignment through every PQ chain. The
-  * non-residual form keeps the PQ chain exactly as q123 trained it and
-  * lets ONE codebook serve every cell; the recall gap is a documented
-  * trade, not an accident.
+  * Both FAISS encodings are supported. `residual = false` (q124) keeps
+  * codes a pure function of the vector — the PQ chains are exactly
+  * q123's and one table set serves every cell. `residual = true`
+  * (q143) encodes x − coarse[cell]: the shared codebooks spend their
+  * resolution on WITHIN-cell structure instead of re-encoding cell
+  * offsets, which buys recall (measured in IvfPqSpec on an
+  * offset-clustered corpus) at the cost of per-probed-cell query
+  * tables and an oracle that threads the coarse assignment through
+  * every PQ chain.
   */
 object IvfPq {
 
   /** A trained IVF-PQ model: `coarse(cid)(j)` are the nlist cell
     * centroids, `codebooks(s)(cid)(j)` the m per-subspace PQ codebooks —
-    * all scaled longs from the shared fixed-point domain.
+    * all scaled longs from the shared fixed-point domain. With
+    * `residual = true` the codebooks are trained on (and codes encode)
+    * x − coarse[cell] — FAISS's `by_residual=true`: one shared codebook
+    * set spends its resolution on WITHIN-cell structure instead of
+    * re-encoding each cell's offset, which is where the recall gain
+    * comes from (IvfPqSpec measures it). The costs: queries need one
+    * distance table PER PROBED CELL (nprobe× the table work — still
+    * driver-trivial), and the oracle must thread the coarse assignment
+    * through every PQ chain (q143 does).
     */
   case class Model(coarse: Array[Array[Long]],
                    codebooks: Array[Array[Array[Long]]],
-                   dim: Int, scale: Long) {
+                   dim: Int, scale: Long, residual: Boolean = false) {
     def m: Int = codebooks.length
     def subDim: Int = dim / m
+  }
+
+  /** (idCol, cell, rx): each point's coarse cell and its exact-long
+    * residual from that cell's centroid — the residual-PQ training and
+    * encoding input. The centroid lookup is a broadcast join against
+    * the nlist-row centroid frame; the subtraction is a codegen'd
+    * zip_with.
+    */
+  private def residualFrame(points: DataFrame, idCol: String, vecCol: String,
+                            coarse: Array[Array[Long]],
+                            scale: Long): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val scaled = transform(col(vecCol), x =>
+      floor(x.cast("double") * lit(scale.toDouble)).cast("long"))
+    val b = spark.sparkContext.broadcast(coarse)
+    val cents = coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "__c")
+    points.select(col(idCol), scaled.as("__x"),
+        KMeans.nearestCentroidBcast(scaled, b).as("cell"))
+      .join(broadcast(cents), "cell")
+      .select(col(idCol), col("cell"),
+        zip_with(col("__x"), col("__c"), (a, c) => a - c).as("rx"))
   }
 
   /** Train both levels: one flat Lloyd fit at k = nlist over the full
@@ -63,12 +96,19 @@ object IvfPq {
     */
   def fit(points: DataFrame, idCol: String, vecCol: String, dim: Int,
           nlist: Int, m: Int, k: Int, iterations: Int,
-          scale: Long = 1000000L): Model = {
+          scale: Long = 1000000L, residual: Boolean = false): Model = {
     require(nlist >= 1, "nlist must be >= 1")
     val coarse = KMeans.fit(points, idCol, vecCol, nlist, iterations, scale)._2
     val books =
-      ProductQuantizer.train(points, idCol, vecCol, dim, m, k, iterations, scale)
-    Model(coarse, books, dim, scale)
+      if (!residual)
+        ProductQuantizer.train(points, idCol, vecCol, dim, m, k, iterations, scale)
+      else {
+        // residuals are ALREADY scaled longs: train at scale 1, where
+        // floor(double(x)·1) is the identity on the long domain
+        val rf = residualFrame(points, idCol, vecCol, coarse, scale)
+        ProductQuantizer.train(rf, idCol, "rx", dim, m, k, iterations, scale = 1L)
+      }
+    Model(coarse, books, dim, scale, residual)
   }
 
   /** One scan over the corpus producing (idCol, code_0..code_{m-1},
@@ -78,17 +118,27 @@ object IvfPq {
   def encodeWithCell(points: DataFrame, idCol: String, vecCol: String,
                      model: Model): DataFrame = {
     val spark = points.sparkSession
-    val scaled = transform(col(vecCol), x =>
-      floor(x.cast("double") * lit(model.scale.toDouble)).cast("long"))
-    val bCoarse = spark.sparkContext.broadcast(model.coarse)
-    val codeCols = (0 until model.m).map { s =>
-      val b = spark.sparkContext.broadcast(model.codebooks(s))
-      KMeans.nearestCentroidBcast(
-        slice(scaled, s * model.subDim + 1, model.subDim), b).as(s"code_$s")
+    if (model.residual) {
+      val rf = residualFrame(points, idCol, vecCol, model.coarse, model.scale)
+      val codeCols = (0 until model.m).map { s =>
+        val b = spark.sparkContext.broadcast(model.codebooks(s))
+        KMeans.nearestCentroidBcast(
+          slice(col("rx"), s * model.subDim + 1, model.subDim), b).as(s"code_$s")
+      }
+      rf.select((col(idCol) +: codeCols) :+ col("cell"): _*)
+    } else {
+      val scaled = transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(model.scale.toDouble)).cast("long"))
+      val bCoarse = spark.sparkContext.broadcast(model.coarse)
+      val codeCols = (0 until model.m).map { s =>
+        val b = spark.sparkContext.broadcast(model.codebooks(s))
+        KMeans.nearestCentroidBcast(
+          slice(scaled, s * model.subDim + 1, model.subDim), b).as(s"code_$s")
+      }
+      points.select(
+        (col(idCol) +: codeCols) :+
+          KMeans.nearestCentroidBcast(scaled, bCoarse).as("cell"): _*)
     }
-    points.select(
-      (col(idCol) +: codeCols) :+
-        KMeans.nearestCentroidBcast(scaled, bCoarse).as("cell"): _*)
   }
 
   /** Materialize [[encodeWithCell]] as a managed parquet table
@@ -148,8 +198,9 @@ object IvfPq {
                    idCol: String, q: Array[Long], nprobe: Int, topK: Int,
                    excludeId: Option[Long] = None): DataFrame = {
     val probes = probeCells(model, q, nprobe)
-    val tables = (0 until model.m).map { s =>
-      val qSub = q.slice(s * model.subDim, (s + 1) * model.subDim)
+
+    def tableFor(qv: Array[Long], s: Int): Column = {
+      val qSub = qv.slice(s * model.subDim, (s + 1) * model.subDim)
       typedLit(model.codebooks(s).map { c =>
         var acc = 0L
         var j = 0
@@ -157,8 +208,26 @@ object IvfPq {
         acc
       }.toSeq)
     }
-    val adc = (0 until model.m).map(s =>
-      element_at(tables(s), col(s"code_$s") + 1)).reduce(_ + _)
+
+    val adc: Column =
+      if (!model.residual) {
+        (0 until model.m).map(s =>
+          element_at(tableFor(q, s), col(s"code_$s") + 1)).reduce(_ + _)
+      } else {
+        // codes encode x − coarse[cell], so the query compares through
+        // its PER-CELL residual: one m-table set per probed cell,
+        // selected by a when-chain over the (small) probe list
+        val perCell = probes.map { c =>
+          val qr = q.indices.map(j => q(j) - model.coarse(c)(j)).toArray
+          c -> (0 until model.m).map(s =>
+            element_at(tableFor(qr, s), col(s"code_$s") + 1)).reduce(_ + _)
+        }
+        perCell.tail.foldLeft(
+          when(col("cell") === perCell.head._1, perCell.head._2)) {
+          case (acc, (c, e)) => acc.when(col("cell") === c, e)
+        }
+      }
+
     val base = spark.table(table)
       .filter(col("cell").isin(probes.map(Integer.valueOf): _*))
     excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
@@ -174,8 +243,9 @@ object IvfPq {
   def buildAndSearch(points: DataFrame, idCol: String, vecCol: String,
                      dim: Int, nlist: Int, m: Int, k: Int, iterations: Int,
                      table: String, queryId: Long, nprobe: Int, topK: Int,
-                     scale: Long = 1000000L): DataFrame = {
-    val model = fit(points, idCol, vecCol, dim, nlist, m, k, iterations, scale)
+                     scale: Long = 1000000L, residual: Boolean = false): DataFrame = {
+    val model = fit(points, idCol, vecCol, dim, nlist, m, k, iterations, scale,
+      residual)
     buildStore(points, idCol, vecCol, model, table)
     val q = points.filter(col(idCol) === queryId)
       .select(transform(col(vecCol), x =>

@@ -119,6 +119,74 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
     dropTable(t)
   }
 
+  test("residual encoding beats plain PQ on offset-dominated clusters") {
+    // 4 clusters at large per-dim offsets; fine structure is the SAME
+    // pattern family in every cluster. Plain PQ's k=4-entry codebooks
+    // mostly re-encode the offsets; residual codebooks see only the fine
+    // structure and resolve it.
+    val d2 = 8
+    val vecs2 = (0 until 120).map { i =>
+      val c = i % 4
+      (i.toLong, (0 until d2).map(j =>
+        100.0 * c + ((i / 4) * 13 + j * 7) % 29 * 0.7).toArray)
+    }
+    val df2 = vecs2.toDF("vec_id", "embedding")
+    val qv = vecs2.head._2
+    val exact = vecs2.filter(_._1 != 0L).map { case (id, v) =>
+      id -> v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sortBy { case (id, dd) => (dd, id) }.take(15).map(_._1).toSet
+
+    def recall(residual: Boolean): Int = {
+      val t = s"graft_ivfpq_rec_$residual"
+      dropTable(t)
+      val got = IvfPq.buildAndSearch(df2, "vec_id", "embedding", d2,
+          nlist = 4, m = 2, k = 4, iterations = 3, table = t,
+          queryId = 0L, nprobe = 1, topK = 15, residual = residual)
+        .collect().map(_.getLong(0)).toSet
+      dropTable(t)
+      (exact & got).size
+    }
+    val plain = recall(residual = false)
+    val res = recall(residual = true)
+    assert(res > plain, s"residual recall $res must beat plain $plain")
+    assert(res >= 12, s"residual recall too low: $res/15")
+  }
+
+  test("residual searchStored equals a driver-side residual-ADC recompute") {
+    val t = "graft_ivfpq_res_spec"
+    dropTable(t)
+    val m = 2; val k = 4; val iters = 2; val nlist = 5
+    val model = IvfPq.fit(df, "vec_id", "embedding", dim, nlist, m, k, iters,
+      residual = true)
+    IvfPq.buildStore(df, "vec_id", "embedding", model, t)
+    val q = scaled(vecs.head._2)
+    val subDim = dim / m
+    val probes = IvfPq.probeCells(model, q, 2).toSet
+
+    val rows = vecs.map { case (id, v) =>
+      val x = scaled(v)
+      val cell = model.coarse.zipWithIndex
+        .map { case (c, cid) => (distSq(x, c), cid) }.min._2
+      val rx = x.indices.map(j => x(j) - model.coarse(cell)(j)).toArray
+      val qr = q.indices.map(j => q(j) - model.coarse(cell)(j)).toArray
+      val adc = (0 until m).map { s =>
+        val xs = rx.slice(s * subDim, (s + 1) * subDim)
+        val code = model.codebooks(s).zipWithIndex
+          .map { case (c, cid) => (distSq(xs, c), cid) }.min._2
+        distSq(qr.slice(s * subDim, (s + 1) * subDim), model.codebooks(s)(code))
+      }.sum
+      (id, cell, adc)
+    }
+    val expected = rows
+      .filter { case (id, cell, _) => id != 0L && probes.contains(cell) }
+      .sortBy { case (id, _, adc) => (adc, id) }.take(10)
+    val got = IvfPq.searchStored(spark, t, model, "vec_id", q,
+        nprobe = 2, topK = 10, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    dropTable(t)
+  }
+
   test("buildAndSearch end-to-end returns plausible neighbors") {
     val t = "graft_ivfpq_e2e"
     dropTable(t)
