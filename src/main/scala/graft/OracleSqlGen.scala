@@ -1541,6 +1541,69 @@ object OracleSqlGen {
        |ORDER BY adc_dist, vec_id LIMIT $topK""".stripMargin
   }
 
+  /** q144/q145: AMS sketches — counters replay as plain signed integer
+    * sums (commutative both engines), estimates as exact products, the
+    * median as a rank pick over a depth spine (a depth row with no
+    * surviving cells counts as 0, exactly as the Spark side pads).
+    */
+  private def amsCounters(depth: Int, width: Int, sfx: String): String =
+    s"""e$sfx AS (
+       |  SELECT j.j, v FROM src$sfx CROSS JOIN
+       |    (SELECT UNNEST(range(0, $depth)) AS j) j
+       |), c$sfx AS MATERIALIZED (
+       |  SELECT j, h % $width AS bucket,
+       |         CAST(sum(1 - 2 * ((h >> 20) & 1)) AS BIGINT) AS c
+       |  FROM (SELECT j,
+       |          ${PortableHash.hash60Sql("CAST(j AS VARCHAR) || ':' || v")} AS h
+       |        FROM e$sfx)
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  def q144Sql(depth: Int = 5, width: Int = 256): String =
+    s"""WITH src AS (
+       |  SELECT unnest(regexp_extract_all(text, '\\S+')) AS v FROM documents
+       |), ${amsCounters(depth, width, "")}, per AS (
+       |  SELECT s.j, CAST(coalesce(p.est, 0) AS BIGINT) AS f2_est
+       |  FROM (SELECT UNNEST(range(0, $depth)) AS j) s
+       |  LEFT JOIN (SELECT j, sum(c * c) AS est FROM c GROUP BY j) p
+       |    ON p.j = s.j
+       |), med AS (
+       |  SELECT f2_est FROM (
+       |    SELECT f2_est, row_number() OVER (ORDER BY f2_est, j) AS rn FROM per)
+       |  WHERE rn = ${(depth + 1) / 2}
+       |), ex AS (
+       |  SELECT CAST(sum(n * n) AS BIGINT) AS f2_exact
+       |  FROM (SELECT count(*) AS n FROM src GROUP BY v)
+       |)
+       |SELECT med.f2_est, ex.f2_exact FROM med CROSS JOIN ex""".stripMargin
+
+  def q145Sql(depth: Int = 5, width: Int = 256): String =
+    s"""WITH srca AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS v FROM events
+       |  WHERE event_type = 'click'
+       |), srcb AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS v FROM events
+       |  WHERE event_type = 'view'
+       |), ${amsCounters(depth, width, "a")},
+       |${amsCounters(depth, width, "b")}, per AS (
+       |  SELECT s.j, CAST(coalesce(p.est, 0) AS BIGINT) AS join_est
+       |  FROM (SELECT UNNEST(range(0, $depth)) AS j) s
+       |  LEFT JOIN (
+       |    SELECT ca.j, sum(ca.c * cb.c) AS est
+       |    FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+       |    GROUP BY ca.j) p ON p.j = s.j
+       |), med AS (
+       |  SELECT join_est FROM (
+       |    SELECT join_est, row_number() OVER (ORDER BY join_est, j) AS rn
+       |    FROM per)
+       |  WHERE rn = ${(depth + 1) / 2}
+       |), ex AS (
+       |  SELECT CAST(coalesce(sum(fa.n * fb.n), 0) AS BIGINT) AS join_exact
+       |  FROM (SELECT v, count(*) AS n FROM srca GROUP BY v) fa
+       |  JOIN (SELECT v, count(*) AS n FROM srcb GROUP BY v) fb ON fa.v = fb.v
+       |)
+       |SELECT med.join_est, ex.join_exact FROM med CROSS JOIN ex""".stripMargin
+
   /** q131/q132: BPE-style merge learning, every round unrolled. Per
     * round: `pr` = all adjacent pairs with positions, `ch` = the winner
     * (`ORDER BY c DESC, a, b LIMIT 1` — the Spark tiebreak), `mm` =

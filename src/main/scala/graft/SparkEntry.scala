@@ -1775,6 +1775,27 @@ object SparkEntry {
       iterations = 3, table = "graft_ivfpq_res_store", queryId = 0L,
       nprobe = 3, topK = 25, residual = true)
 
+  // ---- q144/q145: AMS / Count-Sketch second-moment machinery — the
+  //      PLANNER-grade estimators: F₂ (self-join size / skew) and the
+  //      cross-table equi-join cardinality from two depth×width signed
+  //      counter sketches built with shared hashes — a join sized
+  //      WITHOUT joining (or even co-scanning) the tables. Counters are
+  //      commutative integer sums, estimates exact long products, the
+  //      median a rank pick — bit-replayable end to end. ----
+  private def q144(s: SparkSession, dir: String): DataFrame =
+    operators.AmsSketch.f2(
+      Tables(s, dir).documents
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok")),
+      "tok", depth = 5, width = 256)
+
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    operators.AmsSketch.joinSize(
+      ev.filter(col("event_type") === "click").select(col("user_id")), "user_id",
+      ev.filter(col("event_type") === "view").select(col("user_id")), "user_id",
+      depth = 5, width = 256)
+  }
+
   // ---- q125: PassJoin edit-distance linkage at d = 3 — the segment-
   //      blocking regime FuzzyJoin's deletion neighborhoods refuse
   //      (their variant count is C(len, d)). Document prefixes are the
@@ -2152,6 +2173,8 @@ object SparkEntry {
     "q141_funnel"          -> q141 _,
     "q142_cohort"          -> q142 _,
     "q143_ivfpq_residual"  -> q143 _,
+    "q144_ams_f2"          -> q144 _,
+    "q145_join_size_est"   -> q145 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2657,6 +2680,8 @@ object SparkEntry {
     "q123_pq_adc"           -> OracleSqlGen.q123Sql(),
     "q124_ivfpq_store"      -> OracleSqlGen.q124Sql(),
     "q143_ivfpq_residual"   -> OracleSqlGen.q143Sql(),
+    "q144_ams_f2"           -> OracleSqlGen.q144Sql(),
+    "q145_join_size_est"    -> OracleSqlGen.q145Sql(),
     // q125: the oracle is the quadratic definition segment blocking
     // replaces (blocking is lossless — scaladoc pigeonhole argument);
     // Spark's and DuckDB's levenshtein agree (the q113 precedent), and
