@@ -1796,6 +1796,25 @@ object SparkEntry {
       depth = 5, width = 256)
   }
 
+  // ---- q146: last-touch attribution — each purchase credits the
+  //      user's latest click at-or-before it (the marketing-attribution
+  //      classic), composed from the q31 as-of join (tag+union+window,
+  //      no join node) + one aggregate per touch. Money sums in exact
+  //      cents (the q33 idiom) so no float-order hazard. ----
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    ops.AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts",
+        Seq("click_id"))
+      .filter(col("click_id").isNotNull)
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_purch"),
+        sum(round(col("value") * 100, 0)).cast("long").as("total_cents"))
+  }
+
   // ---- q125: PassJoin edit-distance linkage at d = 3 — the segment-
   //      blocking regime FuzzyJoin's deletion neighborhoods refuse
   //      (their variant count is C(len, d)). Document prefixes are the
@@ -2175,6 +2194,7 @@ object SparkEntry {
     "q143_ivfpq_residual"  -> q143 _,
     "q144_ams_f2"          -> q144 _,
     "q145_join_size_est"   -> q145 _,
+    "q146_attribution"     -> q146 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2682,6 +2702,21 @@ object SparkEntry {
     "q143_ivfpq_residual"   -> OracleSqlGen.q143Sql(),
     "q144_ams_f2"           -> OracleSqlGen.q144Sql(),
     "q145_join_size_est"    -> OracleSqlGen.q145Sql(),
+    // q146: DuckDB's ASOF join is the oracle for the tag+union+window
+    // form (q31 precedent); >= matches the right-before-left tie order.
+    "q146_attribution" ->
+      """WITH att AS (
+        |  SELECT c.click_id, p.value
+        |  FROM (SELECT user_id, ts, value FROM events
+        |        WHERE event_type = 'purchase') p
+        |  ASOF LEFT JOIN
+        |       (SELECT user_id, ts, event_id AS click_id FROM events
+        |        WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |)
+        |SELECT click_id, CAST(count(*) AS BIGINT) AS n_purch,
+        |       CAST(sum(round(value * 100, 0)) AS BIGINT) AS total_cents
+        |FROM att WHERE click_id IS NOT NULL GROUP BY 1""".stripMargin,
     // q125: the oracle is the quadratic definition segment blocking
     // replaces (blocking is lossless — scaladoc pigeonhole argument);
     // Spark's and DuckDB's levenshtein agree (the q113 precedent), and

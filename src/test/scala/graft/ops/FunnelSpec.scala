@@ -44,6 +44,31 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(counts.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("last-touch attribution: latest click at-or-before wins, none → dropped") {
+    // the q146 composition, hand-checkable
+    val ev = Seq(
+      (10L, 1L, "click", ts(1, 9)), (11L, 1L, "purchase", ts(1, 10)),
+      (12L, 1L, "click", ts(1, 11)), (13L, 1L, "purchase", ts(1, 12)),
+      (14L, 1L, "purchase", ts(1, 13)),             // same click 12 again
+      (20L, 2L, "purchase", ts(1, 8)),              // before any click
+      (21L, 2L, "click", ts(1, 9)),
+      (30L, 3L, "click", ts(2, 9)), (31L, 3L, "purchase", ts(2, 9)), // tie
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(1.5))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val got = AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts",
+        Seq("click_id"))
+      .filter(col("click_id").isNotNull)
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0)).cast("long").as("cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(10L -> (1L, 150L), 12L -> (2L, 300L), 30L -> (1L, 150L)))
+  }
+
   test("cohort retention on a hand-checkable timeline") {
     val got = Funnel.cohortRetention(ev, "user_id", "ts")
       .collect()
