@@ -1815,6 +1815,21 @@ object SparkEntry {
         sum(round(col("value") * 100, 0)).cast("long").as("total_cents"))
   }
 
+  // ---- q147: CUSUM change-point detection (Page 1954) — per-user
+  //      one-sided upper CUSUM over event spend in exact cents:
+  //      s ← max(0, s + x − k), an alarm at each UPCROSSING of h. The
+  //      recursion's closed form s = P − min(0, min-prefix P) turns the
+  //      whole statistic into three window functions over exact
+  //      integers — no sequential fold — which both engines evaluate
+  //      identically (the fold form tripped a DuckDB 1.0 grouped-
+  //      list_reduce bug; see TimeSeries.cusum). ----
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    ops.TimeSeries.cusum(
+      Tables(s, dir).events.withColumn("cents",
+        round(col("value") * 100, 0).cast("long")),
+      "user_id", col("ts"), col("event_id"), "cents",
+      k = 7000L, h = 20000L)
+
   // ---- q125: PassJoin edit-distance linkage at d = 3 — the segment-
   //      blocking regime FuzzyJoin's deletion neighborhoods refuse
   //      (their variant count is C(len, d)). Document prefixes are the
@@ -2195,6 +2210,7 @@ object SparkEntry {
     "q144_ams_f2"          -> q144 _,
     "q145_join_size_est"   -> q145 _,
     "q146_attribution"     -> q146 _,
+    "q147_cusum"           -> q147 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2717,6 +2733,38 @@ object SparkEntry {
         |SELECT click_id, CAST(count(*) AS BIGINT) AS n_purch,
         |       CAST(sum(round(value * 100, 0)) AS BIGINT) AS total_cents
         |FROM att WHERE click_id IS NOT NULL GROUP BY 1""".stripMargin,
+    // q147: the closed-form window replay — s = P − min(0, running min P)
+    // over prefix sums of (cents − k); alarms are upcrossings. All
+    // integers through three window functions (a list_reduce fold was
+    // rejected: DuckDB 1.0 mis-evaluates struct folds across grouped
+    // rows — see TimeSeries.cusum scaladoc).
+    "q147_cusum" ->
+      """WITH src AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events
+        |), st AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(cents - 7000) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM src
+        |), s2 AS (
+        |  SELECT user_id, ts, event_id,
+        |    p - least(0, min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING)) AS s
+        |  FROM st
+        |), s3 AS (
+        |  SELECT user_id, s,
+        |    lag(s, 1, 0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sp,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM s2
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN s > 20000 AND sp <= 20000 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_alarms,
+        |  CAST(max(CASE WHEN rn = 1 THEN s END) AS BIGINT) AS final_s
+        |FROM s3 GROUP BY 1""".stripMargin,
     // q125: the oracle is the quadratic definition segment blocking
     // replaces (blocking is lossless — scaladoc pigeonhole argument);
     // Spark's and DuckDB's levenshtein agree (the q113 precedent), and

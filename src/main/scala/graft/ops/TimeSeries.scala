@@ -38,4 +38,37 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_events"), lst.as("__l"))
       .select(col(keyCol), col("n_events"), ew.as("ewma"))
   }
+  /** One-sided (upper) CUSUM change detection per key (Page 1954,
+    * no-restart form): over events ordered by (`orderCol`, `tieCol`),
+    * s_i = max(0, s_{i-1} + x_i − k), with an ALARM at each UPCROSSING
+    * of h (s_{i-1} <= h < s_i). The recursion has the closed form
+    * s_i = P_i − min(0, min_{j<=i} P_j) over the prefix sums
+    * P_i = Σ(x_t − k), so the whole statistic is three window
+    * functions — no sequential fold at all, which both engines
+    * evaluate identically on exact integers (pass cents, not floats).
+    * (A fold-based restart variant was rejected: DuckDB 1.0's
+    * list_reduce mis-evaluates struct folds across multiple grouped
+    * rows — single-row results are correct, multi-row are not — so the
+    * fold form is not oracle-replayable there. Window functions are.)
+    * Output: keyCol, n_events, n_alarms, final_s.
+    */
+  def cusum(df: DataFrame, keyCol: String, orderCol: Column, tieCol: Column,
+            valueCol: String, k: Long, h: Long): DataFrame = {
+    require(h > 0, s"alarm threshold h must be positive: $h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCol, tieCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCol, tieCol)
+    val p = sum(col(valueCol).cast("long") - lit(k)).over(w)
+    val withS = df
+      .withColumn("__p", p)
+      .withColumn("__s", col("__p") - least(lit(0L), min(col("__p")).over(w)))
+      .withColumn("__sp", lag(col("__s"), 1, 0L).over(wSeq))
+    withS.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__s") > h && col("__sp") <= h, 1L).otherwise(0L))
+          .as("n_alarms"),
+        max_by(col("__s"), struct(orderCol, tieCol)).as("final_s"))
+  }
 }

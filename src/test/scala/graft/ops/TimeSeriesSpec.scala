@@ -37,4 +37,41 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       "value", 0.25).select(col("user_id"), col("ewma")).as[(Long, Double)].collect().toSet
     assert(a == b)
   }
+  test("cusum: hand-checked recursion, upcrossing alarms, exact state") {
+    // k=10, h=25. user 1: x = [15, 20, 30, 5, 40]
+    //   s: 5; 15; 35 (upcross, alarm); 30 (stays above); 60 (no new cross)
+    //   → n_alarms=1, final_s=60
+    // user 2: x = [12, 13] → s: 2; 5. no alarm, final 5
+    // user 3 dips below h and re-crosses: x = [40, 0, 40]
+    //   s: 30 (alarm); 20 (below); 50 (alarm) → 2 alarms, final 50
+    val df = Seq(
+      (1L, 1L, 15L), (1L, 2L, 20L), (1L, 3L, 30L), (1L, 4L, 5L), (1L, 5L, 40L),
+      (2L, 1L, 12L), (2L, 2L, 13L),
+      (3L, 1L, 40L), (3L, 2L, 0L), (3L, 3L, 40L),
+    ).toDF("user_id", "seq", "x")
+    val got = TimeSeries.cusum(df, "user_id", col("seq"), col("seq"), "x",
+        k = 10L, h = 25L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> (5L, 1L, 60L), 2L -> (2L, 0L, 5L),
+      3L -> (3L, 2L, 50L)))
+  }
+
+  test("cusum clamps at zero through negative drift (the max(0,·) branch)") {
+    // x = [5, 1, 30]: s: 0 (5-10 clamps); 0; 20 — P went negative, the
+    // closed form's min(0, min P) must track it
+    val df = Seq((1L, 1L, 5L), (1L, 2L, 1L), (1L, 3L, 30L)).toDF("u", "seq", "x")
+    val r = TimeSeries.cusum(df, "u", col("seq"), col("seq"), "x", 10L, 25L)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (3L, 0L, 20L))
+  }
+
+  test("cusum evaluates in sort order regardless of input order") {
+    val rows = Seq((1L, 3L, 30L), (1L, 1L, 15L), (1L, 5L, 40L),
+      (1L, 2L, 20L), (1L, 4L, 5L))
+    val a = TimeSeries.cusum(rows.toDF("u", "seq", "x"), "u",
+      col("seq"), col("seq"), "x", 10L, 25L).collect().head
+    val b = TimeSeries.cusum(rows.reverse.toDF("u", "seq", "x").repartition(8),
+      "u", col("seq"), col("seq"), "x", 10L, 25L).collect().head
+    assert(a.toSeq == b.toSeq && a.getLong(2) == 1L)
+  }
 }
