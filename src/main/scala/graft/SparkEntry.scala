@@ -1830,6 +1830,19 @@ object SparkEntry {
       "user_id", col("ts"), col("event_id"), "cents",
       k = 7000L, h = 20000L)
 
+  // ---- q148/q149: event-sequence analytics — the first-order Markov
+  //      transition matrix (where users go NEXT; p = one correctly-
+  //      rounded division of exact counts) and the top journey openings
+  //      (first-5 type paths). Windows + vocabulary-bounded counts. ----
+  private def q148(s: SparkSession, dir: String): DataFrame =
+    ops.Sequences.transitionMatrix(Tables(s, dir).events,
+      "user_id", "event_type", col("ts"), col("event_id"))
+
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    ops.Sequences.topPaths(Tables(s, dir).events,
+      "user_id", "event_type", col("ts"), col("event_id"),
+      maxLen = 5, topK = 20)
+
   // ---- q125: PassJoin edit-distance linkage at d = 3 — the segment-
   //      blocking regime FuzzyJoin's deletion neighborhoods refuse
   //      (their variant count is C(len, d)). Document prefixes are the
@@ -2211,6 +2224,8 @@ object SparkEntry {
     "q145_join_size_est"   -> q145 _,
     "q146_attribution"     -> q146 _,
     "q147_cusum"           -> q147 _,
+    "q148_markov"          -> q148 _,
+    "q149_top_paths"       -> q149 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2765,6 +2780,29 @@ object SparkEntry {
         |       AS BIGINT) AS n_alarms,
         |  CAST(max(CASE WHEN rn = 1 THEN s END) AS BIGINT) AS final_s
         |FROM s3 GROUP BY 1""".stripMargin,
+    "q148_markov" ->
+      """WITH t AS (
+        |  SELECT event_type AS src_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS dst_type
+        |  FROM events
+        |)
+        |SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) AS DOUBLE)
+        |         / sum(count(*)) OVER (PARTITION BY src_type) AS p
+        |FROM t WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type""".stripMargin,
+    "q149_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id
+        |)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
     // q125: the oracle is the quadratic definition segment blocking
     // replaces (blocking is lossless — scaladoc pigeonhole argument);
     // Spark's and DuckDB's levenshtein agree (the q113 precedent), and
