@@ -1843,6 +1843,16 @@ object SparkEntry {
       "user_id", "event_type", col("ts"), col("event_id"),
       maxLen = 5, topK = 20)
 
+  // ---- q150: the COMPOSED curation pipeline — exact dedup (lowest-id
+  //      keeper per normalized text) → integer quality gate
+  //      (letters·10 ≥ chars·7, toks ≥ 20) → salted per-source cap
+  //      (q97 draw) → per-source drop accounting, all ONE declarative
+  //      plan. The report a real curation run ships; every stage is an
+  //      operator family this suite gates in isolation. ----
+  private def q150(s: SparkSession, dir: String): DataFrame =
+    pipelines.Curation.summary(Tables(s, dir).documents,
+      "doc_id", "text", "source", minTokens = 20, capPerSource = 20)
+
   // ---- q125: PassJoin edit-distance linkage at d = 3 — the segment-
   //      blocking regime FuzzyJoin's deletion neighborhoods refuse
   //      (their variant count is C(len, d)). Document prefixes are the
@@ -2226,6 +2236,7 @@ object SparkEntry {
     "q147_cusum"           -> q147 _,
     "q148_markov"          -> q148 _,
     "q149_top_paths"       -> q149 _,
+    "q150_curation"        -> q150 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2803,6 +2814,47 @@ object SparkEntry {
         |)
         |SELECT path, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // q150: the composed pipeline replays stage by stage — window-min
+    // keeper, integer quality compare, hash-ranked cap — all exact.
+    "q150_curation" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS toks,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+        |      AS letters,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    min(doc_id) OVER (PARTITION BY lower(trim(text))) AS keeper
+        |  FROM documents
+        |), f AS (
+        |  SELECT *, doc_id <> keeper AS is_dup,
+        |         toks >= 20 AND letters * 10 >= chars * 7 AS q_ok
+        |  FROM b
+        |), k AS (
+        |  SELECT source, toks,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ${graft.functions.PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)")},
+        |      doc_id) AS rk
+        |  FROM f WHERE NOT is_dup AND q_ok
+        |), sc AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |    CAST(sum(CASE WHEN NOT is_dup AND NOT q_ok THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_lowq
+        |  FROM f GROUP BY source
+        |), kc AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(sum(CASE WHEN rk > 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cap_dropped,
+        |    CAST(sum(CASE WHEN rk <= 20 THEN toks ELSE 0 END) AS BIGINT)
+        |      AS tokens_kept
+        |  FROM k GROUP BY source
+        |)
+        |SELECT sc.source, sc.n_docs, sc.n_dup, sc.n_lowq,
+        |       coalesce(kc.n_kept, 0) AS n_kept,
+        |       coalesce(kc.n_cap_dropped, 0) AS n_cap_dropped,
+        |       coalesce(kc.tokens_kept, 0) AS tokens_kept
+        |FROM sc LEFT JOIN kc ON sc.source = kc.source""".stripMargin,
     // q125: the oracle is the quadratic definition segment blocking
     // replaces (blocking is lossless — scaladoc pigeonhole argument);
     // Spark's and DuckDB's levenshtein agree (the q113 precedent), and
