@@ -2069,6 +2069,14 @@ object SparkEntry {
   private def q142(s: SparkSession, dir: String): DataFrame =
     ops.Funnel.cohortRetention(Tables(s, dir).events, "user_id", "ts")
 
+  // ---- q151: the q141 funnel with a CONVERSION WINDOW — each stage
+  //      must land within 24 h of the previous stage's completion
+  //      (exact microsecond comparison, no calendar arithmetic). ----
+  private def q151(s: SparkSession, dir: String): DataFrame =
+    ops.Funnel.funnelCounts(Tables(s, dir).events,
+      "user_id", "event_type", "ts", Seq("signup", "click", "purchase"),
+      maxGapSeconds = Some(86400L))
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2237,6 +2245,7 @@ object SparkEntry {
     "q148_markov"          -> q148 _,
     "q149_top_paths"       -> q149 _,
     "q150_curation"        -> q150 _,
+    "q151_funnel_window"   -> q151 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2744,6 +2753,29 @@ object SparkEntry {
     "q143_ivfpq_residual"   -> OracleSqlGen.q143Sql(),
     "q144_ams_f2"           -> OracleSqlGen.q144Sql(),
     "q145_join_size_est"    -> OracleSqlGen.q145Sql(),
+    // q151: the q141 chain with an epoch-microsecond window bound —
+    // both engines compare exact integers.
+    "q151_funnel_window" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t
+        |    AND epoch_us(e.ts) <= epoch_us(s0.t) + 86400000000 GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t
+        |    AND epoch_us(e.ts) <= epoch_us(s1.t) + 86400000000 GROUP BY 1
+        |)
+        |SELECT CAST(0 AS INTEGER) AS stage_idx, 'signup' AS stage,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_users
+        |UNION ALL
+        |SELECT 1, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s1)
+        |UNION ALL
+        |SELECT 2, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s2)""".stripMargin,
     // q146: DuckDB's ASOF join is the oracle for the tag+union+window
     // form (q31 precedent); >= matches the right-before-left tie order.
     "q146_attribution" ->

@@ -24,20 +24,30 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  /** Per-stage completion counts: (stage_idx, stage, n_users). */
+  /** Per-stage completion counts: (stage_idx, stage, n_users). With
+    * `maxGapSeconds` each stage must land within that many seconds of
+    * the previous stage's earliest completion (exact microsecond
+    * comparison — no calendar arithmetic to diverge on) — the
+    * "conversion window" form every funnel tool offers.
+    */
   def funnelCounts(ev: DataFrame, userCol: String, typeCol: String,
-                   tsCol: String, stages: Seq[String]): DataFrame = {
+                   tsCol: String, stages: Seq[String],
+                   maxGapSeconds: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "need at least one stage")
+    require(maxGapSeconds.forall(_ > 0), "maxGapSeconds must be positive")
     var prev = ev.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
     var out = prev.agg(count(lit(1)).as("n_users"))
       .select(lit(0).as("stage_idx"), lit(stages.head).as("stage"),
         col("n_users"))
     for (i <- 1 until stages.length) {
+      val inWindow = maxGapSeconds.fold(lit(true))(g =>
+        unix_micros(col("__ts").cast("timestamp")) <=
+          unix_micros(col("t").cast("timestamp")) + g * 1000000L)
       val next = ev.filter(col(typeCol) === stages(i))
         .select(col(userCol).as("u"), col(tsCol).as("__ts"))
         .join(prev, "u")
-        .filter(col("__ts") > col("t"))
+        .filter(col("__ts") > col("t") && inWindow)
         .groupBy(col("u")).agg(min(col("__ts")).as("t"))
       out = out.unionByName(next.agg(count(lit(1)).as("n_users"))
         .select(lit(i).as("stage_idx"), lit(stages(i)).as("stage"),

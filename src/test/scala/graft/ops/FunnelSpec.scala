@@ -44,6 +44,18 @@ class FunnelSpec extends AnyFunSuite with SparkSpec {
     assert(counts.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("conversion window: a stage past the gap stops counting") {
+    // u1 clicks 1h after signup (inside any window); u5 clicks a day
+    // later (outside a 2h window, inside 48h)
+    def counts(gap: Option[Long]) =
+      Funnel.funnelCounts(ev, "user_id", "event_type", "ts",
+          Seq("signup", "click"), maxGapSeconds = gap)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(counts(None)(1) == 2L)
+    assert(counts(Some(2L * 3600))(1) == 1L)   // only u1's 1h click
+    assert(counts(Some(48L * 3600))(1) == 2L)  // u5's next-day click back in
+  }
+
   test("last-touch attribution: latest click at-or-before wins, none → dropped") {
     // the q146 composition, hand-checkable
     val ev = Seq(
