@@ -1853,6 +1853,26 @@ object SparkEntry {
     pipelines.Curation.summary(Tables(s, dir).documents,
       "doc_id", "text", "source", minTokens = 20, capPerSource = 20)
 
+  // ---- q152: IVF-PQ model SERVING — fit once, persist the model
+  //      (1 + nlist + m·k tiny rows), reload in a fresh read, rebuild
+  //      the store and search from the LOADED model. The oracle is
+  //      q124's VERBATIM: a lossy save/load would hash-mismatch. ----
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val model = operators.IvfPq.fit(emb, "vec_id", "embedding", dim = 64,
+      nlist = 8, m = 4, k = 16, iterations = 3)
+    operators.IvfPq.saveModel(s, model, "graft_ivfpq_model")
+    val loaded = operators.IvfPq.loadModel(s, "graft_ivfpq_model")
+    operators.IvfPq.buildStore(emb, "vec_id", "embedding", loaded,
+      "graft_ivfpq_served")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(transform(col("embedding"), x =>
+        floor(x.cast("double") * lit(1000000.0)).cast("long")))
+      .head().getSeq[Long](0).toArray
+    operators.IvfPq.searchStored(s, "graft_ivfpq_served", loaded, "vec_id",
+      q, nprobe = 3, topK = 25, excludeId = Some(0L))
+  }
+
   // ---- q125: PassJoin edit-distance linkage at d = 3 — the segment-
   //      blocking regime FuzzyJoin's deletion neighborhoods refuse
   //      (their variant count is C(len, d)). Document prefixes are the
@@ -2246,6 +2266,7 @@ object SparkEntry {
     "q149_top_paths"       -> q149 _,
     "q150_curation"        -> q150 _,
     "q151_funnel_window"   -> q151 _,
+    "q152_ivfpq_serve"     -> q152 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2751,6 +2772,9 @@ object SparkEntry {
     "q123_pq_adc"           -> OracleSqlGen.q123Sql(),
     "q124_ivfpq_store"      -> OracleSqlGen.q124Sql(),
     "q143_ivfpq_residual"   -> OracleSqlGen.q143Sql(),
+    // q152: q124's oracle VERBATIM — the save/load round trip must be
+    // bit-lossless for the hash to match.
+    "q152_ivfpq_serve"      -> OracleSqlGen.q124Sql(),
     "q144_ams_f2"           -> OracleSqlGen.q144Sql(),
     "q145_join_size_est"    -> OracleSqlGen.q145Sql(),
     // q151: the q141 chain with an epoch-microsecond window bound —

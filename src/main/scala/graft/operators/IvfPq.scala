@@ -236,6 +236,54 @@ object IvfPq {
       .limit(topK)
   }
 
+  /** Persist a trained model as a tiny parquet table — the SERVING
+    * story: fit once, save, and every later session loads + probes
+    * without refitting (the [[IncrementalKmv]] persistence discipline
+    * applied to the model rather than the data). Layout: one `meta`
+    * row carries (dim, scale, residual, m, nlist) in its vals; `coarse`
+    * rows carry one centroid each (a = cid); `book` rows one codebook
+    * entry each (a = subspace, b = cid). Total rows = 1 + nlist + m·k —
+    * model-sized, never data-sized.
+    */
+  def saveModel(spark: SparkSession, model: Model, table: String): Unit = {
+    import spark.implicits._
+    val meta = Seq(("meta", 0, 0, Seq(model.dim.toLong, model.scale,
+      if (model.residual) 1L else 0L, model.m.toLong,
+      model.coarse.length.toLong)))
+    val coarse = model.coarse.zipWithIndex.map { case (c, i) =>
+      ("coarse", i, 0, c.toSeq) }.toSeq
+    val books = for ((bk, s) <- model.codebooks.zipWithIndex.toSeq;
+                     (c, cid) <- bk.zipWithIndex)
+      yield ("book", s, cid, c.toSeq)
+    val df = (meta ++ coarse ++ books).toDF("kind", "a", "b", "vals")
+    val wasKnown = spark.catalog.tableExists(table)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    if (!wasKnown) {
+      val db = spark.catalog.getDatabase("default").locationUri
+      val loc = new org.apache.hadoop.fs.Path(db, table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    df.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** Load a [[saveModel]] table back into a [[Model]]. */
+  def loadModel(spark: SparkSession, table: String): Model = {
+    val rows = spark.table(table).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Long](3).toArray))
+    val meta = rows.find(_._1 == "meta")
+      .getOrElse(throw new IllegalStateException(s"no meta row in $table"))._4
+    val Array(dim, scale, residual, m, nlist) = meta
+    val coarse = rows.filter(_._1 == "coarse").sortBy(_._2).map(_._4)
+    require(coarse.length == nlist.toInt, s"expected $nlist coarse rows")
+    val books = Array.tabulate(m.toInt) { s =>
+      val bs = rows.filter(r => r._1 == "book" && r._2 == s).sortBy(_._3)
+      bs.map(_._4)
+    }
+    Model(coarse, books, dim.toInt, scale, residual == 1L)
+  }
+
   /** End-to-end convenience (the q124 gate shape): fit both levels,
     * build the partitioned store, probe with `queryId`'s own vector —
     * the honest build + encode + one-query cost.

@@ -187,6 +187,39 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
     dropTable(t)
   }
 
+  test("saveModel/loadModel round-trips both encodings losslessly") {
+    for (residual <- Seq(false, true)) {
+      val t = s"graft_ivfpq_model_$residual"
+      dropTable(t)
+      val m = IvfPq.fit(df, "vec_id", "embedding", dim,
+        nlist = 5, m = 2, k = 4, iterations = 2, residual = residual)
+      IvfPq.saveModel(spark, m, t)
+      val l = IvfPq.loadModel(spark, t)
+      assert(l.dim == m.dim && l.scale == m.scale && l.residual == m.residual)
+      assert(l.coarse.map(_.toSeq).toSeq == m.coarse.map(_.toSeq).toSeq)
+      assert(l.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+        m.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      dropTable(t)
+    }
+  }
+
+  test("search from a loaded model equals search from the fitted one") {
+    val mt = "graft_ivfpq_model_rt"; val st = "graft_ivfpq_store_rt"
+    dropTable(mt); dropTable(st)
+    val m = IvfPq.fit(df, "vec_id", "embedding", dim,
+      nlist = 5, m = 2, k = 4, iterations = 2)
+    IvfPq.saveModel(spark, m, mt)
+    val l = IvfPq.loadModel(spark, mt)
+    IvfPq.buildStore(df, "vec_id", "embedding", l, st)
+    val q = scaled(vecs.head._2)
+    val a = IvfPq.searchStored(spark, st, m, "vec_id", q, 2, 10, Some(0L))
+      .collect().map(_.toSeq).toSeq
+    val b = IvfPq.searchStored(spark, st, l, "vec_id", q, 2, 10, Some(0L))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    dropTable(mt); dropTable(st)
+  }
+
   test("buildAndSearch end-to-end returns plausible neighbors") {
     val t = "graft_ivfpq_e2e"
     dropTable(t)
