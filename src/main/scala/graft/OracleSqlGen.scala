@@ -1743,6 +1743,63 @@ object OracleSqlGen {
        |SELECT a, b, support FROM ts$rounds WHERE support >= ${k - 2}""".stripMargin
   }
 
+  /** q153: capped coreness — the q133 peel CTEs swept over k = 1..kMax
+    * with `roundsPerK` rounds per level; nodes dropped at level k carry
+    * coreness k−1 (anti-join between consecutive levels' survivors),
+    * sweep survivors carry kMax. MATERIALIZED throughout (q133 lesson).
+    */
+  def q153Sql(kMax: Int = 6, roundsPerK: Int = 6): String = {
+    def aliveName(k: Int): String = if (k == 0) "a0" else s"ak${k}r$roundsPerK"
+    val levels = (1 to kMax).map { k =>
+      val rounds = (1 to roundsPerK).map { r =>
+        val prev = if (r == 1) aliveName(k - 1) else s"ak${k}r${r - 1}"
+        s"""ek${k}r$r AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM canon e
+           |  JOIN $prev x ON e.a = x.node
+           |  JOIN $prev y ON e.b = y.node
+           |), dk${k}r$r AS MATERIALIZED (
+           |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+           |  FROM (SELECT a AS node FROM ek${k}r$r
+           |        UNION ALL SELECT b FROM ek${k}r$r)
+           |  GROUP BY node
+           |), ak${k}r$r AS MATERIALIZED (
+           |  SELECT node FROM dk${k}r$r WHERE deg >= $k
+           |)""".stripMargin
+      }.mkString(", ")
+      val rm =
+        s"""rm$k AS MATERIALIZED (
+           |  SELECT p.node, CAST(${k - 1} AS BIGINT) AS coreness
+           |  FROM ${aliveName(k - 1)} p
+           |  LEFT JOIN ${aliveName(k)} n ON n.node = p.node
+           |  WHERE n.node IS NULL
+           |)""".stripMargin
+      s"$rounds, $rm"
+    }.mkString(", ")
+    val union = ((1 to kMax).map(k => s"SELECT node, coreness FROM rm$k") :+
+      s"SELECT node, CAST($kMax AS BIGINT) AS coreness FROM ${aliveName(kMax)}")
+      .mkString("\nUNION ALL\n")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+       |e0 AS (
+       |  SELECT p_partkey AS x,
+       |         (p_partkey + d.d) % (SELECT n FROM nn) AS y
+       |  FROM part CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS d(d)
+       |  WHERE d.d <= 1 + p_partkey % 5
+       |  UNION ALL
+       |  SELECT p_partkey, (p_partkey + 20 * h.j) % (SELECT n FROM nn)
+       |  FROM part CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS h(j)
+       |  WHERE p_partkey % 20 = 0
+       |),
+       |canon AS MATERIALIZED (
+       |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+       |  FROM e0 WHERE x <> y
+       |),
+       |a0 AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM
+       |    (SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
+       |), $levels
+       |$union""".stripMargin
+  }
+
   def q131Sql(rounds: Int = 4): String = {
     val union = (1 to rounds).map(r =>
       s"SELECT CAST($r AS INTEGER) AS round, a AS left_sym, b AS right_sym, " +

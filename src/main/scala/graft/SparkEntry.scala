@@ -2097,6 +2097,24 @@ object SparkEntry {
       "user_id", "event_type", "ts", Seq("signup", "click", "purchase"),
       maxGapSeconds = Some(86400L))
 
+  // ---- q153: capped coreness decomposition — the per-node core number
+  //      (q133's single-k view swept over k = 1..6, 6 rounds per level
+  //      covering each level's fixpoint on this graph): ring nodes land
+  //      coreness 4, the hub circulant caps at 6. Spark coreness column
+  //      is long to match the oracle's BIGINT. ----
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir).part.select(col("p_partkey").as("k"))
+    val n = p.count()
+    val ring = p.select(col("k"),
+        explode(sequence(lit(1L), lit(1L) + pmod(col("k"), lit(5L)))).as("d"))
+      .select(col("k").as("src"), pmod(col("k") + col("d"), lit(n)).as("dst"))
+    val hubs = p.filter(pmod(col("k"), lit(20)) === 0)
+      .select(col("k"), explode(sequence(lit(1L), lit(5L))).as("j"))
+      .select(col("k").as("src"), pmod(col("k") + col("j") * 20, lit(n)).as("dst"))
+    operators.KCore.corenessCapped(ring.union(hubs), "src", "dst",
+      kMax = 6, roundsPerK = 6)
+  }
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2267,6 +2285,7 @@ object SparkEntry {
     "q150_curation"        -> q150 _,
     "q151_funnel_window"   -> q151 _,
     "q152_ivfpq_serve"     -> q152 _,
+    "q153_coreness"        -> q153 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2727,6 +2746,7 @@ object SparkEntry {
     "q131_bpe_merges"       -> OracleSqlGen.q131Sql(),
     "q132_bpe_vocab"        -> OracleSqlGen.q132Sql(),
     "q133_kcore"            -> OracleSqlGen.q133Sql(),
+    "q153_coreness"         -> OracleSqlGen.q153Sql(),
     "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
     "q135_ktruss"           -> OracleSqlGen.q135Sql(),
     "q136_stream_kmv"       -> OracleSqlGen.q136Sql(),

@@ -46,25 +46,24 @@ object KCore {
       .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
 
-  /** `rounds` peeling rounds; returns the survivors with their degree in
-    * the final round's input subgraph: (node, deg), deg >= k.
+  private def rebase(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.rdd
+    rdd.cache()
+    spark.createDataFrame(rdd, df.schema)
+  }
+
+  private def allNodes(canon: DataFrame): DataFrame =
+    canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node"))).distinct()
+
+  /** `rounds` peeling rounds at threshold k starting from `alive`;
+    * returns the final degree frame (callers filter >= k for the
+    * survivors). The shared core of [[peel]] and [[corenessCapped]].
     */
-  def peel(edges: DataFrame, srcCol: String, dstCol: String,
-           k: Int, rounds: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val spark = edges.sparkSession
-
-    def rebase(df: DataFrame): DataFrame = {
-      val rdd = df.rdd
-      rdd.cache()
-      spark.createDataFrame(rdd, df.schema)
-    }
-
-    val canon = rebase(canonical(edges, srcCol, dstCol))
-    var alive = rebase(
-      canon.select(col("a").as("node"))
-        .union(canon.select(col("b").as("node"))).distinct())
+  private def peelFrom(canon: DataFrame, alive0: DataFrame, k: Int,
+                       rounds: Int): DataFrame = {
+    var alive = alive0
     var lastDeg: DataFrame = null
     var r = 0
     while (r < rounds) {
@@ -72,7 +71,45 @@ object KCore {
       alive = rebase(lastDeg.filter(col("deg") >= k).select(col("node")))
       r += 1
     }
-    lastDeg.filter(col("deg") >= k)
+    lastDeg
+  }
+
+  /** `rounds` peeling rounds; returns the survivors with their degree in
+    * the final round's input subgraph: (node, deg), deg >= k.
+    */
+  def peel(edges: DataFrame, srcCol: String, dstCol: String,
+           k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val canon = rebase(canonical(edges, srcCol, dstCol))
+    peelFrom(canon, rebase(allNodes(canon)), k, rounds)
+      .filter(col("deg") >= k)
+  }
+
+  /** CAPPED coreness decomposition: every node's core number
+    * min(coreness, kMax) — the per-node summary [[peel]]'s single-k
+    * view cannot give. Sweeps k = 1..kMax, peeling each level's
+    * survivors with `roundsPerK` rounds (size roundsPerK to cover each
+    * level's fixpoint — the spec cross-checks against [[core]]); nodes
+    * removed at level k carry coreness k−1, survivors of the sweep
+    * carry kMax. Output: (node, coreness).
+    */
+  def corenessCapped(edges: DataFrame, srcCol: String, dstCol: String,
+                     kMax: Int, roundsPerK: Int): DataFrame = {
+    require(kMax >= 1 && roundsPerK >= 1, "kMax and roundsPerK must be >= 1")
+    val canon = rebase(canonical(edges, srcCol, dstCol))
+    var alive = rebase(allNodes(canon))
+    var result: DataFrame = null
+    for (k <- 1 to kMax) {
+      val next = rebase(peelFrom(canon, alive, k, roundsPerK)
+        .filter(col("deg") >= k).select(col("node")))
+      val removed = alive.join(next, Seq("node"), "left_anti")
+        .select(col("node"), lit((k - 1).toLong).as("coreness"))
+      result = if (result == null) removed else result.unionByName(removed)
+      alive = next
+    }
+    result.unionByName(
+      alive.select(col("node"), lit(kMax.toLong).as("coreness")))
   }
 
   /** The true k-core: peel to the fixpoint (survivor count stable).

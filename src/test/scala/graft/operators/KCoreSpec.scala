@@ -66,6 +66,32 @@ class KCoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("corenessCapped: clique 5, C4 ring 2, path/pendant 1, cap respected") {
+    val got = KCore.corenessCapped(edges.toDF("src", "dst"), "src", "dst",
+        kMax = 6, roundsPerK = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 5L).forall(got(_) == 5L)) // K6 clique: coreness 5
+    assert(Seq(20L, 21L, 22L, 23L).forall(got(_) == 2L))
+    assert(Seq(6L, 7L, 8L, 9L, 10L).forall(got(_) == 1L))
+    // cap kicks in below the true coreness
+    val capped = KCore.corenessCapped(edges.toDF("src", "dst"), "src", "dst",
+        kMax = 3, roundsPerK = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 5L).forall(capped(_) == 3L))
+    assert(capped.keySet == got.keySet) // every node classified exactly once
+  }
+
+  test("corenessCapped is consistent with the fixpoint cores at every k") {
+    val df = edges.toDF("src", "dst")
+    val cn = KCore.corenessCapped(df, "src", "dst", kMax = 6, roundsPerK = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- 1 to 5) {
+      val core = KCore.core(df, "src", "dst", k)
+        .collect().map(_.getLong(0)).toSet
+      assert(cn.filter(_._2 >= k).keySet == core, s"k=$k")
+    }
+  }
+
   test("a k beyond the densest core yields the empty frame") {
     assert(KCore.core(edges.toDF("src", "dst"), "src", "dst", 6).isEmpty)
   }
