@@ -1873,6 +1873,14 @@ object SparkEntry {
       q, nprobe = 3, topK = 25, excludeId = Some(0L))
   }
 
+  // ---- q154: market-basket association rules — co-purchased part
+  //      pairs per order (per-basket equi-join, never cross-basket),
+  //      support ≥ 2, both rule directions with confidence and lift
+  //      (each ONE correctly-rounded division of exact counts). ----
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    ops.MarketBasket.rules(Tables(s, dir).lineitem,
+      "l_orderkey", "l_partkey", minSupport = 2L)
+
   // ---- q125: PassJoin edit-distance linkage at d = 3 — the segment-
   //      blocking regime FuzzyJoin's deletion neighborhoods refuse
   //      (their variant count is C(len, d)). Document prefixes are the
@@ -2286,6 +2294,7 @@ object SparkEntry {
     "q151_funnel_window"   -> q151 _,
     "q152_ivfpq_serve"     -> q152 _,
     "q153_coreness"        -> q153 _,
+    "q154_market_basket"   -> q154 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2747,6 +2756,30 @@ object SparkEntry {
     "q132_bpe_vocab"        -> OracleSqlGen.q132Sql(),
     "q133_kcore"            -> OracleSqlGen.q133Sql(),
     "q153_coreness"         -> OracleSqlGen.q153Sql(),
+    "q154_market_basket" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |), ic AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM it GROUP BY i
+        |), tot AS (
+        |  SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM it
+        |), pr AS (
+        |  SELECT a.i AS item_a, c.i AS item_b,
+        |         CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), d AS (
+        |  SELECT item_a AS antecedent, item_b AS consequent, n_pair FROM pr
+        |  UNION ALL
+        |  SELECT item_b, item_a, n_pair FROM pr
+        |)
+        |SELECT d.antecedent, d.consequent, d.n_pair, ia.n_i AS n_ante,
+        |       CAST(d.n_pair AS DOUBLE) / ia.n_i AS confidence,
+        |       CAST(d.n_pair * tot.n AS DOUBLE) / (ia.n_i * ic2.n_i) AS lift
+        |FROM d
+        |JOIN ic ia ON ia.i = d.antecedent
+        |JOIN ic ic2 ON ic2.i = d.consequent
+        |CROSS JOIN tot""".stripMargin,
     "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
     "q135_ktruss"           -> OracleSqlGen.q135Sql(),
     "q136_stream_kmv"       -> OracleSqlGen.q136Sql(),
