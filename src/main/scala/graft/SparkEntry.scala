@@ -1881,6 +1881,30 @@ object SparkEntry {
     ops.MarketBasket.rules(Tables(s, dir).lineitem,
       "l_orderkey", "l_partkey", minSupport = 2L)
 
+  // ---- q155: incremental aggregate-view maintenance (IVM) — the
+  //      per-source rollup maintained across three batch ingests + a
+  //      mid-history compaction, read back merged. Integer sums
+  //      commute exactly, so the oracle is the ONE-SHOT GROUP BY —
+  //      batches and compaction invisible (the q129 discipline for
+  //      plain additive views). ----
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    operators.IncrementalKmv.dropStore(s, "graft_agg_view")
+    for (g <- 0 to 2) {
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === g)
+      operators.IncrementalAgg.appendToStore(
+        operators.IncrementalAgg.partials(batch, Seq("source"), Seq(
+          "n_docs" -> lit(1L),
+          "n_tokens" -> size(TextFunctions.tokens(col("text"))).cast("long"))),
+        "graft_agg_view", Seq("source"), buckets = 8)
+      if (g == 1)
+        operators.IncrementalAgg.compactStore(s, "graft_agg_view",
+          Seq("source"), Seq("n_docs", "n_tokens"))
+    }
+    operators.IncrementalAgg.merged(s, "graft_agg_view",
+      Seq("source"), Seq("n_docs", "n_tokens"))
+  }
+
   // ---- q125: PassJoin edit-distance linkage at d = 3 — the segment-
   //      blocking regime FuzzyJoin's deletion neighborhoods refuse
   //      (their variant count is C(len, d)). Document prefixes are the
@@ -2295,6 +2319,7 @@ object SparkEntry {
     "q152_ivfpq_serve"     -> q152 _,
     "q153_coreness"        -> q153 _,
     "q154_market_basket"   -> q154 _,
+    "q155_incr_view"       -> q155 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2780,6 +2805,13 @@ object SparkEntry {
         |JOIN ic ia ON ia.i = d.antecedent
         |JOIN ic ic2 ON ic2.i = d.consequent
         |CROSS JOIN tot""".stripMargin,
+    // q155: the one-shot view — the incremental store must reproduce it
+    // exactly because integer sums commute.
+    "q155_incr_view" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |         AS n_tokens
+        |FROM documents GROUP BY source""".stripMargin,
     "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
     "q135_ktruss"           -> OracleSqlGen.q135Sql(),
     "q136_stream_kmv"       -> OracleSqlGen.q136Sql(),
