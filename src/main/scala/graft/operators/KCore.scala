@@ -120,18 +120,8 @@ object KCore {
   def core(edges: DataFrame, srcCol: String, dstCol: String,
            k: Int, maxRounds: Int = 1000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val spark = edges.sparkSession
-
-    def rebase(df: DataFrame): DataFrame = {
-      val rdd = df.rdd
-      rdd.cache()
-      spark.createDataFrame(rdd, df.schema)
-    }
-
     val canon = rebase(canonical(edges, srcCol, dstCol))
-    var alive = rebase(
-      canon.select(col("a").as("node"))
-        .union(canon.select(col("b").as("node"))).distinct())
+    var alive = rebase(allNodes(canon))
     var n = alive.count()
     var r = 0
     while (r < maxRounds) {
