@@ -2147,6 +2147,24 @@ object SparkEntry {
       kMax = 6, roundsPerK = 6)
   }
 
+  // ---- q156: link prediction — common-neighbor / neighborhood-Jaccard
+  //      scores for NON-adjacent pairs (Liben-Nowell 2003) on the
+  //      ring+hub graph: wedge-join candidates only (never all-pairs),
+  //      one anti-join removes existing edges; top-50 by (common, a, b).
+  //      Exact ints + one division. ----
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir).part.select(col("p_partkey").as("k"))
+    val n = p.count()
+    val ring = p.select(col("k"),
+        explode(sequence(lit(1L), lit(1L) + pmod(col("k"), lit(5L)))).as("d"))
+      .select(col("k").as("src"), pmod(col("k") + col("d"), lit(n)).as("dst"))
+    val hubs = p.filter(pmod(col("k"), lit(20)) === 0)
+      .select(col("k"), explode(sequence(lit(1L), lit(5L))).as("j"))
+      .select(col("k").as("src"), pmod(col("k") + col("j") * 20, lit(n)).as("dst"))
+    operators.LinkPrediction.commonNeighbors(ring.union(hubs), "src", "dst",
+      minCommon = 2L, topK = 50)
+  }
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2320,6 +2338,7 @@ object SparkEntry {
     "q153_coreness"        -> q153 _,
     "q154_market_basket"   -> q154 _,
     "q155_incr_view"       -> q155 _,
+    "q156_link_predict"    -> q156 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2812,6 +2831,49 @@ object SparkEntry {
         |       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
         |         AS n_tokens
         |FROM documents GROUP BY source""".stripMargin,
+    // q156: wedge-join candidates over the shared derived graph; common
+    // and degrees exact ints, jaccard one division; the (common, a, b)
+    // triple is unique per pair so the top-50 cut is deterministic.
+    "q156_link_predict" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+        |e0 AS (
+        |  SELECT p_partkey AS x,
+        |         (p_partkey + d.d) % (SELECT n FROM nn) AS y
+        |  FROM part CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS d(d)
+        |  WHERE d.d <= 1 + p_partkey % 5
+        |  UNION ALL
+        |  SELECT p_partkey, (p_partkey + 20 * h.j) % (SELECT n FROM nn)
+        |  FROM part CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS h(j)
+        |  WHERE p_partkey % 20 = 0
+        |),
+        |canon AS MATERIALIZED (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM e0 WHERE x <> y
+        |),
+        |nbr AS MATERIALIZED (
+        |  SELECT a AS node, b AS nbr FROM canon
+        |  UNION ALL SELECT b, a FROM canon
+        |),
+        |deg AS MATERIALIZED (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nbr GROUP BY node
+        |),
+        |cand AS MATERIALIZED (
+        |  SELECT x.node AS na, y.node AS nb, CAST(count(*) AS BIGINT) AS common
+        |  FROM nbr x JOIN nbr y ON x.nbr = y.nbr AND x.node < y.node
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |),
+        |ne AS (
+        |  SELECT c.na, c.nb, c.common FROM cand c
+        |  LEFT JOIN canon e ON e.a = c.na AND e.b = c.nb
+        |  WHERE e.a IS NULL
+        |)
+        |SELECT ne.na AS node_a, ne.nb AS node_b, ne.common,
+        |       CAST(ne.common AS DOUBLE) / (da.deg + db.deg - ne.common)
+        |         AS jaccard
+        |FROM ne
+        |JOIN deg da ON da.node = ne.na
+        |JOIN deg db ON db.node = ne.nb
+        |ORDER BY ne.common DESC, node_a, node_b LIMIT 50""".stripMargin,
     "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
     "q135_ktruss"           -> OracleSqlGen.q135Sql(),
     "q136_stream_kmv"       -> OracleSqlGen.q136Sql(),
