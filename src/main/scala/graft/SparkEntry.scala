@@ -2165,6 +2165,28 @@ object SparkEntry {
       minCommon = 2L, topK = 50)
   }
 
+  // ---- q157: time-to-convert distribution — the q141 funnel chain
+  //      composed with the exact-percentile operator: per user, the
+  //      duration from first signup to the first purchase strictly
+  //      after it, p50/p90 by signup weekday. Durations stay exact
+  //      epoch-microsecond longs; quantile interpolation is the q117
+  //      bit-identical contract; weekday is dayofweek−1 ≡ DuckDB dow. ----
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    val s0 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val p1 = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(s0, "user_id").filter(col("ts") > col("t0"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val d = s0.join(p1, "user_id")
+      .select((dayofweek(col("t0")) - 1).cast("long").as("dow"),
+        (unix_micros(col("t1").cast("timestamp")) -
+          unix_micros(col("t0").cast("timestamp"))).as("dur_us"))
+    ops.Percentiles.exactQuantiles(d, Seq("dow"), "dur_us",
+      Seq(("p50", 0.5), ("p90", 0.9)))
+  }
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2339,6 +2361,7 @@ object SparkEntry {
     "q154_market_basket"   -> q154 _,
     "q155_incr_view"       -> q155 _,
     "q156_link_predict"    -> q156 _,
+    "q157_time_to_convert" -> q157 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2874,6 +2897,24 @@ object SparkEntry {
         |JOIN deg da ON da.node = ne.na
         |JOIN deg db ON db.node = ne.nb
         |ORDER BY ne.common DESC, node_a, node_b LIMIT 50""".stripMargin,
+    // q157: exact microsecond durations; quantile_cont ≡ exactQuantiles
+    // interpolation (q117 precedent); DuckDB dow(0=Sun) ≡ dayofweek−1.
+    "q157_time_to_convert" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), p1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t1
+        |  FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s0.t0 GROUP BY 1
+        |), d AS (
+        |  SELECT CAST(date_part('dow', s0.t0) AS BIGINT) AS dow,
+        |         epoch_us(p1.t1) - epoch_us(s0.t0) AS dur_us
+        |  FROM s0 JOIN p1 ON s0.user_id = p1.user_id
+        |)
+        |SELECT dow, quantile_cont(dur_us, 0.5) AS p50,
+        |       quantile_cont(dur_us, 0.9) AS p90
+        |FROM d GROUP BY dow""".stripMargin,
     "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
     "q135_ktruss"           -> OracleSqlGen.q135Sql(),
     "q136_stream_kmv"       -> OracleSqlGen.q136Sql(),
