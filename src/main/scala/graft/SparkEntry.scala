@@ -2187,6 +2187,24 @@ object SparkEntry {
       Seq(("p50", 0.5), ("p90", 0.9)))
   }
 
+  // ---- q158: resource-allocation link scores — the weighted sibling
+  //      of q156 (rare shared neighbors count more than hubs), each
+  //      term QUANTIZED to floor(10¹²/deg) so the score is a
+  //      commutative exact-long sum (the PageRank truncating-division
+  //      discipline — a float 1/deg sum would drift by merge order). ----
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir).part.select(col("p_partkey").as("k"))
+    val n = p.count()
+    val ring = p.select(col("k"),
+        explode(sequence(lit(1L), lit(1L) + pmod(col("k"), lit(5L)))).as("d"))
+      .select(col("k").as("src"), pmod(col("k") + col("d"), lit(n)).as("dst"))
+    val hubs = p.filter(pmod(col("k"), lit(20)) === 0)
+      .select(col("k"), explode(sequence(lit(1L), lit(5L))).as("j"))
+      .select(col("k").as("src"), pmod(col("k") + col("j") * 20, lit(n)).as("dst"))
+    operators.LinkPrediction.resourceAllocation(ring.union(hubs), "src", "dst",
+      minCommon = 2L, topK = 50)
+  }
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2362,6 +2380,7 @@ object SparkEntry {
     "q155_incr_view"       -> q155 _,
     "q156_link_predict"    -> q156 _,
     "q157_time_to_convert" -> q157 _,
+    "q158_resource_alloc"  -> q158 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2915,6 +2934,45 @@ object SparkEntry {
         |SELECT dow, quantile_cont(dur_us, 0.5) AS p50,
         |       quantile_cont(dur_us, 0.9) AS p90
         |FROM d GROUP BY dow""".stripMargin,
+    // q158: q156's wedges weighted by floor(scale/deg(w)) — DuckDB //
+    // truncates like IntOps.intDiv on non-negative args.
+    "q158_resource_alloc" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+        |e0 AS (
+        |  SELECT p_partkey AS x,
+        |         (p_partkey + d.d) % (SELECT n FROM nn) AS y
+        |  FROM part CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS d(d)
+        |  WHERE d.d <= 1 + p_partkey % 5
+        |  UNION ALL
+        |  SELECT p_partkey, (p_partkey + 20 * h.j) % (SELECT n FROM nn)
+        |  FROM part CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS h(j)
+        |  WHERE p_partkey % 20 = 0
+        |),
+        |canon AS MATERIALIZED (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM e0 WHERE x <> y
+        |),
+        |nbr AS MATERIALIZED (
+        |  SELECT a AS node, b AS nbr FROM canon
+        |  UNION ALL SELECT b, a FROM canon
+        |),
+        |deg AS MATERIALIZED (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nbr GROUP BY node
+        |),
+        |cand AS MATERIALIZED (
+        |  SELECT x.node AS na, y.node AS nb,
+        |         CAST(count(*) AS BIGINT) AS common,
+        |         CAST(sum(1000000000000 // dw.deg) AS BIGINT) AS ra_q
+        |  FROM nbr x
+        |  JOIN nbr y ON x.nbr = y.nbr AND x.node < y.node
+        |  JOIN deg dw ON dw.node = x.nbr
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT c.na AS node_a, c.nb AS node_b, c.common, c.ra_q
+        |FROM cand c
+        |LEFT JOIN canon e ON e.a = c.na AND e.b = c.nb
+        |WHERE e.a IS NULL
+        |ORDER BY c.ra_q DESC, node_a, node_b LIMIT 50""".stripMargin,
     "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
     "q135_ktruss"           -> OracleSqlGen.q135Sql(),
     "q136_stream_kmv"       -> OracleSqlGen.q136Sql(),

@@ -44,6 +44,19 @@ class LinkPredictionSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((0L, 3L)))
   }
 
+  test("resource allocation credits rare shared neighbors over hubs") {
+    // pair (0,3) shares {1,2}: deg1 = deg2 = 3 → ra = 2·⌊S/3⌋
+    val S = 1000000000000L
+    val got = LinkPrediction.resourceAllocation(edges, "src", "dst",
+        minCommon = 1L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got((0L, 3L)) == (2L, 2L * (S / 3)))
+    // (1,4) share only hub-ish node 0 with deg 3... 0 adj {1,2,4}: deg 3
+    assert(got((1L, 4L)) == (1L, S / 3))
+    assert(!got.contains((0L, 1L))) // existing edge excluded
+  }
+
   test("plan has no cartesian product") {
     val p = LinkPrediction.commonNeighbors(edges, "src", "dst")
       .queryExecution.executedPlan.toString
