@@ -2205,6 +2205,26 @@ object SparkEntry {
       minCommon = 2L, topK = 50)
   }
 
+  // ---- q159: event-time lateness diagnostics — the watermark-sizing
+  //      report for the streaming operators: per event_type, how far
+  //      events arrive BEHIND the running event-time high-water mark
+  //      (arrival order = event_id, the log sequence). lateness =
+  //      running-max(ts) − ts in exact microseconds (one prefix-max
+  //      window, the q147 closed-form discipline), then p50/p95/max via
+  //      the exact-percentile operator. Late events here are exactly
+  //      the ones a too-tight withWatermark would drop in q25/q41/q83. ----
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lag = Tables(s, dir).events
+      .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("late_us", max(col("__us")).over(w) - col("__us"))
+    ops.Percentiles.exactQuantiles(lag, Seq("event_type"), "late_us",
+        Seq(("p50", 0.5), ("p95", 0.95)))
+      .join(lag.groupBy(col("event_type"))
+        .agg(max(col("late_us")).as("max_late_us")), "event_type")
+  }
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2381,6 +2401,7 @@ object SparkEntry {
     "q156_link_predict"    -> q156 _,
     "q157_time_to_convert" -> q157 _,
     "q158_resource_alloc"  -> q158 _,
+    "q159_watermark_lag"   -> q159 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2973,6 +2994,19 @@ object SparkEntry {
         |LEFT JOIN canon e ON e.a = c.na AND e.b = c.nb
         |WHERE e.a IS NULL
         |ORDER BY c.ra_q DESC, node_a, node_b LIMIT 50""".stripMargin,
+    // q159: prefix-max lateness in exact micros + quantile_cont parity.
+    "q159_watermark_lag" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |    max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+        |                            ROWS UNBOUNDED PRECEDING)
+        |      - epoch_us(ts) AS late_us
+        |  FROM events
+        |)
+        |SELECT event_type, quantile_cont(late_us, 0.5) AS p50,
+        |       quantile_cont(late_us, 0.95) AS p95,
+        |       CAST(max(late_us) AS BIGINT) AS max_late_us
+        |FROM l GROUP BY event_type""".stripMargin,
     "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
     "q135_ktruss"           -> OracleSqlGen.q135Sql(),
     "q136_stream_kmv"       -> OracleSqlGen.q136Sql(),
