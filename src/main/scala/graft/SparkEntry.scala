@@ -2225,6 +2225,22 @@ object SparkEntry {
         .agg(max(col("late_us")).as("max_late_us")), "event_type")
   }
 
+  // ---- q160: custom GROUPING SETS — the general form between rollup
+  //      (q34) and cube (q79): an arbitrary, non-hierarchical set list
+  //      ((priority, status), (priority), (status)) — note (status)
+  //      alone is in NEITHER the rollup nor required by the cube
+  //      consumer. Dataset.groupingSets keeps it declarative. ----
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0)).as("sum_cents"))
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2402,6 +2418,7 @@ object SparkEntry {
     "q157_time_to_convert" -> q157 _,
     "q158_resource_alloc"  -> q158 _,
     "q159_watermark_lag"   -> q159 _,
+    "q160_grouping_sets"   -> q160 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -3007,6 +3024,17 @@ object SparkEntry {
         |       quantile_cont(late_us, 0.95) AS p95,
         |       CAST(max(late_us) AS BIGINT) AS max_late_us
         |FROM l GROUP BY event_type""".stripMargin,
+    // q160: DuckDB GROUPING SETS + GROUPING() bit order matches Spark's
+    // grouping_id over the listed columns.
+    "q160_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+        |       AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  sum(round(o_totalprice * 100, 0)) AS sum_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), (o_orderstatus))""".stripMargin,
     "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
     "q135_ktruss"           -> OracleSqlGen.q135Sql(),
     "q136_stream_kmv"       -> OracleSqlGen.q136Sql(),
