@@ -2241,6 +2241,27 @@ object SparkEntry {
         count(lit(1)).as("n_orders"),
         sum(round(col("o_totalprice") * 100, 0)).as("sum_cents"))
 
+  // ---- q161: vocabulary-growth curve (Heaps' law) — per doc in
+  //      doc_id order, how many NEVER-SEEN-BEFORE distinct tokens it
+  //      contributes and the cumulative vocabulary after it: each
+  //      token's first_doc is one min-aggregate, the curve one
+  //      prefix-sum window — no sequential scan. The corpus-diversity
+  //      diagnostic that says whether more data still buys vocabulary. ----
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val firstDoc = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("new_tokens"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"))
+      .join(firstDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+      .withColumn("cum_vocab", sum(col("new_tokens")).over(w))
+  }
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2419,6 +2440,7 @@ object SparkEntry {
     "q158_resource_alloc"  -> q158 _,
     "q159_watermark_lag"   -> q159 _,
     "q160_grouping_sets"   -> q160 _,
+    "q161_vocab_growth"    -> q161 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -3035,6 +3057,23 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
         |                        (o_orderpriority), (o_orderstatus))""".stripMargin,
+    // q161: min-aggregate first occurrences + one prefix-sum window —
+    // exact integers throughout.
+    "q161_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+        |  FROM documents
+        |), fo AS (
+        |  SELECT t, min(doc_id) AS doc_id FROM tok GROUP BY t
+        |), g AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS new_tokens
+        |  FROM fo GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(g.new_tokens, 0) AS new_tokens,
+        |       CAST(sum(coalesce(g.new_tokens, 0))
+        |            OVER (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING)
+        |            AS BIGINT) AS cum_vocab
+        |FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id""".stripMargin,
     "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
     "q135_ktruss"           -> OracleSqlGen.q135Sql(),
     "q136_stream_kmv"       -> OracleSqlGen.q136Sql(),
