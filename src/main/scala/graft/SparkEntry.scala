@@ -2209,16 +2209,21 @@ object SparkEntry {
   //      report for the streaming operators: per event_type, how far
   //      events arrive BEHIND the running event-time high-water mark
   //      (arrival order = event_id, the log sequence). lateness =
-  //      running-max(ts) − ts in exact microseconds (one prefix-max
-  //      window, the q147 closed-form discipline), then p50/p95/max via
-  //      the exact-percentile operator. Late events here are exactly
-  //      the ones a too-tight withWatermark would drop in q25/q41/q83. ----
+  //      running-max(ts) − ts in exact microseconds via the TWO-PHASE
+  //      range-partitioned prefix max (PrefixSum.runningMax): a
+  //      Window.partitionBy(event_type) here would hash the stream into
+  //      |event_types| = 5 tasks, each sorting 20% of the data forever —
+  //      the low-cardinality scale-killer. Then p50/p95/max via the
+  //      exact-percentile operator (whose own window sorts only DISTINCT
+  //      lateness values per type — bounded, not the stream). Late events
+  //      here are exactly the ones a too-tight withWatermark would drop
+  //      in q25/q41/q83. ----
   private def q159(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val lag = Tables(s, dir).events
+    val ev = Tables(s, dir).events
       .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
-      .withColumn("late_us", max(col("__us")).over(w) - col("__us"))
+    val lag = ops.PrefixSum.runningMax(ev, Seq("event_type"),
+        Seq(col("event_id")), col("__us"), "__runmax")
+      .withColumn("late_us", col("__runmax") - col("__us"))
     ops.Percentiles.exactQuantiles(lag, Seq("event_type"), "late_us",
         Seq(("p50", 0.5), ("p95", 0.95)))
       .join(lag.groupBy(col("event_type"))
@@ -2244,9 +2249,12 @@ object SparkEntry {
   // ---- q161: vocabulary-growth curve (Heaps' law) — per doc in
   //      doc_id order, how many NEVER-SEEN-BEFORE distinct tokens it
   //      contributes and the cumulative vocabulary after it: each
-  //      token's first_doc is one min-aggregate, the curve one
-  //      prefix-sum window — no sequential scan. The corpus-diversity
-  //      diagnostic that says whether more data still buys vocabulary. ----
+  //      token's first_doc is one min-aggregate, the curve the
+  //      range-partitioned two-phase prefix sum (PrefixSum.exclusiveCumsum
+  //      + this row — an unpartitioned window here would collapse every
+  //      document into ONE task, the exact anti-plan PrefixSum.scala:13
+  //      documents). The corpus-diversity diagnostic that says whether
+  //      more data still buys vocabulary. ----
   private def q161(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
     val firstDoc = docs
@@ -2254,12 +2262,12 @@ object SparkEntry {
       .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
       .groupBy(col("first_doc").as("doc_id"))
       .agg(count(lit(1)).as("new_tokens"))
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    docs.select(col("doc_id"))
+    val perDoc = docs.select(col("doc_id"))
       .join(firstDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
-      .withColumn("cum_vocab", sum(col("new_tokens")).over(w))
+    ops.PrefixSum.exclusiveCumsum(perDoc, Seq(col("doc_id")), col("new_tokens"), "__prior")
+      .withColumn("cum_vocab", col("__prior") + col("new_tokens"))
+      .drop("__prior")
   }
 
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,

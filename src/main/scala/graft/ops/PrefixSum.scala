@@ -93,6 +93,95 @@ object PrefixSum {
     }
   }
 
+  /** Adds `out` = the INCLUSIVE running maximum of `valueCol` (cast to
+    * long) within each `groupCols` group over rows in ascending
+    * `orderCols` order — the max of this row and every preceding row of
+    * the same group. This is the shuffle-parallel replacement for
+    * `max(v).over(Window.partitionBy(group).orderBy(order))` when the
+    * group cardinality is LOW (a handful of event types): that window
+    * hashes each group to ONE task which sorts the whole group forever —
+    * the same scale-killer class as the unpartitioned cumsum above, just
+    * with |groups| tasks instead of one. Here the data range-partitions on
+    * (group, order) — every group spreads across many partitions — and the
+    * only driver-side data is one max per (partition × group) boundary
+    * row, bounded by np × |groups|, not the data. The running max is
+    * associative, so the same subtotal/offset/scan decomposition as the
+    * prefix sum applies verbatim with max in place of +.
+    *
+    * Null values never advance the running max (window-max semantics):
+    * `out` is null until the group's first non-null value. Same
+    * persist/release contract as [[exclusiveCumsum]].
+    */
+  def runningMax(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+                 valueCol: Column, out: String, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val np = if (numPartitions > 0) numPartitions
+             else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sortCols = groupCols.map(col) ++ orderCols
+    val parted = df
+      .withColumn("__v", valueCol.cast("long"))
+      .repartitionByRange(np, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.DISK_ONLY)
+    // One max per (partition, group) to the driver — np × |groups| rows,
+    // the low-cardinality regime this operator exists for.
+    val partials = parted.groupBy((col("__pid") +: groupCols.map(col)): _*)
+      .agg(max(col("__v")).as("__m"))
+      .collect().map { r =>
+        val g = groupCols.indices.map(i => r.get(i + 1)).toList
+        val mIdx = groupCols.length + 1
+        (r.getInt(0), g, if (r.isNullAt(mIdx)) None else Some(r.getLong(mIdx)))
+      }
+    // Exclusive seed for (partition, group) = max over the group's rows in
+    // all EARLIER partitions; absent ⇒ the group starts in this partition.
+    val seeds: Map[(Int, List[Any]), Long] = partials.groupBy(_._2)
+      .flatMap { case (g, rows) =>
+        rows.sortBy(_._1).scanLeft((-1, Option.empty[Long])) {
+          case ((_, acc), (pid, _, m)) => (pid, (acc ++ m).reduceOption(_ max _))
+        }.sliding(2).collect {
+          case Array((_, acc), (pid, _)) if acc.isDefined => (pid, g) -> acc.get
+        }
+      }
+    val schema = parted.schema
+    val pidIdx = schema.fieldIndex("__pid")
+    val vIdx = schema.fieldIndex("__v")
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val keepIdx = schema.fields.indices
+      .filterNot(i => i == pidIdx || i == vIdx).toArray
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keepIdx.map(schema.fields) :+
+        org.apache.spark.sql.types.StructField(out,
+          org.apache.spark.sql.types.LongType, nullable = true))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    parted.mapPartitions { rows =>
+      // rows arrive sorted by (group, order): groups are contiguous, so one
+      // running value suffices, re-seeded at each group boundary.
+      var pid = -1
+      var curGroup: List[Any] = null
+      var seeded = false
+      var running: Option[Long] = None
+      rows.map { r =>
+        if (pid < 0) pid = r.getInt(pidIdx)
+        val g = gIdx.map(i => r.get(i)).toList
+        if (!seeded || g != curGroup) {
+          curGroup = g; seeded = true
+          running = seeds.get((pid, g))
+        }
+        if (!r.isNullAt(vIdx)) {
+          val v = r.getLong(vIdx)
+          running = Some(running.fold(v)(_ max v))
+        }
+        val vals = new Array[Any](keepIdx.length + 1)
+        var i = 0
+        while (i < keepIdx.length) { vals(i) = r.get(keepIdx(i)); i += 1 }
+        vals(keepIdx.length) = running.map(Long.box).orNull
+        org.apache.spark.sql.Row.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+    }
+  }
+
   /** Sequence packing: orders documents deterministically by portable hash
     * of (salt, id), lays their token counts end-to-end, and cuts the
     * resulting token stream into bins of `binTokens` — each row gains its

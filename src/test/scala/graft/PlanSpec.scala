@@ -190,6 +190,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count"), p.take(1200))
   }
 
+  test("q161: the vocabulary cumsum is the range-partitioned scan, never one task") {
+    val p = plan("q161_vocab_growth")
+    assert(!p.contains("SinglePartition"), p.take(1500))
+    assert(p.toLowerCase.contains("rangepartitioning"), p.take(1500))
+    Storage.releaseAll(spark)
+  }
+
+  test("q159: the lateness prefix max never windows the raw stream by event_type") {
+    val p = plan("q159_watermark_lag")
+    assert(!p.contains("SinglePartition"), p.take(1500))
+    assert(p.toLowerCase.contains("rangepartitioning"), p.take(1500))
+    // the only windows left sort DISTINCT lateness values per type
+    // (Percentiles stage 2) — none computes a running max over the raw
+    // microsecond column
+    assert(!p.contains("max(__us"), p.take(1500))
+    Storage.releaseAll(spark)
+  }
+
   test("q113: fuzzy linkage is an equi join on the variant, never a cartesian") {
     val p = plan("q113_fuzzy_link")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -47,6 +47,43 @@ class PrefixSumSpec extends AnyFunSuite with SparkSpec {
     graft.Storage.releaseAll(spark)
   }
 
+  test("runningMax equals the per-group window max at every partition count") {
+    val df = (1 to 300).map { i =>
+      (s"g${i % 4}", i.toLong, ((i * 40503L) % 89) - 11) }.toDF("g", "id", "v")
+    val expect = df.withColumn("rm", max(col("v")).over(
+        Window.partitionBy(col("g")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("g"), col("id"), col("rm")).as[(String, Long, Long)]
+      .collect().map { case (g, id, rm) => (g, id) -> rm }.toMap
+    for (np <- Seq(1, 3, 8)) {
+      val got = PrefixSum.runningMax(df, Seq("g"), Seq(col("id")), col("v"),
+          "rm", numPartitions = np)
+        .select(col("g"), col("id"), col("rm")).as[(String, Long, Long)]
+        .collect().map { case (g, id, rm) => (g, id) -> rm }.toMap
+      assert(got == expect, s"np=$np")
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
+  test("runningMax skips nulls and plans no per-group single-task sort") {
+    val df = Seq(("a", 1L, None: Option[Long]), ("a", 2L, Some(5L)),
+      ("a", 3L, None: Option[Long]), ("a", 4L, Some(3L)),
+      ("b", 1L, None: Option[Long])).toDF("g", "id", "v")
+    val out = PrefixSum.runningMax(df, Seq("g"), Seq(col("id")), col("v"), "rm",
+        numPartitions = 3)
+      .select(col("g"), col("id"), col("rm")).as[(String, Long, Option[Long])]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out == Map(("a", 1L) -> None, ("a", 2L) -> Some(5L),
+      ("a", 3L) -> Some(5L), ("a", 4L) -> Some(5L), ("b", 1L) -> None))
+    graft.Storage.releaseAll(spark)
+    val plan = PrefixSum.runningMax(df, Seq("g"), Seq(col("id")), col("v"), "rm",
+      numPartitions = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+    graft.Storage.releaseAll(spark)
+  }
+
   test("packSequences lays the token stream contiguously and bins consistently") {
     val docs = (1 to 120).map(i => (i.toLong, (i % 13) * 7 + 3)).toDF("doc_id", "n_tokens")
     val packed = PrefixSum.packSequences(docs, "doc_id", "n_tokens",
