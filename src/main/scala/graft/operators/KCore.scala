@@ -46,12 +46,21 @@ object KCore {
       .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
 
-  private def rebase(df: DataFrame): DataFrame = {
+  private def rebase(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
     val spark = df.sparkSession
     val rdd = df.rdd
     rdd.cache()
-    spark.createDataFrame(rdd, df.schema)
+    (spark.createDataFrame(rdd, df.schema), rdd)
   }
+
+  /** What a peeling run hands back: the final round's degree frame (lazy —
+    * it still reads `lastInputRdd`), the materialized survivor leaf, and
+    * the two cached RDDs a caller may release once it is done with the
+    * corresponding frames.
+    */
+  private case class PeelResult(lastDeg: DataFrame, alive: DataFrame,
+                                aliveRdd: org.apache.spark.rdd.RDD[Row],
+                                lastInputRdd: org.apache.spark.rdd.RDD[Row])
 
   private def allNodes(canon: DataFrame): DataFrame =
     canon.select(col("a").as("node"))
@@ -70,20 +79,34 @@ object KCore {
     * it collapses 36 scheduled rounds to the ~16 that do work
     * (11.2 s → ~5 s measured).
     */
-  private def peelFrom(canon: DataFrame, alive0: DataFrame, k: Int,
-                       rounds: Int): DataFrame = {
+  private def peelFrom(canon: DataFrame, alive0: DataFrame,
+                       alive0Rdd: org.apache.spark.rdd.RDD[Row],
+                       k: Int, rounds: Int): PeelResult = {
     var alive = alive0
+    var aliveRdd = alive0Rdd
     var n = -1L // unknown input count on entry; first round always runs
     var lastDeg: DataFrame = null
+    var lastInputRdd: org.apache.spark.rdd.RDD[Row] = null
     var r = 0
     while (r < rounds) {
       lastDeg = roundDegrees(canon, alive)
-      alive = rebase(lastDeg.filter(col("deg") >= k).select(col("node")))
-      val nNext = alive.count()
+      val in = aliveRdd
+      val (a2, r2) = rebase(lastDeg.filter(col("deg") >= k).select(col("node")))
+      alive = a2; aliveRdd = r2
+      val nNext = alive.count() // materializes r2 — `in` is now lineage-only
+      // Unpersist discipline (the Closure/BpeMerges contract): the round
+      // BEFORE last's input leaf is superseded — its degree frame was
+      // overwritten and the new survivor leaf is materialized above it.
+      // Keep `in` (the returned lastDeg still reads it) and never release
+      // the caller-owned alive0 (corenessCapped's removed-set anti-joins
+      // reference each level's input until the final action).
+      if (lastInputRdd != null && (lastInputRdd ne alive0Rdd))
+        lastInputRdd.unpersist(blocking = false)
+      lastInputRdd = in
       if (nNext == n) r = rounds // stable — remaining rounds are identity
       else { n = nNext; r += 1 }
     }
-    lastDeg
+    PeelResult(lastDeg, alive, aliveRdd, lastInputRdd)
   }
 
   /** `rounds` peeling rounds; returns the survivors with their degree in
@@ -93,9 +116,13 @@ object KCore {
            k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val canon = rebase(canonical(edges, srcCol, dstCol))
-    peelFrom(canon, rebase(allNodes(canon)), k, rounds)
-      .filter(col("deg") >= k)
+    val (canon, _) = rebase(canonical(edges, srcCol, dstCol))
+    val (a0, a0Rdd) = rebase(allNodes(canon))
+    val res = peelFrom(canon, a0, a0Rdd, k, rounds)
+    // the result reads the final DEGREE frame, not the survivor leaf —
+    // release the leaf (it was only needed for the early-exit count)
+    res.aliveRdd.unpersist(blocking = false)
+    res.lastDeg.filter(col("deg") >= k)
   }
 
   /** CAPPED coreness decomposition: every node's core number
@@ -109,16 +136,22 @@ object KCore {
   def corenessCapped(edges: DataFrame, srcCol: String, dstCol: String,
                      kMax: Int, roundsPerK: Int): DataFrame = {
     require(kMax >= 1 && roundsPerK >= 1, "kMax and roundsPerK must be >= 1")
-    val canon = rebase(canonical(edges, srcCol, dstCol))
-    var alive = rebase(allNodes(canon))
+    val (canon, _) = rebase(canonical(edges, srcCol, dstCol))
+    var (alive, aliveRdd) = rebase(allNodes(canon))
     var result: DataFrame = null
     for (k <- 1 to kMax) {
-      val next = rebase(peelFrom(canon, alive, k, roundsPerK)
-        .filter(col("deg") >= k).select(col("node")))
+      // the level's survivors ARE peelFrom's materialized alive leaf — no
+      // second rebase; its last degree-frame input is dead once the leaf
+      // exists (unless it is this level's own input, which the removed-set
+      // anti-join below still reads)
+      val res = peelFrom(canon, alive, aliveRdd, k, roundsPerK)
+      if (res.lastInputRdd ne aliveRdd)
+        res.lastInputRdd.unpersist(blocking = false)
+      val next = res.alive
       val removed = alive.join(next, Seq("node"), "left_anti")
         .select(col("node"), lit((k - 1).toLong).as("coreness"))
       result = if (result == null) removed else result.unionByName(removed)
-      alive = next
+      alive = next; aliveRdd = res.aliveRdd
     }
     result.unionByName(
       alive.select(col("node"), lit(kMax.toLong).as("coreness")))
@@ -132,16 +165,23 @@ object KCore {
   def core(edges: DataFrame, srcCol: String, dstCol: String,
            k: Int, maxRounds: Int = 1000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val canon = rebase(canonical(edges, srcCol, dstCol))
-    var alive = rebase(allNodes(canon))
+    val (canon, _) = rebase(canonical(edges, srcCol, dstCol))
+    var (alive, aliveRdd) = rebase(allNodes(canon))
     var n = alive.count()
+    var degRdd: org.apache.spark.rdd.RDD[Row] = null
     var r = 0
     while (r < maxRounds) {
-      val deg = rebase(roundDegrees(canon, alive))
+      val (deg, dR) = rebase(roundDegrees(canon, alive))
       val next = deg.filter(col("deg") >= k)
-      val nNext = next.count()
+      val nNext = next.count() // materializes dR
+      // dR cut the lineage: the previous degree leaf and this round's
+      // input leaf are both superseded (Closure's unpersist discipline)
+      if (degRdd != null) degRdd.unpersist(blocking = false)
+      degRdd = dR
+      aliveRdd.unpersist(blocking = false)
       if (nNext == n) return deg.filter(col("deg") >= k)
-      alive = rebase(next.select(col("node")))
+      val (a2, aR) = rebase(next.select(col("node")))
+      alive = a2; aliveRdd = aR
       n = nNext
       r += 1
     }

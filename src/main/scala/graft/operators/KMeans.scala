@@ -130,11 +130,21 @@ object KMeans {
     */
   def assign(points: DataFrame, idCol: String, vecCol: String,
              k: Int = 8, iterations: Int = 5,
-             scale: Long = 1000000L): DataFrame = {
-    val (pts, centroids) = fit(points, idCol, vecCol, k, iterations, scale)
+             scale: Long = 1000000L): DataFrame =
+    assignCore(points, idCol, vecCol, k, iterations, scale)._1
+
+  /** [[assign]] plus the cached point-leaf RDD the returned frame reads,
+    * so a caller that materializes a derivation of the assignment (e.g.
+    * [[assignTwoLevel]]'s fine leaf) can release the cache instead of
+    * letting it outlive its use (the Closure unpersist discipline).
+    */
+  private def assignCore(points: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iterations: Int, scale: Long):
+      (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val (pts, centroids, rdd) = fitCore(points, idCol, vecCol, k, iterations, scale)
     val b = points.sparkSession.sparkContext.broadcast(centroids)
-    pts.select(col("__id").as(idCol),
-      KMeans.nearestCentroidBcast(col("__x"), b).as("cluster"))
+    (pts.select(col("__id").as(idCol),
+      KMeans.nearestCentroidBcast(col("__x"), b).as("cluster")), rdd)
   }
 
   /** The Lloyd training core behind [[assign]], exposed for consumers
@@ -149,6 +159,13 @@ object KMeans {
   def fit(points: DataFrame, idCol: String, vecCol: String,
           k: Int, iterations: Int,
           scale: Long = 1000000L): (DataFrame, Array[Array[Long]]) = {
+    val (pts, centroids, _) = fitCore(points, idCol, vecCol, k, iterations, scale)
+    (pts, centroids)
+  }
+
+  private def fitCore(points: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iterations: Int, scale: Long):
+      (DataFrame, Array[Array[Long]], org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     require(k >= 1, "k must be >= 1")
     require(iterations >= 0, "iterations must be >= 0")
     val spark = points.sparkSession
@@ -204,7 +221,7 @@ object KMeans {
       i += 1
     }
 
-    (pts, centroids)
+    (pts, centroids, rdd)
   }
 
   /** TWO-LEVEL Lloyd — the scale path past flat k-means' per-point k·d
@@ -248,7 +265,7 @@ object KMeans {
     // ⌈√k⌉ — IEEE sqrt is correctly rounded, so DuckDB's
     // ceil(sqrt(k)) lands on the identical integer
     val k1 = math.ceil(math.sqrt(kTotal.toDouble)).toInt
-    val coarse = assign(points, idCol, vecCol, k = k1,
+    val (coarse, coarseRdd) = assignCore(points, idCol, vecCol, k = k1,
       iterations = iterations, scale = scale)
 
     val scaled0 = points.select(
@@ -273,6 +290,11 @@ object KMeans {
         lit(maxK.toLong)))
       .select(col("__g"), (col("__rn") - 1).cast("int").as("cid"), col("__x"))
       .collect()
+    // the collect above materialized the fine leaf (join of points with the
+    // coarse assignment) — the coarse fit's point cache is now lineage-only
+    // and every later pass reads the fine leaf, so release it here instead
+    // of letting it double storage until the harness sweep
+    coarseRdd.unpersist(blocking = false)
     require(initRows.nonEmpty, "two-level k-means needs at least one point")
     val d = initRows.head.getSeq[Long](2).length
     var cents: Map[Int, Array[Array[Long]]] = initRows

@@ -61,21 +61,36 @@ object KTruss {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
 
-    def rebase(df: DataFrame): DataFrame = {
+    def rebase(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd
       rdd.cache()
-      spark.createDataFrame(rdd, df.schema)
+      (spark.createDataFrame(rdd, df.schema), rdd)
     }
 
-    var alive = rebase(canonical(edges, srcCol, dstCol))
+    var (alive, aliveRdd) = rebase(canonical(edges, srcCol, dstCol))
     var lastSup: DataFrame = null
+    var lastInputRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var n = -1L // unknown on entry; first round always runs
     var r = 0
     while (r < rounds) {
       lastSup = supports(alive)
-      alive = rebase(lastSup.filter(col("support") >= k - 2)
+      val in = aliveRdd
+      val (a2, r2) = rebase(lastSup.filter(col("support") >= k - 2)
         .select(col("a"), col("b")))
-      r += 1
+      alive = a2; aliveRdd = r2
+      val nNext = alive.count() // materializes r2 — `in` is now lineage-only
+      // survivors ⊆ input edges, so count-stable ⇒ set-stable and every
+      // remaining round is the identity: the returned frame is
+      // bit-identical to running all `rounds` (the KCore.peelFrom early
+      // exit, keeping the fixed-round oracle q135 valid). Release the
+      // round-before-last's input leaf (its support frame was overwritten);
+      // keep `in` — the returned lastSup still reads it.
+      if (lastInputRdd != null) lastInputRdd.unpersist(blocking = false)
+      lastInputRdd = in
+      if (nNext == n) r = rounds else { n = nNext; r += 1 }
     }
+    // the result reads the final SUPPORT frame, not the survivor leaf
+    aliveRdd.unpersist(blocking = false)
     lastSup.filter(col("support") >= k - 2)
   }
 
@@ -87,21 +102,28 @@ object KTruss {
     require(k >= 3, s"k must be >= 3 (k-2 triangles per edge), got $k")
     val spark = edges.sparkSession
 
-    def rebase(df: DataFrame): DataFrame = {
+    def rebase(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd
       rdd.cache()
-      spark.createDataFrame(rdd, df.schema)
+      (spark.createDataFrame(rdd, df.schema), rdd)
     }
 
-    var alive = rebase(canonical(edges, srcCol, dstCol))
+    var (alive, aliveRdd) = rebase(canonical(edges, srcCol, dstCol))
     var n = alive.count()
+    var supRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var r = 0
     while (r < maxRounds) {
-      val sup = rebase(supports(alive))
+      val (sup, sR) = rebase(supports(alive))
       val next = sup.filter(col("support") >= k - 2)
-      val nNext = next.count()
+      val nNext = next.count() // materializes sR
+      // sR cut the lineage: the previous support leaf and this round's
+      // input leaf are both superseded (Closure's unpersist discipline)
+      if (supRdd != null) supRdd.unpersist(blocking = false)
+      supRdd = sR
+      aliveRdd.unpersist(blocking = false)
       if (nNext == n) return sup.filter(col("support") >= k - 2)
-      alive = rebase(next.select(col("a"), col("b")))
+      val (a2, aR) = rebase(next.select(col("a"), col("b")))
+      alive = a2; aliveRdd = aR
       n = nNext
       r += 1
     }

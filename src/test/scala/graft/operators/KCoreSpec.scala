@@ -96,6 +96,19 @@ class KCoreSpec extends AnyFunSuite with SparkSpec {
     assert(KCore.core(edges.toDF("src", "dst"), "src", "dst", 6).isEmpty)
   }
 
+  test("a 10-round peel leaves at most the canon + two round leaves cached") {
+    graft.Storage.releaseAll(spark)
+    // a 40-node path peels 2 endpoints per round at k=2 — all 10 scheduled
+    // rounds do work, so before the unpersist discipline this pinned 11+
+    // survivor leaves; now: canon + the caller-owned node set + the final
+    // degree frame's input leaf (the returned frame still reads it)
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    KCore.peel(chain, "src", "dst", k = 2, rounds = 10).collect()
+    val cached = spark.sparkContext.getPersistentRDDs.size
+    assert(cached <= 4, s"peel left $cached cached RDDs")
+    graft.Storage.releaseAll(spark)
+  }
+
   test("plan is equi-joins only — no cartesian product") {
     val p = KCore.peel(edges.toDF("src", "dst"), "src", "dst", 3, 2)
       .queryExecution.executedPlan.toString
