@@ -1800,7 +1800,10 @@ object SparkEntry {
   //      user's latest click at-or-before it (the marketing-attribution
   //      classic), composed from the q31 as-of join (tag+union+window,
   //      no join node) + one aggregate per touch. Money sums in exact
-  //      cents (the q33 idiom) so no float-order hazard. ----
+  //      cents (the q33 idiom) so no float-order hazard; ts-tied clicks
+  //      break deterministically to the HIGHEST click_id on both engines
+  //      (the q147 (ts, event_id) discipline — plain ASOF leaves the
+  //      winner partition-order-dependent on either side). ----
   private def q146(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir).events
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -1808,7 +1811,7 @@ object SparkEntry {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
     ops.AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts",
-        Seq("click_id"))
+        Seq("click_id"), rightTieCols = Seq("click_id"))
       .filter(col("click_id").isNotNull)
       .groupBy(col("click_id"))
       .agg(count(lit(1)).as("n_purch"),
@@ -3155,21 +3158,26 @@ object SparkEntry {
         |SELECT 1, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s1)
         |UNION ALL
         |SELECT 2, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s2)""".stripMargin,
-    // q146: DuckDB's ASOF join is the oracle for the tag+union+window
-    // form (q31 precedent); >= matches the right-before-left tie order.
+    // q146: arg-max replay of the tag+union+window form — a plain DuckDB
+    // ASOF would pick an ARBITRARY click among ts ties, exactly the
+    // nondeterminism the Spark side's rightTieCols eliminates; the
+    // row_number tiebreak (ts DESC, click_id DESC) pins the same winner.
+    // Purchases with no prior click drop at the click_id IS NOT NULL
+    // filter either way, so the inner join is the left join here.
     "q146_attribution" ->
       """WITH att AS (
         |  SELECT c.click_id, p.value
-        |  FROM (SELECT user_id, ts, value FROM events
+        |  FROM (SELECT event_id AS pid, user_id, ts, value FROM events
         |        WHERE event_type = 'purchase') p
-        |  ASOF LEFT JOIN
-        |       (SELECT user_id, ts, event_id AS click_id FROM events
+        |  JOIN (SELECT user_id, ts, event_id AS click_id FROM events
         |        WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |  QUALIFY row_number() OVER (PARTITION BY p.pid
+        |    ORDER BY c.ts DESC, c.click_id DESC) = 1
         |)
         |SELECT click_id, CAST(count(*) AS BIGINT) AS n_purch,
         |       CAST(sum(round(value * 100, 0)) AS BIGINT) AS total_cents
-        |FROM att WHERE click_id IS NOT NULL GROUP BY 1""".stripMargin,
+        |FROM att GROUP BY 1""".stripMargin,
     // q147: the closed-form window replay — s = P − min(0, running min P)
     // over prefix sums of (cents − k); alarms are upcrossings. All
     // integers through three window functions (a list_reduce fold was

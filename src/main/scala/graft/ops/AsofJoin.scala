@@ -24,9 +24,17 @@ object AsofJoin {
     * @param keyCols   equi-join keys
     * @param tsCol     event-time column name (present on both sides)
     * @param valueCols right columns to carry; must not clash with left names
+    * @param rightTieCols right columns breaking ties among right rows that
+    *                  share a timestamp: the row with the HIGHEST tie tuple
+    *                  wins. Without one, which of several equal-ts right
+    *                  rows is attached is partition-order-dependent — fine
+    *                  when the right key (key, ts) is unique, a
+    *                  nondeterminism hazard otherwise (pass the right
+    *                  side's unique id).
     */
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-               tsCol: String, valueCols: Seq[String]): DataFrame = {
+               tsCol: String, valueCols: Seq[String],
+               rightTieCols: Seq[String] = Nil): DataFrame = {
     val clash = valueCols.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"valueCols clash with left columns: $clash")
 
@@ -34,17 +42,23 @@ object AsofJoin {
     // the whole right row travels as one struct: the struct itself is the
     // non-null "a right row exists here" marker, so right values that are
     // genuinely null still win over older rows (exact as-of semantics)
+    val tieNames = rightTieCols.indices.map(i => s"__tie$i")
     val r = right
-      .select((keyCols :+ tsCol).map(col) :+ struct(valueCols.map(col): _*).as("__rv"): _*)
+      .select((keyCols :+ tsCol).map(col)
+        ++ rightTieCols.zip(tieNames).map { case (c, n) => col(c).as(n) }
+        :+ struct(valueCols.map(col): _*).as("__rv"): _*)
       .withColumn("__side", lit(0))
     val unioned = Relational.unionByNameFill(Seq(l, r))
 
+    // order: ts, then right-before-left at equal ts, then the tie tuple
+    // ascending so `last` picks the highest (left rows carry null ties and
+    // are already separated by __side)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol) +: col("__side") +: tieNames.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
 
     val unpacked = valueCols.foldLeft(filled)((d, c) => d.withColumn(c, col("__rv")(c)))
-    unpacked.filter(col("__side") === 1).drop("__side", "__rv")
+    unpacked.filter(col("__side") === 1).drop("__side" +: "__rv" +: tieNames: _*)
   }
 }

@@ -29,6 +29,25 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L).contains(4.0))
   }
 
+  test("rightTieCols: ts-tied right rows resolve to the highest tie value") {
+    // two clicks at the SAME ts: without a tiebreak the winner is
+    // partition-order-dependent; with one, the highest id wins — at every
+    // input partitioning
+    val probes = Seq((1L, "u1", 300L)).toDF("event_id", "k", "ts")
+    val refs = Seq(("u1", 300L, 7L), ("u1", 300L, 9L), ("u1", 200L, 99L))
+      .toDF("k", "ts", "click_id")
+    for (np <- Seq(1, 3, 7)) {
+      val got = AsofJoin.backward(probes, refs.repartition(np), Seq("k"), "ts",
+          Seq("click_id"), rightTieCols = Seq("click_id"))
+        .collect().map(_.getLong(3))
+      assert(got.toSeq == Seq(9L), s"np=$np: ${got.toSeq}")
+    }
+    // tie helper columns must not leak into the output schema
+    val cols = AsofJoin.backward(probes, refs, Seq("k"), "ts",
+      Seq("click_id"), rightTieCols = Seq("click_id")).columns.toSeq
+    assert(cols == Seq("event_id", "k", "ts", "click_id"), cols)
+  }
+
   test("value columns must not clash with left columns") {
     assertThrows[IllegalArgumentException] {
       AsofJoin.backward(left, right.withColumnRenamed("v", "ts2")
