@@ -2273,6 +2273,19 @@ object SparkEntry {
       .drop("__prior")
   }
 
+  // ---- q162: set-similarity join, SPARSE-regime sibling of q114 —
+  //      identical operator and corpus at τ = 0.95. q114's τ = 0.9 emits
+  //      ~965k true pairs at sf0.1 (8% of ALL pairs — the corpus is
+  //      self-similar), so its wall-clock measures RESULT SERIALIZATION
+  //      more than the prefix-filtered join; this gate's ~5×-smaller
+  //      output keeps the measurement on the join machinery. Both stay:
+  //      q114 pins dense-regime correctness, q162 is the bench signal. ----
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    operators.SetSimJoin.joinSelf(
+      Tables(s, dir).documents.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks")),
+      "doc_id", "toks", tau = 0.95)
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2452,6 +2465,7 @@ object SparkEntry {
     "q159_watermark_lag"   -> q159 _,
     "q160_grouping_sets"   -> q160 _,
     "q161_vocab_growth"    -> q161 _,
+    "q162_setsim_sparse"   -> q162 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2871,6 +2885,21 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
         |        / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
         |      >= 0.9""".stripMargin,
+    // q162: q114's quadratic-definition oracle at the sparse τ = 0.95.
+    "q162_setsim_sparse" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS ts
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |         / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+        |         AS jaccard
+        |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |        / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+        |      >= 0.95""".stripMargin,
     // q115: the oracle replays the month-range semantics with
     // generate_series + anti join; counts are exact integers and gap
     // endpoints are DATEs, so the compare is type- and value-exact.
