@@ -84,7 +84,17 @@ object BpeMerges {
   def merges(docs: DataFrame, idCol: String, tokensCol: String,
              numMerges: Int): DataFrame = {
     val (_, rules) = learn(docs, idCol, tokensCol, numMerges)
-    docs.sparkSession.createDataFrame(
+    rulesFrame(docs.sparkSession, rules)
+  }
+
+  /** An already-learned rule list as the [[merges]] gate frame — split out
+    * so a caller holding memoized rules (SparkEntry shares ONE fit across
+    * the q131/q132/q134 gates) materializes the identical shape without
+    * re-training.
+    */
+  def rulesFrame(spark: org.apache.spark.sql.SparkSession,
+                 rules: Seq[Rule]): DataFrame =
+    spark.createDataFrame(
       java.util.Arrays.asList(rules.map(r =>
         Row(r.round, r.left, r.right, r.count)): _*),
       StructType(Seq(
@@ -92,20 +102,25 @@ object BpeMerges {
         StructField("left_sym", StringType, nullable = false),
         StructField("right_sym", StringType, nullable = false),
         StructField("pair_count", LongType, nullable = false))))
-  }
 
   /** Symbol frequencies of the post-merge corpus, top `topK` by
     * (count desc, symbol) — exercises every apply round end-to-end
     * (q132's gate shape).
     */
   def finalSymbolCounts(docs: DataFrame, idCol: String, tokensCol: String,
-                        numMerges: Int, topK: Int): DataFrame = {
-    val (st, _) = learn(docs, idCol, tokensCol, numMerges)
+                        numMerges: Int, topK: Int): DataFrame =
+    symbolCounts(learn(docs, idCol, tokensCol, numMerges)._1, topK)
+
+  /** Symbol frequencies of a post-merge state frame (`syms` column), top
+    * `topK` by (count desc, symbol) — the counting tail of
+    * [[finalSymbolCounts]], callable on an [[applyRules]] re-encode (the
+    * two states are spec-pinned identical on the training corpus).
+    */
+  def symbolCounts(st: DataFrame, topK: Int): DataFrame =
     st.select(explode(col("syms")).as("sym"))
       .groupBy(col("sym")).agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("sym"))
       .limit(topK)
-  }
 
   /** Apply an already-learned rule list in round order — the INFERENCE
     * twin of [[learn]]: encode new text with a trained vocabulary. The

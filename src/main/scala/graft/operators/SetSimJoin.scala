@@ -48,6 +48,15 @@ object SetSimJoin {
   private sealed trait Measure {
     def cmin(n: Column): Column
     def lengthOk(na: Column, nb: Column): Column
+    /** PAIR-level minimum qualifying intersection α(na, nb) for the
+      * POSITIONAL filter (slacked downward like [[cmin]]): at a prefix
+      * collision at 1-based positions (i, j) the overlap is at most
+      * 1 + min(na−i, nb−j) when no earlier token is shared, so a
+      * qualifying pair's FIRST common token always satisfies
+      * 1 + min(na−i, nb−j) >= α — filtering collisions on it before the
+      * pair-dedup is lossless (Xiao et al. 2008, §3.2).
+      */
+    def pairMinOverlap(na: Column, nb: Column): Column
     def simName: String
     def sim(c: Column, na: Column, nb: Column): Column
     def keep(sim: Column): Column
@@ -57,6 +66,8 @@ object SetSimJoin {
     def cmin(n: Column): Column = ceil(n * lit(tau) - lit(1e-6)).cast("int")
     def lengthOk(na: Column, nb: Column): Column =
       na >= nb * lit(tau) - lit(1e-6) && nb >= na * lit(tau) - lit(1e-6)
+    def pairMinOverlap(na: Column, nb: Column): Column =
+      ceil((na + nb) * lit(tau / (1.0 + tau)) - lit(1e-6)).cast("int")
     def simName = "jaccard"
     def sim(c: Column, na: Column, nb: Column): Column =
       c.cast("double") / (na + nb - c)
@@ -68,6 +79,8 @@ object SetSimJoin {
     def cmin(n: Column): Column = ceil(n * lit(t2) - lit(1e-6)).cast("int")
     def lengthOk(na: Column, nb: Column): Column =
       na >= nb * lit(t2) - lit(1e-6) && nb >= na * lit(t2) - lit(1e-6)
+    def pairMinOverlap(na: Column, nb: Column): Column =
+      ceil(sqrt((na * nb).cast("double")) * lit(tau) - lit(1e-6)).cast("int")
     def simName = "cosine"
     def sim(c: Column, na: Column, nb: Column): Column =
       c.cast("double") / sqrt((na * nb).cast("double"))
@@ -79,6 +92,8 @@ object SetSimJoin {
     def cmin(n: Column): Column = ceil(n * lit(r) - lit(1e-6)).cast("int")
     def lengthOk(na: Column, nb: Column): Column =
       na >= nb * lit(r) - lit(1e-6) && nb >= na * lit(r) - lit(1e-6)
+    def pairMinOverlap(na: Column, nb: Column): Column =
+      ceil((na + nb) * lit(tau / 2.0) - lit(1e-6)).cast("int")
     def simName = "dice"
     def sim(c: Column, na: Column, nb: Column): Column =
       (c * 2).cast("double") / (na + nb)
@@ -88,6 +103,7 @@ object SetSimJoin {
   private final case class OverlapM(t: Int) extends Measure {
     def cmin(n: Column): Column = lit(t)
     def lengthOk(na: Column, nb: Column): Column = na >= t && nb >= t
+    def pairMinOverlap(na: Column, nb: Column): Column = lit(t)
     def simName = "overlap"
     def sim(c: Column, na: Column, nb: Column): Column = c.cast("long")
     def keep(s: Column): Column = s >= lit(t.toLong)
@@ -146,13 +162,26 @@ object SetSimJoin {
       .select(col("doc_id"), col("n"), col("ots"), col("p"))
 
     val pre = ordered.select(col("doc_id"), col("n"),
-      explode(slice(col("ots"), lit(1), col("p"))).as("ptok"))
-    val cand = pre.select(col("doc_id").as("doc_a"), col("n").as("na"), col("ptok"))
-      .join(pre.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("ptok")), "ptok")
+      posexplode(slice(col("ots"), lit(1), col("p"))).as(Seq("i0", "ptok")))
+    val cand = pre
+      .select(col("doc_id").as("doc_a"), col("n").as("na"), col("i0").as("ia"), col("ptok"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("i0").as("ib"), col("ptok")), "ptok")
       .filter(col("doc_a") < col("doc_b"))
       // size filter implied by the measure's threshold; slack keeps it
       // prune-only at float boundaries
       .filter(m.lengthOk(col("na"), col("nb")))
+      // POSITIONAL filter (Xiao et al. 2008): at this collision (1-based
+      // positions ia+1, ib+1 in the full rarity order) the overlap cannot
+      // exceed 1 + min(remaining tokens of each side) unless an EARLIER
+      // token is shared — and a qualifying pair's first shared token both
+      // lies in the two prefixes and passes this bound, so dropping
+      // failing collisions before the pair-dedup is lossless. Measured on
+      // the documents corpus (SetSimPosProbe): collisions halve at
+      // mid-τ (26.0M → 10.6M at cosine τ=0.9, verify set −7%), no-op but
+      // also cost-free at the ≥0.95 gate regimes.
+      .filter(lit(1) + least(col("na") - (col("ia") + 1), col("nb") - (col("ib") + 1)) >=
+        m.pairMinOverlap(col("na"), col("nb")))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
 
