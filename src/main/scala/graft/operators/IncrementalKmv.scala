@@ -106,15 +106,6 @@ object IncrementalKmv {
     * before re-initializing a store under a reused name.
     */
   def dropStore(spark: SparkSession, table: String): Unit = {
-    require(!table.contains("."),
-      s"dropStore expects an unqualified table name, got '$table'")
-    val wasKnown = spark.catalog.tableExists(table)
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    if (!wasKnown) {
-      val db = spark.catalog.getDatabase("default").locationUri
-      val loc = new org.apache.hadoop.fs.Path(db, table.toLowerCase)
-      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, table)
   }
 }

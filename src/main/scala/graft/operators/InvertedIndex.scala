@@ -132,21 +132,15 @@ object InvertedIndex {
     require(!table.contains("."),
       s"buildPhraseStore expects an unqualified table name, got '$table'")
     val spark = docs.sparkSession
-    val wasKnown = spark.catalog.tableExists(table)
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val staleLoc: Option[org.apache.hadoop.fs.Path] = path match {
-      case Some(p) => Some(new org.apache.hadoop.fs.Path(p))
-      case None if !wasKnown =>
-        // would-be managed location in the default database — only an
-        // ORPHAN needs cleanup here (dropping a known managed table
-        // already removed its directory)
-        val db = spark.catalog.getDatabase("default").locationUri
-        Some(new org.apache.hadoop.fs.Path(db, table.toLowerCase))
-      case None => None
-    }
-    staleLoc.foreach { loc =>
-      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(loc)) fs.delete(loc, true)
+    path match {
+      case Some(p) =>
+        // external location: data outlives DROP by design — always clear it
+        spark.sql(s"DROP TABLE IF EXISTS `$table`")
+        val loc = new org.apache.hadoop.fs.Path(p)
+        val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(loc)) fs.delete(loc, true)
+      case None =>
+        graft.sources.Sinks.dropTableAndStaleLocation(spark, table)
     }
     val occ = positionalOccurrences(docs, idCol, textCol)
     path match {

@@ -153,17 +153,8 @@ object IvfPq {
     */
   def buildStore(points: DataFrame, idCol: String, vecCol: String,
                  model: Model, table: String): Unit = {
-    require(!table.contains("."),
-      s"buildStore expects an unqualified table name, got '$table'")
     val spark = points.sparkSession
-    val wasKnown = spark.catalog.tableExists(table)
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    if (!wasKnown) {
-      val db = spark.catalog.getDatabase("default").locationUri
-      val loc = new org.apache.hadoop.fs.Path(db, table.toLowerCase)
-      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, table)
     encodeWithCell(points, idCol, vecCol, model)
       .write.mode("overwrite").format("parquet")
       .partitionBy("cell").saveAsTable(table)
@@ -256,14 +247,7 @@ object IvfPq {
                      (c, cid) <- bk.zipWithIndex)
       yield ("book", s, cid, c.toSeq)
     val df = (meta ++ coarse ++ books).toDF("kind", "a", "b", "vals")
-    val wasKnown = spark.catalog.tableExists(table)
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    if (!wasKnown) {
-      val db = spark.catalog.getDatabase("default").locationUri
-      val loc = new org.apache.hadoop.fs.Path(db, table.toLowerCase)
-      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, table)
     df.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 

@@ -345,6 +345,31 @@ object Sinks {
   def csvSingleFile(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Drop `table` and clear any stale MANAGED location a previous session
+    * orphaned — the rebuild discipline every store/model writer shares
+    * (phrase store, KMV store, IVF-PQ store and model), factored here so
+    * the sites cannot drift. Dropping a KNOWN managed table removes its
+    * data with it; the hazard is a warehouse directory surviving without
+    * catalog metadata (in-memory catalog + durable warehouse), where
+    * overwrite-saveAsTable errors LOCATION_ALREADY_EXISTS. That orphan is
+    * removed through the HADOOP FileSystem API — resolving file:, hdfs://,
+    * s3a://, or any other configured scheme alike — and ONLY when the
+    * catalog did not know the table (a non-file warehouse with a healthy
+    * catalog is never touched).
+    */
+  def dropTableAndStaleLocation(spark: SparkSession, table: String): Unit = {
+    require(!table.contains("."),
+      s"dropTableAndStaleLocation expects an unqualified table name, got '$table'")
+    val wasKnown = spark.catalog.tableExists(table)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    if (!wasKnown) {
+      val db = spark.catalog.getDatabase("default").locationUri
+      val loc = new org.apache.hadoop.fs.Path(db, table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+  }
+
   /** Compact a bucketed table in place: rewrite all its data into a fresh
     * table with the SAME bucket/sort spec (read from the catalog), then
     * atomically swap names. Every `mode("append")` to a bucketed table

@@ -220,6 +220,42 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
     dropTable(mt); dropTable(st)
   }
 
+  test("saveModel clears an orphaned warehouse directory; replaces a known table without touching the FS path") {
+    // (a) orphan: a previous session's surviving managed directory with no
+    // catalog entry (in-memory catalog + durable warehouse) must be cleared
+    // through the shared Sinks.dropTableAndStaleLocation discipline
+    val t = "graft_ivfpq_model_orphan"
+    dropTable(t)
+    val db = new java.net.URI(spark.catalog.getDatabase("default").locationUri)
+    val orphan = new java.io.File(
+      if (db.getScheme == null) new java.io.File(db.getPath)
+      else new java.io.File(db), t)
+    orphan.mkdirs()
+    val stale = new java.io.File(orphan, "stale.parquet")
+    java.nio.file.Files.write(stale.toPath, Array[Byte](1, 2, 3))
+    val m = IvfPq.fit(df, "vec_id", "embedding", dim,
+      nlist = 3, m = 2, k = 4, iterations = 1)
+    IvfPq.saveModel(spark, m, t)
+    assert(!stale.exists(), "the stale file must be cleaned before the write")
+    assert(IvfPq.loadModel(spark, t).coarse.length == m.coarse.length)
+    // (b) known table: a re-save goes through the catalog's own overwrite —
+    // the orphan branch must NOT run (a healthy non-file warehouse is never
+    // touched), and the reload reflects the new fit
+    val m2 = IvfPq.fit(df, "vec_id", "embedding", dim,
+      nlist = 5, m = 2, k = 4, iterations = 1)
+    IvfPq.saveModel(spark, m2, t)
+    assert(IvfPq.loadModel(spark, t).coarse.length == 5)
+    dropTable(t)
+  }
+
+  test("saveModel rejects qualified table names (unqualified-name contract)") {
+    val m = IvfPq.fit(df, "vec_id", "embedding", dim,
+      nlist = 3, m = 2, k = 4, iterations = 1)
+    assertThrows[IllegalArgumentException] {
+      IvfPq.saveModel(spark, m, "default.graft_ivfpq_model_bad")
+    }
+  }
+
   test("buildAndSearch end-to-end returns plausible neighbors") {
     val t = "graft_ivfpq_e2e"
     dropTable(t)
