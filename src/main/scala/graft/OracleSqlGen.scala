@@ -1701,6 +1701,52 @@ object OracleSqlGen {
        |SELECT node, deg FROM d$rounds WHERE deg >= $k""".stripMargin
   }
 
+  /** q163: deterministic synchronous label propagation — the q133
+    * ring+hub graph, R unrolled voting rounds: each node's next label is
+    * the most frequent previous-round label among its neighbors, ties to
+    * the smallest label (row_number replay of the struct-min argmax).
+    * MATERIALIZED per the q133 lesson; all integers.
+    */
+  def q163Sql(rounds: Int = 4): String = {
+    val per = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""v$r AS MATERIALIZED (
+         |  SELECT s.u AS node, l.lbl AS lbl, CAST(count(*) AS BIGINT) AS c
+         |  FROM sym s JOIN l$p l ON s.v = l.node
+         |  GROUP BY 1, 2
+         |), l$r AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM v$r
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+       |e0 AS (
+       |  SELECT p_partkey AS x,
+       |         (p_partkey + d.d) % (SELECT n FROM nn) AS y
+       |  FROM part CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS d(d)
+       |  WHERE d.d <= 1 + p_partkey % 5
+       |  UNION ALL
+       |  SELECT p_partkey, (p_partkey + 20 * h.j) % (SELECT n FROM nn)
+       |  FROM part CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS h(j)
+       |  WHERE p_partkey % 20 = 0
+       |),
+       |canon AS MATERIALIZED (
+       |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+       |  FROM e0 WHERE x <> y
+       |),
+       |sym AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM canon
+       |  UNION ALL SELECT b, a FROM canon
+       |),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS node, u AS lbl FROM sym
+       |), $per
+       |SELECT node, lbl AS label FROM l$rounds""".stripMargin
+  }
+
   /** q135: k-truss peeling — the q133 shape at EDGE level: each round
     * enumerates triangles over the survivors (the q118 x<y<z join),
     * counts each edge's support through a 3-way union, keeps

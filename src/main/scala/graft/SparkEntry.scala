@@ -2302,6 +2302,81 @@ object SparkEntry {
         TextFunctions.tokens(col("text")).as("toks")),
       "doc_id", "toks", tau = 0.95)
 
+  // ---- q163: deterministic synchronous label propagation — community
+  //      detection over the q133 ring+hub graph: where q77/q93 resolve
+  //      CONNECTIVITY, this resolves DENSITY neighborhoods (template
+  //      families / topic clusters a curation pass caps by). Synchronous
+  //      rounds + smallest-label ties make round state a pure function
+  //      of (graph, R), so the oracle unrolls the identical 4 rounds. ----
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir).part.select(col("p_partkey").as("k"))
+    val n = p.count()
+    val ring = p.select(col("k"),
+        explode(sequence(lit(1L), lit(1L) + pmod(col("k"), lit(5L)))).as("d"))
+      .select(col("k").as("src"), pmod(col("k") + col("d"), lit(n)).as("dst"))
+    val hubs = p.filter(pmod(col("k"), lit(20)) === 0)
+      .select(col("k"), explode(sequence(lit(1L), lit(5L))).as("j"))
+      .select(col("k").as("src"), pmod(col("k") + col("j") * 20, lit(n)).as("dst"))
+    operators.LabelPropagation.propagate(ring.union(hubs), "src", "dst",
+      rounds = 4)
+  }
+
+  // ---- q164: end-to-end ENTITY RESOLUTION — the composed record-linkage
+  //      pipeline a warehouse dedup actually runs: q113's lossless
+  //      FastSS blocking finds the fuzzy-match PAIRS, connected
+  //      components folds pairs into entity CLUSTERS, singletons resolve
+  //      to themselves, and each entity reports its size plus the
+  //      canonical record (the minimum-id member — a deterministic
+  //      survivorship rule both engines replay). One declarative plan:
+  //      pairs-only shuffles into a node-sized component frame. Records
+  //      are document 24-char prefixes (the q125 corpus — REAL sparse
+  //      fuzzy structure; TPC-H's sequential Supplier#000N names chain
+  //      every record into one giant entity, a degenerate gate). ----
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val recs = Tables(s, dir).documents
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("name"))
+    val pairs = ops.FuzzyJoin.linkSelf(recs, "doc_id", "name", maxDist = 1)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    val comps = operators.ConnectedComponents.components(pairs)
+    val resolved = recs
+      .join(comps.select(col("node").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("entity_id"))
+    resolved.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_records"))
+      .join(recs.select(col("doc_id").as("entity_id"),
+        col("name").as("canonical_name")), "entity_id")
+  }
+
+  // ---- q165/q166: bigram language model — the n-gram leg of the
+  //      quality-filter family (CCNet pairs an LM with the q137
+  //      perceptron). q165 is the TRAINED MODEL's head (top bigrams with
+  //      quantized smoothed conditionals); q166 SCORES every document
+  //      against the model (self-scoring here): score_q sums
+  //      ⌊10⁶·(c(a,b)+1)/(c(a)+V)⌋ per bigram — exact longs end to end,
+  //      because a float log-likelihood neither sums order-independently
+  //      nor replays across engines (the entropy-probe lesson). ----
+  private def q165(s: SparkSession, dir: String): DataFrame =
+    operators.NgramLm.bigramModel(bpeToks(s, dir), "doc_id", "toks")
+      .orderBy(col("c_bigram").desc, col("a"), col("b")).limit(50)
+
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val toks = bpeToks(s, dir)
+    operators.NgramLm.scoreQuantized(toks, toks, "doc_id", "toks")
+  }
+
+  // ---- q167: directed CONTAINMENT join — the asymmetric near-dup
+  //      question (quote / boilerplate-inclusion detection): is ≥98% of
+  //      A's vocabulary inside B? Subject-prefix blocking (container side
+  //      indexes all tokens — containment admits no container-side
+  //      prefix), positional bound, exact verify. ----
+  private def q167(s: SparkSession, dir: String): DataFrame =
+    operators.SetSimJoin.joinSelfContainment(
+      Tables(s, dir).documents.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks")),
+      "doc_id", "toks", tau = 0.98)
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2481,6 +2556,11 @@ object SparkEntry {
     "q160_grouping_sets"   -> q160 _,
     "q161_vocab_growth"    -> q161 _,
     "q162_setsim_sparse"   -> q162 _,
+    "q163_label_prop"      -> q163 _,
+    "q164_entity_resolve"  -> q164 _,
+    "q165_bigram_model"    -> q165 _,
+    "q166_lm_score"        -> q166 _,
+    "q167_containment"     -> q167 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2915,6 +2995,20 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
         |        / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
         |      >= 0.95""".stripMargin,
+    // q167: the quadratic containment definition (both directions — the
+    // measure is asymmetric); one division of exact integer sizes.
+    "q167_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS ts
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts)
+        |         AS containment
+        |FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts)
+        |      >= 0.98""".stripMargin,
     // q115: the oracle replays the month-range semantics with
     // generate_series + anti join; counts are exact integers and gap
     // endpoints are DATEs, so the compare is type- and value-exact.
@@ -3130,6 +3224,83 @@ object SparkEntry {
         |            AS BIGINT) AS cum_vocab
         |FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id""".stripMargin,
     "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
+    "q163_label_prop"       -> OracleSqlGen.q163Sql(),
+    // q164: quadratic lev pairs (the q113 oracle shape over the q125
+    // prefix corpus) + recursive reachability (the q77 pattern) + the
+    // same survivorship arithmetic.
+    "q164_entity_resolve" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS name FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM recs a JOIN recs b ON a.doc_id < b.doc_id
+        |  WHERE levenshtein(a.name, b.name) <= 1
+        |), edges AS (
+        |  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+        |), reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |), comp AS (
+        |  SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+        |), resolved AS (
+        |  SELECT s.doc_id, coalesce(c.component, s.doc_id) AS entity_id
+        |  FROM recs s LEFT JOIN comp c ON c.node = s.doc_id
+        |), ent AS (
+        |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records
+        |  FROM resolved GROUP BY 1
+        |)
+        |SELECT e.entity_id, e.n_records, s.name AS canonical_name
+        |FROM ent e JOIN recs s ON s.doc_id = e.entity_id""".stripMargin,
+    // q165/q166: bigram counts as space-joined grams (tokens are \S+ so
+    // the join char cannot collide); // is DuckDB's floor division —
+    // positive longs, so it equals Spark's IntegralDivide truncation.
+    "q165_bigram_model" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+        |), bg AS (
+        |  SELECT unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS gram
+        |  FROM tok WHERE len(ws) >= 2
+        |), cg AS (
+        |  SELECT gram, CAST(count(*) AS BIGINT) AS c_bigram FROM bg GROUP BY 1
+        |), cc AS (
+        |  SELECT split_part(gram, ' ', 1) AS a, CAST(count(*) AS BIGINT) AS c_context
+        |  FROM bg GROUP BY 1
+        |), vv AS (
+        |  SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab
+        |  FROM (SELECT unnest(ws) AS t FROM tok)
+        |)
+        |SELECT g.a, g.b, g.c_bigram, cc.c_context,
+        |       CAST((1000000 * (g.c_bigram + 1)) // (cc.c_context + vv.vocab)
+        |            AS BIGINT) AS p_q
+        |FROM (SELECT split_part(gram, ' ', 1) AS a, split_part(gram, ' ', 2) AS b,
+        |             c_bigram FROM cg) g
+        |JOIN cc USING (a) CROSS JOIN vv
+        |ORDER BY c_bigram DESC, a, b LIMIT 50""".stripMargin,
+    "q166_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS gram
+        |  FROM tok WHERE len(ws) >= 2
+        |), cg AS (
+        |  SELECT gram, CAST(count(*) AS BIGINT) AS c_bigram FROM bg GROUP BY 1
+        |), cc AS (
+        |  SELECT split_part(gram, ' ', 1) AS a, CAST(count(*) AS BIGINT) AS c_context
+        |  FROM bg GROUP BY 1
+        |), vv AS (
+        |  SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab
+        |  FROM (SELECT unnest(ws) AS t FROM tok)
+        |)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum((1000000 * (cg.c_bigram + 1))
+        |                // (cc.c_context + vv.vocab)) AS BIGINT) AS score_q
+        |FROM bg b
+        |JOIN cg ON cg.gram = b.gram
+        |JOIN cc ON cc.a = split_part(b.gram, ' ', 1)
+        |CROSS JOIN vv
+        |GROUP BY 1""".stripMargin,
     "q135_ktruss"           -> OracleSqlGen.q135Sql(),
     "q136_stream_kmv"       -> OracleSqlGen.q136Sql(),
     "q137_perceptron"       -> OracleSqlGen.q137Sql(),

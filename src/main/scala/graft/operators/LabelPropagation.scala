@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation over an undirected graph (Raghavan et
+  * al. 2007, made DETERMINISTIC): community detection for the curation
+  * graph shapes [[ConnectedComponents]] is too coarse for — a near-dup /
+  * citation / co-occurrence graph is usually ONE giant component, while
+  * its communities (template families, topic clusters, spam rings) are
+  * what a curation pass actually samples or caps by.
+  *
+  * Classic LPA is notoriously nondeterministic (random visit order,
+  * random tie-breaks). This variant replays bit-identically on any
+  * engine: all nodes update SIMULTANEOUSLY each round (synchronous), a
+  * node's new label is the most frequent label among its NEIGHBORS from
+  * the previous round, and ties break to the SMALLEST label — so round
+  * state is a pure function of (graph, round count), and the DuckDB
+  * oracle unrolls the same R rounds as plain CTEs (q163). A fixed round
+  * budget rather than fixpoint detection: synchronous LPA can 2-cycle on
+  * bipartite-ish regions by design, so "fixed R" IS the deterministic
+  * semantics, the [[KCore.peel]] oracle-form discipline.
+  *
+  * Scale shape: one cached symmetric edge list; each round is ONE
+  * shuffle join of edges against the node-sized label frame, a
+  * map-side-combined (node, label) count, and a struct-min argmax —
+  * no driver-side graph state at any point. Labels rebase onto a cached
+  * RDD leaf per round (plan size O(1) in rounds) and each superseded
+  * leaf is released once its successor materializes (the Closure
+  * unpersist discipline). Caller releases the final leaves via
+  * [[graft.Storage.releaseAll]] — the Verify/Bench contract.
+  */
+object LabelPropagation {
+
+  /** `rounds` synchronous rounds from the identity labeling; returns
+    * (node, label). Nodes appear iff they have at least one edge
+    * (an edge list carries no isolated nodes). Labels are the node-id
+    * domain, so `label` doubles as a stable community representative.
+    */
+  def propagate(edges: DataFrame, srcCol: String, dstCol: String,
+                rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+
+    def rebase(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
+      val rdd = df.rdd
+      rdd.cache()
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+
+    val canon = edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val (sym, _) = rebase(canon.select(col("a").as("u"), col("b").as("v"))
+      .union(canon.select(col("b").as("u"), col("a").as("v"))))
+
+    var (labels, labelsRdd) = rebase(
+      sym.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
+
+    var r = 0
+    while (r < rounds) {
+      // each neighbor contributes one vote for its previous-round label;
+      // winner = (count desc, label asc) via one lexicographic struct-min
+      val votes = sym
+        .join(labels.select(col("node").as("v"), col("label")), "v")
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val next = votes
+        .groupBy(col("u"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("w"))
+        .select(col("u").as("node"), col("w.l").as("label"))
+      val (l2, r2) = rebase(next)
+      l2.count() // materializes r2 — the previous leaf is now lineage-only
+      labelsRdd.unpersist(blocking = false)
+      labels = l2; labelsRdd = r2
+      r += 1
+    }
+    labels
+  }
+
+  /** Community roll-up: one row per surviving label with its member
+    * count — the cap/sample planning view (which template families are
+    * big enough to need a per-community cap).
+    */
+  def communitySizes(edges: DataFrame, srcCol: String, dstCol: String,
+                     rounds: Int): DataFrame =
+    propagate(edges, srcCol, dstCol, rounds)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+}

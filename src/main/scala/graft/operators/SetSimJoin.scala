@@ -142,6 +142,60 @@ object SetSimJoin {
     joinBy(df, idCol, tokensCol, OverlapM(minOverlap))
   }
 
+  /** DIRECTED containment pairs: (subject, container) with
+    * |A∩B| / |A| >= tau, A ≠ B — the asymmetric near-dup question the
+    * symmetric measures cannot ask ("is this document mostly a quote of
+    * that one?"): a 50-token excerpt inside a 5000-token page scores
+    * containment 1.0 but Jaccard ~0.01. Containment admits a prefix only
+    * on the SUBJECT side (c >= ⌈τ·na⌉ depends on |A| alone; the container
+    * may be any size), so the classic blocked form indexes the subject's
+    * prefix against ALL container tokens — candidate generation is
+    * |prefix_A| × df(token), still driven by the subject's RAREST tokens,
+    * never a cartesian. The positional bound applies unchanged: at the
+    * pair's first shared token, overlap <= 1 + min(na−i, nb−j), and a
+    * qualifying pair needs >= ⌈τ·na⌉. Both id orientations are emitted
+    * when both directions qualify (containment is not symmetric).
+    */
+  def joinSelfContainment(df: DataFrame, idCol: String, tokensCol: String,
+                          tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val docs = df.select(col(idCol).as("doc_id"), array_distinct(col(tokensCol)).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") > 0)
+    val tok = docs.select(col("doc_id"), col("n"), explode(col("ts")).as("tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = tok.join(dfreq, "tok")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("o"))
+      .withColumn("ots", transform(col("o"), s => s.getField("tok")))
+      .withColumn("p", greatest(
+        col("n") - ceil(col("n") * lit(tau) - lit(1e-6)).cast("int") + 1, lit(1)))
+      .select(col("doc_id"), col("n"), col("ots"), col("p"))
+
+    // subject side: prefix tokens only; container side: EVERY token, with
+    // its position in the same global rarity order
+    val preA = ordered.select(col("doc_id").as("doc_a"), col("n").as("na"),
+      posexplode(slice(col("ots"), lit(1), col("p"))).as(Seq("ia", "ptok")))
+    val allB = ordered.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+      posexplode(col("ots")).as(Seq("ib", "ptok")))
+    val alpha = ceil(col("na") * lit(tau) - lit(1e-6)).cast("int")
+    val cand = preA.join(allB, "ptok")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("nb") >= alpha)
+      .filter(lit(1) + least(col("na") - (col("ia") + 1), col("nb") - (col("ib") + 1)) >= alpha)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
+    val withSets = cand
+      .join(ordered.select(col("doc_id").as("doc_a"), col("ots").as("ta")), "doc_a")
+      .join(ordered.select(col("doc_id").as("doc_b"), col("ots").as("tb")), "doc_b")
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    withSets
+      .withColumn("containment", inter.cast("double") / size(col("ta")))
+      .filter(col("containment") >= lit(tau))
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   private def joinBy(df: DataFrame, idCol: String, tokensCol: String,
                      m: Measure): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), array_distinct(col(tokensCol)).as("ts"))

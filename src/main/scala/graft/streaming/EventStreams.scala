@@ -38,11 +38,24 @@ object EventStreams {
     // same one-flag session requirement as the batch reader — ensured via
     // the documented initializer, never overriding an explicit setting
     graft.Tables.initEventCompat(spark)
-    val schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
-    val raw = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // `events.parquet` is a single FILE in the driver testdata but a
+    // DIRECTORY of part files anywhere Spark wrote the table (every real
+    // deployment): a file needs the glob-filtered read of its parent, a
+    // directory is itself the stream source root (the sf1 probe surfaced
+    // the directory case failing schema inference — the glob matched no
+    // data file inside it).
+    val p = new org.apache.hadoop.fs.Path(dir, "events.parquet")
+    val isDir = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(p).isDirectory
+    val (schema, raw) = if (isDir) {
+      (spark.read.parquet(p.toString).schema,
+        spark.readStream.schema(spark.read.parquet(p.toString).schema)
+          .parquet(p.toString))
+    } else {
+      val s = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+      (s, spark.readStream.schema(s)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    }
     graft.Tables.normalizeEventTs(raw).withColumn("ts", col("ts").cast("timestamp"))
   }
 

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic synchronous LPA invariants: matches an in-memory
+  * reference replay round for round, is invariant to input partitioning
+  * and edge orientation/duplication, and separates two cliques joined by
+  * a bridge into their own communities. The independent end-to-end check
+  * is the q163 oracle (4 rounds unrolled in SQL over the derived
+  * ring+hub graph).
+  */
+class LabelPropagationSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // two K4 cliques {0..3} and {10..13} joined by one bridge 3-10
+  private val edges: Seq[(Long, Long)] = {
+    val c1 = for (i <- 0 to 3; j <- (i + 1) to 3) yield (i.toLong, j.toLong)
+    val c2 = for (i <- 10 to 13; j <- (i + 1) to 13) yield (i.toLong, j.toLong)
+    c1 ++ c2 ++ Seq((3L, 10L))
+  }
+
+  private def refPropagate(rounds: Int): Map[Long, Long] = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val sym = canon ++ canon.map { case (a, b) => (b, a) }
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(labels).view.mapValues(_.size.toLong)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  private def run(rounds: Int, np: Int = 1): Map[Long, Long] = {
+    val df = edges.toDF("src", "dst").repartition(np)
+    val got = LabelPropagation.propagate(df, "src", "dst", rounds)
+      .as[(Long, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    got
+  }
+
+  test("matches the reference replay for each round count") {
+    for (r <- 1 to 4) assert(run(r) == refPropagate(r), s"rounds=$r")
+  }
+
+  test("invariant to partitioning, orientation, and duplicate edges") {
+    val base = run(3)
+    assert(run(3, np = 7) == base)
+    val flipped = edges.map(_.swap) ++ edges // duplicates + reversed
+    val got = LabelPropagation.propagate(
+      flipped.toDF("src", "dst"), "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    assert(got == base)
+  }
+
+  test("two bridged cliques settle into two communities") {
+    val labels = run(4)
+    val c1 = (0L to 3L).map(labels).toSet
+    val c2 = (10L to 13L).map(labels).toSet
+    assert(c1.size == 1, s"clique 1 split: $labels")
+    assert(c2.size == 1, s"clique 2 split: $labels")
+    assert(c1 != c2, s"cliques merged: $labels")
+  }
+
+  test("communitySizes rolls members up per label") {
+    val sizes = LabelPropagation.communitySizes(
+      edges.toDF("src", "dst"), "src", "dst", 4)
+      .as[(Long, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    assert(sizes.values.sum == 8L) // every node counted exactly once
+    assert(sizes.values.toSet == Set(4L)) // two communities of 4
+  }
+
+  test("after a 6-round propagation at most the edge list and two label leaves stay cached") {
+    graft.Storage.releaseAll(spark)
+    LabelPropagation.propagate(edges.toDF("src", "dst"), "src", "dst", 6)
+      .collect()
+    val cached = spark.sparkContext.getPersistentRDDs.size
+    assert(cached <= 2, s"propagate left $cached cached RDDs")
+    graft.Storage.releaseAll(spark)
+  }
+}

@@ -138,4 +138,29 @@ class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
     assert(SetSimJoin.joinSelfOverlap(corpus, "id", "toks", 18)
       .collect().exists(r => r.getInt(0) == 1 && r.getInt(1) == 2))
   }
+
+  test("containment: blocked equals brute force; the measure is asymmetric") {
+    def bruteC(tau: Double) = {
+      val d = corpus.select(col("id"), array_distinct(col("toks")).as("ts"))
+        .filter(size(col("ts")) > 0)
+      val l = d.select(col("id").as("doc_a"), col("ts").as("ta"))
+      val r = d.select(col("id").as("doc_b"), col("ts").as("tb"))
+      val inter = size(array_intersect(col("ta"), col("tb")))
+      l.crossJoin(r).filter(col("doc_a") =!= col("doc_b"))
+        .withColumn("containment", inter.cast("double") / size(col("ta")))
+        .filter(col("containment") >= tau)
+        .select("doc_a", "doc_b", "containment")
+        .collect().map(x => (x.getInt(0), x.getInt(1), x.getDouble(2))).toSet
+    }
+    for (tau <- Seq(1.0, 0.9, 0.85)) {
+      val got = SetSimJoin.joinSelfContainment(corpus, "id", "toks", tau)
+        .collect().map(x => (x.getInt(0), x.getInt(1), x.getDouble(2))).toSet
+      assert(got == bruteC(tau), s"tau=$tau")
+    }
+    // id 2 (18 tokens) ⊂ id 1 (20 tokens): containment(2→1) = 1.0 but
+    // containment(1→2) = 0.9 — only one direction survives τ = 1.0
+    val at1 = SetSimJoin.joinSelfContainment(corpus, "id", "toks", 1.0)
+      .collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+    assert(at1.contains((2, 1)) && !at1.contains((1, 2)))
+  }
 }

@@ -25,7 +25,12 @@ oracles = json.load(open(f"{OUT}/oracle_sql.json"))
 con = duckdb.connect()
 tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
 for t in tables:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    # testdata ships single-file tables; Spark-written probe data (the sf1
+    # inflation) ships directories named t.parquet
+    pat = f"{SF}/{t}.parquet"
+    if os.path.isdir(pat):
+        pat = f"{pat}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
 def canon(df):
     df = df[sorted(df.columns)]
