@@ -2377,6 +2377,19 @@ object SparkEntry {
         TextFunctions.tokens(col("text")).as("toks")),
       "doc_id", "toks", tau = 0.98)
 
+  // ---- q168: WATCHLIST containment — the two-sided sibling of q167:
+  //      a bounded subject set (every 20th document) checked for ≥90%
+  //      vocabulary inclusion against the WHOLE corpus. q167's cost on
+  //      this clone-dense corpus is honest output volume (2.2M true
+  //      pairs at sf0.1); this is the sparse bench signal, and the shape
+  //      a real quote-detection pass runs (specific docs vs corpus). ----
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val toks = bpeToks(s, dir)
+    operators.SetSimJoin.joinContainment(
+      toks.filter(pmod(col("doc_id"), lit(20)) === 0), toks,
+      "doc_id", "toks", tau = 0.9)
+  }
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2561,6 +2574,7 @@ object SparkEntry {
     "q165_bigram_model"    -> q165 _,
     "q166_lm_score"        -> q166 _,
     "q167_containment"     -> q167 _,
+    "q168_quote_watchlist" -> q168 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -3009,6 +3023,21 @@ object SparkEntry {
         |FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
         |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts)
         |      >= 0.98""".stripMargin,
+    // q168: the same quadratic definition restricted to the watchlist
+    // subjects (containers stay the full corpus).
+    "q168_quote_watchlist" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS ts
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts)
+        |         AS containment
+        |FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+        |WHERE a.doc_id % 20 = 0
+        |  AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts)
+        |      >= 0.9""".stripMargin,
     // q115: the oracle replays the month-range semantics with
     // generate_series + anti join; counts are exact integers and gap
     // endpoints are DATEs, so the compare is type- and value-exact.

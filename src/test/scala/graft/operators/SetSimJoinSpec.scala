@@ -163,4 +163,23 @@ class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
       .collect().map(x => (x.getInt(0), x.getInt(1))).toSet
     assert(at1.contains((2, 1)) && !at1.contains((1, 2)))
   }
+
+  test("watchlist containment equals the self join restricted to the subjects") {
+    val subjects = corpus.filter(col("id") % 4 === 0)
+    val got = SetSimJoin.joinContainment(subjects, corpus, "id", "toks", 0.85)
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getDouble(2))).toSet
+    val expect = SetSimJoin.joinSelfContainment(corpus, "id", "toks", 0.85)
+      .filter(col("doc_a") % 4 === 0)
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getDouble(2))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "the subject subset must produce pairs at this tau")
+    // subject tokens the containers never saw must not break the order or
+    // the verify: a fresh subject strictly inside a corpus set still pairs
+    val fresh = Seq((7777, Seq("t0", "t1", "t2", "zz_unseen"))).toDF("id", "toks")
+    val out = SetSimJoin.joinContainment(fresh, corpus, "id", "toks", 0.75)
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getDouble(2)))
+    // 3 of 4 tokens inside ids 1 and 2 → containment 0.75 to both
+    assert(out.map(t => (t._1, t._2)).toSet == Set((7777, 1), (7777, 2)), out.toSeq)
+    assert(out.forall(_._3 == 0.75))
+  }
 }
