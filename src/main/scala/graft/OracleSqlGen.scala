@@ -1747,6 +1747,49 @@ object OracleSqlGen {
        |SELECT node, lbl AS label FROM l$rounds""".stripMargin
   }
 
+  /** q169: the communities-to-curation composition — MinHash candidate
+    * pairs (the shared q22 CTE chain) feed R unrolled LPA voting rounds
+    * (the q163 shape), singletons keep their own label, then the q97
+    * salted-rank cap replays per community. MATERIALIZED per the q133
+    * lesson.
+    */
+  def q169Sql(rounds: Int = 3, cap: Int = 1, shingleK: Int = 3,
+              numHashes: Int = 16, bands: Int = 4, seed: Long = 42L): String = {
+    val per = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""v$r AS MATERIALIZED (
+         |  SELECT s.u AS node, l.lbl AS lbl, CAST(count(*) AS BIGINT) AS c
+         |  FROM sym s JOIN l$p l ON s.v = l.node
+         |  GROUP BY 1, 2
+         |), l$r AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM v$r
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${minhashPairCtes(shingleK, numHashes, bands, seed)}, canon AS MATERIALIZED (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+       |  FROM pairs WHERE doc_a <> doc_b
+       |), sym AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM canon UNION ALL SELECT b, a FROM canon
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS node, u AS lbl FROM sym
+       |), $per, labeled AS (
+       |  SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS community
+       |  FROM documents d LEFT JOIN l$rounds l ON l.node = d.doc_id
+       |)
+       |SELECT doc_id, community, rank_in_group FROM (
+       |  SELECT doc_id, community,
+       |    row_number() OVER (PARTITION BY community ORDER BY
+       |      ${graft.functions.PortableHash.hash60Sql(
+                 "'commcap:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+       |      AS rank_in_group
+       |  FROM labeled) t
+       |WHERE rank_in_group <= $cap""".stripMargin
+  }
+
   /** q135: k-truss peeling — the q133 shape at EDGE level: each round
     * enumerates triangles over the survivors (the q118 x<y<z join),
     * counts each edge's support through a 3-way union, keeps

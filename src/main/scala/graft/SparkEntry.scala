@@ -2390,6 +2390,31 @@ object SparkEntry {
       "doc_id", "toks", tau = 0.9)
   }
 
+  // ---- q169: communities → curation ACTION — the composition that
+  //      closes q163's loop: MinHash candidate pairs (q22 chain) build
+  //      the near-dup graph, 3 synchronous LPA rounds label template
+  //      FAMILIES (finer than q98's components — a giant component
+  //      splits into its dense neighborhoods), singletons keep their
+  //      own label, and the q97 salted draw keeps ONE representative
+  //      per community (cap=1 — the dedup action; at these corpus
+  //      sizes a looser cap never fires, which would leave the filter
+  //      untested). The per-community cap a boilerplate-heavy corpus
+  //      needs where a per-source cap can't see template structure. ----
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = operators.LabelPropagation.propagate(pairs, "src", "dst",
+      rounds = 3)
+    val labeled = docs
+      .join(labels.select(col("node").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("community"))
+    operators.Sampling.capPerGroup(labeled, Seq("community"), "doc_id",
+        cap = 1, salt = "commcap")
+      .select(col("doc_id"), col("community"), col("rank_in_group"))
+  }
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2575,6 +2600,7 @@ object SparkEntry {
     "q166_lm_score"        -> q166 _,
     "q167_containment"     -> q167 _,
     "q168_quote_watchlist" -> q168 _,
+    "q169_community_cap"   -> q169 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -3254,6 +3280,7 @@ object SparkEntry {
         |FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id""".stripMargin,
     "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
     "q163_label_prop"       -> OracleSqlGen.q163Sql(),
+    "q169_community_cap"    -> OracleSqlGen.q169Sql(),
     // q164: quadratic lev pairs (the q113 oracle shape over the q125
     // prefix corpus) + recursive reachability (the q77 pattern) + the
     // same survivorship arithmetic.
