@@ -2415,6 +2415,17 @@ object SparkEntry {
       .select(col("doc_id"), col("community"), col("rank_in_group"))
   }
 
+  // ---- q170: winnowing fingerprints (Schleimer 2003, the MOSS
+  //      algorithm) — robust LOCAL sampling of each doc's k-gram hash
+  //      stream: every w-window's rightmost-min is selected, so any
+  //      ≥ w+k−1 token match between two documents shares a selected
+  //      fingerprint while density stays ~2/(w+1). The fingerprint
+  //      index a plagiarism / near-dup-span pass probes. Pure per-row
+  //      array arithmetic — no shuffle (spec-pinned). ----
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    operators.Winnowing.fingerprints(bpeToks(s, dir), "doc_id", "toks",
+      k = 3, w = 4)
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2601,6 +2612,7 @@ object SparkEntry {
     "q167_containment"     -> q167 _,
     "q168_quote_watchlist" -> q168 _,
     "q169_community_cap"   -> q169 _,
+    "q170_winnowing"       -> q170 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -3281,6 +3293,28 @@ object SparkEntry {
     "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
     "q163_label_prop"       -> OracleSqlGen.q163Sql(),
     "q169_community_cap"    -> OracleSqlGen.q169Sql(),
+    // q170: the winnowing selection replayed with list comprehensions —
+    // same md5-60 gram hashes, same rightmost-min (list_max over the
+    // argmin positions), same complete-window contract.
+    "q170_winnowing" -> {
+      val k = 3; val w = 4
+      val gram = "array_to_string(ws[i:i+" + (k - 1) + "], ' ')"
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    [${functions.PortableHash.hash60Sql(gram)}
+         |     FOR i IN range(1, len(ws) - ${k - 2})] AS hs
+         |  FROM tok WHERE len(ws) >= ${k + w - 1}
+         |), win AS (
+         |  SELECT doc_id, hs, unnest(range(0, len(hs) - ${w - 1})) AS s FROM g
+         |)
+         |SELECT DISTINCT doc_id,
+         |  CAST(list_max([j FOR j IN range(s + 1, s + ${w + 1})
+         |                 IF hs[j] = list_min(hs[s+1:s+$w])]) - 1 AS BIGINT) AS pos,
+         |  list_min(hs[s+1:s+$w]) AS fp
+         |FROM win""".stripMargin
+    },
     // q164: quadratic lev pairs (the q113 oracle shape over the q125
     // prefix corpus) + recursive reachability (the q77 pattern) + the
     // same survivorship arithmetic.

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.PortableHash
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Winnowing invariants: matches a driver-side replay (same portable
+  * hash, same rightmost-min rule), guarantees a shared fingerprint for
+  * any >= w+k-1 token match, samples locally (every window covered),
+  * and excludes short documents. The independent end-to-end check is
+  * the q170 oracle.
+  */
+class WinnowingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val k = 3
+  private val w = 4
+
+  private def hash60(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString.take(15), 16)
+
+  private def refFingerprints(toks: Seq[String]): Set[(Long, Long)] = {
+    if (toks.size < k + w - 1) return Set.empty
+    val hs = toks.sliding(k).map(g => hash60(g.mkString(" "))).toVector
+    (0 to hs.size - w).map { s =>
+      // rightmost minimum of hs[s..s+w-1]
+      val win = (s until s + w).map(j => (hs(j), j))
+      val m = win.map(_._1).min
+      val pos = win.filter(_._1 == m).map(_._2).max
+      (pos.toLong, hs(pos))
+    }.toSet
+  }
+
+  private def run(docs: Seq[(Long, Seq[String])]): Map[Long, Set[(Long, Long)]] =
+    Winnowing.fingerprints(docs.toDF("doc_id", "toks"), "doc_id", "toks", k, w)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+
+  test("matches the driver-side replay, including hash ties to the rightmost") {
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again".split(" ").toSeq,
+      2L -> Seq.fill(12)("same"), // all grams identical: ties everywhere
+      3L -> "a b c d e f".split(" ").toSeq)
+    val got = run(docs)
+    for ((id, toks) <- docs) {
+      val ref = refFingerprints(toks)
+      assert(got.getOrElse(id, Set.empty) == ref, s"doc $id")
+    }
+    // the all-ties doc resolves: rightmost min per window, deduped
+    assert(got(2L).nonEmpty)
+  }
+
+  test("spark-side hash equals the portable hash60 (replay precondition)") {
+    val viaSpark = Seq(Tuple1("x y z")).toDF("s")
+      .select(PortableHash.hash60(col("s"))).as[Long].head()
+    assert(viaSpark == hash60("x y z"))
+  }
+
+  test("a shared run of >= w+k-1 tokens yields a shared fingerprint") {
+    val core = "alpha beta gamma delta epsilon zeta".split(" ").toSeq // w+k-1 = 6
+    val d1 = Seq("xx", "yy") ++ core ++ Seq("zz")
+    val d2 = Seq("qq") ++ core ++ Seq("rr", "ss", "tt")
+    val got = run(Seq(10L -> d1, 20L -> d2))
+    val shared = got(10L).map(_._2).intersect(got(20L).map(_._2))
+    assert(shared.nonEmpty, s"no shared fingerprint: ${got(10L)} vs ${got(20L)}")
+  }
+
+  test("short documents are excluded; the plan never shuffles") {
+    val docs = Seq(1L -> Seq("a", "b", "c", "d", "e"), // 5 < k+w-1 = 6
+      2L -> Seq("a", "b")).toDF("doc_id", "toks")
+    assert(Winnowing.fingerprints(docs, "doc_id", "toks", k, w).isEmpty)
+    val p = Winnowing.fingerprints(docs, "doc_id", "toks", k, w)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+}
