@@ -2426,6 +2426,23 @@ object SparkEntry {
     operators.Winnowing.fingerprints(bpeToks(s, dir), "doc_id", "toks",
       k = 3, w = 4)
 
+  // ---- q171: the winnowing index USED — shared-fingerprint span
+  //      matching: documents sharing ≥2 selected fingerprints have (with
+  //      the q170 guarantee) matching runs; the equi-join on the 60-bit
+  //      fingerprint is the probe an overlap-detection pass runs against
+  //      the fingerprint index, never an all-pairs comparison. ----
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val u = operators.Winnowing.fingerprints(bpeToks(s, dir), "doc_id", "toks",
+        k = 3, w = 4)
+      .select(col("doc_id"), col("fp")).distinct()
+    u.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(u.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 2)
+  }
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2613,7 +2630,31 @@ object SparkEntry {
     "q168_quote_watchlist" -> q168 _,
     "q169_community_cap"   -> q169 _,
     "q170_winnowing"       -> q170 _,
+    "q171_winnow_match"    -> q171 _,
   )
+
+  /** The q170 winnowing selection in DuckDB form, shared verbatim by the
+    * q171 index-probe oracle (constants pinned to the q170/q171 gates).
+    */
+  private val winnowSql: String = {
+    val k = 3; val w = 4
+    val gram = "array_to_string(ws[i:i+" + (k - 1) + "], ' ')"
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    [${functions.PortableHash.hash60Sql(gram)}
+       |     FOR i IN range(1, len(ws) - ${k - 2})] AS hs
+       |  FROM tok WHERE len(ws) >= ${k + w - 1}
+       |), win AS (
+       |  SELECT doc_id, hs, unnest(range(0, len(hs) - ${w - 1})) AS s FROM g
+       |)
+       |SELECT DISTINCT doc_id,
+       |  CAST(list_max([j FOR j IN range(s + 1, s + ${w + 1})
+       |                 IF hs[j] = list_min(hs[s+1:s+$w])]) - 1 AS BIGINT) AS pos,
+       |  list_min(hs[s+1:s+$w]) AS fp
+       |FROM win""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. The hash-family / vector queries (q22, q23, q24,
@@ -3295,26 +3336,17 @@ object SparkEntry {
     "q169_community_cap"    -> OracleSqlGen.q169Sql(),
     // q170: the winnowing selection replayed with list comprehensions —
     // same md5-60 gram hashes, same rightmost-min (list_max over the
-    // argmin positions), same complete-window contract.
-    "q170_winnowing" -> {
-      val k = 3; val w = 4
-      val gram = "array_to_string(ws[i:i+" + (k - 1) + "], ' ')"
-      s"""WITH tok AS (
-         |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
-         |), g AS (
-         |  SELECT doc_id,
-         |    [${functions.PortableHash.hash60Sql(gram)}
-         |     FOR i IN range(1, len(ws) - ${k - 2})] AS hs
-         |  FROM tok WHERE len(ws) >= ${k + w - 1}
-         |), win AS (
-         |  SELECT doc_id, hs, unnest(range(0, len(hs) - ${w - 1})) AS s FROM g
-         |)
-         |SELECT DISTINCT doc_id,
-         |  CAST(list_max([j FOR j IN range(s + 1, s + ${w + 1})
-         |                 IF hs[j] = list_min(hs[s+1:s+$w])]) - 1 AS BIGINT) AS pos,
-         |  list_min(hs[s+1:s+$w]) AS fp
-         |FROM win""".stripMargin
-    },
+    // argmin positions), same complete-window contract. q171 probes the
+    // same selection as a fingerprint index (distinct fps, equi self-join,
+    // >= 2 shared).
+    "q170_winnowing" -> SparkEntry.winnowSql,
+    "q171_winnow_match" ->
+      s"""WITH sel AS (${SparkEntry.winnowSql}),
+         |u AS (SELECT DISTINCT doc_id, fp FROM sel)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(count(*) AS BIGINT) AS shared_fps
+         |FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // q164: quadratic lev pairs (the q113 oracle shape over the q125
     // prefix corpus) + recursive reachability (the q77 pattern) + the
     // same survivorship arithmetic.
