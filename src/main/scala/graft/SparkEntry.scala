@@ -2443,6 +2443,18 @@ object SparkEntry {
       .filter(col("shared_fps") >= 2)
   }
 
+  // ---- q172: INTERPOLATED trigram LM score — the q166 bigram's
+  //      higher-order sibling with Jelinek–Mercer smoothing (6:3:1
+  //      integer weights): unsmoothed trigram ML zeroes out on unseen
+  //      continuations, so each occurrence mixes trigram, bigram, and
+  //      unigram evidence — every term a guarded truncating division of
+  //      exact longs, so the mix replays bit-identically (a float λ-mix
+  //      would not). ----
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val toks = bpeToks(s, dir)
+    operators.NgramLm.trigramScoreQuantized(toks, toks, "doc_id", "toks")
+  }
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2631,6 +2643,7 @@ object SparkEntry {
     "q169_community_cap"   -> q169 _,
     "q170_winnowing"       -> q170 _,
     "q171_winnow_match"    -> q171 _,
+    "q172_trigram_lm"      -> q172 _,
   )
 
   /** The q170 winnowing selection in DuckDB form, shared verbatim by the
@@ -3117,6 +3130,49 @@ object SparkEntry {
         |WHERE a.doc_id % 20 = 0
         |  AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts)
         |      >= 0.9""".stripMargin,
+    // q172: the interpolated trigram replay — same counts, same guarded
+    // floor divisions in the same 6:3:1/10 mix (self-scoring, so every
+    // context is observed and the zero-context guard never fires).
+    "q172_trigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+        |), tg AS (
+        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+        |                         FOR i IN range(1, len(ws) - 1)]) AS g
+        |  FROM tok WHERE len(ws) >= 3
+        |), c3 AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM tg GROUP BY 1
+        |), x3 AS (
+        |  SELECT split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS ab,
+        |         CAST(count(*) AS BIGINT) AS x3
+        |  FROM tg GROUP BY 1
+        |), bg AS (
+        |  SELECT unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS gram
+        |  FROM tok WHERE len(ws) >= 2
+        |), c2 AS (
+        |  SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1
+        |), x2 AS (
+        |  SELECT split_part(gram, ' ', 1) AS b, CAST(count(*) AS BIGINT) AS x2
+        |  FROM bg GROUP BY 1
+        |), c1 AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(ws) AS t FROM tok) GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(ws) AS t FROM tok)
+        |)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  CAST(sum((6000000 * c3.c3) // (10 * x3.x3)
+        |         + (3000000 * c2.c2) // (10 * x2.x2)
+        |         + (1000000 * c1.c1) // (10 * nn.n)) AS BIGINT) AS score_q
+        |FROM tg t
+        |JOIN c3 ON c3.g = t.g
+        |JOIN x3 ON x3.ab = split_part(t.g, ' ', 1) || ' ' || split_part(t.g, ' ', 2)
+        |JOIN c2 ON c2.gram = split_part(t.g, ' ', 2) || ' ' || split_part(t.g, ' ', 3)
+        |JOIN x2 ON x2.b = split_part(t.g, ' ', 2)
+        |JOIN c1 ON c1.t = split_part(t.g, ' ', 3)
+        |CROSS JOIN nn
+        |GROUP BY 1""".stripMargin,
     // q115: the oracle replays the month-range semantics with
     // generate_series + anti join; counts are exact integers and gap
     // endpoints are DATEs, so the compare is type- and value-exact.

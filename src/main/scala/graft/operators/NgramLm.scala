@@ -67,6 +67,77 @@ object NgramLm {
       .select(col("a"), col("b"), col("c_bigram"), col("c_context"), col("p_q"))
   }
 
+  /** Adjacent in-document token TRIPLES: (doc_id, a, b, c) — one row per
+    * occurrence. Documents with fewer than three tokens contribute none.
+    */
+  private def trigrams(docs: DataFrame, idCol: String, toksCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(toksCol).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(zip_with(
+        zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 2),
+          slice(col("ws"), lit(2), size(col("ws")) - 2),
+          (a, b) => struct(a.as("a"), b.as("b"))),
+        slice(col("ws"), lit(3), size(col("ws")) - 2),
+        (ab, c) => struct(ab.getField("a").as("a"), ab.getField("b").as("b"),
+          c.as("c")))).as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"),
+        col("g.c").as("c"))
+
+  /** INTERPOLATED trigram fluency score (Jelinek–Mercer with integer
+    * weights w3:w2:w1, d = w3+w2+w1): per trigram occurrence (a,b,c),
+    *
+    *   q = ⌊w3·scale·c(abc) / (d·ctx(ab))⌋ + ⌊w2·scale·c(bc) / (d·ctx(b))⌋
+    *     + ⌊w1·scale·c(c) / (d·N)⌋
+    *
+    * where ctx(ab)/ctx(b) are trigram/bigram CONTEXT occurrence counts,
+    * c(·) the n-gram occurrence counts, N the total token count — each
+    * term a guarded truncating division of exact longs (a zero context
+    * contributes 0: no information, never a division error), so the score
+    * replays bit-identically on any engine, which a float λ-mix of
+    * float ML estimates would not. Interpolation is what makes the
+    * trigram usable at all: unsmoothed trigram ML zeroes out on any
+    * unseen continuation; here unseen orders gracefully back off to the
+    * lower ones. Output: (doc_id, n_trigrams, score_q); documents under
+    * three tokens never appear.
+    */
+  def trigramScoreQuantized(docs: DataFrame, modelDocs: DataFrame,
+                            idCol: String, toksCol: String,
+                            scale: Long = 1000000L,
+                            w3: Int = 6, w2: Int = 3, w1: Int = 1): DataFrame = {
+    require(scale >= 1 && w3 >= 0 && w2 >= 0 && w1 >= 0 && w3 + w2 + w1 > 0,
+      "scale must be >= 1 and weights non-negative with a positive sum")
+    val d = (w3 + w2 + w1).toLong
+    val tgM = trigrams(modelDocs, idCol, toksCol)
+    val bgM = bigrams(modelDocs, idCol, toksCol)
+    val c3 = tgM.groupBy(col("a"), col("b"), col("c")).agg(count(lit(1)).as("c3"))
+    val x3 = tgM.groupBy(col("a"), col("b")).agg(count(lit(1)).as("x3"))
+    val c2 = bgM.groupBy(col("a").as("b"), col("b").as("c"))
+      .agg(count(lit(1)).as("c2"))
+    val x2 = bgM.groupBy(col("a").as("b")).agg(count(lit(1)).as("x2"))
+    val c1 = modelDocs.select(explode(col(toksCol)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("c1"))
+    val nn = modelDocs.select(explode(col(toksCol)).as("t"))
+      .agg(count(lit(1)).as("nTot"))
+    def term(wt: Long, num: Column, den: Column): Column =
+      when(den > 0,
+        IntOps.intDiv(lit(wt * scale) * coalesce(num, lit(0L)), lit(d) * den))
+        .otherwise(lit(0L))
+    trigrams(docs, idCol, toksCol)
+      .join(c3, Seq("a", "b", "c"), "left")
+      .join(x3, Seq("a", "b"), "left")
+      .join(c2, Seq("b", "c"), "left")
+      .join(x2, Seq("b"), "left")
+      .join(c1, Seq("c"), "left")
+      .join(broadcast(nn))
+      .withColumn("q",
+        term(w3, col("c3"), coalesce(col("x3"), lit(0L))) +
+        term(w2, col("c2"), coalesce(col("x2"), lit(0L))) +
+        term(w1, col("c1"), col("nTot")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("q")).as("score_q"))
+  }
+
   /** Per-document quantized fluency score against the model trained on
     * `modelDocs` (pass the same frame for self-scoring): (doc_id,
     * n_bigrams, score_q) where score_q = Σ ⌊scale·(c(a,b)+1)/(c(a)+V)⌋

@@ -62,6 +62,45 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     assert(!got.contains(3L) && !got.contains(4L))
   }
 
+  test("interpolated trigram score matches a driver-side replay; backoff on unseen orders") {
+    val scale2 = 1000000L; val (w3, w2, w1) = (6L, 3L, 1L); val d = 10L
+    def replay(scoring: Seq[(Long, Seq[String])],
+               model: Seq[(Long, Seq[String])]): Map[Long, (Long, Long)] = {
+      val tg = model.flatMap(_._2.sliding(3).filter(_.size == 3).map(x => (x(0), x(1), x(2))))
+      val bgr = model.flatMap(_._2.sliding(2).filter(_.size == 2).map(x => (x(0), x(1))))
+      val c3 = tg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val x3 = tg.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong).toMap
+      val c2 = bgr.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val x2 = bgr.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val c1 = model.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = model.map(_._2.size.toLong).sum
+      def term(w: Long, num: Long, den: Long): Long =
+        if (den > 0) w * scale2 * num / (d * den) else 0L
+      scoring.flatMap { case (id, ws) =>
+        val qs = ws.sliding(3).filter(_.size == 3).toSeq.map { case Seq(a, b, c) =>
+          term(w3, c3.getOrElse((a, b, c), 0L), x3.getOrElse((a, b), 0L)) +
+          term(w2, c2.getOrElse((b, c), 0L), x2.getOrElse(b, 0L)) +
+          term(w1, c1.getOrElse(c, 0L), n)
+        }
+        if (qs.isEmpty) None else Some(id -> (qs.size.toLong, qs.sum))
+      }.toMap
+    }
+    // self-scoring parity at several partitionings
+    for (np <- Seq(1, 5)) {
+      val df = corpus.toDF("doc_id", "toks").repartition(np)
+      val got = NgramLm.trigramScoreQuantized(df, df, "doc_id", "toks")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == replay(corpus, corpus), s"np=$np")
+    }
+    // fresh text: unseen trigram backs off to bigram+unigram; unseen
+    // context contributes zero instead of dividing by zero
+    val fresh = Seq((8L, Seq("the", "cat", "mat", "zz")))
+    val got = NgramLm.trigramScoreQuantized(fresh.toDF("doc_id", "toks"),
+        corpus.toDF("doc_id", "toks"), "doc_id", "toks")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == replay(fresh, corpus))
+  }
+
   test("unseen bigrams and contexts score at the smoothing floor, never null") {
     val model = corpus.toDF("doc_id", "toks")
     val fresh = Seq((9L, Seq("zz", "qq", "the"))).toDF("doc_id", "toks")
