@@ -2455,6 +2455,14 @@ object SparkEntry {
     operators.NgramLm.trigramScoreQuantized(toks, toks, "doc_id", "toks")
   }
 
+  // ---- q173: equi-depth RANGE PLANNING — split points for a balanced
+  //      range write chosen from exact quantiles (reproducible where
+  //      repartitionByRange's sampling is not), plus the realized bucket
+  //      occupancy that shows skew BEFORE a 100 TB write. ----
+  private def q173(s: SparkSession, dir: String): DataFrame =
+    ops.RangePlanner.equiDepth(Tables(s, dir).lineitem,
+      round(col("l_extendedprice") * 100, 0).cast("long"), buckets = 8)
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2644,6 +2652,7 @@ object SparkEntry {
     "q170_winnowing"       -> q170 _,
     "q171_winnow_match"    -> q171 _,
     "q172_trigram_lm"      -> q172 _,
+    "q173_range_plan"      -> q173 _,
   )
 
   /** The q170 winnowing selection in DuckDB form, shared verbatim by the
@@ -3173,6 +3182,32 @@ object SparkEntry {
         |JOIN c1 ON c1.t = split_part(t.g, ' ', 3)
         |CROSS JOIN nn
         |GROUP BY 1""".stripMargin,
+    // q173: quantile_cont split points (bit-identical to exactQuantiles,
+    // the q40 pinning) + the same boundary-goes-left bucket arithmetic.
+    "q173_range_plan" -> {
+      val b = 8
+      val qdefs = (1 until b).map(j =>
+        s"quantile_cont(CAST(v AS DOUBLE), ${j.toDouble / b}) AS b$j").mkString(", ")
+      val bexpr = (1 until b).map(j =>
+        s"CASE WHEN CAST(v AS DOUBLE) > b$j THEN 1 ELSE 0 END").mkString(" + ")
+      val lo = (1 until b).map(j => s"WHEN $j THEN b$j").mkString(" ")
+      val hi = (0 until b - 1).map(j => s"WHEN $j THEN b${j + 1}").mkString(" ")
+      s"""WITH v AS (
+         |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+         |), b AS (
+         |  SELECT $qdefs FROM v
+         |), a AS (
+         |  SELECT CAST($bexpr AS BIGINT) AS bucket FROM v CROSS JOIN b
+         |), c AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows FROM a GROUP BY 1
+         |)
+         |SELECT c.bucket,
+         |  CASE c.bucket $lo ELSE NULL END AS lo,
+         |  CASE c.bucket $hi ELSE NULL END AS hi,
+         |  c.n_rows
+         |FROM c CROSS JOIN b""".stripMargin
+    },
     // q115: the oracle replays the month-range semantics with
     // generate_series + anti join; counts are exact integers and gap
     // endpoints are DATEs, so the compare is type- and value-exact.
