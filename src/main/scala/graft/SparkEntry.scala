@@ -2463,6 +2463,19 @@ object SparkEntry {
     ops.RangePlanner.equiDepth(Tables(s, dir).lineitem,
       round(col("l_extendedprice") * 100, 0).cast("long"), buckets = 8)
 
+  // ---- q174: TRAINED language ID (Cavnar–Trenkle 1994 rank profiles) —
+  //      the learned counterpart of q21's stopword heuristic: per-lang
+  //      char-trigram rank profiles from the labeled corpus, classify by
+  //      summed rank displacement with an out-of-place penalty. Total-
+  //      order ties throughout, so train + classify replay exactly. ----
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val prof = operators.LangIdProfiles.trainProfiles(docs, "lang", "text",
+      topK = 50)
+    operators.LangIdProfiles.classify(docs, "doc_id", "text", prof,
+      topM = 20, penalty = 50L)
+  }
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2653,6 +2666,7 @@ object SparkEntry {
     "q171_winnow_match"    -> q171 _,
     "q172_trigram_lm"      -> q172 _,
     "q173_range_plan"      -> q173 _,
+    "q174_ct_langid"       -> q174 _,
   )
 
   /** The q170 winnowing selection in DuckDB form, shared verbatim by the
@@ -3208,6 +3222,43 @@ object SparkEntry {
          |  c.n_rows
          |FROM c CROSS JOIN b""".stripMargin
     },
+    // q174: the rank-profile replay — same char trigrams, same
+    // (count desc, gram asc) rank windows, same out-of-place fold, same
+    // (distance, lang) argmin.
+    "q174_ct_langid" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3
+        |), g AS (
+        |  SELECT doc_id, lang,
+        |    unnest([text[i:i+2] FOR i IN range(1, length(text) - 1)]) AS gram
+        |  FROM d
+        |), lc AS (
+        |  SELECT lang, gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2
+        |), lp AS (
+        |  SELECT lang, gram, CAST(rank AS BIGINT) AS rank FROM (
+        |    SELECT lang, gram,
+        |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram ASC) AS rank
+        |    FROM lc) WHERE rank <= 50
+        |), dc AS (
+        |  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2
+        |), dp AS (
+        |  SELECT doc_id, gram, CAST(drank AS BIGINT) AS drank FROM (
+        |    SELECT doc_id, gram,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS drank
+        |    FROM dc) WHERE drank <= 20
+        |), langs AS (
+        |  SELECT DISTINCT lang FROM lp
+        |), dist AS (
+        |  SELECT dp.doc_id, l.lang,
+        |         CAST(sum(coalesce(abs(dp.drank - lp.rank), 50)) AS BIGINT) AS dist
+        |  FROM dp CROSS JOIN langs l
+        |  LEFT JOIN lp ON lp.lang = l.lang AND lp.gram = dp.gram
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, lang AS pred_lang, dist AS distance FROM (
+        |  SELECT doc_id, lang, dist,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+        |  FROM dist) WHERE rn = 1""".stripMargin,
     // q115: the oracle replays the month-range semantics with
     // generate_series + anti join; counts are exact integers and gap
     // endpoints are DATEs, so the compare is type- and value-exact.
