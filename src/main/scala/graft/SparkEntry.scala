@@ -2476,6 +2476,16 @@ object SparkEntry {
       topM = 20, penalty = 50L)
   }
 
+  // ---- q175: sign random projection (Achlioptas 2003 / JL) — the
+  //      embedding shrink step before LSH/IVF: y_j = Σ sign(i,j)·x_i
+  //      over scaled longs, signs the parity of the portable hash of
+  //      (salt, i, j) — matrix-free, RNG-free, every component an exact
+  //      commutative sum, so the projection replays bit-identically and
+  //      never rewrites existing rows as the corpus grows. ----
+  private def q175(s: SparkSession, dir: String): DataFrame =
+    operators.RandomProjection.projectSigned(
+      Tables(s, dir).embeddings, "vec_id", "embedding", k = 8)
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2667,6 +2677,7 @@ object SparkEntry {
     "q172_trigram_lm"      -> q172 _,
     "q173_range_plan"      -> q173 _,
     "q174_ct_langid"       -> q174 _,
+    "q175_random_projection" -> q175 _,
   )
 
   /** The q170 winnowing selection in DuckDB form, shared verbatim by the
@@ -3259,6 +3270,27 @@ object SparkEntry {
         |  SELECT doc_id, lang, dist,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
         |  FROM dist) WHERE rn = 1""".stripMargin,
+    // q175: every sign and sum recomputed — same quantization, same
+    // (salt, i, j) hash parity, exact BIGINT sums.
+    "q175_random_projection" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+         |), x AS (
+         |  SELECT vec_id, i,
+         |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000000.0)
+         |         AS BIGINT) AS xs
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(range(0, len(embedding))) AS i FROM e)
+         |), jj AS (
+         |  SELECT unnest(range(0, 8)) AS j
+         |)
+         |SELECT x.vec_id, CAST(jj.j AS BIGINT) AS j,
+         |  CAST(sum(CASE WHEN ${functions.PortableHash.hash60Sql(
+              "'rp:' || CAST(i AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR)")} % 2 = 0
+         |           THEN xs ELSE -xs END) AS BIGINT) AS y
+         |FROM x CROSS JOIN jj
+         |GROUP BY 1, 2""".stripMargin,
     // q115: the oracle replays the month-range semantics with
     // generate_series + anti join; counts are exact integers and gap
     // endpoints are DATEs, so the compare is type- and value-exact.
