@@ -25,7 +25,7 @@ class RandomProjectionSpec extends AnyFunSuite with SparkSpec {
     val vecs = Seq(
       (1L, Seq(0.5f, -1.25f, 3.0f, 0.0f)),
       (2L, Seq(-0.001f, 2.5f, -2.5f, 1.0f)),
-      (3L, Seq(1.0f)))
+      (3L, Seq(1.0f, 0.0f, 0.0f, -7.5f)))
     for (np <- Seq(1, 3)) {
       val got = RandomProjection.projectSigned(
         vecs.toDF("vec_id", "embedding").repartition(np),
@@ -34,6 +34,21 @@ class RandomProjectionSpec extends AnyFunSuite with SparkSpec {
         .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
       for ((id, v) <- vecs)
         assert(got(id) == refProject(v, 5), s"vec $id np=$np")
+    }
+  }
+
+  test("the precomputed sign matrix uses the portable hash (parity pin)") {
+    // the driver-side md5-60 must equal the Spark column function the
+    // oracle mirrors — one divergent byte and every sign flips
+    val viaSpark = Seq(Tuple1("rp:3:1")).toDF("s")
+      .select(graft.functions.PortableHash.hash60(col("s"))).as[Long].head()
+    assert(viaSpark == hash60("rp:3:1"))
+  }
+
+  test("mixed vector dimensions are rejected loudly") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f))).toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException] {
+      RandomProjection.projectSigned(df, "vec_id", "embedding", k = 2)
     }
   }
 
