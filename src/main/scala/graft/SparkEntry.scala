@@ -2486,6 +2486,26 @@ object SparkEntry {
     operators.RandomProjection.projectSigned(
       Tables(s, dir).embeddings, "vec_id", "embedding", k = 8)
 
+  // ---- q176: winnowing span LOCALIZATION — q171 says WHICH documents
+  //      share fingerprints; this says WHERE: shared fingerprints at a
+  //      constant position offset (the diagonal, as in dot-plot
+  //      alignment) belong to one contiguous matching run, so grouping
+  //      by (pair, pos_a − pos_b) with ≥2 hits yields each run's gram
+  //      extent — what a span-level dedup actually excises. ----
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val fps = operators.Winnowing.fingerprints(bpeToks(s, dir), "doc_id", "toks",
+      k = 3, w = 4)
+    val a = fps.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("fp"))
+    val b = fps.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("fp"))
+    a.join(b, "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("pos_a") - col("pos_b")).as("offset"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("pos_a")).as("a_start"), max(col("pos_a")).as("a_end"))
+      .filter(col("n_shared") >= 2)
+  }
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2678,6 +2698,7 @@ object SparkEntry {
     "q173_range_plan"      -> q173 _,
     "q174_ct_langid"       -> q174 _,
     "q175_random_projection" -> q175 _,
+    "q176_winnow_spans"    -> q176 _,
   )
 
   /** The q170 winnowing selection in DuckDB form, shared verbatim by the
@@ -3521,6 +3542,15 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS shared_fps
          |FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // q176: the diagonal grouping over the same selection.
+    "q176_winnow_spans" ->
+      s"""WITH sel AS (${SparkEntry.winnowSql})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       a.pos - b.pos AS offset,
+         |       CAST(count(*) AS BIGINT) AS n_shared,
+         |       min(a.pos) AS a_start, max(a.pos) AS a_end
+         |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
     // q164: quadratic lev pairs (the q113 oracle shape over the q125
     // prefix corpus) + recursive reachability (the q77 pattern) + the
     // same survivorship arithmetic.
