@@ -1790,6 +1790,45 @@ object OracleSqlGen {
        |WHERE rank_in_group <= $cap""".stripMargin
   }
 
+  /** q177: WEIGHTED label propagation — the q169 chain with each vote
+    * weighted by the pair's exact MinHash match count (an integer, so
+    * the vote sums replay; a float similarity weight would not).
+    */
+  def q177Sql(rounds: Int = 3, shingleK: Int = 3, numHashes: Int = 16,
+              bands: Int = 4, seed: Long = 42L): String = {
+    val per = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""v$r AS MATERIALIZED (
+         |  SELECT s.u AS node, l.lbl AS lbl, CAST(sum(s.w) AS BIGINT) AS c
+         |  FROM sym s JOIN l$p l ON s.v = l.node
+         |  GROUP BY 1, 2
+         |), l$r AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM v$r
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${minhashPairCtes(shingleK, numHashes, bands, seed)}, pw AS MATERIALIZED (
+       |  SELECT p.doc_a AS a0, p.doc_b AS b0,
+       |    CAST(list_sum([CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END
+       |                   FOR j IN range(1, ${numHashes + 1})]) AS BIGINT) AS w
+       |  FROM pairs p
+       |  JOIN sig sa ON sa.doc_id = p.doc_a
+       |  JOIN sig sb ON sb.doc_id = p.doc_b
+       |), canon AS MATERIALIZED (
+       |  SELECT least(a0, b0) AS a, greatest(a0, b0) AS b, max(w) AS w
+       |  FROM pw WHERE a0 <> b0 GROUP BY 1, 2
+       |), sym AS MATERIALIZED (
+       |  SELECT a AS u, b AS v, w FROM canon
+       |  UNION ALL SELECT b, a, w FROM canon
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS node, u AS lbl FROM sym
+       |), $per
+       |SELECT node, lbl AS label FROM l$rounds""".stripMargin
+  }
+
   /** q135: k-truss peeling — the q133 shape at EDGE level: each round
     * enumerates triangles over the survivors (the q118 x<y<z join),
     * counts each edge's support through a 3-way union, keeps

@@ -2506,6 +2506,20 @@ object SparkEntry {
       .filter(col("n_shared") >= 2)
   }
 
+  // ---- q177: WEIGHTED label propagation — q163's votes weighted by
+  //      tie strength: each near-dup edge votes with its exact MinHash
+  //      match count (an integer — a float similarity weight would
+  //      reintroduce order-sensitive sums), so strong near-dups pull
+  //      harder than borderline band collisions when communities form. ----
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashCandidatesPortable(
+        Tables(s, dir).documents, "doc_id", "text")
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"),
+        round(col("est_jaccard") * 16).cast("long").as("w"))
+    operators.LabelPropagation.propagateWeighted(pairs, "src", "dst", "w",
+      rounds = 3)
+  }
+
   // ---- q134: BPE ENCODE — the inference twin of q131: learn 4 rules,
   //      then re-encode the corpus by chaining the rules inside ONE
   //      projection (single scan, no shuffle, no driver loop — the
@@ -2699,6 +2713,7 @@ object SparkEntry {
     "q174_ct_langid"       -> q174 _,
     "q175_random_projection" -> q175 _,
     "q176_winnow_spans"    -> q176 _,
+    "q177_label_prop_weighted" -> q177 _,
   )
 
   /** The q170 winnowing selection in DuckDB form, shared verbatim by the
@@ -3529,6 +3544,7 @@ object SparkEntry {
     "q134_bpe_encode"       -> OracleSqlGen.q134Sql(),
     "q163_label_prop"       -> OracleSqlGen.q163Sql(),
     "q169_community_cap"    -> OracleSqlGen.q169Sql(),
+    "q177_label_prop_weighted" -> OracleSqlGen.q177Sql(),
     // q170: the winnowing selection replayed with list comprehensions —
     // same md5-60 gram hashes, same rightmost-min (list_max over the
     // argmin positions), same complete-window contract. q171 probes the

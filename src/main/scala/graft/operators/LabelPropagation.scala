@@ -38,7 +38,23 @@ object LabelPropagation {
     * domain, so `label` doubles as a stable community representative.
     */
   def propagate(edges: DataFrame, srcCol: String, dstCol: String,
-                rounds: Int): DataFrame = {
+                rounds: Int): DataFrame =
+    propagateCore(edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
+      lit(1L).as("__w")), rounds)
+
+  /** WEIGHTED [[propagate]]: each neighbor's vote counts `weightCol`
+    * (an exact integer — a near-dup similarity as a float weight would
+    * reintroduce order-sensitive float sums; quantize upstream, e.g.
+    * the number of matching MinHash functions). Duplicate edges keep
+    * their MAXIMUM weight (a deterministic dedup rule); winner stays
+    * (weight-sum desc, label asc).
+    */
+  def propagateWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                        weightCol: String, rounds: Int): DataFrame =
+    propagateCore(edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
+      col(weightCol).cast("long").as("__w")), rounds)
+
+  private def propagateCore(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
 
@@ -48,11 +64,12 @@ object LabelPropagation {
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
 
-    val canon = edges.select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val (sym, _) = rebase(canon.select(col("a").as("u"), col("b").as("v"))
-      .union(canon.select(col("b").as("u"), col("a").as("v"))))
+    val canon = edges.select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"), col("__w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(max(col("__w")).as("w"))
+    val (sym, _) = rebase(canon.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .union(canon.select(col("b").as("u"), col("a").as("v"), col("w"))))
 
     var (labels, labelsRdd) = rebase(
       sym.select(col("u").as("node")).distinct()
@@ -60,12 +77,13 @@ object LabelPropagation {
 
     var r = 0
     while (r < rounds) {
-      // each neighbor contributes one vote for its previous-round label;
-      // winner = (count desc, label asc) via one lexicographic struct-min
+      // each neighbor votes its previous-round label with its edge weight;
+      // winner = (weight-sum desc, label asc) via one lexicographic
+      // struct-min
       val votes = sym
         .join(labels.select(col("node").as("v"), col("label")), "v")
         .groupBy(col("u"), col("label"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("w")).as("c"))
       val next = votes
         .groupBy(col("u"))
         .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("w"))

@@ -77,6 +77,31 @@ class LabelPropagationSpec extends AnyFunSuite with SparkSpec {
     assert(sizes.values.toSet == Set(4L)) // two communities of 4
   }
 
+  test("weighted votes: the heavy edge beats the smaller-label tiebreak; ones equal unweighted") {
+    // node 5's neighbors 0 (weight 2) and 9 (weight 7): weighted picks 9's
+    // label; unweighted votes tie 1-1 and fall to the SMALLER label 0 —
+    // the two semantics provably diverge on this graph
+    val e = Seq((5L, 0L, 2L), (5L, 9L, 7L))
+    val w1 = LabelPropagation.propagateWeighted(
+      e.toDF("src", "dst", "w"), "src", "dst", "w", 1)
+      .as[(Long, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    assert(w1(5L) == 9L, s"heavy edge must win: $w1")
+    val unw = LabelPropagation.propagate(
+      e.toDF("src", "dst", "w").drop("w"), "src", "dst", 1)
+      .as[(Long, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    assert(unw(5L) == 0L, s"unweighted tie falls to the smaller label: $unw")
+    // all-ones weights reproduce the unweighted result exactly — on the
+    // richer clique fixture, several rounds deep
+    val onesEdges = edges.map { case (a, b) => (a, b, 1L) }
+    val ones = LabelPropagation.propagateWeighted(
+      onesEdges.toDF("src", "dst", "w"), "src", "dst", "w", 3)
+      .as[(Long, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    assert(ones == run(3))
+  }
+
   test("after a 6-round propagation at most the edge list and two label leaves stay cached") {
     graft.Storage.releaseAll(spark)
     LabelPropagation.propagate(edges.toDF("src", "dst"), "src", "dst", 6)
