@@ -208,6 +208,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     Storage.releaseAll(spark)
   }
 
+  test("q167/q168: containment candidates are prefix-token equi joins, never cartesian") {
+    for (q <- Seq("q167_containment", "q168_quote_watchlist")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n" + p.take(1200))
+      assert(p.contains("partial_count"),
+        s"$q document frequencies must combine map-side:\n" + p.take(1200))
+    }
+  }
+
+  test("q175: the sign projection is scan+project only — no shuffle, no join") {
+    val p = plan("q175_random_projection")
+    assert(!p.contains("Exchange"), p.take(1200))
+    for (node <- Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"))
+      assert(!p.contains(node), s"$node in:\n" + p.take(1200))
+  }
+
+  test("q170: winnowing never shuffles; q176 span grouping joins only on the fingerprint") {
+    val p170 = plan("q170_winnowing")
+    assert(!p170.contains("Exchange"), p170.take(1200))
+    val p176 = plan("q176_winnow_spans")
+    assert(!p176.contains("CartesianProduct") &&
+      !p176.contains("BroadcastNestedLoopJoin"), p176.take(1200))
+  }
+
   test("q113: fuzzy linkage is an equi join on the variant, never a cartesian") {
     val p = plan("q113_fuzzy_link")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
