@@ -2506,6 +2506,18 @@ object SparkEntry {
       .filter(col("n_shared") >= 2)
   }
 
+  // ---- q178: CHAR-GRAM winnowing — the tokenization-robust sibling of
+  //      q170: the same rightmost-min window selection over character
+  //      k-grams of the RAW text, so re-wrapped whitespace, re-joined or
+  //      re-split tokens (which shift every token gram) leave most char
+  //      grams — and the shared fingerprints — intact. Guarantee becomes:
+  //      any shared substring of ≥ w+k−1 CHARACTERS shares a selected
+  //      fingerprint. Same no-shuffle per-row arithmetic, same native
+  //      O(n) selection. ----
+  private def q178(s: SparkSession, dir: String): DataFrame =
+    operators.Winnowing.fingerprintsChars(Tables(s, dir).documents,
+      "doc_id", "text", k = 8, w = 6)
+
   // ---- q177: WEIGHTED label propagation — q163's votes weighted by
   //      tie strength: each near-dup edge votes with its exact MinHash
   //      match count (an integer — a float similarity weight would
@@ -2714,22 +2726,15 @@ object SparkEntry {
     "q175_random_projection" -> q175 _,
     "q176_winnow_spans"    -> q176 _,
     "q177_label_prop_weighted" -> q177 _,
+    "q178_winnow_chars"    -> q178 _,
   )
 
-  /** The q170 winnowing selection in DuckDB form, shared verbatim by the
-    * q171 index-probe oracle (constants pinned to the q170/q171 gates).
+  /** The winnowing window selection in DuckDB form over a prepared
+    * `g(doc_id, hs)` CTE chain — shared by the token-gram (q170/q171/
+    * q176) and char-gram (q178) oracles.
     */
-  private val winnowSql: String = {
-    val k = 3; val w = 4
-    val gram = "array_to_string(ws[i:i+" + (k - 1) + "], ' ')"
-    s"""WITH tok AS (
-       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
-       |), g AS (
-       |  SELECT doc_id,
-       |    [${functions.PortableHash.hash60Sql(gram)}
-       |     FOR i IN range(1, len(ws) - ${k - 2})] AS hs
-       |  FROM tok WHERE len(ws) >= ${k + w - 1}
-       |), win AS (
+  private def winnowSelectSql(gramCtes: String, w: Int): String =
+    s"""WITH $gramCtes, win AS (
        |  SELECT doc_id, hs, unnest(range(0, len(hs) - ${w - 1})) AS s FROM g
        |)
        |SELECT DISTINCT doc_id,
@@ -2737,6 +2742,37 @@ object SparkEntry {
        |                 IF hs[j] = list_min(hs[s+1:s+$w])]) - 1 AS BIGINT) AS pos,
        |  list_min(hs[s+1:s+$w]) AS fp
        |FROM win""".stripMargin
+
+  /** The q170 winnowing selection in DuckDB form, shared verbatim by the
+    * q171 index-probe oracle (constants pinned to the q170/q171 gates).
+    */
+  private val winnowSql: String = {
+    val k = 3; val w = 4
+    val gram = "array_to_string(ws[i:i+" + (k - 1) + "], ' ')"
+    winnowSelectSql(
+      s"""tok AS (
+         |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    [${functions.PortableHash.hash60Sql(gram)}
+         |     FOR i IN range(1, len(ws) - ${k - 2})] AS hs
+         |  FROM tok WHERE len(ws) >= ${k + w - 1}
+         |)""".stripMargin, w)
+  }
+
+  /** The q178 CHAR-gram winnowing selection in DuckDB form (constants
+    * pinned to the q178 gate). Gram i = characters i..i+k-1 of the raw
+    * text; both sides hash the UTF-8 bytes of the same substring.
+    */
+  private val winnowCharSql: String = {
+    val k = 8; val w = 6
+    winnowSelectSql(
+      s"""g AS (
+         |  SELECT doc_id,
+         |    [${functions.PortableHash.hash60Sql(s"substr(text, i, $k)")}
+         |     FOR i IN range(1, len(text) - ${k - 2})] AS hs
+         |  FROM documents WHERE len(text) >= ${k + w - 1}
+         |)""".stripMargin, w)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -3551,6 +3587,8 @@ object SparkEntry {
     // same selection as a fingerprint index (distinct fps, equi self-join,
     // >= 2 shared).
     "q170_winnowing" -> SparkEntry.winnowSql,
+    // q178: the same selection over character k-grams of the raw text.
+    "q178_winnow_chars" -> SparkEntry.winnowCharSql,
     "q171_winnow_match" ->
       s"""WITH sel AS (${SparkEntry.winnowSql}),
          |u AS (SELECT DISTINCT doc_id, fp FROM sel)

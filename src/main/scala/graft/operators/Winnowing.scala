@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.PortableHash
+import graft.functions.{PortableHash, WinnowExpressions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   *
   * Everything is per-document array arithmetic inside ONE projection —
   * no shuffle, no join, no window operator: grams and their portable
-  * 60-bit hashes are `transform`s, each window's rightmost-min is a
-  * fold over w elements (O(n·w) per doc, w is small), and the distinct
-  * selected (position, hash) pairs explode at the end. The hash is the
-  * corpus-portable md5-60 family, so the DuckDB oracle replays the
-  * whole selection bit-for-bit (q170).
+  * 60-bit hashes are `transform`s, and the per-window rightmost-min
+  * selection is ONE native O(n) monotonic-deque pass
+  * ([[graft.functions.WinnowSelectExpr]] — compiled, not an interpreted
+  * HOF fold; see [[fingerprintsHof]] for the pinned reference form).
+  * The hash is the corpus-portable md5-60 family, so the DuckDB oracle
+  * replays the whole selection bit-for-bit (q170).
   *
   * Contract: documents with fewer than k tokens have no grams; fewer
   * than w grams, no complete window — both are excluded rather than
@@ -37,11 +38,64 @@ object Winnowing {
   def fingerprints(docs: DataFrame, idCol: String, tokensCol: String,
                    k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    selectFromGramHashes(docs
+      .select(col(idCol), col(tokensCol).as("__t"))
+      .filter(size(col("__t")) >= k + w - 1) // at least one complete window
+      .withColumn("__hs", tokenGramHashes(col("__t"), k)), idCol, w)
+  }
+
+  /** The same selection over CHARACTER k-grams of a string column —
+    * robust to tokenization differences (re-wrapped whitespace, joined
+    * or re-split tokens shift every token gram but leave most char
+    * grams intact). Gram i = chars i..i+k-1 of the raw string; the
+    * match guarantee becomes: any shared substring of >= w + k − 1
+    * CHARACTERS shares a selected fingerprint.
+    */
+  def fingerprintsChars(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, w: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    selectFromGramHashes(docs
+      .select(col(idCol), col(textCol).as("__x"))
+      .filter(length(col("__x")) >= k + w - 1)
+      .withColumn("__hs", charGramHashes(col("__x"), k)), idCol, w)
+  }
+
+  /** Portable 60-bit hashes of the token k-grams of `toks` (0-based gram
+    * i = tokens i..i+k-1, space-joined before hashing).
+    */
+  def tokenGramHashes(toks: Column, k: Int): Column = transform(
+    transform(sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))),
+    g => PortableHash.hash60(g))
+
+  /** Portable 60-bit hashes of the character k-grams of string `text`. */
+  def charGramHashes(text: Column, k: Int): Column = transform(
+    sequence(lit(1), length(text) - (k - 1)),
+    i => PortableHash.hash60(text.substr(i, lit(k))))
+
+  /** Common tail: native rightmost-min window selection over a prepared
+    * (idCol, __hs: array<long>) frame, exploded to one row per selected
+    * fingerprint.
+    */
+  private def selectFromGramHashes(prepared: DataFrame, idCol: String,
+                                   w: Int): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    prepared
+      .select(col(idCol),
+        explode(WinnowExpressions.winnowSelect(col("__hs"), w)).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+  }
+
+  /** The pre-native HOF formulation, kept as the PINNED PARITY REFERENCE
+    * for [[fingerprints]] (WinnowingSpec pins bit-equality): each
+    * window's winner is an `aggregate` fold with `<=` so a later equal
+    * hash replaces the incumbent — O(n·w) interpreted lambdas per doc.
+    */
+  def fingerprintsHof(docs: DataFrame, idCol: String, tokensCol: String,
+                      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
     val toks = col(tokensCol)
-    // 0-based gram i = tokens i..i+k-1 (slice is 1-based); window start s
-    // selects the rightmost minimum of hs[s .. s+w-1]:
-    // fold left with <= so a later equal hash replaces the incumbent
     def winner(hsC: Column, s: Column): Column =
       aggregate(sequence(lit(0), lit(w - 1)),
         struct(lit(Long.MaxValue).as("fp"), lit(-1L).as("pos")),
@@ -53,11 +107,8 @@ object Winnowing {
         })
     docs
       .select(col(idCol), toks.as("__t"))
-      .filter(size(col("__t")) >= k + w - 1) // at least one complete window
-      .withColumn("__hs", transform(
-        transform(sequence(lit(0), size(col("__t")) - k),
-          i => concat_ws(" ", slice(col("__t"), i + 1, lit(k)))),
-        g => PortableHash.hash60(g)))
+      .filter(size(col("__t")) >= k + w - 1)
+      .withColumn("__hs", tokenGramHashes(col("__t"), k))
       .withColumn("__sel", transform(
         sequence(lit(0), size(col("__hs")) - w),
         s => winner(col("__hs"), s)))

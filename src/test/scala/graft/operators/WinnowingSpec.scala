@@ -68,6 +68,49 @@ class WinnowingSpec extends AnyFunSuite with SparkSpec {
     assert(shared.nonEmpty, s"no shared fingerprint: ${got(10L)} vs ${got(20L)}")
   }
 
+  test("native O(n) selection is bit-identical to the pinned HOF form") {
+    // Deterministic corpus with long docs, heavy tie structure (small
+    // vocab forces repeated grams → repeated hashes) and boundary sizes.
+    val rng = new scala.util.Random(1207L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (1L to 60L).map { id =>
+      val n = (id % 7) match {
+        case 0 => k + w - 1            // exactly one window
+        case 1 => k + w - 2            // one short of a window: excluded
+        case _ => 10 + rng.nextInt(90)
+      }
+      id -> Vector.fill(n.toInt)(vocab(rng.nextInt(vocab.size)))
+    } :+ (999L -> Vector.fill(40)("same")) // all grams identical
+    val df = docs.toDF("doc_id", "toks")
+    val native = Winnowing.fingerprints(df, "doc_id", "toks", k, w)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val hof = Winnowing.fingerprintsHof(df, "doc_id", "toks", k, w)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(native == hof)
+    assert(native.nonEmpty)
+  }
+
+  test("char-gram variant: shared substring across different tokenizations") {
+    val ck = 8; val cw = 6
+    val core = "the quick brown fox jumps over the lazy dog near the river bank"
+    // Same characters, tokenized differently upstream — the raw strings
+    // share the full core substring.
+    val d1 = "PREFIX one two " + core + " SUFFIX"
+    val d2 = core + " entirely different tail words here"
+    val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val fps = Winnowing.fingerprintsChars(df, "doc_id", "text", ck, cw)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "shared >= w+k-1 char substring must share a selected fingerprint")
+    // Short strings are excluded, and the plan stays shuffle-free.
+    val short = Seq((3L, "tiny")).toDF("doc_id", "text")
+    assert(Winnowing.fingerprintsChars(short, "doc_id", "text", ck, cw).isEmpty)
+    val p = Winnowing.fingerprintsChars(df, "doc_id", "text", ck, cw)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("short documents are excluded; the plan never shuffles") {
     val docs = Seq(1L -> Seq("a", "b", "c", "d", "e"), // 5 < k+w-1 = 6
       2L -> Seq("a", "b")).toDF("doc_id", "toks")
