@@ -2371,11 +2371,31 @@ object SparkEntry {
   //      A's vocabulary inside B? Subject-prefix blocking (container side
   //      indexes all tokens — containment admits no container-side
   //      prefix), positional bound, exact verify. ----
-  private def q167(s: SparkSession, dir: String): DataFrame =
-    operators.SetSimJoin.joinSelfContainment(
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val pairs = operators.SetSimJoin.joinSelfContainment(
       Tables(s, dir).documents.select(col("doc_id"),
         TextFunctions.tokens(col("text")).as("toks")),
       "doc_id", "toks", tau = 0.98)
+    // Gate shape (VERDICT_r11 #3): the clone-dense corpus yields 2.2M
+    // true pairs at sf0.1 and ~70% of the gate's cost was shipping them
+    // through the oracle compare. The gate now proves the SAME full pair
+    // set as an exact order-free per-subject aggregate — pair count, sum
+    // of quantized containments, and an XOR checksum of every pair's
+    // portable hash — so any missing/extra/wrong pair still flips the
+    // hash, but only one row per subject crosses the compare. The
+    // operator itself is unchanged; q168 keeps the pair-level shape.
+    // round() is boundary-safe: 10⁶·inter/na sits ≥ 1/(2·na) from any
+    // .5 except exact halves (power-of-two na — exact in double; both
+    // engines round half-up for positives).
+    val cq = round(col("containment") * 1e6).cast("long")
+    pairs
+      .withColumn("h", functions.PortableHash.hash60(
+        concat(col("doc_b").cast("string"), lit(":"), cq.cast("string"))))
+      .groupBy(col("doc_a"))
+      .agg(count(lit(1)).as("n_contained"),
+        sum(cq).as("sum_cq"),
+        expr("bit_xor(h)").as("fp_xor"))
+  }
 
   // ---- q168: WATCHLIST containment — the two-sided sibling of q167:
   //      a bounded subject set (every 20th document) checked for ≥90%
@@ -3208,19 +3228,28 @@ object SparkEntry {
         |        / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
         |      >= 0.95""".stripMargin,
     // q167: the quadratic containment definition (both directions — the
-    // measure is asymmetric); one division of exact integer sizes.
+    // measure is asymmetric); one division of exact integer sizes; the
+    // gate proves the full pair set as an exact per-subject aggregate
+    // (count + quantized-containment sum + XOR pair checksum — see the
+    // q167 builder comment).
     "q167_containment" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS ts
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS ts
         |  FROM documents
-        |  WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |  WHERE len(regexp_extract_all(text, '\\S+')) > 0
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |                  / len(a.ts) * 1e6) AS BIGINT) AS cq
+        |  FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+        |  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts)
+        |        >= 0.98
         |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts)
-        |         AS containment
-        |FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
-        |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts)
-        |      >= 0.98""".stripMargin,
+        |SELECT doc_a, CAST(count(*) AS BIGINT) AS n_contained,
+        |       CAST(sum(cq) AS BIGINT) AS sum_cq,
+        |       bit_xor(${functions.PortableHash.hash60Sql(
+               "(CAST(doc_b AS VARCHAR) || ':' || CAST(cq AS VARCHAR))")}) AS fp_xor
+        |FROM pairs GROUP BY 1""".stripMargin,
     // q168: the same quadratic definition restricted to the watchlist
     // subjects (containers stay the full corpus).
     "q168_quote_watchlist" ->
