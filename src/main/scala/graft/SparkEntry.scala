@@ -2538,6 +2538,20 @@ object SparkEntry {
     operators.Winnowing.fingerprintsChars(Tables(s, dir).documents,
       "doc_id", "text", k = 8, w = 6)
 
+  // ---- q179: trigram-LM model SERVING — fit once, persist the count
+  //      frames as ONE model table (vocabulary-sized, stays distributed
+  //      — the IvfPq saveModel discipline at LM scale), reload in a
+  //      fresh read, and score from the LOADED model. The oracle is
+  //      q172's VERBATIM: a lossy save/load round trip (a dropped gram,
+  //      a mangled count, a mixed-up kind slot) hash-mismatches. ----
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val toks = bpeToks(s, dir)
+    operators.NgramLm.saveTrigramModel(toks, "doc_id", "toks",
+      "graft_trigram_model")
+    operators.NgramLm.trigramScoreFromStore(s, "graft_trigram_model",
+      toks, "doc_id", "toks")
+  }
+
   // ---- q177: WEIGHTED label propagation — q163's votes weighted by
   //      tie strength: each near-dup edge votes with its exact MinHash
   //      match count (an integer — a float similarity weight would
@@ -2747,6 +2761,7 @@ object SparkEntry {
     "q176_winnow_spans"    -> q176 _,
     "q177_label_prop_weighted" -> q177 _,
     "q178_winnow_chars"    -> q178 _,
+    "q179_trigram_serve"   -> q179 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -3268,7 +3283,17 @@ object SparkEntry {
     // q172: the interpolated trigram replay — same counts, same guarded
     // floor divisions in the same 6:3:1/10 mix (self-scoring, so every
     // context is observed and the zero-context guard never fires).
-    "q172_trigram_lm" ->
+    "q172_trigram_lm" -> trigramLmSql,
+    // q179: q172's oracle VERBATIM — the saved-model round trip must be
+    // lossless, so scoring from the loaded counts replays the fitted
+    // answer bit-identically (the q152 serving pattern at LM scale).
+    "q179_trigram_serve" -> trigramLmSql,
+  ) ++ oracleSqlTail
+
+  /** The q172/q179 interpolated-trigram oracle (shared verbatim — the
+    * serve gate proves loaded ≡ fitted).
+    */
+  private lazy val trigramLmSql: String =
       """WITH tok AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
         |), tg AS (
@@ -3307,7 +3332,12 @@ object SparkEntry {
         |JOIN x2 ON x2.b = split_part(t.g, ' ', 2)
         |JOIN c1 ON c1.t = split_part(t.g, ' ', 3)
         |CROSS JOIN nn
-        |GROUP BY 1""".stripMargin,
+        |GROUP BY 1""".stripMargin
+
+  /** Continuation of [[oracleSql]] (split so shared literals like
+    * [[trigramLmSql]] can sit between the halves — one logical map).
+    */
+  private lazy val oracleSqlTail: Map[String, String] = Map(
     // q173: quantile_cont split points (bit-identical to exactQuantiles,
     // the q40 pinning) + the same boundary-goes-left bucket arithmetic.
     "q173_range_plan" -> {

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.IntOps
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bigram language model trained in-engine, and the quantized per-document
@@ -104,38 +104,115 @@ object NgramLm {
   def trigramScoreQuantized(docs: DataFrame, modelDocs: DataFrame,
                             idCol: String, toksCol: String,
                             scale: Long = 1000000L,
-                            w3: Int = 6, w2: Int = 3, w1: Int = 1): DataFrame = {
+                            w3: Int = 6, w2: Int = 3, w1: Int = 1): DataFrame =
+    scoreTrigrams(docs, idCol, toksCol,
+      trigramCounts(modelDocs, idCol, toksCol), scale, w3, w2, w1)
+
+  /** The interpolated trigram model IS its six exact count frames —
+    * trigram/bigram counts with their context totals, the unigram
+    * counts, and the one-row corpus token total. scale/weights are
+    * scoring-time parameters (the counts don't depend on them), so
+    * persisting the counts persists the model.
+    */
+  private final case class TriCounts(c3: DataFrame, x3: DataFrame,
+                                     c2: DataFrame, x2: DataFrame,
+                                     c1: DataFrame, nn: DataFrame)
+
+  private def trigramCounts(modelDocs: DataFrame, idCol: String,
+                            toksCol: String): TriCounts = {
+    val tgM = trigrams(modelDocs, idCol, toksCol)
+    val bgM = bigrams(modelDocs, idCol, toksCol)
+    TriCounts(
+      c3 = tgM.groupBy(col("a"), col("b"), col("c")).agg(count(lit(1)).as("c3")),
+      x3 = tgM.groupBy(col("a"), col("b")).agg(count(lit(1)).as("x3")),
+      c2 = bgM.groupBy(col("a").as("b"), col("b").as("c"))
+        .agg(count(lit(1)).as("c2")),
+      x2 = bgM.groupBy(col("a").as("b")).agg(count(lit(1)).as("x2")),
+      c1 = modelDocs.select(explode(col(toksCol)).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("c1")),
+      nn = modelDocs.select(explode(col(toksCol)).as("t"))
+        .agg(count(lit(1)).as("nTot")))
+  }
+
+  private def scoreTrigrams(docs: DataFrame, idCol: String, toksCol: String,
+                            m: TriCounts, scale: Long,
+                            w3: Int, w2: Int, w1: Int): DataFrame = {
     require(scale >= 1 && w3 >= 0 && w2 >= 0 && w1 >= 0 && w3 + w2 + w1 > 0,
       "scale must be >= 1 and weights non-negative with a positive sum")
     val d = (w3 + w2 + w1).toLong
-    val tgM = trigrams(modelDocs, idCol, toksCol)
-    val bgM = bigrams(modelDocs, idCol, toksCol)
-    val c3 = tgM.groupBy(col("a"), col("b"), col("c")).agg(count(lit(1)).as("c3"))
-    val x3 = tgM.groupBy(col("a"), col("b")).agg(count(lit(1)).as("x3"))
-    val c2 = bgM.groupBy(col("a").as("b"), col("b").as("c"))
-      .agg(count(lit(1)).as("c2"))
-    val x2 = bgM.groupBy(col("a").as("b")).agg(count(lit(1)).as("x2"))
-    val c1 = modelDocs.select(explode(col(toksCol)).as("c"))
-      .groupBy(col("c")).agg(count(lit(1)).as("c1"))
-    val nn = modelDocs.select(explode(col(toksCol)).as("t"))
-      .agg(count(lit(1)).as("nTot"))
     def term(wt: Long, num: Column, den: Column): Column =
       when(den > 0,
         IntOps.intDiv(lit(wt * scale) * coalesce(num, lit(0L)), lit(d) * den))
         .otherwise(lit(0L))
     trigrams(docs, idCol, toksCol)
-      .join(c3, Seq("a", "b", "c"), "left")
-      .join(x3, Seq("a", "b"), "left")
-      .join(c2, Seq("b", "c"), "left")
-      .join(x2, Seq("b"), "left")
-      .join(c1, Seq("c"), "left")
-      .join(broadcast(nn))
+      .join(m.c3, Seq("a", "b", "c"), "left")
+      .join(m.x3, Seq("a", "b"), "left")
+      .join(m.c2, Seq("b", "c"), "left")
+      .join(m.x2, Seq("b"), "left")
+      .join(m.c1, Seq("c"), "left")
+      .join(broadcast(m.nn))
       .withColumn("q",
         term(w3, col("c3"), coalesce(col("x3"), lit(0L))) +
         term(w2, col("c2"), coalesce(col("x2"), lit(0L))) +
         term(w1, col("c1"), col("nTot")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"), sum(col("q")).as("score_q"))
+  }
+
+  /** Persist the trained trigram model as ONE managed parquet table —
+    * the [[IvfPq.saveModel]] serving discipline applied to the count
+    * frames: fit once, save, and every later session scores from the
+    * loaded counts without re-reading the training corpus. Unlike the
+    * IVF-PQ model (1 + nlist + m·k rows, driver-collectable) the LM is
+    * VOCABULARY-sized, so it stays a distributed frame end to end —
+    * rows are (kind, k1, k2, k3, cnt) with kind ∈ {c3,x3,c2,x2,c1,n}
+    * and the gram strings in positional key slots. Same rebuild
+    * contract as the other stores (drop table + stale orphan first).
+    */
+  def saveTrigramModel(modelDocs: DataFrame, idCol: String, toksCol: String,
+                       table: String): Unit = {
+    val m = trigramCounts(modelDocs, idCol, toksCol)
+    val ns = lit(null).cast("string")
+    val rows = m.c3.select(lit("c3").as("kind"), col("a").as("k1"),
+        col("b").as("k2"), col("c").as("k3"), col("c3").as("cnt"))
+      .unionByName(m.x3.select(lit("x3").as("kind"), col("a").as("k1"),
+        col("b").as("k2"), ns.as("k3"), col("x3").as("cnt")))
+      .unionByName(m.c2.select(lit("c2").as("kind"), col("b").as("k1"),
+        col("c").as("k2"), ns.as("k3"), col("c2").as("cnt")))
+      .unionByName(m.x2.select(lit("x2").as("kind"), col("b").as("k1"),
+        ns.as("k2"), ns.as("k3"), col("x2").as("cnt")))
+      .unionByName(m.c1.select(lit("c1").as("kind"), col("c").as("k1"),
+        ns.as("k2"), ns.as("k3"), col("c1").as("cnt")))
+      .unionByName(m.nn.select(lit("n").as("kind"), ns.as("k1"),
+        ns.as("k2"), ns.as("k3"), col("nTot").as("cnt")))
+    val spark = modelDocs.sparkSession
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, table)
+    rows.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** Score `docs` against a [[saveTrigramModel]] table — bit-identical
+    * to [[trigramScoreQuantized]] on the corpus the model was fitted on
+    * (the loaded-≡-fitted serving guarantee; a lossy round trip would
+    * hash-mismatch the fitted oracle).
+    */
+  def trigramScoreFromStore(spark: SparkSession, table: String,
+                            docs: DataFrame, idCol: String, toksCol: String,
+                            scale: Long = 1000000L,
+                            w3: Int = 6, w2: Int = 3, w1: Int = 1): DataFrame = {
+    val t = spark.table(table)
+    val m = TriCounts(
+      c3 = t.filter(col("kind") === "c3").select(col("k1").as("a"),
+        col("k2").as("b"), col("k3").as("c"), col("cnt").as("c3")),
+      x3 = t.filter(col("kind") === "x3").select(col("k1").as("a"),
+        col("k2").as("b"), col("cnt").as("x3")),
+      c2 = t.filter(col("kind") === "c2").select(col("k1").as("b"),
+        col("k2").as("c"), col("cnt").as("c2")),
+      x2 = t.filter(col("kind") === "x2").select(col("k1").as("b"),
+        col("cnt").as("x2")),
+      c1 = t.filter(col("kind") === "c1").select(col("k1").as("c"),
+        col("cnt").as("c1")),
+      nn = t.filter(col("kind") === "n").select(col("cnt").as("nTot")))
+    scoreTrigrams(docs, idCol, toksCol, m, scale, w3, w2, w1)
   }
 
   /** Per-document quantized fluency score against the model trained on

@@ -110,4 +110,24 @@ class NgramLmSpec extends AnyFunSuite with SparkSpec {
     // zz->qq and qq->the: both contexts unseen → floor(scale/V) each
     assert(got == ((9L, 2L, 2 * (scale / v))))
   }
+
+  test("saved trigram model scores bit-identically to the fitted path") {
+    val t = "graft_trigram_spec"
+    dropTable(t)
+    val model = corpus.toDF("doc_id", "toks")
+    NgramLm.saveTrigramModel(model, "doc_id", "toks", t)
+    // fresh docs exercise every backoff branch (unseen trigram/bigram/
+    // unigram, unseen contexts) through the LOADED counts
+    val docs = (corpus ++ Seq((8L, Seq("the", "cat", "mat", "zz"))))
+      .toDF("doc_id", "toks")
+    val fitted = NgramLm.trigramScoreQuantized(docs, model, "doc_id", "toks")
+      .as[(Long, Long, Long)].collect().toSet
+    for (np <- Seq(1, 3)) {
+      val served = NgramLm.trigramScoreFromStore(spark, t,
+          docs.repartition(np), "doc_id", "toks")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(served == fitted, s"np=$np")
+    }
+    dropTable(t)
+  }
 }
