@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * bipartite-ish regions by design, so "fixed R" IS the deterministic
   * semantics, the [[KCore.peel]] oracle-form discipline.
   *
-  * Scale shape: one cached symmetric edge list; each round is ONE
-  * shuffle join of edges against the node-sized label frame, a
-  * map-side-combined (node, label) count, and a struct-min argmax —
-  * no driver-side graph state at any point. Labels rebase onto a cached
+  * Scale shape: the symmetric edge list persists HASH-PARTITIONED on
+  * the vote key, so R rounds pay ONE edge exchange total — each round
+  * joins the cached partitioning against the node-sized label frame
+  * (only the label frame exchanges), then a map-side-combined
+  * (node, label) count and a struct-min argmax — no driver-side graph
+  * state at any point. Labels rebase onto a cached
   * RDD leaf per round (plan size O(1) in rounds) and each superseded
   * leaf is released once its successor materializes (the Closure
   * unpersist discipline). Caller releases the final leaves via
@@ -54,6 +56,38 @@ object LabelPropagation {
     propagateCore(edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
       col(weightCol).cast("long").as("__w")), rounds)
 
+  /** The canonical symmetric edge list (dedup to max weight, both
+    * directions), persisted HASH-PARTITIONED ON `v` — the per-round
+    * vote join keys on v, so R rounds pay this ONE edge exchange and
+    * each round exchanges only the node-sized label frame (the cached
+    * partitioning satisfies the join's distribution requirement;
+    * LabelPropagationSpec pins the round plan). Columns: (u, v, w).
+    */
+  private[operators] def symPartitioned(edges: DataFrame): DataFrame = {
+    val canon = edges.select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"), col("__w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(max(col("__w")).as("w"))
+    val sym = canon.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .union(canon.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .repartition(col("v"))
+    sym.persist()
+    sym
+  }
+
+  /** One synchronous round: each neighbor votes its previous-round
+    * label with its edge weight; winner = (weight-sum desc, label asc)
+    * via one lexicographic struct-min. Returns the next (node, label).
+    */
+  private[operators] def voteRound(sym: DataFrame, labels: DataFrame): DataFrame =
+    sym
+      .join(labels.select(col("node").as("v"), col("label")), "v")
+      .groupBy(col("u"), col("label"))
+      .agg(sum(col("w")).as("c"))
+      .groupBy(col("u"))
+      .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("w"))
+      .select(col("u").as("node"), col("w.l").as("label"))
+
   private def propagateCore(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
@@ -64,12 +98,7 @@ object LabelPropagation {
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
 
-    val canon = edges.select(least(col("__s"), col("__d")).as("a"),
-        greatest(col("__s"), col("__d")).as("b"), col("__w"))
-      .filter(col("a") =!= col("b"))
-      .groupBy(col("a"), col("b")).agg(max(col("__w")).as("w"))
-    val (sym, _) = rebase(canon.select(col("a").as("u"), col("b").as("v"), col("w"))
-      .union(canon.select(col("b").as("u"), col("a").as("v"), col("w"))))
+    val sym = symPartitioned(edges)
 
     var (labels, labelsRdd) = rebase(
       sym.select(col("u").as("node")).distinct()
@@ -77,18 +106,7 @@ object LabelPropagation {
 
     var r = 0
     while (r < rounds) {
-      // each neighbor votes its previous-round label with its edge weight;
-      // winner = (weight-sum desc, label asc) via one lexicographic
-      // struct-min
-      val votes = sym
-        .join(labels.select(col("node").as("v"), col("label")), "v")
-        .groupBy(col("u"), col("label"))
-        .agg(sum(col("w")).as("c"))
-      val next = votes
-        .groupBy(col("u"))
-        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("w"))
-        .select(col("u").as("node"), col("w.l").as("label"))
-      val (l2, r2) = rebase(next)
+      val (l2, r2) = rebase(voteRound(sym, labels))
       l2.count() // materializes r2 — the previous leaf is now lineage-only
       labelsRdd.unpersist(blocking = false)
       labels = l2; labelsRdd = r2

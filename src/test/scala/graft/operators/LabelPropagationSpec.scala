@@ -102,6 +102,64 @@ class LabelPropagationSpec extends AnyFunSuite with SparkSpec {
     assert(ones == run(3))
   }
 
+  test("rounds exchange only the label frame — the edge cache is pre-partitioned on the vote key") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    graft.Storage.releaseAll(spark)
+    val sym = LabelPropagation.symPartitioned(
+      edges.toDF("src", "dst").select(col("src").as("__s"),
+        col("dst").as("__d"), lit(1L).as("__w")))
+    sym.count() // materialize the one edge exchange
+    val labels = spark.createDataFrame( // a rebased-leaf stand-in, as in the loop
+      spark.sparkContext.parallelize(
+        sym.select(col("u")).distinct().collect()
+          .map(r => org.apache.spark.sql.Row(r.getLong(0), r.getLong(0))).toSeq),
+      new org.apache.spark.sql.types.StructType()
+        .add("node", "long", nullable = false)
+        .add("label", "long", nullable = false))
+    // force the 100×-scale join shape (labels too big to broadcast ⇒
+    // sort-merge): the cached edge partitioning must still satisfy the
+    // join's distribution, so only the LABEL side exchanges
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val qe = LabelPropagation.voteRound(sym, labels).queryExecution
+      val root = qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan // post-EnsureRequirements
+        case p => p
+      }
+      // tree traversal does NOT descend into InMemoryRelation's cached
+      // build plan — exactly what we want: only the PER-ROUND exchanges
+      val shuffles = root.collect { case e: ShuffleExchangeExec => e }
+      assert(root.exists { case _: InMemoryTableScanExec => true; case _ => false },
+        "the vote join must read the cached edge partitioning:\n" + root.toString.take(2000))
+      // three per-round exchanges: the label frame into the join, then
+      // the (u,label)/(u) vote counts. An exchange on the vote key
+      // ABOVE the cached edge scan would be the edge list re-shuffling
+      // — paid R times at 100×.
+      assert(shuffles.size == 3,
+        s"expected 3 per-round exchanges (labels + 2 vote counts), got ${shuffles.size}:\n" +
+          root.toString.take(2000))
+      val edgeReshuffle = shuffles.filter { e =>
+        val onV = e.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.expressions.flatMap(_.references.map(_.name)).contains("v")
+          case _ => false
+        }
+        onV && e.exists { case _: InMemoryTableScanExec => true; case _ => false }
+      }
+      assert(edgeReshuffle.isEmpty,
+        "the cached edge list must never re-exchange on the vote key:\n" +
+          root.toString.take(2000))
+    } finally {
+      spark.conf.set(thresholdKey, prior)
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
   test("after a 6-round propagation at most the edge list and two label leaves stay cached") {
     graft.Storage.releaseAll(spark)
     LabelPropagation.propagate(edges.toDF("src", "dst"), "src", "dst", 6)
