@@ -136,9 +136,18 @@ object KCore {
   def corenessCapped(edges: DataFrame, srcCol: String, dstCol: String,
                      kMax: Int, roundsPerK: Int): DataFrame = {
     require(kMax >= 1 && roundsPerK >= 1, "kMax and roundsPerK must be >= 1")
+    // Bound the union chain's plan growth: every foldEvery levels the
+    // accumulated removed-set union rebases onto ONE cached leaf (and
+    // the superseded accumulator leaf is released), so the returned
+    // plan carries at most foldEvery union branches regardless of kMax
+    // — a kMax=1000 sweep plans the same as kMax=8 (KCoreSpec pins the
+    // branch count). The fold is node-sized rows, never edges.
+    val foldEvery = 8
     val (canon, _) = rebase(canonical(edges, srcCol, dstCol))
     var (alive, aliveRdd) = rebase(allNodes(canon))
     var result: DataFrame = null
+    var resultRdd: org.apache.spark.rdd.RDD[Row] = null
+    var branches = 0
     for (k <- 1 to kMax) {
       // the level's survivors ARE peelFrom's materialized alive leaf — no
       // second rebase; its last degree-frame input is dead once the leaf
@@ -151,6 +160,14 @@ object KCore {
       val removed = alive.join(next, Seq("node"), "left_anti")
         .select(col("node"), lit((k - 1).toLong).as("coreness"))
       result = if (result == null) removed else result.unionByName(removed)
+      branches += 1
+      if (branches >= foldEvery && k < kMax) {
+        val (r2, rr2) = rebase(result)
+        r2.count() // materializes rr2 — the prior accumulator leaf is dead
+        if (resultRdd != null) resultRdd.unpersist(blocking = false)
+        result = r2; resultRdd = rr2
+        branches = 0
+      }
       alive = next; aliveRdd = res.aliveRdd
     }
     result.unionByName(

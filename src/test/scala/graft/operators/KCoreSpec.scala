@@ -96,6 +96,36 @@ class KCoreSpec extends AnyFunSuite with SparkSpec {
     assert(KCore.core(edges.toDF("src", "dst"), "src", "dst", 6).isEmpty)
   }
 
+  test("corenessCapped folds the union chain: kMax-invariant plan size, deep sweeps exact") {
+    // disjoint cliques of sizes 2..12 → coreness = size−1 (1..11):
+    // levels beyond foldEvery=8 do real work, so the k=8 and k=16 folds
+    // rebase non-trivial removed sets
+    val offsets = (2 to 12).scanLeft(0L)(_ + _)
+    val cliqueEdges = (2 to 12).zip(offsets).flatMap { case (sz, off) =>
+      for (i <- 0 until sz; j <- (i + 1) until sz)
+        yield (off + i, off + (j: Long))
+    }
+    val df = cliqueEdges.toDF("src", "dst")
+    val got = KCore.corenessCapped(df, "src", "dst", kMax = 10, roundsPerK = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (2 to 12).zip(offsets).flatMap { case (sz, off) =>
+      (0 until sz).map(i => (off + i) -> math.min(sz - 1, 10).toLong)
+    }.toMap
+    assert(got == want)
+    graft.Storage.releaseAll(spark)
+    // plan growth is bounded: kMax=12 and kMax=20 both end 4 levels past
+    // a fold, so their analyzed plans are the SAME size — the chain never
+    // carries more than foldEvery un-folded branches
+    def planSize(kMax: Int): Int = {
+      val n = KCore.corenessCapped(df, "src", "dst", kMax, roundsPerK = 2)
+        .queryExecution.analyzed.collect { case x => x }.size
+      graft.Storage.releaseAll(spark)
+      n
+    }
+    assert(planSize(20) == planSize(12),
+      "corenessCapped plan must not grow with kMax across folds")
+  }
+
   test("a 10-round peel leaves at most the canon + two round leaves cached") {
     graft.Storage.releaseAll(spark)
     // a 40-node path peels 2 endpoints per round at k=2 — all 10 scheduled
