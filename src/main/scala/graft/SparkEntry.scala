@@ -2552,6 +2552,31 @@ object SparkEntry {
       toks, "doc_id", "toks")
   }
 
+  // ---- q180: STREAMING store ingest — the streaming-to-store loop:
+  //      the documents table read as a STREAM, each micro-batch
+  //      signatured and appended to the bucketed dedup store inside
+  //      foreachBatch (with the committed-batch ledger, so a replayed
+  //      batch is a no-op), then the candidate pairs derived FROM the
+  //      accumulated store. The oracle is q22's VERBATIM: however the
+  //      stream slices into batches, the store must hold exactly the
+  //      full-corpus banded index, so stream-ingested ≡ one-shot LSH
+  //      is the hash check. ----
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_stream_dedup_store"
+    graft.sources.Sinks.dropTableAndStaleLocation(s, table)
+    graft.sources.Sinks.dropTableAndStaleLocation(s,
+      graft.streaming.StoreIngest.ledgerTable(table))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ingest_").toString
+    val docs = graft.streaming.EventStreams
+      .readParquetStream(s, dir, "documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.streaming.StoreIngest.ingestDedupStore(
+      docs, "doc_id", "text", table, buckets = 8, checkpointDir = ckpt)
+      .awaitTermination()
+    operators.IncrementalDedup.storeCandidates(s.table(table), numHashes = 16)
+  }
+
   // ---- q177: WEIGHTED label propagation — q163's votes weighted by
   //      tie strength: each near-dup edge votes with its exact MinHash
   //      match count (an integer — a float similarity weight would
@@ -2762,6 +2787,7 @@ object SparkEntry {
     "q177_label_prop_weighted" -> q177 _,
     "q178_winnow_chars"    -> q178 _,
     "q179_trigram_serve"   -> q179 _,
+    "q180_stream_store_ingest" -> q180 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -3288,6 +3314,9 @@ object SparkEntry {
     // lossless, so scoring from the loaded counts replays the fitted
     // answer bit-identically (the q152 serving pattern at LM scale).
     "q179_trigram_serve" -> trigramLmSql,
+    // q180: q22's oracle VERBATIM — the streamed store must hold exactly
+    // the full-corpus banded index regardless of micro-batch slicing.
+    "q180_stream_store_ingest" -> OracleSqlGen.q22Sql(),
   ) ++ oracleSqlTail
 
   /** The q172/q179 interpolated-trigram oracle (shared verbatim — the

@@ -191,4 +191,24 @@ object IncrementalDedup {
       .distinct() // a pair colliding in k bands must surface once
       .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
   }
+
+  /** All candidate pairs WITHIN a store (doc_a < doc_b), band collisions
+    * collapsed, with the minhash Jaccard estimate — the full-corpus view
+    * of an accumulated store: over the union of every ingested
+    * generation it returns exactly what a from-scratch full-corpus LSH
+    * run ([[Dedup.minhashCandidatesPortable]]) returns, because the
+    * store rows ARE that run's banded index. The q180 gate streams the
+    * corpus into the store and checks the result against q22's oracle
+    * verbatim. Both join sides are the same bucketed table, so the
+    * self-join is bucket-aligned — neither side exchanges.
+    */
+  def storeCandidates(store: DataFrame, numHashes: Int = 16): DataFrame = {
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x
+    ).cast("double") / lit(numHashes)
+    withinBatchCandidates(store)
+      .distinct()
+      .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
+  }
 }

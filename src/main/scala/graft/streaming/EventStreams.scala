@@ -44,19 +44,28 @@ object EventStreams {
     // directory is itself the stream source root (the sf1 probe surfaced
     // the directory case failing schema inference — the glob matched no
     // data file inside it).
-    val p = new org.apache.hadoop.fs.Path(dir, "events.parquet")
+    val raw = readParquetStream(spark, dir, "events.parquet")
+    graft.Tables.normalizeEventTs(raw).withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** Streaming read of any single-table parquet in a scale-factor dir —
+    * the file-vs-directory branching the sf1 probe forced on the events
+    * reader, factored for every table: driver testdata ships
+    * `<name>.parquet` as a single FILE (glob-filtered read of its
+    * parent), anything Spark wrote is a DIRECTORY of part files (itself
+    * the stream source root).
+    */
+  def readParquetStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
     val isDir = p.getFileSystem(spark.sessionState.newHadoopConf())
       .getFileStatus(p).isDirectory
-    val (schema, raw) = if (isDir) {
-      (spark.read.parquet(p.toString).schema,
-        spark.readStream.schema(spark.read.parquet(p.toString).schema)
-          .parquet(p.toString))
-    } else {
-      val s = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
-      (s, spark.readStream.schema(s)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
-    }
-    graft.Tables.normalizeEventTs(raw).withColumn("ts", col("ts").cast("timestamp"))
+    if (isDir)
+      spark.readStream.schema(spark.read.parquet(p.toString).schema)
+        .parquet(p.toString)
+    else
+      spark.readStream
+        .schema(spark.read.option("pathGlobFilter", name).parquet(dir).schema)
+        .option("pathGlobFilter", name).parquet(dir)
   }
 
   /** Tumbling-window aggregate (event-time, watermarked). */

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.operators.IncrementalDedup
 import graft.streaming.EventStreams.{EventRow, SessionAgg}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -251,5 +252,62 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val batch = kmvAgg(rows.toDF())
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(streamed == batch) // bit-identical minima, micro-batches invisible
+  }
+
+  test("streaming store ingest equals the batch-built store; a ledger replay is a no-op") {
+    val streamTable = "graft_stream_store_spec"
+    val batchTable = "graft_batch_store_spec"
+    Seq(streamTable, StoreIngest.ledgerTable(streamTable), batchTable)
+      .foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest").toFile
+    try {
+      val in = new java.io.File(root, "in")
+      val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+      val gen1 = Seq(1L -> base,
+        2L -> "completely different text about spark catalyst optimizer rules and plans")
+      val gen2 = Seq(10L -> (base + " extra"),
+        11L -> "unrelated third subject entirely with nothing shared among documents")
+      // two separate writes → two files → maxFilesPerTrigger=1 slices the
+      // stream into (at least) two micro-batches
+      gen1.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      gen2.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+
+      def stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in.getAbsolutePath)
+      def storeRows(t: String) = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2), r.getSeq[Long](3)))
+        .toSeq.sorted(Ordering.by((x: (Long, Int, Seq[Long], Seq[Long])) => (x._1, x._2)))
+
+      StoreIngest.ingestDedupStore(stream, "doc_id", "text", streamTable,
+        buckets = 4, checkpointDir = new java.io.File(root, "cp1").getAbsolutePath)
+        .awaitTermination()
+      assert(spark.table(StoreIngest.ledgerTable(streamTable)).count() >= 2,
+        "the slicing must actually produce multiple committed micro-batches")
+
+      // batch reference: ONE one-shot append over the whole corpus
+      IncrementalDedup.appendToStore(
+        IncrementalDedup.bandedSignaturesPortable(
+          (gen1 ++ gen2).toDF("doc_id", "text"), "doc_id", "text"),
+        batchTable, buckets = 4)
+      assert(storeRows(streamTable) == storeRows(batchTable),
+        "stream-ingested store must equal the batch-built store bit-identically")
+
+      // replay: a FRESH checkpoint re-delivers the same batch ids over the
+      // same source — the ledger must make every one a no-op
+      StoreIngest.ingestDedupStore(stream, "doc_id", "text", streamTable,
+        buckets = 4, checkpointDir = new java.io.File(root, "cp2").getAbsolutePath)
+        .awaitTermination()
+      assert(storeRows(streamTable) == storeRows(batchTable),
+        "a replayed ingest must not change the store")
+    } finally {
+      rmTree(root)
+      Seq(streamTable, StoreIngest.ledgerTable(streamTable), batchTable)
+        .foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
   }
 }
