@@ -107,6 +107,33 @@ object OracleSqlGen {
        |  d.doc_id = COALESCE(l.cluster, d.doc_id) AS is_rep
        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id""".stripMargin
 
+  // ---- q183: the q98 cluster labels + the q46 hash split applied to the
+  // CLUSTER representative (all members of a near-dup family land in the
+  // same split — the leakage guard).
+  def q183Sql(shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+              seed: Long = 42L): String = {
+    val bucket = operators.Sampling.hashBucketSql("cluster", "graft", 100)
+    s"""WITH RECURSIVE ${minhashPairCtes(shingleK, numHashes, bands, seed)}, e AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+       |), lbl AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+       |  FROM reach GROUP BY a
+       |), cl AS (
+       |  SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+       |)
+       |SELECT doc_id, cluster,
+       |  CASE WHEN $bucket < 80 THEN 'train'
+       |       WHEN $bucket < 90 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM cl""".stripMargin
+  }
+
   // ---- q23: portable SimHash + rolling fingerprint ----
   def q23Sql(): String = {
     val bitSums = (0 until 60).map(b => s"sum((h >> $b) & 1) AS b$b").mkString(",\n      ")

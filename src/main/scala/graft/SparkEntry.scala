@@ -2577,6 +2577,51 @@ object SparkEntry {
     operators.IncrementalDedup.storeCandidates(s.table(table), numHashes = 16)
   }
 
+  // ---- q181: collocation mining — adjacent pairs ranked by quantized
+  //      LIFT c(ab)·N/(c(a)·c(b)), the monotone core of PMI (log is
+  //      order-preserving, so lift ranking IS PMI ranking without the
+  //      non-replayable transcendental); support floor keeps the output
+  //      model-sized and the statistic meaningful. ----
+  private def q181(s: SparkSession, dir: String): DataFrame =
+    operators.Collocations.bigramLift(bpeToks(s, dir), "doc_id", "toks",
+      minCount = 5)
+
+  // ---- q182: DSIR-style data-selection importance (Xie 2023) — every
+  //      non-English document scored by how English-target-like its
+  //      hashed bigram features look: per-feature quantized likelihood
+  //      ratios (add-one smoothed, B-sized model) summed per document —
+  //      the exact-integer stand-in for DSIR's log-ratio sum, same
+  //      selection use (threshold / top-k / resample on the score). ----
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val toks = bpeToks2(s, dir)
+    operators.ImportanceWeights.dsirScoreQuantized(
+      toks.filter(col("lang") =!= "en"), toks.filter(col("lang") === "en"),
+      "doc_id", "toks")
+  }
+
+  private def bpeToks2(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.select(col("doc_id"), col("lang"),
+      TextFunctions.tokens(col("text")).as("toks"))
+
+  // ---- q183: near-dup-LEAKAGE-FREE split — the q46 hash split with the
+  //      train/test leakage guard a naive per-doc split lacks: near-dup
+  //      CLUSTERS (q98's minhash→CC labels) assign as a unit, so a
+  //      template family can never straddle train and test. Split is a
+  //      pure function of (salt, cluster rep) — reproducible, and new
+  //      data never re-deals existing clusters. ----
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val comp = operators.ConnectedComponents.components(pairs)
+    docs.select(col("doc_id"))
+      .join(comp, docs("doc_id") === comp("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+      .withColumn("split",
+        operators.Sampling.splitAssign(col("cluster"), "graft"))
+  }
+
   // ---- q177: WEIGHTED label propagation — q163's votes weighted by
   //      tie strength: each near-dup edge votes with its exact MinHash
   //      match count (an integer — a float similarity weight would
@@ -2788,6 +2833,9 @@ object SparkEntry {
     "q178_winnow_chars"    -> q178 _,
     "q179_trigram_serve"   -> q179 _,
     "q180_stream_store_ingest" -> q180 _,
+    "q181_collocations"    -> q181 _,
+    "q182_dsir_importance" -> q182 _,
+    "q183_leakage_split"   -> q183 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -3624,6 +3672,67 @@ object SparkEntry {
         |LEFT JOIN canon e ON e.a = c.na AND e.b = c.nb
         |WHERE e.a IS NULL
         |ORDER BY c.ra_q DESC, node_a, node_b LIMIT 50""".stripMargin,
+    // q181: the lift replay — same counts, same one truncating division.
+    "q181_collocations" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+        |), bg AS (
+        |  SELECT unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS g
+        |  FROM tok WHERE len(ws) >= 2
+        |), cab AS (
+        |  SELECT split_part(g, ' ', 1) AS a, split_part(g, ' ', 2) AS b,
+        |         CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+        |), uni AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(ws) AS t FROM tok) GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(ws) AS t FROM tok)
+        |)
+        |SELECT cab.a, cab.b, c_ab,
+        |       CAST((1000000 * c_ab * nn.n) // (ua.c * ub.c) AS BIGINT) AS lift_q
+        |FROM cab
+        |JOIN uni ua ON ua.t = cab.a
+        |JOIN uni ub ON ub.t = cab.b
+        |CROSS JOIN nn""".stripMargin,
+    // q182: the quantized likelihood-ratio replay — same hashed-bigram
+    // buckets (portable md5-60 % 4096), same add-one smoothing, same one
+    // guarded truncating division per bucket.
+    "q182_dsir_importance" -> {
+      val f = functions.PortableHash.hash60Sql(
+        "(split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2))") + " % 4096"
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS ws FROM documents
+        |), tf AS (
+        |  SELECT $f AS f FROM (
+        |    SELECT unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS g
+        |    FROM tok WHERE lang = 'en' AND len(ws) >= 2)
+        |), rf AS (
+        |  SELECT doc_id, $f AS f FROM (
+        |    SELECT doc_id,
+        |           unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS g
+        |    FROM tok WHERE lang <> 'en' AND len(ws) >= 2)
+        |), ct AS (
+        |  SELECT f, CAST(count(*) AS BIGINT) AS ct FROM tf GROUP BY 1
+        |), cr AS (
+        |  SELECT f, CAST(count(*) AS BIGINT) AS cr FROM rf GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM tf) AS nt,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM rf) AS nr
+        |), w AS (
+        |  SELECT cr.f,
+        |    (1000000 * (COALESCE(ct.ct, 0) + 1) * (nr + 4096))
+        |      // ((cr.cr + 1) * (nt + 4096)) AS w
+        |  FROM cr LEFT JOIN ct ON ct.f = cr.f CROSS JOIN tot
+        |)
+        |SELECT rf.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |       CAST(sum(w.w) AS BIGINT) AS score_q
+        |FROM rf JOIN w ON w.f = rf.f
+        |GROUP BY 1""".stripMargin
+    },
+    // q183: q98's cluster CTEs + the q46 split hash on the cluster rep.
+    "q183_leakage_split" -> OracleSqlGen.q183Sql(),
     // q159: prefix-max lateness in exact micros + quantile_cont parity.
     "q159_watermark_lag" ->
       """WITH l AS (
