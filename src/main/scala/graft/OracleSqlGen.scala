@@ -107,6 +107,47 @@ object OracleSqlGen {
        |  d.doc_id = COALESCE(l.cluster, d.doc_id) AS is_rep
        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id""".stripMargin
 
+  // ---- q185: HITS unrolled — each round is two join+sum halves with a
+  // max-normalizing truncating division, exactly the operator's
+  // arithmetic (the q94 fixed-round discipline).
+  def q185Sql(rounds: Int = 2, scale: Long = 1000000L): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_partkey * 2 AS s, l_suppkey * 2 + 1 AS d
+         |  FROM lineitem
+         |), nodes AS (
+         |  SELECT s AS node FROM e UNION SELECT d FROM e
+         |), h0 AS (
+         |  SELECT node, CAST($scale AS BIGINT) AS h FROM nodes
+         |)""".stripMargin)
+    for (k <- 1 to rounds) {
+      sb.append(
+        s""", ar$k AS (
+           |  SELECT e.d, CAST(sum(h.h) AS BIGINT) AS ar
+           |  FROM e JOIN h${k - 1} h ON h.node = e.s GROUP BY 1
+           |), am$k AS (SELECT max(ar) AS m FROM ar$k),
+           |a$k AS (
+           |  SELECT node, CASE WHEN am$k.m > 0
+           |    THEN (COALESCE(ar.ar, 0) * $scale) // am$k.m ELSE 0 END AS a
+           |  FROM nodes LEFT JOIN ar$k ar ON ar.d = node CROSS JOIN am$k
+           |), hr$k AS (
+           |  SELECT e.s, CAST(sum(a.a) AS BIGINT) AS hr
+           |  FROM e JOIN a$k a ON a.node = e.d GROUP BY 1
+           |), hm$k AS (SELECT max(hr) AS m FROM hr$k),
+           |h$k AS (
+           |  SELECT node, CASE WHEN hm$k.m > 0
+           |    THEN (COALESCE(hr.hr, 0) * $scale) // hm$k.m ELSE 0 END AS h
+           |  FROM nodes LEFT JOIN hr$k hr ON hr.s = node CROSS JOIN hm$k
+           |)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT h$rounds.node, h$rounds.h AS hub_q, a$rounds.a AS auth_q
+         |FROM h$rounds JOIN a$rounds ON a$rounds.node = h$rounds.node""".stripMargin)
+    sb.toString
+  }
+
   // ---- q183: the q98 cluster labels + the q46 hash split applied to the
   // CLUSTER representative (all members of a near-dup family land in the
   // same split — the leakage guard).

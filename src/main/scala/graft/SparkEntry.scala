@@ -2622,6 +2622,54 @@ object SparkEntry {
         operators.Sampling.splitAssign(col("cluster"), "graft"))
   }
 
+  // ---- q184: co-engagement graph BUILD — the projection from a raw
+  //      (user, item) event log to the item–item graph every graph
+  //      operator here consumes; the per-user top-m cap is part of the
+  //      semantics (one bot account must not contribute d²/2 pairs). ----
+  private def q184(s: SparkSession, dir: String): DataFrame =
+    operators.CoEngagement.project(
+      Tables(s, dir).events.select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+          .cast("long").as("item")),
+      "user_id", "item", maxItemsPerUser = 20, minUsers = 2)
+
+  // ---- q185: HITS hubs/authorities on the part→supplier graph — the
+  //      second classic link-analysis score next to q93's PageRank,
+  //      with max-normalization instead of the non-replayable L2 norm
+  //      (ranking-preserving each round; exact long sums + one
+  //      truncating division per half-round, so the oracle unrolls both
+  //      rounds with zero tolerance). ----
+  private def q185(s: SparkSession, dir: String): DataFrame =
+    operators.Hits.hubsAuthorities(
+      Tables(s, dir).lineitem.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")),
+      "src", "dst", rounds = 2)
+
+  // ---- q186: INCREMENTAL connected components — dup-cluster labels
+  //      maintained across three edge ingests, each folding only
+  //      (star edges of the prior labeling) ∪ (the batch) — O(nodes +
+  //      batch) per ingest, never a rescan of accumulated edges. The
+  //      oracle is q98's VERBATIM: incremental ≡ one-shot IS the
+  //      check (the q155/q180 serving discipline for clusterings). ----
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    var labels: DataFrame = null
+    for (g <- 0 to 2) {
+      val batch = pairs.filter(pmod(col("u"), lit(3)) === g)
+      labels =
+        if (labels == null) operators.ConnectedComponents.components(batch)
+        else operators.ConnectedComponents.mergeBatch(labels, batch)
+    }
+    docs.select(col("doc_id"))
+      .join(labels, docs("doc_id") === labels("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+      .withColumn("is_rep", col("doc_id") === col("cluster"))
+  }
+
   // ---- q177: WEIGHTED label propagation — q163's votes weighted by
   //      tie strength: each near-dup edge votes with its exact MinHash
   //      match count (an integer — a float similarity weight would
@@ -2836,6 +2884,9 @@ object SparkEntry {
     "q181_collocations"    -> q181 _,
     "q182_dsir_importance" -> q182 _,
     "q183_leakage_split"   -> q183 _,
+    "q184_coengagement"    -> q184 _,
+    "q185_hits"            -> q185 _,
+    "q186_incremental_cc"  -> q186 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -3733,6 +3784,29 @@ object SparkEntry {
     },
     // q183: q98's cluster CTEs + the q46 split hash on the cluster rep.
     "q183_leakage_split" -> OracleSqlGen.q183Sql(),
+    // q185: both HITS rounds unrolled (max-normalized halves).
+    "q185_hits" -> OracleSqlGen.q185Sql(),
+    // q186: q98's oracle VERBATIM — three incremental ingests must land
+    // exactly the one-shot clustering.
+    "q186_incremental_cc" -> OracleSqlGen.q98Sql(),
+    // q184: the same cap (row_number under the same total order) and the
+    // same capped self-join, replayed relationally.
+    "q184_coengagement" ->
+      """WITH ui AS (
+        |  SELECT user_id AS u,
+        |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS i,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), capped AS (
+        |  SELECT u, i FROM (
+        |    SELECT u, i,
+        |           row_number() OVER (PARTITION BY u ORDER BY n DESC, i) AS rk
+        |    FROM ui)
+        |  WHERE rk <= 20
+        |)
+        |SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_users
+        |FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // q159: prefix-max lateness in exact micros + quantile_cont parity.
     "q159_watermark_lag" ->
       """WITH l AS (

@@ -66,6 +66,39 @@ object ConnectedComponents {
     * @return (`node`, `component`) for every node incident to an edge,
     *         `component` = the minimum node id of its component
     */
+  /** INCREMENTAL maintenance: fold a NEW batch of edges into an existing
+    * labeling without re-scanning the accumulated edge set. The prior
+    * labeling compresses to STAR edges (node → its component rep, one
+    * edge per non-rep node — node-count-sized, independent of how many
+    * raw edges produced it), and [[components]] runs over
+    * star ∪ batch: the stars connect exactly the old components, the
+    * batch edges add/merge, so the result equals the one-shot run over
+    * ALL edges ever ingested (min labels are preserved because every
+    * node of a non-singleton component appears in its stars — the q180
+    * gate discipline: incremental ≡ one-shot IS the hash check).
+    * Per-ingest cost is O(nodes + batch), the 100 TB contract.
+    *
+    * @param labels (`node`, `component`) — a prior [[components]] result,
+    *        or any labeling where `component` = min node id
+    * @param newEdges two-column frame (`u`, `v`) of the batch
+    * @return the updated full labeling, same shape as [[components]]
+    *         (nodes of the old labeling that stay isolated keep their
+    *         old component)
+    */
+  def mergeBatch(labels: DataFrame, newEdges: DataFrame,
+                 maxIter: Int = 50): DataFrame = {
+    val stars = labels.filter(col("node") =!= col("component"))
+      .select(col("node").as("u"), col("component").as("v"))
+    val merged = components(
+      stars.unionByName(newEdges.select(col("u"), col("v"))), maxIter)
+    labels.select(col("node"))
+      .unionByName(newEdges.select(col("u").as("node")))
+      .unionByName(newEdges.select(col("v").as("node")))
+      .distinct()
+      .join(merged.withColumnRenamed("component", "__c"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__c"), col("node")).as("component"))
+  }
+
   def components(edges: DataFrame, maxIter: Int = 50,
                  localEdgeThreshold: Long = 1000000L,
                  localByteThreshold: Long = 256L << 20): DataFrame = {

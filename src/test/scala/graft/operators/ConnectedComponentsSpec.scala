@@ -114,4 +114,33 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
     graft.Storage.releaseAll(spark)
     assert(e.getMessage.contains("null edge endpoints"))
   }
+
+  test("mergeBatch: randomized incremental ingest equals the one-shot run") {
+    val rnd = new Random(13)
+    val edges = Seq.fill(300)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter { case (a, b) => a != b }
+    val oneShot = cc(edges)
+    for (batches <- Seq(2, 5)) {
+      var labels = ConnectedComponents.components(
+        edges.filter(_._1 % batches == 0).toDF("u", "v"))
+      for (g <- 1 until batches)
+        labels = ConnectedComponents.mergeBatch(labels,
+          edges.filter(_._1 % batches == g).toDF("u", "v"))
+      val got = labels.as[(Long, Long)].collect().toMap
+      graft.Storage.releaseAll(spark)
+      assert(got == oneShot, s"batches=$batches")
+    }
+  }
+
+  test("mergeBatch: a bridging batch merges prior components to the global min; untouched survive") {
+    // two prior components {1,2,3} and {10,11}, plus the old singleton 50
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (50L, 50L)).toDF("node", "component")
+    val got = ConnectedComponents.mergeBatch(labels,
+        Seq((3L, 11L), (70L, 71L)).toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      50L -> 50L, 70L -> 70L, 71L -> 70L))
+  }
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HITS invariants: matches a driver-side integer replay round for
+  * round, is invariant to input partitioning and edge duplication,
+  * and separates hubs from authorities on a graph where PageRank's
+  * single score cannot. The independent end-to-end check is the q185
+  * oracle (both rounds unrolled).
+  */
+class HitsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // 1 points at three authorities, 2 at one of them; 10 is the
+  // consensus authority; 20→21 is an isolated weak pair
+  private val edges: Seq[(Long, Long)] = Seq(
+    1L -> 10L, 1L -> 11L, 1L -> 12L,
+    2L -> 10L,
+    20L -> 21L)
+
+  private val scale = 1000000L
+
+  private def replay(rounds: Int): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(t => Seq(t._1, t._2)).distinct
+    var h = nodes.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to rounds) {
+      val araw = e.groupBy(_._2).view.mapValues(_.map(p => h(p._1)).sum).toMap
+      val amax = araw.values.max
+      a = nodes.map(n => n -> araw.getOrElse(n, 0L) * scale / amax).toMap
+      val hraw = e.groupBy(_._1).view.mapValues(_.map(p => a(p._2)).sum).toMap
+      val hmax = hraw.values.max
+      h = nodes.map(n => n -> hraw.getOrElse(n, 0L) * scale / hmax).toMap
+    }
+    nodes.map(n => n -> (h(n), a(n))).toMap
+  }
+
+  private def run(rounds: Int, es: Seq[(Long, Long)] = edges,
+                  np: Int = 1): Map[Long, (Long, Long)] = {
+    val got = Hits.hubsAuthorities(es.toDF("src", "dst").repartition(np),
+      "src", "dst", rounds)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    graft.Storage.releaseAll(spark)
+    got
+  }
+
+  test("matches the driver replay at several partitionings and round counts") {
+    for (rounds <- Seq(1, 3); np <- Seq(1, 4))
+      assert(run(rounds, np = np) == replay(rounds), s"rounds=$rounds np=$np")
+  }
+
+  test("duplicate edges collapse; hubs and authorities separate") {
+    assert(run(2, edges ++ edges ++ edges) == replay(2))
+    val got = run(2)
+    // 1 (3 strong out-links) is the top hub; 10 (in-links from both
+    // hubs) the top authority; pure hubs have zero authority
+    assert(got(1L)._1 == scale)
+    assert(got(10L)._2 == scale)
+    assert(got(1L)._2 == 0L && got(2L)._2 == 0L)
+    assert(got(10L)._1 == 0L) // a pure authority has zero hub score
+    // the isolated pair scores strictly below the consensus pair
+    assert(got(20L)._1 < got(1L)._1 && got(21L)._2 < got(10L)._2)
+  }
+}
