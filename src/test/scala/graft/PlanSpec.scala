@@ -241,4 +241,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // forcing a nested loop: the join key is the generated variant column
     assert(p.contains("Generate explode"), p.take(1200))
   }
+
+  test("q184: the per-user cap compiles to a group limit, join is equi, counts combine map-side") {
+    val p = plan("q184_coengagement")
+    // WindowGroupLimit prunes to the top-m BEFORE the exchange — the cap
+    // never sorts a whole hot user's history through one task's window
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
+  test("q185: HITS result joins node-sized score leaves — no cartesian, no global sort") {
+    val p = plan("q185_hits")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(!p.contains("Sort [") || !p.contains("Exchange rangepartitioning"),
+      "no global sort in the HITS output:\n" + p.take(1500))
+    graft.Storage.releaseAll(spark)
+  }
 }

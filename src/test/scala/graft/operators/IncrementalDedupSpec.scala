@@ -76,6 +76,29 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
     graft.Storage.releaseAll(spark)
   }
 
+  test("storeCandidates self-join is bucket-aligned: neither scan side exchanges") {
+    dropTable(storeTable)
+    IncrementalDedup.appendToStore(
+      IncrementalDedup.bandedSignatures(
+        docsDf(Seq(1L -> base, 2L -> (base + " or so"), 3L -> "unrelated words here")),
+        "doc_id", "text"), storeTable, buckets = 4)
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val cands = IncrementalDedup.storeCandidates(spark.table(storeTable))
+      val plan = cands.queryExecution.executedPlan.toString
+      // the ONLY hash exchange is the pair-distinct aggregate — both join
+      // sides read the store's bucketing in place (at 100 TB this is the
+      // difference between one corpus shuffle and none)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"expected 1 exchange (the distinct), got $exchanges:\n${plan.take(2000)}")
+      assert(cands.collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+        "the near-dup pair must surface from the store")
+    }
+    graft.Storage.releaseAll(spark)
+  }
+
   test("index-only store yields the same candidates with ×bands less store I/O") {
     dropTable(storeTable)
     dropTable(storeTable + "_idx")
