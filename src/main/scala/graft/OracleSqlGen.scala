@@ -107,6 +107,38 @@ object OracleSqlGen {
        |  d.doc_id = COALESCE(l.cluster, d.doc_id) AS is_rep
        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id""".stripMargin
 
+  // ---- q187: SQ8 — per-dimension min/max from one scan, the same
+  // clamped affine code, code-domain squared L2, same tiebreak.
+  def q187Sql(dim: Int = 64, queryId: Long = 0L, topK: Int = 25,
+              scale: Long = 1000000L, levels: Int = 256): String =
+    s"""WITH pts AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE) * $scale.0) AS BIGINT)
+       |     FOR x IN embedding] AS x
+       |  FROM embeddings
+       |), mm AS (
+       |  SELECT t.dim AS dim, min(x[t.dim]) AS mn, max(x[t.dim]) AS mx
+       |  FROM pts CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS dim) t
+       |  GROUP BY 1
+       |), codes AS (
+       |  SELECT p.vec_id, m.dim,
+       |    CASE WHEN m.mx = m.mn THEN 0
+       |         ELSE least(greatest(
+       |           ((p.x[m.dim] - m.mn) * ${levels - 1}) // (m.mx - m.mn),
+       |           0), ${levels - 1}) END AS c
+       |  FROM pts p CROSS JOIN mm m
+       |), q AS (
+       |  SELECT dim, c FROM codes WHERE vec_id = $queryId
+       |), d AS (
+       |  SELECT codes.vec_id,
+       |         CAST(sum((codes.c - q.c) * (codes.c - q.c)) AS BIGINT) AS sq_dist
+       |  FROM codes JOIN q ON q.dim = codes.dim
+       |  WHERE codes.vec_id <> $queryId
+       |  GROUP BY 1
+       |)
+       |SELECT vec_id AS cand_id, sq_dist FROM d
+       |ORDER BY sq_dist, cand_id LIMIT $topK""".stripMargin
+
   // ---- q185: HITS unrolled — each round is two join+sum halves with a
   // max-normalizing truncating division, exactly the operator's
   // arithmetic (the q94 fixed-round discipline).

@@ -2670,6 +2670,15 @@ object SparkEntry {
       .withColumn("is_rep", col("doc_id") === col("cluster"))
   }
 
+  // ---- q187: SQ8 scalar-quantized ANN — the third compression point on
+  //      the ANN ladder (brute → SQ8 → PQ/IVF-PQ, the FAISS pairing):
+  //      per-dimension affine uint8 codes over each dimension's own
+  //      range, code-domain squared-L2 search, all exact longs with the
+  //      distance sum statically unrolled (the q175 codegen lesson). ----
+  private def q187(s: SparkSession, dir: String): DataFrame =
+    operators.ScalarQuantizer.sqTopK(Tables(s, dir).embeddings,
+      "vec_id", "embedding", dim = 64, queryId = 0L, topK = 25)
+
   // ---- q177: WEIGHTED label propagation — q163's votes weighted by
   //      tie strength: each near-dup edge votes with its exact MinHash
   //      match count (an integer — a float similarity weight would
@@ -2887,6 +2896,7 @@ object SparkEntry {
     "q184_coengagement"    -> q184 _,
     "q185_hits"            -> q185 _,
     "q186_incremental_cc"  -> q186 _,
+    "q187_sq8_ann"         -> q187 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -3789,6 +3799,9 @@ object SparkEntry {
     // q186: q98's oracle VERBATIM — three incremental ingests must land
     // exactly the one-shot clustering.
     "q186_incremental_cc" -> OracleSqlGen.q98Sql(),
+    // q187: SQ8 replayed — same one-scan ranges, same clamped affine
+    // code, same code-domain distance and tiebreak.
+    "q187_sq8_ann" -> OracleSqlGen.q187Sql(),
     // q184: the same cap (row_number under the same total order) and the
     // same capped self-join, replayed relationally.
     "q184_coengagement" ->
