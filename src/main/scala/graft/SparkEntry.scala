@@ -2679,6 +2679,28 @@ object SparkEntry {
     operators.ScalarQuantizer.sqTopK(Tables(s, dir).embeddings,
       "vec_id", "embedding", dim = 64, queryId = 0L, topK = 25)
 
+  // ---- q188: STREAMING KMV-store ingest — the q180 streaming-to-store
+  //      loop applied to the second store family: per-batch k-minima
+  //      append under the committed-batch ledger. KMV merge is bottom-k
+  //      of the union, so the served estimates are batch-slicing-
+  //      invariant AND duplicate-append-safe; the oracle is q129's
+  //      VERBATIM (the batch-ingested store's rank-window replay). ----
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_stream_kmv_store"
+    operators.IncrementalKmv.dropStore(s, table)
+    graft.sources.Sinks.dropTableAndStaleLocation(s,
+      graft.streaming.StoreIngest.ledgerTable(table))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_kmv_").toString
+    val rows = graft.streaming.EventStreams
+      .readParquetStream(s, dir, "documents.parquet")
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+    graft.streaming.StoreIngest.ingestKmvStore(rows, "source", "tok",
+      table, k = 256, buckets = 8, checkpointDir = ckpt)
+      .awaitTermination()
+    operators.IncrementalKmv.distinctFromStore(s, table, "source", k = 256)
+  }
+
   // ---- q177: WEIGHTED label propagation — q163's votes weighted by
   //      tie strength: each near-dup edge votes with its exact MinHash
   //      match count (an integer — a float similarity weight would
@@ -2897,6 +2919,7 @@ object SparkEntry {
     "q185_hits"            -> q185 _,
     "q186_incremental_cc"  -> q186 _,
     "q187_sq8_ann"         -> q187 _,
+    "q188_stream_kmv_store" -> q188 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -3802,6 +3825,9 @@ object SparkEntry {
     // q187: SQ8 replayed — same one-scan ranges, same clamped affine
     // code, same code-domain distance and tiebreak.
     "q187_sq8_ann" -> OracleSqlGen.q187Sql(),
+    // q188: q129's oracle VERBATIM — however the stream slices, merged
+    // bottom-k minima equal the full-corpus rank window.
+    "q188_stream_kmv_store" -> OracleSqlGen.q129Sql(),
     // q184: the same cap (row_number under the same total order) and the
     // same capped self-join, replayed relationally.
     "q184_coengagement" ->

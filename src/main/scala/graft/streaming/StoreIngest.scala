@@ -32,6 +32,33 @@ object StoreIngest {
   /** The ledger table paired with a store table. */
   def ledgerTable(table: String): String = table + "_ingest_log"
 
+  /** The shared ledgered foreachBatch core: run `appendBatch` for each
+    * micro-batch whose id is not yet committed, then commit the id.
+    * Every store type plugs its own batch transform + append here.
+    */
+  private def ledgeredIngest(docs: DataFrame, table: String,
+                             checkpointDir: String, trigger: Trigger)
+                            (appendBatch: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val ledger = ledgerTable(table)
+        val committed = s.catalog.tableExists(ledger) &&
+          !s.table(ledger).filter(col("batch_id") === batchId).isEmpty
+        if (!committed) {
+          appendBatch(batch.toDF())
+          s.createDataFrame(
+            java.util.Collections.singletonList(Row(batchId)),
+            new org.apache.spark.sql.types.StructType()
+              .add("batch_id", "long", nullable = false))
+            .write.mode("append").format("parquet").saveAsTable(ledger)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Start a streaming ingest of `docs` (a STREAMING DataFrame of
     * (idCol, textCol) rows) into the MinHash/LSH signature store
     * `table`: each micro-batch runs
@@ -47,26 +74,29 @@ object StoreIngest {
                        shingleK: Int = 3, numHashes: Int = 16,
                        bands: Int = 4, seed: Long = 42L,
                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    docs.writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val s = batch.sparkSession
-        val ledger = ledgerTable(table)
-        val committed = s.catalog.tableExists(ledger) &&
-          !s.table(ledger).filter(col("batch_id") === batchId).isEmpty
-        if (!committed) {
-          graft.operators.IncrementalDedup.appendToStore(
-            graft.operators.IncrementalDedup.bandedSignaturesPortable(
-              batch.toDF(), idCol, textCol, shingleK, numHashes, bands, seed),
-            table, buckets)
-          s.createDataFrame(
-            java.util.Collections.singletonList(Row(batchId)),
-            new org.apache.spark.sql.types.StructType()
-              .add("batch_id", "long", nullable = false))
-            .write.mode("append").format("parquet").saveAsTable(ledger)
-        }
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .start()
+    ledgeredIngest(docs, table, checkpointDir, trigger) { batch =>
+      graft.operators.IncrementalDedup.appendToStore(
+        graft.operators.IncrementalDedup.bandedSignaturesPortable(
+          batch, idCol, textCol, shingleK, numHashes, bands, seed),
+        table, buckets)
+    }
+
+  /** Streaming ingest into the grouped KMV distinct-count store: each
+    * micro-batch sketches (groupCol, valueCol) rows and appends the
+    * batch's k-minima ([[graft.operators.IncrementalKmv]]). KMV minima
+    * are a pure function of the VALUE SET, and the merge is bottom-k of
+    * the union, so the served estimates are batch-slicing-invariant AND
+    * duplicate-append-safe — a replayed batch cannot perturb any
+    * estimate even in the ledger's crash window (stronger than the
+    * dedup store's distinct-pair argument).
+    */
+  def ingestKmvStore(rows: DataFrame, groupCol: String, valueCol: String,
+                     table: String, k: Int, buckets: Int,
+                     checkpointDir: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ledgeredIngest(rows, table, checkpointDir, trigger) { batch =>
+      graft.operators.IncrementalKmv.appendToStore(
+        graft.operators.IncrementalKmv.sketchBatch(batch, groupCol, valueCol, k),
+        table, groupCol, buckets)
+    }
 }

@@ -310,4 +310,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       graft.Storage.releaseAll(spark)
     }
   }
+
+  test("streaming KMV-store ingest serves the batch estimates; double-append is harmless") {
+    import graft.operators.IncrementalKmv
+    val t = "graft_stream_kmv_spec"
+    Seq(t, StoreIngest.ledgerTable(t), t + "_batch").foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_kmv_ingest").toFile
+    try {
+      val in = new java.io.File(root, "in")
+      val rows = (0 until 90).map(i => (s"src_${i % 3}", s"tok_${i % 37}"))
+      rows.grouped(45).foreach(g =>
+        g.toDF("source", "tok").coalesce(1)
+          .write.mode("append").parquet(in.getAbsolutePath))
+      val stream = spark.readStream.schema("source STRING, tok STRING")
+        .option("maxFilesPerTrigger", "1").parquet(in.getAbsolutePath)
+      StoreIngest.ingestKmvStore(stream, "source", "tok", t, k = 8, buckets = 2,
+        checkpointDir = new java.io.File(root, "cp").getAbsolutePath)
+        .awaitTermination()
+      assert(spark.table(StoreIngest.ledgerTable(t)).count() >= 2)
+
+      def est(table: String) = IncrementalKmv
+        .distinctFromStore(spark, table, "source", k = 8)
+        .as[(String, Double)].collect().toMap
+
+      IncrementalKmv.appendToStore(
+        IncrementalKmv.sketchBatch(rows.toDF("source", "tok"), "source", "tok", 8),
+        t + "_batch", "source", buckets = 2)
+      val streamed = est(t)
+      assert(streamed == est(t + "_batch"),
+        "streamed store must serve the one-shot batch estimates")
+
+      // KMV's stronger replay guarantee: even a raw double-append (the
+      // ledger's crash window) cannot perturb any estimate
+      IncrementalKmv.appendToStore(
+        IncrementalKmv.sketchBatch(rows.take(45).toDF("source", "tok"),
+          "source", "tok", 8), t, "source", buckets = 2)
+      assert(est(t) == streamed, "a duplicated batch must not move estimates")
+    } finally {
+      rmTree(root)
+      Seq(t, StoreIngest.ledgerTable(t), t + "_batch").foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
 }
