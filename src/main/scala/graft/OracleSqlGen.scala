@@ -928,6 +928,52 @@ object OracleSqlGen {
        |SELECT node, rank FROM r$iterations""".stripMargin
   }
 
+  // ---- q190: personalized PageRank — the q93 unroll with the base
+  // restricted to the seed set (CASE on the seed flag) and the
+  // seed-concentrated start; integers throughout, zero tolerance.
+  def q190Sql(iterations: Int = 5, scale: Long = 1000000000000L,
+              dampNum: Long = 85, dampDen: Long = 100,
+              maxSeedPart: Int = 5): String = {
+    val seedBase =
+      s"CASE WHEN s.node IS NOT NULL THEN (($scale * ${dampDen - dampNum}) // $dampDen) // sc.ns ELSE 0 END"
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.node,
+         |    $seedBase + (COALESCE(m.in_mass, 0) * $dampNum) // $dampDen AS rank
+         |  FROM nodes CROSS JOIN sc
+         |  LEFT JOIN seeds s ON s.node = nodes.node
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS in_mass
+         |    FROM r${i - 1} r JOIN e ON r.node = e.src JOIN deg d ON d.src = e.src
+         |    GROUP BY 1) m ON m.node = nodes.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS p,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS s
+       |  FROM lineitem
+       |), e AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT p AS src, s AS dst FROM pairs
+       |    UNION ALL SELECT s AS src, p AS dst FROM pairs)
+       |), deg AS (
+       |  SELECT src, count(*) AS outdeg FROM e GROUP BY 1
+       |), nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+       |), seeds AS (
+       |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS node
+       |  FROM lineitem WHERE l_partkey <= $maxSeedPart
+       |), sc AS (
+       |  SELECT count(*) AS ns FROM seeds
+       |), r0 AS (
+       |  SELECT nodes.node,
+       |    CASE WHEN s.node IS NOT NULL THEN $scale // sc.ns ELSE 0 END AS rank
+       |  FROM nodes CROSS JOIN sc LEFT JOIN seeds s ON s.node = nodes.node
+       |), $iters
+       |SELECT node, rank FROM r$iterations""".stripMargin
+  }
+
   // ---- q94/q95: fixed-point k-means — every Lloyd round unrolled as
   // plain CTEs. All arithmetic integer (scaled-long coords, exact long
   // sums, truncating // division — toward-zero in BOTH engines), argmin

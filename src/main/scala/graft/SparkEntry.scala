@@ -2679,6 +2679,38 @@ object SparkEntry {
     operators.ScalarQuantizer.sqTopK(Tables(s, dir).embeddings,
       "vec_id", "embedding", dim = 64, queryId = 0L, topK = 25)
 
+  // ---- q190: PERSONALIZED PageRank — random walk with restart from a
+  //      seed part set over the part↔supplier graph: the "more like
+  //      these" relatedness score (q93's global walk ranks everything;
+  //      this one ranks BY the seeds, zeros the unreachable). Same
+  //      exact-integer rounds; the oracle unrolls all five with the
+  //      seed-restricted base. ----
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables(s, dir).lineitem.select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("p"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("sn"))
+    val edges = pairs.select(col("p").as("src"), col("sn").as("dst"))
+      .union(pairs.select(col("sn").as("src"), col("p").as("dst")))
+    val seeds = Tables(s, dir).lineitem
+      .filter(col("l_partkey") <= 5)
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("node"))
+    operators.PageRank.personalizedRanks(edges, seeds, iterations = 5)
+  }
+
+  // ---- q189: exponentially-decayed engagement — the freshness weight a
+  //      data mixer or ranker applies to event counts, decayed by
+  //      half-lives through a precomputed 64-entry weight table (no
+  //      pow/exp — exact commutative long sums; the anchor is max(ts),
+  //      never wall clock, so the result reproduces). ----
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    // NTZ → session-tz timestamp (UTC pinned everywhere) for unix_micros
+    val ev = Tables(s, dir).events
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val asOf = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    ops.TimeSeries.decayedCounts(ev, Seq("event_type"), col("ts"),
+      lit(asOf), halfLifeSeconds = 7L * 24 * 3600)
+  }
+
   // ---- q188: STREAMING KMV-store ingest — the q180 streaming-to-store
   //      loop applied to the second store family: per-batch k-minima
   //      append under the committed-batch ledger. KMV merge is bottom-k
@@ -2920,6 +2952,8 @@ object SparkEntry {
     "q186_incremental_cc"  -> q186 _,
     "q187_sq8_ann"         -> q187 _,
     "q188_stream_kmv_store" -> q188 _,
+    "q189_decay_score"     -> q189 _,
+    "q190_personalized_pagerank" -> q190 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -3828,6 +3862,23 @@ object SparkEntry {
     // q188: q129's oracle VERBATIM — however the stream slices, merged
     // bottom-k minima equal the full-corpus rank window.
     "q188_stream_kmv_store" -> OracleSqlGen.q129Sql(),
+    // q190: all five personalized rounds unrolled (seed-restricted base).
+    "q190_personalized_pagerank" -> OracleSqlGen.q190Sql(),
+    // q189: the same 64-entry half-life weight table, same floor-div
+    // bucket, same exact long sum.
+    "q189_decay_score" -> {
+      val wl = (0 to 63).map(k => 1000000L >> k).mkString("[", ", ", "]")
+      s"""WITH mx AS (SELECT max(epoch_us(ts)) AS mt FROM events),
+        |a AS (
+        |  SELECT event_type,
+        |    least((mt - epoch_us(ts)) // 604800000000, 63) AS k
+        |  FROM events CROSS JOIN mx
+        |  WHERE mt - epoch_us(ts) >= 0
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum($wl[CAST(k AS INTEGER) + 1]) AS BIGINT) AS decay_q
+        |FROM a GROUP BY 1""".stripMargin
+    },
     // q184: the same cap (row_number under the same total order) and the
     // same capped self-join, replayed relationally.
     "q184_coengagement" ->

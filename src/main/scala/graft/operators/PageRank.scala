@@ -218,6 +218,82 @@ object PageRank {
     spark.createDataFrame(outRows, outSchema)
   }
 
+  /** PERSONALIZED PageRank: teleport mass returns only to `seeds` — the
+    * random-walk-with-restart relatedness score behind "more like these"
+    * recommendation and seed-expansion curation (find everything the
+    * walk reaches from a trusted set). Same exact-integer discipline as
+    * [[ranks]]: base(v) = ⌊⌊scale·(den−num)/den⌋ / |S|⌋ for seeds and 0
+    * elsewhere, start = ⌊scale/|S|⌋ on seeds, every round one label-frame
+    * shuffle against the cached src-partitioned edges (the distributed
+    * path's shape — seed-restricted base makes the driver-path's
+    * uniform-base shortcut inapplicable, and the per-round node frame
+    * carries its base along, so no extra join appears). Seeds outside
+    * the graph are ignored; at least one must be present. Duplicate
+    * edges collapse. Returns (node, rank) after exactly `iterations`
+    * rounds — nodes unreachable from the seeds hold rank 0, which is the
+    * point (the q93 global walk ranks them anyway).
+    */
+  def personalizedRanks(edges: DataFrame, seeds: DataFrame,
+                        iterations: Int = 10, scale: Long = 1000000000000L,
+                        dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+    val edgesDeg = e
+      .repartition(col("src"))
+      .groupBy(col("src"), col("dst")).agg(lit(1))
+      .select(col("src"), col("dst"))
+      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .persist()
+    val seedSet = seeds.select(col(seeds.columns.head).as("node")).distinct()
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seedSet.withColumn("__s", lit(1L)), Seq("node"), "left")
+    def rebase(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
+      val rdd = df.rdd
+      rdd.cache()
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    val (flags, flagsRdd) = rebase(nodes0)
+    val nSeeds = flags.filter(col("__s").isNotNull).count()
+    require(nSeeds > 0, "no seed appears in the graph")
+    val base = scale * (dampDen - dampNum) / dampDen / nSeeds
+    require(base > 0 && scale / nSeeds > 0,
+      s"scale $scale too small for $nSeeds seeds")
+    val (nodesBase, nbRdd) = rebase(flags.select(col("node"),
+      when(col("__s").isNotNull, lit(base)).otherwise(lit(0L)).as("b")))
+    nodesBase.count()
+    flagsRdd.unpersist(blocking = false)
+    var (ranks, ranksRdd) = rebase(nodesBase.select(col("node"),
+      when(col("b") > 0, lit(scale / nSeeds)).otherwise(lit(0L)).as("rank")))
+    var i = 0
+    while (i < iterations) {
+      val contribs = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), IntOps.intDiv(col("rank"), col("outdeg")).as("c"),
+          lit(0L).as("b"))
+      // one zero-contribution row per node CARRIES the node's base, so
+      // the per-round aggregate needs no second join (sum(b) = the base,
+      // each node's b appears exactly once)
+      val next = contribs
+        .unionByName(nodesBase.select(col("node").as("dst"),
+          lit(0L).as("c"), col("b")))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("in_mass"), sum(col("b")).as("bb"))
+        .select(col("dst").as("node"),
+          (col("bb") + IntOps.intDiv(col("in_mass") * dampNum, lit(dampDen)))
+            .as("rank"))
+      val (r2, rr2) = rebase(next)
+      r2.count()
+      ranksRdd.unpersist(blocking = false)
+      ranks = r2; ranksRdd = rr2
+      i += 1
+    }
+    nbRdd.unpersist(blocking = false)
+    ranks
+  }
+
   /** Big-graph fallback: distributed rank frame, rebased per round onto a
     * cached-RDD leaf; the join reuses the cached edge partitioning so only
     * the rank frame shuffles.

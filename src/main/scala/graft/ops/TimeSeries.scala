@@ -21,6 +21,41 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Exponentially-decayed event counts — the FRESHNESS weight a
+    * training-data mixer or recommendation ranker applies to engagement
+    * signals (yesterday's click outweighs last year's). The classic
+    * e^(−λΔt) is a transcendental that neither sums commutatively nor
+    * replays across engines; here decay is by HALF-LIVES with the weight
+    * table precomputed on the driver:
+    *
+    *   weight(Δ) = scale >> min(⌊Δ/halfLife⌋, 63)      (Δ ≥ 0)
+    *
+    * — a 64-entry literal array indexed per row (whole-stage codegen'd,
+    * no pow/exp anywhere), so the group score Σ weight is an exact
+    * commutative long sum that replays bit-identically. Same decay
+    * shape, factor-of-2 granularity; intermediate factors come from a
+    * smaller `halfLife`. The anchor `asOfMicros` must be supplied (or
+    * derived deterministically, e.g. max(ts) — the q189 gate's choice):
+    * a wall-clock default would make the result irreproducible. Events
+    * after the anchor are excluded (their age is negative).
+    *
+    * Scale shape: one projection + one map-side-combined group sum.
+    */
+  def decayedCounts(df: DataFrame, keyCols: Seq[String], tsCol: Column,
+                    asOfMicros: Column, halfLifeSeconds: Long,
+                    scale: Long = 1000000L): DataFrame = {
+    require(halfLifeSeconds >= 1, "halfLifeSeconds must be >= 1")
+    require(scale >= 1, "scale must be >= 1")
+    val weights = typedLit((0 to 63).map(k => scale >> k))
+    val ageUs = asOfMicros - unix_micros(tsCol)
+    val k = least(graft.functions.IntOps.intDiv(
+      ageUs, lit(halfLifeSeconds * 1000000L)), lit(63L))
+    df.filter(ageUs >= 0)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(element_at(weights, (k + 1).cast("int"))).as("decay_q"))
+  }
+
   /** Final EWMA per key: groupBy `keyCol`, events ordered by
     * (`orderCol`, `tieCol`). Output: keyCol, n_events, ewma.
     */

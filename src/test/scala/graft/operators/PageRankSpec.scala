@@ -81,4 +81,51 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(distributed == driver)
     assert(driver == reference(edges, 4))
   }
+
+  /** Personalized replay: base and start only on the seed set. */
+  private def personalizedReference(edges: Seq[(String, String)],
+                                    seeds: Set[String], iterations: Int,
+                                    scale: Long = 1000000000000L,
+                                    dampNum: Long = 85,
+                                    dampDen: Long = 100): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val sIn = seeds.intersect(nodes.toSet)
+    val base = scale * (dampDen - dampNum) / dampDen / sIn.size
+    var r = nodes.map(v => v -> (if (sIn(v)) scale / sIn.size else 0L)).toMap
+    for (_ <- 1 to iterations) {
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(p => r(p._1) / outdeg(p._1)).sum
+      }
+      r = nodes.map(v => v ->
+        ((if (sIn(v)) base else 0L) + in.getOrElse(v, 0L) * dampNum / dampDen)).toMap
+    }
+    r
+  }
+
+  test("personalizedRanks matches the seed-restricted replay; unreachable nodes hold zero") {
+    // two components: the seeds' triangle plus a disjoint pair
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a",
+      "x" -> "y", "y" -> "x")
+    def run(seeds: Seq[String], np: Int = 1): Map[String, Long] = {
+      val got = PageRank.personalizedRanks(
+        edges.toDF("src", "dst").repartition(np),
+        seeds.toDF("node"), iterations = 4)
+        .as[(String, Long)].collect().toMap
+      graft.Storage.releaseAll(spark)
+      got
+    }
+    val got = run(Seq("a", "zz")) // off-graph seed ignored
+    assert(got == personalizedReference(edges, Set("a"), 4))
+    assert(got("x") == 0L && got("y") == 0L) // unreachable from the seed
+    // on a directed cycle the seed's restart mass flows FORWARD — its
+    // out-neighbor accumulates it; the seeded component holds all mass
+    assert(got("a") > 0L && got("b") > got("a"))
+    assert(run(Seq("a", "zz"), np = 4) == got) // partitioning-invariant
+    // seeding the OTHER component flips who holds mass
+    val got2 = run(Seq("x"))
+    assert(got2 == personalizedReference(edges, Set("x"), 4))
+    assert(got2("a") == 0L && got2("x") > 0L)
+  }
 }

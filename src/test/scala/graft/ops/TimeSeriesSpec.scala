@@ -74,4 +74,24 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       "u", col("seq"), col("seq"), "x", 10L, 25L).collect().head
     assert(a.toSeq == b.toSeq && a.getLong(2) == 1L)
   }
+
+  test("decayedCounts: half-life shifts match a driver replay; future events excluded") {
+    val hl = 100L // seconds
+    val asOfUs = 1000L * 1000000L
+    // ages in seconds: 0 (k=0), 99 (k=0), 100 (k=1), 250 (k=2), 7000 (k=63-capped
+    // at 70? 7000/100 = 70 → capped 63), and one FUTURE event (excluded)
+    val ages = Seq(0L, 99L, 100L, 250L, 7000L, -5L)
+    val rows = ages.zipWithIndex.map { case (a, i) =>
+      (if (i % 2 == 0) "a" else "b", new java.sql.Timestamp((1000L - a) * 1000L)) }
+    val got = TimeSeries.decayedCounts(
+      rows.toDF("g", "ts").repartition(3), Seq("g"), col("ts"),
+      lit(asOfUs), halfLifeSeconds = hl, scale = 1000000L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def w(age: Long): Long = 1000000L >> math.min(age / hl, 63L).toInt
+    // group a: ages 0, 100, 7000; group b: 99, 250 (and the future event dropped)
+    assert(got == Map(
+      "a" -> ((3L, w(0) + w(100) + w(7000))),
+      "b" -> ((2L, w(99) + w(250)))))
+    assert(w(7000) == 0L) // deep past decays to exactly zero, never negative
+  }
 }
