@@ -928,6 +928,55 @@ object OracleSqlGen {
        |SELECT node, rank FROM r$iterations""".stripMargin
   }
 
+  // ---- q191: more-like-this — the anchor's top-m terms by tf·rarity
+  // (same doubles, same tiebreak), then the q71 BM25 replay with the
+  // per-term components PIVOTED into alphabetical positions and summed
+  // left-associated in that fixed order — matching Spark's
+  // sorted-term-column reduce bit for bit.
+  def q191Sql(anchorId: Long = 0L, numTerms: Int = 5, topK: Int = 10,
+              k1: Double = 1.2, b: Double = 0.75): String = {
+    val score = (1 to numTerms).map(i =>
+      s"COALESCE(max(CASE WHEN arn = $i THEN sc END), 0)").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+       |), per AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM base
+       |), tf AS (
+       |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS t FROM base) GROUP BY 1, 2
+       |), dfq AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS total_dl FROM per
+       |), sel AS (
+       |  SELECT t, row_number() OVER (
+       |      ORDER BY a.tf * ((agg.n_docs - d.df + 0.5) / (d.df + 0.5)) DESC, t
+       |    ) AS rn
+       |  FROM tf a JOIN dfq d USING (t) CROSS JOIN agg
+       |  WHERE a.doc_id = $anchorId
+       |), selm AS (
+       |  SELECT t, row_number() OVER (ORDER BY t) AS arn
+       |  FROM sel WHERE rn <= $numTerms
+       |), comp AS (
+       |  SELECT p.doc_id, s.arn, COALESCE(tf.tf, 0) AS tfv,
+       |    ((agg.n_docs - d.df) + 5.0e-01) / (d.df + 5.0e-01) *
+       |      ((CAST(COALESCE(tf.tf, 0) AS DOUBLE) * ${dbl(k1 + 1)}) /
+       |       (CAST(COALESCE(tf.tf, 0) AS DOUBLE) + ${dbl(k1)} * (${dbl(1 - b)} +
+       |        (${dbl(b)} * (p.dl / (CAST(agg.total_dl AS DOUBLE) / agg.n_docs)))))) AS sc
+       |  FROM per p
+       |  CROSS JOIN selm s
+       |  JOIN dfq d ON d.t = s.t
+       |  LEFT JOIN tf ON tf.doc_id = p.doc_id AND tf.t = s.t
+       |  CROSS JOIN agg
+       |), scored AS (
+       |  SELECT doc_id, $score AS score
+       |  FROM comp GROUP BY doc_id HAVING sum(tfv) > 0
+       |)
+       |SELECT doc_id, score FROM scored WHERE doc_id <> $anchorId
+       |ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
+  }
+
   // ---- q190: personalized PageRank — the q93 unroll with the base
   // restricted to the seed set (CASE on the seed flag) and the
   // seed-concentrated start; integers throughout, zero tolerance.

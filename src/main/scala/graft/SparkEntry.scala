@@ -2679,6 +2679,16 @@ object SparkEntry {
     operators.ScalarQuantizer.sqTopK(Tables(s, dir).embeddings,
       "vec_id", "embedding", dim = 64, queryId = 0L, topK = 25)
 
+  // ---- q191: MORE-LIKE-THIS — query-by-document retrieval (the Lucene
+  //      MLT shape): the anchor's top-5 distinctive terms (tf·rarity,
+  //      total-order ties) become the BM25 query, anchor excluded from
+  //      results but not statistics. The oracle pivots the per-term
+  //      doubles into alphabetical positions and sums them in Spark's
+  //      exact fixed order. ----
+  private def q191(s: SparkSession, dir: String): DataFrame =
+    operators.MoreLikeThis.topK(Tables(s, dir).documents, "doc_id", "text",
+      anchorId = 0L, numTerms = 5, topK = 10)
+
   // ---- q190: PERSONALIZED PageRank — random walk with restart from a
   //      seed part set over the part↔supplier graph: the "more like
   //      these" relatedness score (q93's global walk ranks everything;
@@ -2954,6 +2964,7 @@ object SparkEntry {
     "q188_stream_kmv_store" -> q188 _,
     "q189_decay_score"     -> q189 _,
     "q190_personalized_pagerank" -> q190 _,
+    "q191_more_like_this"  -> q191 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -3864,6 +3875,8 @@ object SparkEntry {
     "q188_stream_kmv_store" -> OracleSqlGen.q129Sql(),
     // q190: all five personalized rounds unrolled (seed-restricted base).
     "q190_personalized_pagerank" -> OracleSqlGen.q190Sql(),
+    // q191: anchor term selection + alphabetical-position BM25 pivot.
+    "q191_more_like_this" -> OracleSqlGen.q191Sql(),
     // q189: the same 64-entry half-life weight table, same floor-div
     // bucket, same exact long sum.
     "q189_decay_score" -> {

@@ -44,7 +44,8 @@ object Bm25 {
   def topK(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], topK: Int,
            k1: Double = 1.2, b: Double = 0.75,
-           logIdf: Boolean = false): DataFrame = {
+           logIdf: Boolean = false,
+           excludeDocId: Option[Long] = None): DataFrame = {
     require(queryTerms.nonEmpty, "at least one query term")
     require(topK > 0, "topK must be positive")
     val terms = queryTerms.distinct.sorted
@@ -82,6 +83,10 @@ object Bm25 {
       .withColumn("score",
         terms.indices.map(termScore).reduce(_ + _))
       .select(col("doc_id"), col("score"))
-    scored.orderBy(col("score").desc, col("doc_id").asc).limit(topK)
+    // exclusion AFTER the stats (the excluded doc still counts toward
+    // df/avgdl — the more-like-this contract: the anchor shapes the
+    // query, not the corpus statistics) but BEFORE the top-k heap
+    val out = excludeDocId.fold(scored)(id => scored.filter(col("doc_id") =!= id))
+    out.orderBy(col("score").desc, col("doc_id").asc).limit(topK)
   }
 }
