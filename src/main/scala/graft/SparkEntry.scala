@@ -2679,6 +2679,17 @@ object SparkEntry {
     operators.ScalarQuantizer.sqTopK(Tables(s, dir).embeddings,
       "vec_id", "embedding", dim = 64, queryId = 0L, topK = 25)
 
+  // ---- q192: SORTED-NEIGHBORHOOD blocking — the third linkage blocking
+  //      family (merge/purge): one global sort by the key, a w-position
+  //      sliding window, exact verify inside it. Bounded-and-linear BY
+  //      DESIGN where FastSS/PassJoin are lossless; positions ride the
+  //      PrefixSum range decomposition (never one task), neighbors meet
+  //      in a position-block equi join (never a cartesian). ----
+  private def q192(s: SparkSession, dir: String): DataFrame =
+    ops.SortedNeighborhood.candidates(
+      Tables(s, dir).supplier.select(col("s_suppkey"), col("s_name")),
+      "s_suppkey", "s_name", window = 5, maxLev = 2)
+
   // ---- q191: MORE-LIKE-THIS — query-by-document retrieval (the Lucene
   //      MLT shape): the anchor's top-5 distinctive terms (tf·rarity,
   //      total-order ties) become the BM25 query, anchor excluded from
@@ -2965,6 +2976,7 @@ object SparkEntry {
     "q189_decay_score"     -> q189 _,
     "q190_personalized_pagerank" -> q190 _,
     "q191_more_like_this"  -> q191 _,
+    "q192_sorted_neighborhood" -> q192 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -3877,6 +3889,19 @@ object SparkEntry {
     "q190_personalized_pagerank" -> OracleSqlGen.q190Sql(),
     // q191: anchor term selection + alphabetical-position BM25 pivot.
     "q191_more_like_this" -> OracleSqlGen.q191Sql(),
+    // q192: row_number over the same (key, id) total order, the same
+    // in-window pair predicate, DuckDB's levenshtein (parity established
+    // by the q113 gate).
+    "q192_sorted_neighborhood" ->
+      """WITH p AS (
+        |  SELECT s_suppkey AS id, s_name AS k,
+        |         row_number() OVER (ORDER BY s_name, s_suppkey) - 1 AS pos
+        |  FROM supplier
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(levenshtein(a.k, b.k) AS BIGINT) AS lev
+        |FROM p a JOIN p b ON b.pos > a.pos AND b.pos - a.pos < 5
+        |WHERE levenshtein(a.k, b.k) <= 2""".stripMargin,
     // q189: the same 64-entry half-life weight table, same floor-div
     // bucket, same exact long sum.
     "q189_decay_score" -> {

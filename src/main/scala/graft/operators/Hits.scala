@@ -43,7 +43,8 @@ object Hits {
     * documented rule). Nodes appear iff they touch an edge.
     */
   def hubsAuthorities(edges: DataFrame, srcCol: String, dstCol: String,
-                      rounds: Int, scale: Long = 1000000L): DataFrame = {
+                      rounds: Int, scale: Long = 1000000L,
+                      broadcastMaxNodes: Long = 2000000L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(scale >= 1, s"scale must be >= 1, got $scale")
     val spark = edges.sparkSession
@@ -57,6 +58,13 @@ object Hits {
     val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .filter(col("s").isNotNull && col("d").isNotNull)
       .distinct()
+
+    val nodesProbe = e0.select(col("s").as("node"))
+      .union(e0.select(col("d").as("node"))).distinct().persist()
+    val nProbe = nodesProbe.count()
+    if (nProbe > 0 && nProbe <= math.min(broadcastMaxNodes, Int.MaxValue - 8L))
+      return hitsDriverState(spark, e0, nodesProbe, nProbe.toInt, rounds, scale)
+    nodesProbe.unpersist(blocking = false)
     val eByS = e0.repartition(col("s"))
     eByS.persist()
     val eByD = eByS.repartition(col("d"))
@@ -103,5 +111,88 @@ object Hits {
     nodesRdd.unpersist(blocking = false)
     h.join(a, Seq("node"))
       .select(col("node"), col("h").as("hub_q"), col("a").as("auth_q"))
+  }
+
+  /** The common-case loop on [[PageRank]]'s dictionary-CSR layout: the
+    * cached in-adjacency serves BOTH half-rounds — the authority gather
+    * a[d] = Σ h[s] reads each node's in-neighbor array (one map-only
+    * job + n-row collect), and the hub update h[s] = Σ a[d] is the
+    * TRANSPOSED product, a scatter over the same arrays folded through
+    * a per-partition n-long accumulator (the out-degree treeAggregate's
+    * memory contract). Maxima and normalization are O(n) driver longs.
+    * Bit-identical to the distributed loop (HitsSpec pins it).
+    */
+  private def hitsDriverState(spark: org.apache.spark.sql.SparkSession,
+                              e0: DataFrame, nodes0: DataFrame, n: Int,
+                              rounds: Int, scale: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
+    nodes0.unpersist(blocking = false)
+    val nodeType = nodes0.schema.fields(0).dataType
+    val idRows: java.util.List[Row] =
+      nodeVals.zipWithIndex.map { case (v, i) => Row(v, i) }.toSeq.asJava
+    val idSchema = StructType(Seq(
+      StructField("node", nodeType, nullable = true),
+      StructField("id", IntegerType, nullable = false)))
+    val srcIds = spark.createDataFrame(idRows, idSchema)
+    val dstIds = srcIds.select(col("node").as("node2"), col("id").as("id2"))
+    val adj: org.apache.spark.rdd.RDD[(Int, Array[Int])] =
+      PageRank.adjacencyPlan(
+        e0.select(col("s").as("src"), col("d").as("dst")), srcIds, dstIds)
+        .rdd.map(r => (r.getInt(0), r.getSeq[Int](1).toArray))
+    adj.cache()
+    adj.count()
+
+    def normalize(raw: Array[Long]): Array[Long] = {
+      var mx = 0L
+      var j = 0
+      while (j < n) { if (raw(j) > mx) mx = raw(j); j += 1 }
+      if (mx <= 0) new Array[Long](n)
+      else Array.tabulate(n)(j => raw(j) * scale / mx)
+    }
+
+    var h = Array.fill(n)(scale)
+    var a = new Array[Long](n)
+    var r = 0
+    while (r < rounds) {
+      val bcH = spark.sparkContext.broadcast(h)
+      val aSums = adj.map { case (did, sids) =>
+        val hv = bcH.value
+        var s = 0L
+        var j = 0
+        while (j < sids.length) { s += hv(sids(j)); j += 1 }
+        (did, s)
+      }.collect()
+      bcH.destroy()
+      val aRaw = new Array[Long](n)
+      aSums.foreach { case (did, s) => aRaw(did) = s }
+      a = normalize(aRaw)
+      val bcA = spark.sparkContext.broadcast(a)
+      val hRaw = adj.treeAggregate(new Array[Long](n))(
+        seqOp = { (acc, kv) =>
+          val av = bcA.value(kv._1)
+          val sids = kv._2
+          var j = 0
+          while (j < sids.length) { acc(sids(j)) += av; j += 1 }
+          acc
+        },
+        combOp = { (x, y) =>
+          var j = 0
+          while (j < n) { x(j) += y(j); j += 1 }
+          x
+        })
+      bcA.destroy()
+      h = normalize(hRaw)
+      r += 1
+    }
+    adj.unpersist(blocking = false)
+    val outSchema = StructType(Seq(
+      StructField("node", nodeType, nullable = true),
+      StructField("hub_q", LongType, nullable = false),
+      StructField("auth_q", LongType, nullable = false)))
+    val outRows: java.util.List[Row] =
+      Array.tabulate(n)(i => Row(nodeVals(i), h(i), a(i))).toSeq.asJava
+    spark.createDataFrame(outRows, outSchema)
   }
 }

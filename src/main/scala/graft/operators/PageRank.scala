@@ -144,7 +144,8 @@ object PageRank {
     */
   private def ranksDriverState(spark: SparkSession, e: DataFrame, nodes0: DataFrame,
                                n: Int, iterations: Int, scale: Long,
-                               dampNum: Long, dampDen: Long): DataFrame = {
+                               dampNum: Long, dampDen: Long,
+                               seeds: Option[Set[Any]] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
     val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
     nodes0.unpersist(blocking = false)
@@ -183,8 +184,22 @@ object PageRank {
         a
       })
 
-    val base = scale * (dampDen - dampNum) / dampDen / n
-    var rank = Array.fill(n)(scale / n)
+    // uniform teleport (classic) or seed-restricted (personalized) —
+    // same loop, different base/start vectors
+    val (baseArr, init): (Array[Long], Array[Long]) = seeds match {
+      case None =>
+        val b = scale * (dampDen - dampNum) / dampDen / n
+        (Array.fill(n)(b), Array.fill(n)(scale / n))
+      case Some(ss) =>
+        val flag = nodeVals.map(ss.contains)
+        val k = flag.count(identity)
+        require(k > 0, "no seed appears in the graph")
+        val b = scale * (dampDen - dampNum) / dampDen / k
+        require(b > 0 && scale / k > 0, s"scale $scale too small for $k seeds")
+        (Array.tabulate(n)(j => if (flag(j)) b else 0L),
+          Array.tabulate(n)(j => if (flag(j)) scale / k else 0L))
+    }
+    var rank = init
     var i = 0
     while (i < iterations) {
       // Driver half: c_u = rank_u div outdeg_u — O(n) longs, bounded by
@@ -205,8 +220,8 @@ object PageRank {
         (did, s)
       }.collect()
       bc.destroy()
-      val next = Array.fill(n)(base)
-      sums.foreach { case (did, s) => next(did) = base + s * dampNum / dampDen }
+      val next = baseArr.clone()
+      sums.foreach { case (did, s) => next(did) = baseArr(did) + s * dampNum / dampDen }
       rank = next
       i += 1
     }
@@ -235,20 +250,31 @@ object PageRank {
     */
   def personalizedRanks(edges: DataFrame, seeds: DataFrame,
                         iterations: Int = 10, scale: Long = 1000000000000L,
-                        dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+                        dampNum: Long = 85, dampDen: Long = 100,
+                        broadcastMaxNodes: Long = 2000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
     val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst"))
+    val seedSet = seeds.select(col(seeds.columns.head).as("node")).distinct()
+    // the seed set IS the query — driver-collected under the bounded
+    // contract regardless of path (probeCells' shape)
+    val seedVals: Set[Any] = seedSet.collect().map(_.get(0)).toSet
+    require(seedVals.nonEmpty, "seeds must be non-empty")
+    val nodesPlain = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val nTotal = nodesPlain.count()
+    if (nTotal > 0 && nTotal <= math.min(broadcastMaxNodes, Int.MaxValue - 8L))
+      // same dictionary-CSR loop as [[ranks]] — only base/start differ
+      return ranksDriverState(spark, e, nodesPlain, nTotal.toInt, iterations,
+        scale, dampNum, dampDen, seeds = Some(seedVals))
     val edgesDeg = e
       .repartition(col("src"))
       .groupBy(col("src"), col("dst")).agg(lit(1))
       .select(col("src"), col("dst"))
       .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("src"))))
       .persist()
-    val seedSet = seeds.select(col(seeds.columns.head).as("node")).distinct()
-    val nodes0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes0 = nodesPlain
       .join(seedSet.withColumn("__s", lit(1L)), Seq("node"), "left")
     def rebase(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
       val rdd = df.rdd

@@ -38,9 +38,9 @@ class HitsSpec extends AnyFunSuite with SparkSpec {
   }
 
   private def run(rounds: Int, es: Seq[(Long, Long)] = edges,
-                  np: Int = 1): Map[Long, (Long, Long)] = {
+                  np: Int = 1, maxNodes: Long = 2000000L): Map[Long, (Long, Long)] = {
     val got = Hits.hubsAuthorities(es.toDF("src", "dst").repartition(np),
-      "src", "dst", rounds)
+      "src", "dst", rounds, broadcastMaxNodes = maxNodes)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     graft.Storage.releaseAll(spark)
     got
@@ -49,6 +49,11 @@ class HitsSpec extends AnyFunSuite with SparkSpec {
   test("matches the driver replay at several partitionings and round counts") {
     for (rounds <- Seq(1, 3); np <- Seq(1, 4))
       assert(run(rounds, np = np) == replay(rounds), s"rounds=$rounds np=$np")
+  }
+
+  test("the distributed fallback is bit-identical to the driver CSR path") {
+    for (rounds <- Seq(1, 3))
+      assert(run(rounds, maxNodes = 1L) == replay(rounds), s"rounds=$rounds")
   }
 
   test("duplicate edges collapse; hubs and authorities separate") {

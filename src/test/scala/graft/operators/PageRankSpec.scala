@@ -108,16 +108,19 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     // two components: the seeds' triangle plus a disjoint pair
     val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a",
       "x" -> "y", "y" -> "x")
-    def run(seeds: Seq[String], np: Int = 1): Map[String, Long] = {
+    def run(seeds: Seq[String], np: Int = 1,
+            maxNodes: Long = 2000000L): Map[String, Long] = {
       val got = PageRank.personalizedRanks(
         edges.toDF("src", "dst").repartition(np),
-        seeds.toDF("node"), iterations = 4)
+        seeds.toDF("node"), iterations = 4, broadcastMaxNodes = maxNodes)
         .as[(String, Long)].collect().toMap
       graft.Storage.releaseAll(spark)
       got
     }
     val got = run(Seq("a", "zz")) // off-graph seed ignored
     assert(got == personalizedReference(edges, Set("a"), 4))
+    // the distributed fallback is bit-identical to the driver path
+    assert(run(Seq("a", "zz"), maxNodes = 1L) == got)
     assert(got("x") == 0L && got("y") == 0L) // unreachable from the seed
     // on a directed cycle the seed's restart mass flows FORWARD — its
     // out-neighbor accumulates it; the seeded component holds all mass
