@@ -2679,6 +2679,27 @@ object SparkEntry {
     operators.ScalarQuantizer.sqTopK(Tables(s, dir).embeddings,
       "vec_id", "embedding", dim = 64, queryId = 0L, topK = 25)
 
+  // ---- q193: STREAMING ANN-store ingest — the third store family
+  //      through the ledgered foreachBatch loop: embeddings stream into
+  //      the hyperplane-LSH bucketed store, and the within-store pair
+  //      derivation must equal the one-shot q30 LSH run however the
+  //      stream sliced (q30's oracle VERBATIM). ----
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_stream_ann_store"
+    graft.sources.Sinks.dropTableAndStaleLocation(s, table)
+    graft.sources.Sinks.dropTableAndStaleLocation(s,
+      graft.streaming.StoreIngest.ledgerTable(table))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann_").toString
+    val emb = graft.streaming.EventStreams
+      .readParquetStream(s, dir, "embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    graft.streaming.StoreIngest.ingestAnnStore(emb, "vec_id", "embedding",
+      table, buckets = 8, checkpointDir = ckpt)
+      .awaitTermination()
+    operators.IncrementalAnn.storePairs(s.table(table), minCosine = 0.4)
+  }
+
   // ---- q192: SORTED-NEIGHBORHOOD blocking — the third linkage blocking
   //      family (merge/purge): one global sort by the key, a w-position
   //      sliding window, exact verify inside it. Bounded-and-linear BY
@@ -2977,6 +2998,7 @@ object SparkEntry {
     "q190_personalized_pagerank" -> q190 _,
     "q191_more_like_this"  -> q191 _,
     "q192_sorted_neighborhood" -> q192 _,
+    "q193_stream_ann_store" -> q193 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -3889,6 +3911,9 @@ object SparkEntry {
     "q190_personalized_pagerank" -> OracleSqlGen.q190Sql(),
     // q191: anchor term selection + alphabetical-position BM25 pivot.
     "q191_more_like_this" -> OracleSqlGen.q191Sql(),
+    // q193: q30's oracle VERBATIM — however the stream slices, the
+    // accumulated per-table index must equal the one-shot LSH run's.
+    "q193_stream_ann_store" -> OracleSqlGen.q30Sql(),
     // q192: row_number over the same (key, id) total order, the same
     // in-window pair predicate, DuckDB's levenshtein (parity established
     // by the q113 gate).

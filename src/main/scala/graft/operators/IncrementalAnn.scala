@@ -107,4 +107,16 @@ object IncrementalAnn {
   def ingestNearDups(spark: SparkSession, storeTable: String,
                      batchBucketed: DataFrame, minCosine: Double): DataFrame =
     ingestNearDups(spark.table(storeTable), batchBucketed, minCosine)
+
+  /** All near-dup pairs WITHIN a store (id_a < id_b, deduped across the
+    * OR-amplified tables) — the full-corpus view of an accumulated
+    * store: over the union of every ingested generation it returns
+    * exactly what the one-shot [[Dedup.embeddingNearDupsLsh]] run
+    * returns, because the store rows ARE that run's per-table index.
+    * Both join sides are the same bucketed table — neither exchanges
+    * (the storeCandidates discipline). The q193 gate streams the corpus
+    * in and checks against q30's oracle verbatim.
+    */
+  def storePairs(store: DataFrame, minCosine: Double): DataFrame =
+    withinBatchPairs(store, minCosine).distinct()
 }

@@ -99,4 +99,24 @@ object StoreIngest {
         graft.operators.IncrementalKmv.sketchBatch(batch, groupCol, valueCol, k),
         table, groupCol, buckets)
     }
+
+  /** Streaming ingest into the hyperplane-LSH embedding store: each
+    * micro-batch bucketizes (idCol, vecCol) rows across the OR-amplified
+    * tables and appends ([[graft.operators.IncrementalAnn]]). Defaults
+    * are the q30/q51 constants so the accumulated store replays the
+    * one-shot LSH oracle exactly; the pair derivation is a DISTINCT set,
+    * so the ledger's crash window is answer-invariant (the dedup-store
+    * argument).
+    */
+  def ingestAnnStore(rows: DataFrame, idCol: String, vecCol: String,
+                     table: String, buckets: Int, checkpointDir: String,
+                     nPlanes: Int = 12, nTables: Int = 2, dim: Int = 64,
+                     seed: Long = 42L,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ledgeredIngest(rows, table, checkpointDir, trigger) { batch =>
+      graft.operators.IncrementalAnn.appendToStore(
+        graft.operators.IncrementalAnn.bucketedEmbeddings(
+          batch, idCol, vecCol, nPlanes, nTables, dim, seed),
+        table, buckets)
+    }
 }

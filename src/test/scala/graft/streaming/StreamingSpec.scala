@@ -352,4 +352,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       graft.Storage.releaseAll(spark)
     }
   }
+
+  test("streaming ANN-store ingest accumulates the one-shot bucketed index") {
+    import graft.operators.IncrementalAnn
+    val t = "graft_stream_ann_spec"
+    Seq(t, StoreIngest.ledgerTable(t), t + "_batch").foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_ingest").toFile
+    try {
+      val in = new java.io.File(root, "in")
+      val rnd = new scala.util.Random(11)
+      val vecs = (0L until 40L).map(i =>
+        (i, Seq.fill(64)(rnd.nextFloat() * 2f - 1f)))
+      vecs.grouped(20).foreach(g =>
+        g.toDF("vec_id", "embedding").coalesce(1)
+          .write.mode("append").parquet(in.getAbsolutePath))
+      val stream = spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").parquet(in.getAbsolutePath)
+      StoreIngest.ingestAnnStore(stream, "vec_id", "embedding", t,
+        buckets = 4, checkpointDir = new java.io.File(root, "cp").getAbsolutePath)
+        .awaitTermination()
+      assert(spark.table(StoreIngest.ledgerTable(t)).count() >= 2)
+      IncrementalAnn.appendToStore(
+        IncrementalAnn.bucketedEmbeddings(
+          vecs.toDF("vec_id", "embedding"), "vec_id", "embedding"),
+        t + "_batch", buckets = 4)
+      def pairs(table: String) = IncrementalAnn
+        .storePairs(spark.table(table), minCosine = 0.2)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pairs(t) == pairs(t + "_batch"),
+        "streamed ANN store must serve the one-shot batch pairs bit-identically")
+    } finally {
+      rmTree(root)
+      Seq(t, StoreIngest.ledgerTable(t), t + "_batch").foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
 }
