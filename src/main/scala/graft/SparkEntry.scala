@@ -2679,6 +2679,25 @@ object SparkEntry {
     operators.ScalarQuantizer.sqTopK(Tables(s, dir).embeddings,
       "vec_id", "embedding", dim = 64, queryId = 0L, topK = 25)
 
+  // ---- q194: PageRank SNAPSHOT + RESUME — the saveModel discipline for
+  //      graph scores: run 5 rounds, persist the rank table, reload in a
+  //      fresh read, and resume 5 MORE rounds from the loaded snapshot.
+  //      The iteration is a pure function of (graph, start vector), so
+  //      the result must equal a COLD 10-round run — q93's oracle at 10
+  //      iterations, verbatim arithmetic (a lossy snapshot, a wrong
+  //      resume seed, or a cold restart all hash-mismatch). ----
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables(s, dir).lineitem.select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("p"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("sn"))
+    val edges = pairs.select(col("p").as("src"), col("sn").as("dst"))
+      .union(pairs.select(col("sn").as("src"), col("p").as("dst")))
+    val r5 = operators.PageRank.ranks(edges, iterations = 5)
+    operators.PageRank.saveRanks(s, r5, "graft_pagerank_snapshot")
+    operators.PageRank.resumeRanks(edges,
+      s.table("graft_pagerank_snapshot"), iterations = 5)
+  }
+
   // ---- q193: STREAMING ANN-store ingest — the third store family
   //      through the ledgered foreachBatch loop: embeddings stream into
   //      the hyperplane-LSH bucketed store, and the within-store pair
@@ -2999,6 +3018,7 @@ object SparkEntry {
     "q191_more_like_this"  -> q191 _,
     "q192_sorted_neighborhood" -> q192 _,
     "q193_stream_ann_store" -> q193 _,
+    "q194_pagerank_resume"  -> q194 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -3914,6 +3934,8 @@ object SparkEntry {
     // q193: q30's oracle VERBATIM — however the stream slices, the
     // accumulated per-table index must equal the one-shot LSH run's.
     "q193_stream_ann_store" -> OracleSqlGen.q30Sql(),
+    // q194: snapshot+resume ≡ a cold 10-round run — q93's unroll at 10.
+    "q194_pagerank_resume" -> OracleSqlGen.q93Sql(iterations = 10),
     // q192: row_number over the same (key, id) total order, the same
     // in-window pair predicate, DuckDB's levenshtein (parity established
     // by the q113 gate).

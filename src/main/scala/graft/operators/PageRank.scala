@@ -145,7 +145,8 @@ object PageRank {
   private def ranksDriverState(spark: SparkSession, e: DataFrame, nodes0: DataFrame,
                                n: Int, iterations: Int, scale: Long,
                                dampNum: Long, dampDen: Long,
-                               seeds: Option[Set[Any]] = None): DataFrame = {
+                               seeds: Option[Set[Any]] = None,
+                               initFrom: Option[scala.collection.Map[Any, Long]] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
     val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
     nodes0.unpersist(blocking = false)
@@ -199,7 +200,11 @@ object PageRank {
         (Array.tabulate(n)(j => if (flag(j)) b else 0L),
           Array.tabulate(n)(j => if (flag(j)) scale / k else 0L))
     }
-    var rank = init
+    // warm start: resume from a prior snapshot; nodes the snapshot has
+    // never seen start at the cold-start value (the round-R rank of a
+    // node that joined later IS its cold value)
+    var rank = initFrom.fold(init)(m =>
+      Array.tabulate(n)(j => m.getOrElse(nodeVals(j), init(j))))
     var i = 0
     while (i < iterations) {
       // Driver half: c_u = rank_u div outdeg_u — O(n) longs, bounded by
@@ -231,6 +236,57 @@ object PageRank {
     val outRows: java.util.List[Row] =
       Array.tabulate(n)(i0 => Row(nodeVals(i0), rank(i0))).toSeq.asJava
     spark.createDataFrame(outRows, outSchema)
+  }
+
+  /** Persist a rank vector as a two-column managed table — the
+    * saveModel/serving discipline applied to graph scores: compute
+    * once, snapshot, and later sessions either read the table directly
+    * or [[resumeRanks]] from it instead of restarting cold.
+    */
+  def saveRanks(spark: SparkSession, ranks: DataFrame, table: String): Unit = {
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, table)
+    ranks.select(col("node"), col("rank"))
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** RESUME the damped iteration from a prior snapshot: run `iterations`
+    * MORE rounds over the (possibly grown) edge list, starting each node
+    * at its snapshot rank — nodes the snapshot never saw start at the
+    * cold value scale/n. The iteration is a pure function of
+    * (graph, start vector), so on an unchanged graph
+    * resume(snapshot of round R, k) ≡ a cold run of R+k rounds
+    * BIT-IDENTICALLY — which is the q194 gate (q93's oracle at R+k
+    * rounds, verbatim arithmetic). On a grown graph it is the
+    * incremental-refresh shape: the walk re-converges from the old
+    * scores in far fewer rounds than a cold start.
+    */
+  def resumeRanks(edges: DataFrame, prior: DataFrame, iterations: Int = 5,
+                  scale: Long = 1000000000000L,
+                  dampNum: Long = 85, dampDen: Long = 100,
+                  broadcastMaxNodes: Long = 2000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes0.count()
+    if (n == 0) {
+      val out = nodes0.withColumn("rank", lit(0L))
+      nodes0.unpersist(blocking = false)
+      return out
+    }
+    val p = prior.select(col("node"), col("rank"))
+    if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L)) {
+      // the snapshot is node-sized and the driver path's contract
+      // already bounds node-sized driver state
+      val m: Map[Any, Long] =
+        p.collect().map(r => (r.get(0), r.getLong(1))).toMap
+      ranksDriverState(spark, e, nodes0, n.toInt, iterations, scale,
+        dampNum, dampDen, initFrom = Some(m))
+    } else
+      ranksDistributedState(spark, e, nodes0, n, iterations, scale,
+        dampNum, dampDen, prior = Some(p))
   }
 
   /** PERSONALIZED PageRank: teleport mass returns only to `seeds` — the
@@ -326,7 +382,8 @@ object PageRank {
     */
   private def ranksDistributedState(spark: SparkSession, e: DataFrame, nodes0: DataFrame,
                                     n: Long, iterations: Int, scale: Long,
-                                    dampNum: Long, dampDen: Long): DataFrame = {
+                                    dampNum: Long, dampDen: Long,
+                                    prior: Option[DataFrame] = None): DataFrame = {
     // ONE edge shuffle: partition by src, collapse duplicates (satisfied
     // by the src partitioning) and count out-degrees with a sort-only
     // window over the same partitioning; cached still partitioned by the
@@ -341,7 +398,13 @@ object PageRank {
     nRdd.cache()
     val nodes = spark.createDataFrame(nRdd, nodes0.schema)
     val base = scale * (dampDen - dampNum) / dampDen / n
-    var ranks = nodes.withColumn("rank", lit(scale / n))
+    var ranks = prior match {
+      case None => nodes.withColumn("rank", lit(scale / n))
+      case Some(p) => nodes
+        .join(p.select(col("node"), col("rank").as("__pr")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__pr"), lit(scale / n)).as("rank"))
+    }
     var prev: Option[org.apache.spark.rdd.RDD[Row]] = None
     var i = 0
     while (i < iterations) {

@@ -82,6 +82,41 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(driver == reference(edges, 4))
   }
 
+  test("resumeRanks: snapshot+resume equals the cold run; new nodes start cold") {
+    val edges = Seq(
+      "a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a", "d" -> "c", "d" -> "a")
+    def resume(prior: Map[String, Long], es: Seq[(String, String)],
+               k: Int, maxNodes: Long = 2000000L): Map[String, Long] = {
+      val got = PageRank.resumeRanks(es.toDF("src", "dst"),
+        prior.toSeq.toDF("node", "rank"), iterations = k,
+        broadcastMaxNodes = maxNodes)
+        .as[(String, Long)].collect().toMap
+      graft.Storage.releaseAll(spark)
+      got
+    }
+    val r3 = ranks(edges, 3)
+    // unchanged graph: resume(snapshot of 3, 2) ≡ cold 5, on BOTH paths
+    assert(resume(r3, edges, 2) == reference(edges, 5))
+    assert(resume(r3, edges, 2, maxNodes = 1L) == reference(edges, 5))
+    // grown graph: the unseen node starts at the cold value scale/n
+    val grown = edges :+ ("e" -> "a")
+    val scale = 1000000000000L
+    val n = 5L // a b c d e
+    val cold = grown.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => v -> r3.getOrElse(v, scale / n)).toMap
+    // driver replay of 2 rounds from that start vector
+    val e = grown.distinct
+    val outdeg = e.groupBy(_._1).map { case (s, es2) => s -> es2.size.toLong }
+    val base = scale * 15 / 100 / n
+    var r = cold
+    for (_ <- 1 to 2) {
+      val in = e.groupBy(_._2).map { case (d, es2) =>
+        d -> es2.map(p => r(p._1) / outdeg(p._1)).sum }
+      r = r.keys.map(v => v -> (base + in.getOrElse(v, 0L) * 85 / 100)).toMap
+    }
+    assert(resume(r3, grown, 2) == r)
+  }
+
   /** Personalized replay: base and start only on the seed set. */
   private def personalizedReference(edges: Seq[(String, String)],
                                     seeds: Set[String], iterations: Int,
