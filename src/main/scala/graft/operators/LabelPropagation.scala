@@ -98,6 +98,28 @@ object LabelPropagation {
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
 
+    // Common case: long-keyed graph that fits the node-sized driver
+    // budget → the PageRank dictionary-CSR loop (one map-only job per
+    // round, no per-round shuffle at all). Other key types or bigger
+    // graphs take the distributed loop below — spec-pinned
+    // bit-identical.
+    if (edges.schema("__s").dataType ==
+        org.apache.spark.sql.types.LongType &&
+        edges.schema("__d").dataType ==
+        org.apache.spark.sql.types.LongType) {
+      val nodes = edges.select(col("__s").as("n"))
+        .union(edges.select(col("__d").as("n")))
+        .filter(col("n").isNotNull).distinct().persist()
+      val n = nodes.count()
+      val fits = n > 0 && n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L)
+      if (fits) {
+        val out = propagateDriver(spark, edges, nodes, n.toInt, rounds)
+        nodes.unpersist(blocking = false)
+        return out
+      }
+      nodes.unpersist(blocking = false)
+    }
+
     val sym = symPartitioned(edges)
 
     var (labels, labelsRdd) = rebase(
@@ -113,6 +135,97 @@ object LabelPropagation {
       r += 1
     }
     labels
+  }
+
+  /** The graph-size bound for the driver-state path (the PageRank
+    * contract: node-sized arrays on the driver, nothing data-sized).
+    */
+  private val broadcastMaxNodes = 2000000L
+
+  /** The common-case loop: long node ids dictionary-compress to dense
+    * ints (SORTED, so smaller index ⇔ smaller label — the tiebreak
+    * carries over), the weighted symmetric adjacency caches as a CSR
+    * RDD, and each round is ONE map-only job over it with the n-int
+    * label vector broadcast — votes tally in a per-row open-address
+    * pass over the neighbor array, winner = (weight desc, label asc).
+    * Bit-identical to the distributed loop (LabelPropagationSpec pins
+    * both paths on the same fixtures).
+    */
+  private def propagateDriver(spark: org.apache.spark.sql.SparkSession,
+                              edges: DataFrame, nodes: DataFrame, n: Int,
+                              rounds: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val nodeVals: Array[Long] = nodes.collect().map(_.getLong(0)).sorted
+    val idRows: java.util.List[Row] =
+      nodeVals.zipWithIndex.map { case (v, i) => Row(v, i) }.toSeq.asJava
+    val idSchema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("id", IntegerType, nullable = false)))
+    val ids = spark.createDataFrame(idRows, idSchema)
+    val ids2 = ids.select(col("node").as("node2"), col("id").as("id2"))
+    val canon = edges.select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"), col("__w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(max(col("__w")).as("w"))
+    val csr: org.apache.spark.rdd.RDD[(Int, Array[Int], Array[Long])] = canon
+      .join(broadcast(ids), canon("a") === ids("node"))
+      .join(broadcast(ids2), canon("b") === ids2("node2"))
+      .select(col("id").as("ai"), col("id2").as("bi"), col("w"))
+      .select(explode(array(
+        struct(col("ai").as("u"), col("bi").as("v"), col("w")),
+        struct(col("bi").as("u"), col("ai").as("v"), col("w")))).as("e"))
+      .select(col("e.u"), col("e.v"), col("e.w"))
+      .repartition(col("u"))
+      .groupBy(col("u"))
+      .agg(collect_list(col("v")).as("vs"), collect_list(col("w")).as("ws"))
+      .rdd.map(r => (r.getInt(0), r.getSeq[Int](1).toArray,
+        r.getSeq[Long](2).toArray))
+    csr.cache()
+    csr.count()
+
+    var labels = Array.tabulate(n)(identity)
+    var r = 0
+    while (r < rounds) {
+      val bc = spark.sparkContext.broadcast(labels)
+      val next = csr.map { case (u, vs, ws) =>
+        val lv = bc.value
+        // per-node vote tally over the (small) neighbor list
+        val labs = new Array[Int](vs.length)
+        val sums = new Array[Long](vs.length)
+        var k = 0
+        var j = 0
+        while (j < vs.length) {
+          val l = lv(vs(j))
+          var f = 0
+          var found = -1
+          while (f < k && found < 0) { if (labs(f) == l) found = f; f += 1 }
+          if (found >= 0) sums(found) += ws(j)
+          else { labs(k) = l; sums(k) = ws(j); k += 1 }
+          j += 1
+        }
+        var best = 0
+        var f = 1
+        while (f < k) {
+          if (sums(f) > sums(best) ||
+              (sums(f) == sums(best) && labs(f) < labs(best))) best = f
+          f += 1
+        }
+        (u, labs(best))
+      }.collect()
+      bc.destroy()
+      val arr = labels.clone()
+      next.foreach { case (u, l) => arr(u) = l }
+      labels = arr
+      r += 1
+    }
+    csr.unpersist(blocking = false)
+    val outSchema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("label", LongType, nullable = false)))
+    val outRows: java.util.List[Row] =
+      Array.tabulate(n)(i => Row(nodeVals(i), nodeVals(labels(i)))).toSeq.asJava
+    spark.createDataFrame(outRows, outSchema)
   }
 
   /** Community roll-up: one row per surviving label with its member

@@ -102,6 +102,22 @@ class LabelPropagationSpec extends AnyFunSuite with SparkSpec {
     assert(ones == run(3))
   }
 
+  test("the distributed loop (non-long keys) agrees with the replay and the driver path") {
+    // zero-padded string ids keep UTF-8 order = numeric order, so the
+    // smallest-label tiebreak matches the long-keyed replay
+    def s(x: Long) = f"n$x%02d"
+    for (rounds <- Seq(1, 4)) {
+      val got = LabelPropagation.propagate(
+        edges.map { case (a, b) => (s(a), s(b)) }.toDF("src", "dst"),
+        "src", "dst", rounds)
+        .as[(String, String)].collect()
+        .map { case (k, v) => k.drop(1).toLong -> v.drop(1).toLong }.toMap
+      graft.Storage.releaseAll(spark)
+      assert(got == refPropagate(rounds), s"rounds=$rounds")
+      assert(got == run(rounds), s"driver-path divergence at rounds=$rounds")
+    }
+  }
+
   test("rounds exchange only the label frame — the edge cache is pre-partitioned on the vote key") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
