@@ -2679,6 +2679,17 @@ object SparkEntry {
     operators.ScalarQuantizer.sqTopK(Tables(s, dir).embeddings,
       "vec_id", "embedding", dim = 64, queryId = 0L, topK = 25)
 
+  // ---- q195: MULTI-PASS sorted-neighborhood — the recall repair for
+  //      q192's blind spot: a second pass sorted by the REVERSED name
+  //      catches pairs whose error sits in the leading characters;
+  //      verify stays on the name, pairs canonicalize + dedup across
+  //      passes. ----
+  private def q195(s: SparkSession, dir: String): DataFrame =
+    ops.SortedNeighborhood.candidatesMultiPass(
+      Tables(s, dir).supplier.select(col("s_suppkey"), col("s_name")),
+      "s_suppkey", "s_name", Seq(col("s_name"), reverse(col("s_name"))),
+      window = 5, maxLev = 2)
+
   // ---- q194: PageRank SNAPSHOT + RESUME — the saveModel discipline for
   //      graph scores: run 5 rounds, persist the rank table, reload in a
   //      fresh read, and resume 5 MORE rounds from the loaded snapshot.
@@ -3019,6 +3030,7 @@ object SparkEntry {
     "q192_sorted_neighborhood" -> q192 _,
     "q193_stream_ann_store" -> q193 _,
     "q194_pagerank_resume"  -> q194 _,
+    "q195_sn_multipass"     -> q195 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -3936,6 +3948,27 @@ object SparkEntry {
     "q193_stream_ann_store" -> OracleSqlGen.q30Sql(),
     // q194: snapshot+resume ≡ a cold 10-round run — q93's unroll at 10.
     "q194_pagerank_resume" -> OracleSqlGen.q93Sql(iterations = 10),
+    // q195: two row_number orderings (name, reversed name), union,
+    // canonical orientation, distinct — verify on the name in both.
+    "q195_sn_multipass" ->
+      """WITH p1 AS (
+        |  SELECT s_suppkey AS id, s_name AS k,
+        |         row_number() OVER (ORDER BY s_name, s_suppkey) - 1 AS pos
+        |  FROM supplier
+        |), p2 AS (
+        |  SELECT s_suppkey AS id, s_name AS k,
+        |         row_number() OVER (ORDER BY reverse(s_name), s_suppkey) - 1 AS pos
+        |  FROM supplier
+        |), c AS (
+        |  SELECT a.id AS ia, b.id AS ib, a.k AS ka, b.k AS kb
+        |  FROM p1 a JOIN p1 b ON b.pos > a.pos AND b.pos - a.pos < 5
+        |  UNION ALL
+        |  SELECT a.id, b.id, a.k, b.k
+        |  FROM p2 a JOIN p2 b ON b.pos > a.pos AND b.pos - a.pos < 5
+        |)
+        |SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+        |       CAST(levenshtein(ka, kb) AS BIGINT) AS lev
+        |FROM c WHERE levenshtein(ka, kb) <= 2""".stripMargin,
     // q192: row_number over the same (key, id) total order, the same
     // in-window pair predicate, DuckDB's levenshtein (parity established
     // by the q113 gate).

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.IntOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sorted-neighborhood record-linkage blocking (Hernández & Stolfo 1995,
@@ -32,22 +32,51 @@ object SortedNeighborhood {
     * exactly.
     */
   def candidates(df: DataFrame, idCol: String, keyCol: String,
-                 window: Int, maxLev: Int): DataFrame = {
+                 window: Int, maxLev: Int): DataFrame =
+    onePass(df.select(col(idCol).as("id"), col(keyCol).as("sk"),
+      col(keyCol).as("vrf")), window, maxLev)
+      .select(col("id_a"), col("id_b"), col("lev"))
+
+  /** MULTI-PASS sorted-neighborhood — the standard recall repair for the
+    * single sort's blind spot (an error in the key's LEADING characters
+    * scatters a true pair across the sort; it is usually intact under a
+    * second ordering — the classic pairing is the key plus its
+    * reversal, or a second attribute): one pass per key in `keys`,
+    * every pass verifying the same `verifyCol`, pairs canonicalized to
+    * id_a < id_b and deduplicated across passes. Cost is additive in
+    * passes; each stays bounded-and-linear.
+    */
+  def candidatesMultiPass(df: DataFrame, idCol: String, verifyCol: String,
+                          keys: Seq[Column], window: Int,
+                          maxLev: Int): DataFrame = {
+    require(keys.nonEmpty, "at least one sort key")
+    keys.map { k =>
+      onePass(df.select(col(idCol).as("id"), k.as("sk"),
+        col(verifyCol).as("vrf")), window, maxLev)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("lev"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /** One windowed pass over (id, sk, vrf): positions by (sk, id), the
+    * block equi join, Levenshtein on `vrf`. Orientation is positional
+    * (a precedes b in THIS pass's order).
+    */
+  private def onePass(recs: DataFrame, window: Int, maxLev: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     require(maxLev >= 0, s"maxLev must be >= 0, got $maxLev")
-    val pos = PrefixSum.exclusiveCumsum(
-      df.select(col(idCol).as("id"), col(keyCol).as("k")),
-      Seq(col("k"), col("id")), lit(1L), "pos")
+    val pos = PrefixSum.exclusiveCumsum(recs,
+      Seq(col("sk"), col("id")), lit(1L), "pos")
       .withColumn("blk", IntOps.intDiv(col("pos"), lit(window.toLong)))
-    val a = pos.select(col("id").as("id_a"), col("k").as("k_a"),
+    val a = pos.select(col("id").as("id_a"), col("vrf").as("v_a"),
       col("pos").as("pos_a"), col("blk"))
-    val b = pos.select(col("id").as("id_b"), col("k").as("k_b"),
+    val b = pos.select(col("id").as("id_b"), col("vrf").as("v_b"),
       col("pos").as("pos_b"), col("blk"))
     val bShift = b.unionByName(b.withColumn("blk", col("blk") - 1))
     a.join(bShift, Seq("blk"))
       .filter(col("pos_b") > col("pos_a") &&
         col("pos_b") - col("pos_a") < window)
-      .withColumn("lev", levenshtein(col("k_a"), col("k_b")).cast("long"))
+      .withColumn("lev", levenshtein(col("v_a"), col("v_b")).cast("long"))
       .filter(col("lev") <= maxLev)
       .select(col("id_a"), col("id_b"), col("lev"))
   }

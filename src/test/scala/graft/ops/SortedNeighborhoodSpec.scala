@@ -48,6 +48,30 @@ class SortedNeighborhoodSpec extends AnyFunSuite with SparkSpec {
       assert(run(w, 2, np) == replay(w, 2), s"w=$w np=$np")
   }
 
+  test("multi-pass: the reversed-key pass recovers a leading-character error") {
+    import org.apache.spark.sql.functions.{col, reverse}
+    // "xmith123" vs "smith123": the leading-char error scatters them in
+    // the forward sort (t*/u* records in between), but their REVERSALS
+    // ("321htimx"/"321htims") sort adjacent
+    val recs = Seq((1L, "smith123"), (2L, "xmith123"),
+      (3L, "mmmm"), (4L, "mmmn"), (5L, "tttt"), (6L, "uuuu"))
+    def multi(keys: Seq[org.apache.spark.sql.Column]): Set[(Long, Long, Long)] = {
+      val got = SortedNeighborhood.candidatesMultiPass(
+        recs.toDF("id", "k"), "id", "k", keys, window = 2, maxLev = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      graft.Storage.releaseAll(spark)
+      got
+    }
+    val single = multi(Seq(col("k")))
+    assert(!single.exists(t => t._1 == 1L && t._2 == 2L),
+      "the forward pass alone must miss the leading-char pair")
+    val both = multi(Seq(col("k"), reverse(col("k"))))
+    assert(both.contains((1L, 2L, 1L)))
+    assert(single.subsetOf(both)) // passes only ever add
+    // pairs found by both passes dedupe to one row
+    assert(both.count(t => t._1 == 3L && t._2 == 4L) == 1)
+  }
+
   test("the window bound is the semantics: near keys beyond w positions are missed") {
     // "mmm1"/"mmm2" (lev 1) sit adjacent → found at any window
     assert(run(2, 2).contains((4L, 5L, 1L)))
