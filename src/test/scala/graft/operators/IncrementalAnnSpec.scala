@@ -68,6 +68,24 @@ class IncrementalAnnSpec extends AnyFunSuite with SparkSpec {
     graft.Storage.releaseAll(spark)
   }
 
+  test("storePairs self-join is bucket-aligned: the only exchange is the pair distinct") {
+    dropTable(storeTable)
+    IncrementalAnn.appendToStore(
+      bucketed(Seq(1L -> vBase, 2L -> vNear, 3L -> vFar)), storeTable, buckets = 4)
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val pairs = IncrementalAnn.storePairs(spark.table(storeTable), minCosine = 0.5)
+      val plan = pairs.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"expected 1 exchange (the distinct); neither store scan may shuffle:\n${plan.take(2000)}")
+      assert(pairs.collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+        "the near pair must surface from the store")
+    }
+    graft.Storage.releaseAll(spark)
+  }
+
   test("compaction preserves results and the exchange-free store-side plan") {
     dropTable(storeTable)
     dropTable(storeTable + "__compacting")
