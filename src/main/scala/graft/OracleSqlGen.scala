@@ -977,6 +977,46 @@ object OracleSqlGen {
        |ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
   }
 
+  // ---- q196: weighted PageRank — the q93 unroll with per-edge
+  // ⌊rank·w/W⌋ contributions (multiplicities NOT collapsed — they ARE
+  // the weights).
+  def q196Sql(iterations: Int = 5, scale: Long = 1000000000000L,
+              dampNum: Long = 85, dampDen: Long = 100): String = {
+    val base = s"(($scale * ${dampDen - dampNum}) // $dampDen) // c.n"
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.node,
+         |    $base + (COALESCE(m.in_mass, 0) * $dampNum) // $dampDen AS rank
+         |  FROM nodes CROSS JOIN c
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           CAST(sum(r.rank * e.w // d.wsum) AS BIGINT) AS in_mass
+         |    FROM r${i - 1} r JOIN e ON r.node = e.src JOIN deg d ON d.src = e.src
+         |    GROUP BY 1) m USING (node)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS p,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS s
+       |  FROM lineitem
+       |), e AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT p AS src, s AS dst FROM pairs
+       |    UNION ALL SELECT s AS src, p AS dst FROM pairs)
+       |  GROUP BY 1, 2
+       |), deg AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM e GROUP BY 1
+       |), nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+       |), c AS (
+       |  SELECT count(*) AS n FROM nodes
+       |), r0 AS (
+       |  SELECT node, $scale // c.n AS rank FROM nodes CROSS JOIN c
+       |), $iters
+       |SELECT node, rank FROM r$iterations""".stripMargin
+  }
+
   // ---- q190: personalized PageRank — the q93 unroll with the base
   // restricted to the seed set (CASE on the seed flag) and the
   // seed-concentrated start; integers throughout, zero tolerance.

@@ -2679,6 +2679,23 @@ object SparkEntry {
     operators.ScalarQuantizer.sqTopK(Tables(s, dir).embeddings,
       "vec_id", "embedding", dim = 64, queryId = 0L, topK = 25)
 
+  // ---- q196: WEIGHTED PageRank — rank flows in proportion to integer
+  //      edge weights (here the part↔supplier lineitem MULTIPLICITY —
+  //      q93 collapses it; this is the graph where it matters): one
+  //      truncating ⌊rank·w/W⌋ per edge, every round unrolled in the
+  //      oracle. The natural consumer of q184's weighted edges. ----
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables(s, dir).lineitem.select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("p"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("sn"))
+    val edges = pairs.select(col("p").as("src"), col("sn").as("dst"),
+        lit(1L).as("w"))
+      .union(pairs.select(col("sn").as("src"), col("p").as("dst"),
+        lit(1L).as("w")))
+    operators.PageRank.weightedRanks(edges, "src", "dst", "w",
+      iterations = 5)
+  }
+
   // ---- q195: MULTI-PASS sorted-neighborhood — the recall repair for
   //      q192's blind spot: a second pass sorted by the REVERSED name
   //      catches pairs whose error sits in the leading characters;
@@ -3031,6 +3048,7 @@ object SparkEntry {
     "q193_stream_ann_store" -> q193 _,
     "q194_pagerank_resume"  -> q194 _,
     "q195_sn_multipass"     -> q195 _,
+    "q196_weighted_pagerank" -> q196 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -3948,6 +3966,8 @@ object SparkEntry {
     "q193_stream_ann_store" -> OracleSqlGen.q30Sql(),
     // q194: snapshot+resume ≡ a cold 10-round run — q93's unroll at 10.
     "q194_pagerank_resume" -> OracleSqlGen.q93Sql(iterations = 10),
+    // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
+    "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q195: two row_number orderings (name, reversed name), union,
     // canonical orientation, distinct — verify on the name in both.
     "q195_sn_multipass" ->

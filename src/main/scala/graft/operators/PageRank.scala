@@ -238,6 +238,158 @@ object PageRank {
     spark.createDataFrame(outRows, outSchema)
   }
 
+  /** WEIGHTED PageRank: a node's rank flows to its out-neighbors in
+    * proportion to INTEGER edge weights (a co-engagement count, a link
+    * multiplicity — the natural consumer of [[CoEngagement.project]]'s
+    * weighted edges) instead of uniformly:
+    *
+    *   contribution(u→v) = ⌊rank(u) · w(u,v) / W(u)⌋,  W(u) = Σ_out w
+    *
+    * one truncating division PER EDGE (exact longs; a float weight
+    * share would neither commute nor replay — quantize weights
+    * upstream). Duplicate (src, dst) edges collapse by SUMMING their
+    * weights. Same damped base and fixed-round discipline as [[ranks]];
+    * the oracle unrolls every round with the same per-edge division.
+    * Overflow bound (ANSI throws): scale · max-weight < 2⁶³.
+    *
+    * Scale shape mirrors [[ranks]]: a dictionary-CSR driver loop when
+    * the node count fits `broadcastMaxNodes` (the in-adjacency carries
+    * a parallel weight array; W rides one treeAggregate), else the
+    * distributed loop (weighted edges cached src-partitioned, rounds
+    * exchange only the rank frame).
+    */
+  def weightedRanks(edges: DataFrame, srcCol: String, dstCol: String,
+                    weightCol: String, iterations: Int = 10,
+                    scale: Long = 1000000000000L,
+                    dampNum: Long = 85, dampDen: Long = 100,
+                    broadcastMaxNodes: Long = 2000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes0.count()
+    if (n == 0) {
+      val out = nodes0.withColumn("rank", lit(0L))
+      nodes0.unpersist(blocking = false)
+      return out
+    }
+    if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L))
+      weightedDriverState(spark, e, nodes0, n.toInt, iterations, scale,
+        dampNum, dampDen)
+    else
+      weightedDistributedState(spark, e, nodes0, n, iterations, scale,
+        dampNum, dampDen)
+  }
+
+  private def weightedDriverState(spark: SparkSession, e: DataFrame,
+                                  nodes0: DataFrame, n: Int, iterations: Int,
+                                  scale: Long, dampNum: Long,
+                                  dampDen: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
+    nodes0.unpersist(blocking = false)
+    val nodeType = nodes0.schema.fields(0).dataType
+    val idRows: java.util.List[Row] =
+      nodeVals.zipWithIndex.map { case (v, i) => Row(v, i) }.toSeq.asJava
+    val idSchema = StructType(Seq(
+      StructField("node", nodeType, nullable = true),
+      StructField("id", IntegerType, nullable = false)))
+    val srcIds = spark.createDataFrame(idRows, idSchema)
+    val dstIds = srcIds.select(col("node").as("node2"), col("id").as("id2"))
+    // weighted in-adjacency: (did, sids, ws) — weights already collapsed
+    val adj: org.apache.spark.rdd.RDD[(Int, Array[Int], Array[Long])] = e
+      .join(broadcast(srcIds), e("src") === srcIds("node"))
+      .join(broadcast(dstIds), e("dst") === dstIds("node2"))
+      .select(col("id").as("sid"), col("id2").as("did"), col("w"))
+      .repartition(col("did"))
+      .groupBy(col("did"))
+      .agg(collect_list(col("sid")).as("sids"), collect_list(col("w")).as("ws"))
+      .rdd.map(r => (r.getInt(0), r.getSeq[Int](1).toArray,
+        r.getSeq[Long](2).toArray))
+    adj.cache()
+    // out-weight totals W(u) from the cached adjacency — one pass
+    val wsum = adj.treeAggregate(new Array[Long](n))(
+      seqOp = { (acc, kv) =>
+        val (sids, ws) = (kv._2, kv._3)
+        var j = 0
+        while (j < sids.length) { acc(sids(j)) += ws(j); j += 1 }
+        acc
+      },
+      combOp = { (x, y) =>
+        var j = 0
+        while (j < n) { x(j) += y(j); j += 1 }
+        x
+      })
+    val base = scale * (dampDen - dampNum) / dampDen / n
+    var rank = Array.fill(n)(scale / n)
+    var i = 0
+    while (i < iterations) {
+      val bc = spark.sparkContext.broadcast(rank)
+      val sums = adj.map { case (did, sids, ws) =>
+        val rv = bc.value
+        var s = 0L
+        var j = 0
+        while (j < sids.length) {
+          s += rv(sids(j)) * ws(j) / wsum(sids(j)); j += 1
+        }
+        (did, s)
+      }.collect()
+      bc.destroy()
+      val next = Array.fill(n)(base)
+      sums.foreach { case (did, s) => next(did) = base + s * dampNum / dampDen }
+      rank = next
+      i += 1
+    }
+    adj.unpersist(blocking = false)
+    val outSchema = StructType(Seq(
+      StructField("node", nodeType, nullable = true),
+      StructField("rank", LongType, nullable = false)))
+    val outRows: java.util.List[Row] =
+      Array.tabulate(n)(i0 => Row(nodeVals(i0), rank(i0))).toSeq.asJava
+    spark.createDataFrame(outRows, outSchema)
+  }
+
+  private def weightedDistributedState(spark: SparkSession, e: DataFrame,
+                                       nodes0: DataFrame, n: Long,
+                                       iterations: Int, scale: Long,
+                                       dampNum: Long, dampDen: Long): DataFrame = {
+    val edgesW = e
+      .repartition(col("src"))
+      .withColumn("wsum", sum(col("w")).over(Window.partitionBy(col("src"))))
+      .persist()
+    val nRdd = nodes0.rdd
+    nRdd.cache()
+    val nodes = spark.createDataFrame(nRdd, nodes0.schema)
+    val base = scale * (dampDen - dampNum) / dampDen / n
+    var ranks = nodes.withColumn("rank", lit(scale / n))
+    var prev: Option[org.apache.spark.rdd.RDD[Row]] = None
+    var i = 0
+    while (i < iterations) {
+      val next = edgesW
+        .join(ranks, edgesW("src") === ranks("node"))
+        .select(col("dst"),
+          IntOps.intDiv(col("rank") * col("w"), col("wsum")).as("c"))
+        .unionByName(nodes.select(col("node").as("dst"), lit(0L).as("c")))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+        .select(col("dst").as("node"),
+          (lit(base) + IntOps.intDiv(col("in_mass") * dampNum, lit(dampDen)))
+            .as("rank"))
+      val rdd = next.rdd
+      rdd.cache()
+      rdd.count()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(rdd)
+      ranks = spark.createDataFrame(rdd, next.schema)
+      i += 1
+    }
+    ranks
+  }
+
   /** Persist a rank vector as a two-column managed table — the
     * saveModel/serving discipline applied to graph scores: compute
     * once, snapshot, and later sessions either read the table directly

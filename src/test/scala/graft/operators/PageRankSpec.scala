@@ -117,6 +117,46 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(resume(r3, grown, 2) == r)
   }
 
+  test("weightedRanks: per-edge floor-division replay; ones equal the unweighted run") {
+    val wEdges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("c", "a", 5L), ("d", "c", 1L), ("d", "a", 1L),
+      ("a", "b", 2L)) // duplicate (a,b): weights SUM to 5
+    def wReference(iterations: Int): Map[String, Long] = {
+      val scale = 1000000000000L
+      val e = wEdges.groupBy(t => (t._1, t._2)).view
+        .mapValues(_.map(_._3).sum).toSeq.map { case ((s, d), w) => (s, d, w) }
+      val nodes = e.flatMap(t => Seq(t._1, t._2)).distinct
+      val wsum = e.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      val n = nodes.size.toLong
+      val base = scale * 15 / 100 / n
+      var r = nodes.map(_ -> scale / n).toMap
+      for (_ <- 1 to iterations) {
+        val in = e.groupBy(_._2).map { case (d, es) =>
+          d -> es.map(t => r(t._1) * t._3 / wsum(t._1)).sum }
+        r = nodes.map(v => v -> (base + in.getOrElse(v, 0L) * 85 / 100)).toMap
+      }
+      r
+    }
+    def runW(maxNodes: Long): Map[String, Long] = {
+      val got = PageRank.weightedRanks(wEdges.toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 4, broadcastMaxNodes = maxNodes)
+        .as[(String, Long)].collect().toMap
+      graft.Storage.releaseAll(spark)
+      got
+    }
+    assert(runW(2000000L) == wReference(4))
+    assert(runW(1L) == wReference(4)) // distributed path bit-identical
+    // all-ones weights on DISTINCT edges reproduce the unweighted walk
+    val edges = Seq(
+      "a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a", "d" -> "c", "d" -> "a")
+    val ones = PageRank.weightedRanks(
+      edges.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
+      "src", "dst", "w", iterations = 4)
+      .as[(String, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    assert(ones == reference(edges, 4))
+  }
+
   /** Personalized replay: base and start only on the seed set. */
   private def personalizedReference(edges: Seq[(String, String)],
                                     seeds: Set[String], iterations: Int,
