@@ -144,12 +144,19 @@ object Hits {
     adj.cache()
     adj.count()
 
+    // multiplyExact/addExact throughout the loop below: the distributed
+    // path's long sums and ANSI multiply THROW past the documented
+    // scale²·max-degree bound — the driver loop must fail the same way,
+    // never wrap silently into wrong scores.
     def normalize(raw: Array[Long]): Array[Long] = {
       var mx = 0L
       var j = 0
       while (j < n) { if (raw(j) > mx) mx = raw(j); j += 1 }
       if (mx <= 0) new Array[Long](n)
-      else Array.tabulate(n)(j => raw(j) * scale / mx)
+      else {
+        val m = mx
+        Array.tabulate(n)(j => Math.multiplyExact(raw(j), scale) / m)
+      }
     }
 
     var h = Array.fill(n)(scale)
@@ -161,7 +168,7 @@ object Hits {
         val hv = bcH.value
         var s = 0L
         var j = 0
-        while (j < sids.length) { s += hv(sids(j)); j += 1 }
+        while (j < sids.length) { s = Math.addExact(s, hv(sids(j))); j += 1 }
         (did, s)
       }.collect()
       bcH.destroy()
@@ -174,12 +181,13 @@ object Hits {
           val av = bcA.value(kv._1)
           val sids = kv._2
           var j = 0
-          while (j < sids.length) { acc(sids(j)) += av; j += 1 }
+          while (j < sids.length) {
+            acc(sids(j)) = Math.addExact(acc(sids(j)), av); j += 1 }
           acc
         },
         combOp = { (x, y) =>
           var j = 0
-          while (j < n) { x(j) += y(j); j += 1 }
+          while (j < n) { x(j) = Math.addExact(x(j), y(j)); j += 1 }
           x
         })
       bcA.destroy()

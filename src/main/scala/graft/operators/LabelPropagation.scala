@@ -35,9 +35,13 @@ import org.apache.spark.sql.functions._
 object LabelPropagation {
 
   /** `rounds` synchronous rounds from the identity labeling; returns
-    * (node, label). Nodes appear iff they have at least one edge
-    * (an edge list carries no isolated nodes). Labels are the node-id
-    * domain, so `label` doubles as a stable community representative.
+    * (node, label). Nodes appear iff they have at least one CANONICAL
+    * edge — a self-loop or a null endpoint is not an edge here (votes
+    * flow between DISTINCT non-null neighbors), so a node whose only
+    * rows are self-loops is absent from the output, identically on both
+    * scale paths (LabelPropagationSpec pins the self-loop fixture).
+    * Labels are the node-id domain, so `label` doubles as a stable
+    * community representative.
     */
   def propagate(edges: DataFrame, srcCol: String, dstCol: String,
                 rounds: Int): DataFrame =
@@ -107,9 +111,17 @@ object LabelPropagation {
         org.apache.spark.sql.types.LongType &&
         edges.schema("__d").dataType ==
         org.apache.spark.sql.types.LongType) {
-      val nodes = edges.select(col("__s").as("n"))
-        .union(edges.select(col("__d").as("n")))
-        .filter(col("n").isNotNull).distinct().persist()
+      // Node inventory from the CANONICAL edge list (self-loops and null
+      // endpoints dropped), the exact set the distributed path seeds its
+      // labels from (sym.u) — raw endpoints would emit self-loop-only
+      // nodes here but not there, breaking the bit-identity contract
+      // when a graph grows past broadcastMaxNodes.
+      val canon0 = edges.select(least(col("__s"), col("__d")).as("a"),
+          greatest(col("__s"), col("__d")).as("b"))
+        .filter(col("a") =!= col("b"))
+      val nodes = canon0.select(col("a").as("n"))
+        .union(canon0.select(col("b").as("n")))
+        .distinct().persist()
       val n = nodes.count()
       val fits = n > 0 && n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L)
       if (fits) {
@@ -200,7 +212,10 @@ object LabelPropagation {
           var f = 0
           var found = -1
           while (f < k && found < 0) { if (labs(f) == l) found = f; f += 1 }
-          if (found >= 0) sums(found) += ws(j)
+          // addExact: the distributed path's long sum throws under ANSI
+          // on overflow — the driver loop must fail loudly too, never
+          // wrap silently (the weighted-vote overflow asymmetry)
+          if (found >= 0) sums(found) = Math.addExact(sums(found), ws(j))
           else { labs(k) = l; sums(k) = ws(j); k += 1 }
           j += 1
         }

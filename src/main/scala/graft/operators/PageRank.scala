@@ -217,16 +217,21 @@ object PageRank {
         u += 1
       }
       val bc = spark.sparkContext.broadcast(c)
+      // addExact/multiplyExact: the distributed path's long sum and ANSI
+      // multiply THROW on overflow — the driver loop must fail the same
+      // way, never wrap silently into wrong ranks
       val sums = adj.map { case (did, sids) =>
         val cv = bc.value
         var s = 0L
         var j = 0
-        while (j < sids.length) { s += cv(sids(j)); j += 1 }
+        while (j < sids.length) { s = Math.addExact(s, cv(sids(j))); j += 1 }
         (did, s)
       }.collect()
       bc.destroy()
       val next = baseArr.clone()
-      sums.foreach { case (did, s) => next(did) = baseArr(did) + s * dampNum / dampDen }
+      sums.foreach { case (did, s) =>
+        next(did) = Math.addExact(baseArr(did),
+          Math.multiplyExact(s, dampNum) / dampDen) }
       rank = next
       i += 1
     }
@@ -247,10 +252,15 @@ object PageRank {
     *
     * one truncating division PER EDGE (exact longs; a float weight
     * share would neither commute nor replay — quantize weights
-    * upstream). Duplicate (src, dst) edges collapse by SUMMING their
-    * weights. Same damped base and fixed-round discipline as [[ranks]];
-    * the oracle unrolls every round with the same per-edge division.
-    * Overflow bound (ANSI throws): scale · max-weight < 2⁶³.
+    * upstream). Every input weight must be POSITIVE — a non-positive or
+    * null weight fails loudly at execution (raise_error) instead of
+    * being silently dropped, so duplicate (src, dst) edges collapse by
+    * SUMMING their weights with no mixed-sign ambiguity. Same damped
+    * base and fixed-round discipline as [[ranks]]; the oracle unrolls
+    * every round with the same per-edge division. Overflow bound
+    * (BOTH paths throw — ANSI on the distributed side,
+    * multiplyExact/addExact in the driver loop): scale · max-weight
+    * < 2⁶³.
     *
     * Scale shape mirrors [[ranks]]: a dictionary-CSR driver loop when
     * the node count fits `broadcastMaxNodes` (the in-adjacency carries
@@ -266,9 +276,18 @@ object PageRank {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
     val spark = edges.sparkSession
+    // Non-positive input weights FAIL LOUDLY (raise_error at execution)
+    // rather than being silently dropped: a filter-before-collapse would
+    // make mixed-sign duplicates (e.g. +5 and −5 for one edge) yield 5
+    // where a caller netting correction events expects 0 — with every
+    // input weight required positive, "duplicates collapse by SUMMING"
+    // holds exactly and the collapsed weight is always positive.
+    val wChecked = when(col("w") > 0, col("w")).otherwise(
+      raise_error(concat(lit("weightedRanks: weight must be > 0, got "),
+        coalesce(col("w").cast("string"), lit("NULL")))).cast("long"))
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
-      .filter(col("w") > 0)
+      .select(col("src"), col("dst"), wChecked.as("w"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
@@ -317,12 +336,13 @@ object PageRank {
       seqOp = { (acc, kv) =>
         val (sids, ws) = (kv._2, kv._3)
         var j = 0
-        while (j < sids.length) { acc(sids(j)) += ws(j); j += 1 }
+        while (j < sids.length) {
+          acc(sids(j)) = Math.addExact(acc(sids(j)), ws(j)); j += 1 }
         acc
       },
       combOp = { (x, y) =>
         var j = 0
-        while (j < n) { x(j) += y(j); j += 1 }
+        while (j < n) { x(j) = Math.addExact(x(j), y(j)); j += 1 }
         x
       })
     val base = scale * (dampDen - dampNum) / dampDen / n
@@ -330,18 +350,26 @@ object PageRank {
     var i = 0
     while (i < iterations) {
       val bc = spark.sparkContext.broadcast(rank)
+      // multiplyExact/addExact: the distributed path's IntegralDivide over
+      // rank·w throws under ANSI when rank·max-weight crosses 2⁶³ — the
+      // driver loop fails identically instead of wrapping into silently
+      // wrong ranks (the documented overflow bound is now ENFORCED on
+      // both paths).
       val sums = adj.map { case (did, sids, ws) =>
         val rv = bc.value
         var s = 0L
         var j = 0
         while (j < sids.length) {
-          s += rv(sids(j)) * ws(j) / wsum(sids(j)); j += 1
+          s = Math.addExact(s,
+            Math.multiplyExact(rv(sids(j)), ws(j)) / wsum(sids(j)))
+          j += 1
         }
         (did, s)
       }.collect()
       bc.destroy()
       val next = Array.fill(n)(base)
-      sums.foreach { case (did, s) => next(did) = base + s * dampNum / dampDen }
+      sums.foreach { case (did, s) =>
+        next(did) = Math.addExact(base, Math.multiplyExact(s, dampNum) / dampDen) }
       rank = next
       i += 1
     }

@@ -15,49 +15,105 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Idempotence: bucketed parquet appends are not transactional, so a
   * replayed micro-batch (a checkpoint restart re-delivers the last
   * in-flight batch id) must not double-append. A committed-batch LEDGER
-  * table (`<table>_ingest_log`, one batch_id row per committed batch)
-  * makes the replay a no-op: the batch body is skipped when its id is
-  * already committed. The ledger row lands AFTER the store append, so a
-  * crash exactly between the two re-appends one batch on restart —
-  * candidate derivation is a DISTINCT pair set, so the duplicate rows
-  * perturb no downstream answer (at-least-once store rows, exactly-once
-  * results; StreamingSpec pins both the stream≡batch store equality and
-  * the replay no-op). Ledger batch ids are scoped to ONE checkpoint
-  * lineage: re-pointing a fresh checkpoint at an existing store requires
-  * dropping the ledger with it ([[graft.sources.Sinks
-  * .dropTableAndStaleLocation]] on both, as the q180 gate does).
+  * table (`<table>_ingest_log`, one (batch_id, n_rows, fp) row per
+  * committed batch) makes the replay a no-op: the batch body is skipped
+  * when a committed row carries the SAME batch id AND the same
+  * order-independent content fingerprint. Keying on content as well as
+  * id is what makes the skip safe: batch ids are only unique within one
+  * checkpoint lineage, so a FRESH checkpoint pointed at a retained
+  * store+ledger over a source that has since grown produces colliding
+  * ids with DIFFERENT data — an id-only ledger would silently drop that
+  * data; here the fingerprint mismatch makes those batches run (the old
+  * rows re-append — at-least-once store rows, and [[compactStore]]
+  * reclaims the space), while a replay of IDENTICAL data stays a no-op.
+  * The ledger row lands AFTER the store append, so a crash exactly
+  * between the two re-appends one batch on restart — candidate
+  * derivation is a DISTINCT pair set, so the duplicate rows perturb no
+  * downstream answer (at-least-once store rows, exactly-once results;
+  * StreamingSpec pins the stream≡batch store equality, the replay
+  * no-op, and the colliding-id re-ingest).
+  *
+  * Probe cost: the committed map loads from the ledger ONCE per started
+  * query (it is one row per batch — tiny at any cadence) and lives in
+  * the foreachBatch closure afterwards, so a year-long stream pays one
+  * table read at start-up, not a growing parquet listing per
+  * micro-batch.
   */
 object StoreIngest {
 
   /** The ledger table paired with a store table. */
   def ledgerTable(table: String): String = table + "_ingest_log"
 
+  /** Order-independent content fingerprint of a batch: (row count, sum
+    * of per-row 64-bit hashes over ALL columns). Commutative, so the
+    * same rows in any partitioning/order fingerprint identically; a
+    * different batch under a colliding id mismatches with overwhelming
+    * probability (and the failure mode of the astronomically unlikely
+    * collision is one skipped batch — the same exposure an id-only
+    * ledger had for EVERY colliding batch).
+    */
+  private def fingerprint(batch: DataFrame): (Long, Long) = {
+    // the per-row hashes are full-range longs, so the commutative sum is
+    // carried exactly in DECIMAL(38,0) (ANSI long sum would overflow on
+    // two rows) and wrapped to the 64-bit fingerprint on the driver —
+    // deterministic two's-complement wrap, order-independent
+    val r = batch.select(
+      count(lit(1)).as("n"),
+      sum(xxhash64(struct(batch.columns.map(col): _*))
+        .cast("decimal(38,0)")).as("fp")).head()
+    val fp = if (r.isNullAt(1)) 0L
+             else r.getDecimal(1).toBigInteger.longValue()
+    (r.getLong(0), fp)
+  }
+
   /** The shared ledgered foreachBatch core: run `appendBatch` for each
-    * micro-batch whose id is not yet committed, then commit the id.
-    * Every store type plugs its own batch transform + append here.
+    * micro-batch whose (id, content) is not yet committed, then commit
+    * it. Every store type plugs its own batch transform + append here.
     */
   private def ledgeredIngest(docs: DataFrame, table: String,
                              checkpointDir: String, trigger: Trigger)
-                            (appendBatch: DataFrame => Unit): StreamingQuery =
+                            (appendBatch: DataFrame => Unit): StreamingQuery = {
+    // per-started-query committed map: loaded from the ledger on the
+    // first batch of THIS run, maintained in memory afterwards.
+    // foreachBatch bodies run serially on the driver, so plain state
+    // suffices; a new start() (restart, fresh checkpoint, post-drop
+    // rebuild) gets a fresh closure and re-reads the table once.
+    var committed: scala.collection.mutable.Map[Long, Set[(Long, Long)]] = null
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val s = batch.sparkSession
         val ledger = ledgerTable(table)
-        val committed = s.catalog.tableExists(ledger) &&
-          !s.table(ledger).filter(col("batch_id") === batchId).isEmpty
-        if (!committed) {
-          appendBatch(batch.toDF())
+        if (committed == null) {
+          committed = scala.collection.mutable.Map.empty
+          if (s.catalog.tableExists(ledger))
+            s.table(ledger).select(col("batch_id"), col("n_rows"), col("fp"))
+              .collect().foreach { r =>
+                val k = r.getLong(0)
+                committed(k) = committed.getOrElse(k, Set.empty) +
+                  ((r.getLong(1), r.getLong(2)))
+              }
+        }
+        val df = batch.toDF()
+        // one O(batch) scan — the ledger row records the fingerprint
+        // whether or not the id collides
+        val fp = fingerprint(df)
+        if (!committed.getOrElse(batchId, Set.empty).contains(fp)) {
+          appendBatch(df)
           s.createDataFrame(
-            java.util.Collections.singletonList(Row(batchId)),
+            java.util.Collections.singletonList(Row(batchId, fp._1, fp._2)),
             new org.apache.spark.sql.types.StructType()
-              .add("batch_id", "long", nullable = false))
+              .add("batch_id", "long", nullable = false)
+              .add("n_rows", "long", nullable = false)
+              .add("fp", "long", nullable = false))
             .write.mode("append").format("parquet").saveAsTable(ledger)
+          committed(batchId) = committed.getOrElse(batchId, Set.empty) + fp
         }
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 
   /** Start a streaming ingest of `docs` (a STREAMING DataFrame of
     * (idCol, textCol) rows) into the MinHash/LSH signature store

@@ -118,6 +118,29 @@ class LabelPropagationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("self-loops vanish identically on both paths: a self-loop-only node is absent from the output") {
+    // node 99 has ONLY a self-loop, node 0 has a self-loop on top of its
+    // clique edges — both paths must emit the same node set (no 99) and
+    // the same labels as the loop-free reference graph
+    val withLoops = edges ++ Seq((99L, 99L), (0L, 0L))
+    val expect = refPropagate(3)
+    val driver = LabelPropagation.propagate(
+      withLoops.toDF("src", "dst"), "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    assert(!driver.contains(99L), s"self-loop-only node leaked: $driver")
+    assert(driver == expect, "driver path must ignore self-loops")
+    def s(x: Long) = f"n$x%02d"
+    val dist = LabelPropagation.propagate(
+      withLoops.map { case (a, b) => (s(a), s(b)) }.toDF("src", "dst"),
+      "src", "dst", 3)
+      .as[(String, String)].collect()
+      .map { case (k, v) => k.drop(1).toLong -> v.drop(1).toLong }.toMap
+    graft.Storage.releaseAll(spark)
+    assert(dist == driver,
+      "distributed and driver paths must agree on the self-loop node set")
+  }
+
   test("rounds exchange only the label frame — the edge cache is pre-partitioned on the vote key") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

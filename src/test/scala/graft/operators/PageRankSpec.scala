@@ -157,6 +157,22 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(ones == reference(edges, 4))
   }
 
+  test("weightedRanks: a non-positive input weight fails loudly instead of being dropped") {
+    // mixed-sign duplicates (+5, −5) must not silently net to 5 — the
+    // contract is every INPUT weight positive, enforced at execution
+    val mixed = Seq(("a", "b", 5L), ("a", "b", -5L), ("b", "a", 1L))
+    val ex = intercept[Exception] {
+      PageRank.weightedRanks(mixed.toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 1).collect()
+    }
+    graft.Storage.releaseAll(spark)
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(ex).exists(_.contains("weight must be > 0")),
+      s"expected the loud weight check, got: $ex")
+  }
+
   /** Personalized replay: base and start only on the seed set. */
   private def personalizedReference(edges: Seq[(String, String)],
                                     seeds: Set[String], iterations: Int,

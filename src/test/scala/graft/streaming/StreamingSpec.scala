@@ -311,6 +311,59 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a colliding batch id with DIFFERENT data re-ingests — no silent loss on a fresh checkpoint over a grown source") {
+    val t = "graft_stream_collide_spec"
+    Seq(t, StoreIngest.ledgerTable(t)).foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_collide").toFile
+    try {
+      val in = new java.io.File(root, "in")
+      val d1 = Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      val d2 = Seq(2L -> "totally different words about catalyst plans and shuffles here")
+      d1.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      // run 1: one file → committed batch 0 covers ONLY doc 1
+      StoreIngest.ingestDedupStore(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .parquet(in.getAbsolutePath),
+        "doc_id", "text", t, buckets = 2,
+        checkpointDir = new java.io.File(root, "cp1").getAbsolutePath)
+        .awaitTermination()
+      // the source GROWS, and a FRESH checkpoint re-delivers batch id 0 —
+      // now carrying doc 1 AND doc 2. An id-only ledger would skip it and
+      // silently lose doc 2; the content fingerprint must make it run.
+      d2.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      StoreIngest.ingestDedupStore(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .parquet(in.getAbsolutePath),
+        "doc_id", "text", t, buckets = 2,
+        checkpointDir = new java.io.File(root, "cp2").getAbsolutePath)
+        .awaitTermination()
+      val docsInStore = spark.table(t).select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(docsInStore == Set(1L, 2L),
+        s"the grown batch under a colliding id must re-ingest: $docsInStore")
+      // the doc-1 rows double-appended (at-least-once) — the DISTINCT row
+      // set still equals a one-shot batch build over the grown corpus
+      val batchT = t + "_batch"
+      dropTable(batchT)
+      IncrementalDedup.appendToStore(
+        IncrementalDedup.bandedSignaturesPortable(
+          (d1 ++ d2).toDF("doc_id", "text"), "doc_id", "text"),
+        batchT, buckets = 2)
+      def distinctRows(tbl: String) = spark.table(tbl).distinct().collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2), r.getSeq[Long](3)))
+        .toSet
+      assert(distinctRows(t) == distinctRows(batchT),
+        "distinct store rows must equal the one-shot batch build")
+      dropTable(batchT)
+    } finally {
+      rmTree(root)
+      Seq(t, StoreIngest.ledgerTable(t)).foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
   test("streaming KMV-store ingest serves the batch estimates; double-append is harmless") {
     import graft.operators.IncrementalKmv
     val t = "graft_stream_kmv_spec"
