@@ -2822,6 +2822,45 @@ object SparkEntry {
     operators.IncrementalKmv.distinctFromStore(s, table, "source", k = 256)
   }
 
+  // ---- q197: HITS SNAPSHOT + RESUME — the q194 serving discipline
+  //      applied to hub/authority scores: run 1 round over q185's
+  //      part→supplier graph, persist, reload, resume 1 MORE round from
+  //      the loaded hub vector. The round is a pure function of
+  //      (graph, hub vector), so the result must equal a COLD 2-round
+  //      run — q185's oracle VERBATIM (a lossy snapshot or a cold
+  //      restart hash-mismatches). ----
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables(s, dir).lineitem.select(
+      (col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val r1 = operators.Hits.hubsAuthorities(edges, "src", "dst", rounds = 1)
+    operators.Hits.saveScores(s, r1, "graft_hits_snapshot")
+    operators.Hits.resumeHubsAuthorities(edges, "src", "dst",
+      s.table("graft_hits_snapshot"), rounds = 1)
+  }
+
+  // ---- q198: LPA SNAPSHOT + RESUME — community labels as a served,
+  //      warm-startable table (the q169 curation gate's natural input):
+  //      2 rounds over q163's ring+hub graph, persist, resume 2 MORE.
+  //      Synchronous rounds are a pure function of (graph, labels), so
+  //      the result must equal the COLD 4-round run — q163's oracle
+  //      VERBATIM. ----
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir).part.select(col("p_partkey").as("k"))
+    val n = p.count()
+    val ring = p.select(col("k"),
+        explode(sequence(lit(1L), lit(1L) + pmod(col("k"), lit(5L)))).as("d"))
+      .select(col("k").as("src"), pmod(col("k") + col("d"), lit(n)).as("dst"))
+    val hubs = p.filter(pmod(col("k"), lit(20)) === 0)
+      .select(col("k"), explode(sequence(lit(1L), lit(5L))).as("j"))
+      .select(col("k").as("src"), pmod(col("k") + col("j") * 20, lit(n)).as("dst"))
+    val edges = ring.union(hubs)
+    val snap = operators.LabelPropagation.propagate(edges, "src", "dst",
+      rounds = 2)
+    operators.LabelPropagation.saveLabels(s, snap, "graft_lpa_snapshot")
+    operators.LabelPropagation.resumePropagate(edges, "src", "dst",
+      s.table("graft_lpa_snapshot"), rounds = 2)
+  }
+
   // ---- q177: WEIGHTED label propagation — q163's votes weighted by
   //      tie strength: each near-dup edge votes with its exact MinHash
   //      match count (an integer — a float similarity weight would
@@ -3049,6 +3088,8 @@ object SparkEntry {
     "q194_pagerank_resume"  -> q194 _,
     "q195_sn_multipass"     -> q195 _,
     "q196_weighted_pagerank" -> q196 _,
+    "q197_hits_resume"      -> q197 _,
+    "q198_lpa_resume"       -> q198 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -3968,6 +4009,12 @@ object SparkEntry {
     "q194_pagerank_resume" -> OracleSqlGen.q93Sql(iterations = 10),
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
+    // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle
+    // verbatim (1 saved round + 1 resumed round).
+    "q197_hits_resume" -> OracleSqlGen.q185Sql(),
+    // q198: LPA snapshot+resume ≡ the cold 4-round run — q163's oracle
+    // verbatim (2 saved rounds + 2 resumed rounds).
+    "q198_lpa_resume" -> OracleSqlGen.q163Sql(),
     // q195: two row_number orderings (name, reversed name), union,
     // canonical orientation, distinct — verify on the name in both.
     "q195_sn_multipass" ->

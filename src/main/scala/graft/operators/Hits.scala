@@ -44,7 +44,42 @@ object Hits {
     */
   def hubsAuthorities(edges: DataFrame, srcCol: String, dstCol: String,
                       rounds: Int, scale: Long = 1000000L,
-                      broadcastMaxNodes: Long = 2000000L): DataFrame = {
+                      broadcastMaxNodes: Long = 2000000L): DataFrame =
+    hitsCore(edges, srcCol, dstCol, rounds, scale, broadcastMaxNodes,
+      priorHubs = None)
+
+  /** Persist a HITS score frame as a managed table — the
+    * [[PageRank.saveRanks]] serving discipline for hub/authority
+    * scores: compute once, snapshot, later sessions read the table or
+    * [[resumeHubsAuthorities]] from it instead of restarting cold.
+    */
+  def saveScores(spark: org.apache.spark.sql.SparkSession,
+                 scores: DataFrame, table: String): Unit = {
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, table)
+    scores.select(col("node"), col("hub_q"), col("auth_q"))
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** RESUME the HITS iteration from a prior snapshot: run `rounds` MORE
+    * full rounds starting each node's hub score at its snapshot `hub_q`
+    * (the hub vector IS the carried state — each round's authority
+    * vector derives from it), nodes the snapshot never saw start at the
+    * cold value `scale`. The round is a pure function of (graph, hub
+    * vector), so on an unchanged graph resume(snapshot of round R, k) ≡
+    * a cold run of R+k rounds BIT-IDENTICALLY — the q197 gate (q185's
+    * oracle, verbatim arithmetic). On a grown graph it is the
+    * incremental-refresh shape, re-converging from the old scores.
+    */
+  def resumeHubsAuthorities(edges: DataFrame, srcCol: String, dstCol: String,
+                            prior: DataFrame, rounds: Int,
+                            scale: Long = 1000000L,
+                            broadcastMaxNodes: Long = 2000000L): DataFrame =
+    hitsCore(edges, srcCol, dstCol, rounds, scale, broadcastMaxNodes,
+      priorHubs = Some(prior.select(col("node"), col("hub_q"))))
+
+  private def hitsCore(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int, scale: Long, broadcastMaxNodes: Long,
+                       priorHubs: Option[DataFrame]): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(scale >= 1, s"scale must be >= 1, got $scale")
     val spark = edges.sparkSession
@@ -62,8 +97,14 @@ object Hits {
     val nodesProbe = e0.select(col("s").as("node"))
       .union(e0.select(col("d").as("node"))).distinct().persist()
     val nProbe = nodesProbe.count()
-    if (nProbe > 0 && nProbe <= math.min(broadcastMaxNodes, Int.MaxValue - 8L))
-      return hitsDriverState(spark, e0, nodesProbe, nProbe.toInt, rounds, scale)
+    if (nProbe > 0 && nProbe <= math.min(broadcastMaxNodes, Int.MaxValue - 8L)) {
+      // the snapshot is node-sized — the driver path's contract already
+      // bounds node-sized driver state (the PageRank.resumeRanks shape)
+      val initH = priorHubs.map(_.collect()
+        .map(r => (r.get(0), r.getLong(1))).toMap)
+      return hitsDriverState(spark, e0, nodesProbe, nProbe.toInt, rounds,
+        scale, initH)
+    }
     nodesProbe.unpersist(blocking = false)
     val eByS = e0.repartition(col("s"))
     eByS.persist()
@@ -87,7 +128,12 @@ object Hits {
         .select(col("node"), scaled.as(outCol))
     }
 
-    var (h, hRdd) = rebase(nodes.select(col("node"), lit(scale).as("h")))
+    var (h, hRdd) = rebase(priorHubs match {
+      case None => nodes.select(col("node"), lit(scale).as("h"))
+      case Some(p) => nodes
+        .join(p.select(col("node"), col("hub_q").as("__ph")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__ph"), lit(scale)).as("h"))
+    })
     var a: DataFrame = null
     var aRdd: org.apache.spark.rdd.RDD[Row] = null
     var r = 0
@@ -124,7 +170,8 @@ object Hits {
     */
   private def hitsDriverState(spark: org.apache.spark.sql.SparkSession,
                               e0: DataFrame, nodes0: DataFrame, n: Int,
-                              rounds: Int, scale: Long): DataFrame = {
+                              rounds: Int, scale: Long,
+                              initH: Option[scala.collection.Map[Any, Long]] = None): DataFrame = {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
@@ -159,7 +206,9 @@ object Hits {
       }
     }
 
-    var h = Array.fill(n)(scale)
+    // warm start: nodes the snapshot never saw start at the cold value
+    var h = initH.fold(Array.fill(n)(scale))(m =>
+      Array.tabulate(n)(j => m.getOrElse(nodeVals(j), scale)))
     var a = new Array[Long](n)
     var r = 0
     while (r < rounds) {

@@ -48,6 +48,35 @@ object LabelPropagation {
     propagateCore(edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
       lit(1L).as("__w")), rounds)
 
+  /** Persist a labeling as a managed table — the [[PageRank.saveRanks]]
+    * serving discipline applied to community labels: compute once,
+    * snapshot, and later sessions either read the table directly (the
+    * q169 curation-cap consumer) or [[resumePropagate]] from it.
+    */
+  def saveLabels(spark: org.apache.spark.sql.SparkSession,
+                 labels: DataFrame, table: String): Unit = {
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, table)
+    labels.select(col("node"), col("label"))
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** RESUME the synchronous propagation from a prior snapshot: run
+    * `rounds` MORE rounds with each node starting at its snapshot label.
+    * A node the snapshot never saw — and a node whose snapshot label no
+    * longer names a node of the CURRENT graph (its representative left)
+    * — starts at its own id, the cold value; both rules apply
+    * identically on the driver and distributed paths. The round is a
+    * pure function of (graph, label vector), so on an unchanged graph
+    * resume(snapshot of round R, k) ≡ a cold run of R+k rounds
+    * BIT-IDENTICALLY — the q198 gate (q163's oracle, verbatim
+    * arithmetic). On a grown graph it is the warm-start refresh shape.
+    */
+  def resumePropagate(edges: DataFrame, srcCol: String, dstCol: String,
+                      prior: DataFrame, rounds: Int): DataFrame =
+    propagateCore(edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
+      lit(1L).as("__w")), rounds,
+      initLabels = Some(prior.select(col("node"), col("label"))))
+
   /** WEIGHTED [[propagate]]: each neighbor's vote counts `weightCol`
     * (an exact integer — a near-dup similarity as a float weight would
     * reintroduce order-sensitive float sums; quantize upstream, e.g.
@@ -92,7 +121,8 @@ object LabelPropagation {
       .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("w"))
       .select(col("u").as("node"), col("w.l").as("label"))
 
-  private def propagateCore(edges: DataFrame, rounds: Int): DataFrame = {
+  private def propagateCore(edges: DataFrame, rounds: Int,
+                            initLabels: Option[DataFrame] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
 
@@ -125,7 +155,10 @@ object LabelPropagation {
       val n = nodes.count()
       val fits = n > 0 && n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L)
       if (fits) {
-        val out = propagateDriver(spark, edges, nodes, n.toInt, rounds)
+        // the snapshot is node-sized — within the driver path's contract
+        val init = initLabels.map(_.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap)
+        val out = propagateDriver(spark, edges, nodes, n.toInt, rounds, init)
         nodes.unpersist(blocking = false)
         return out
       }
@@ -134,9 +167,23 @@ object LabelPropagation {
 
     val sym = symPartitioned(edges)
 
-    var (labels, labelsRdd) = rebase(
-      sym.select(col("u").as("node")).distinct()
-        .select(col("node"), col("node").as("label")))
+    val nodesD = sym.select(col("u").as("node")).distinct()
+    val startLabels = initLabels match {
+      case None => nodesD.select(col("node"), col("node").as("label"))
+      case Some(p) =>
+        // snapshot label, validated against the CURRENT node inventory:
+        // unseen node OR dangling label (its representative left the
+        // graph) → own id, matching the driver path's fallback exactly
+        nodesD
+          .join(p.select(col("node"), col("label").as("__pl")),
+            Seq("node"), "left")
+          .join(nodesD.select(col("node").as("__vn")),
+            col("__pl") === col("__vn"), "left")
+          .select(col("node"),
+            when(col("__vn").isNotNull, col("__pl")).otherwise(col("node"))
+              .as("label"))
+    }
+    var (labels, labelsRdd) = rebase(startLabels)
 
     var r = 0
     while (r < rounds) {
@@ -165,7 +212,8 @@ object LabelPropagation {
     */
   private def propagateDriver(spark: org.apache.spark.sql.SparkSession,
                               edges: DataFrame, nodes: DataFrame, n: Int,
-                              rounds: Int): DataFrame = {
+                              rounds: Int,
+                              init: Option[scala.collection.Map[Long, Long]] = None): DataFrame = {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     val nodeVals: Array[Long] = nodes.collect().map(_.getLong(0)).sorted
@@ -196,7 +244,20 @@ object LabelPropagation {
     csr.cache()
     csr.count()
 
-    var labels = Array.tabulate(n)(identity)
+    // warm start: snapshot labels dictionary-compress to indexes; an
+    // unseen node or a dangling label (no longer in the inventory —
+    // binarySearch < 0) falls back to the node's own id, the cold value
+    var labels = init match {
+      case None => Array.tabulate(n)(identity)
+      case Some(m) => Array.tabulate(n) { j =>
+        m.get(nodeVals(j)) match {
+          case Some(l) =>
+            val idx = java.util.Arrays.binarySearch(nodeVals, l)
+            if (idx >= 0) idx else j
+          case None => j
+        }
+      }
+    }
     var r = 0
     while (r < rounds) {
       val bc = spark.sparkContext.broadcast(labels)

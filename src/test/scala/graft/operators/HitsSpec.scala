@@ -68,4 +68,31 @@ class HitsSpec extends AnyFunSuite with SparkSpec {
     // the isolated pair scores strictly below the consensus pair
     assert(got(20L)._1 < got(1L)._1 && got(21L)._2 < got(10L)._2)
   }
+
+  test("resume from a snapshot equals the cold run on BOTH paths; unseen nodes start cold") {
+    def resumed(maxNodes: Long): Map[Long, (Long, Long)] = {
+      val snap = Hits.hubsAuthorities(edges.toDF("src", "dst"), "src", "dst",
+        rounds = 1, broadcastMaxNodes = maxNodes)
+      Hits.saveScores(spark, snap, "graft_hits_spec_snap")
+      val got = Hits.resumeHubsAuthorities(edges.toDF("src", "dst"),
+        "src", "dst", spark.table("graft_hits_spec_snap"), rounds = 2,
+        broadcastMaxNodes = maxNodes)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      spark.sql("DROP TABLE IF EXISTS graft_hits_spec_snap")
+      graft.Storage.releaseAll(spark)
+      got
+    }
+    assert(resumed(2000000L) == replay(3), "driver-path resume != cold 3 rounds")
+    assert(resumed(1L) == replay(3), "distributed resume != cold 3 rounds")
+    // a node absent from the snapshot starts at the cold value: resuming
+    // on a GROWN graph from an empty-ish prior equals the cold run when
+    // the prior holds exactly the cold values
+    val coldPrior = edges.flatMap(t => Seq(t._1, t._2)).distinct
+      .map(n => (n, scale, 0L)).toDF("node", "hub_q", "auth_q")
+    val fromCold = Hits.resumeHubsAuthorities(edges.toDF("src", "dst"),
+      "src", "dst", coldPrior.filter($"node" <= 2L), rounds = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    graft.Storage.releaseAll(spark)
+    assert(fromCold == replay(2), "unseen nodes must start at the cold value")
+  }
 }

@@ -141,6 +141,48 @@ class LabelPropagationSpec extends AnyFunSuite with SparkSpec {
       "distributed and driver paths must agree on the self-loop node set")
   }
 
+  test("resume from a snapshot equals the cold run on BOTH paths; dangling labels reset to self") {
+    // driver path (long keys): snapshot at 2 rounds, resume 2 more ≡ cold 4
+    val snap2 = LabelPropagation.propagate(
+      edges.toDF("src", "dst"), "src", "dst", 2)
+    LabelPropagation.saveLabels(spark, snap2, "graft_lpa_spec_snap")
+    val resumed = LabelPropagation.resumePropagate(
+      edges.toDF("src", "dst"), "src", "dst",
+      spark.table("graft_lpa_spec_snap"), 2)
+      .as[(Long, Long)].collect().toMap
+    spark.sql("DROP TABLE IF EXISTS graft_lpa_spec_snap")
+    graft.Storage.releaseAll(spark)
+    assert(resumed == refPropagate(4), "driver-path resume != cold 4 rounds")
+    // distributed path (string keys): same contract
+    def s(x: Long) = f"n$x%02d"
+    val sEdges = edges.map { case (a, b) => (s(a), s(b)) }
+    val sSnap = LabelPropagation.propagate(
+      sEdges.toDF("src", "dst"), "src", "dst", 2)
+    val sResumed = LabelPropagation.resumePropagate(
+      sEdges.toDF("src", "dst"), "src", "dst", sSnap, 2)
+      .as[(String, String)].collect()
+      .map { case (k, v) => k.drop(1).toLong -> v.drop(1).toLong }.toMap
+    graft.Storage.releaseAll(spark)
+    assert(sResumed == refPropagate(4), "distributed resume != cold 4 rounds")
+    // a dangling snapshot label (names no current node) resets to the
+    // node's own id — cold — identically on both paths
+    val dangling = Seq((0L, 777L), (1L, 777L)).toDF("node", "label")
+    val fromDangling = LabelPropagation.resumePropagate(
+      edges.toDF("src", "dst"), "src", "dst", dangling, 3)
+      .as[(Long, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    assert(fromDangling == refPropagate(3),
+      "dangling labels must reset to the cold start")
+    val sDangling = Seq((s(0L), "zz"), (s(1L), "zz")).toDF("node", "label")
+    val sFromDangling = LabelPropagation.resumePropagate(
+      sEdges.toDF("src", "dst"), "src", "dst", sDangling, 3)
+      .as[(String, String)].collect()
+      .map { case (k, v) => k.drop(1).toLong -> v.drop(1).toLong }.toMap
+    graft.Storage.releaseAll(spark)
+    assert(sFromDangling == refPropagate(3),
+      "distributed dangling labels must reset to the cold start")
+  }
+
   test("rounds exchange only the label frame — the edge cache is pre-partitioned on the vote key") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
