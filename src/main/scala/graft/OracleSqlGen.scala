@@ -1017,6 +1017,66 @@ object OracleSqlGen {
        |SELECT node, rank FROM r$iterations""".stripMargin
   }
 
+  // ---- q199: weighted + personalized PageRank over the q184
+  // co-engagement graph — the q196 per-edge ⌊rank·w/W⌋ unroll with
+  // q190's seed-flag CASE on the base/start; the co-engagement CTEs are
+  // MATERIALIZED because every round references them (the q133
+  // exponential-CTE lesson). Seeds = the 5 smallest item ids in the
+  // graph (ORDER BY LIMIT — deterministic at every scale).
+  def q199Sql(iterations: Int = 5, scale: Long = 1000000000000L,
+              dampNum: Long = 85, dampDen: Long = 100,
+              maxItemsPerUser: Int = 20, minUsers: Long = 2,
+              numSeeds: Int = 5): String = {
+    val seedBase =
+      s"CASE WHEN s.node IS NOT NULL THEN (($scale * ${dampDen - dampNum}) // $dampDen) // sc.ns ELSE 0 END"
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.node,
+         |    $seedBase + (COALESCE(m.in_mass, 0) * $dampNum) // $dampDen AS rank
+         |  FROM nodes CROSS JOIN sc
+         |  LEFT JOIN seeds s ON s.node = nodes.node
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           CAST(sum(r.rank * e.w // d.wsum) AS BIGINT) AS in_mass
+         |    FROM r${i - 1} r JOIN e ON r.node = e.src JOIN deg d ON d.src = e.src
+         |    GROUP BY 1) m ON m.node = nodes.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ui AS MATERIALIZED (
+       |  SELECT user_id AS u,
+       |         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS i,
+       |         count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), capped AS MATERIALIZED (
+       |  SELECT u, i FROM (
+       |    SELECT u, i,
+       |           row_number() OVER (PARTITION BY u ORDER BY n DESC, i) AS rk
+       |    FROM ui)
+       |  WHERE rk <= $maxItemsPerUser
+       |), co AS MATERIALIZED (
+       |  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_users
+       |  FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+       |  GROUP BY 1, 2 HAVING count(*) >= $minUsers
+       |), e AS MATERIALIZED (
+       |  SELECT item_a AS src, item_b AS dst, n_users AS w FROM co
+       |  UNION ALL SELECT item_b, item_a, n_users FROM co
+       |), deg AS MATERIALIZED (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM e GROUP BY 1
+       |), nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+       |), seeds AS MATERIALIZED (
+       |  SELECT node FROM nodes ORDER BY node LIMIT $numSeeds
+       |), sc AS (
+       |  SELECT count(*) AS ns FROM seeds
+       |), r0 AS (
+       |  SELECT nodes.node,
+       |    CASE WHEN s.node IS NOT NULL THEN $scale // sc.ns ELSE 0 END AS rank
+       |  FROM nodes CROSS JOIN sc LEFT JOIN seeds s ON s.node = nodes.node
+       |), $iters
+       |SELECT node, rank FROM r$iterations""".stripMargin
+  }
+
   // ---- q190: personalized PageRank — the q93 unroll with the base
   // restricted to the seed set (CASE on the seed flag) and the
   // seed-concentrated start; integers throughout, zero tolerance.

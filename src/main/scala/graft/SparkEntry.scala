@@ -2861,6 +2861,34 @@ object SparkEntry {
       s.table("graft_lpa_snapshot"), rounds = 2)
   }
 
+  // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
+  //      co-engagement graph — the item-to-item recommendation walk:
+  //      restart mass returns only to the seed items, and rank flows in
+  //      proportion to how many users engaged with both endpoints. The
+  //      composition the judge's graph family was building toward:
+  //      q184 builds the graph, q196's weighted division and q190's
+  //      seed restriction run in ONE walk; the oracle replays the
+  //      co-engagement build AND all five rounds with the seed CASE. ----
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val co = operators.CoEngagement.project(
+      Tables(s, dir).events.select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+          .cast("long").as("item")),
+      "user_id", "item", maxItemsPerUser = 20, minUsers = 2)
+    // engagement is undirected: symmetrize with the shared weight
+    val edges = co.select(col("item_a").as("src"), col("item_b").as("dst"),
+        col("n_users").as("w"))
+      .union(co.select(col("item_b").as("src"), col("item_a").as("dst"),
+        col("n_users").as("w")))
+    // seeds: the 5 smallest item ids in the graph — deterministic at
+    // every scale (a fixed literal set would go stale across SFs)
+    val seeds = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().orderBy(col("node")).limit(5)
+    operators.PageRank.weightedPersonalizedRanks(edges, "src", "dst", "w",
+      seeds, iterations = 5)
+  }
+
   // ---- q177: WEIGHTED label propagation — q163's votes weighted by
   //      tie strength: each near-dup edge votes with its exact MinHash
   //      match count (an integer — a float similarity weight would
@@ -3090,6 +3118,7 @@ object SparkEntry {
     "q196_weighted_pagerank" -> q196 _,
     "q197_hits_resume"      -> q197 _,
     "q198_lpa_resume"       -> q198 _,
+    "q199_weighted_ppr"     -> q199 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -4015,6 +4044,8 @@ object SparkEntry {
     // q198: LPA snapshot+resume ≡ the cold 4-round run — q163's oracle
     // verbatim (2 saved rounds + 2 resumed rounds).
     "q198_lpa_resume" -> OracleSqlGen.q163Sql(),
+    // q199: co-engagement build + weighted unroll + seed-flag CASE.
+    "q199_weighted_ppr" -> OracleSqlGen.q199Sql(),
     // q195: two row_number orderings (name, reversed name), union,
     // canonical orientation, distinct — verify on the name in both.
     "q195_sn_multipass" ->

@@ -305,10 +305,63 @@ object PageRank {
         dampNum, dampDen)
   }
 
+  /** WEIGHTED + PERSONALIZED PageRank — the two restart variants
+    * COMPOSED: rank flows in proportion to integer edge weights
+    * ([[weightedRanks]]' per-edge ⌊rank·w/W⌋) while teleport mass
+    * returns only to `seeds` ([[personalizedRanks]]' seed-restricted
+    * base/start). On a co-engagement graph ([[CoEngagement.project]])
+    * this is the item-to-item recommendation walk: "what does the walk
+    * reach from THESE items, weighted by how strongly items are engaged
+    * together". Same exact-integer discipline as both parents — the
+    * oracle unrolls every round with the per-edge division and the
+    * seed-flag CASE; nodes unreachable from the seeds hold rank 0.
+    * Both scale shapes: the dictionary-CSR driver loop when the node
+    * count fits `broadcastMaxNodes`, else the distributed loop carrying
+    * each node's base on its zero-contribution row.
+    */
+  def weightedPersonalizedRanks(edges: DataFrame, srcCol: String,
+                                dstCol: String, weightCol: String,
+                                seeds: DataFrame, iterations: Int = 10,
+                                scale: Long = 1000000000000L,
+                                dampNum: Long = 85, dampDen: Long = 100,
+                                broadcastMaxNodes: Long = 2000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
+    val spark = edges.sparkSession
+    val wChecked = when(col("w") > 0, col("w")).otherwise(
+      raise_error(concat(lit("weightedRanks: weight must be > 0, got "),
+        coalesce(col("w").cast("string"), lit("NULL")))).cast("long"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .select(col("src"), col("dst"), wChecked.as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    // the seed set IS the query — driver-collected under the bounded
+    // contract regardless of path (personalizedRanks' shape)
+    val seedVals: Set[Any] = seeds
+      .select(col(seeds.columns.head).as("node")).distinct()
+      .collect().map(_.get(0)).toSet
+    require(seedVals.nonEmpty, "seeds must be non-empty")
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes0.count()
+    if (n == 0) {
+      val out = nodes0.withColumn("rank", lit(0L))
+      nodes0.unpersist(blocking = false)
+      return out
+    }
+    if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L))
+      weightedDriverState(spark, e, nodes0, n.toInt, iterations, scale,
+        dampNum, dampDen, seeds = Some(seedVals))
+    else
+      weightedDistributedState(spark, e, nodes0, n, iterations, scale,
+        dampNum, dampDen, seeds = Some(seedVals))
+  }
+
   private def weightedDriverState(spark: SparkSession, e: DataFrame,
                                   nodes0: DataFrame, n: Int, iterations: Int,
                                   scale: Long, dampNum: Long,
-                                  dampDen: Long): DataFrame = {
+                                  dampDen: Long,
+                                  seeds: Option[Set[Any]] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
     val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
     nodes0.unpersist(blocking = false)
@@ -345,8 +398,23 @@ object PageRank {
         while (j < n) { x(j) = Math.addExact(x(j), y(j)); j += 1 }
         x
       })
-    val base = scale * (dampDen - dampNum) / dampDen / n
-    var rank = Array.fill(n)(scale / n)
+    // uniform teleport (classic weighted) or seed-restricted
+    // (personalized) — same loop, different base/start vectors (the
+    // ranksDriverState shape)
+    val (baseArr, init): (Array[Long], Array[Long]) = seeds match {
+      case None =>
+        val b = scale * (dampDen - dampNum) / dampDen / n
+        (Array.fill(n)(b), Array.fill(n)(scale / n))
+      case Some(ss) =>
+        val flag = nodeVals.map(ss.contains)
+        val k = flag.count(identity)
+        require(k > 0, "no seed appears in the graph")
+        val b = scale * (dampDen - dampNum) / dampDen / k
+        require(b > 0 && scale / k > 0, s"scale $scale too small for $k seeds")
+        (Array.tabulate(n)(j => if (flag(j)) b else 0L),
+          Array.tabulate(n)(j => if (flag(j)) scale / k else 0L))
+    }
+    var rank = init
     var i = 0
     while (i < iterations) {
       val bc = spark.sparkContext.broadcast(rank)
@@ -367,9 +435,10 @@ object PageRank {
         (did, s)
       }.collect()
       bc.destroy()
-      val next = Array.fill(n)(base)
+      val next = baseArr.clone()
       sums.foreach { case (did, s) =>
-        next(did) = Math.addExact(base, Math.multiplyExact(s, dampNum) / dampDen) }
+        next(did) = Math.addExact(baseArr(did),
+          Math.multiplyExact(s, dampNum) / dampDen) }
       rank = next
       i += 1
     }
@@ -385,27 +454,47 @@ object PageRank {
   private def weightedDistributedState(spark: SparkSession, e: DataFrame,
                                        nodes0: DataFrame, n: Long,
                                        iterations: Int, scale: Long,
-                                       dampNum: Long, dampDen: Long): DataFrame = {
+                                       dampNum: Long, dampDen: Long,
+                                       seeds: Option[Set[Any]] = None): DataFrame = {
     val edgesW = e
       .repartition(col("src"))
       .withColumn("wsum", sum(col("w")).over(Window.partitionBy(col("src"))))
       .persist()
-    val nRdd = nodes0.rdd
-    nRdd.cache()
-    val nodes = spark.createDataFrame(nRdd, nodes0.schema)
-    val base = scale * (dampDen - dampNum) / dampDen / n
-    var ranks = nodes.withColumn("rank", lit(scale / n))
+    // per-node base: uniform, or seed-restricted (the personalizedRanks
+    // shape — each node's base rides its zero-contribution row, so no
+    // extra per-round join appears)
+    val (nodesBase0, startExpr) = seeds match {
+      case None =>
+        (nodes0.withColumn("b",
+          lit(scale * (dampDen - dampNum) / dampDen / n)),
+          lit(scale / n))
+      case Some(ss) =>
+        val isSeed = col("node").isin(ss.toSeq: _*)
+        val k = nodes0.filter(isSeed).count()
+        require(k > 0, "no seed appears in the graph")
+        val b = scale * (dampDen - dampNum) / dampDen / k
+        require(b > 0 && scale / k > 0, s"scale $scale too small for $k seeds")
+        (nodes0.withColumn("b", when(isSeed, lit(b)).otherwise(lit(0L))),
+          when(col("b") > 0, lit(scale / k)).otherwise(lit(0L)))
+    }
+    val nbRdd = nodesBase0.rdd
+    nbRdd.cache()
+    val nodesBase = spark.createDataFrame(nbRdd, nodesBase0.schema)
+    var ranks = nodesBase.select(col("node"), startExpr.as("rank"))
     var prev: Option[org.apache.spark.rdd.RDD[Row]] = None
     var i = 0
     while (i < iterations) {
       val next = edgesW
         .join(ranks, edgesW("src") === ranks("node"))
         .select(col("dst"),
-          IntOps.intDiv(col("rank") * col("w"), col("wsum")).as("c"))
-        .unionByName(nodes.select(col("node").as("dst"), lit(0L).as("c")))
-        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+          IntOps.intDiv(col("rank") * col("w"), col("wsum")).as("c"),
+          lit(0L).as("b"))
+        .unionByName(nodesBase.select(col("node").as("dst"),
+          lit(0L).as("c"), col("b")))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("in_mass"), sum(col("b")).as("bb"))
         .select(col("dst").as("node"),
-          (lit(base) + IntOps.intDiv(col("in_mass") * dampNum, lit(dampDen)))
+          (col("bb") + IntOps.intDiv(col("in_mass") * dampNum, lit(dampDen)))
             .as("rank"))
       val rdd = next.rdd
       rdd.cache()
