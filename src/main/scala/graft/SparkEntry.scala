@@ -2861,6 +2861,29 @@ object SparkEntry {
       s.table("graft_lpa_snapshot"), rounds = 2)
   }
 
+  // ---- q200: STREAMING PHRASE-store ingest — the FOURTH store family
+  //      through the ledgered foreachBatch loop (dedup q180, KMV q188,
+  //      ANN q193): documents stream into the doc_id-bucketed positional
+  //      index, and the stored phrase search must return exactly what
+  //      the batch-built store returns however the stream sliced —
+  //      q104's oracle VERBATIM. ----
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_stream_phrase_store"
+    graft.sources.Sinks.dropTableAndStaleLocation(s, table)
+    graft.sources.Sinks.dropTableAndStaleLocation(s,
+      graft.streaming.StoreIngest.ledgerTable(table))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_phrase_").toString
+    val docs = graft.streaming.EventStreams
+      .readParquetStream(s, dir, "documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.streaming.StoreIngest.ingestPhraseStore(
+      docs, "doc_id", "text", table, buckets = 8, checkpointDir = ckpt)
+      .awaitTermination()
+    operators.InvertedIndex.phraseSearchStored(s, table,
+      Seq("merge", "stream"))
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3119,6 +3142,7 @@ object SparkEntry {
     "q197_hits_resume"      -> q197 _,
     "q198_lpa_resume"       -> q198 _,
     "q199_weighted_ppr"     -> q199 _,
+    "q200_stream_phrase_store" -> q200 _,
   )
 
   /** The winnowing window selection in DuckDB form over a prepared
@@ -3192,6 +3216,20 @@ object SparkEntry {
       |     FOR i IN range(greatest((len(ws) + 4) // 5, 1))] AS lines
       |  FROM tok
       |)""".stripMargin
+
+  /** q89's comprehension, shared VERBATIM by q104 (batch-built phrase
+    * store) and q200 (stream-ingested phrase store) — the index is an
+    * artifact, never a semantic.
+    */
+  private val phraseStoreOracleSql: String =
+    """SELECT doc_id, n_matches FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) >= 2 THEN
+      |      CAST(len([s FOR s IN range(0, len(ws) - 1)
+      |                IF ws[s + 1] = 'merge' AND ws[s + 2] = 'stream']) AS BIGINT)
+      |    ELSE 0 END AS n_matches
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents))
+      |WHERE n_matches >= 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q22_minhash_lsh"       -> OracleSqlGen.q22Sql(),
@@ -3397,16 +3435,11 @@ object SparkEntry {
         |WHERE n_matches >= 1""".stripMargin,
     // q104: the stored-index search returns exactly the q89 result — the
     // oracle is the identical comprehension (the index is an artifact,
-    // not a semantic).
-    "q104_phrase_store" ->
-      """SELECT doc_id, n_matches FROM (
-        |  SELECT doc_id,
-        |    CASE WHEN len(ws) >= 2 THEN
-        |      CAST(len([s FOR s IN range(0, len(ws) - 1)
-        |                IF ws[s + 1] = 'merge' AND ws[s + 2] = 'stream']) AS BIGINT)
-        |    ELSE 0 END AS n_matches
-        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents))
-        |WHERE n_matches >= 1""".stripMargin,
+    // not a semantic). q200 (the stream-ingested store) shares it
+    // VERBATIM: however the stream slices, the accumulated index must
+    // serve the same answer.
+    "q104_phrase_store" -> phraseStoreOracleSql,
+    "q200_stream_phrase_store" -> phraseStoreOracleSql,
     // q105: built-in session windows — islands with the same ≤-gap merge
     // (is_new on STRICTLY > 30 min), end = last event + gap.
     "q105_session_window" ->

@@ -157,13 +157,41 @@ object InvertedIndex {
     }
   }
 
+  /** Create-or-append the positional phrase index: one batch's
+    * occurrence rows append under the SAME doc_id bucket spec (Spark
+    * enforces the match), so the accumulated store is row-identical to
+    * a [[buildPhraseStore]] one-shot over the union — occurrences are
+    * PER-DOC facts, so batches compose with no cross-batch state (the
+    * [[IncrementalDedup.appendToStore]] pattern for the posting
+    * family). Sort order holds per append file, which row-group
+    * pruning still exploits; compact on a maintenance cadence
+    * ([[graft.sources.Sinks.compactBucketed]]) to restore one file per
+    * bucket.
+    */
+  def appendToPhraseStore(docs: DataFrame, idCol: String, textCol: String,
+                          table: String, buckets: Int): Unit =
+    positionalOccurrences(docs, idCol, textCol)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "doc_id").sortBy("token", "pos")
+      .saveAsTable(table)
+
   /** Exact-phrase search over a [[buildPhraseStore]] table — same
     * semantics as [[phraseMatches]]/[[phraseSearchIndexed]]
-    * (spec-pinned), zero Exchange at query time.
+    * (spec-pinned), zero Exchange at query time. Occurrences are
+    * DEDUPLICATED first: (doc_id, pos, token) is naturally unique in a
+    * clean store (pos is per-doc unique), but a streaming ingest's
+    * crash window can re-append a batch, and a duplicated occurrence
+    * row would MULTIPLY through the adjacency chain (unlike the
+    * dedup/KMV/ANN stores, whose downstream derivations are distinct
+    * pair sets). The dedup stays exchange-free: the phrase's isin
+    * filter pushes below the aggregate, so it runs posting-sized, and
+    * the doc_id bucketing satisfies the (doc_id, pos, token) clustering
+    * (PlanSpec's q104 zero-Exchange pin covers this plan).
     */
   def phraseSearchStored(spark: org.apache.spark.sql.SparkSession,
                          table: String, phrase: Seq[String]): DataFrame =
-    chainAdjacency(spark.table(table), phrase)
+    chainAdjacency(
+      spark.table(table).dropDuplicates("doc_id", "pos", "token"), phrase)
 
   /** Adjacency chain over an occurrence frame: start from the phrase
     * head's positions, join each next term at pos+1, count chains per

@@ -156,6 +156,28 @@ object StoreIngest {
         table, groupCol, buckets)
     }
 
+  /** Streaming ingest into the positional PHRASE index — the fourth
+    * store family through the ledgered core: each micro-batch tokenizes
+    * its documents and appends their (doc_id, pos, token) occurrence
+    * rows under the store's doc_id bucketing
+    * ([[graft.operators.InvertedIndex.appendToPhraseStore]]).
+    * Occurrences are per-doc facts, so the accumulated store is
+    * row-identical to the one-shot [[graft.operators.InvertedIndex
+    * .buildPhraseStore]] however the stream slices; the crash window's
+    * duplicate rows are neutralized at query time by
+    * [[graft.operators.InvertedIndex.phraseSearchStored]]'s
+    * exchange-free occurrence dedup (the posting family's downstream is
+    * a COUNT, not a distinct pair set — the one store whose reads need
+    * that guard).
+    */
+  def ingestPhraseStore(docs: DataFrame, idCol: String, textCol: String,
+                        table: String, buckets: Int, checkpointDir: String,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ledgeredIngest(docs, table, checkpointDir, trigger) { batch =>
+      graft.operators.InvertedIndex.appendToPhraseStore(
+        batch, idCol, textCol, table, buckets)
+    }
+
   /** Streaming ingest into the hyperplane-LSH embedding store: each
     * micro-batch bucketizes (idCol, vecCol) rows across the OR-amplified
     * tables and appends ([[graft.operators.IncrementalAnn]]). Defaults

@@ -311,6 +311,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming phrase-store ingest serves the batch-built answer; a crash-window double-append is neutralized") {
+    import graft.operators.InvertedIndex
+    val t = "graft_stream_phrase_spec"
+    val bt = t + "_batch"
+    Seq(t, StoreIngest.ledgerTable(t), bt).foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_phrase_ingest").toFile
+    try {
+      val in = new java.io.File(root, "in")
+      val gen1 = Seq(1L -> "alpha merge stream beta merge stream gamma",
+        2L -> "no phrase here just merge alone then stream apart")
+      val gen2 = Seq(10L -> "merge stream at the start",
+        11L -> "entirely unrelated words")
+      gen1.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      gen2.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      def stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in.getAbsolutePath)
+      StoreIngest.ingestPhraseStore(stream, "doc_id", "text", t, buckets = 2,
+        checkpointDir = new java.io.File(root, "cp1").getAbsolutePath)
+        .awaitTermination()
+      assert(spark.table(StoreIngest.ledgerTable(t)).count() >= 2,
+        "the slicing must actually produce multiple committed micro-batches")
+      // batch reference store over the whole corpus
+      InvertedIndex.buildPhraseStore((gen1 ++ gen2).toDF("doc_id", "text"),
+        "doc_id", "text", bt, buckets = 2)
+      def matches(tbl: String) = InvertedIndex
+        .phraseSearchStored(spark, tbl, Seq("merge", "stream"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val expect = Map(1L -> 2L, 10L -> 1L)
+      assert(matches(bt) == expect, "batch store sanity")
+      assert(matches(t) == expect, "stream-ingested store must serve the same answer")
+      // the crash window re-appends one batch (raw duplicate occurrence
+      // rows) — the stored search's occurrence dedup must keep counts
+      // exact (a raw chain would MULTIPLY matches)
+      InvertedIndex.appendToPhraseStore(gen1.toDF("doc_id", "text"),
+        "doc_id", "text", t, buckets = 2)
+      assert(matches(t) == expect,
+        "a double-appended batch must not change phrase counts")
+    } finally {
+      rmTree(root)
+      Seq(t, StoreIngest.ledgerTable(t), bt).foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
   test("a colliding batch id with DIFFERENT data re-ingests — no silent loss on a fresh checkpoint over a grown source") {
     val t = "graft_stream_collide_spec"
     Seq(t, StoreIngest.ledgerTable(t)).foreach(dropTable)
