@@ -29,11 +29,15 @@ object Bench {
       if (sibling.isDirectory) sibling.getAbsolutePath else sfDir
     }
     // SPARK_GRAFT_ONLY=q44_org_paths,q13_closure — optional comma-separated
-    // subset for isolated-query iteration; unset (the driver gate) runs all.
+    // subset for isolated-query iteration; unset (the driver gate) runs all
+    // MINUS SparkEntry.benchExclude (output-volume-bound gates whose
+    // correctness Verify still pins — an explicit ONLY overrides the
+    // exclusion so a demoted query can still be measured on demand).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) =>
+        only.fold(!SparkEntry.benchExclude.contains(n))(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
@@ -66,7 +70,13 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal seconds (0.1 ms resolution — far below this box's noise
+    // floor): full-precision doubles doubled the JSON line's length and
+    // the round-12 gate artifact lost its TAIL to log capture, which is
+    // exactly where queries_iso lives. Shorter line, same information.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -95,16 +105,16 @@ object Bench {
           }
           name -> times.min
         }
-      val isoQs = iso.map { case (k, v) => s"\"" + k + "\":" + v }
+      val isoQs = iso.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s""","total_iso":${iso.map(_._2).sum},"queries_iso":$isoQs"""
+      s""","total_iso":${fmt(iso.map(_._2).sum)},"queries_iso":$isoQs"""
     }
     // Self-labeling contention: 1-minute system load average at start and
     // end of the timed region. Round 3/4/5 gate runs each "regressed"
     // untouched queries by seconds under sandbox load that isolated re-runs
     // couldn't reproduce — a run whose loadavg dwarfs the worker count
     // should be read as contended, not as a code regression.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"cpus":$cpus,"queries":$qs$isoJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","samples":$samples,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"cpus":$cpus,"queries":$qs$isoJson,"sf":"$sfDir"}"""
     println(line)
     // The gate artifact was truncated by log-tail capture in round 6 (lost
     // q01–q16 + loadavg fields) — also persist the line to a file so the

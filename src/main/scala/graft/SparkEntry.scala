@@ -3145,6 +3145,21 @@ object SparkEntry {
     "q200_stream_phrase_store" -> q200 _,
   )
 
+  /** Queries excluded from the BENCH suite (correctness gates unaffected
+    * — Verify still runs every `queries` entry).
+    *
+    * q167: ~12 s (~7% of the suite) that is PURE OUTPUT VOLUME — the
+    * clone-dense corpus yields 2.24M true ≥0.98-containment pairs at
+    * sf0.1, and the measured pair count is IDENTICAL at τ = 0.99 and
+    * 0.995 (ContainmentTauProbe — clones are near-exact, so a τ-lift
+    * sibling would cost the same and measure nothing new). The
+    * containment BENCH signal is q168 (bounded watchlist subjects vs
+    * the corpus, ~2.8 s — the shape a real quote-detection pass runs);
+    * q167's correctness stays pinned at sf0.001 and sf0.01 through the
+    * Verify gate.
+    */
+  val benchExclude: Set[String] = Set("q167_containment")
+
   /** The winnowing window selection in DuckDB form over a prepared
     * `g(doc_id, hs)` CTE chain — shared by the token-gram (q170/q171/
     * q176) and char-gram (q178) oracles.
