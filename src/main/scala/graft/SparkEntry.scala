@@ -2884,6 +2884,24 @@ object SparkEntry {
       Seq("merge", "stream"))
   }
 
+  // ---- q201: k-means model SERVING — fit once with q94's exact
+  //      parameters, persist the centroid matrix (1 + k tiny rows),
+  //      reload in a fresh read, and assign the corpus from the LOADED
+  //      model without refitting (the q152/q179/q194 saveModel
+  //      discipline applied to flat k-means — the last fitted family
+  //      without a serve path). The oracle is q94's VERBATIM: a lossy
+  //      save/load round trip or a served argmin that diverges from the
+  //      fit path's arithmetic would hash-mismatch. ----
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val k = operators.KMeans.kForTargetClusterSize(emb.count(), 2500L)
+    val (_, centroids) = operators.KMeans.fit(emb, "vec_id", "embedding",
+      k = k, iterations = 5)
+    operators.KMeans.saveModel(s, centroids, 1000000L, "graft_kmeans_model")
+    operators.KMeans.assignFromStore(s, "graft_kmeans_model", emb,
+      "vec_id", "embedding")
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3143,6 +3161,7 @@ object SparkEntry {
     "q198_lpa_resume"       -> q198 _,
     "q199_weighted_ppr"     -> q199 _,
     "q200_stream_phrase_store" -> q200 _,
+    "q201_kmeans_serve"    -> q201 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3455,6 +3474,9 @@ object SparkEntry {
     // serve the same answer.
     "q104_phrase_store" -> phraseStoreOracleSql,
     "q200_stream_phrase_store" -> phraseStoreOracleSql,
+    // q201: q94's oracle VERBATIM — the k-means save/load round trip and
+    // the served argmin must answer bit-identically to the fit path.
+    "q201_kmeans_serve"     -> OracleSqlGen.q94Sql(),
     // q105: built-in session windows — islands with the same ≤-gap merge
     // (is_new on STRICTLY > 30 min), end = last event + gap.
     "q105_session_window" ->

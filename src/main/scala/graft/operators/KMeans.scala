@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lloyd's k-means (the SemDeDup / semantic-clustering workhorse:
@@ -340,6 +340,60 @@ object KMeans {
         fineCol(cents)._1.as("fine"))
       .withColumn("cluster",
         col("coarse").cast("long") * lit(maxK.toLong) + col("fine").cast("long"))
+  }
+
+  /** Persist a trained centroid matrix as a tiny parquet table — the
+    * [[graft.operators.IvfPq.saveModel]] serving discipline applied to
+    * flat k-means: fit once, save, and every later session assigns
+    * WITHOUT refitting. Layout: one `meta` row carrying (dim, scale, k)
+    * in its vals, then one row per centroid (cid-keyed) — 1 + k rows,
+    * model-sized, never data-sized. The centroids are the fixed-point
+    * LONGS [[fit]] returned, so a save/load round trip is exact by
+    * construction and a served assignment replays [[assign]]'s
+    * arithmetic bit-identically (q201's oracle is q94's VERBATIM).
+    */
+  def saveModel(spark: SparkSession, centroids: Array[Array[Long]],
+                scale: Long, table: String): Unit = {
+    import spark.implicits._
+    require(centroids.nonEmpty, "need at least one centroid")
+    val d = centroids(0).length
+    require(centroids.forall(_.length == d), "ragged centroid matrix")
+    val meta = Seq(("meta", 0, Seq(d.toLong, scale, centroids.length.toLong)))
+    val rows = centroids.zipWithIndex.toSeq.map { case (c, i) =>
+      ("c", i, c.toSeq) }
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, table)
+    (meta ++ rows).toDF("kind", "cid", "vals")
+      .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** Load a [[saveModel]] table back: (centroids, scale). */
+  def loadModel(spark: SparkSession, table: String): (Array[Array[Long]], Long) = {
+    val rows = spark.table(table).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val meta = rows.find(_._1 == "meta")
+      .getOrElse(throw new IllegalStateException(s"no meta row in $table"))._3
+    val Array(d, scale, k) = meta
+    val cs = rows.filter(_._1 == "c").sortBy(_._2).map(_._3)
+    require(cs.length == k.toInt, s"expected $k centroid rows, got ${cs.length}")
+    require(cs.forall(_.length == d.toInt), s"expected dim $d centroids")
+    (cs, scale)
+  }
+
+  /** Assign `points` against a PERSISTED model ([[saveModel]]) without
+    * refitting — the serve path: one table read of 1 + k model rows,
+    * one broadcast, then the same map-only native argmin scan
+    * [[assign]] ends with (identical scaling, arithmetic, and
+    * lowest-cid tiebreak — a lossy round trip would hash-mismatch
+    * against the fit oracle). Returns (idCol, `cluster`).
+    */
+  def assignFromStore(spark: SparkSession, table: String, points: DataFrame,
+                      idCol: String, vecCol: String): DataFrame = {
+    val (cs, scale) = loadModel(spark, table)
+    val b = spark.sparkContext.broadcast(cs)
+    points.select(col(idCol),
+      transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(scale.toDouble)).cast("long")).as("__x"))
+      .select(col(idCol), nearestCentroidBcast(col("__x"), b).as("cluster"))
   }
 }
 

@@ -213,6 +213,29 @@ class KMeansSpec extends AnyFunSuite with SparkSpec {
     assert(pairSpace < n * n / 4)
   }
 
+  test("saveModel/loadModel round-trips exactly; served assignment ≡ fit") {
+    val rnd = new Random(11)
+    val pts = (0L until 150L).map(id =>
+      id -> Seq.fill(6)(rnd.nextFloat() * 2f - 1f))
+    val df = pts.toDF("vec_id", "embedding")
+    val (_, cs) = KMeans.fit(df, "vec_id", "embedding", k = 4, iterations = 3)
+    dropTable("graft_test_kmeans_model")
+    KMeans.saveModel(spark, cs, S, "graft_test_kmeans_model")
+    val (loaded, scale) = KMeans.loadModel(spark, "graft_test_kmeans_model")
+    assert(scale == S)
+    assert(loaded.map(_.toSeq).toSeq == cs.map(_.toSeq).toSeq)
+    val served = KMeans.assignFromStore(spark, "graft_test_kmeans_model",
+      df, "vec_id", "embedding").as[(Long, Int)].collect().toMap
+    val fitAsg = KMeans.assign(df, "vec_id", "embedding", k = 4,
+      iterations = 3).as[(Long, Int)].collect().toMap
+    assert(served == fitAsg)
+    // re-save over the existing table (the dropTableAndStaleLocation path)
+    KMeans.saveModel(spark, cs.take(2), S, "graft_test_kmeans_model")
+    assert(KMeans.loadModel(spark, "graft_test_kmeans_model")._1.length == 2)
+    dropTable("graft_test_kmeans_model")
+    graft.Storage.releaseAll(spark)
+  }
+
   test("kForTargetClusterSize: ceil, clamps, oracle-parity arithmetic") {
     assert(KMeans.kForTargetClusterSize(5000, 2500) == 2)
     assert(KMeans.kForTargetClusterSize(5001, 2500) == 3)
