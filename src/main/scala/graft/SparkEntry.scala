@@ -2902,6 +2902,29 @@ object SparkEntry {
       "vec_id", "embedding")
   }
 
+  // ---- q202: STREAMING WINNOW-index ingest — the FIFTH store family
+  //      through the ledgered foreachBatch loop (dedup q180, KMV q188,
+  //      ANN q193, phrase q200): documents stream into the fp-bucketed
+  //      char-gram winnowing index, and the stored shared-fingerprint
+  //      match must return exactly what the one-shot selection returns
+  //      however the stream sliced — the q171 pair oracle over q178's
+  //      char-gram selection. ----
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_stream_winnow_store"
+    graft.sources.Sinks.dropTableAndStaleLocation(s, table)
+    graft.sources.Sinks.dropTableAndStaleLocation(s,
+      graft.streaming.StoreIngest.ledgerTable(table))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_winnow_").toString
+    val docs = graft.streaming.EventStreams
+      .readParquetStream(s, dir, "documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.streaming.StoreIngest.ingestWinnowStore(
+      docs, "doc_id", "text", table, buckets = 8, checkpointDir = ckpt)
+      .awaitTermination()
+    operators.Winnowing.matchesStored(s, table, minShared = 2L)
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3162,6 +3185,7 @@ object SparkEntry {
     "q199_weighted_ppr"     -> q199 _,
     "q200_stream_phrase_store" -> q200 _,
     "q201_kmeans_serve"    -> q201 _,
+    "q202_stream_winnow_store" -> q202 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3477,6 +3501,16 @@ object SparkEntry {
     // q201: q94's oracle VERBATIM — the k-means save/load round trip and
     // the served argmin must answer bit-identically to the fit path.
     "q201_kmeans_serve"     -> OracleSqlGen.q94Sql(),
+    // q202: the q171 pair form over q178's char-gram selection — the
+    // stream-ingested winnow store must serve the one-shot answer
+    // however the stream sliced.
+    "q202_stream_winnow_store" ->
+      s"""WITH sel AS (${SparkEntry.winnowCharSql}),
+         |u AS (SELECT DISTINCT doc_id, fp FROM sel)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(count(*) AS BIGINT) AS shared_fps
+         |FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // q105: built-in session windows — islands with the same ≤-gap merge
     // (is_new on STRICTLY > 30 min), end = last event + gap.
     "q105_session_window" ->

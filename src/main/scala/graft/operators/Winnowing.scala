@@ -115,4 +115,51 @@ object Winnowing {
       .select(col(idCol), explode(array_distinct(col("__sel"))).as("__s"))
       .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
   }
+
+  /** Append selected fingerprints into the fp-BUCKETED winnow index
+    * store — the plagiarism/overlap index as a maintained table rather
+    * than a per-query derivation. Rows are (doc_id, pos, fp), bucketed
+    * by fp: the probe ([[matchesStored]]) self-joins on fp, so the
+    * bucketing keeps BOTH sides of the match query exchange-free — at
+    * the 100 TB steady state the corpus-side fingerprints never shuffle.
+    * `fps` is a [[fingerprints]]/[[fingerprintsChars]] output frame
+    * whose first column is the document id.
+    */
+  def appendToStore(fps: DataFrame, idCol: String, table: String,
+                    buckets: Int): Unit =
+    fps.select(col(idCol).as("doc_id"), col("pos"), col("fp"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .saveAsTable(table)
+
+  /** One-shot batch build of the char-gram winnow index store: the
+    * rebuild contract (drop + fresh) of the other store families.
+    */
+  def buildStore(docs: DataFrame, idCol: String, textCol: String,
+                 table: String, buckets: Int, k: Int = 8, w: Int = 6): Unit = {
+    graft.sources.Sinks.dropTableAndStaleLocation(docs.sparkSession, table)
+    appendToStore(fingerprintsChars(docs, idCol, textCol, k, w), idCol,
+      table, buckets)
+  }
+
+  /** Shared-fingerprint match pairs SERVED from a persisted winnow index
+    * ([[buildStore]] or the streaming ingest) — the q171 probe shape
+    * over the store: documents sharing >= `minShared` selected
+    * fingerprints. The (doc_id, fp) dedup first is the crash-window
+    * guard (a streaming replay can re-append a batch; a duplicated
+    * fingerprint row would inflate shared counts) and it stays
+    * exchange-free — the store's fp bucketing satisfies the dedup's and
+    * the self-join's clustering alike, so only the pair-sized aggregate
+    * shuffles.
+    */
+  def matchesStored(spark: org.apache.spark.sql.SparkSession, table: String,
+                    minShared: Long = 2L): DataFrame = {
+    val u = spark.table(table).select(col("doc_id"), col("fp")).distinct()
+    u.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(u.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

@@ -178,6 +178,30 @@ object StoreIngest {
         batch, idCol, textCol, table, buckets)
     }
 
+  /** Streaming ingest into the CHAR-GRAM WINNOWING fingerprint index —
+    * the fifth store family: each micro-batch selects its documents'
+    * winnowing fingerprints (a pure per-document function — char grams
+    * need no corpus-trained tokenizer, which is what makes the family
+    * streamable) and appends them under the store's fp bucketing
+    * ([[graft.operators.Winnowing.appendToStore]]). Selected
+    * fingerprints are per-doc facts, so the accumulated store is
+    * row-identical to the one-shot [[graft.operators.Winnowing
+    * .buildStore]] however the stream slices; the crash window's
+    * duplicate rows are neutralized at query time by
+    * [[graft.operators.Winnowing.matchesStored]]'s exchange-free
+    * (doc_id, fp) dedup (shared-fp counts would otherwise inflate —
+    * the phrase store's COUNT-downstream argument).
+    */
+  def ingestWinnowStore(docs: DataFrame, idCol: String, textCol: String,
+                        table: String, buckets: Int, checkpointDir: String,
+                        k: Int = 8, w: Int = 6,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ledgeredIngest(docs, table, checkpointDir, trigger) { batch =>
+      graft.operators.Winnowing.appendToStore(
+        graft.operators.Winnowing.fingerprintsChars(batch, idCol, textCol, k, w),
+        idCol, table, buckets)
+    }
+
   /** Streaming ingest into the hyperplane-LSH embedding store: each
     * micro-batch bucketizes (idCol, vecCol) rows across the OR-amplified
     * tables and appends ([[graft.operators.IncrementalAnn]]). Defaults

@@ -359,6 +359,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming winnow-store ingest serves the batch-built answer; a crash-window double-append is neutralized") {
+    import graft.operators.Winnowing
+    val t = "graft_stream_winnow_spec"
+    val bt = t + "_batch"
+    Seq(t, StoreIngest.ledgerTable(t), bt).foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_winnow_ingest").toFile
+    try {
+      val in = new java.io.File(root, "in")
+      val shared = "the quick brown fox jumps over the lazy dog tonight"
+      val gen1 = Seq(1L -> s"intro text $shared and a tail",
+        2L -> "completely different words with no overlap at all here")
+      val gen2 = Seq(10L -> s"other preamble then $shared closing remarks",
+        11L -> "more unrelated filler content nothing shared anywhere")
+      gen1.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      gen2.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      def stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in.getAbsolutePath)
+      StoreIngest.ingestWinnowStore(stream, "doc_id", "text", t, buckets = 2,
+        checkpointDir = new java.io.File(root, "cp1").getAbsolutePath)
+        .awaitTermination()
+      assert(spark.table(StoreIngest.ledgerTable(t)).count() >= 2,
+        "the slicing must actually produce multiple committed micro-batches")
+      Winnowing.buildStore((gen1 ++ gen2).toDF("doc_id", "text"),
+        "doc_id", "text", bt, buckets = 2)
+      def matches(tbl: String) = Winnowing.matchesStored(spark, tbl)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val expect = matches(bt)
+      assert(expect.contains((1L, 10L)),
+        "the shared sentence must pair docs 1 and 10 in the batch store")
+      assert(matches(t) == expect,
+        "stream-ingested store must serve the same answer")
+      // crash window: re-append one generation's raw fingerprint rows —
+      // the stored match's (doc_id, fp) dedup must keep counts exact
+      Winnowing.appendToStore(Winnowing.fingerprintsChars(
+        gen1.toDF("doc_id", "text"), "doc_id", "text"), "doc_id", t, buckets = 2)
+      assert(matches(t) == expect,
+        "a double-appended batch must not change shared-fp counts")
+    } finally {
+      rmTree(root)
+      Seq(t, StoreIngest.ledgerTable(t), bt).foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
   test("a colliding batch id with DIFFERENT data re-ingests — no silent loss on a fresh checkpoint over a grown source") {
     val t = "graft_stream_collide_spec"
     Seq(t, StoreIngest.ledgerTable(t)).foreach(dropTable)
