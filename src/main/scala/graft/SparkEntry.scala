@@ -2925,6 +2925,16 @@ object SparkEntry {
     operators.Winnowing.matchesStored(s, table, minShared = 2L)
   }
 
+  // ---- q203: RFM segmentation — per-user recency/frequency/monetary
+  //      quintile scores over the event log (the classic user-value
+  //      segmentation; per-SOURCE RFM is the curation analog). Exact
+  //      throughout: epoch-µs integral division for recency, integer
+  //      cents for monetary, and DISCRETE quantile cuts (every
+  //      threshold IS a data value — an interpolated threshold can sit
+  //      an ulp from an integer and flip a score). ----
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    ops.Rfm.scores(Tables(s, dir).events, "user_id", "ts", "value")
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3186,6 +3196,7 @@ object SparkEntry {
     "q200_stream_phrase_store" -> q200 _,
     "q201_kmeans_serve"    -> q201 _,
     "q202_stream_winnow_store" -> q202 _,
+    "q203_rfm"             -> q203 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3216,6 +3227,60 @@ object SparkEntry {
        |                 IF hs[j] = list_min(hs[s+1:s+$w])]) - 1 AS BIGINT) AS pos,
        |  list_min(hs[s+1:s+$w]) AS fp
        |FROM win""".stripMargin
+
+  /** q203's RFM replay in DuckDB form: same anchor (max event µs), same
+    * `//` integral recency division, same integer cents, and the same
+    * DISCRETE rank thresholds — the value at 0-based rank ⌊p·(n−1)⌋ per
+    * metric, with p emitted at full double precision so both engines
+    * run the identical IEEE multiply. Rank frames and the threshold row
+    * are MATERIALIZED (the multi-reference CTE lesson).
+    */
+  private def rfmSql(buckets: Int): String = {
+    def dbl(v: Double): String = f"$v%.17e"
+    val metrics = Seq("r" -> "negrec", "f" -> "frequency", "m" -> "monetary_cents")
+    val rankCtes = metrics.map { case (p, m) =>
+      s"""${p}rank AS MATERIALIZED (
+         |  SELECT $m AS v, row_number() OVER (ORDER BY $m) - 1 AS r,
+         |         count(*) OVER () AS n FROM b2)""".stripMargin
+    }.mkString(",\n")
+    val thrCols = metrics.flatMap { case (p, _) =>
+      (1 until buckets).map { i =>
+        s"""(SELECT v FROM ${p}rank
+           |   WHERE r = CAST(floor(${dbl(i.toDouble / buckets)} * (n - 1)) AS BIGINT)) AS $p$i""".stripMargin
+      }
+    }.mkString(",\n  ")
+    def score(p: String, m: String): String =
+      (1 until buckets).map(i =>
+        s"CASE WHEN $m > $p$i THEN 1 ELSE 0 END").mkString("(1 + ", " + ", ")")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT user_id,
+       |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+       |    count(*) AS frequency,
+       |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS monetary_cents
+       |  FROM events GROUP BY user_id
+       |), a AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS anchor FROM events),
+       |b2 AS MATERIALIZED (
+       |  SELECT user_id, (a.anchor - last_us) // 86400000000 AS recency_days,
+       |    frequency, monetary_cents,
+       |    -((a.anchor - last_us) // 86400000000) AS negrec
+       |  FROM base, a
+       |),
+       |$rankCtes,
+       |thr AS MATERIALIZED (SELECT
+       |  $thrCols
+       |)
+       |SELECT user_id, recency_days, frequency, monetary_cents,
+       |  r_score, f_score, m_score,
+       |  r_score * 100 + f_score * 10 + m_score AS rfm
+       |FROM (
+       |  SELECT b2.user_id, b2.recency_days, b2.frequency, b2.monetary_cents,
+       |    ${score("r", "negrec")} AS r_score,
+       |    ${score("f", "frequency")} AS f_score,
+       |    ${score("m", "monetary_cents")} AS m_score
+       |  FROM b2, thr
+       |)""".stripMargin
+  }
 
   /** The q170 winnowing selection in DuckDB form, shared verbatim by the
     * q171 index-probe oracle (constants pinned to the q170/q171 gates).
@@ -3501,6 +3566,11 @@ object SparkEntry {
     // q201: q94's oracle VERBATIM — the k-means save/load round trip and
     // the served argmin must answer bit-identically to the fit path.
     "q201_kmeans_serve"     -> OracleSqlGen.q94Sql(),
+    // q203: the RFM replay — same anchor, same integral recency division,
+    // same integer cents, and the same discrete rank thresholds (value at
+    // 0-based rank floor(p*(n-1)), p formatted at full double precision so
+    // both engines run the identical IEEE multiply).
+    "q203_rfm" -> rfmSql(5),
     // q202: the q171 pair form over q178's char-gram selection — the
     // stream-ingested winnow store must serve the one-shot answer
     // however the stream sliced.

@@ -78,6 +78,47 @@ object Percentiles {
     picked.select(outCols: _*)
   }
 
+  /** DISCRETE exact quantiles: the data value at 0-based rank
+    * ⌊p·(n−1)⌋ of the value-ordered multiset — no interpolation, so
+    * every returned threshold IS a data value and integer-metric
+    * comparisons against it replay bit-identically across engines. The
+    * interpolated form ([[exactQuantiles]]) can land within an ulp of
+    * an integer when the two engines associate the interpolation
+    * differently, and an ulp across an integer boundary flips a
+    * `metric > threshold` decision — fine for clip OUTPUTS (q91's
+    * round-6 discipline) but not for scoring CUTS (q203's RFM
+    * quintiles). Same two-stage shape as [[exactQuantiles]]: the heavy
+    * stage is the shuffle-parallel (group, value) count; the rank
+    * window sorts only DISTINCT values per group (for giant distinct
+    * domains, pre-quantize the metric first).
+    */
+  def exactQuantilesDisc(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String,
+                         qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, p) => p >= 0 && p <= 1 },
+      "quantiles must lie in [0,1]")
+    val gcols = groupCols.map(col)
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .select((gcols :+ col(valueCol).cast("double").as("__v")): _*)
+      .groupBy((gcols :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val part = Window.partitionBy(gcols: _*)
+    val ordered = part.orderBy(col("__v"))
+    val withRanks = counts
+      .withColumn("__cum", sum(col("__n"))
+        .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__c0", col("__cum") - col("__n"))
+      .withColumn("__total", sum(col("__n")).over(part))
+    val aggs = qs.map { case (name, p) =>
+      // ⌊p·(n−1)⌋: one IEEE multiply + floor, evaluated identically by
+      // any engine from the same p literal and exact long n
+      val pos = floor(lit(p) * (col("__total") - 1).cast("double")).cast("long")
+      max(when(col("__c0") <= pos && pos < col("__cum"), col("__v"))).as(name)
+    }
+    withRanks.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Winsorization — clip `valueCol` to its group's [pLo, pHi] exact
     * quantiles (the outlier-clipping step before feature scaling or loss
     * weighting). The bounds table is one row per group

@@ -31,6 +31,22 @@ class PercentilesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("exactQuantilesDisc returns the value at rank floor(p*(n-1)), per group, with dups") {
+    val rows = (1 to 37).map(i => ("a", (i % 11).toDouble)) ++
+      (1 to 10).map(i => ("b", i * 100.0))
+    val got = Percentiles.exactQuantilesDisc(rows.toDF("g", "v"), Seq("g"), "v",
+        Seq("p20" -> 0.2, "p40" -> 0.4, "p95" -> 0.95))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    for (g <- Seq("a", "b")) {
+      val sorted = rows.filter(_._1 == g).map(_._2).sorted
+      def at(p: Double) = sorted(math.floor(p * (sorted.length - 1)).toInt)
+      assert(got(g) == ((at(0.2), at(0.4), at(0.95))), g)
+      // every returned threshold IS a data value — the disc contract
+      got(g).productIterator.foreach(v => assert(sorted.contains(v), g))
+    }
+  }
+
   test("winsorize clips to the group bounds, passes nulls, leaves inliers alone") {
     val rows = Seq(
       ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", Some(4.0)),
