@@ -2935,6 +2935,14 @@ object SparkEntry {
   private def q203(s: SparkSession, dir: String): DataFrame =
     ops.Rfm.scores(Tables(s, dir).events, "user_id", "ts", "value")
 
+  // ---- q204: table profile — the ANALYZE-style per-column stats
+  //      report over lineitem (rows, nulls, exact NDV, min/max) in ONE
+  //      scan; numerics and timestamps profile as exact numerics
+  //      (epoch-µs for the date column — string-cast formatting is
+  //      engine-specific, epoch µs are not), strings as themselves. ----
+  private def q204(s: SparkSession, dir: String): DataFrame =
+    ops.TableProfile.profile(Tables(s, dir).lineitem)
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3197,6 +3205,7 @@ object SparkEntry {
     "q201_kmeans_serve"    -> q201 _,
     "q202_stream_winnow_store" -> q202 _,
     "q203_rfm"             -> q203 _,
+    "q204_table_profile"   -> q204 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3280,6 +3289,32 @@ object SparkEntry {
        |    ${score("m", "monetary_cents")} AS m_score
        |  FROM b2, thr
        |)""".stripMargin
+  }
+
+  /** q204's profile replay: one UNION ALL branch per lineitem column,
+    * kind-matched to the operator's type mapping (numeric → double
+    * min/max, timestamp → epoch-µs double, string → itself).
+    */
+  private val tableProfileSql: String = {
+    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val tsCols = Seq("l_shipdate")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    def block(c: String, mn: String, mx: String, sn: String, sx: String) =
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  $mn AS min_num, $mx AS max_num, $sn AS min_str, $sx AS max_str
+         |FROM lineitem""".stripMargin
+    val nullN = "CAST(NULL AS DOUBLE)"
+    val nullS = "CAST(NULL AS VARCHAR)"
+    (numCols.map(c => block(c, s"CAST(min($c) AS DOUBLE)",
+        s"CAST(max($c) AS DOUBLE)", nullS, nullS)) ++
+      tsCols.map(c => block(c,
+        s"CAST(min(epoch_us(CAST($c AS TIMESTAMP))) AS DOUBLE)",
+        s"CAST(max(epoch_us(CAST($c AS TIMESTAMP))) AS DOUBLE)", nullS, nullS)) ++
+      strCols.map(c => block(c, nullN, nullN, s"min($c)", s"max($c)")))
+      .mkString("\nUNION ALL\n")
   }
 
   /** The q170 winnowing selection in DuckDB form, shared verbatim by the
@@ -3571,6 +3606,8 @@ object SparkEntry {
     // 0-based rank floor(p*(n-1)), p formatted at full double precision so
     // both engines run the identical IEEE multiply).
     "q203_rfm" -> rfmSql(5),
+    // q204: per-column stats, one UNION ALL branch per column.
+    "q204_table_profile" -> tableProfileSql,
     // q202: the q171 pair form over q178's char-gram selection — the
     // stream-ingested winnow store must serve the one-shot answer
     // however the stream sliced.

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table profiling — the ANALYZE-style per-column statistics report
+  * (row count, null count, exact distinct count, min/max) every
+  * warehouse keeps for planning and every data-quality audit starts
+  * from. One row per profiled column.
+  *
+  * Shape: ONE scan — all per-column aggregates run in a single
+  * `agg` (count/min/max are map-side-combined; the exact distinct
+  * counts plan through Spark's Expand, duplicating each input row once
+  * per distinct aggregate). That Expand factor is the honest cost of
+  * EXACT NDV on every column at once: at the 100 TB scale profile in
+  * column batches, or swap the distinct counts for the mergeable HLL
+  * sketch ([[graft.operators.HyperLogLog]]) when ±2% NDV is
+  * acceptable — the rest of the profile stays one cheap pass.
+  *
+  * Determinism: counts are exact longs; min/max are DATA VALUES (never
+  * computed), so emitting numerics as doubles is exact below 2⁵³;
+  * timestamps profile as epoch-MICROSECOND numerics (string-casting a
+  * timestamp is engine-formatted — fraction trimming differs — while
+  * epoch µs replay exactly; ~1.7·10¹⁵ ≪ 2⁵³); strings profile as
+  * themselves. Columns of other types are rejected rather than
+  * profiled approximately.
+  */
+object TableProfile {
+
+  /** @param cols columns to profile (default: every column)
+    * @return one row per column: (column, n_rows, n_nulls, n_distinct,
+    *         min_num, max_num, min_str, max_str) — the num pair is null
+    *         for string columns and vice versa.
+    */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    val fields = names.map(n => df.schema(n))
+    fields.foreach { f =>
+      require(f.dataType.isInstanceOf[NumericType] ||
+        f.dataType == StringType || f.dataType == TimestampType ||
+        f.dataType == TimestampNTZType || f.dataType == DateType,
+        s"unsupported profile type for ${f.name}: ${f.dataType}")
+    }
+    def numView(f: StructField) = f.dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(f.name).cast("timestamp")).cast("double")
+      case DateType => datediff(col(f.name), lit("1970-01-01")).cast("double")
+      case _: NumericType => col(f.name).cast("double")
+      case _ => lit(null).cast("double")
+    }
+    val aggExprs = fields.flatMap { f =>
+      val isStr = f.dataType == StringType
+      Seq(
+        count(col(f.name)).as(s"__c_${f.name}"),
+        countDistinct(col(f.name)).as(s"__d_${f.name}"),
+        (if (isStr) lit(null).cast("double") else min(numView(f)))
+          .as(s"__mn_${f.name}"),
+        (if (isStr) lit(null).cast("double") else max(numView(f)))
+          .as(s"__mx_${f.name}"),
+        (if (isStr) min(col(f.name)) else lit(null).cast("string"))
+          .as(s"__sn_${f.name}"),
+        (if (isStr) max(col(f.name)) else lit(null).cast("string"))
+          .as(s"__sx_${f.name}"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = array(fields.map { f =>
+      struct(
+        lit(f.name).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__c_${f.name}")).as("n_nulls"),
+        col(s"__d_${f.name}").as("n_distinct"),
+        col(s"__mn_${f.name}").as("min_num"),
+        col(s"__mx_${f.name}").as("max_num"),
+        col(s"__sn_${f.name}").as("min_str"),
+        col(s"__sx_${f.name}").as("max_str"))
+    }: _*)
+    one.select(explode(rows).as("p")).select(col("p.*"))
+  }
+}
