@@ -2943,6 +2943,36 @@ object SparkEntry {
   private def q204(s: SparkSession, dir: String): DataFrame =
     ops.TableProfile.profile(Tables(s, dir).lineitem)
 
+  // ---- q205: STREAMING funnel — q141's strict-order progression on
+  //      the live stream: stage events buffer per user (the greedy
+  //      min-ts recurrence is a multiset function — buffering until
+  //      event-time quiet makes the answer arrival-order-free) and each
+  //      user's report emits at their event-time timeout under the
+  //      final watermark; a user still active near stream end correctly
+  //      stays in state. The oracle replays the same ms-domain
+  //      recurrence over exactly the emitted users (the q83 emission
+  //      discipline). ----
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stages = Seq("signup", "click", "purchase")
+    val ev = graft.streaming.EventStreams.readEventsStream(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.EventStreams.EventRow]
+    val reach = graft.streaming.EventStreams.funnelReach(ev, stages,
+      gapSeconds = 1800)
+    val name = s"graft_stream_funnel_${streamSeq.incrementAndGet()}"
+    val q = withShufflePartitions(s, 8) {
+      reach.toDF.writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    val t = s.table(name)
+    stages.zipWithIndex.map { case (st, i) =>
+      t.agg(count(when(col("stages_completed") >= i + 1, lit(1))).as("n_users"))
+        .select(lit(i).as("stage_idx"), lit(st).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3206,6 +3236,7 @@ object SparkEntry {
     "q202_stream_winnow_store" -> q202 _,
     "q203_rfm"             -> q203 _,
     "q204_table_profile"   -> q204 _,
+    "q205_stream_funnel"   -> q205 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3608,6 +3639,34 @@ object SparkEntry {
     "q203_rfm" -> rfmSql(5),
     // q204: per-column stats, one UNION ALL branch per column.
     "q204_table_profile" -> tableProfileSql,
+    // q205: the q141 greedy recurrence in the ms domain, restricted to
+    // users the stream actually EMITTED (last stage event + gap under
+    // the final watermark — the q83 emission rule; filter-before-
+    // watermark means the watermark derives from stage events only).
+    "q205_stream_funnel" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT user_id, epoch_ms(ts) AS tms, event_type FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase')
+        |), wm AS (SELECT max(tms) - 7200000 AS w FROM e),
+        |emitted AS MATERIALIZED (
+        |  SELECT user_id FROM (SELECT user_id, max(tms) AS last_ms FROM e GROUP BY user_id), wm
+        |  WHERE last_ms + 1800000 < w
+        |),
+        |s0 AS MATERIALIZED (
+        |  SELECT e.user_id, min(tms) AS t FROM e JOIN emitted USING (user_id)
+        |  WHERE event_type = 'signup' GROUP BY e.user_id
+        |),
+        |s1 AS MATERIALIZED (
+        |  SELECT e.user_id, min(tms) AS t FROM e JOIN s0 USING (user_id)
+        |  WHERE event_type = 'click' AND tms > s0.t GROUP BY e.user_id
+        |),
+        |s2 AS MATERIALIZED (
+        |  SELECT e.user_id, min(tms) AS t FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'purchase' AND tms > s1.t GROUP BY e.user_id
+        |)
+        |SELECT 0 AS stage_idx, 'signup' AS stage, count(*) AS n_users FROM s0
+        |UNION ALL SELECT 1, 'click', count(*) FROM s1
+        |UNION ALL SELECT 2, 'purchase', count(*) FROM s2""".stripMargin,
     // q202: the q171 pair form over q178's char-gram selection — the
     // stream-ingested winnow store must serve the one-shot answer
     // however the stream sliced.

@@ -153,6 +153,77 @@ object EventStreams {
     * a `gapSeconds` quiet period or event-time timeout (watermark-driven).
     * The custom-state analog of the batch gaps-and-islands query (q18).
     */
+  /** One buffered stage event: 0-based stage index + epoch-ms time. */
+  final case class FunnelEv(stage: Int, tms: Long)
+  /** Per-user funnel state: the buffered stage events. */
+  final case class FunnelState(evs: List[FunnelEv])
+  /** Per-user funnel report: stages completed in strict order (0..n). */
+  final case class FunnelReach(user_id: Long, stages_completed: Int)
+
+  /** STREAMING funnel — the per-user strict-order stage progression
+    * ([[graft.ops.Funnel.funnelCounts]]'s recurrence) computed on the
+    * live event stream: stage events buffer per user (the greedy
+    * min-ts recurrence is a MULTISET function, so it cannot fold
+    * incrementally under out-of-order arrival — buffering until the
+    * user goes quiet is what makes the answer arrival-order-free), and
+    * the user's report emits when their event-time timeout fires:
+    * `gapSeconds` of event-time quiet, observed under the watermark.
+    * Same emission semantics as [[sessionize]] on a bounded replay: a
+    * user whose last stage event is too close to the stream's end
+    * correctly stays in state awaiting more data, and the oracle
+    * replays the same rule (last_ms + gap < max_ms − delay). State is
+    * one entry per stage event of an active user — bounded by user
+    * activity within the quiet window, never corpus-sized. The state
+    * machine works in MILLISECONDS (Timestamp.getTime), so oracles
+    * replay the recurrence in the ms domain (the q83 convention).
+    */
+  def funnelReach(events: Dataset[EventRow], stages: Seq[String],
+                  gapSeconds: Long,
+                  watermark: String = "2 hours"): Dataset[FunnelReach] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "need at least one stage")
+    val idx = stages.zipWithIndex.toMap
+    val gapMs = gapSeconds * 1000L
+
+    def reached(evs: List[FunnelEv]): Int = {
+      var prev = Long.MinValue
+      var done = 0
+      var i = 0
+      while (i < stages.length) {
+        val c = evs.iterator
+          .filter(e => e.stage == i && (i == 0 || e.tms > prev))
+          .map(_.tms)
+        if (c.isEmpty) return done
+        prev = c.min
+        done = i + 1
+        i += 1
+      }
+      done
+    }
+
+    events
+      .filter(e => idx.contains(e.event_type))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelReach](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => FunnelReach(userId, reached(s.evs))).toList
+            state.remove()
+            out.iterator
+          } else {
+            val add = rows
+              .map(e => FunnelEv(idx(e.event_type), e.ts.getTime)).toList
+            val evs = state.getOption.map(_.evs).getOrElse(Nil) ++ add
+            state.update(FunnelState(evs))
+            state.setTimeoutTimestamp(evs.iterator.map(_.tms).max + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   def sessionize(events: Dataset[EventRow], gapSeconds: Long,
                  watermark: String = "2 hours"): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._

@@ -60,6 +60,62 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(sessions(1).n_events == 1 && sessions(1).total_value == 3.0)
   }
 
+  test("funnelReach: strict-order progression, out-of-order arrival, open users stay in state") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val stages = Seq("signup", "click", "purchase")
+    val q = EventStreams.funnelReach(ms.toDS(), stages,
+        gapSeconds = 600, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("t_funnel").start()
+
+    ms.addData(Seq(
+      // user 1 completes all three in order
+      EventRow(1, ts(0), 1, "signup", 0), EventRow(2, ts(5), 1, "click", 0),
+      EventRow(3, ts(10), 1, "purchase", 0),
+      // user 2: purchase BEFORE click in event time — stops at signup+click?
+      // no: purchase(2) < click(4) means no purchase after click → 2 stages
+      EventRow(4, ts(0), 2, "signup", 0), EventRow(5, ts(2), 2, "purchase", 0),
+      EventRow(6, ts(4), 2, "click", 0),
+      // user 3: click only (never signed up) → 0 stages
+      EventRow(7, ts(3), 3, "click", 0)))
+    q.processAllAvailable()
+    // advance the watermark far past users 1-4's timeouts; user 5's own
+    // event holds the final watermark short of its timeout, so user 5
+    // stays in state awaiting more data
+    ms.addData(Seq(EventRow(8, ts(2000), 4, "signup", 0)))
+    q.processAllAvailable()
+    ms.addData(Seq(EventRow(9, ts(4000), 5, "click", 0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("t_funnel").as[EventStreams.FunnelReach].collect()
+      .map(r => r.user_id -> r.stages_completed).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 1),
+      s"user 5 must still be open; got $got")
+  }
+
+  test("funnelReach buffers across micro-batches: a later-batch earlier-time event still counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val q = EventStreams.funnelReach(ms.toDS(), Seq("signup", "click"),
+        gapSeconds = 600, watermark = "60 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("t_funnel2").start()
+    // batch 1: the LATER stage arrives first (in arrival order)
+    ms.addData(Seq(EventRow(1, ts(30), 1, "click", 0)))
+    q.processAllAvailable()
+    // batch 2: the signup, EARLIER in event time, within the watermark
+    ms.addData(Seq(EventRow(2, ts(10), 1, "signup", 0)))
+    q.processAllAvailable()
+    // flush
+    ms.addData(Seq(EventRow(3, ts(5000), 9, "click", 0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_funnel2").as[EventStreams.FunnelReach].collect()
+      .map(r => r.user_id -> r.stages_completed).toMap
+    assert(got == Map(1L -> 2),
+      s"a multiset recurrence must not depend on arrival order; got $got")
+  }
+
   test("sessionWindowAgg: tie at exactly the gap MERGES; batch and stream agree") {
     // the probed built-in rule: [first, last + gap] windows, ≤-gap merge —
     // an event exactly 30 min after the previous one stays in the session.
