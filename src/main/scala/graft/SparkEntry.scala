@@ -2973,6 +2973,16 @@ object SparkEntry {
     }.reduce(_ unionByName _)
   }
 
+  // ---- q206: seasonal hour-of-week deviation — each event type's
+  //      hourly count against its own typical count for that hour of
+  //      the week (the seasonal-naive anomaly baseline). All integer
+  //      arithmetic on epoch hours — no calendar functions, whose week
+  //      anchoring differs across engines; dev_num = n·k − total is the
+  //      division-cleared exact deviation. ----
+  private def q206(s: SparkSession, dir: String): DataFrame =
+    ops.TimeSeries.seasonalDeviation(Tables(s, dir).events,
+      Seq("event_type"), col("ts"))
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3237,6 +3247,7 @@ object SparkEntry {
     "q203_rfm"             -> q203 _,
     "q204_table_profile"   -> q204 _,
     "q205_stream_funnel"   -> q205 _,
+    "q206_seasonal_dev"    -> q206 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3639,6 +3650,23 @@ object SparkEntry {
     "q203_rfm" -> rfmSql(5),
     // q204: per-column stats, one UNION ALL branch per column.
     "q204_table_profile" -> tableProfileSql,
+    // q206: the same epoch-hour integer derivation — no calendar
+    // functions on either side.
+    "q206_seasonal_dev" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_slot,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT event_type, hour_slot % 168 AS how,
+        |    count(*) AS k_instances, CAST(sum(n) AS BIGINT) AS bucket_total
+        |  FROM h GROUP BY 1, 2
+        |)
+        |SELECT h.event_type, h.hour_slot, b.how, h.n, b.k_instances,
+        |  b.bucket_total, h.n * b.k_instances - b.bucket_total AS dev_num
+        |FROM h JOIN b ON h.event_type = b.event_type
+        |  AND h.hour_slot % 168 = b.how""".stripMargin,
     // q205: the q141 greedy recurrence in the ms domain, restricted to
     // users the stream actually EMITTED (last stage event + gap under
     // the final watermark — the q83 emission rule; filter-before-

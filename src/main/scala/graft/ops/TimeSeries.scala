@@ -41,6 +41,44 @@ object TimeSeries {
     *
     * Scale shape: one projection + one map-side-combined group sum.
     */
+  /** SEASONAL baseline deviation — the hour-of-week anomaly primitive:
+    * each key's hourly activity is compared against that key's typical
+    * activity for the SAME hour of the week (Tuesday 9am vs all past
+    * Tuesday 9ams), the standard seasonal-naive baseline for traffic
+    * anomaly detection.
+    *
+    * Everything is integer arithmetic on epoch hours — no calendar
+    * functions (engines disagree on week anchoring; `dayofweek` is
+    * 1-based Sunday in Spark, 0-based Sunday in DuckDB):
+    *   hour_slot = epoch_µs div 3600·10⁶  (the hourly instance)
+    *   how       = hour_slot mod 168      (hour-of-week, epoch-anchored:
+    *                                       slot 0 is Thursday 00 UTC)
+    * The per-(key, how) baseline aggregates the OBSERVED hourly
+    * instances (k_instances, bucket_total); the exact deviation score
+    * clears the division: dev_num = n·k − total has the sign and
+    * ordering of (n − total/k) scaled by k, as an exact long.
+    *
+    * Scale shape: the heavy stage is the (key, hour_slot) count — one
+    * map-side-combined aggregate; the baseline is hour-of-week-sized
+    * (≤ 168 per key) and broadcasts back.
+    */
+  def seasonalDeviation(df: DataFrame, keyCols: Seq[String],
+                        tsCol: Column): DataFrame = {
+    val hourly = df
+      .withColumn("hour_slot", graft.functions.IntOps.intDiv(
+        unix_micros(tsCol.cast("timestamp")), lit(3600000000L)))
+      .groupBy((keyCols.map(col) :+ col("hour_slot")): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("how", col("hour_slot") % 168)
+    val baseline = hourly
+      .groupBy((keyCols.map(col) :+ col("how")): _*)
+      .agg(count(lit(1)).as("k_instances"), sum(col("n")).as("bucket_total"))
+    hourly.join(broadcast(baseline), keyCols :+ "how")
+      .select((keyCols.map(col) ++ Seq(col("hour_slot"), col("how"), col("n"),
+        col("k_instances"), col("bucket_total"),
+        (col("n") * col("k_instances") - col("bucket_total")).as("dev_num"))): _*)
+  }
+
   def decayedCounts(df: DataFrame, keyCols: Seq[String], tsCol: Column,
                     asOfMicros: Column, halfLifeSeconds: Long,
                     scale: Long = 1000000L): DataFrame = {

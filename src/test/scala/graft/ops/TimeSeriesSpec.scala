@@ -17,6 +17,34 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
   private def naiveEwma(vals: Seq[Double], a: Double): Double =
     vals.tail.foldLeft(vals.head)((acc, x) => a * x + (1 - a) * acc)
 
+  test("seasonalDeviation: hour-of-week buckets, observed instances, division-cleared score") {
+    val hr = 3600L * 1000000L
+    // key "a": hour 5 across three weeks (counts 2, 2, 8) + hour 6 once
+    def at(week: Int, how: Int, i: Int) =
+      (week * 168L + how) * hr + i * 1000L
+    val rows =
+      (0 until 2).map(i => ("a", at(0, 5, i))) ++
+      (0 until 2).map(i => ("a", at(1, 5, i))) ++
+      (0 until 8).map(i => ("a", at(2, 5, i))) ++
+      Seq(("a", at(1, 6, 0))) ++
+      (0 until 3).map(i => ("b", at(0, 5, i)))
+    val df = rows.toDF("k", "us")
+      .select(col("k"), (col("us") / 1e6).cast("timestamp").as("ts"))
+    val got = TimeSeries.seasonalDeviation(df, Seq("k"), col("ts"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // bucket (a, how=5): k=3 instances, total=12
+    assert(got(("a", 5L)) == ((5L, 2L, 3L, 12L, 2L * 3 - 12)))
+    assert(got(("a", 168L + 5)) == ((5L, 2L, 3L, 12L, -6L)))
+    assert(got(("a", 2 * 168L + 5)) == ((5L, 8L, 3L, 12L, 8L * 3 - 12)))
+    // single-instance buckets: deviation is exactly zero
+    assert(got(("a", 168L + 6)) == ((6L, 1L, 1L, 1L, 0L)))
+    assert(got(("b", 5L)) == ((5L, 3L, 1L, 3L, 0L)))
+    assert(got.size == 5)
+  }
+
   test("ewmaLast equals the seeded left fold in (ts, event_id) order") {
     val got = TimeSeries.ewmaLast(events.repartition(7), "user_id",
         col("ts"), col("event_id"), "value", alpha = 0.25)
