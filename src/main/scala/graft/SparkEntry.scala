@@ -2983,6 +2983,24 @@ object SparkEntry {
     ops.TimeSeries.seasonalDeviation(Tables(s, dir).events,
       Seq("event_type"), col("ts"))
 
+  // ---- q207: WEIGHTED Jaccard set-similarity join — q114's measure
+  //      refined by integer rarity weights (1 + N div df): shared rare
+  //      tokens count for more than shared stopwords. Weighted prefix
+  //      filtering (suffix-weight bound) keeps it blocked, never
+  //      all-pairs; the verify is exact long sums + one division. ----
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val n = Tables(s, dir).documents.count()
+    val weights = docs
+      .select(explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .select(col("tok"),
+        (lit(1L) + graft.functions.IntOps.intDiv(lit(n), col("df"))).as("w"))
+    operators.SetSimJoin.joinSelfWeighted(docs, "doc_id", "toks", weights,
+      tau = 0.95)
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3248,6 +3266,7 @@ object SparkEntry {
     "q204_table_profile"   -> q204 _,
     "q205_stream_funnel"   -> q205 _,
     "q206_seasonal_dev"    -> q206 _,
+    "q207_setsim_weighted" -> q207 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3650,6 +3669,36 @@ object SparkEntry {
     "q203_rfm" -> rfmSql(5),
     // q204: per-column stats, one UNION ALL branch per column.
     "q204_table_profile" -> tableProfileSql,
+    // q207: the weighted-Jaccard definition replayed through the shared-
+    // token inverted list (q114's quadratic-definition discipline —
+    // oracle cost, not operator cost): same 1 + N//df integer weights,
+    // exact long shared/total sums, one division.
+    "q207_setsim_weighted" ->
+      """WITH docs AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS ts
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |), tok AS MATERIALIZED (
+        |  SELECT doc_id, unnest(ts) AS tok FROM docs
+        |), wt AS MATERIALIZED (
+        |  SELECT tok,
+        |    1 + (SELECT count(*) FROM documents) // count(*) AS w
+        |  FROM tok GROUP BY tok
+        |), tw AS MATERIALIZED (
+        |  SELECT t.doc_id, t.tok, w.w FROM tok t JOIN wt w USING (tok)
+        |), tot AS MATERIALIZED (
+        |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS wtot FROM tw GROUP BY doc_id
+        |), sh AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(sum(a.w) AS BIGINT) AS shared
+        |  FROM tw a JOIN tw b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(shared AS DOUBLE) / (ta.wtot + tb.wtot - shared) AS wjaccard
+        |FROM sh JOIN tot ta ON sh.doc_a = ta.doc_id
+        |  JOIN tot tb ON sh.doc_b = tb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (ta.wtot + tb.wtot - shared) >= 0.95""".stripMargin,
     // q206: the same epoch-hour integer derivation — no calendar
     // functions on either side.
     "q206_seasonal_dev" ->

@@ -223,6 +223,109 @@ object SetSimJoin {
       .select(col("doc_a"), col("doc_b"), col("containment"))
   }
 
+  /** WEIGHTED Jaccard self-join: pairs with
+    * Σ_{t∈A∩B} w_t / Σ_{t∈A∪B} w_t >= tau over INTEGER token weights
+    * (rarity/idf-style weights make shared rare tokens count for more
+    * than shared stopwords — the weighted refinement of [[joinSelf]]).
+    * Integer weights keep the verify exact: shared and union weights
+    * are exact long sums and the similarity is ONE correctly-rounded
+    * division.
+    *
+    * The prefix filter generalizes by WEIGHT (Chaudhuri et al. 2006):
+    * order every record's tokens by one global total order (rarity
+    * here — heaviest first, so prefixes stay short AND collision lists
+    * stay small); keep the shortest prefix whose SUFFIX weight is below
+    * the minimum qualifying shared weight τ·W_A (a qualifying pair
+    * shares >= τ·union >= τ·W_A of weight, which cannot all hide in a
+    * lighter suffix) — so every qualifying pair collides on a prefix
+    * token, losslessly. Collisions then pass the weight-ratio filter
+    * (W_B >= τ·W_A both ways) and the weighted POSITIONAL bound: at the
+    * pair's first shared token, shared <= min(suffix_A, suffix_B)
+    * including the colliding token, and a qualifying pair needs
+    * τ(W_A+W_B)/(1+τ). All threshold comparisons slack 1e-6 in the
+    * over-covering direction only (the [[joinBy]] float discipline).
+    *
+    * Tokens absent from `weights` carry weight `defaultW` (unseen =
+    * ordinary). The per-record prefix derivation folds the record's OWN
+    * sorted weight array (O(n²) per record in interpreted HOFs — fine
+    * at document token counts; a native suffix-cumsum expression is the
+    * upgrade path if profiles ever show it hot).
+    *
+    * @param weights (token, weight) frame, one row per token, weight a
+    *                positive long
+    */
+  def joinSelfWeighted(df: DataFrame, idCol: String, tokensCol: String,
+                       weights: DataFrame, tau: Double,
+                       defaultW: Long = 1L): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    require(defaultW >= 1L, s"defaultW must be >= 1, got $defaultW")
+    val w = weights.select(col(weights.columns(0)).as("tok"),
+      col(weights.columns(1)).cast("long").as("w"))
+    val docs = df.select(col(idCol).as("doc_id"),
+        array_distinct(col(tokensCol)).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") > 0)
+    // (w DESC, tok) is the one global total order: heaviest (rarest)
+    // tokens first — short prefixes, small collision lists
+    val ordered = docs
+      .select(col("doc_id"), explode(col("ts")).as("tok"))
+      .join(w, Seq("tok"), "left")
+      .withColumn("w", coalesce(col("w"), lit(defaultW)))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct((-col("w")).as("nw"),
+        col("tok"), col("w")))).as("o"))
+      .withColumn("wtotal", aggregate(col("o"), lit(0L),
+        (acc, s) => acc + s.getField("w")))
+      // per position i (1-based): suffix weight INCLUDING token i
+      .withColumn("osuf", transform(col("o"), (s, i) =>
+        struct(s.getField("tok").as("tok"),
+          (col("wtotal") - aggregate(slice(col("o"), lit(1), i), lit(0L),
+            (acc, x) => acc + x.getField("w"))).as("suf"))))
+      // prefix: positions whose suffix (from the PREVIOUS position) still
+      // holds >= τ·W — i.e. keep entries with suf > τ·W − eps is wrong by
+      // one: entry i stays while suffix EXCLUDING tokens before i can
+      // still carry a qualifying overlap: suf_i >= τ·W − eps
+      .withColumn("pre", filter(col("osuf"), s =>
+        s.getField("suf").cast("double") >= col("wtotal") * lit(tau) - lit(1e-6)))
+      .select(col("doc_id"), col("wtotal"),
+        transform(col("o"), s => s.getField("tok")).as("ots"),
+        transform(col("o"), s => s.getField("w")).as("ows"),
+        col("pre"))
+
+    val pre = ordered.select(col("doc_id"), col("wtotal"),
+      explode(col("pre")).as("p"))
+      .select(col("doc_id"), col("wtotal"),
+        col("p.tok").as("ptok"), col("p.suf").as("suf"))
+    val minPairShared = (col("wa") + col("wb")).cast("double") *
+      lit(tau / (1.0 + tau)) - lit(1e-6)
+    val cand = pre
+      .select(col("doc_id").as("doc_a"), col("wtotal").as("wa"),
+        col("suf").as("sufa"), col("ptok"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("wtotal").as("wb"),
+        col("suf").as("sufb"), col("ptok")), "ptok")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("wa").cast("double") >= col("wb") * lit(tau) - lit(1e-6) &&
+        col("wb").cast("double") >= col("wa") * lit(tau) - lit(1e-6))
+      .filter(least(col("sufa"), col("sufb")).cast("double") >= minPairShared)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
+    val withSets = cand
+      .join(ordered.select(col("doc_id").as("doc_a"), col("wtotal").as("wa"),
+        col("ots").as("ta"), col("ows").as("wsa")), "doc_a")
+      .join(ordered.select(col("doc_id").as("doc_b"), col("wtotal").as("wb"),
+        col("ots").as("ts_b")), "doc_b")
+    withSets
+      .withColumn("shared", aggregate(
+        zip_with(col("ta"), col("wsa"), (t, ww) =>
+          when(array_contains(col("ts_b"), t), ww).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("wjaccard", col("shared").cast("double") /
+        (col("wa") + col("wb") - col("shared")))
+      .filter(col("wjaccard") >= lit(tau))
+      .select(col("doc_a"), col("doc_b"), col("wjaccard"))
+  }
+
   private def joinBy(df: DataFrame, idCol: String, tokensCol: String,
                      m: Measure): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), array_distinct(col(tokensCol)).as("ts"))

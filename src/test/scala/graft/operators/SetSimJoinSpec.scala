@@ -164,6 +164,62 @@ class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
     assert(at1.contains((2, 1)) && !at1.contains((1, 2)))
   }
 
+  private lazy val weightTable = {
+    // rare tokens heavy, shared filler light
+    val heavy = (0 until 30).map(i => (s"r$i", 100L))
+    val light = (0 until 30).map(i => (s"c$i", 1L))
+    (heavy ++ light).toDF("tok", "w")
+  }
+
+  private def bruteWeighted(docs: org.apache.spark.sql.DataFrame,
+                            tau: Double): Set[(Int, Int, Double)] = {
+    val wmap = weightTable.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = docs.select(col("id"), array_distinct(col("toks")))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty)
+    (for {
+      (a, ta) <- rows; (b, tb) <- rows if a < b
+      sh = (ta & tb).toSeq.map(t => wmap.getOrElse(t, 1L)).sum
+      un = (ta | tb).toSeq.map(t => wmap.getOrElse(t, 1L)).sum
+      wj = sh.toDouble / un if wj >= tau
+    } yield (a, b, wj)).toSet
+  }
+
+  test("weighted jaccard: blocked equals brute force; rarity weights flip decisions") {
+    // pair (10, 11): share 2 rare of 3 rare + differ on 2 common →
+    // unweighted 2/5 = 0.4; weighted (200)/(302) ≈ 0.662
+    // pair (20, 21): share 2 common, differ on 1 rare each →
+    // unweighted 2/4 = 0.5; weighted 2/202 ≈ 0.0099
+    val docs = Seq(
+      (10, Seq("r0", "r1", "c0")), (11, Seq("r0", "r1", "c1")),
+      (20, Seq("c2", "c3", "r5")), (21, Seq("c2", "c3", "r6")),
+      (30, Seq("r7", "r8", "r9")), (31, Seq("r7", "r8", "r9")), // identical
+      (99, Seq.empty[String])).toDF("id", "toks")
+    for (tau <- Seq(0.6, 0.5, 0.05)) {
+      val got = SetSimJoin.joinSelfWeighted(docs, "id", "toks", weightTable, tau)
+        .collect().map(x => (x.getInt(0), x.getInt(1), x.getDouble(2))).toSet
+      assert(got == bruteWeighted(docs, tau), s"tau=$tau")
+    }
+    val at06 = SetSimJoin.joinSelfWeighted(docs, "id", "toks", weightTable, 0.6)
+      .collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+    assert(at06.contains((10, 11)) && !at06.contains((20, 21)),
+      "rare-token overlap must qualify where common-token overlap does not")
+  }
+
+  test("weighted jaccard: exact-boundary pair and unseen-token default weight") {
+    // shared weight 100+1=101, union 101+100=201... craft an EXACT boundary:
+    // share r0 (100), differ c0 vs c1 (1 each): wj = 100/102
+    val docs = Seq(
+      (1, Seq("r0", "c0")), (2, Seq("r0", "c1")),
+      (3, Seq("zz_unseen", "r1")), (4, Seq("zz_unseen", "r1"))).toDF("id", "toks")
+    val tau = 100.0 / 102.0
+    val got = SetSimJoin.joinSelfWeighted(docs, "id", "toks", weightTable, tau)
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getDouble(2))).toSet
+    assert(got == bruteWeighted(docs, tau))
+    assert(got.map(t => (t._1, t._2)) == Set((1, 2), (3, 4)),
+      "boundary pair must qualify; unseen tokens weigh defaultW = 1")
+  }
+
   test("watchlist containment equals the self join restricted to the subjects") {
     val subjects = corpus.filter(col("id") % 4 === 0)
     val got = SetSimJoin.joinContainment(subjects, corpus, "id", "toks", 0.85)
