@@ -432,6 +432,33 @@ object OracleSqlGen {
        |$perTable""".stripMargin
   }
 
+  // ---- q208: embedding decontamination — q30Sql's per-table bucket
+  // joins restricted to train×test (is_test flags the held-out slice);
+  // UNION dedupes across the OR-amplified tables. ----
+  def q208Sql(minCosine: Double = 0.4, nPlanes: Int = 12, nTables: Int = 2,
+              dim: Int = 64, seed: Long = 42L,
+              testMod: Long = 100L): String = {
+    val perTable = (0 until nTables).map { t =>
+      val planes = VectorFunctions.seededPlanes(nPlanes, dim, seed + t)
+      s"""  SELECT train_id, test_id, cos_sim FROM (
+         |    SELECT a.id AS train_id, b.id AS test_id,
+         |      round(list_dot_product(a.v, b.v) / (sqrt(a.nsq) * sqrt(b.nsq)), 6) AS cos_sim
+         |    FROM (SELECT id, v, nsq, ${bucketSql("v", planes)} AS bucket
+         |          FROM e WHERE NOT is_test) a
+         |    JOIN (SELECT id, v, nsq, ${bucketSql("v", planes)} AS bucket
+         |          FROM e WHERE is_test) b
+         |      USING (bucket))
+         |  WHERE cos_sim >= $minCosine""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id AS id, vec_id % $testMod = 0 AS is_test,
+       |    embedding::DOUBLE[] AS v,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nsq
+       |  FROM embeddings
+       |)
+       |$perTable""".stripMargin
+  }
+
   // ---- q51: incremental embedding near-dup ingest (hyperplane LSH) ----
   // q30Sql's per-table bucket joins with q50Sql's generation predicate:
   // batch (gen 3) × store (gen < 3) in either id order plus batch×batch

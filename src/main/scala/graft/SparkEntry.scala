@@ -3001,6 +3001,20 @@ object SparkEntry {
       tau = 0.95)
   }
 
+  // ---- q208: embedding-space DECONTAMINATION — the semantic sibling
+  //      of q53's token-overlap decontaminate: train vectors flagged by
+  //      cosine ≥ τ to ANY held-out test vector (a paraphrase shares no
+  //      8-gram but sits next to the test item in embedding space).
+  //      Cross-corpus hyperplane LSH: the train side never self-joins,
+  //      each table equi-joins train×test buckets only. ----
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    Dedup.embeddingDecontaminate(
+      emb.filter(col("vec_id") % 10 =!= 0),
+      emb.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", minCosine = 0.3)
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3267,6 +3281,7 @@ object SparkEntry {
     "q205_stream_funnel"   -> q205 _,
     "q206_seasonal_dev"    -> q206 _,
     "q207_setsim_weighted" -> q207 _,
+    "q208_embed_decontam"  -> q208 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3667,6 +3682,9 @@ object SparkEntry {
     // 0-based rank floor(p*(n-1)), p formatted at full double precision so
     // both engines run the identical IEEE multiply).
     "q203_rfm" -> rfmSql(5),
+    // q208: cross-corpus LSH decontamination — q30's oracle shape with
+    // the train×test restriction.
+    "q208_embed_decontam" -> OracleSqlGen.q208Sql(minCosine = 0.3, testMod = 10L),
     // q204: per-column stats, one UNION ALL branch per column.
     "q204_table_profile" -> tableProfileSql,
     // q207: the weighted-Jaccard definition replayed through the shared-

@@ -306,6 +306,48 @@ object Dedup {
     perTable.reduce(_ union _).distinct()
   }
 
+  /** Embedding-space DECONTAMINATION — the semantic sibling of the
+    * token-overlap decontaminate ([[graft.operators.Decontaminate]]):
+    * flag TRAIN vectors whose cosine to ANY TEST vector reaches
+    * `minCosine` (a paraphrased benchmark item shares no 8-gram but
+    * sits next to the test item in embedding space). Cross-corpus
+    * [[embeddingNearDupsLsh]]: the SAME seeded hyperplane sets bucket
+    * both corpora, each OR-amplified table equi-joins train×test
+    * buckets only (never train×train — the corpus is never crossed
+    * with itself), and the exact cosine verifies. At 100 TB the train
+    * side is the big one and it is never shuffled against itself; the
+    * per-table join is bucket-blocked with the test side typically
+    * small enough to broadcast.
+    *
+    * @return (train_id, test_id, cos_sim) — distinct flagged pairs;
+    *         anti-join trains against it for the clean set.
+    */
+  def embeddingDecontaminate(train: DataFrame, test: DataFrame,
+                             idCol: String, vecCol: String,
+                             minCosine: Double, nPlanes: Int = 12,
+                             nTables: Int = 2, dim: Int = 64,
+                             seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions
+    require(nTables >= 1, "nTables must be >= 1")
+    val tr = train.select(col(idCol).as("train_id"), col(vecCol).as("va"),
+      VectorFunctions.normSq(col(vecCol)).as("na"))
+    val te = test.select(col(idCol).as("test_id"), col(vecCol).as("vb"),
+      VectorFunctions.normSq(col(vecCol)).as("nb"))
+    val perTable = (0 until nTables).map { t =>
+      val planes = VectorFunctions.seededPlanes(nPlanes, dim, seed + t)
+      val a = tr.withColumn("bucket",
+        VectorFunctions.hyperplaneBucket(col("va"), planes))
+      val b = te.withColumn("bucket",
+        VectorFunctions.hyperplaneBucket(col("vb"), planes))
+      a.join(b, Seq("bucket"))
+        .withColumn("cos_sim", round(VectorFunctions.cosineFromNormSq(
+          VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")), 6))
+        .filter(col("cos_sim") >= minCosine)
+        .select(col("train_id"), col("test_id"), col("cos_sim"))
+    }
+    perTable.reduce(_ union _).distinct()
+  }
+
   /** SimHash near-dup blocking: fingerprint + 16-bit prefix bucket. Pairs
     * within a bucket whose Hamming distance ≤ maxHamming are near-dups.
     */

@@ -62,6 +62,28 @@ class RecallSpec extends AnyFunSuite with SparkSpec {
     assert(lsh.subsetOf(exact), "LSH must never emit a pair the exact filter rejects")
   }
 
+  test("embeddingDecontaminate flags planted train-test paraphrases, never train-train") {
+    // train = bases, test = jittered copies of the first 40 bases
+    val emb = planted
+    val train = emb.filter(col("vec_id") < 1000L)
+    val test = emb.filter(col("vec_id") >= 1000L && col("vec_id") < 1040L)
+    val got = Dedup.embeddingDecontaminate(train, test, "vec_id", "embedding",
+        minCosine = 0.9)
+      .select("train_id", "test_id").as[(Long, Long)].collect().toSet
+    // exact cross reference
+    val allPairs: Set[(Long, Long)] = Dedup.embeddingNearDupsExact(
+        train.unionByName(test), "vec_id", "embedding", minCosine = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = allPairs.filter { case (a, b) => a < 1000L && b >= 1000L }
+    assert(exact.size >= 30, s"planting failed: ${exact.size}")
+    assert(got.subsetOf(exact), "decontam must never flag a sub-threshold pair")
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"decontam recall: $recall%.3f")
+    assert(recall >= 0.9, f"decontam recall collapsed: $recall%.3f")
+    assert(got.forall { case (a, b) => a < 1000L && b >= 1000L },
+      "orientation must be (train, test); train never self-pairs")
+  }
+
   test("more OR-amplification tables monotonically improve recall") {
     val emb = planted
     val exact = Dedup.embeddingNearDupsExact(emb, "vec_id", "embedding", minCosine = 0.9)
