@@ -3015,6 +3015,28 @@ object SparkEntry {
       "vec_id", "embedding", minCosine = 0.3)
   }
 
+  // ---- q209: histogram-sketch STORE — q99's mergeable quantile sketch
+  //      persisted and served incrementally: two disjoint batches append
+  //      their (group, bin) histograms without reading the store, and
+  //      the served estimates fold the log by addition — q99's oracle
+  //      VERBATIM, so a lossy append/fold would hash-mismatch. ----
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_hist_store"
+    graft.sources.Sinks.dropTableAndStaleLocation(s, table)
+    val li = Tables(s, dir).lineitem.select(col("l_returnflag"),
+      cents(col("l_extendedprice")).as("price_cents"), col("l_orderkey"))
+    // two disjoint ingests slice the data by order key parity
+    operators.HistogramSketch.appendToStore(
+      li.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"),
+      "price_cents", binWidth = 100000L, table = table)
+    operators.HistogramSketch.appendToStore(
+      li.filter(col("l_orderkey") % 2 =!= 0), Seq("l_returnflag"),
+      "price_cents", binWidth = 100000L, table = table)
+    operators.HistogramSketch.quantilesFromStore(s, table,
+      Seq("l_returnflag"), binWidth = 100000L,
+      quantiles = Seq((1, 2), (19, 20), (99, 100)))
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3282,6 +3304,7 @@ object SparkEntry {
     "q206_seasonal_dev"    -> q206 _,
     "q207_setsim_weighted" -> q207 _,
     "q208_embed_decontam"  -> q208 _,
+    "q209_hist_store"      -> q209 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3371,6 +3394,30 @@ object SparkEntry {
     * kind-matched to the operator's type mapping (numeric → double
     * min/max, timestamp → epoch-µs double, string → itself).
     */
+  /** q99's histogram-sketch quantile replay — shared VERBATIM by q209
+    * (the persisted store must serve exactly the one-shot answer).
+    */
+  private val histQuantilesSql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 100000 AS bin,
+      |    count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2
+      |), w AS (
+      |  SELECT l_returnflag, bin, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      |  FROM h
+      |), q AS (SELECT * FROM (VALUES (1, 2), (19, 20), (99, 100)) t(p_num, p_den))
+      |SELECT l_returnflag, p_num, p_den, n,
+      |  bin * 100000 + ((r - before) * 100000) // cnt AS est
+      |FROM (
+      |  SELECT w.*, q.p_num, q.p_den,
+      |    (q.p_num * n + q.p_den - 1) // q.p_den AS r,
+      |    cum - cnt AS before
+      |  FROM w CROSS JOIN q) t
+      |WHERE before < r AND r <= cum""".stripMargin
+
   private val tableProfileSql: String = {
     val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
       "l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -4983,26 +5030,10 @@ object SparkEntry {
     // q99: same integer walk — ranks are exact rational ceilings, both
     // engines truncate // toward zero, sum(BIGINT) OVER casts back from
     // DuckDB's HUGEINT.
-    "q99_hist_quantiles" ->
-      """WITH h AS (
-        |  SELECT l_returnflag,
-        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 100000 AS bin,
-        |    count(*) AS cnt
-        |  FROM lineitem GROUP BY 1, 2
-        |), w AS (
-        |  SELECT l_returnflag, bin, cnt,
-        |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum,
-        |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
-        |  FROM h
-        |), q AS (SELECT * FROM (VALUES (1, 2), (19, 20), (99, 100)) t(p_num, p_den))
-        |SELECT l_returnflag, p_num, p_den, n,
-        |  bin * 100000 + ((r - before) * 100000) // cnt AS est
-        |FROM (
-        |  SELECT w.*, q.p_num, q.p_den,
-        |    (q.p_num * n + q.p_den - 1) // q.p_den AS r,
-        |    cum - cnt AS before
-        |  FROM w CROSS JOIN q) t
-        |WHERE before < r AND r <= cum""".stripMargin,
+    "q99_hist_quantiles" -> histQuantilesSql,
+    // q209: q99's oracle VERBATIM — the persisted histogram log folded by
+    // addition must serve exactly what the one-shot sketch computes.
+    "q209_hist_store" -> histQuantilesSql,
     "q97_cap_per_source" ->
       s"""SELECT doc_id, source, rank_in_group FROM (
          |  SELECT doc_id, source,

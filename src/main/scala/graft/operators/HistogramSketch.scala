@@ -36,16 +36,59 @@ object HistogramSketch {
     */
   def quantileSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      binWidth: Long,
-                     quantiles: Seq[(Int, Int)] = Seq((1, 2), (19, 20))): DataFrame = {
+                     quantiles: Seq[(Int, Int)] = Seq((1, 2), (19, 20))): DataFrame =
+    walkQuantiles(histogram(df, groupCols, valueCol, binWidth),
+      groupCols, binWidth, quantiles)
+
+  /** The (group, bin, cnt) histogram — the sketch STATE: one map-side-
+    * combined count whose rows merge by ADDITION, which is what makes
+    * the persisted form ([[appendToStore]]) an incremental store.
+    */
+  def histogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    df.groupBy(groupCols.map(col) :+
+        IntOps.intDiv(col(valueCol), lit(binWidth)).as("__bin"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+  }
+
+  /** Append a batch's histogram to the persisted sketch store — the
+    * log-structured pattern ([[IncrementalKmv]]): ingest never reads
+    * the store, reads fold the log by summing per (group, bin), so the
+    * served estimates are batch-slicing-invariant (integer addition
+    * commutes) and the store stays groups × bins × batches tiny.
+    */
+  def appendToStore(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                    binWidth: Long, table: String): Unit =
+    histogram(df, groupCols, valueCol, binWidth)
+      .write.mode("append").format("parquet").saveAsTable(table)
+
+  /** Serve quantile estimates from a persisted histogram store —
+    * bit-identical to [[quantileSketch]] over everything ever appended
+    * (fold-by-addition, then the same integer rank walk).
+    */
+  def quantilesFromStore(spark: org.apache.spark.sql.SparkSession,
+                         table: String, groupCols: Seq[String],
+                         binWidth: Long,
+                         quantiles: Seq[(Int, Int)]): DataFrame = {
+    val folded = spark.table(table)
+      .groupBy(groupCols.map(col) :+ col("__bin"): _*)
+      .agg(sum(col("__cnt")).as("__cnt"))
+    walkQuantiles(folded, groupCols, binWidth, quantiles)
+  }
+
+  /** The integer rank walk over a (group, bin, cnt) histogram frame —
+    * runs on the tiny sketch, never the data.
+    */
+  private def walkQuantiles(hist: DataFrame, groupCols: Seq[String],
+                            binWidth: Long,
+                            quantiles: Seq[(Int, Int)]): DataFrame = {
     require(binWidth >= 1, "binWidth must be >= 1")
     require(quantiles.nonEmpty, "need at least one quantile")
     quantiles.foreach { case (num, den) =>
       require(num >= 1 && num <= den, s"quantile $num/$den out of (0,1]")
     }
     val gs = groupCols.map(col)
-    val hist = df
-      .groupBy(gs :+ IntOps.intDiv(col(valueCol), lit(binWidth)).as("__bin"): _*)
-      .agg(count(lit(1)).as("__cnt"))
     val wOrd = Window.partitionBy(gs: _*).orderBy(col("__bin"))
     val wAll = Window.partitionBy(gs: _*)
     val walk = hist

@@ -61,6 +61,26 @@ class HistogramSketchSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("store: appended batches serve exactly the one-shot sketch, any slicing") {
+    val rnd = new Random(5)
+    val vals = Seq.fill(300)(("g" + rnd.nextInt(3), rnd.nextInt(5000).toLong))
+    val qs = Seq((1, 2), (9, 10))
+    val t = "graft_test_hist_store"
+    dropTable(t)
+    val df = vals.toDF("g", "v")
+    // three uneven slices
+    HistogramSketch.appendToStore(df.filter($"v" % 7 === 0), Seq("g"), "v", 100L, t)
+    HistogramSketch.appendToStore(df.filter($"v" % 7 === 1), Seq("g"), "v", 100L, t)
+    HistogramSketch.appendToStore(df.filter($"v" % 7 >= 2), Seq("g"), "v", 100L, t)
+    def canon(x: org.apache.spark.sql.DataFrame) =
+      x.select("g", "p_num", "p_den", "n", "est")
+        .as[(String, Int, Int, Long, Long)].collect().toSet
+    val served = canon(HistogramSketch.quantilesFromStore(spark, t, Seq("g"), 100L, qs))
+    val oneShot = canon(HistogramSketch.quantileSketch(df, Seq("g"), "v", 100L, qs))
+    assert(served == oneShot)
+    dropTable(t)
+  }
+
   test("degenerate cases: single value, single bin, q=1 (max bin)") {
     val got = run(Seq(("g", 42L)), w = 10L, Seq((1, 2), (1, 1)))
     // one value in bin 4: rank 1, est = 40 + 1*10/1 = 50 for both
