@@ -3037,6 +3037,25 @@ object SparkEntry {
       quantiles = Seq((1, 2), (19, 20), (99, 100)))
   }
 
+  // ---- q210: Pareto-front document selection — the skyline of
+  //      (token count, scaled lexical diversity): documents no other
+  //      document beats on both axes, the weighting-free quality
+  //      frontier. 2-D skyline = sort + running max via PrefixSum's
+  //      two-phase decomposition — never the quadratic NOT EXISTS, never
+  //      a single-task window. ----
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val t = TextFunctions.tokens(col("text"))
+    val m = Tables(s, dir).documents
+      .select(size(t).cast("long").as("n_toks"),
+        size(array_distinct(t)).cast("long").as("n_uniq"))
+      .filter(col("n_toks") > 0)
+      .select(col("n_toks"), graft.functions.IntOps.intDiv(
+        col("n_uniq") * 1000000L, col("n_toks")).as("diversity_q"))
+    ops.Skyline.paretoFront2D(m, col("n_toks"), col("diversity_q"))
+      .select(col("x").as("n_toks"), col("y").as("diversity_q"),
+        col("n_rows").as("n_docs"))
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3305,6 +3324,7 @@ object SparkEntry {
     "q207_setsim_weighted" -> q207 _,
     "q208_embed_decontam"  -> q208 _,
     "q209_hist_store"      -> q209 _,
+    "q210_pareto_front"    -> q210 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3729,6 +3749,22 @@ object SparkEntry {
     // 0-based rank floor(p*(n-1)), p formatted at full double precision so
     // both engines run the identical IEEE multiply).
     "q203_rfm" -> rfmSql(5),
+    // q210: the skyline DEFINITION (quadratic NOT EXISTS over distinct
+    // points — oracle form; the operator runs the sort + running-max
+    // decomposition).
+    "q210_pareto_front" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT len(regexp_extract_all(text, '\S+')) AS n_toks,
+        |    len(list_distinct(regexp_extract_all(text, '\S+'))) * 1000000
+        |      // len(regexp_extract_all(text, '\S+')) AS diversity_q
+        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |), pts AS MATERIALIZED (
+        |  SELECT n_toks AS x, diversity_q AS y, count(*) AS n_docs
+        |  FROM m GROUP BY 1, 2
+        |)
+        |SELECT x AS n_toks, y AS diversity_q, n_docs FROM pts p
+        |WHERE NOT EXISTS (SELECT 1 FROM pts d
+        |  WHERE d.x >= p.x AND d.y >= p.y AND (d.x > p.x OR d.y > p.y))""".stripMargin,
     // q208: cross-corpus LSH decontamination — q30's oracle shape with
     // the train×test restriction.
     "q208_embed_decontam" -> OracleSqlGen.q208Sql(minCosine = 0.3, testMod = 10L),
