@@ -3056,6 +3056,31 @@ object SparkEntry {
         col("n_rows").as("n_docs"))
   }
 
+  // ---- q211: STREAMING gram-reference ingest — the SIXTH store family
+  //      (dedup q180, KMV q188, ANN q193, phrase q200, winnow q202):
+  //      the benchmark slice streams into the _gram_key-bucketed
+  //      decontamination reference store, and the served corpus probe
+  //      must flag exactly what the one-shot q53 flags however the
+  //      stream sliced — q53's oracle VERBATIM. ----
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_stream_gram_store"
+    graft.sources.Sinks.dropTableAndStaleLocation(s, table)
+    graft.sources.Sinks.dropTableAndStaleLocation(s,
+      graft.streaming.StoreIngest.ledgerTable(table))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_gram_").toString
+    val bench = graft.streaming.EventStreams
+      .readParquetStream(s, dir, "documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 10 === 7)
+    graft.streaming.StoreIngest.ingestGramStore(
+      bench, "text", k = 4, table, buckets = 8, checkpointDir = ckpt)
+      .awaitTermination()
+    operators.Decontaminate.overlapsFromStore(s, table,
+      Tables(s, dir).documents.filter(col("doc_id") % 10 =!= 7),
+      "doc_id", "text", k = 4)
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3325,6 +3350,7 @@ object SparkEntry {
     "q208_embed_decontam"  -> q208 _,
     "q209_hist_store"      -> q209 _,
     "q210_pareto_front"    -> q210 _,
+    "q211_stream_gram_store" -> q211 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3547,6 +3573,9 @@ object SparkEntry {
     "q50_incr_dedup"        -> OracleSqlGen.q50Sql(),
     "q51_incr_ann"          -> OracleSqlGen.q51Sql(),
     "q53_decontaminate"     -> OracleSqlGen.q53Sql(),
+    // q211: q53's oracle VERBATIM — the stream-ingested gram store must
+    // serve the one-shot decontamination answer.
+    "q211_stream_gram_store" -> OracleSqlGen.q53Sql(),
     "q55_audio_meta"        -> OracleSqlGen.q55Sql(),
     "q56_decontam_clean"    -> OracleSqlGen.q56Sql(),
     "q58_dup_ngrams"        -> OracleSqlGen.q58Sql(),

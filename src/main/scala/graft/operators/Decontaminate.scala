@@ -48,6 +48,50 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** The per-document gram-key frame behind [[overlaps]], exposed for
+    * the store path: (keep..., _gram_key).
+    */
+  private def docGramKeysOf(df: DataFrame, textCol: String, k: Int,
+                            hashGrams: Boolean, keep: Seq[String]): DataFrame = {
+    def gramKey(gram: org.apache.spark.sql.Column) =
+      if (hashGrams) PortableHash.hash60(gram) else gram.cast("string")
+    df.select(keep.map(col) :+
+      explode(array_distinct(transform(
+        array_distinct(TextFunctions.wordShingles(col(textCol), k)),
+        g => gramKey(g)))).as("_gram_key"): _*)
+  }
+
+  /** Append a benchmark batch's distinct gram-hash keys to the persisted
+    * REFERENCE store — the benchmark side of decontamination as a
+    * maintained table: eval suites grow by addition (a new benchmark
+    * lands, its grams append; nothing rewrites), and the probe side
+    * reads whatever has accumulated. Batch-distinct only — cross-batch
+    * duplicates (and crash-window replays) collapse at read time, so
+    * appends are idempotent in effect.
+    */
+  def appendToGramStore(bench: DataFrame, textCol: String, k: Int,
+                        table: String, buckets: Int): Unit =
+    docGramKeysOf(bench, textCol, k, hashGrams = true, Nil).distinct()
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "_gram_key").sortBy("_gram_key")
+      .saveAsTable(table)
+
+  /** [[overlaps]] served from a persisted gram store: the store's
+    * distinct key set (the dedup is exchange-free on the store's
+    * _gram_key bucketing) broadcasts into the same map-side probe —
+    * the corpus never shuffles, and the answer is bit-identical to the
+    * one-shot [[overlaps]] over everything ever appended.
+    */
+  def overlapsFromStore(spark: org.apache.spark.sql.SparkSession,
+                        table: String, train: DataFrame, idCol: String,
+                        textCol: String, k: Int): DataFrame = {
+    val keys = spark.table(table).distinct()
+    docGramKeysOf(train, textCol, k, hashGrams = true, Seq(idCol))
+      .join(broadcast(keys), "_gram_key")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** The clean corpus: training documents with NO k-gram overlap.
     * Contaminated ids come from the same broadcast probe; the final
     * anti-join's right side is only the contaminated-id list (a small

@@ -202,6 +202,24 @@ object StoreIngest {
         idCol, table, buckets)
     }
 
+  /** Streaming ingest into the DECONTAMINATION gram-reference store —
+    * the sixth store family: benchmark/eval documents stream in and
+    * their distinct word-k-gram hash keys append under the store's
+    * _gram_key bucketing ([[graft.operators.Decontaminate
+    * .appendToGramStore]]). Gram keys are per-document facts and the
+    * probe reads the store's DISTINCT key set, so crash-window replays
+    * and cross-batch duplicates are answer-invariant by construction —
+    * [[graft.operators.Decontaminate.overlapsFromStore]] serves exactly
+    * the one-shot overlaps however the stream sliced.
+    */
+  def ingestGramStore(bench: DataFrame, textCol: String, k: Int,
+                      table: String, buckets: Int, checkpointDir: String,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ledgeredIngest(bench, table, checkpointDir, trigger) { batch =>
+      graft.operators.Decontaminate.appendToGramStore(
+        batch, textCol, k, table, buckets)
+    }
+
   /** Streaming ingest into the hyperplane-LSH embedding store: each
     * micro-batch bucketizes (idCol, vecCol) rows across the OR-amplified
     * tables and appends ([[graft.operators.IncrementalAnn]]). Defaults

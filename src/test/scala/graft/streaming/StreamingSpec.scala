@@ -463,6 +463,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming gram-store ingest serves the batch decontamination answer; double-append is invariant") {
+    import graft.operators.Decontaminate
+    val t = "graft_stream_gram_spec"
+    Seq(t, StoreIngest.ledgerTable(t)).foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_gram_ingest").toFile
+    try {
+      val in = new java.io.File(root, "in")
+      val bench1 = Seq(1L -> "alpha beta gamma delta epsilon zeta")
+      val bench2 = Seq(2L -> "one two three four five six seven")
+      bench1.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      bench2.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      def stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in.getAbsolutePath)
+      StoreIngest.ingestGramStore(stream, "text", k = 4, t, buckets = 2,
+        checkpointDir = new java.io.File(root, "cp1").getAbsolutePath)
+        .awaitTermination()
+      assert(spark.table(StoreIngest.ledgerTable(t)).count() >= 2)
+      val train = Seq(
+        10L -> "prefix alpha beta gamma delta suffix words",       // hits bench1
+        11L -> "three four five six inside a longer sentence",     // hits bench2
+        12L -> "no overlap with anything at all in this row"
+      ).toDF("doc_id", "text")
+      def served = Decontaminate.overlapsFromStore(spark, t, train,
+          "doc_id", "text", k = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val oneShot = Decontaminate.overlaps(train,
+          (bench1 ++ bench2).toDF("doc_id", "text"), "doc_id", "text", k = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(oneShot.keySet == Set(10L, 11L), s"fixture sanity: $oneShot")
+      assert(served == oneShot, "stream-ingested store must serve the batch answer")
+      // crash window: re-append one batch's keys — reads dedup, counts exact
+      Decontaminate.appendToGramStore(bench1.toDF("doc_id", "text"),
+        "text", k = 4, t, buckets = 2)
+      assert(served == oneShot, "a double-appended batch must not change counts")
+    } finally {
+      rmTree(root)
+      Seq(t, StoreIngest.ledgerTable(t)).foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
   test("a colliding batch id with DIFFERENT data re-ingests — no silent loss on a fresh checkpoint over a grown source") {
     val t = "graft_stream_collide_spec"
     Seq(t, StoreIngest.ledgerTable(t)).foreach(dropTable)
