@@ -3081,6 +3081,22 @@ object SparkEntry {
       "doc_id", "text", k = 4)
   }
 
+  // ---- q212: perceptual-hash image dedup — REAL PNG encode→decode in
+  //      executors, then the 64-bit aHash (8×8 nearest-neighbor grid,
+  //      gray vs own integer mean) groups perceptually-identical
+  //      images; the oracle recomputes every hash from the generator's
+  //      pixel formulas, so any round-trip corruption flips bits and
+  //      hash-mismatches. Output is one row per duplicate GROUP —
+  //      scale-safe however dense the clusters. ----
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Multimodal.imageAHash(
+      Multimodal.pngPayloads(Tables(s, dir).documents, "doc_id"),
+      "doc_id", "payload").toDF()
+    hashed.groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("rep_id"))
+      .filter(col("n_images") >= 2)
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3351,6 +3367,7 @@ object SparkEntry {
     "q209_hist_store"      -> q209 _,
     "q210_pareto_front"    -> q210 _,
     "q211_stream_gram_store" -> q211 _,
+    "q212_image_ahash"     -> q212 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3778,6 +3795,32 @@ object SparkEntry {
     // 0-based rank floor(p*(n-1)), p formatted at full double precision so
     // both engines run the identical IEEE multiply).
     "q203_rfm" -> rfmSql(5),
+    // q212: the aHash replay from the generator's pixel formulas — grid
+    // sample, integer gray, mean threshold, bit k = j*8+i. Bit 63 cannot
+    // shift in checked BIGINT arithmetic; it adds as the two's-complement
+    // constant, and the HUGEINT sum casts back exactly.
+    "q212_image_ahash" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
+        |  FROM documents
+        |), g2 AS MATERIALIZED (
+        |  SELECT id, j * 8 + i AS k,
+        |    (((id + 31 * ((i * w) // 8) + 17 * ((j * h) // 8)) % 256)
+        |     + ((3 * id + 7 * ((i * w) // 8) + 11 * ((j * h) // 8)) % 256)
+        |     + ((5 * id + 13 * ((i * w) // 8) + 3 * ((j * h) // 8)) % 256)) // 3
+        |      AS gray
+        |  FROM ids, range(8) t1(i), range(8) t2(j)
+        |), m AS (
+        |  SELECT id, CAST(sum(gray) AS BIGINT) // 64 AS mean FROM g2 GROUP BY id
+        |), hs AS MATERIALIZED (
+        |  SELECT g2.id, CAST(sum(CASE WHEN gray > mean THEN
+        |      CASE WHEN k = 63 THEN -9223372036854775808
+        |           ELSE 1::BIGINT << CAST(k AS INTEGER) END
+        |    ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM g2 JOIN m USING (id) GROUP BY g2.id
+        |)
+        |SELECT ahash, count(*) AS n_images, min(id) AS rep_id
+        |FROM hs GROUP BY ahash HAVING count(*) >= 2""".stripMargin,
     // q210: the skyline DEFINITION (quadratic NOT EXISTS over distinct
     // points — oracle form; the operator runs the sort + running-max
     // decomposition).

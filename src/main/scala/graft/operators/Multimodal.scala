@@ -136,6 +136,65 @@ object Multimodal {
       }
   }
 
+  final case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** Perceptual average-hash (aHash) from REAL decoded pixels — the
+    * classic 64-bit image fingerprint (8×8 grid, gray vs own mean) that
+    * groups re-encoded/resaved copies of one image where byte hashes
+    * cannot (the PNG zlib stream is encoder-dependent; the pixels are
+    * not). All integer: grid sample (gx, gy) = (⌊i·w/8⌋, ⌊j·h/8⌋)
+    * nearest-neighbor (no resample filter — engines disagree on
+    * interpolation), gray = (r+g+b) div 3, threshold at the 64-sample
+    * integer-mean, bit k = j·8+i — so the oracle recomputes the hash
+    * from the generator's pixel formulas, and any corruption in the
+    * real encode→decode round trip flips bits. Undecodable/empty
+    * payloads hash to 0 (the poison-row contract of
+    * [[decodeImageMeta]]). One map-only pass, no shuffle.
+    */
+  def imageAHash(df: DataFrame, idCol: String, binCol: String): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val img =
+            if (bytes == null || bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) ImageHash(id, 0L)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val grays = new Array[Long](64)
+            var sum = 0L
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                val v = img.getRGB(i * w / 8, j * h / 8)
+                val g = (((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) / 3
+                grays(j * 8 + i) = g.toLong
+                sum += g
+                i += 1
+              }
+              j += 1
+            }
+            val mean = sum / 64L
+            var hash = 0L
+            var k = 0
+            while (k < 64) {
+              if (grays(k) > mean) hash |= (1L << k)
+              k += 1
+            }
+            ImageHash(id, hash)
+          }
+        }
+      }
+  }
+
   /** Deterministic WAV generation parameters shared by the generator, the
     * decoder test fixtures, and the SQL oracle (which recomputes the PCM
     * checksum from the same formulas — the RIFF container framing is not

@@ -32,6 +32,29 @@ class MultimodalMedianSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("imageAHash: decoded-pixel hash matches the formula replay; poison rows hash 0") {
+    val ids = Seq(1L, 2L, 40L, 77L, 91L, 182L) // 91/182: same dims AND same grid residues?
+    val got = Multimodal.imageAHash(
+        Multimodal.pngPayloads(ids.toDF("doc_id"), "doc_id"), "doc_id", "payload")
+      .collect().map(h => h.doc_id -> h.ahash).toMap
+    ids.foreach { id =>
+      val w = Multimodal.widthFor(id); val h = Multimodal.heightFor(id)
+      val grays = for (j <- 0 until 8; i <- 0 until 8) yield {
+        val (r, g, b) = Multimodal.rgbFor(id, i * w / 8, j * h / 8)
+        (r + g + b) / 3
+      }
+      val mean = grays.map(_.toLong).sum / 64L
+      var want = 0L
+      grays.zipWithIndex.foreach { case (g, k) => if (g > mean) want |= (1L << k) }
+      assert(got(id) == want, s"id=$id")
+    }
+    // an undecodable payload hashes 0 instead of failing the scan
+    val poison = Multimodal.imageAHash(
+        Multimodal.withFakePayload(Seq((9L, "junk")).toDF("doc_id", "text"), "text"),
+        "doc_id", "payload").collect()
+    assert(poison.head.ahash == 0L)
+  }
+
   test("decodeImageMeta zeroes metadata for undecodable payloads instead of failing") {
     val docs = Seq((1L, "not an image"), (2L, "")).toDF("doc_id", "text")
     val meta = Multimodal.decodeImageMeta(
