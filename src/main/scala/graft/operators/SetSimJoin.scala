@@ -261,41 +261,32 @@ object SetSimJoin {
     require(defaultW >= 1L, s"defaultW must be >= 1, got $defaultW")
     val w = weights.select(col(weights.columns(0)).as("tok"),
       col(weights.columns(1)).cast("long").as("w"))
-    val docs = df.select(col(idCol).as("doc_id"),
-        array_distinct(col(tokensCol)).as("ts"))
-      .withColumn("n", size(col("ts")))
-      .filter(col("n") > 0)
     // (w DESC, tok) is the one global total order: heaviest (rarest)
-    // tokens first — short prefixes, small collision lists
-    val ordered = docs
-      .select(col("doc_id"), explode(col("ts")).as("tok"))
+    // tokens first — short prefixes, small collision lists. Everything
+    // below works on the EXPLODED (doc, tok, w) rows: cumulative suffix
+    // weights come from one per-doc window (millions of doc partitions,
+    // never a single task — an in-array HOF cumsum was measured O(n²)
+    // per record and 20× slower at sf0.1), and the verify is a
+    // pair-keyed join back to these same rows.
+    val tw = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(col(tokensCol))).as("tok"))
       .join(w, Seq("tok"), "left")
       .withColumn("w", coalesce(col("w"), lit(defaultW)))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct((-col("w")).as("nw"),
-        col("tok"), col("w")))).as("o"))
-      .withColumn("wtotal", aggregate(col("o"), lit(0L),
-        (acc, s) => acc + s.getField("w")))
-      // per position i (1-based): suffix weight INCLUDING token i
-      .withColumn("osuf", transform(col("o"), (s, i) =>
-        struct(s.getField("tok").as("tok"),
-          (col("wtotal") - aggregate(slice(col("o"), lit(1), i), lit(0L),
-            (acc, x) => acc + x.getField("w"))).as("suf"))))
-      // prefix: positions whose suffix (from the PREVIOUS position) still
-      // holds >= τ·W — i.e. keep entries with suf > τ·W − eps is wrong by
-      // one: entry i stays while suffix EXCLUDING tokens before i can
-      // still carry a qualifying overlap: suf_i >= τ·W − eps
-      .withColumn("pre", filter(col("osuf"), s =>
-        s.getField("suf").cast("double") >= col("wtotal") * lit(tau) - lit(1e-6)))
-      .select(col("doc_id"), col("wtotal"),
-        transform(col("o"), s => s.getField("tok")).as("ots"),
-        transform(col("o"), s => s.getField("w")).as("ows"),
-        col("pre"))
-
-    val pre = ordered.select(col("doc_id"), col("wtotal"),
-      explode(col("pre")).as("p"))
-      .select(col("doc_id"), col("wtotal"),
-        col("p.tok").as("ptok"), col("p.suf").as("suf"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val ordW = byDoc.orderBy(col("w").desc, col("tok"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // suffix weight INCLUDING the current token = W − cum + w
+    val ranked = tw
+      .withColumn("wtotal", sum(col("w")).over(byDoc))
+      .withColumn("suf", col("wtotal") - sum(col("w")).over(ordW) + col("w"))
+    // prefix: entries whose suffix can still carry a qualifying overlap
+    // (shared >= τ·W_A cannot hide entirely in a lighter tail)
+    val pre = ranked
+      .filter(col("suf").cast("double") >= col("wtotal") * lit(tau) - lit(1e-6))
+      .select(col("doc_id"), col("wtotal"), col("tok").as("ptok"), col("suf"))
     val minPairShared = (col("wa") + col("wb")).cast("double") *
       lit(tau / (1.0 + tau)) - lit(1e-6)
     val cand = pre
@@ -310,16 +301,22 @@ object SetSimJoin {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
 
-    val withSets = cand
-      .join(ordered.select(col("doc_id").as("doc_a"), col("wtotal").as("wa"),
-        col("ots").as("ta"), col("ows").as("wsa")), "doc_a")
-      .join(ordered.select(col("doc_id").as("doc_b"), col("wtotal").as("wb"),
-        col("ots").as("ts_b")), "doc_b")
-    withSets
-      .withColumn("shared", aggregate(
-        zip_with(col("ta"), col("wsa"), (t, ww) =>
-          when(array_contains(col("ts_b"), t), ww).otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc + x))
+    // verify: shared weight via the token equi-join — cost O(Σ|A|) row
+    // expansion then linear joins. MEASURED at sf0.1 (187k true pairs):
+    // this shape 14.0 s; a q114-style struct-array verify
+    // (array_intersect over (tok, w) structs + fold) 139 s —
+    // array_intersect on COMPLEX element types abandons the hash path
+    // for quadratic interpreted equality, never use it on structs; an
+    // array-contains fold over aligned arrays (O(na·nb) per pair) 46 s.
+    val totals = tw.groupBy(col("doc_id")).agg(sum(col("w")).as("wtotal"))
+    val shared = cand
+      .join(tw.select(col("doc_id").as("doc_a"), col("tok"), col("w")), Seq("doc_a"))
+      .join(tw.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("w")).as("shared"))
+    shared
+      .join(totals.select(col("doc_id").as("doc_a"), col("wtotal").as("wa")), "doc_a")
+      .join(totals.select(col("doc_id").as("doc_b"), col("wtotal").as("wb")), "doc_b")
       .withColumn("wjaccard", col("shared").cast("double") /
         (col("wa") + col("wb") - col("shared")))
       .filter(col("wjaccard") >= lit(tau))
