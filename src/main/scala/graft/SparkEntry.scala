@@ -2922,7 +2922,11 @@ object SparkEntry {
     graft.streaming.StoreIngest.ingestWinnowStore(
       docs, "doc_id", "text", table, buckets = 8, checkpointDir = ckpt)
       .awaitTermination()
-    operators.Winnowing.matchesStored(s, table, minShared = 2L)
+    // stop-fingerprint cap 100: the clone-dense corpus's boilerplate
+    // char-grams otherwise pair quadratically (one 2,758-doc fp = 3.8M
+    // of 9.5M pairs at sf0.1 — measured); the cap BITES at every SF
+    operators.Winnowing.matchesStored(s, table, minShared = 2L,
+      maxDocsPerFp = 100L)
   }
 
   // ---- q203: RFM segmentation — per-user recency/frequency/monetary
@@ -3917,15 +3921,18 @@ object SparkEntry {
         |SELECT 0 AS stage_idx, 'signup' AS stage, count(*) AS n_users FROM s0
         |UNION ALL SELECT 1, 'click', count(*) FROM s1
         |UNION ALL SELECT 2, 'purchase', count(*) FROM s2""".stripMargin,
-    // q202: the q171 pair form over q178's char-gram selection — the
-    // stream-ingested winnow store must serve the one-shot answer
-    // however the stream sliced.
+    // q202: the q171 pair form over q178's char-gram selection with the
+    // stop-fingerprint cap (fps in > 100 docs are boilerplate and drop
+    // before pairing) — the stream-ingested winnow store must serve the
+    // one-shot answer however the stream sliced.
     "q202_stream_winnow_store" ->
       s"""WITH sel AS (${SparkEntry.winnowCharSql}),
-         |u AS (SELECT DISTINCT doc_id, fp FROM sel)
+         |u AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM sel),
+         |keep AS (SELECT fp FROM u GROUP BY fp HAVING count(*) <= 100),
+         |uk AS MATERIALIZED (SELECT u.* FROM u JOIN keep USING (fp))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       CAST(count(*) AS BIGINT) AS shared_fps
-         |FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |FROM uk a JOIN uk b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // q105: built-in session windows — islands with the same ≤-gap merge
     // (is_new on STRICTLY > 30 min), end = last event + gap.

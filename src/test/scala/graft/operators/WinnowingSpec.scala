@@ -119,4 +119,33 @@ class WinnowingSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p)
   }
+
+  test("matchesStored drops stop-fingerprints above the cap before pairing") {
+    val t = "graft_test_winnow_cap"
+    dropTable(t)
+    val boiler = "this exact boilerplate header line appears everywhere"
+    // 6 docs share the boilerplate (over a cap of 5); docs 1 and 2 also
+    // share a DISTINCTIVE sentence that must survive the cap
+    val real = "a genuinely distinctive shared passage of original text"
+    val docs = (1L to 6L).map { id =>
+      // fillers embed the id in every 4-char token, so every 8-char gram
+      // of a filler (and of its boundary) is unique to its document
+      val tail = if (id <= 2) real
+        else s"zz${id}a zz${id}b zz${id}c zz${id}d zz${id}e zz${id}f"
+      id -> s"$boiler $tail"
+    }
+    Winnowing.buildStore(docs.toDF("doc_id", "text"), "doc_id", "text",
+      t, buckets = 2)
+    val capped = Winnowing.matchesStored(spark, t, minShared = 2L,
+        maxDocsPerFp = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Winnowing.matchesStored(spark, t, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size > capped.size,
+      s"the cap must bite on the boilerplate: $uncapped vs $capped")
+    assert(capped == Set((1L, 2L)),
+      s"only the distinctive passage survives the cap: $capped")
+    dropTable(t)
+    graft.Storage.releaseAll(spark)
+  }
 }
