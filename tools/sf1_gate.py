@@ -11,7 +11,8 @@
 Driver-side tooling only — the Scala library never depends on this.
 
 Exclusions are DESIGN decisions, recorded here so they are auditable:
-- quadratic-DEFINITION oracles (q113/q114/q125-128/q162/q164/q167/q168):
+- quadratic-DEFINITION oracles (q113/q114/q125-128/q162/q164/q167/q168,
+  and round-13's q207 weighted variant and q210 skyline NOT EXISTS):
   the SQL replay, not the operator, is O(n^2) — the operator's own gates
   cover these at sf0.001/0.01/0.1.
 - q112 (two-level Lloyd unroll) and q139 (per-char rolling-hash replay):
@@ -19,6 +20,20 @@ Exclusions are DESIGN decisions, recorded here so they are auditable:
   in the full run.
 - q13: the oracle unrolls `k div 2` arithmetic valid only on contiguous
   keys; the probe's offset keys break that assumption (round-11 analysis).
+- q30-form hyperplane-LSH SQL replays (q30/q51/q193/q208): the oracle
+  evaluates every literal plane dot product per vector in SQL — fine to
+  sf0.1, interpreter-bound at 2M x 64-dim; same-family gates cover the
+  machinery at three SFs.
+- q53-form gram-hash replays (q53/q56/q211): one md5 per word 4-gram per
+  document in SQL (~300M at sf1) — oracle cost, not operator cost.
+- deep graph unrolls over the lineitem edge list (q185 HITS, q194/q197
+  resume-at-combined-depth): measured round 13, each spills >78 GB of
+  DuckDB temp before ENOSPC (713-920 s) — the MATERIALIZED round CTEs
+  carry 6M-edge joins per round. Oracle cost, not operator cost: the
+  engine completes all three in the full sf1 Verify, and the identical
+  oracles are hash-green at sf0.001/0.01. They remain in the prefix
+  list so a roomier host re-checks them; a disk-full outcome should be
+  recorded as oracle_resource_excluded, not FAIL.
 """
 import json, os, subprocess, sys, time
 
@@ -42,6 +57,10 @@ SF1_ORACLE_PREFIXES = [
     # round-12 families
     "q178_", "q179_", "q180_", "q181_", "q182_", "q183_", "q184_", "q185_",
     "q186_", "q187_",
+    # round-12 second half + round-13 families (sf1-tractable oracles)
+    "q188_", "q189_", "q190_", "q191_", "q192_", "q194_", "q195_", "q196_",
+    "q197_", "q198_", "q199_", "q200_", "q201_", "q202_", "q203_", "q204_",
+    "q205_", "q206_", "q209_", "q212_",
 ]
 
 
