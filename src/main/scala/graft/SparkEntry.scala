@@ -2895,9 +2895,13 @@ object SparkEntry {
   private def q201(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir).embeddings
     val k = operators.KMeans.kForTargetClusterSize(emb.count(), 2500L)
+    // one binding for the fixed-point scale: the centroids are FIT at this
+    // scale and PERSISTED with it — two independent literals could drift
+    // and silently serve every assignment at the wrong quantization
+    val scale = 1000000L
     val (_, centroids) = operators.KMeans.fit(emb, "vec_id", "embedding",
-      k = k, iterations = 5)
-    operators.KMeans.saveModel(s, centroids, 1000000L, "graft_kmeans_model")
+      k = k, iterations = 5, scale = scale)
+    operators.KMeans.saveModel(s, centroids, scale, "graft_kmeans_model")
     operators.KMeans.assignFromStore(s, "graft_kmeans_model", emb,
       "vec_id", "embedding")
   }
@@ -3096,6 +3100,9 @@ object SparkEntry {
     val hashed = Multimodal.imageAHash(
       Multimodal.pngPayloads(Tables(s, dir).documents, "doc_id"),
       "doc_id", "payload").toDF()
+      // poison rows (decode_ok = false) are EXCLUDED from grouping: their
+      // ahash 0 would merge corrupt rows with genuinely uniform images
+      .filter(col("decode_ok"))
     hashed.groupBy(col("ahash"))
       .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("rep_id"))
       .filter(col("n_images") >= 2)

@@ -30,26 +30,22 @@ object Decontaminate {
     */
   def overlaps(train: DataFrame, bench: DataFrame, idCol: String,
                textCol: String, k: Int, hashGrams: Boolean = true): DataFrame = {
-    def gramKey(gram: org.apache.spark.sql.Column) =
-      if (hashGrams) PortableHash.hash60(gram) else gram.cast("string")
-    // keys are deduped PER ROW (array_distinct over the hashed array, not
-    // a corpus-wide DISTINCT): grams are already unique within a document,
-    // so only a within-document hash collision could duplicate a key, and
-    // collapsing that costs nothing extra map-side
-    def docGramKeys(df: DataFrame, keep: Seq[String]) =
-      df.select(keep.map(col) :+
-        explode(array_distinct(transform(
-          array_distinct(TextFunctions.wordShingles(col(textCol), k)),
-          g => gramKey(g)))).as("_gram_key"): _*)
-    val benchKeys = docGramKeys(bench, Nil).distinct()
-    docGramKeys(train, Seq(idCol))
+    val benchKeys = docGramKeysOf(bench, textCol, k, hashGrams, Nil).distinct()
+    docGramKeysOf(train, textCol, k, hashGrams, Seq(idCol))
       .join(broadcast(benchKeys), "_gram_key")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
-  /** The per-document gram-key frame behind [[overlaps]], exposed for
-    * the store path: (keep..., _gram_key).
+  /** The per-document gram-key frame shared by [[overlaps]] and the store
+    * path ([[appendGramStore]]/[[overlapsFromStore]]): (keep...,
+    * _gram_key). ONE derivation on purpose — the documented bit-identity
+    * between overlaps and overlapsFromStore holds because both sides call
+    * this, not because two copies happen to agree. Keys are deduped PER
+    * ROW (array_distinct over the hashed array, not a corpus-wide
+    * DISTINCT): grams are already unique within a document, so only a
+    * within-document hash collision could duplicate a key, and collapsing
+    * that costs nothing extra map-side.
     */
   private def docGramKeysOf(df: DataFrame, textCol: String, k: Int,
                             hashGrams: Boolean, keep: Seq[String]): DataFrame = {

@@ -136,7 +136,7 @@ object Multimodal {
       }
   }
 
-  final case class ImageHash(doc_id: Long, ahash: Long)
+  final case class ImageHash(doc_id: Long, ahash: Long, decode_ok: Boolean)
 
   /** Perceptual average-hash (aHash) from REAL decoded pixels — the
     * classic 64-bit image fingerprint (8×8 grid, gray vs own mean) that
@@ -148,8 +148,12 @@ object Multimodal {
     * integer-mean, bit k = j·8+i — so the oracle recomputes the hash
     * from the generator's pixel formulas, and any corruption in the
     * real encode→decode round trip flips bits. Undecodable/empty
-    * payloads hash to 0 (the poison-row contract of
-    * [[decodeImageMeta]]). One map-only pass, no shuffle.
+    * payloads emit `decode_ok = false` (with ahash 0) so consumers can
+    * EXCLUDE them from duplicate grouping — 0 is also the legitimate
+    * aHash of any flat image (no gray strictly exceeds its own mean), so
+    * a bare 0 cannot distinguish "corrupt" from "uniform"; the flag can
+    * (the decode_ok analogue of [[decodeImageMeta]]'s zeroed-metadata
+    * poison contract). One map-only pass, no shuffle.
     */
   def imageAHash(df: DataFrame, idCol: String, binCol: String): Dataset[ImageHash] = {
     val spark = df.sparkSession
@@ -164,7 +168,7 @@ object Multimodal {
             else
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
               catch { case scala.util.control.NonFatal(_) => null }
-          if (img == null) ImageHash(id, 0L)
+          if (img == null) ImageHash(id, 0L, decode_ok = false)
           else {
             val w = img.getWidth
             val h = img.getHeight
@@ -189,7 +193,7 @@ object Multimodal {
               if (grays(k) > mean) hash |= (1L << k)
               k += 1
             }
-            ImageHash(id, hash)
+            ImageHash(id, hash, decode_ok = true)
           }
         }
       }

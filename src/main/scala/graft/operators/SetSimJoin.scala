@@ -246,10 +246,9 @@ object SetSimJoin {
     * over-covering direction only (the [[joinBy]] float discipline).
     *
     * Tokens absent from `weights` carry weight `defaultW` (unseen =
-    * ordinary). The per-record prefix derivation folds the record's OWN
-    * sorted weight array (O(n²) per record in interpreted HOFs — fine
-    * at document token counts; a native suffix-cumsum expression is the
-    * upgrade path if profiles ever show it hot).
+    * ordinary). The per-record suffix cumsum runs as one per-doc window
+    * over the exploded rows (the measured replacement for an in-array
+    * HOF fold — see the inline note below).
     *
     * @param weights (token, weight) frame, one row per token, weight a
     *                positive long

@@ -66,9 +66,28 @@ object StoreIngest {
     (r.getLong(0), fp)
   }
 
+  /** Sentinel fingerprint for ledger rows written by the pre-fingerprint
+    * ledger format (batch_id only): n_rows = -1 is impossible for a real
+    * batch, so it can never collide with a genuine fingerprint. A legacy
+    * row means "this id was committed under id-only semantics" — it
+    * matches ANY content for that id, preserving exactly the behavior the
+    * old ledger had for its own entries.
+    */
+  private val LegacyFp: (Long, Long) = (-1L, 0L)
+
   /** The shared ledgered foreachBatch core: run `appendBatch` for each
     * micro-batch whose (id, content) is not yet committed, then commit
     * it. Every store type plugs its own batch transform + append here.
+    *
+    * SINGLE WRITER PER TABLE: the committed map is cached per STARTED
+    * QUERY (foreachBatch bodies run serially on the driver, which is a
+    * per-query guarantee, not a per-table one). Exactly one streaming
+    * query may ingest a given store table at a time, and the ledger must
+    * not be dropped/rebuilt externally while a query is running — a
+    * second concurrent writer (or an external ledger rewrite) would
+    * operate on stale commit state. All six store read sides tolerate a
+    * duplicate append, so the failure mode is waste, not corruption —
+    * but the contract is one writer.
     */
   private def ledgeredIngest(docs: DataFrame, table: String,
                              checkpointDir: String, trigger: Trigger)
@@ -85,19 +104,49 @@ object StoreIngest {
         val ledger = ledgerTable(table)
         if (committed == null) {
           committed = scala.collection.mutable.Map.empty
-          if (s.catalog.tableExists(ledger))
-            s.table(ledger).select(col("batch_id"), col("n_rows"), col("fp"))
-              .collect().foreach { r =>
-                val k = r.getLong(0)
-                committed(k) = committed.getOrElse(k, Set.empty) +
-                  ((r.getLong(1), r.getLong(2)))
+          if (s.catalog.tableExists(ledger)) {
+            val cols = s.table(ledger).columns.toSet
+            if (cols.contains("fp")) {
+              s.table(ledger).select(col("batch_id"), col("n_rows"), col("fp"))
+                .collect().foreach { r =>
+                  val k = r.getLong(0)
+                  committed(k) = committed.getOrElse(k, Set.empty) +
+                    ((r.getLong(1), r.getLong(2)))
+                }
+            } else {
+              // legacy (batch_id)-only ledger from the pre-fingerprint
+              // format: migrate in place — load each id as
+              // committed-with-wildcard (id-only semantics, what that row
+              // meant when written), then rewrite the table in the new
+              // schema with the sentinel so the NEW-format append below
+              // never hits a schema-mismatch on this table again
+              val legacyIds = s.table(ledger).select(col("batch_id"))
+                .collect().map(_.getLong(0))
+              legacyIds.foreach { k =>
+                committed(k) = committed.getOrElse(k, Set.empty) + LegacyFp
               }
+              graft.sources.Sinks.dropTableAndStaleLocation(s, ledger)
+              if (legacyIds.nonEmpty) {
+                val rows = new java.util.ArrayList[Row](legacyIds.length)
+                legacyIds.foreach { k =>
+                  rows.add(Row(k, LegacyFp._1, LegacyFp._2))
+                }
+                s.createDataFrame(rows,
+                  new org.apache.spark.sql.types.StructType()
+                    .add("batch_id", "long", nullable = false)
+                    .add("n_rows", "long", nullable = false)
+                    .add("fp", "long", nullable = false))
+                  .write.mode("append").format("parquet").saveAsTable(ledger)
+              }
+            }
+          }
         }
         val df = batch.toDF()
         // one O(batch) scan — the ledger row records the fingerprint
         // whether or not the id collides
         val fp = fingerprint(df)
-        if (!committed.getOrElse(batchId, Set.empty).contains(fp)) {
+        val seen = committed.getOrElse(batchId, Set.empty)
+        if (!seen.contains(fp) && !seen.contains(LegacyFp)) {
           appendBatch(df)
           s.createDataFrame(
             java.util.Collections.singletonList(Row(batchId, fp._1, fp._2)),

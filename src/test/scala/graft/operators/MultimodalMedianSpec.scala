@@ -32,7 +32,7 @@ class MultimodalMedianSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("imageAHash: decoded-pixel hash matches the formula replay; poison rows hash 0") {
+  test("imageAHash: decoded-pixel hash matches the formula replay; poison rows flagged") {
     val ids = Seq(1L, 2L, 40L, 77L, 91L, 182L) // 91/182: same dims AND same grid residues?
     val got = Multimodal.imageAHash(
         Multimodal.pngPayloads(ids.toDF("doc_id"), "doc_id"), "doc_id", "payload")
@@ -48,11 +48,18 @@ class MultimodalMedianSpec extends AnyFunSuite with SparkSpec {
       grays.zipWithIndex.foreach { case (g, k) => if (g > mean) want |= (1L << k) }
       assert(got(id) == want, s"id=$id")
     }
-    // an undecodable payload hashes 0 instead of failing the scan
+    // an undecodable payload is flagged decode_ok = false instead of
+    // failing the scan — its ahash 0 is NOT a legitimate hash (0 is also
+    // the aHash of any flat image, so the flag is the only poison signal)
     val poison = Multimodal.imageAHash(
         Multimodal.withFakePayload(Seq((9L, "junk")).toDF("doc_id", "text"), "text"),
         "doc_id", "payload").collect()
-    assert(poison.head.ahash == 0L)
+    assert(poison.head.ahash == 0L && !poison.head.decode_ok)
+    // real decodes carry decode_ok = true
+    val ok = Multimodal.imageAHash(
+        Multimodal.pngPayloads(Seq(1L).toDF("doc_id"), "doc_id"),
+        "doc_id", "payload").collect()
+    assert(ok.head.decode_ok)
   }
 
   test("decodeImageMeta zeroes metadata for undecodable payloads instead of failing") {

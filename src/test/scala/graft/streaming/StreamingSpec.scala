@@ -561,6 +561,52 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a legacy (batch_id)-only ledger migrates on first contact instead of crashing") {
+    val t = "graft_stream_legacy_spec"
+    Seq(t, StoreIngest.ledgerTable(t)).foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_legacy").toFile
+    try {
+      val in = new java.io.File(root, "in")
+      Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      StoreIngest.ingestDedupStore(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .parquet(in.getAbsolutePath),
+        "doc_id", "text", t, buckets = 2,
+        checkpointDir = new java.io.File(root, "cp1").getAbsolutePath)
+        .awaitTermination()
+      val storeRows = spark.table(t).count()
+      // rewrite the ledger in the PRE-fingerprint format (batch_id only) —
+      // a retained store+ledger written by the old code
+      val legacyIds = spark.table(StoreIngest.ledgerTable(t))
+        .select("batch_id").collect().map(_.getLong(0))
+      dropTable(StoreIngest.ledgerTable(t))
+      legacyIds.toSeq.toDF("batch_id").write.mode("append")
+        .format("parquet").saveAsTable(StoreIngest.ledgerTable(t))
+      // fresh checkpoint over the same source: the first micro-batch must
+      // NOT crash on the missing n_rows/fp columns; the legacy id keeps
+      // its id-only commit semantics, so the replayed batch is a no-op
+      StoreIngest.ingestDedupStore(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .parquet(in.getAbsolutePath),
+        "doc_id", "text", t, buckets = 2,
+        checkpointDir = new java.io.File(root, "cp2").getAbsolutePath)
+        .awaitTermination()
+      assert(spark.table(t).count() == storeRows,
+        "a batch committed under the legacy ledger must stay committed")
+      // and the ledger is now in the new schema (sentinel rows), so later
+      // commits append without a schema mismatch
+      val cols = spark.table(StoreIngest.ledgerTable(t)).columns.toSet
+      assert(cols == Set("batch_id", "n_rows", "fp"),
+        s"legacy ledger must migrate to the fingerprint schema: $cols")
+    } finally {
+      rmTree(root)
+      Seq(t, StoreIngest.ledgerTable(t)).foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
   test("streaming KMV-store ingest serves the batch estimates; double-append is harmless") {
     import graft.operators.IncrementalKmv
     val t = "graft_stream_kmv_spec"
