@@ -191,10 +191,18 @@ object Hits {
     adj.cache()
     adj.count()
 
-    // multiplyExact/addExact throughout the loop below: the distributed
-    // path's long sums and ANSI multiply THROW past the documented
-    // scale²·max-degree bound — the driver loop must fail the same way,
-    // never wrap silently into wrong scores.
+    // Overflow discipline: the distributed path's long sums and ANSI
+    // multiply THROW past the documented scale²·max-degree bound — the
+    // driver loop must fail the same way, never wrap silently into wrong
+    // scores. The proof is HOISTED out of the per-edge loops (the
+    // PageRank ranksDriverState discipline): every score is in
+    // [0, scale] after normalize (raw(j) <= mx ⇒ ⌊raw·scale/mx⌋ <=
+    // scale) and starts at scale, so every accumulator slot is bounded
+    // by n·scale — one multiplyExact(n, scale) up front proves every
+    // raw add below exact. Only if that bound itself overflows (or a
+    // warm-start snapshot carries a score past scale, breaking the
+    // [0, scale] premise) do the loops run per-edge checked, throwing
+    // exactly where the distributed path would.
     def normalize(raw: Array[Long]): Array[Long] = {
       var mx = 0L
       var j = 0
@@ -202,13 +210,21 @@ object Hits {
       if (mx <= 0) new Array[Long](n)
       else {
         val m = mx
-        Array.tabulate(n)(j => Math.multiplyExact(raw(j), scale) / m)
+        // raw(j) <= mx, so one multiplyExact(mx, scale) proves the whole
+        // column; the checked tabulate only runs past that bound
+        val mulSafe = try { Math.multiplyExact(m, scale); true }
+          catch { case _: ArithmeticException => false }
+        if (mulSafe) Array.tabulate(n)(j => raw(j) * scale / m)
+        else Array.tabulate(n)(j => Math.multiplyExact(raw(j), scale) / m)
       }
     }
 
     // warm start: nodes the snapshot never saw start at the cold value
     var h = initH.fold(Array.fill(n)(scale))(m =>
       Array.tabulate(n)(j => m.getOrElse(nodeVals(j), scale)))
+    val rawSafe = h.forall(v => v >= 0 && v <= scale) &&
+      (try { Math.multiplyExact(n.toLong, scale); true }
+       catch { case _: ArithmeticException => false })
     var a = new Array[Long](n)
     var r = 0
     while (r < rounds) {
@@ -217,7 +233,10 @@ object Hits {
         val hv = bcH.value
         var s = 0L
         var j = 0
-        while (j < sids.length) { s = Math.addExact(s, hv(sids(j))); j += 1 }
+        if (rawSafe)
+          while (j < sids.length) { s += hv(sids(j)); j += 1 }
+        else
+          while (j < sids.length) { s = Math.addExact(s, hv(sids(j))); j += 1 }
         (did, s)
       }.collect()
       bcH.destroy()
@@ -230,13 +249,19 @@ object Hits {
           val av = bcA.value(kv._1)
           val sids = kv._2
           var j = 0
-          while (j < sids.length) {
-            acc(sids(j)) = Math.addExact(acc(sids(j)), av); j += 1 }
+          if (rawSafe)
+            while (j < sids.length) { acc(sids(j)) += av; j += 1 }
+          else
+            while (j < sids.length) {
+              acc(sids(j)) = Math.addExact(acc(sids(j)), av); j += 1 }
           acc
         },
         combOp = { (x, y) =>
           var j = 0
-          while (j < n) { x(j) = Math.addExact(x(j), y(j)); j += 1 }
+          if (rawSafe)
+            while (j < n) { x(j) += y(j); j += 1 }
+          else
+            while (j < n) { x(j) = Math.addExact(x(j), y(j)); j += 1 }
           x
         })
       bcA.destroy()

@@ -217,14 +217,30 @@ object PageRank {
         u += 1
       }
       val bc = spark.sparkContext.broadcast(c)
-      // addExact/multiplyExact: the distributed path's long sum and ANSI
+      // Overflow discipline: the distributed path's long sum and ANSI
       // multiply THROW on overflow — the driver loop must fail the same
-      // way, never wrap silently into wrong ranks
+      // way, never wrap silently into wrong ranks. The proof is HOISTED
+      // out of the per-edge loop (a per-edge addExact measured ~8% on
+      // q93): every c(u) >= 0, so any partial in-neighbor sum is bounded
+      // by totalC = Σ c(u); if totalC and totalC·dampNum both fit in a
+      // long (checked ONCE per round, on the driver), no per-edge add and
+      // no downstream multiply can overflow and the raw loop is exact.
+      // Only when the round-level bound itself overflows do we run the
+      // per-edge checked loop, which throws exactly where the distributed
+      // path would.
+      val rawSafe = try {
+        var t = 0L; var v = 0
+        while (v < n) { t = Math.addExact(t, c(v)); v += 1 }
+        Math.multiplyExact(t, dampNum); true
+      } catch { case _: ArithmeticException => false }
       val sums = adj.map { case (did, sids) =>
         val cv = bc.value
         var s = 0L
         var j = 0
-        while (j < sids.length) { s = Math.addExact(s, cv(sids(j))); j += 1 }
+        if (rawSafe)
+          while (j < sids.length) { s += cv(sids(j)); j += 1 }
+        else
+          while (j < sids.length) { s = Math.addExact(s, cv(sids(j))); j += 1 }
         (did, s)
       }.collect()
       bc.destroy()
@@ -415,23 +431,54 @@ object PageRank {
           Array.tabulate(n)(j => if (flag(j)) scale / k else 0L))
     }
     var rank = init
+    // per-round raw-loop proof needs the largest out-weight total once:
+    // every edge weight w <= wsum(src), so rank·w <= maxRank·maxWsum
+    val maxWsum = {
+      var mx = 0L; var v = 0
+      while (v < n) { if (wsum(v) > mx) mx = wsum(v); v += 1 }
+      mx
+    }
     var i = 0
     while (i < iterations) {
       val bc = spark.sparkContext.broadcast(rank)
-      // multiplyExact/addExact: the distributed path's IntegralDivide over
+      // Overflow discipline: the distributed path's IntegralDivide over
       // rank·w throws under ANSI when rank·max-weight crosses 2⁶³ — the
-      // driver loop fails identically instead of wrapping into silently
-      // wrong ranks (the documented overflow bound is now ENFORCED on
-      // both paths).
+      // driver loop must fail the same way, never wrap into silently
+      // wrong ranks. As in ranksDriverState, the proof is HOISTED out of
+      // the per-edge loop: ranks are non-negative, each term
+      // ⌊rank·w/wsum⌋ <= rank (w <= wsum), so partial sums are bounded by
+      // totalRank = Σ rank, and each multiply by maxRank·maxWsum — if
+      // totalRank, totalRank·dampNum, and maxRank·maxWsum all fit
+      // (checked ONCE per round), the raw loop cannot overflow and is
+      // bit-identical. The maxRank·maxWsum bound is conservative (it can
+      // fail where no actual edge overflows); failing it only routes the
+      // round through the per-edge checked loop, which throws exactly
+      // where the distributed path would.
+      val rawSafe = try {
+        var t = 0L; var mx = 0L; var v = 0
+        while (v < n) {
+          t = Math.addExact(t, rank(v))
+          if (rank(v) > mx) mx = rank(v)
+          v += 1
+        }
+        Math.multiplyExact(t, dampNum)
+        Math.multiplyExact(mx, maxWsum); true
+      } catch { case _: ArithmeticException => false }
       val sums = adj.map { case (did, sids, ws) =>
         val rv = bc.value
         var s = 0L
         var j = 0
-        while (j < sids.length) {
-          s = Math.addExact(s,
-            Math.multiplyExact(rv(sids(j)), ws(j)) / wsum(sids(j)))
-          j += 1
-        }
+        if (rawSafe)
+          while (j < sids.length) {
+            s += rv(sids(j)) * ws(j) / wsum(sids(j))
+            j += 1
+          }
+        else
+          while (j < sids.length) {
+            s = Math.addExact(s,
+              Math.multiplyExact(rv(sids(j)), ws(j)) / wsum(sids(j)))
+            j += 1
+          }
         (did, s)
       }.collect()
       bc.destroy()

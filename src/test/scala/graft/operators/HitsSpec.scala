@@ -69,6 +69,25 @@ class HitsSpec extends AnyFunSuite with SparkSpec {
     assert(got(20L)._1 < got(1L)._1 && got(21L)._2 < got(10L)._2)
   }
 
+  test("a warm-start score past scale routes through the checked loops; both paths agree") {
+    // a snapshot value above scale breaks the [0, scale] premise the
+    // hoisted raw-loop proof rests on, so the driver loop must fall back
+    // to the per-edge checked adds — and still agree bit-for-bit with
+    // the distributed path resumed from the same snapshot (no genuine
+    // overflow at these magnitudes, so neither path throws)
+    val prior = Seq((1L, scale * 3, 0L), (10L, scale / 2, 0L))
+      .toDF("node", "hub_q", "auth_q")
+    def resumed(maxNodes: Long): Map[Long, (Long, Long)] = {
+      val got = Hits.resumeHubsAuthorities(edges.toDF("src", "dst"),
+        "src", "dst", prior, rounds = 2, broadcastMaxNodes = maxNodes)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      graft.Storage.releaseAll(spark)
+      got
+    }
+    assert(resumed(2000000L) == resumed(1L),
+      "checked-fallback driver loop != distributed path")
+  }
+
   test("resume from a snapshot equals the cold run on BOTH paths; unseen nodes start cold") {
     def resumed(maxNodes: Long): Map[Long, (Long, Long)] = {
       val snap = Hits.hubsAuthorities(edges.toDF("src", "dst"), "src", "dst",

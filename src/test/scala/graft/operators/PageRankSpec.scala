@@ -82,6 +82,27 @@ class PageRankSpec extends AnyFunSuite with SparkSpec {
     assert(driver == reference(edges, 4))
   }
 
+  test("checked-fallback regime (round bound past 2^63) replays bit-identically") {
+    // scale chosen so totalRank·dampNum overflows a long: the hoisted
+    // raw-loop proof fails and every round runs the per-edge CHECKED
+    // loop — while the actual recurrence stays in range (ring graph:
+    // every in-sum is ~scale/n, every s·dampNum far below 2^63). The
+    // fallback must compute the exact integers the raw path computes in
+    // its own regime — same replay, same weighted/unweighted agreement.
+    val ring = (0 until 8).map(i => s"n$i" -> s"n${(i + 1) % 8}")
+    val big = Long.MaxValue / 50 // totalRank ≈ big ⇒ big·85 > 2^63
+    assert(ranks(ring, iterations = 4, scale = big) ==
+      reference(ring, 4, scale = big))
+    // weighted loop's fallback: all-ones weights at the same scale must
+    // reproduce the unweighted fallback run exactly
+    val onesBig = PageRank.weightedRanks(
+      ring.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
+      "src", "dst", "w", iterations = 4, scale = big)
+      .as[(String, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    assert(onesBig == reference(ring, 4, scale = big))
+  }
+
   test("resumeRanks: snapshot+resume equals the cold run; new nodes start cold") {
     val edges = Seq(
       "a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a", "d" -> "c", "d" -> "a")
