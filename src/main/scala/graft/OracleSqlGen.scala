@@ -141,33 +141,38 @@ object OracleSqlGen {
 
   // ---- q185: HITS unrolled — each round is two join+sum halves with a
   // max-normalizing truncating division, exactly the operator's
-  // arithmetic (the q94 fixed-round discipline).
+  // arithmetic (the q94 fixed-round discipline). Every round-chain CTE is
+  // AS MATERIALIZED: e and nodes are referenced in EVERY round and a$k by
+  // both hr$k and the final select — without materialization DuckDB
+  // re-expands each reference's whole upstream chain, which at sf1
+  // (6M-edge graph) spilled >78 GB of temp before ENOSPC (the q133
+  // exponential-recompute lesson; measured twice in the r13 sf1 run).
   def q185Sql(rounds: Int = 2, scale: Long = 1000000L): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
          |  SELECT DISTINCT l_partkey * 2 AS s, l_suppkey * 2 + 1 AS d
          |  FROM lineitem
-         |), nodes AS (
+         |), nodes AS MATERIALIZED (
          |  SELECT s AS node FROM e UNION SELECT d FROM e
-         |), h0 AS (
+         |), h0 AS MATERIALIZED (
          |  SELECT node, CAST($scale AS BIGINT) AS h FROM nodes
          |)""".stripMargin)
     for (k <- 1 to rounds) {
       sb.append(
-        s""", ar$k AS (
+        s""", ar$k AS MATERIALIZED (
            |  SELECT e.d, CAST(sum(h.h) AS BIGINT) AS ar
            |  FROM e JOIN h${k - 1} h ON h.node = e.s GROUP BY 1
-           |), am$k AS (SELECT max(ar) AS m FROM ar$k),
-           |a$k AS (
+           |), am$k AS MATERIALIZED (SELECT max(ar) AS m FROM ar$k),
+           |a$k AS MATERIALIZED (
            |  SELECT node, CASE WHEN am$k.m > 0
            |    THEN (COALESCE(ar.ar, 0) * $scale) // am$k.m ELSE 0 END AS a
            |  FROM nodes LEFT JOIN ar$k ar ON ar.d = node CROSS JOIN am$k
-           |), hr$k AS (
+           |), hr$k AS MATERIALIZED (
            |  SELECT e.s, CAST(sum(a.a) AS BIGINT) AS hr
            |  FROM e JOIN a$k a ON a.node = e.d GROUP BY 1
-           |), hm$k AS (SELECT max(hr) AS m FROM hr$k),
-           |h$k AS (
+           |), hm$k AS MATERIALIZED (SELECT max(hr) AS m FROM hr$k),
+           |h$k AS MATERIALIZED (
            |  SELECT node, CASE WHEN hm$k.m > 0
            |    THEN (COALESCE(hr.hr, 0) * $scale) // hm$k.m ELSE 0 END AS h
            |  FROM nodes LEFT JOIN hr$k hr ON hr.s = node CROSS JOIN hm$k
@@ -923,8 +928,13 @@ object OracleSqlGen {
   def q93Sql(iterations: Int = 5, scale: Long = 1000000000000L,
              dampNum: Long = 85, dampDen: Long = 100): String = {
     val base = s"(($scale * ${dampDen - dampNum}) // $dampDen) // c.n"
+    // AS MATERIALIZED on every round-chain CTE: e/deg/nodes/c are
+    // referenced in EVERY round, and without materialization DuckDB
+    // re-expands each reference's upstream chain — ~5 re-derivations of
+    // the 12M-row DISTINCT edge set PER ROUND at sf1, which spilled
+    // >78 GB of temp before ENOSPC in the r13 sf1 run (the q133 lesson).
     val iters = (1 to iterations).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT nodes.node,
          |    $base + (COALESCE(m.in_mass, 0) * $dampNum) // $dampDen AS rank
          |  FROM nodes CROSS JOIN c
@@ -938,18 +948,18 @@ object OracleSqlGen {
        |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS p,
        |         's' || CAST(l_suppkey AS VARCHAR) AS s
        |  FROM lineitem
-       |), e AS (
+       |), e AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT p AS src, s AS dst FROM pairs
        |    UNION ALL SELECT s AS src, p AS dst FROM pairs)
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT src, count(*) AS outdeg FROM e GROUP BY 1
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT DISTINCT node FROM (
        |    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
-       |), c AS (
+       |), c AS MATERIALIZED (
        |  SELECT count(*) AS n FROM nodes
-       |), r0 AS (
+       |), r0 AS MATERIALIZED (
        |  SELECT node, $scale // c.n AS rank FROM nodes CROSS JOIN c
        |), $iters
        |SELECT node, rank FROM r$iterations""".stripMargin

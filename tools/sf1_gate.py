@@ -26,14 +26,14 @@ Exclusions are DESIGN decisions, recorded here so they are auditable:
   machinery at three SFs.
 - q53-form gram-hash replays (q53/q56/q211): one md5 per word 4-gram per
   document in SQL (~300M at sf1) — oracle cost, not operator cost.
-- deep graph unrolls over the lineitem edge list (q185 HITS, q194/q197
-  resume-at-combined-depth): measured round 13, each spills >78 GB of
-  DuckDB temp before ENOSPC (713-920 s) — the MATERIALIZED round CTEs
-  carry 6M-edge joins per round. Oracle cost, not operator cost: the
-  engine completes all three in the full sf1 Verify, and the identical
-  oracles are hash-green at sf0.001/0.01. They remain in the prefix
-  list so a roomier host re-checks them; a disk-full outcome should be
-  recorded as oracle_resource_excluded, not FAIL.
+- (RESOLVED round 14) the deep graph unrolls (q185 HITS, q194/q197
+  resume-at-combined-depth) spilled >78 GB of DuckDB temp before ENOSPC
+  in round 13 because the round-chain CTEs were NOT materialized — each
+  un-materialized reference re-expanded its upstream chain, re-deriving
+  the 12M-row DISTINCT edge set ~5x per round (the q133 lesson, again).
+  With AS MATERIALIZED on every round CTE the same oracles run in
+  3.2 s / 48.8 s / 2.7 s at sf1 (measured round 14); all three are back
+  in the compared set.
 """
 import json, os, subprocess, sys, time
 
