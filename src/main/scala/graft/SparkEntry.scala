@@ -3108,6 +3108,35 @@ object SparkEntry {
       .filter(col("n_images") >= 2)
   }
 
+  // ---- q213: perceptual image NEAR-dup — the hamming pass q212's exact
+  //      grouping cannot make: every doc_id % 5 == 2 image also enters
+  //      as a REAL re-encoded noisy copy (deterministic ±2 pixel
+  //      perturbation, re-encoded through PNG, relabeled +1e9), and the
+  //      4×16-bit-banded hamming-≤3 join must find the copies whose
+  //      perturbed aHash drifted 1–3 bits (measured ~14% of copies; the
+  //      hamming-0 majority is q212's domain and excluded by design —
+  //      the m²-pair bomb lesson). Gate is the q167 per-subject
+  //      aggregate: any missing/extra/wrong pair flips the XOR
+  //      checksum, but only one row per subject crosses the compare. ----
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val clean = Multimodal.pngPayloads(docs, "doc_id")
+    val noisy = Multimodal.noisyPngPayloads(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 2), "doc_id")
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    val hashed = Multimodal.imageAHash(
+        clean.unionByName(noisy), "doc_id", "payload").toDF()
+      .filter(col("decode_ok"))
+    Multimodal.imageNearDupPairs(hashed, "doc_id", "ahash", maxHamming = 3)
+      .withColumn("h", functions.PortableHash.hash60(
+        concat(col("id_b").cast("string"), lit(":"),
+          col("hamming").cast("string"))))
+      .groupBy(col("id_a"))
+      .agg(count(lit(1)).as("n_near"),
+        sum(col("hamming")).cast("long").as("sum_hamming"),
+        expr("bit_xor(h)").as("fp_xor"))
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3379,6 +3408,7 @@ object SparkEntry {
     "q210_pareto_front"    -> q210 _,
     "q211_stream_gram_store" -> q211 _,
     "q212_image_ahash"     -> q212 _,
+    "q213_image_neardup"   -> q213 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3832,6 +3862,63 @@ object SparkEntry {
         |)
         |SELECT ahash, count(*) AS n_images, min(id) AS rep_id
         |FROM hs GROUP BY ahash HAVING count(*) >= 2""".stripMargin,
+    // q213: the q212 pixel-formula replay extended with the noisy-copy
+    // clamp (LEAST/GREATEST mirrors the generator's [0,255] clamp), then
+    // the SAME four 16-bit band joins the operator runs — lossless for
+    // hamming <= 3 by pigeonhole, so the replay is linear-ish, never the
+    // quadratic all-pairs definition. Arithmetic >> plus & 65535 extracts
+    // identical band bits to Spark's shiftrightunsigned (the mask keeps
+    // only the low 16 bits either way). Gate aggregate = q167's shape.
+    "q213_image_neardup" ->
+      s"""WITH ids AS (
+        |  SELECT doc_id AS id, doc_id AS base, 0 AS noisy FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, doc_id, 1 FROM documents
+        |  WHERE doc_id % 5 = 2
+        |), px AS (
+        |  SELECT id, base, noisy, j * 8 + i AS k,
+        |    (base + 31 * gx + 17 * gy) % 256 AS r,
+        |    (3 * base + 7 * gx + 11 * gy) % 256 AS g,
+        |    (5 * base + 13 * gx + 3 * gy) % 256 AS b,
+        |    (base + 7 * gx + 3 * gy) % 5 - 2 AS d
+        |  FROM (
+        |    SELECT id, base, noisy, i, j,
+        |      (i * (base % 13 + 1)) // 8 AS gx,
+        |      (j * (base % 7 + 1)) // 8 AS gy
+        |    FROM ids, range(8) t1(i), range(8) t2(j))
+        |), g2 AS MATERIALIZED (
+        |  SELECT id, k,
+        |    CASE WHEN noisy = 0 THEN (r + g + b) // 3
+        |         ELSE (LEAST(255, GREATEST(0, r + d))
+        |             + LEAST(255, GREATEST(0, g + d))
+        |             + LEAST(255, GREATEST(0, b + d))) // 3 END AS gray
+        |  FROM px
+        |), m AS (
+        |  SELECT id, CAST(sum(gray) AS BIGINT) // 64 AS mean FROM g2 GROUP BY id
+        |), hs AS MATERIALIZED (
+        |  SELECT g2.id, CAST(sum(CASE WHEN gray > mean THEN
+        |      CASE WHEN k = 63 THEN -9223372036854775808
+        |           ELSE 1::BIGINT << CAST(k AS INTEGER) END
+        |    ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM g2 JOIN m USING (id) GROUP BY g2.id
+        |), bnd AS MATERIALIZED (
+        |  SELECT id, ahash, band,
+        |    (ahash >> CAST(band * 16 AS INTEGER)) & 65535 AS key
+        |  FROM hs, range(4) t(band)
+        |), p AS (
+        |  SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |  FROM (
+        |    SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+        |           x.ahash AS ha, y.ahash AS hb
+        |    FROM bnd x JOIN bnd y
+        |      ON x.band = y.band AND x.key = y.key AND x.id < y.id)
+        |  WHERE bit_count(xor(ha, hb)) BETWEEN 1 AND 3
+        |)
+        |SELECT id_a, CAST(count(*) AS BIGINT) AS n_near,
+        |       CAST(sum(hamming) AS BIGINT) AS sum_hamming,
+        |       bit_xor(${functions.PortableHash.hash60Sql(
+               "(CAST(id_b AS VARCHAR) || ':' || CAST(hamming AS VARCHAR))")}) AS fp_xor
+        |FROM p GROUP BY 1""".stripMargin,
     // q210: the skyline DEFINITION (quadratic NOT EXISTS over distinct
     // points — oracle form; the operator runs the sort + running-max
     // decomposition).

@@ -199,6 +199,100 @@ object Multimodal {
       }
   }
 
+  /** Per-pixel perturbation for the NOISY re-encode of `id`'s image: a
+    * deterministic delta in [-2, 2] added to all three channels and
+    * clamped to [0, 255] — the integer stand-in for "the same photo
+    * re-saved with slight processing noise". Shared by [[noisyPngFor]]
+    * and the SQL oracle (which replays it with LEAST/GREATEST), exactly
+    * as [[rgbFor]] is shared for the clean image.
+    */
+  def noiseFor(id: Long, x: Int, y: Int): Int =
+    ((id + 7L * x + 3L * y) % 5).toInt - 2
+
+  /** One REAL PNG of the NOISY variant of `id`'s pixel grid — re-encoded
+    * perturbed pixels, not perturbed bytes, so the aHash of the decoded
+    * copy differs from the original's by however many grid grays cross
+    * the mean (measured: ~77% land at hamming 0, ~14% at 1–3, the rest
+    * beyond — the 1–3 band is what the near-dup pass exists to catch).
+    */
+  def noisyPngFor(id: Long): Array[Byte] = {
+    val w = widthFor(id)
+    val h = heightFor(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgbFor(id, x, y)
+        val d = noiseFor(id, x, y)
+        img.setRGB(x, y,
+          (clamp(r + d) << 16) | (clamp(g + d) << 8) | clamp(b + d))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One REAL noisy PNG per id (same mapPartitions contract as
+    * [[pngPayloads]]).
+    */
+  def noisyPngPayloads(df: DataFrame, idCol: String, out: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map(id => (id, noisyPngFor(id)))
+      }
+      .toDF(idCol, out)
+  }
+
+  /** NEAR-duplicate image pairs by aHash hamming distance, banded so no
+    * all-pairs join ever forms: each 64-bit hash splits into four 16-bit
+    * bands; for `maxHamming` <= 3 at most three bits differ, so by
+    * pigeonhole every qualifying pair agrees EXACTLY on at least one
+    * band — the banded equi-self-join is lossless, and the SQL oracle
+    * replays the same four joins (`require`d, not assumed). Pairs at
+    * hamming 0 are EXCLUDED by design: exact-duplicate groups are the
+    * groupBy's domain ([[imageAHash]] + group, the q212 shape) where an
+    * m-member group costs m rows, not the m² pairs a pair-join would
+    * emit (the winnow stop-fingerprint lesson). Candidates within a
+    * band bucket verify with one integer XOR+popcount — no per-pair
+    * array or pixel work. Input is the (id, ahash) frame from
+    * [[imageAHash]] (poison rows already excluded via decode_ok).
+    * Returns (id_a, id_b, hamming), id_a < id_b.
+    */
+  def imageNearDupPairs(hashed: DataFrame, idCol: String, hashCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      s"banded join is lossless only for 1 <= maxHamming <= 3 (4 bands), got $maxHamming")
+    val bands = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col(hashCol), b * 16).bitwiseAND(lit(65535L)).as("key")))
+    val fp = hashed.select(col(idCol).cast("long").as("_id"),
+        col(hashCol).cast("long").as("_h"),
+        explode(array(bands: _*)).as("_bk"))
+      .select(col("_id"), col("_h"),
+        col("_bk.band").as("_band"), col("_bk.key").as("_key"))
+    val a = fp.select(col("_band"), col("_key"),
+      col("_id").as("id_a"), col("_h").as("_ha"))
+    val b = fp.select(col("_band"), col("_key"),
+      col("_id").as("id_b"), col("_h").as("_hb"))
+    a.join(b, Seq("_band", "_key"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair can collide on several bands — one row per pair
+      .select(col("id_a"), col("id_b"), col("_ha"), col("_hb")).distinct()
+      .withColumn("hamming",
+        graft.functions.TextFunctions.hamming64(col("_ha"), col("_hb")))
+      .filter(col("hamming") >= 1 && col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Deterministic WAV generation parameters shared by the generator, the
     * decoder test fixtures, and the SQL oracle (which recomputes the PCM
     * checksum from the same formulas — the RIFF container framing is not

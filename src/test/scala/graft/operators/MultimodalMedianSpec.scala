@@ -62,6 +62,39 @@ class MultimodalMedianSpec extends AnyFunSuite with SparkSpec {
     assert(ok.head.decode_ok)
   }
 
+  test("imageNearDupPairs: banded join equals brute-force hamming; planted noisy copies bite") {
+    // real PNG round trips: originals plus re-encoded noisy copies
+    // (relabeled +10^9) — ids 17/62/187 are measured to drift 2/3/1 aHash
+    // bits under the deterministic perturbation, id 2 to drift 0
+    val ids = Seq(2L, 17L, 62L, 187L)
+    val clean = Multimodal.pngPayloads(ids.toDF("doc_id"), "doc_id")
+    val noisy = Multimodal.noisyPngPayloads(ids.toDF("doc_id"), "doc_id")
+      .withColumn("doc_id", $"doc_id" + 1000000000L)
+    val hashed = Multimodal.imageAHash(
+        clean.unionByName(noisy), "doc_id", "payload").toDF()
+      .filter($"decode_ok")
+    val got = Multimodal.imageNearDupPairs(hashed, "doc_id", "ahash")
+      .as[(Long, Long, Int)].collect().toSet
+    // brute-force replay over the same hashes: every pair, popcount XOR
+    val hs = hashed.as[(Long, Long, Boolean)].collect().map(t => t._1 -> t._2)
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      hd = java.lang.Long.bitCount(ha ^ hb) if hd >= 1 && hd <= 3
+    } yield (a, b, hd)).toSet
+    assert(got == brute, "banded join must equal brute-force hamming (lossless for d<=3)")
+    // the planted drifted copies are exactly what exact grouping misses
+    assert(got.contains((17L, 1000000017L, 2)))
+    assert(got.contains((62L, 1000000062L, 3)))
+    assert(got.contains((187L, 1000000187L, 1)))
+    // the hamming-0 copy (id 2) pairs with nothing here: exact duplicates
+    // are the q212 groupBy's domain, excluded from the near pass
+    assert(!got.exists { case (a, b, _) => a == 2L && b == 1000000002L })
+    // the lossless-band precondition is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(hashed, "doc_id", "ahash", maxHamming = 4)
+    }
+  }
+
   test("decodeImageMeta zeroes metadata for undecodable payloads instead of failing") {
     val docs = Seq((1L, "not an image"), (2L, "")).toDF("doc_id", "text")
     val meta = Multimodal.decodeImageMeta(

@@ -60,7 +60,7 @@ SF1_ORACLE_PREFIXES = [
     # round-12 second half + round-13 families (sf1-tractable oracles)
     "q188_", "q189_", "q190_", "q191_", "q192_", "q194_", "q195_", "q196_",
     "q197_", "q198_", "q199_", "q200_", "q201_", "q202_", "q203_", "q204_",
-    "q205_", "q206_", "q209_", "q212_",
+    "q205_", "q206_", "q209_", "q212_", "q213_",
 ]
 
 
