@@ -3137,6 +3137,37 @@ object SparkEntry {
         expr("bit_xor(h)").as("fp_xor"))
   }
 
+  // ---- q214: WEIGHTED quote watchlist — q168's asymmetric containment
+  //      under q207's rarity weights (1 + N div df): a watchlist
+  //      subject is flagged when ≥95% of its token WEIGHT appears in a
+  //      container, so shared rare phrases dominate and boilerplate
+  //      stopwords alone cannot reach τ. Subject-side weighted prefix
+  //      (the suffix-weight pigeonhole), container indexes every token;
+  //      exact long-sum verify + one division. Clone-dense corpus ⇒
+  //      pair volume is honest output (221k at sf0.1), so the gate is
+  //      the q167 per-subject aggregate. ----
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val n = Tables(s, dir).documents.count()
+    val weights = docs
+      .select(explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .select(col("tok"),
+        (lit(1L) + graft.functions.IntOps.intDiv(lit(n), col("df"))).as("w"))
+    val pairs = operators.SetSimJoin.joinContainmentWeighted(
+      docs.filter(pmod(col("doc_id"), lit(20)) === 0), docs,
+      "doc_id", "toks", weights, tau = 0.95)
+    val cq = round(col("wcontainment") * 1e6).cast("long")
+    pairs
+      .withColumn("h", functions.PortableHash.hash60(
+        concat(col("doc_b").cast("string"), lit(":"), cq.cast("string"))))
+      .groupBy(col("doc_a"))
+      .agg(count(lit(1)).as("n_contained"),
+        sum(cq).as("sum_cq"),
+        expr("bit_xor(h)").as("fp_xor"))
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3409,6 +3440,7 @@ object SparkEntry {
     "q211_stream_gram_store" -> q211 _,
     "q212_image_ahash"     -> q212 _,
     "q213_image_neardup"   -> q213 _,
+    "q214_weighted_watchlist" -> q214 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3970,6 +4002,43 @@ object SparkEntry {
         |FROM sh JOIN tot ta ON sh.doc_a = ta.doc_id
         |  JOIN tot tb ON sh.doc_b = tb.doc_id
         |WHERE CAST(shared AS DOUBLE) / (ta.wtot + tb.wtot - shared) >= 0.95""".stripMargin,
+    // q214: the quadratic weighted-containment DEFINITION restricted to
+    // the watchlist subjects (the q168 oracle shape under q207's weight
+    // derivation), aggregated per subject exactly as q167 — the same
+    // single division and round the operator runs, so any missing/extra/
+    // wrong pair flips the XOR checksum.
+    "q214_weighted_watchlist" ->
+      s"""WITH docs AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS ts
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\\S+')) > 0
+        |), tok AS MATERIALIZED (
+        |  SELECT doc_id, unnest(ts) AS tok FROM docs
+        |), wt AS MATERIALIZED (
+        |  SELECT tok,
+        |    1 + (SELECT count(*) FROM documents) // count(*) AS w
+        |  FROM tok GROUP BY tok
+        |), tw AS MATERIALIZED (
+        |  SELECT t.doc_id, t.tok, w.w FROM tok t JOIN wt w USING (tok)
+        |), tot AS MATERIALIZED (
+        |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS wtot FROM tw GROUP BY doc_id
+        |), sh AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(sum(a.w) AS BIGINT) AS shared
+        |  FROM tw a JOIN tw b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id % 20 = 0
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(round(CAST(shared AS DOUBLE) / ta.wtot * 1e6) AS BIGINT) AS cq
+        |  FROM sh JOIN tot ta ON sh.doc_a = ta.doc_id
+        |  WHERE CAST(shared AS DOUBLE) / ta.wtot >= 0.95
+        |)
+        |SELECT doc_a, CAST(count(*) AS BIGINT) AS n_contained,
+        |       CAST(sum(cq) AS BIGINT) AS sum_cq,
+        |       bit_xor(${functions.PortableHash.hash60Sql(
+               "(CAST(doc_b AS VARCHAR) || ':' || CAST(cq AS VARCHAR))")}) AS fp_xor
+        |FROM p GROUP BY 1""".stripMargin,
     // q206: the same epoch-hour integer derivation — no calendar
     // functions on either side.
     "q206_seasonal_dev" ->

@@ -322,6 +322,92 @@ object SetSimJoin {
       .select(col("doc_a"), col("doc_b"), col("wjaccard"))
   }
 
+  /** WEIGHTED directed containment join: pairs (subject A, container B)
+    * with `wcont(A,B) = Σ_{t∈A∩B} w_t / Σ_{t∈A} w_t >= tau` over INTEGER
+    * token weights — [[joinContainment]]'s asymmetric measure under
+    * [[joinSelfWeighted]]'s weights. This is quote detection the way a
+    * reader means it: with rarity weights (1 + N div df), a subject whose
+    * RARE phrases all appear in B is contained even if B lacks the
+    * subject's stopwords, and shared boilerplate alone cannot reach τ.
+    *
+    * SUBJECT-PREFIX BLOCKING (the scale argument, container side has no
+    * prefix): order every record's distinct tokens by the one global
+    * (w DESC, tok) total order. A qualifying pair shares weight
+    * >= τ·W_A, all of it inside A — walking A heaviest-first, that much
+    * weight cannot hide entirely in an inclusive-suffix lighter than
+    * τ·W_A, so A's first shared token lies in the prefix
+    * {t : suf_A(t) >= τ·W_A}. The container side must index EVERY token
+    * (containment admits no container-side prefix: W_B is unconstrained
+    * upward), exactly as in the unweighted join. Collisions then pass
+    * two lossless prunes before the pair-dedup: W_B >= τ·W_A (shared
+    * <= W_B), and min(suf_A, suf_B) >= τ·W_A at the collision — a
+    * qualifying pair's FIRST shared token satisfies both, so dropping
+    * failing collisions loses no pair. All float comparisons slack 1e-6
+    * in the over-covering direction only (the [[joinBy]] discipline).
+    *
+    * VERIFY EXACTNESS: shared weight is an exact long sum via the token
+    * equi-join (the [[joinSelfWeighted]] measured-fast shape — never
+    * array_intersect on structs), and the containment is ONE
+    * correctly-rounded double division shared/W_A — bit-identical to
+    * any engine replaying the same integer sums.
+    *
+    * Tokens absent from `weights` carry `defaultW` on BOTH sides (the
+    * weight is a property of the token, so A∩B sums are consistent).
+    * Returns (doc_a, doc_b, wcontainment), subjects ≠ containers by id.
+    */
+  def joinContainmentWeighted(subjects: DataFrame, containers: DataFrame,
+                              idCol: String, tokensCol: String,
+                              weights: DataFrame, tau: Double,
+                              defaultW: Long = 1L): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    require(defaultW >= 1L, s"defaultW must be >= 1, got $defaultW")
+    val w = weights.select(col(weights.columns(0)).as("tok"),
+      col(weights.columns(1)).cast("long").as("w"))
+    def tw(d: DataFrame) = d.select(col(idCol).as("doc_id"),
+        explode(array_distinct(col(tokensCol))).as("tok"))
+      .join(w, Seq("tok"), "left")
+      .withColumn("w", coalesce(col("w"), lit(defaultW)))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val twA = tw(subjects)
+    val twB = tw(containers)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val ordW = byDoc.orderBy(col("w").desc, col("tok"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // inclusive suffix weight = W − cum + w, one per-doc window over the
+    // exploded rows (the joinSelfWeighted measured shape)
+    def ranked(t: DataFrame) = t
+      .withColumn("wtotal", sum(col("w")).over(byDoc))
+      .withColumn("suf", col("wtotal") - sum(col("w")).over(ordW) + col("w"))
+    val preA = ranked(twA)
+      .filter(col("suf").cast("double") >= col("wtotal") * lit(tau) - lit(1e-6))
+      .select(col("doc_id").as("doc_a"), col("wtotal").as("wa"),
+        col("suf").as("sufa"), col("tok").as("ptok"))
+    val allB = ranked(twB)
+      .select(col("doc_id").as("doc_b"), col("wtotal").as("wb"),
+        col("suf").as("sufb"), col("tok").as("ptok"))
+    val cand = preA.join(allB, "ptok")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("wb").cast("double") >= col("wa") * lit(tau) - lit(1e-6))
+      .filter(least(col("sufa"), col("sufb")).cast("double") >=
+        col("wa") * lit(tau) - lit(1e-6))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val shared = cand
+      .join(twA.select(col("doc_id").as("doc_a"), col("tok"), col("w")), Seq("doc_a"))
+      .join(twB.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("w")).as("shared"))
+    val totalsA = twA.groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("wa"))
+    shared
+      .join(totalsA.select(col("doc_id").as("doc_a"), col("wa")), "doc_a")
+      .withColumn("wcontainment", col("shared").cast("double") / col("wa"))
+      .filter(col("wcontainment") >= lit(tau))
+      .select(col("doc_a"), col("doc_b"), col("wcontainment"))
+  }
+
   private def joinBy(df: DataFrame, idCol: String, tokensCol: String,
                      m: Measure): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), array_distinct(col(tokensCol)).as("ts"))

@@ -220,6 +220,54 @@ class SetSimJoinSpec extends AnyFunSuite with SparkSpec {
       "boundary pair must qualify; unseen tokens weigh defaultW = 1")
   }
 
+  test("weighted containment: blocked equals brute force; rare phrases dominate boilerplate") {
+    def bruteWc(subj: org.apache.spark.sql.DataFrame,
+                cont: org.apache.spark.sql.DataFrame,
+                tau: Double): Set[(Int, Int, Double)] = {
+      val wmap = weightTable.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("id"), array_distinct(col("toks")))
+          .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toSet)
+          .filter(_._2.nonEmpty)
+      (for {
+        (a, ta) <- rows(subj); (b, tb) <- rows(cont) if a != b
+        sh = (ta & tb).toSeq.map(t => wmap.getOrElse(t, 1L)).sum
+        wa = ta.toSeq.map(t => wmap.getOrElse(t, 1L)).sum
+        c = sh.toDouble / wa if c >= tau
+      } yield (a, b, c)).toSet
+    }
+    // subject 40: its rare token r0 (w=100) is inside 41; the common c9
+    // is not → weighted containment 100/101 ≈ 0.990 though only 1 of 2
+    // TOKENS is shared (unweighted 0.5). Subject 50: its common tokens
+    // are inside 51 but its rare r3 is not → 2/102 ≈ 0.0196: boilerplate
+    // overlap cannot reach τ without the rare phrase.
+    val subj = Seq(
+      (40, Seq("r0", "c9")), (50, Seq("c4", "c5", "r3"))).toDF("id", "toks")
+    val cont = Seq(
+      (41, Seq("r0", "c0", "c1")), (51, Seq("c4", "c5", "r6")),
+      (60, Seq("r0", "c9", "zz")), // superset of 40 → containment 1.0
+      (99, Seq.empty[String])).toDF("id", "toks")
+    for (tau <- Seq(0.9, 0.5, 0.05)) {
+      val got = SetSimJoin.joinContainmentWeighted(
+          subj, cont, "id", "toks", weightTable, tau)
+        .collect().map(x => (x.getInt(0), x.getInt(1), x.getDouble(2))).toSet
+      assert(got == bruteWc(subj, cont, tau), s"tau=$tau")
+    }
+    val at09 = SetSimJoin.joinContainmentWeighted(
+        subj, cont, "id", "toks", weightTable, 0.9)
+      .collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+    assert(at09.contains((40, 41)) && at09.contains((40, 60)) &&
+      !at09.exists(_._1 == 50),
+      "rare-phrase inclusion must qualify; boilerplate-only must not")
+    // asymmetry: 40 ⊆ 60 exactly (containment 1.0), but 60 as SUBJECT
+    // against 40 leaves its zz token outside — 101/102 ≈ 0.9902, so the
+    // direction flips the decision at τ = 0.995
+    val flipped = SetSimJoin.joinContainmentWeighted(
+        cont.filter(col("id") === 60), subj, "id", "toks", weightTable, 0.995)
+      .collect()
+    assert(flipped.isEmpty, "containment must stay directed")
+  }
+
   test("watchlist containment equals the self join restricted to the subjects") {
     val subjects = corpus.filter(col("id") % 4 === 0)
     val got = SetSimJoin.joinContainment(subjects, corpus, "id", "toks", 0.85)
