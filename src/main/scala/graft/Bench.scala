@@ -89,7 +89,7 @@ object Bench {
     // are the ROUND-OVER-ROUND comparison numbers; the suite totals
     // above keep their historical semantics (and their sensitivity to
     // sandbox load — read the loadavg fields before comparing those).
-    val isoJson = if (sys.env.contains("SPARK_GRAFT_NO_ISO")) "" else {
+    val isoOpt = if (sys.env.contains("SPARK_GRAFT_NO_ISO")) None else Some {
       val iso = ordered.filter { case (n, _) => !failed.contains(n) }
         .map { case (name, fn) =>
           Storage.releaseAll(spark)
@@ -107,17 +107,36 @@ object Bench {
         }
       val isoQs = iso.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s""","total_iso":${fmt(iso.map(_._2).sum)},"queries_iso":$isoQs"""
+      (fmt(iso.map(_._2).sum), isoQs)
     }
     // Self-labeling contention: 1-minute system load average at start and
     // end of the timed region. Round 3/4/5 gate runs each "regressed"
     // untouched queries by seconds under sandbox load that isolated re-runs
     // couldn't reproduce — a run whose loadavg dwarfs the worker count
     // should be read as contended, not as a code regression.
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","samples":$samples,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"cpus":$cpus,"queries":$qs$isoJson,"sf":"$sfDir"}"""
+    //
+    // TWO-LINE artifact (round 14): the gate captures only the LAST
+    // ~10 KB of output, and one combined line with BOTH per-query dicts
+    // (11.1 KB in round 13, still growing) lost its front to that window
+    // every round — the committed artifact carried "parsed": null. The
+    // FINAL line now stays well under the window: every scalar plus ONE
+    // per-query map under "queries" — the ISOLATED min-of-3 numbers
+    // (labeled by "queries_kind"), which are the round-over-round
+    // comparison set; with SPARK_GRAFT_NO_ISO the in-suite map takes the
+    // slot instead. The in-suite per-query detail prints FIRST as its
+    // own "suite_detail" line (sacrificed to the capture window if space
+    // runs out — it is the load-sensitive set) and both lines persist to
+    // bench_last.json regardless.
+    val detailLine = s"""{"metric":"suite_detail","queries_kind":"in_suite","queries":$qs}"""
+    val (kind, mainQs, isoTotalJson) = isoOpt match {
+      case Some((isoTotal, isoQs)) => ("isolated_min_of_3", isoQs, s""","total_iso":$isoTotal""")
+      case None                    => ("in_suite", qs, "")
+    }
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","samples":$samples,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"cpus":$cpus$isoTotalJson,"queries_kind":"$kind","queries":$mainQs,"sf":"$sfDir"}"""
+    println(detailLine)
     println(line)
     // The gate artifact was truncated by log-tail capture in round 6 (lost
-    // q01–q16 + loadavg fields) — also persist the line to a file so the
+    // q01–q16 + loadavg fields) — also persist both lines to a file so the
     // committed artifact is complete regardless of stdout capture. ONLY
     // full-suite runs write it: a SPARK_GRAFT_ONLY subset run must never
     // clobber the committed full-suite measurement (it did in rounds 8
@@ -125,7 +144,7 @@ object Bench {
     if (only.isEmpty) {
       try {
         val w = new java.io.PrintWriter("bench_last.json")
-        try w.println(line) finally w.close()
+        try { w.println(detailLine); w.println(line) } finally w.close()
       } catch { case _: Throwable => () }
     }
     spark.stop()
