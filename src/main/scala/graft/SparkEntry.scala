@@ -3045,6 +3045,33 @@ object SparkEntry {
       quantiles = Seq((1, 2), (19, 20), (99, 100)))
   }
 
+  // ---- q215: STREAMING histogram-store ingest — the SEVENTH store
+  //      family, and the one that genuinely tests the ledger: histogram
+  //      state is COUNT-ADDITIVE, so an uncaught batch replay
+  //      double-counts bins and shifts served quantiles (the six
+  //      set-union stores collapse replays at read time; this one
+  //      cannot). Ledger = exactly-once admission; the per-row
+  //      (batch, fp) tag closes the ledger-after-append crash window.
+  //      Oracle is q99's VERBATIM however the stream sliced. ----
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_stream_hist_store"
+    graft.sources.Sinks.dropTableAndStaleLocation(s, table)
+    graft.sources.Sinks.dropTableAndStaleLocation(s,
+      graft.streaming.StoreIngest.ledgerTable(table))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_hist_").toString
+    val rows = graft.streaming.EventStreams
+      .readParquetStream(s, dir, "lineitem.parquet")
+      .select(col("l_returnflag"),
+        cents(col("l_extendedprice")).as("price_cents"))
+    graft.streaming.StoreIngest.ingestHistStore(rows, Seq("l_returnflag"),
+      "price_cents", binWidth = 100000L, table = table, checkpointDir = ckpt)
+      .awaitTermination()
+    operators.HistogramSketch.quantilesFromTaggedStore(s, table,
+      Seq("l_returnflag"), binWidth = 100000L,
+      quantiles = Seq((1, 2), (19, 20), (99, 100)))
+  }
+
   // ---- q210: Pareto-front document selection — the skyline of
   //      (token count, scaled lexical diversity): documents no other
   //      document beats on both axes, the weighting-free quality
@@ -3441,6 +3468,7 @@ object SparkEntry {
     "q212_image_ahash"     -> q212 _,
     "q213_image_neardup"   -> q213 _,
     "q214_weighted_watchlist" -> q214 _,
+    "q215_stream_hist_store" -> q215 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5312,6 +5340,9 @@ object SparkEntry {
     // q209: q99's oracle VERBATIM — the persisted histogram log folded by
     // addition must serve exactly what the one-shot sketch computes.
     "q209_hist_store" -> histQuantilesSql,
+    // q215: the streamed tagged store must serve q99's estimates verbatim
+    // however the stream sliced — an uncaught replay double-counts.
+    "q215_stream_hist_store" -> histQuantilesSql,
     "q97_cap_per_source" ->
       s"""SELECT doc_id, source, rank_in_group FROM (
          |  SELECT doc_id, source,

@@ -77,6 +77,43 @@ object HistogramSketch {
     walkQuantiles(folded, groupCols, binWidth, quantiles)
   }
 
+  /** [[appendToStore]] with the batch identity stamped on every row —
+    * the streaming-ingest form. Histogram state is COUNT-ADDITIVE, so
+    * unlike every set-union-style store a replayed append is NOT
+    * harmless: it double-counts. The ledger skips replayed batches
+    * before they reach here, and the (batch id, fingerprint) tag closes
+    * the remaining ledger-after-append crash window — a crash between
+    * append and ledger write re-appends the SAME rows under the SAME
+    * tag, and the read side collapses exact duplicate rows before
+    * folding. Two legitimately identical batches carry different batch
+    * ids, so intentional repeats still count twice.
+    */
+  def appendToStoreTagged(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String, binWidth: Long, table: String,
+                          batchId: Long, fp: Long): Unit =
+    histogram(df, groupCols, valueCol, binWidth)
+      .withColumn("__batch", lit(batchId))
+      .withColumn("__fp", lit(fp))
+      .write.mode("append").format("parquet").saveAsTable(table)
+
+  /** Serve quantiles from a TAGGED store ([[appendToStoreTagged]]):
+    * exact-duplicate rows (same group, bin, count, batch id, AND
+    * fingerprint — only a crash-window re-append produces those)
+    * collapse via one distinct, then the same fold-by-addition and
+    * integer rank walk as [[quantilesFromStore]]. The distinct is one
+    * exchange over the sketch-sized log (groups × bins × batches rows),
+    * never the data.
+    */
+  def quantilesFromTaggedStore(spark: org.apache.spark.sql.SparkSession,
+                               table: String, groupCols: Seq[String],
+                               binWidth: Long,
+                               quantiles: Seq[(Int, Int)]): DataFrame = {
+    val folded = spark.table(table).distinct()
+      .groupBy(groupCols.map(col) :+ col("__bin"): _*)
+      .agg(sum(col("__cnt")).as("__cnt"))
+    walkQuantiles(folded, groupCols, binWidth, quantiles)
+  }
+
   /** The integer rank walk over a (group, bin, cnt) histogram frame —
     * runs on the tiny sketch, never the data.
     */

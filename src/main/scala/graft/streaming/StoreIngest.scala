@@ -91,7 +91,21 @@ object StoreIngest {
     */
   private def ledgeredIngest(docs: DataFrame, table: String,
                              checkpointDir: String, trigger: Trigger)
-                            (appendBatch: DataFrame => Unit): StreamingQuery = {
+                            (appendBatch: DataFrame => Unit): StreamingQuery =
+    ledgeredIngestTagged(docs, table, checkpointDir, trigger) {
+      (df, _, _) => appendBatch(df) }
+
+  /** [[ledgeredIngest]] variant whose append callback also receives the
+    * committed (batchId, fingerprint) — for stores whose state is
+    * COUNT-ADDITIVE rather than replay-idempotent: tagging every
+    * appended row with the batch identity lets the read side collapse a
+    * crash-window double-append exactly (see
+    * [[graft.operators.HistogramSketch.quantilesFromTaggedStore]]),
+    * where the six set-union-style stores simply don't care.
+    */
+  private def ledgeredIngestTagged(docs: DataFrame, table: String,
+                                   checkpointDir: String, trigger: Trigger)
+                                  (appendBatch: (DataFrame, Long, (Long, Long)) => Unit): StreamingQuery = {
     // per-started-query committed map: loaded from the ledger on the
     // first batch of THIS run, maintained in memory afterwards.
     // foreachBatch bodies run serially on the driver, so plain state
@@ -147,7 +161,7 @@ object StoreIngest {
         val fp = fingerprint(df)
         val seen = committed.getOrElse(batchId, Set.empty)
         if (!seen.contains(fp) && !seen.contains(LegacyFp)) {
-          appendBatch(df)
+          appendBatch(df, batchId, fp)
           s.createDataFrame(
             java.util.Collections.singletonList(Row(batchId, fp._1, fp._2)),
             new org.apache.spark.sql.types.StructType()
@@ -287,5 +301,31 @@ object StoreIngest {
         graft.operators.IncrementalAnn.bucketedEmbeddings(
           batch, idCol, vecCol, nPlanes, nTables, dim, seed),
         table, buckets)
+    }
+
+  /** Streaming ingest into the histogram-sketch quantile store — the
+    * SEVENTH store family, and the one that actually exercises the
+    * ledger: histogram state is COUNT-ADDITIVE, so a replayed batch is
+    * NOT collapsed by any read-side distinct-key construction the way
+    * all six set-union-style stores collapse theirs — an uncaught
+    * replay double-counts bins and shifts every served quantile. The
+    * ledger provides exactly-once batch admission, and the per-row
+    * (batch id, fingerprint) tag closes the ledger-after-append crash
+    * window ([[graft.operators.HistogramSketch.appendToStoreTagged]]).
+    * Honest caveat, documented once here for the family: a FRESH
+    * checkpoint over a GROWN source re-delivers earlier rows inside a
+    * new batch (different fingerprint ⇒ admitted), which is correct
+    * at-least-once SOURCE behavior — count-additive state surfaces it
+    * where set stores hide it; resume from the checkpoint, don't
+    * discard it.
+    */
+  def ingestHistStore(rows: DataFrame, groupCols: Seq[String],
+                      valueCol: String, binWidth: Long, table: String,
+                      checkpointDir: String,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ledgeredIngestTagged(rows, table, checkpointDir, trigger) {
+      (batch, batchId, fp) =>
+        graft.operators.HistogramSketch.appendToStoreTagged(
+          batch, groupCols, valueCol, binWidth, table, batchId, fp._2)
     }
 }

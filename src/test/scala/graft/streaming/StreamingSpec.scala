@@ -367,6 +367,67 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming histogram-store ingest: exactly-once where a replay would double-count") {
+    import graft.operators.HistogramSketch
+    val t = "graft_stream_hist_spec"
+    Seq(t, StoreIngest.ledgerTable(t)).foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_hist_ingest").toFile
+    try {
+      val in = new java.io.File(root, "in")
+      val gen1 = (0L until 40L).map(i => ("a", i * 10))
+      val gen2 = (0L until 25L).map(i => ("b", i * 7 + 3))
+      gen1.toDF("grp", "v").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      gen2.toDF("grp", "v").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      def stream = spark.readStream.schema("grp STRING, v LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in.getAbsolutePath)
+      val qs = Seq((1, 2), (19, 20))
+      def served: Set[(String, Int, Int, Long, Long)] =
+        HistogramSketch.quantilesFromTaggedStore(spark, t, Seq("grp"),
+            binWidth = 25L, quantiles = qs)
+          .as[(String, Int, Int, Long, Long)].collect().toSet
+      StoreIngest.ingestHistStore(stream, Seq("grp"), "v", binWidth = 25L,
+        table = t, checkpointDir = new java.io.File(root, "cp1").getAbsolutePath)
+        .awaitTermination()
+      assert(spark.table(StoreIngest.ledgerTable(t)).count() >= 2,
+        "the slicing must actually produce multiple committed micro-batches")
+      val batch = HistogramSketch.quantileSketch(
+          (gen1 ++ gen2).toDF("grp", "v"), Seq("grp"), "v",
+          binWidth = 25L, quantiles = qs)
+        .as[(String, Int, Int, Long, Long)].collect().toSet
+      val afterIngest = served
+      assert(afterIngest == batch,
+        "streamed tagged store must serve the one-shot sketch verbatim")
+      // REPLAY BITES HERE: re-running the same source under the same
+      // checkpoint re-delivers nothing; under a FRESH checkpoint the
+      // ledger fingerprint skips both batches. Counts (unlike every
+      // set-union store) would double if either guard failed.
+      StoreIngest.ingestHistStore(stream, Seq("grp"), "v", binWidth = 25L,
+        table = t, checkpointDir = new java.io.File(root, "cp2").getAbsolutePath)
+        .awaitTermination()
+      assert(served == batch, "a replayed stream must not shift any quantile")
+      // crash-window double-append: same rows under the SAME (batch, fp)
+      // tag — the read-side exact-duplicate collapse must neutralize it
+      HistogramSketch.appendToStoreTagged(gen1.toDF("grp", "v"), Seq("grp"),
+        "v", binWidth = 25L, table = t, batchId = 0L, fp = 12345L)
+      HistogramSketch.appendToStoreTagged(gen1.toDF("grp", "v"), Seq("grp"),
+        "v", binWidth = 25L, table = t, batchId = 0L, fp = 12345L)
+      val once = HistogramSketch.quantileSketch(
+          (gen1 ++ gen1 ++ gen2).toDF("grp", "v"), Seq("grp"), "v",
+          binWidth = 25L, quantiles = qs)
+        .as[(String, Int, Int, Long, Long)].collect().toSet
+      assert(served == once,
+        "a crash-window double-append must count ONCE; an intentional " +
+        "re-ingest under a new batch id counts (gen1 now counted twice)")
+    } finally {
+      rmTree(root)
+      Seq(t, StoreIngest.ledgerTable(t)).foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
   test("streaming phrase-store ingest serves the batch-built answer; a crash-window double-append is neutralized") {
     import graft.operators.InvertedIndex
     val t = "graft_stream_phrase_spec"
