@@ -3195,6 +3195,27 @@ object SparkEntry {
         expr("bit_xor(h)").as("fp_xor"))
   }
 
+  // ---- q216: video NEAR-dup by shared rare frame hash — the q213
+  //      discipline on the AVI path: every doc_id % 4 == 1 clip also
+  //      enters as a REAL re-encoded ±2-noise copy (relabeled +1e9),
+  //      per-frame aHashes come from REAL DIB decodes, and two videos
+  //      pair when they share a frame hash at most 8 videos carry (the
+  //      MOSS stop rule — boilerplate frame hashes cluster 500+ deep on
+  //      these tiny dims, and the cap makes pair volume LINEAR; a
+  //      hamming-banded frame join was probed and rejected at 1.7M+
+  //      collisions). The oracle replays every frame hash from the
+  //      pixel formulas, so round-trip corruption flips bits. ----
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val clean = Multimodal.aviPayloads(docs, "doc_id")
+    val noisy = Multimodal.noisyAviPayloads(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 1), "doc_id")
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    val fh = Multimodal.videoFrameHashes(
+      clean.unionByName(noisy), "doc_id", "payload").toDF()
+    Multimodal.videoNearDupPairs(fh, "doc_id", "fhash", maxVideosPerHash = 8)
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3469,6 +3490,7 @@ object SparkEntry {
     "q213_image_neardup"   -> q213 _,
     "q214_weighted_watchlist" -> q214 _,
     "q215_stream_hist_store" -> q215 _,
+    "q216_video_neardup"   -> q216 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -4030,6 +4052,56 @@ object SparkEntry {
         |FROM sh JOIN tot ta ON sh.doc_a = ta.doc_id
         |  JOIN tot tb ON sh.doc_b = tb.doc_id
         |WHERE CAST(shared AS DOUBLE) / (ta.wtot + tb.wtot - shared) >= 0.95""".stripMargin,
+    // q216: frame-hash replay from the vRgbFor formulas (the q212 hash
+    // shape with the frame dimension and the noisy clamp), then the SAME
+    // rare-hash match the operator runs: distinct (video, hash), hashes
+    // in <= 8 videos, equi-self-join, per-pair count. Bit 63 adds as the
+    // two's-complement constant (the q212 DuckDB lesson).
+    "q216_video_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id AS base, 0 AS noisy FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, doc_id, 1 FROM documents
+        |  WHERE doc_id % 4 = 1
+        |), fr AS (
+        |  SELECT id, base, noisy, unnest(range(3 + base % 4)) AS f FROM ids
+        |), px AS (
+        |  SELECT id, f, noisy, j * 8 + i AS k,
+        |    (base + 7 * f + 31 * gx + 17 * gy) % 256 AS r,
+        |    (3 * base + 11 * f + 7 * gx + 11 * gy) % 256 AS g,
+        |    (5 * base + 13 * f + 13 * gx + 3 * gy) % 256 AS b,
+        |    (base + 7 * f + 7 * gx + 3 * gy) % 5 - 2 AS d
+        |  FROM (
+        |    SELECT id, base, noisy, f, i, j,
+        |      (i * (4 + base % 5)) // 8 AS gx,
+        |      (j * (3 + base % 3)) // 8 AS gy
+        |    FROM fr, range(8) t1(i), range(8) t2(j))
+        |), g2 AS MATERIALIZED (
+        |  SELECT id, f, k,
+        |    CASE WHEN noisy = 0 THEN (r + g + b) // 3
+        |         ELSE (LEAST(255, GREATEST(0, r + d))
+        |             + LEAST(255, GREATEST(0, g + d))
+        |             + LEAST(255, GREATEST(0, b + d))) // 3 END AS gray
+        |  FROM px
+        |), m AS (
+        |  SELECT id, f, CAST(sum(gray) AS BIGINT) // 64 AS mean
+        |  FROM g2 GROUP BY 1, 2
+        |), hs AS MATERIALIZED (
+        |  SELECT g2.id, g2.f, CAST(sum(CASE WHEN gray > mean THEN
+        |      CASE WHEN k = 63 THEN -9223372036854775808
+        |           ELSE 1::BIGINT << CAST(k AS INTEGER) END
+        |    ELSE 0 END) AS BIGINT) AS fhash
+        |  FROM g2 JOIN m ON g2.id = m.id AND g2.f = m.f GROUP BY 1, 2
+        |), vh AS MATERIALIZED (
+        |  SELECT DISTINCT id, fhash FROM hs
+        |), rare AS (
+        |  SELECT fhash FROM vh GROUP BY fhash HAVING count(*) <= 8
+        |), kept AS MATERIALIZED (
+        |  SELECT vh.id, vh.fhash FROM vh JOIN rare USING (fhash)
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b ON a.fhash = b.fhash AND a.id < b.id
+        |GROUP BY 1, 2""".stripMargin,
     // q214: the quadratic weighted-containment DEFINITION restricted to
     // the watchlist subjects (the q168 oracle shape under q207's weight
     // derivation), aggregated per subject exactly as q167 — the same

@@ -428,11 +428,26 @@ object Multimodal {
     ((3L * id + 11L * f + 7L * x + 11L * y) % 256).toInt,
     ((5L * id + 13L * f + 13L * x + 3L * y) % 256).toInt)
 
+  /** Per-pixel perturbation for the NOISY re-encode of `id`'s video —
+    * the [[noiseFor]] pattern with the frame index folded in; shared by
+    * [[noisyAviFor]] and the SQL oracle.
+    */
+  def vNoiseFor(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id + 7L * f + 7L * x + 3L * y) % 5).toInt - 2
+
   /** Encode the deterministic frame sequence for `id` as a real AVI file:
     * RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh 'vids'/'DIB ',
     * strf BITMAPINFOHEADER}} → LIST(movi){'00db' DIB frames}.
     */
-  def aviFor(id: Long): Array[Byte] = {
+  def aviFor(id: Long): Array[Byte] = aviDibFor(id, noisy = false)
+
+  /** The NOISY re-encode of `id`'s video: every pixel perturbed by
+    * [[vNoiseFor]] (clamped ±2 per channel) before the DIB frames are
+    * written — "the same clip re-processed with slight noise".
+    */
+  def noisyAviFor(id: Long): Array[Byte] = aviDibFor(id, noisy = true)
+
+  private def aviDibFor(id: Long, noisy: Boolean): Array[Byte] = {
     val w = vWidthFor(id); val h = vHeightFor(id)
     val n = vFrameCountFor(id); val fps = vFpsFor(id)
     val stride = ((w * 3 + 3) / 4) * 4
@@ -475,7 +490,10 @@ object Multimodal {
         val y = h - 1 - row // DIB rows are bottom-up
         var x = 0
         while (x < w) {
-          val (r, g, b) = vRgbFor(id, f, x, y)
+          val (r0, g0, b0) = vRgbFor(id, f, x, y)
+          def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+          val d = if (noisy) vNoiseFor(id, f, x, y) else 0
+          val (r, g, b) = (clamp(r0 + d), clamp(g0 + d), clamp(b0 + d))
           bos.write(b); bos.write(g); bos.write(r) // BGR
           x += 1
         }
@@ -558,6 +576,140 @@ object Multimodal {
     df.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(ids => ids.map(id => (id, aviFor(id))))
       .toDF(idCol, out)
+  }
+
+  /** One REAL noisy AVI per id (same contract as [[aviPayloads]]). */
+  def noisyAviPayloads(df: DataFrame, idCol: String, out: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, noisyAviFor(id))))
+      .toDF(idCol, out)
+  }
+
+  final case class FrameHash(doc_id: Long, frame: Int, fhash: Long)
+
+  /** Per-frame perceptual hashes from REAL decoded AVI frames: walk the
+    * RIFF tree, decode each BI_RGB '00db' DIB to top-down RGB, and
+    * compute [[imageAHash]]'s exact integer aHash per frame (8×8
+    * nearest-neighbor grid, gray = (r+g+b) div 3, own-mean threshold,
+    * bit k = j·8+i) — so the SQL oracle replays every frame hash from
+    * [[vRgbFor]]'s formulas and any round-trip corruption flips bits.
+    * One flatMap pass, no shuffle. Poison rows (undecodable, non-DIB
+    * codec) yield ZERO rows — per-video decode diagnosis is
+    * [[decodeVideoMeta]]'s contract, and a fake hash row would pollute
+    * the downstream frame-hash join.
+    */
+  def videoFrameHashes(df: DataFrame, idCol: String, binCol: String): Dataset[FrameHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        try decodeDibFrameHashes(id, bytes)
+        catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      }
+  }
+
+  private def decodeDibFrameHashes(id: Long, bytes: Array[Byte]): Seq[FrameHash] = {
+    if (bytes == null || bytes.length < 12) return Seq.empty
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return Seq.empty
+    var width = 0; var height = 0
+    var biCompression = -1L; var biBitCount = -1
+    val dbFrames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(off: Int, end: Int): Unit = {
+      var p = off
+      while (p + 8 <= end) {
+        val t = tag(p); val sz = u32(p + 4).toInt
+        val body = p + 8
+        t match {
+          case "LIST" => walk(body + 4, body + sz)
+          case "avih" =>
+            width = u32(body + 32).toInt; height = u32(body + 36).toInt
+          case "strf" if biCompression == -1L =>
+            biBitCount = (u32(body + 12) >> 16).toInt
+            biCompression = u32(body + 16)
+          case "00db" => dbFrames += ((body, sz))
+          case _ => ()
+        }
+        p = body + sz + (sz & 1)
+      }
+    }
+    walk(12, bytes.length)
+    if (width <= 0 || height <= 0 || biCompression != 0L || biBitCount != 24)
+      return Seq.empty
+    val stride = ((width * 3 + 3) / 4) * 4
+    (0 until dbFrames.length).flatMap { k =>
+      val (foff, flen) = dbFrames(k)
+      if (flen < stride * height) None
+      else {
+        val grays = new Array[Long](64)
+        var sum = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val x = i * width / 8
+            val y = j * height / 8
+            val rowOff = foff + (height - 1 - y) * stride // bottom-up
+            val px = rowOff + x * 3
+            val g = (((bytes(px + 2) & 0xff) + (bytes(px + 1) & 0xff) +
+              (bytes(px) & 0xff)) / 3).toLong
+            grays(j * 8 + i) = g
+            sum += g
+            i += 1
+          }
+          j += 1
+        }
+        val mean = sum / 64L
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          if (grays(b) > mean) hash |= (1L << b)
+          b += 1
+        }
+        Some(FrameHash(id, k, hash))
+      }
+    }
+  }
+
+  /** Video NEAR-duplicate pairs by SHARED RARE FRAME HASH — the
+    * winnowing match shape over [[videoFrameHashes]]: two videos pair
+    * when they share at least one frame hash that at most
+    * `maxVideosPerHash` videos carry. The cap is the MOSS
+    * stop-fingerprint rule and the SCALE contract in one: boilerplate
+    * frame hashes (tiny dims ⇒ heavy cross-video repetition — measured
+    * 532-video clusters at sf0.1) are excluded before any join, so each
+    * surviving hash contributes at most cap·(cap−1)/2 pairs and total
+    * pair volume is LINEAR in distinct hashes. A hamming-banded frame
+    * join was probed and rejected: 16-bit bands of these structured
+    * hashes collide quadratically even after the cap (1.7M+ candidates
+    * at sf0.1). A planted ±2-noise re-encode pairs through its
+    * unperturbed-hash frames (measured ~half of copies at sf0.1; copies
+    * whose every frame drifted or is boilerplate are honest misses at
+    * this noise level). Frame multiplicity within one video collapses
+    * (set semantics); returns (id_a, id_b, n_shared), id_a < id_b.
+    */
+  def videoNearDupPairs(frameHashes: DataFrame, idCol: String,
+                        hashCol: String,
+                        maxVideosPerHash: Int = 8): DataFrame = {
+    require(maxVideosPerHash >= 2, s"cap must be >= 2, got $maxVideosPerHash")
+    val vh = frameHashes.select(col(idCol).cast("long").as("_vid"),
+      col(hashCol).cast("long").as("_h")).distinct()
+    val rare = vh.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_nv"))
+      .filter(col("_nv") <= maxVideosPerHash)
+      .select(col("_h"))
+    val kept = vh.join(rare, Seq("_h"))
+    kept.select(col("_h"), col("_vid").as("id_a"))
+      .join(kept.select(col("_h"), col("_vid").as("id_b")), Seq("_h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
   }
 
   final case class VideoMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,

@@ -95,6 +95,58 @@ class MultimodalMedianSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("videoFrameHashes: DIB round trip matches the formula replay; near-dup pairs via rare shared hash") {
+    def replayHash(id: Long, f: Int, noisy: Boolean): Long = {
+      val w = Multimodal.vWidthFor(id); val h = Multimodal.vHeightFor(id)
+      def clamp(v: Int) = math.max(0, math.min(255, v))
+      val grays = for (j <- 0 until 8; i <- 0 until 8) yield {
+        val (x, y) = (i * w / 8, j * h / 8)
+        val (r, g, b) = Multimodal.vRgbFor(id, f, x, y)
+        val d = if (noisy) Multimodal.vNoiseFor(id, f, x, y) else 0
+        (clamp(r + d) + clamp(g + d) + clamp(b + d)) / 3
+      }
+      val mean = grays.map(_.toLong).sum / 64L
+      var hsh = 0L
+      grays.zipWithIndex.foreach { case (g, k) => if (g > mean) hsh |= (1L << k) }
+      hsh
+    }
+    val ids = Seq(1L, 5L, 9L, 42L)
+    val got = Multimodal.videoFrameHashes(
+        Multimodal.aviPayloads(ids.toDF("doc_id"), "doc_id"), "doc_id", "payload")
+      .collect().map(r => (r.doc_id, r.frame) -> r.fhash).toMap
+    ids.foreach { id =>
+      (0 until Multimodal.vFrameCountFor(id)).foreach { f =>
+        assert(got((id, f)) == replayHash(id, f, noisy = false), s"id=$id f=$f")
+      }
+    }
+    // the NOISY re-encode round-trips to the perturbed replay
+    val gotN = Multimodal.videoFrameHashes(
+        Multimodal.noisyAviPayloads(Seq(1L).toDF("doc_id"), "doc_id"),
+        "doc_id", "payload")
+      .collect().map(r => r.frame -> r.fhash).toMap
+    (0 until Multimodal.vFrameCountFor(1L)).foreach { f =>
+      assert(gotN(f) == replayHash(1L, f, noisy = true), s"noisy f=$f")
+    }
+    // a non-AVI payload yields zero rows, not a poison hash
+    val junk = Multimodal.videoFrameHashes(
+      Multimodal.withFakePayload(Seq((7L, "junk")).toDF("doc_id", "text"), "text"),
+      "doc_id", "payload")
+    assert(junk.count() == 0L)
+    // near-dup: a video and its noisy copy pair through an unperturbed
+    // frame; a boilerplate hash carried by MORE than the cap is excluded
+    import org.apache.spark.sql.Row
+    val fhRows = Seq(
+      (100L, 0, 7777L), (200L, 0, 7777L),            // rare shared hash
+      (100L, 1, 1111L), (200L, 1, 2222L)) ++          // unshared
+      (0 until 5).map(v => (300L + v, 0, 9999L))      // boilerplate (5 > cap 4)
+    val pairs = Multimodal.videoNearDupPairs(
+        fhRows.toDF("doc_id", "frame", "fhash"), "doc_id", "fhash",
+        maxVideosPerHash = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((100L, 200L, 1L)),
+      "rare shared hash pairs; the over-cap boilerplate hash must not")
+  }
+
   test("decodeImageMeta zeroes metadata for undecodable payloads instead of failing") {
     val docs = Seq((1L, "not an image"), (2L, "")).toDF("doc_id", "text")
     val meta = Multimodal.decodeImageMeta(
