@@ -781,7 +781,11 @@ object OracleSqlGen {
   // and the downstream assignment/probe arithmetic stays exact.
   def q32Sql(k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
              centroidStride: Long = 31L, nQueries: Int = 5,
-             lloydRounds: Int = 1): String = {
+             lloydRounds: Int = 1,
+             queryPredSql: Option[String] = None): String = {
+    // the query-set predicate: q32's id-prefix by default; q217 passes the
+    // streamed-subset predicate instead (same replay otherwise)
+    val qPred = queryPredSql.getOrElse(s"q.vec_id < $nQueries")
     val lloyd = (0 until lloydRounds).map { i =>
       s"""assigned$i AS MATERIALIZED (
          |  SELECT cand_id, cv, cid AS cell_id FROM (
@@ -831,7 +835,7 @@ object OracleSqlGen {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY list_dot_product(q.embedding::DOUBLE[], ct.cvec) / ct.cnorm DESC,
        |                 ct.cid) AS rn
-       |    FROM embeddings q CROSS JOIN cents$lloydRounds ct WHERE q.vec_id < $nQueries)
+       |    FROM embeddings q CROSS JOIN cents$lloydRounds ct WHERE $qPred)
        |  WHERE rn <= $nprobe
        |), scored AS (
        |  SELECT p.query_id, a.cand_id,

@@ -3216,6 +3216,33 @@ object SparkEntry {
     Multimodal.videoNearDupPairs(fh, "doc_id", "fhash", maxVideosPerHash = 8)
   }
 
+  // ---- q217: STREAMING k-NN serving — the inference-serving twin of
+  //      q193's index build: query vectors stream in, every micro-batch
+  //      probes the corpus with the one-shot IVF top-k (deterministic
+  //      centroid draw ⇒ identical cells every batch), and answers
+  //      append to a results log that is replay-idempotent by row value
+  //      (per-query answers are pure functions of (query, corpus), so a
+  //      crash-window duplicate collapses under distinct). Oracle is
+  //      q32's IVF replay restricted to the streamed subset — the
+  //      answers must not depend on how the stream sliced. ----
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_stream_knn_results"
+    graft.sources.Sinks.dropTableAndStaleLocation(s, table)
+    graft.sources.Sinks.dropTableAndStaleLocation(s,
+      graft.streaming.StoreIngest.ledgerTable(table))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_knn_").toString
+    val queries = graft.streaming.EventStreams
+      .readParquetStream(s, dir, "embeddings.parquet")
+      .filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id"), col("embedding"))
+    graft.streaming.StoreIngest.ingestKnnResults(queries,
+      Tables(s, dir).embeddings, "vec_id", "embedding", table,
+      checkpointDir = ckpt, k = 5, nlist = 16, nprobe = 4)
+      .awaitTermination()
+    s.table(table).distinct()
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3491,6 +3518,7 @@ object SparkEntry {
     "q214_weighted_watchlist" -> q214 _,
     "q215_stream_hist_store" -> q215 _,
     "q216_video_neardup"   -> q216 _,
+    "q217_stream_knn_serve" -> q217 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3705,6 +3733,11 @@ object SparkEntry {
     "q27_media_meta"        -> OracleSqlGen.q27Sql(),
     "q30_embed_neardup_lsh" -> OracleSqlGen.q30Sql(),
     "q32_knn_ivf"           -> OracleSqlGen.q32Sql(),
+    // q217: q32's IVF replay with lloydRounds = 0 (the serving path fits
+    // nothing per batch) restricted to the streamed query subset — served
+    // answers must equal the one-shot probe however the stream sliced.
+    "q217_stream_knn_serve" -> OracleSqlGen.q32Sql(lloydRounds = 0,
+      queryPredSql = Some("q.vec_id % 10 = 3")),
     "q44_org_paths"         -> OracleSqlGen.q44Sql(),
     "q45_top_ngrams"        -> OracleSqlGen.q45Sql(),
     "q46_split_sample"      -> OracleSqlGen.q46Sql(),

@@ -328,4 +328,28 @@ object StoreIngest {
         graft.operators.HistogramSketch.appendToStoreTagged(
           batch, groupCols, valueCol, binWidth, table, batchId, fp._2)
     }
+
+  /** Streaming k-NN SERVING: query vectors stream in, each micro-batch
+    * probes the (batch-side) corpus with the same IVF top-k the one-shot
+    * path runs ([[graft.operators.Similarity.ivfTopK]]), and the answers
+    * append to a results log — the inference-serving shape of a feature
+    * pipeline, where q193 was the index-BUILD shape. Per-query answers
+    * are pure functions of (query, corpus) — independent of how the
+    * stream slices and of every other query — so the results log is
+    * replay-idempotent BY ROW VALUE: a crash-window double-append
+    * duplicates exact rows, and the reader's distinct collapses them
+    * (read results with `spark.table(table).distinct()`). The centroid
+    * draw inside ivfTopK is deterministic (id-stride + fixed
+    * tie-breaks), so every batch probes the identical cell structure.
+    */
+  def ingestKnnResults(queries: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String, table: String,
+                       checkpointDir: String, k: Int, nlist: Int,
+                       nprobe: Int,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ledgeredIngest(queries, table, checkpointDir, trigger) { batch =>
+      graft.operators.Similarity.ivfTopK(corpus, batch, idCol, vecCol,
+          k = k, nlist = nlist, nprobe = nprobe, lloydRounds = 0)
+        .write.mode("append").format("parquet").saveAsTable(table)
+    }
 }

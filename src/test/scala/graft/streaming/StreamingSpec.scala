@@ -367,6 +367,56 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming k-NN serving equals the one-shot probe however the stream slices") {
+    import graft.operators.Similarity
+    val t = "graft_stream_knn_spec"
+    Seq(t, StoreIngest.ledgerTable(t)).foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_knn_serve").toFile
+    try {
+      val rnd = new scala.util.Random(7)
+      val corpus = (0L until 40L).map(i =>
+        (i, Array.fill(8)(rnd.nextDouble() - 0.5))).toDF("vec_id", "embedding")
+      corpus.cache(); corpus.count()
+      val qids = Seq(3L, 13L, 23L, 33L)
+      val in = new java.io.File(root, "in")
+      // two files → two micro-batches under maxFilesPerTrigger = 1
+      qids.grouped(2).foreach { g =>
+        corpus.filter(col("vec_id").isin(g: _*)).coalesce(1)
+          .write.mode("append").parquet(in.getAbsolutePath)
+      }
+      def stream = spark.readStream
+        .schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in.getAbsolutePath)
+      StoreIngest.ingestKnnResults(stream, corpus, "vec_id", "embedding", t,
+        checkpointDir = new java.io.File(root, "cp1").getAbsolutePath,
+        k = 3, nlist = 4, nprobe = 2)
+        .awaitTermination()
+      assert(spark.table(StoreIngest.ledgerTable(t)).count() >= 2,
+        "the slicing must actually produce multiple committed micro-batches")
+      def served = spark.table(t).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val oneShot = Similarity.ivfTopK(corpus,
+          corpus.filter(col("vec_id").isin(qids: _*)), "vec_id", "embedding",
+          k = 3, nlist = 4, nprobe = 2, lloydRounds = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(served == oneShot,
+        "served answers must equal the one-shot probe bit for bit")
+      // fresh checkpoint over the same source: ledger fingerprints make
+      // every re-delivered batch a no-op
+      StoreIngest.ingestKnnResults(stream, corpus, "vec_id", "embedding", t,
+        checkpointDir = new java.io.File(root, "cp2").getAbsolutePath,
+        k = 3, nlist = 4, nprobe = 2)
+        .awaitTermination()
+      assert(served == oneShot, "replayed stream must not change the answers")
+      corpus.unpersist()
+    } finally {
+      rmTree(root)
+      Seq(t, StoreIngest.ledgerTable(t)).foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
   test("streaming histogram-store ingest: exactly-once where a replay would double-count") {
     import graft.operators.HistogramSketch
     val t = "graft_stream_hist_spec"

@@ -61,7 +61,7 @@ SF1_ORACLE_PREFIXES = [
     "q188_", "q189_", "q190_", "q191_", "q192_", "q194_", "q195_", "q196_",
     "q197_", "q198_", "q199_", "q200_", "q201_", "q202_", "q203_", "q204_",
     "q205_", "q206_", "q209_", "q212_", "q213_",
-    "q214_", "q215_", "q216_",
+    "q214_", "q215_", "q216_", "q217_",
 ]
 
 
