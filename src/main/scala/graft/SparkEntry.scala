@@ -3243,6 +3243,29 @@ object SparkEntry {
     s.table(table).distinct()
   }
 
+  // ---- q218: 3-D Pareto front — the general-d skyline over
+  //      (token count, lexical diversity, alphabet size): q210's 2-D
+  //      sort + running-max cannot express d >= 3, so this runs the
+  //      Börzsönyi local-fronts-then-merge decomposition with the exact
+  //      sum-descending append-only buffer (dominance implies a
+  //      strictly larger sum, so a later arrival never dominates a
+  //      buffered point). Quadratic NOT EXISTS stays oracle-only. ----
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    val t = TextFunctions.tokens(col("text"))
+    val m = Tables(s, dir).documents
+      .select(col("text"), size(t).cast("long").as("n_toks"),
+        size(array_distinct(t)).cast("long").as("n_uniq"))
+      .filter(col("n_toks") > 0)
+      .select(col("n_toks"),
+        graft.functions.IntOps.intDiv(col("n_uniq") * 1000000L,
+          col("n_toks")).as("div_q"),
+        size(array_distinct(split(col("text"), ""))).cast("long").as("n_alpha"))
+    ops.Skyline.paretoFrontKD(m,
+        Seq(col("n_toks"), col("div_q"), col("n_alpha")))
+      .select(col("c0").as("n_toks"), col("c1").as("div_q"),
+        col("c2").as("n_alpha"), col("n_rows").as("n_docs"))
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3519,6 +3542,7 @@ object SparkEntry {
     "q215_stream_hist_store" -> q215 _,
     "q216_video_neardup"   -> q216 _,
     "q217_stream_knn_serve" -> q217 _,
+    "q218_pareto_3d"       -> q218 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -4135,6 +4159,26 @@ object SparkEntry {
         |SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM kept a JOIN kept b ON a.fhash = b.fhash AND a.id < b.id
         |GROUP BY 1, 2""".stripMargin,
+    // q218: the 3-D skyline DEFINITION — quadratic NOT EXISTS over
+    // distinct (n_toks, div_q, n_alpha) triples; oracle form only.
+    "q218_pareto_3d" ->
+      """WITH m AS (
+        |  SELECT len(regexp_extract_all(text, '\S+')) AS n_toks,
+        |    len(list_distinct(regexp_extract_all(text, '\S+'))) * 1000000
+        |      // len(regexp_extract_all(text, '\S+')) AS div_q,
+        |    len(list_distinct(string_split(text, ''))) AS n_alpha
+        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |), pts AS (
+        |  SELECT n_toks, div_q, n_alpha, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM m GROUP BY 1, 2, 3
+        |)
+        |SELECT n_toks, div_q, n_alpha, n_docs FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.n_toks >= p.n_toks AND q.div_q >= p.div_q
+        |    AND q.n_alpha >= p.n_alpha
+        |    AND (q.n_toks > p.n_toks OR q.div_q > p.div_q
+        |         OR q.n_alpha > p.n_alpha))""".stripMargin,
     // q214: the quadratic weighted-containment DEFINITION restricted to
     // the watchlist subjects (the q168 oracle shape under q207's weight
     // derivation), aggregated per subject exactly as q167 — the same

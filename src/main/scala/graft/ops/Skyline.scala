@@ -45,4 +45,69 @@ object Skyline {
       .select(col("x"), col("__m").as("y"))
     sky.join(pts, Seq("x", "y")).select(col("x"), col("y"), col("n_rows"))
   }
+
+  /** k-dimensional Pareto-MAXIMAL points (d >= 2) — the general-d
+    * skyline the 2-D sort + running-max trick cannot express. The
+    * distributed decomposition is Börzsönyi's divide-and-conquer
+    * identity: skyline(S) = skyline(⋃ᵢ skyline(partᵢ)) — a per-partition
+    * local pass, then one merge pass over the UNION OF LOCAL FRONTS
+    * (front-sized, not data-sized).
+    *
+    * The local pass is APPEND-ONLY by construction: points arrive in
+    * EXACT coordinate-sum DESCENDING order (a long sum under ANSI —
+    * overflow throws rather than mis-sorting; coords must fit
+    * Σ|cᵢ| < 2⁶³), and dominance implies a strictly larger exact sum,
+    * so a later point can never dominate a buffered one and a sum-tie
+    * between distinct points can never be a dominance pair — each
+    * arrival needs only the "is it dominated?" probe against the
+    * buffer, never the reverse sweep. Buffer size = the partition's
+    * front size; the merge task sees Σ local fronts. THE CONTRACT:
+    * front sizes must stay task-manageable — true of correlated and
+    * independent dimensions (fronts grow ~(ln n)^(d−1)); a deliberately
+    * anti-correlated corpus degenerates every skyline algorithm to
+    * output-bound and this one to a big merge task.
+    *
+    * All-integer: the front replays exactly against the quadratic
+    * NOT-EXISTS definition (which stays in the oracle, never here).
+    * Returns (`c0`..`c{d-1}`, `n_rows`), n_rows = input rows exactly on
+    * that front point.
+    */
+  def paretoFrontKD(df: DataFrame, coords: Seq[Column]): DataFrame = {
+    require(coords.length >= 2, s"need >= 2 dimensions, got ${coords.length}")
+    val d = coords.length
+    val spark = df.sparkSession
+    import spark.implicits._
+    val named = coords.zipWithIndex.map { case (c, i) => c.cast("long").as(s"c$i") }
+    val pts = df.select(named: _*)
+      .filter((0 until d).map(i => col(s"c$i").isNotNull).reduce(_ && _))
+      .groupBy((0 until d).map(i => col(s"c$i")): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    def dominates(a: Array[Long], b: Array[Long]): Boolean = {
+      var ge = true; var gt = false; var i = 0
+      while (i < d && ge) {
+        if (a(i) < b(i)) ge = false else if (a(i) > b(i)) gt = true
+        i += 1
+      }
+      ge && gt
+    }
+    def skyPass(in: DataFrame, parts: Option[Int]): DataFrame = {
+      val keyed = in.withColumn("__s",
+        (0 until d).map(i => col(s"c$i")).reduce(_ + _))
+      val arranged = parts.fold(keyed)(n => keyed.repartition(n))
+        .sortWithinPartitions(col("__s").desc)
+        .select(array((0 until d).map(i => col(s"c$i")): _*).as("c"),
+          col("n_rows"))
+      arranged.as[(Array[Long], Long)]
+        .mapPartitions { it =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Array[Long], Long)]
+          it.foreach { p =>
+            if (!buf.exists(q => dominates(q._1, p._1))) buf += p
+          }
+          buf.iterator
+        }
+        .toDF("c", "n_rows")
+        .select((0 until d).map(i => col("c")(i).as(s"c$i")) :+ col("n_rows"): _*)
+    }
+    skyPass(skyPass(pts, None), Some(1))
+  }
 }

@@ -53,4 +53,58 @@ class SkylineSpec extends AnyFunSuite with SparkSpec {
       Seq.fill(50)((4L, 99L)) // heavy tie at a front corner
     assert(run(rows) == brute(rows))
   }
+
+  private def bruteKD(rows: Seq[Seq[Long]]): Set[(Seq[Long], Long)] = {
+    val pts = rows.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    pts.filter { case (p, _) =>
+      !pts.keys.exists(q =>
+        q.zip(p).forall { case (a, b) => a >= b } && q != p)
+    }.toSet
+  }
+
+  private def runKD(rows: Seq[Seq[Long]], d: Int,
+                    parts: Int = 4): Set[(Seq[Long], Long)] = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(org.apache.spark.sql.Row.fromSeq), parts),
+      org.apache.spark.sql.types.StructType((0 until d).map(i =>
+        org.apache.spark.sql.types.StructField(s"v$i",
+          org.apache.spark.sql.types.LongType))))
+    val got = Skyline.paretoFrontKD(df, (0 until d).map(i => col(s"v$i")))
+      .collect()
+      .map(r => ((0 until d).map(r.getLong): Seq[Long], r.getLong(d)))
+      .toSet
+    graft.Storage.releaseAll(spark)
+    got
+  }
+
+  test("paretoFrontKD matches brute force at d = 3 and d = 4 across partitionings") {
+    val rnd = new Random(41)
+    val rows3 = Seq.fill(600)(Seq.fill(3)(rnd.nextInt(12).toLong - 6L))
+    for (parts <- Seq(1, 4, 13))
+      assert(runKD(rows3, 3, parts) == bruteKD(rows3), s"d=3 parts=$parts")
+    val rows4 = Seq.fill(400)(Seq.fill(4)(rnd.nextInt(8).toLong))
+    assert(runKD(rows4, 4) == bruteKD(rows4), "d=4")
+  }
+
+  test("paretoFrontKD at d = 2 agrees with the 2-D sort + running-max path") {
+    val rnd = new Random(53)
+    val rows = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val kd = runKD(rows.map(p => Seq(p._1, p._2)), 2)
+      .map { case (c, n) => (c(0), c(1), n) }
+    assert(kd == run(rows))
+  }
+
+  test("paretoFrontKD: chains, duplicates, and a dominance-heavy hand case") {
+    // front: (5,1,1), (1,5,1), (3,3,3); (3,3,2) dominated by (3,3,3);
+    // (2,2,2) dominated; duplicate front point counts rows
+    val rows = Seq(
+      Seq(5L, 1L, 1L), Seq(5L, 1L, 1L), Seq(1L, 5L, 1L), Seq(3L, 3L, 3L),
+      Seq(3L, 3L, 2L), Seq(2L, 2L, 2L))
+    assert(runKD(rows, 3) == Set(
+      (Seq(5L, 1L, 1L), 2L), (Seq(1L, 5L, 1L), 1L), (Seq(3L, 3L, 3L), 1L)))
+    // a totally-ordered chain leaves one survivor
+    val chain = (1L to 15L).map(i => Seq(i, i, i))
+    assert(runKD(chain, 3) == Set((Seq(15L, 15L, 15L), 1L)))
+  }
 }

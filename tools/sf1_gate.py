@@ -62,6 +62,9 @@ SF1_ORACLE_PREFIXES = [
     "q197_", "q198_", "q199_", "q200_", "q201_", "q202_", "q203_", "q204_",
     "q205_", "q206_", "q209_", "q212_", "q213_",
     "q214_", "q215_", "q216_", "q217_",
+    # q218 oracle is the quadratic NOT EXISTS definition: ~15k distinct
+    # triples at sf1 -> 2.2e8 dominance checks, DuckDB-tractable.
+    "q218_",
 ]
 
 
