@@ -969,6 +969,37 @@ object OracleSqlGen {
        |SELECT node, rank FROM r$iterations""".stripMargin
   }
 
+  // ---- q219: multi-source BFS hop distances, unrolled round by round —
+  // d_{k+1}(v) = min(d_k(v), 1 + min over in-edges of d_k(src)), the
+  // exact recurrence both engine paths run. Every round CTE is
+  // AS MATERIALIZED (the q93/q185 re-expansion lesson).
+  def q219Sql(rounds: Int = 4, seedMaxPartkey: Long = 3L): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + 1 AS dist
+         |    FROM e JOIN d${k - 1} d ON d.node = e.src
+         |  ) GROUP BY node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS p,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS s
+       |  FROM lineitem
+       |), e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT p AS src, s AS dst FROM pairs
+       |    UNION ALL SELECT s AS src, p AS dst FROM pairs)
+       |), d0 AS MATERIALIZED (
+       |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS node,
+       |    0::BIGINT AS dist
+       |  FROM lineitem WHERE l_partkey < $seedMaxPartkey
+       |), $iters
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds""".stripMargin
+  }
+
   // ---- q191: more-like-this — the anchor's top-m terms by tf·rarity
   // (same doubles, same tiebreak), then the q71 BM25 replay with the
   // per-term components PIVOTED into alphabetical positions and summed

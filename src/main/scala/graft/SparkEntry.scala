@@ -3266,6 +3266,26 @@ object SparkEntry {
         col("c2").as("n_alpha"), col("n_rows").as("n_docs"))
   }
 
+  // ---- q219: multi-source BFS hop distances — the shortest-path
+  //      primitive the graph family lacked ("how far is every product
+  //      from these two, through shared suppliers?"): fixed-round
+  //      min-relaxation over q93's symmetrized part↔supplier graph
+  //      from the seed parts, both scale shapes (driver-CSR map-only
+  //      rounds / distributed min-merge), oracle = the recurrence
+  //      unrolled with materialized round CTEs. ----
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    val pairs = li.select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = li.filter(col("l_partkey") < 3)
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("node"))
+      .distinct()
+    operators.Bfs.hopDistances(edges, "src", "dst", seeds, rounds = 4)
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3543,6 +3563,7 @@ object SparkEntry {
     "q216_video_neardup"   -> q216 _,
     "q217_stream_knn_serve" -> q217 _,
     "q218_pareto_3d"       -> q218 _,
+    "q219_bfs_distance"    -> q219 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -4903,6 +4924,8 @@ object SparkEntry {
     "q193_stream_ann_store" -> OracleSqlGen.q30Sql(),
     // q194: snapshot+resume ≡ a cold 10-round run — q93's unroll at 10.
     "q194_pagerank_resume" -> OracleSqlGen.q93Sql(iterations = 10),
+    // q219: the BFS recurrence unrolled (4 rounds, seed parts < 3).
+    "q219_bfs_distance" -> OracleSqlGen.q219Sql(rounds = 4, seedMaxPartkey = 3L),
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle

@@ -64,7 +64,7 @@ SF1_ORACLE_PREFIXES = [
     "q214_", "q215_", "q216_", "q217_",
     # q218 oracle is the quadratic NOT EXISTS definition: ~15k distinct
     # triples at sf1 -> 2.2e8 dominance checks, DuckDB-tractable.
-    "q218_",
+    "q218_", "q219_",
 ]
 
 
