@@ -115,28 +115,28 @@ object Bench {
     // couldn't reproduce — a run whose loadavg dwarfs the worker count
     // should be read as contended, not as a code regression.
     //
-    // TWO-LINE artifact (round 14): the gate captures only the LAST
-    // ~10 KB of output, and one combined line with BOTH per-query dicts
-    // (11.1 KB in round 13, still growing) lost its front to that window
-    // every round — the committed artifact carried "parsed": null. The
-    // FINAL line now stays well under the window: every scalar plus ONE
-    // per-query map under "queries" — the ISOLATED min-of-3 numbers
-    // (labeled by "queries_kind"), which are the round-over-round
-    // comparison set; with SPARK_GRAFT_NO_ISO the in-suite map takes the
-    // slot instead. The in-suite per-query detail prints FIRST as its
-    // own "suite_detail" line (sacrificed to the capture window if space
-    // runs out — it is the load-sensitive set) and both lines persist to
-    // bench_last.json regardless.
+    // THREE-LINE artifact (round 15): the gate's log-tail capture window
+    // measured ~2 KB in practice (round 14's 6.6 KB final line still
+    // parsed null), so per-query maps can never share a line with the
+    // scalars the driver must parse. Detail lines print FIRST — the
+    // in-suite map as "suite_detail", the isolated min-of-3 map as
+    // "iso_detail" (the round-over-round comparison set; absent under
+    // SPARK_GRAFT_NO_ISO, when the in-suite map is the only one — never
+    // printed twice). The FINAL line is SCALARS ONLY (~250 bytes:
+    // totals, failures, loadavg, sf) and always fits the window; the
+    // per-query maps live in bench_last.json, the committed artifact of
+    // record.
     val detailLine = s"""{"metric":"suite_detail","queries_kind":"in_suite","queries":$qs}"""
-    val (kind, mainQs, isoTotalJson) = isoOpt match {
-      case Some((isoTotal, isoQs)) => ("isolated_min_of_3", isoQs, s""","total_iso":$isoTotal""")
-      case None                    => ("in_suite", qs, "")
-    }
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","samples":$samples,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"cpus":$cpus$isoTotalJson,"queries_kind":"$kind","queries":$mainQs,"sf":"$sfDir"}"""
+    val isoLine = isoOpt.map { case (_, isoQs) =>
+      s"""{"metric":"iso_detail","queries_kind":"isolated_min_of_3","queries":$isoQs}""" }
+    val isoTotalJson = isoOpt.fold("") { case (isoTotal, _) =>
+      s""","total_iso":$isoTotal""" }
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","samples":$samples,"failed":$failedJson,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"cpus":$cpus$isoTotalJson,"queries_kind":"in_bench_last_json","queries":{},"per_query":"bench_last.json","sf":"$sfDir"}"""
     println(detailLine)
+    isoLine.foreach(println)
     println(line)
     // The gate artifact was truncated by log-tail capture in round 6 (lost
-    // q01–q16 + loadavg fields) — also persist both lines to a file so the
+    // q01–q16 + loadavg fields) — also persist every line to a file so the
     // committed artifact is complete regardless of stdout capture. ONLY
     // full-suite runs write it: a SPARK_GRAFT_ONLY subset run must never
     // clobber the committed full-suite measurement (it did in rounds 8
@@ -144,7 +144,11 @@ object Bench {
     if (only.isEmpty) {
       try {
         val w = new java.io.PrintWriter("bench_last.json")
-        try { w.println(detailLine); w.println(line) } finally w.close()
+        try {
+          w.println(detailLine)
+          isoLine.foreach(w.println)
+          w.println(line)
+        } finally w.close()
       } catch { case _: Throwable => () }
     }
     spark.stop()

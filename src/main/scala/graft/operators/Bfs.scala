@@ -21,13 +21,22 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * materializeLeaf discipline — so plans never nest). Unreached nodes
   * are EXCLUDED from the output, not carried as sentinels.
   *
+  * [[weightedDistances]] generalizes the recurrence to positive integer
+  * edge weights (min-plus relaxation — the same shape weighted PageRank
+  * gave the centrality family); [[saveDistances]]/[[resumeDistances]]
+  * apply the snapshot/serve discipline (resume ≡ cold at the combined
+  * depth, bit-identically — distances are monotone non-increasing in
+  * rounds, so the warm start is exact by construction).
+  *
   * Citation: frontier-relaxation BFS is the textbook form (Cormen et
   * al.); the per-round full min-merge (rather than a delta frontier) is
   * chosen deliberately so both execution paths and the oracle compute
-  * the identical recurrence d_{k+1}(v) = min(d_k(v), 1 + min over
-  * in-edges of d_k(src)).
+  * the identical recurrence d_{k+1}(v) = min(d_k(v), min over in-edges
+  * (u,v) of d_k(u) + w(u,v)) — hop distance is the w ≡ 1 instance.
   */
 object Bfs {
+
+  private val INF = Long.MaxValue
 
   /** @param edges    (srcCol, dstCol) directed edges; duplicates collapse.
     *                 Symmetrize upstream for undirected distance.
@@ -50,19 +59,53 @@ object Bfs {
       nodes0.unpersist(blocking = false)
       return out
     }
-    val seedVals: Set[Any] = seeds
-      .select(col(seeds.columns.head).as("node")).distinct()
-      .collect().map(_.get(0)).toSet
-    require(seedVals.nonEmpty, "seeds must be non-empty")
-    if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L))
-      driverState(spark, e, nodes0, n.toInt, seedVals, rounds)
-    else
-      distributedState(spark, e, nodes0, seedVals, rounds)
+    val seedDf = typedSeeds(e, seeds)
+    if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L)) {
+      val seedVals: Set[Any] = seedDf.collect().map(_.get(0)).toSet
+      require(seedVals.nonEmpty, "seeds must be non-empty")
+      driverState(spark, e, nodes0, n.toInt, rounds,
+        nodeVals => Array.tabulate(n.toInt)(j =>
+          if (seedVals.contains(nodeVals(j))) 0L else INF))
+    } else {
+      nodes0.unpersist(blocking = false)
+      require(!seedDf.isEmpty, "seeds must be non-empty")
+      distributedState(spark, e, seedsFrame(e, seedDf), rounds)
+    }
   }
 
+  /** The seed frame cast to the NODE column's type before any matching:
+    * the driver path compares with strict runtime equality
+    * (`Set[Any].contains`, where an IntegerType seed never equals a
+    * LongType node) while a join path compares through Spark's implicit
+    * casts — casting once up front makes both paths see identically
+    * typed values, so the same inputs reach the same nodes regardless of
+    * which scale path runs. Seeds that don't cast (null) are dropped,
+    * which is the existing off-graph-seed rule.
+    */
+  private def typedSeeds(e: DataFrame, seeds: DataFrame): DataFrame =
+    seeds.select(col(seeds.columns.head)
+        .cast(e.schema.fields(0).dataType).as("node"))
+      .filter(col("node").isNotNull).distinct()
+
+  /** Initial reached frame for the distributed path: graph nodes in the
+    * seed set, at distance 0. Seeds stay a FRAME on this path (semi-join,
+    * broadcast when small): this is the branch for graphs too large for
+    * the driver, so a large seed set must never be collected into the
+    * plan as an IN-list (driver memory + plan bloat on exactly the scale
+    * path).
+    */
+  private def seedsFrame(e: DataFrame, seedDf: DataFrame): DataFrame =
+    e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seedDf, Seq("node"), "left_semi")
+      .withColumn("dist", lit(0L))
+
+  /** Driver-CSR rounds from an arbitrary initial distance vector (INF =
+    * unreached). `init` receives the node dictionary in id order.
+    */
   private def driverState(spark: SparkSession, e: DataFrame,
-                          nodes0: DataFrame, n: Int, seedVals: Set[Any],
-                          rounds: Int): DataFrame = {
+                          nodes0: DataFrame, n: Int, rounds: Int,
+                          init: Array[Any] => Array[Long]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
     nodes0.unpersist(blocking = false)
@@ -81,8 +124,7 @@ object Bfs {
     adj.cache()
     adj.count()
 
-    val INF = Long.MaxValue
-    var dist = Array.tabulate(n)(j => if (seedVals.contains(nodeVals(j))) 0L else INF)
+    var dist = init(nodeVals)
     var r = 0
     while (r < rounds) {
       val bc = spark.sparkContext.broadcast(dist)
@@ -115,17 +157,11 @@ object Bfs {
       StructField("dist", LongType, nullable = false))))
   }
 
+  /** Distributed rounds from an arbitrary initial reached frame. */
   private def distributedState(spark: SparkSession, e: DataFrame,
-                               nodes0: DataFrame, seedVals: Set[Any],
-                               rounds: Int): DataFrame = {
-    nodes0.unpersist(blocking = false)
+                               d0: DataFrame, rounds: Int): DataFrame = {
     val eCached = e.persist()
     eCached.count()
-    // reached frame: (node, dist) for nodes with a known <= k-hop distance
-    var d0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .filter(col("node").isInCollection(seedVals.toSeq))
-      .withColumn("dist", lit(0L))
     var dRdd = d0.rdd
     dRdd.cache(); dRdd.count()
     var reached = spark.createDataFrame(dRdd, d0.schema)
@@ -146,5 +182,221 @@ object Bfs {
     }
     eCached.unpersist(blocking = false)
     reached.select(col("node"), col("dist"))
+  }
+
+  // ------------------------------------------------------------------
+  // Weighted shortest paths (min-plus relaxation)
+  // ------------------------------------------------------------------
+
+  /** Min-plus shortest-path distances over POSITIVE integer edge
+    * weights, capped at `rounds` relaxation rounds: after R rounds each
+    * node holds the exact minimum weight over all seed-to-node paths of
+    * at most R edges — the same fixed-depth determinism contract as
+    * [[hopDistances]] (which is the w ≡ 1 instance), so the SQL oracle
+    * unrolls the identical recurrence. Parallel edges collapse to their
+    * MINIMUM weight (under min-plus the cheapest parallel edge always
+    * wins — compression, not a semantic choice).
+    *
+    * Overflow discipline (the PageRank hoisted-proof regime): every
+    * relaxed distance is bounded by rounds·maxW, so ONE up-front check
+    * `maxW <= (Long.MaxValue − 1) / rounds` proves every per-edge
+    * `d + w` in every round exact — the hot loop stays raw adds with
+    * checked semantics.
+    *
+    * @param weightCol positive integral weights (casts to long; a
+    *                  non-positive weight is rejected — min-plus with
+    *                  zero/negative weights has no bounded-round meaning)
+    * @return (node, dist) for every node reachable within `rounds` edges
+    */
+  def weightedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                        weightCol: String, seeds: DataFrame, rounds: Int,
+                        broadcastMaxNodes: Long = 2000000L): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast(LongType).as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes0.count()
+    if (n == 0) {
+      val out = nodes0.withColumn("dist", lit(0L)).limit(0)
+      nodes0.unpersist(blocking = false)
+      return out
+    }
+    val wStats = e.agg(min(col("w")).as("lo"), max(col("w")).as("hi")).head()
+    require(!wStats.isNullAt(0) && wStats.getLong(0) >= 1L,
+      s"edge weights must be positive longs, found min ${wStats.get(0)}")
+    val maxW = wStats.getLong(1)
+    require(rounds == 0 || maxW <= (Long.MaxValue - 1L) / rounds,
+      s"rounds*maxWeight would overflow: rounds=$rounds maxW=$maxW")
+    val seedDf = typedSeeds(e, seeds)
+    if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L)) {
+      val seedVals: Set[Any] = seedDf.collect().map(_.get(0)).toSet
+      require(seedVals.nonEmpty, "seeds must be non-empty")
+      weightedDriverState(spark, e, nodes0, n.toInt, seedVals, rounds)
+    } else {
+      nodes0.unpersist(blocking = false)
+      require(!seedDf.isEmpty, "seeds must be non-empty")
+      weightedDistributedState(spark, e, seedsFrame(e, seedDf), rounds)
+    }
+  }
+
+  private def weightedDriverState(spark: SparkSession, e: DataFrame,
+                                  nodes0: DataFrame, n: Int,
+                                  seedVals: Set[Any], rounds: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
+    nodes0.unpersist(blocking = false)
+    val nodeType = nodes0.schema.fields(0).dataType
+    val idRows: java.util.List[org.apache.spark.sql.Row] =
+      nodeVals.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(v, i) }.toSeq.asJava
+    val idSchema = StructType(Seq(
+      StructField("node", nodeType, nullable = true),
+      StructField("id", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val srcIds = spark.createDataFrame(idRows, idSchema)
+    val dstIds = srcIds.select(col("node").as("node2"), col("id").as("id2"))
+    // weighted in-adjacency: per destination, parallel (src id, weight)
+    // arrays — same broadcast-join build as adjacencyPlan, plus the
+    // weight riding along
+    val adj: org.apache.spark.rdd.RDD[(Int, Array[Int], Array[Long])] = e
+      .join(broadcast(srcIds), e("src") === srcIds("node"))
+      .join(broadcast(dstIds), e("dst") === dstIds("node2"))
+      .select(col("id").as("sid"), col("id2").as("did"), col("w"))
+      .repartition(col("did"))
+      .groupBy(col("did"))
+      .agg(collect_list(struct(col("sid"), col("w"))).as("ins"))
+      .rdd.map { r =>
+        val ins = r.getSeq[org.apache.spark.sql.Row](1)
+        val sids = new Array[Int](ins.length)
+        val ws = new Array[Long](ins.length)
+        var j = 0
+        ins.foreach { x => sids(j) = x.getInt(0); ws(j) = x.getLong(1); j += 1 }
+        (r.getInt(0), sids, ws)
+      }
+    adj.cache()
+    adj.count()
+
+    var dist = Array.tabulate(n)(j => if (seedVals.contains(nodeVals(j))) 0L else INF)
+    var r = 0
+    while (r < rounds) {
+      val bc = spark.sparkContext.broadcast(dist)
+      // raw d + w is exact here: d <= rounds·maxW by induction and the
+      // caller checked rounds·maxW once (the hoisted proof)
+      val mins = adj.map { case (did, sids, ws) =>
+        val dv = bc.value
+        var best = INF
+        var j = 0
+        while (j < sids.length) {
+          val d = dv(sids(j))
+          if (d != INF && d + ws(j) < best) best = d + ws(j)
+          j += 1
+        }
+        (did, best)
+      }.filter(_._2 != Long.MaxValue).collect()
+      bc.destroy()
+      val next = dist.clone()
+      mins.foreach { case (did, d) => if (d < next(did)) next(did) = d }
+      dist = next
+      r += 1
+    }
+    adj.unpersist(blocking = false)
+    val outRows: java.util.List[org.apache.spark.sql.Row] =
+      (0 until n).iterator.filter(dist(_) != INF)
+        .map(i => org.apache.spark.sql.Row(nodeVals(i), dist(i)))
+        .toSeq.asJava
+    spark.createDataFrame(outRows, StructType(Seq(
+      StructField("node", nodeType, nullable = true),
+      StructField("dist", LongType, nullable = false))))
+  }
+
+  private def weightedDistributedState(spark: SparkSession, e: DataFrame,
+                                       d0: DataFrame, rounds: Int): DataFrame = {
+    val eCached = e.persist()
+    eCached.count()
+    var dRdd = d0.rdd
+    dRdd.cache(); dRdd.count()
+    var reached = spark.createDataFrame(dRdd, d0.schema)
+    var r = 0
+    while (r < rounds) {
+      val stepped = eCached.join(reached, eCached("src") === reached("node"))
+        .groupBy(eCached("dst").as("node"))
+        .agg(min(col("dist") + col("w")).as("dist"))
+      val merged = reached.unionByName(stepped)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val rdd = merged.rdd
+      rdd.cache(); rdd.count()
+      dRdd.unpersist(blocking = false)
+      dRdd = rdd
+      reached = spark.createDataFrame(rdd, merged.schema)
+      r += 1
+    }
+    eCached.unpersist(blocking = false)
+    reached.select(col("node"), col("dist"))
+  }
+
+  // ------------------------------------------------------------------
+  // Snapshot + resume (the q194/q197/q198 serve discipline)
+  // ------------------------------------------------------------------
+
+  /** Persist a reached frame as a two-column managed table — compute
+    * once, snapshot, and later sessions read it directly or
+    * [[resumeDistances]] from it instead of restarting cold.
+    */
+  def saveDistances(spark: SparkSession, dists: DataFrame, table: String): Unit = {
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, table)
+    dists.select(col("node"), col("dist"))
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** RESUME hop relaxation from a prior reached frame: run `rounds`
+    * MORE rounds over the (possibly grown) edge list, starting every
+    * snapshot node at its saved distance and every other node
+    * unreached. The recurrence is a pure function of (graph, reached
+    * frame), and the reached frame IS the full round state, so on an
+    * unchanged graph resume(snapshot of round R, k) ≡ a cold run of
+    * R+k rounds BIT-IDENTICALLY — distances are monotone non-increasing
+    * in rounds, so the warm start can neither lose nor invent a path
+    * (the q221 gate replays q219's oracle at the combined depth). On a
+    * grown graph it is the incremental-refresh shape: new edges relax
+    * from the old distances in k rounds instead of R+k.
+    *
+    * Snapshot nodes absent from the CURRENT edge list are dropped
+    * (distance is a property of the current graph) — identically on
+    * both scale paths.
+    */
+  def resumeDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                      prior: DataFrame, rounds: Int,
+                      broadcastMaxNodes: Long = 2000000L): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes0.count()
+    if (n == 0) {
+      val out = nodes0.withColumn("dist", lit(0L)).limit(0)
+      nodes0.unpersist(blocking = false)
+      return out
+    }
+    val p = prior.select(
+      col("node").cast(e.schema.fields(0).dataType).as("node"),
+      col("dist").cast(LongType).as("dist"))
+    if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L)) {
+      // the snapshot is node-sized, which the driver path's contract
+      // already bounds
+      val m: Map[Any, Long] = p.collect()
+        .map(r => (r.get(0), r.getLong(1))).toMap
+      driverState(spark, e, nodes0, n.toInt, rounds,
+        nodeVals => Array.tabulate(n.toInt)(j =>
+          m.getOrElse(nodeVals(j), INF)))
+    } else {
+      nodes0.unpersist(blocking = false)
+      val d0 = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .join(p, Seq("node")).select(col("node"), col("dist"))
+      distributedState(spark, e, d0, rounds)
+    }
   }
 }

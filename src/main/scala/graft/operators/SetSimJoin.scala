@@ -250,6 +250,14 @@ object SetSimJoin {
     * over the exploded rows (the measured replacement for an in-array
     * HOF fold — see the inline note below).
     *
+    * STORAGE CONTRACT (caller releases): the exploded token-weight frame
+    * persists at DISK_ONLY because three branches of the returned plan
+    * read it (prefix, verify, totals), and nothing inside a lazily
+    * returned DataFrame can unpersist it when the caller's action
+    * finishes. Ownership sits with the caller — run
+    * [[graft.Storage.releaseAll]] after consuming the result (the
+    * harness does this after every query action).
+    *
     * @param weights (token, weight) frame, one row per token, weight a
     *                positive long
     */
@@ -354,6 +362,12 @@ object SetSimJoin {
     * Tokens absent from `weights` carry `defaultW` on BOTH sides (the
     * weight is a property of the token, so A∩B sums are consistent).
     * Returns (doc_a, doc_b, wcontainment), subjects ≠ containers by id.
+    *
+    * STORAGE CONTRACT (caller releases): BOTH exploded token-weight
+    * frames persist at DISK_ONLY (each feeds its side's prefix/verify/
+    * totals branches) and outlive this call — release with
+    * [[graft.Storage.releaseAll]] after consuming the result, the same
+    * ownership rule as [[joinSelfWeighted]].
     */
   def joinContainmentWeighted(subjects: DataFrame, containers: DataFrame,
                               idCol: String, tokensCol: String,

@@ -118,6 +118,25 @@ object StoreIngest {
         val ledger = ledgerTable(table)
         if (committed == null) {
           committed = scala.collection.mutable.Map.empty
+          // crash-window recovery for the legacy-format migration below:
+          // the rewrite stages the new-schema history in a sidecar table
+          // BEFORE dropping the old one, so a crash anywhere in the
+          // protocol leaves at least one complete copy. States on
+          // restart: (ledger only) nothing staged — normal path;
+          // (ledger + stage) crash before the drop, legacy copy is the
+          // source of truth — discard the stage and re-migrate;
+          // (stage only) crash between the drop and the new write —
+          // restore the ledger from the stage; the old unconditional
+          // drop-then-rewrite lost ALL commit history in exactly this
+          // window, re-admitting every committed batch on restart.
+          val stage = ledger + "__migrate"
+          if (s.catalog.tableExists(stage)) {
+            if (!s.catalog.tableExists(ledger)) {
+              s.table(stage).write.mode("append").format("parquet")
+                .saveAsTable(ledger)
+            }
+            graft.sources.Sinks.dropTableAndStaleLocation(s, stage)
+          }
           if (s.catalog.tableExists(ledger)) {
             val cols = s.table(ledger).columns.toSet
             if (cols.contains("fp")) {
@@ -129,17 +148,17 @@ object StoreIngest {
                 }
             } else {
               // legacy (batch_id)-only ledger from the pre-fingerprint
-              // format: migrate in place — load each id as
-              // committed-with-wildcard (id-only semantics, what that row
-              // meant when written), then rewrite the table in the new
-              // schema with the sentinel so the NEW-format append below
-              // never hits a schema-mismatch on this table again
+              // format: migrate — load each id as committed-with-wildcard
+              // (id-only semantics, what that row meant when written),
+              // STAGE the history in the new schema with the sentinel,
+              // and only then swap the tables, so the NEW-format append
+              // below never hits a schema-mismatch and no crash point
+              // loses the history (recovery above)
               val legacyIds = s.table(ledger).select(col("batch_id"))
                 .collect().map(_.getLong(0))
               legacyIds.foreach { k =>
                 committed(k) = committed.getOrElse(k, Set.empty) + LegacyFp
               }
-              graft.sources.Sinks.dropTableAndStaleLocation(s, ledger)
               if (legacyIds.nonEmpty) {
                 val rows = new java.util.ArrayList[Row](legacyIds.length)
                 legacyIds.foreach { k =>
@@ -150,7 +169,13 @@ object StoreIngest {
                     .add("batch_id", "long", nullable = false)
                     .add("n_rows", "long", nullable = false)
                     .add("fp", "long", nullable = false))
-                  .write.mode("append").format("parquet").saveAsTable(ledger)
+                  .write.mode("append").format("parquet").saveAsTable(stage)
+              }
+              graft.sources.Sinks.dropTableAndStaleLocation(s, ledger)
+              if (legacyIds.nonEmpty) {
+                s.table(stage).write.mode("append").format("parquet")
+                  .saveAsTable(ledger)
+                graft.sources.Sinks.dropTableAndStaleLocation(s, stage)
               }
             }
           }

@@ -47,6 +47,26 @@ class BfsSpec extends AnyFunSuite with SparkSpec {
     assert(!d.contains("zz_not_in_graph"))
   }
 
+  test("integer seeds match long nodes identically on both scale paths") {
+    // the round-14 advisory: the driver path's Set[Any].contains is
+    // strict runtime-type equality, so IntegerType seeds silently
+    // matched nothing against LongType nodes while the join path's
+    // implicit casts still matched — seeds now cast to the node type
+    // up front, so both paths agree (and actually reach)
+    val es = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L).toDF("src", "dst")
+    val seeds = Seq(1).toDF("node") // IntegerType vs LongType nodes
+    def runOn(maxNodes: Long): Map[Long, Long] = {
+      val got = Bfs.hopDistances(es, "src", "dst", seeds, rounds = 3,
+          broadcastMaxNodes = maxNodes)
+        .as[(Long, Long)].collect().toMap
+      graft.Storage.releaseAll(spark)
+      got
+    }
+    val driver = runOn(2000000L)
+    assert(driver == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    assert(driver == runOn(1L))
+  }
+
   test("the distributed path is bit-identical to the driver-CSR path") {
     val rnd = new scala.util.Random(23)
     val es = (0 until 400).map(_ =>
@@ -75,5 +95,100 @@ class BfsSpec extends AnyFunSuite with SparkSpec {
       }.toMap
     }
     assert(driver == dist)
+  }
+
+  // ---- weighted min-plus relaxation ----
+
+  private val wEdges = Seq(
+    ("a", "b", 1L), ("b", "c", 1L), ("a", "c", 5L), ("c", "d", 2L),
+    ("a", "c", 9L)) // parallel a→c collapses to its min (5)
+
+  private def runW(seeds: Seq[String], rounds: Int,
+                   maxNodes: Long = 2000000L): Map[String, Long] = {
+    val got = Bfs.weightedDistances(wEdges.toDF("src", "dst", "w"),
+        "src", "dst", "w", seeds.toDF("node"), rounds,
+        broadcastMaxNodes = maxNodes)
+      .as[(String, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    got
+  }
+
+  test("weighted distances follow min-plus: a cheap 2-edge path beats the direct edge") {
+    // round 1 can only use single edges: c costs 5; round 2 finds a→b→c = 2
+    assert(runW(Seq("a"), 1) == Map("a" -> 0L, "b" -> 1L, "c" -> 5L))
+    assert(runW(Seq("a"), 2) == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 7L))
+    assert(runW(Seq("a"), 3) == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 4L))
+  }
+
+  test("weighted driver and distributed paths are bit-identical; w ≡ 1 replays hopDistances") {
+    val rnd = new scala.util.Random(31)
+    val es = (0 until 400).map(_ =>
+      (s"n${rnd.nextInt(60)}", s"n${rnd.nextInt(60)}", 1L + rnd.nextInt(9)))
+    val seeds = Seq("n0", "n17").toDF("node")
+    def runOn(maxNodes: Long): Map[String, Long] = {
+      val got = Bfs.weightedDistances(es.toDF("src", "dst", "w"),
+          "src", "dst", "w", seeds, rounds = 5, broadcastMaxNodes = maxNodes)
+        .as[(String, Long)].collect().toMap
+      graft.Storage.releaseAll(spark)
+      got
+    }
+    assert(runOn(2000000L) == runOn(1L))
+    // unit weights: min-plus IS hop counting
+    val ones = es.map { case (s, d, _) => (s, d, 1L) }
+    val w1 = Bfs.weightedDistances(ones.toDF("src", "dst", "w"),
+        "src", "dst", "w", seeds, rounds = 5)
+      .as[(String, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    val hop = Bfs.hopDistances(es.map(e => (e._1, e._2)).toDF("src", "dst"),
+        "src", "dst", seeds, rounds = 5)
+      .as[(String, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    assert(w1 == hop)
+  }
+
+  test("non-positive weights are rejected") {
+    intercept[IllegalArgumentException] {
+      Bfs.weightedDistances(Seq(("a", "b", 0L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", Seq("a").toDF("node"), rounds = 2)
+    }
+  }
+
+  // ---- snapshot + resume ----
+
+  test("resume ≡ cold at the combined depth, bit-identically, across all path combinations") {
+    val rnd = new scala.util.Random(47)
+    val es = (0 until 400).map(_ =>
+      s"n${rnd.nextInt(60)}" -> s"n${rnd.nextInt(60)}").toDF("src", "dst")
+    val seeds = Seq("n0", "n17").toDF("node")
+    val cold5 = Bfs.hopDistances(es, "src", "dst", seeds, rounds = 5)
+      .as[(String, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    for (snapMax <- Seq(2000000L, 1L); resMax <- Seq(2000000L, 1L)) {
+      val snap = Bfs.hopDistances(es, "src", "dst", seeds, rounds = 2,
+        broadcastMaxNodes = snapMax)
+      Bfs.saveDistances(spark, snap, "graft_test_bfs_snap")
+      graft.Storage.releaseAll(spark)
+      val resumed = Bfs.resumeDistances(es, "src", "dst",
+          spark.table("graft_test_bfs_snap"), rounds = 3,
+          broadcastMaxNodes = resMax)
+        .as[(String, Long)].collect().toMap
+      graft.Storage.releaseAll(spark)
+      assert(resumed == cold5, s"snapMax=$snapMax resMax=$resMax")
+    }
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, "graft_test_bfs_snap")
+  }
+
+  test("resume with zero extra rounds returns the snapshot; snapshot nodes off the current graph drop") {
+    val es = Seq("a" -> "b", "b" -> "c").toDF("src", "dst")
+    val snap = Seq(("a", 0L), ("b", 1L), ("gone", 3L)).toDF("node", "dist")
+    def runOn(maxNodes: Long): Map[String, Long] = {
+      val got = Bfs.resumeDistances(es, "src", "dst", snap, rounds = 0,
+          broadcastMaxNodes = maxNodes)
+        .as[(String, Long)].collect().toMap
+      graft.Storage.releaseAll(spark)
+      got
+    }
+    assert(runOn(2000000L) == Map("a" -> 0L, "b" -> 1L))
+    assert(runOn(1L) == Map("a" -> 0L, "b" -> 1L))
   }
 }

@@ -718,6 +718,59 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a crash inside the ledger migration's swap window cannot lose commit history") {
+    // the round-14 advisory: the old migration dropped the legacy ledger
+    // BEFORE rewriting it, so a crash in between erased every committed
+    // batch. The protocol now stages the new-schema history in a sidecar
+    // table first; this test materializes the worst crash state — ledger
+    // GONE, stage present — and proves a restart restores the history
+    // (the replayed batch stays a no-op) instead of re-admitting it.
+    val t = "graft_stream_migcrash_spec"
+    val ledger = StoreIngest.ledgerTable(t)
+    val stage = ledger + "__migrate"
+    Seq(t, ledger, stage).foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_migcrash").toFile
+    try {
+      val in = new java.io.File(root, "in")
+      Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      def ingest(cp: String): Unit =
+        StoreIngest.ingestDedupStore(
+          spark.readStream.schema("doc_id LONG, text STRING")
+            .parquet(in.getAbsolutePath),
+          "doc_id", "text", t, buckets = 2,
+          checkpointDir = new java.io.File(root, cp).getAbsolutePath)
+          .awaitTermination()
+      ingest("cp1")
+      val storeRows = spark.table(t).count()
+      // crash state: the committed history sits ONLY in the stage table
+      spark.table(ledger).write.mode("append").format("parquet")
+        .saveAsTable(stage)
+      dropTable(ledger)
+      ingest("cp2")
+      assert(spark.table(t).count() == storeRows,
+        "history staged by an interrupted migration must stay committed")
+      assert(spark.catalog.tableExists(ledger) &&
+        !spark.catalog.tableExists(stage),
+        "recovery must restore the ledger and clear the stage")
+      // orphan stage next to an intact ledger (crash after the restore,
+      // before the stage drop): the ledger wins, the orphan is cleared,
+      // and the batch is still a no-op
+      spark.table(ledger).write.mode("append").format("parquet")
+        .saveAsTable(stage)
+      ingest("cp3")
+      assert(spark.table(t).count() == storeRows,
+        "an orphan stage must not perturb commit state")
+      assert(!spark.catalog.tableExists(stage),
+        "the orphan stage must be cleared on first contact")
+    } finally {
+      rmTree(root)
+      Seq(t, ledger, stage).foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
   test("streaming KMV-store ingest serves the batch estimates; double-append is harmless") {
     import graft.operators.IncrementalKmv
     val t = "graft_stream_kmv_spec"
