@@ -70,6 +70,32 @@ object Similarity {
               k: Int, nlist: Int = 16, nprobe: Int = 4,
               centroidStride: Long = 31L, lloydRounds: Int = 0,
               literalCentroidMax: Int = 64): DataFrame = {
+    val cents = deriveCentroids(emb, idCol, vecCol, nlist, centroidStride,
+      lloydRounds, literalCentroidMax)
+    val assigned = withCellId(emb, idCol, vecCol, cents, literalCentroidMax)
+      .select(col("cand_id"), col("cv"), col("cn"), col("cell_id"))
+    val probes = probeFrame(queries, idCol, vecCol, cents, nprobe,
+      literalCentroidMax)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", round(VectorFunctions.cosineFromNormSq(
+        VectorFunctions.dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))
+      .select(col("query_id"), col("cand_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[ivfTopK]]'s centroid set: the deterministic id-stride draw plus
+    * optional Lloyd refinement — shared verbatim by the one-shot search
+    * and [[buildIvfStore]], so a persisted index replays the exact cell
+    * structure (and thus the exact answers) of the inline path.
+    */
+  private def deriveCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                              nlist: Int, centroidStride: Long,
+                              lloydRounds: Int,
+                              literalCentroidMax: Int): Seq[(Long, Array[Double], Double)] = {
     var cents: Seq[(Long, Array[Double], Double)] = emb
       .filter(col(idCol) % centroidStride === 0)
       .orderBy(col(idCol)).limit(nlist)
@@ -112,12 +138,17 @@ object Similarity {
       }.filter(_._3 > 0d)
       require(cents.nonEmpty, "ivfTopK: Lloyd refinement emptied the centroid set")
     }
+    cents
+  }
 
-    val assigned = withCellId(emb, idCol, vecCol, cents, literalCentroidMax)
-      .select(col("cand_id"), col("cv"), col("cn"), col("cell_id"))
-
-    // probe the nprobe nearest cells per query (sort desc by (sim, -cell_id))
-    val probes = withCellSims(
+  /** Per-query probe rows (query_id, qv, qn, cell_id): the nprobe
+    * nearest cells, sort desc by (sim, -cell_id) — ties to the lowest
+    * cell id, the same rule on every path.
+    */
+  private def probeFrame(queries: DataFrame, idCol: String, vecCol: String,
+                         cents: Seq[(Long, Array[Double], Double)],
+                         nprobe: Int, literalCentroidMax: Int): DataFrame =
+    withCellSims(
         queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
           VectorFunctions.normSq(col(vecCol)).as("qn")),
         "qv", cents, literalCentroidMax)
@@ -126,9 +157,101 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"),
         (col("probe.nc") * -1).as("cell_id"))
 
+  /** A persisted [[ivfTopK]] index: the centroid sidecar table paired
+    * with a cell-partitioned store of (cand_id, cv, cn). Loaded once per
+    * serving session ([[loadIvfCentroids]]) — nlist rows, model-sized.
+    */
+  case class IvfCentroids(cents: Seq[(Long, Array[Double], Double)],
+                          cellOf: Map[Long, Int])
+
+  def centroidsTable(table: String): String = table + "_centroids"
+
+  /** Materialize [[ivfTopK]]'s cell assignment ONCE as a managed parquet
+    * table PARTITIONED BY the (dense) cell index, plus an nlist-row
+    * centroid sidecar — the serving twin of [[IvfPq.buildStore]] WITHOUT
+    * the PQ compression: full vectors and norms are stored, so a probe
+    * scores exact cosine and the one-shot [[ivfTopK]] oracle applies to
+    * stored answers verbatim. Centroid derivation is [[deriveCentroids]]
+    * with the same defaults, so the persisted cell structure is
+    * bit-identical to what an inline search of the same corpus would
+    * build. The partition key is the DENSE index of the centroid in
+    * cid order (directory-typed int; original cids live in the sidecar),
+    * so catalog partition pruning serves each probe from its nprobe
+    * directories. At 100 TB: ONE assignment scan + one partitioned write
+    * per corpus build, amortized over every query thereafter — a serving
+    * loop must never pay the corpus-sized assignment again (the q217
+    * round-14 defect).
+    */
+  def buildIvfStore(emb: DataFrame, idCol: String, vecCol: String,
+                    table: String, nlist: Int = 16,
+                    centroidStride: Long = 31L, lloydRounds: Int = 0,
+                    literalCentroidMax: Int = 64): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = deriveCentroids(emb, idCol, vecCol, nlist, centroidStride,
+      lloydRounds, literalCentroidMax)
+    val indexed = cents.sortBy(_._1).zipWithIndex
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, table)
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, centroidsTable(table))
+    indexed.map { case ((cid, v, nrm), i) => (i, cid, v.toSeq, nrm) }
+      .toDF("cell", "cid", "cvec", "cnorm")
+      .coalesce(1).write.mode("overwrite").format("parquet")
+      .saveAsTable(centroidsTable(table))
+    val cid2cell = indexed.map { case ((cid, _, _), i) => (cid, i) }
+      .toDF("cell_id", "cell")
+    withCellId(emb, idCol, vecCol, cents, literalCentroidMax)
+      .join(broadcast(cid2cell), "cell_id")
+      .select(col("cand_id"), col("cv"), col("cn"), col("cell"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("cell").saveAsTable(table)
+  }
+
+  /** Load a [[buildIvfStore]] sidecar back into driver state — one
+    * nlist-row read per serving session, cached by the caller (the
+    * StoreIngest committed-map discipline), never per batch.
+    */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       table: String): IvfCentroids = {
+    val rows = spark.table(centroidsTable(table))
+      .select(col("cell"), col("cid"), col("cvec"), col("cnorm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray,
+        r.getDouble(3)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"empty centroid sidecar ${centroidsTable(table)}")
+    IvfCentroids(
+      rows.map { case (_, cid, v, nrm) => (cid, v, nrm) }.toSeq,
+      rows.map { case (cell, cid, _, _) => cid -> cell }.toMap)
+  }
+
+  /** IVF top-k served FROM the persisted store: probe selection runs
+    * against the loaded centroids (per-query work only), the scan reads
+    * ONLY the probed cells' partitions (catalog partition pruning — the
+    * IvfPq discipline), and scoring is the same exact cosine as
+    * [[ivfTopK]] over the stored vectors — answers are bit-identical to
+    * the inline path on the same corpus (spec-pinned). Per-batch cost is
+    * O(|queries| + rows in nprobe cells); the corpus-wide assignment was
+    * paid once at [[buildIvfStore]] time.
+    */
+  def ivfTopKStored(spark: org.apache.spark.sql.SparkSession, table: String,
+                    centroids: IvfCentroids, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+                    literalCentroidMax: Int = 64): DataFrame = {
+    import spark.implicits._
+    val probes = probeFrame(queries, idCol, vecCol, centroids.cents, nprobe,
+      literalCentroidMax)
+    val cid2cell = centroids.cellOf.toSeq.toDF("cell_id", "cell")
+    val p = probes.join(broadcast(cid2cell), "cell_id")
+      .select(col("cell"), col("query_id"), col("qv"), col("qn"))
+    // the probed cell set is <= nlist values (bounded, model-sized): one
+    // tiny job over the query batch, then a LITERAL partition filter so
+    // pruning happens at the catalog before any data file opens
+    val cells = p.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val scan = spark.table(table)
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))
-    assigned.join(broadcast(probes), Seq("cell_id"))
+    scan.join(broadcast(p), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos_sim", round(VectorFunctions.cosineFromNormSq(
         VectorFunctions.dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted IVF serving store (q217's scale path): build once,
+  * serve every batch from the cell-partitioned table. Pins the two
+  * properties the design claims — answers bit-identical to the inline
+  * [[Similarity.ivfTopK]] (same centroid draw, exact cosine over stored
+  * vectors), and a partition-PRUNED per-batch scan (the IvfPqSpec
+  * discipline: serving cost must be nprobe cells, never the corpus).
+  */
+class IvfStoreSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  private def corpus = {
+    val rnd = new scala.util.Random(7)
+    (0L until 300L).map(i => (i, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("stored serve is bit-identical to the inline ivfTopK") {
+    val c = corpus.cache()
+    val q = c.filter(col("vec_id") % 10 === 3)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val inline = key(Similarity.ivfTopK(c, q, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4))
+    Similarity.buildIvfStore(c, "vec_id", "embedding", "graft_ivfstore_spec",
+      nlist = 16)
+    val cents = Similarity.loadIvfCentroids(spark, "graft_ivfstore_spec")
+    val stored = key(Similarity.ivfTopKStored(spark, "graft_ivfstore_spec",
+      cents, q, "vec_id", "embedding", k = 5, nprobe = 4))
+    assert(stored == inline)
+    assert(stored.nonEmpty)
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, "graft_ivfstore_spec")
+    graft.sources.Sinks.dropTableAndStaleLocation(spark,
+      Similarity.centroidsTable("graft_ivfstore_spec"))
+    graft.Storage.releaseAll(spark)
+  }
+
+  test("the per-batch scan is partition-pruned to the probed cells") {
+    val c = corpus
+    Similarity.buildIvfStore(c, "vec_id", "embedding", "graft_ivfprune_spec",
+      nlist = 16)
+    val cents = Similarity.loadIvfCentroids(spark, "graft_ivfprune_spec")
+    // one query probes nprobe = 2 cells: the store read must carry a
+    // partition filter, and the pruned scan must read at most 2 of the
+    // 16 cell directories
+    val q = c.filter(col("vec_id") === 3L)
+    val served = Similarity.ivfTopKStored(spark, "graft_ivfprune_spec",
+      cents, q, "vec_id", "embedding", k = 5, nprobe = 2)
+    served.collect() // force execution so the executed plan is final
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"), p.take(1500))
+    // recurse through AQE wrappers: AdaptiveSparkPlanExec and
+    // QueryStageExec hold their physical subtrees out-of-line, so a
+    // plain collect never reaches the scans
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scans = scansOf(served.queryExecution.executedPlan)
+    val storeScan = scans.find(_.tableIdentifier.exists(
+      _.table == "graft_ivfprune_spec"))
+    assert(storeScan.isDefined, "no FileSourceScanExec over the store")
+    assert(storeScan.get.selectedPartitions.partitionCount <= 2,
+      s"scan read ${storeScan.get.selectedPartitions.partitionCount} partitions, " +
+        "expected <= nprobe = 2")
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, "graft_ivfprune_spec")
+    graft.sources.Sinks.dropTableAndStaleLocation(spark,
+      Similarity.centroidsTable("graft_ivfprune_spec"))
+    graft.Storage.releaseAll(spark)
+  }
+}
