@@ -1000,6 +1000,40 @@ object OracleSqlGen {
        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds""".stripMargin
   }
 
+  // ---- q220: weighted shortest paths — the q219 unroll with dist + w
+  // in place of dist + 1: d_{k+1}(v) = min(d_k(v), min over in-edges
+  // (u,v) of d_k(u) + w(u,v)). Edge weight = 1 + l_orderkey % 5,
+  // parallel edges collapse to their min (the cheapest always wins
+  // under min-plus). Every round CTE AS MATERIALIZED.
+  def q220Sql(rounds: Int = 4, seedMaxPartkey: Long = 3L): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + e.w AS dist
+         |    FROM e JOIN d${k - 1} d ON d.node = e.src
+         |  ) GROUP BY node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS p,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS s,
+       |         CAST(1 + l_orderkey % 5 AS BIGINT) AS w
+       |  FROM lineitem
+       |), e AS MATERIALIZED (
+       |  SELECT src, dst, min(w) AS w FROM (
+       |    SELECT p AS src, s AS dst, w FROM pairs
+       |    UNION ALL SELECT s AS src, p AS dst, w FROM pairs)
+       |  GROUP BY 1, 2
+       |), d0 AS MATERIALIZED (
+       |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS node,
+       |    0::BIGINT AS dist
+       |  FROM lineitem WHERE l_partkey < $seedMaxPartkey
+       |), $iters
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds""".stripMargin
+  }
+
   // ---- q191: more-like-this — the anchor's top-m terms by tf·rarity
   // (same doubles, same tiebreak), then the q71 BM25 replay with the
   // per-term components PIVOTED into alphabetical positions and summed

@@ -3286,6 +3286,72 @@ object SparkEntry {
     operators.Bfs.hopDistances(edges, "src", "dst", seeds, rounds = 4)
   }
 
+  // ---- q220: weighted shortest paths — q219's min-relaxation under
+  //      positive integer edge weights (min-plus), the same dual scale
+  //      shape and the same unrolled MATERIALIZED-CTE oracle with
+  //      dist + w in place of dist + 1. Edge weight = 1 + l_orderkey % 5
+  //      (deterministic at every SF), parallel edges collapse to their
+  //      min — under min-plus the cheapest parallel edge always wins. ----
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    val pairs = li.select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst"),
+      (lit(1L) + col("l_orderkey") % 5).as("w"))
+    val edges = pairs.unionByName(pairs.select(
+      col("dst").as("src"), col("src").as("dst"), col("w")))
+    val seeds = li.filter(col("l_partkey") < 3)
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("node"))
+      .distinct()
+    operators.Bfs.weightedDistances(edges, "src", "dst", "w", seeds, rounds = 4)
+  }
+
+  // ---- q221: BFS snapshot + resume — the q194/q197/q198 serve
+  //      discipline applied to distances: save the round-2 reached
+  //      frame, resume 3 more relaxation rounds, and the result must
+  //      equal a cold 5-round run BIT-IDENTICALLY (the reached frame IS
+  //      the full round state, and distances are monotone non-increasing
+  //      — the warm start can neither lose nor invent a path). Oracle =
+  //      q219's unroll at the combined depth, verbatim recurrence. ----
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    val pairs = li.select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = li.filter(col("l_partkey") < 5)
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("node"))
+      .distinct()
+    val snap = operators.Bfs.hopDistances(edges, "src", "dst", seeds, rounds = 2)
+    operators.Bfs.saveDistances(s, snap, "graft_bfs_snapshot")
+    operators.Bfs.resumeDistances(edges, "src", "dst",
+      s.table("graft_bfs_snapshot"), rounds = 3)
+  }
+
+  // ---- q222: PER-GROUP Pareto front — the curation-facing variant of
+  //      q218 ("the quality frontier PER SOURCE LANGUAGE"): the same
+  //      3-D metric space, the same local-fronts-then-merge
+  //      decomposition, with dominance scoped to the document's lang —
+  //      all languages in two passes, never a per-group job. Oracle =
+  //      the quadratic NOT EXISTS with a lang equi-predicate. ----
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val t = TextFunctions.tokens(col("text"))
+    val m = Tables(s, dir).documents
+      .select(col("lang"), col("text"), size(t).cast("long").as("n_toks"),
+        size(array_distinct(t)).cast("long").as("n_uniq"))
+      .filter(col("n_toks") > 0)
+      .select(col("lang"), col("n_toks"),
+        graft.functions.IntOps.intDiv(col("n_uniq") * 1000000L,
+          col("n_toks")).as("div_q"),
+        size(array_distinct(split(col("text"), ""))).cast("long").as("n_alpha"))
+    ops.Skyline.paretoFrontKDByGroup(m, col("lang"),
+        Seq(col("n_toks"), col("div_q"), col("n_alpha")))
+      .select(col("grp").as("lang"), col("c0").as("n_toks"),
+        col("c1").as("div_q"), col("c2").as("n_alpha"),
+        col("n_rows").as("n_docs"))
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3564,6 +3630,9 @@ object SparkEntry {
     "q217_stream_knn_serve" -> q217 _,
     "q218_pareto_3d"       -> q218 _,
     "q219_bfs_distance"    -> q219 _,
+    "q220_weighted_sssp"   -> q220 _,
+    "q221_bfs_resume"      -> q221 _,
+    "q222_pareto_by_group" -> q222 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -4197,6 +4266,28 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM pts q
         |  WHERE q.n_toks >= p.n_toks AND q.div_q >= p.div_q
+        |    AND q.n_alpha >= p.n_alpha
+        |    AND (q.n_toks > p.n_toks OR q.div_q > p.div_q
+        |         OR q.n_alpha > p.n_alpha))""".stripMargin,
+    // q222: q218's skyline DEFINITION scoped per language — the same
+    // quadratic NOT EXISTS with a lang equi-predicate; oracle form only.
+    "q222_pareto_by_group" ->
+      """WITH m AS (
+        |  SELECT lang, len(regexp_extract_all(text, '\S+')) AS n_toks,
+        |    len(list_distinct(regexp_extract_all(text, '\S+'))) * 1000000
+        |      // len(regexp_extract_all(text, '\S+')) AS div_q,
+        |    len(list_distinct(string_split(text, ''))) AS n_alpha
+        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |), pts AS (
+        |  SELECT lang, n_toks, div_q, n_alpha,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM m GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT lang, n_toks, div_q, n_alpha, n_docs FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.lang = p.lang
+        |    AND q.n_toks >= p.n_toks AND q.div_q >= p.div_q
         |    AND q.n_alpha >= p.n_alpha
         |    AND (q.n_toks > p.n_toks OR q.div_q > p.div_q
         |         OR q.n_alpha > p.n_alpha))""".stripMargin,
@@ -4926,6 +5017,12 @@ object SparkEntry {
     "q194_pagerank_resume" -> OracleSqlGen.q93Sql(iterations = 10),
     // q219: the BFS recurrence unrolled (4 rounds, seed parts < 3).
     "q219_bfs_distance" -> OracleSqlGen.q219Sql(rounds = 4, seedMaxPartkey = 3L),
+    // q220: the weighted (min-plus) unroll — dist + w per edge, min-w
+    // collapsed parallel edges, 4 rounds from seed parts < 3.
+    "q220_weighted_sssp" -> OracleSqlGen.q220Sql(rounds = 4, seedMaxPartkey = 3L),
+    // q221: snapshot+resume ≡ a cold 5-round run — q219's unroll at the
+    // combined depth (2 saved + 3 resumed rounds, seed parts < 5).
+    "q221_bfs_resume" -> OracleSqlGen.q219Sql(rounds = 5, seedMaxPartkey = 5L),
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle

@@ -110,4 +110,63 @@ object Skyline {
     }
     skyPass(skyPass(pts, None), Some(1))
   }
+
+  /** PER-GROUP k-dimensional Pareto front — "the quality frontier PER
+    * SOURCE": [[paretoFrontKD]] evaluated independently within every
+    * `groupCol` value, in two passes over ALL groups at once (never a
+    * per-group job). Same Börzsönyi decomposition and the same exact
+    * sum-DESC append-only buffer argument — dominance is only defined
+    * WITHIN a group, so the local pass keys its buffers by group (the
+    * partition-wide sum order restricted to one group is still that
+    * group's sum order: a subsequence of a sorted sequence is sorted),
+    * and the merge pass repartitions by group so each group's local
+    * fronts meet in exactly one task. Merge input is Σ local front
+    * sizes per group — front-sized, not data-sized; the
+    * [[paretoFrontKD]] contract (fronts stay task-manageable) applies
+    * per group.
+    *
+    * Returns (`grp`, `c0`..`c{d-1}`, `n_rows`) with `grp` keeping the
+    * input column's type; null groups are dropped (no dominance context).
+    */
+  def paretoFrontKDByGroup(df: DataFrame, groupCol: Column,
+                           coords: Seq[Column]): DataFrame = {
+    require(coords.length >= 2, s"need >= 2 dimensions, got ${coords.length}")
+    val d = coords.length
+    val named = coords.zipWithIndex.map { case (c, i) => c.cast("long").as(s"c$i") }
+    val pts = df.select(groupCol.as("grp") +: named: _*)
+      .filter(col("grp").isNotNull &&
+        (0 until d).map(i => col(s"c$i").isNotNull).reduce(_ && _))
+      .groupBy(col("grp") +: (0 until d).map(i => col(s"c$i")): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val outSchema = pts.schema
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    def dominates(a: Array[Long], b: Array[Long]): Boolean = {
+      var ge = true; var gt = false; var i = 0
+      while (i < d && ge) {
+        if (a(i) < b(i)) ge = false else if (a(i) > b(i)) gt = true
+        i += 1
+      }
+      ge && gt
+    }
+    def skyPass(in: DataFrame, mergeByGroup: Boolean): DataFrame = {
+      val keyed = in.withColumn("__s",
+        (0 until d).map(i => col(s"c$i")).reduce(_ + _))
+      val arranged = (if (mergeByGroup) keyed.repartition(col("grp")) else keyed)
+        .sortWithinPartitions(col("__s").desc)
+        .select(outSchema.fieldNames.map(col).toSeq: _*)
+      arranged.mapPartitions { it =>
+        val bufs = scala.collection.mutable.HashMap
+          .empty[Any, scala.collection.mutable.ArrayBuffer[(Array[Long], org.apache.spark.sql.Row)]]
+        it.foreach { r =>
+          val c = Array.tabulate(d)(i => r.getLong(i + 1))
+          val buf = bufs.getOrElseUpdate(r.get(0),
+            scala.collection.mutable.ArrayBuffer.empty)
+          if (!buf.exists(q => dominates(q._1, c))) buf += ((c, r))
+        }
+        bufs.valuesIterator.flatMap(_.iterator.map(_._2))
+      }
+    }
+    skyPass(skyPass(pts, mergeByGroup = false), mergeByGroup = true)
+  }
 }

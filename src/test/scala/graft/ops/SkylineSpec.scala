@@ -107,4 +107,60 @@ class SkylineSpec extends AnyFunSuite with SparkSpec {
     val chain = (1L to 15L).map(i => Seq(i, i, i))
     assert(runKD(chain, 3) == Set((Seq(15L, 15L, 15L), 1L)))
   }
+
+  // ---- per-group skyline ----
+
+  private def bruteByGroup(rows: Seq[(String, Seq[Long])]): Set[(String, Seq[Long], Long)] =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      bruteKD(rs.map(_._2)).map { case (p, n) => (g, p, n) }
+    }.toSet
+
+  private def runByGroup(rows: Seq[(String, Seq[Long])], d: Int,
+                         parts: Int = 4): Set[(String, Seq[Long], Long)] = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (g, cs) =>
+          org.apache.spark.sql.Row.fromSeq(g +: cs) }, parts),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType) +:
+        (0 until d).map(i => org.apache.spark.sql.types.StructField(s"v$i",
+          org.apache.spark.sql.types.LongType))))
+    val got = Skyline.paretoFrontKDByGroup(df, col("g"),
+        (0 until d).map(i => col(s"v$i")))
+      .collect()
+      .map(r => (r.getString(0),
+        (1 to d).map(r.getLong): Seq[Long], r.getLong(d + 1)))
+      .toSet
+    graft.Storage.releaseAll(spark)
+    got
+  }
+
+  test("paretoFrontKDByGroup matches per-group brute force across partitionings") {
+    val rnd = new Random(59)
+    val rows = Seq.fill(600)((s"g${rnd.nextInt(5)}",
+      Seq.fill(3)(rnd.nextInt(10).toLong - 5L)))
+    for (parts <- Seq(1, 4, 13))
+      assert(runByGroup(rows, 3, parts) == bruteByGroup(rows), s"parts=$parts")
+  }
+
+  test("paretoFrontKDByGroup: dominance never leaks across groups") {
+    // (1,1,1) in group b is dominated by a's (9,9,9) globally but is b's
+    // entire front; identical coordinates count rows within their group
+    val rows = Seq(
+      ("a", Seq(9L, 9L, 9L)), ("a", Seq(1L, 1L, 1L)),
+      ("b", Seq(1L, 1L, 1L)), ("b", Seq(1L, 1L, 1L)))
+    assert(runByGroup(rows, 3) == Set(
+      ("a", Seq(9L, 9L, 9L), 1L), ("b", Seq(1L, 1L, 1L), 2L)))
+    // and each group's front equals paretoFrontKD run on that group alone
+    val rnd = new Random(61)
+    val mixed = Seq.fill(300)((s"g${rnd.nextInt(3)}",
+      Seq.fill(3)(rnd.nextInt(8).toLong)))
+    val whole = runByGroup(mixed, 3)
+    for (g <- Seq("g0", "g1", "g2")) {
+      val alone = runKD(mixed.filter(_._1 == g).map(_._2), 3)
+        .map { case (p, n) => (g, p, n) }
+      assert(whole.filter(_._1 == g) == alone, g)
+    }
+  }
 }
