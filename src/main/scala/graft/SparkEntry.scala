@@ -3352,6 +3352,33 @@ object SparkEntry {
         col("n_rows").as("n_docs"))
   }
 
+  // ---- q223: streaming IVF-corpus ingest — the EIGHTH store family
+  //      and the maintenance half of q217's serving story: the coarse
+  //      quantizer trains ONCE (initIvfStore), corpus vectors stream
+  //      into the cell-partitioned index O(batch) at a time, and the
+  //      served answers must equal the one-shot inline probe however
+  //      the stream sliced (cell assignment is per-row pure against the
+  //      fixed centroids). Oracle = q32's IVF replay on a disjoint
+  //      query subset. ----
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_stream_ivf_corpus"
+    graft.sources.Sinks.dropTableAndStaleLocation(s,
+      graft.streaming.StoreIngest.ledgerTable(table))
+    val emb = Tables(s, dir).embeddings
+    val cents = operators.Similarity.initIvfStore(
+      emb, "vec_id", "embedding", table, nlist = 16)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ivfc_").toString
+    graft.streaming.StoreIngest.ingestIvfCorpus(
+      graft.streaming.EventStreams.readParquetStream(s, dir, "embeddings.parquet")
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", table, cents, checkpointDir = ckpt)
+      .awaitTermination()
+    val queries = emb.filter(col("vec_id") % 10 === 7)
+    operators.Similarity.ivfTopKStored(s, table, cents, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3633,6 +3660,7 @@ object SparkEntry {
     "q220_weighted_sssp"   -> q220 _,
     "q221_bfs_resume"      -> q221 _,
     "q222_pareto_by_group" -> q222 _,
+    "q223_stream_ivf_corpus" -> q223 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -3852,6 +3880,10 @@ object SparkEntry {
     // answers must equal the one-shot probe however the stream sliced.
     "q217_stream_knn_serve" -> OracleSqlGen.q32Sql(lloydRounds = 0,
       queryPredSql = Some("q.vec_id % 10 = 3")),
+    // q223: q32's IVF replay on a disjoint query subset — the store a
+    // STREAM filled cell by cell must serve the one-shot inline answers.
+    "q223_stream_ivf_corpus" -> OracleSqlGen.q32Sql(lloydRounds = 0,
+      queryPredSql = Some("q.vec_id % 10 = 7")),
     "q44_org_paths"         -> OracleSqlGen.q44Sql(),
     "q45_top_ngrams"        -> OracleSqlGen.q45Sql(),
     "q46_split_sample"      -> OracleSqlGen.q46Sql(),

@@ -186,9 +186,30 @@ object Similarity {
                     table: String, nlist: Int = 16,
                     centroidStride: Long = 31L, lloydRounds: Int = 0,
                     literalCentroidMax: Int = 64): Unit = {
-    val spark = emb.sparkSession
+    val cents = initIvfStore(emb, idCol, vecCol, table, nlist,
+      centroidStride, lloydRounds, literalCentroidMax)
+    appendToIvfStore(emb, idCol, vecCol, table, cents, literalCentroidMax)
+  }
+
+  /** Initialize an IVF store WITHOUT corpus data: train the coarse
+    * quantizer on `train` (a pure function of that frame — the full
+    * corpus here, a sample at extreme scale), drop any prior store, and
+    * persist the centroid sidecar. The data table then fills through
+    * [[appendToIvfStore]] — the one-shot [[buildIvfStore]] and a
+    * streamed corpus ingest produce row-identical stores because cell
+    * assignment is per-row pure against these FIXED centroids. The
+    * quantizer is trained once per store generation by design (the
+    * FAISS contract): corpus drift degrades cell balance, not
+    * correctness — exact cosine re-ranks whatever the probed cells
+    * hold; re-init + re-ingest is the rebalance path.
+    */
+  def initIvfStore(train: DataFrame, idCol: String, vecCol: String,
+                   table: String, nlist: Int = 16,
+                   centroidStride: Long = 31L, lloydRounds: Int = 0,
+                   literalCentroidMax: Int = 64): IvfCentroids = {
+    val spark = train.sparkSession
     import spark.implicits._
-    val cents = deriveCentroids(emb, idCol, vecCol, nlist, centroidStride,
+    val cents = deriveCentroids(train, idCol, vecCol, nlist, centroidStride,
       lloydRounds, literalCentroidMax)
     val indexed = cents.sortBy(_._1).zipWithIndex
     graft.sources.Sinks.dropTableAndStaleLocation(spark, table)
@@ -197,12 +218,28 @@ object Similarity {
       .toDF("cell", "cid", "cvec", "cnorm")
       .coalesce(1).write.mode("overwrite").format("parquet")
       .saveAsTable(centroidsTable(table))
-    val cid2cell = indexed.map { case ((cid, _, _), i) => (cid, i) }
-      .toDF("cell_id", "cell")
-    withCellId(emb, idCol, vecCol, cents, literalCentroidMax)
+    IvfCentroids(indexed.map(_._1),
+      indexed.map { case ((cid, _, _), i) => cid -> i }.toMap)
+  }
+
+  /** Append a batch of vectors to an [[initIvfStore]]'d store: assign
+    * ONLY the batch rows to cells (O(batch) — never a corpus re-scan)
+    * and append under the store's cell partitioning. Per-row pure
+    * against the fixed centroids, so the accumulated store is
+    * row-identical to a one-shot build however the batches slice;
+    * at-least-once appends (the ledger crash window) duplicate exact
+    * rows, which [[ivfTopKStored]]'s candidate dedup collapses.
+    */
+  def appendToIvfStore(batch: DataFrame, idCol: String, vecCol: String,
+                       table: String, centroids: IvfCentroids,
+                       literalCentroidMax: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cid2cell = centroids.cellOf.toSeq.toDF("cell_id", "cell")
+    withCellId(batch, idCol, vecCol, centroids.cents, literalCentroidMax)
       .join(broadcast(cid2cell), "cell_id")
       .select(col("cand_id"), col("cv"), col("cn"), col("cell"))
-      .write.mode("overwrite").format("parquet")
+      .write.mode("append").format("parquet")
       .partitionBy("cell").saveAsTable(table)
   }
 
@@ -256,6 +293,11 @@ object Similarity {
       .withColumn("cos_sim", round(VectorFunctions.cosineFromNormSq(
         VectorFunctions.dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))
       .select(col("query_id"), col("cand_id"), col("cos_sim"))
+      // candidate dedup BEFORE ranking: store rows are at-least-once
+      // (an appended batch replayed in the ledger crash window lands
+      // twice), and a duplicate candidate would otherwise occupy two
+      // ranks; a no-op on exactly-once stores, so inline parity holds
+      .distinct()
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }

@@ -354,6 +354,34 @@ object StoreIngest {
           batch, groupCols, valueCol, binWidth, table, batchId, fp._2)
     }
 
+  /** Streaming CORPUS ingest into the persisted IVF serving index — the
+    * EIGHTH store family, and the maintenance half of the q217 serving
+    * story: vectors stream in, each micro-batch assigns ONLY its own
+    * rows to cells against the FIXED centroids trained at
+    * [[graft.operators.Similarity.initIvfStore]] time (O(batch) per
+    * ingest, the store-family discipline) and appends under the store's
+    * cell partitioning — so the serving index grows incrementally and
+    * NEVER rebuilds, while every probe keeps its partition-pruned scan.
+    * Cell assignment is per-row pure against the fixed centroids, so
+    * the accumulated store is row-identical to a one-shot
+    * `buildIvfStore` however the stream slices; a crash-window
+    * double-append duplicates exact rows, which `ivfTopKStored`'s
+    * candidate dedup collapses (set-union-style read side — the ledger
+    * is waste-prevention here, not correctness-bearing). Quantizer
+    * drift under a shifting corpus degrades cell BALANCE, not answers
+    * (exact cosine re-ranks whatever the probed cells hold);
+    * re-init + re-ingest is the rebalance path.
+    */
+  def ingestIvfCorpus(rows: DataFrame, idCol: String, vecCol: String,
+                      table: String,
+                      centroids: graft.operators.Similarity.IvfCentroids,
+                      checkpointDir: String,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ledgeredIngest(rows, table, checkpointDir, trigger) { batch =>
+      graft.operators.Similarity.appendToIvfStore(batch, idCol, vecCol,
+        table, centroids)
+    }
+
   /** Streaming k-NN SERVING: query vectors stream in, each micro-batch
     * probes a PERSISTED cell-partitioned IVF store
     * ([[graft.operators.Similarity.buildIvfStore]], built ONCE here at

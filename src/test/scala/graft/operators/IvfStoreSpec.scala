@@ -42,6 +42,36 @@ class IvfStoreSpec extends AnyFunSuite with SparkSpec {
     graft.Storage.releaseAll(spark)
   }
 
+  test("incremental appends build the one-shot store; a double-append cannot perturb answers") {
+    val c = corpus.cache()
+    val q = c.filter(col("vec_id") % 10 === 7)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val inline = key(Similarity.ivfTopK(c, q, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4))
+    // centroids train once; the corpus arrives in three disjoint slices
+    val cents = Similarity.initIvfStore(c, "vec_id", "embedding",
+      "graft_ivfinc_spec", nlist = 16)
+    for (slice <- 0 until 3)
+      Similarity.appendToIvfStore(c.filter(col("vec_id") % 3 === slice),
+        "vec_id", "embedding", "graft_ivfinc_spec", cents)
+    val served = key(Similarity.ivfTopKStored(spark, "graft_ivfinc_spec",
+      cents, q, "vec_id", "embedding", k = 5, nprobe = 4))
+    assert(served == inline)
+    // crash-window shape: one slice lands twice — exact duplicate rows,
+    // which the read-side candidate dedup must collapse
+    Similarity.appendToIvfStore(c.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", "graft_ivfinc_spec", cents)
+    val afterDup = key(Similarity.ivfTopKStored(spark, "graft_ivfinc_spec",
+      cents, q, "vec_id", "embedding", k = 5, nprobe = 4))
+    assert(afterDup == inline)
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, "graft_ivfinc_spec")
+    graft.sources.Sinks.dropTableAndStaleLocation(spark,
+      Similarity.centroidsTable("graft_ivfinc_spec"))
+    graft.Storage.releaseAll(spark)
+  }
+
   test("the per-batch scan is partition-pruned to the probed cells") {
     val c = corpus
     Similarity.buildIvfStore(c, "vec_id", "embedding", "graft_ivfprune_spec",
