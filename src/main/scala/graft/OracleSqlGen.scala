@@ -1000,6 +1000,57 @@ object OracleSqlGen {
        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds""".stripMargin
   }
 
+  // ---- q224/q225: landmark distance sketches — the q219 recurrence
+  // with the landmark identity as state (grouped by (node, lm)); q225
+  // adds the min-sum estimate over a part × supplier query grid. Every
+  // round CTE AS MATERIALIZED.
+  private def landmarkChain(rounds: Int, lmMaxPartkey: Long): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT node, lm, min(dist) AS dist FROM (
+         |    SELECT node, lm, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.lm, d.dist + 1 AS dist
+         |    FROM e JOIN d${k - 1} d ON d.node = e.src
+         |  ) GROUP BY node, lm
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS p,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS s
+       |  FROM lineitem
+       |), e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT p AS src, s AS dst FROM pairs
+       |    UNION ALL SELECT s AS src, p AS dst FROM pairs)
+       |), d0 AS MATERIALIZED (
+       |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS node,
+       |    'p' || CAST(l_partkey AS VARCHAR) AS lm, 0::BIGINT AS dist
+       |  FROM lineitem WHERE l_partkey < $lmMaxPartkey
+       |), $iters""".stripMargin
+  }
+
+  def q224Sql(rounds: Int = 4, lmMaxPartkey: Long = 3L): String =
+    s"""${landmarkChain(rounds, lmMaxPartkey)}
+       |SELECT node, lm, CAST(dist AS BIGINT) AS dist FROM d$rounds""".stripMargin
+
+  def q225Sql(rounds: Int = 4, lmMaxPartkey: Long = 3L,
+              aMaxPartkey: Long = 10L, bMaxSuppkey: Long = 10L): String =
+    s"""${landmarkChain(rounds, lmMaxPartkey)},
+       |ua AS (
+       |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS node
+       |  FROM lineitem WHERE l_partkey < $aMaxPartkey
+       |), vb AS (
+       |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS node
+       |  FROM lineitem WHERE l_suppkey < $bMaxSuppkey
+       |)
+       |SELECT da.node AS node_a, db.node AS node_b,
+       |  CAST(min(da.dist + db.dist) AS BIGINT) AS est
+       |FROM d$rounds da JOIN d$rounds db ON da.lm = db.lm
+       |WHERE da.node IN (SELECT node FROM ua)
+       |  AND db.node IN (SELECT node FROM vb)
+       |GROUP BY 1, 2""".stripMargin
+
   // ---- q220: weighted shortest paths — the q219 unroll with dist + w
   // in place of dist + 1: d_{k+1}(v) = min(d_k(v), min over in-edges
   // (u,v) of d_k(u) + w(u,v)). Edge weight = 1 + l_orderkey % 5,

@@ -3379,6 +3379,42 @@ object SparkEntry {
       "vec_id", "embedding", k = 5, nprobe = 4)
   }
 
+  // ---- q224: landmark distance table — the distance-SERVING sketch
+  //      (Potamias et al.): per-landmark hop distances computed in ONE
+  //      pass (landmark identity as state; the graph and adjacency are
+  //      read once for all landmarks), the artifact that answers ad-hoc
+  //      d(u,v) queries as O(L) lookups instead of a BFS per query.
+  //      Oracle = the (node, lm) recurrence unrolled. ----
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    val pairs = li.select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val lms = li.filter(col("l_partkey") < 3)
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("node"))
+      .distinct()
+    operators.Bfs.landmarkDistances(edges, "src", "dst", lms, rounds = 4)
+  }
+
+  // ---- q225: landmark distance ESTIMATES served from the persisted
+  //      q224 table — est(a, b) = min over landmarks of d(a,l) + d(l,b)
+  //      over a part × supplier query grid: the two-lookup serving
+  //      shape (the landmark table is the saved artifact; no BFS runs
+  //      at query time). Oracle replays the unroll AND the min-sum. ----
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_landmark_store"
+    graft.sources.Sinks.dropTableAndStaleLocation(s, table)
+    q224(s, dir).write.mode("overwrite").format("parquet").saveAsTable(table)
+    val li = Tables(s, dir).lineitem
+    val ua = li.filter(col("l_partkey") < 10)
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("n")).distinct()
+    val vb = li.filter(col("l_suppkey") < 10)
+      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("n")).distinct()
+    operators.Bfs.landmarkEstimates(s.table(table), ua, vb)
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3661,6 +3697,8 @@ object SparkEntry {
     "q221_bfs_resume"      -> q221 _,
     "q222_pareto_by_group" -> q222 _,
     "q223_stream_ivf_corpus" -> q223 _,
+    "q224_landmark_dists"  -> q224 _,
+    "q225_landmark_est"    -> q225 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5055,6 +5093,11 @@ object SparkEntry {
     // q221: snapshot+resume ≡ a cold 5-round run — q219's unroll at the
     // combined depth (2 saved + 3 resumed rounds, seed parts < 5).
     "q221_bfs_resume" -> OracleSqlGen.q219Sql(rounds = 5, seedMaxPartkey = 5L),
+    // q224: the per-landmark recurrence unrolled — (node, lm) state.
+    "q224_landmark_dists" -> OracleSqlGen.q224Sql(rounds = 4, lmMaxPartkey = 3L),
+    // q225: the q224 unroll plus the served min-sum estimate over the
+    // part × supplier query grid.
+    "q225_landmark_est" -> OracleSqlGen.q225Sql(),
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle

@@ -185,6 +185,188 @@ object Bfs {
   }
 
   // ------------------------------------------------------------------
+  // Landmark distance sketches
+  // ------------------------------------------------------------------
+
+  /** Per-landmark hop distances — the landmark-embedding distance
+    * sketch (Potamias et al. 2009, "Fast shortest path distance
+    * estimation in large networks"): run [[hopDistances]] from EACH
+    * landmark SEPARATELY but in ONE pass (the landmark identity rides
+    * along as state, so the graph is read and the adjacency built
+    * once, not once per landmark), producing the (node, lm, dist)
+    * table that serves d(u,v) estimates as min over landmarks of
+    * d(u,l) + d(l,v) — an O(L) lookup per query pair instead of a BFS
+    * per query, which is the only shape that answers ad-hoc distance
+    * queries at corpus scale. Same fixed-round determinism contract as
+    * [[hopDistances]] per landmark.
+    *
+    * BOUNDED CONTRACT: the landmark set is a CHOSEN handful by design
+    * (L in the tens — it is collected to the driver, the probeCells
+    * shape); driver-path state is n·L longs, so the driver gate is
+    * n·L <= broadcastMaxNodes. Landmarks absent from the graph are
+    * ignored (the seed rule).
+    *
+    * @return (node, lm, dist) for every (landmark, node reached from it
+    *         within `rounds` hops)
+    */
+  def landmarkDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                        landmarks: DataFrame, rounds: Int,
+                        broadcastMaxNodes: Long = 2000000L): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes0.count()
+    val lmDf = typedSeeds(e, landmarks)
+    val lmVals: Array[Any] = lmDf.collect().map(_.get(0))
+    require(lmVals.nonEmpty, "landmarks must be non-empty")
+    if (n == 0) {
+      val out = nodes0.withColumn("lm", col("node"))
+        .withColumn("dist", lit(0L)).limit(0)
+      nodes0.unpersist(blocking = false)
+      return out
+    }
+    if (n * lmVals.length <= math.min(broadcastMaxNodes, Int.MaxValue - 8L))
+      landmarkDriverState(spark, e, nodes0, n.toInt, lmVals, rounds)
+    else {
+      nodes0.unpersist(blocking = false)
+      val nodesDf = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      val d0 = nodesDf.join(lmDf.select(col("node").as("lm")),
+          nodesDf("node") === col("lm"))
+        .select(col("node"), col("lm"), lit(0L).as("dist"))
+      landmarkDistributedState(spark, e, d0, rounds)
+    }
+  }
+
+  private def landmarkDriverState(spark: SparkSession, e: DataFrame,
+                                  nodes0: DataFrame, n: Int,
+                                  lmVals: Array[Any], rounds: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
+    nodes0.unpersist(blocking = false)
+    val nodeType = nodes0.schema.fields(0).dataType
+    val idRows: java.util.List[org.apache.spark.sql.Row] =
+      nodeVals.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(v, i) }.toSeq.asJava
+    val idSchema = StructType(Seq(
+      StructField("node", nodeType, nullable = true),
+      StructField("id", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val srcIds = spark.createDataFrame(idRows, idSchema)
+    val dstIds = srcIds.select(col("node").as("node2"), col("id").as("id2"))
+    val adj: org.apache.spark.rdd.RDD[(Int, Array[Int])] =
+      PageRank.adjacencyPlan(e, srcIds, dstIds)
+        .rdd.map(r => (r.getInt(0), r.getSeq[Int](1).toArray))
+    adj.cache()
+    adj.count()
+
+    val nodeIdx: Map[Any, Int] = nodeVals.zipWithIndex.toMap
+    val L = lmVals.length
+    // dist(l)(i): landmark l's distance to node i — all L vectors relax
+    // in the SAME map-only job per round (one adjacency pass serves
+    // every landmark)
+    var dist: Array[Array[Long]] = Array.tabulate(L) { l =>
+      val a = Array.fill(n)(INF)
+      nodeIdx.get(lmVals(l)).foreach(i => a(i) = 0L)
+      a
+    }
+    var r = 0
+    while (r < rounds) {
+      val bc = spark.sparkContext.broadcast(dist)
+      val mins = adj.flatMap { case (did, sids) =>
+        val dv = bc.value
+        val best = new Array[Long](dv.length)
+        var any = false
+        var l = 0
+        while (l < dv.length) {
+          val dl = dv(l)
+          var b = INF
+          var j = 0
+          while (j < sids.length) {
+            val d = dl(sids(j))
+            if (d != INF && d + 1 < b) b = d + 1
+            j += 1
+          }
+          best(l) = b
+          if (b != INF) any = true
+          l += 1
+        }
+        if (any) Iterator.single((did, best)) else Iterator.empty
+      }.collect()
+      bc.destroy()
+      val next = dist.map(_.clone())
+      mins.foreach { case (did, best) =>
+        var l = 0
+        while (l < best.length) {
+          if (best(l) < next(l)(did)) next(l)(did) = best(l)
+          l += 1
+        }
+      }
+      dist = next
+      r += 1
+    }
+    adj.unpersist(blocking = false)
+    val outRows: java.util.List[org.apache.spark.sql.Row] =
+      (for (l <- (0 until L).iterator; i <- (0 until n).iterator
+            if dist(l)(i) != INF)
+        yield org.apache.spark.sql.Row(nodeVals(i), lmVals(l), dist(l)(i)))
+        .toSeq.asJava
+    spark.createDataFrame(outRows, StructType(Seq(
+      StructField("node", nodeType, nullable = true),
+      StructField("lm", nodeType, nullable = true),
+      StructField("dist", LongType, nullable = false))))
+  }
+
+  private def landmarkDistributedState(spark: SparkSession, e: DataFrame,
+                                       d0: DataFrame, rounds: Int): DataFrame = {
+    val eCached = e.persist()
+    eCached.count()
+    var dRdd = d0.rdd
+    dRdd.cache(); dRdd.count()
+    var reached = spark.createDataFrame(dRdd, d0.schema)
+    var r = 0
+    while (r < rounds) {
+      val stepped = eCached.join(reached, eCached("src") === reached("node"))
+        .groupBy(eCached("dst").as("node"), col("lm"))
+        .agg((min(col("dist")) + 1L).as("dist"))
+      val merged = reached.unionByName(stepped)
+        .groupBy(col("node"), col("lm")).agg(min(col("dist")).as("dist"))
+      val rdd = merged.rdd
+      rdd.cache(); rdd.count()
+      dRdd.unpersist(blocking = false)
+      dRdd = rdd
+      reached = spark.createDataFrame(rdd, merged.schema)
+      r += 1
+    }
+    eCached.unpersist(blocking = false)
+    reached.select(col("node"), col("lm"), col("dist"))
+  }
+
+  /** Distance ESTIMATES from a landmark table: for every (a, b) in
+    * `aNodes` × `bNodes` reachable through a common landmark,
+    * est(a, b) = min over landmarks of d(a, l) + d(l, b) — an upper
+    * bound on (and with well-chosen landmarks a tight proxy for) the
+    * true distance, served by two landmark-table lookups instead of a
+    * per-pair BFS. Undirected graphs (symmetrized edges) make
+    * d(l, b) = d(b, l), which is what the landmark table stores.
+    */
+  def landmarkEstimates(landmarkDists: DataFrame, aNodes: DataFrame,
+                        bNodes: DataFrame): DataFrame = {
+    val da = landmarkDists.join(
+        broadcast(aNodes.select(col(aNodes.columns.head).as("node_a")).distinct()),
+        landmarkDists("node") === col("node_a"))
+      .select(col("node_a"), col("lm"), col("dist").as("da"))
+    val db = landmarkDists.join(
+        broadcast(bNodes.select(col(bNodes.columns.head).as("node_b")).distinct()),
+        landmarkDists("node") === col("node_b"))
+      .select(col("node_b"), col("lm"), col("dist").as("db"))
+    da.join(db, "lm")
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(min(col("da") + col("db")).as("est"))
+  }
+
+  // ------------------------------------------------------------------
   // Weighted shortest paths (min-plus relaxation)
   // ------------------------------------------------------------------
 

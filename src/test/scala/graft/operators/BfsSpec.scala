@@ -153,6 +153,48 @@ class BfsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---- landmark distance sketches ----
+
+  test("landmarkDistances equals one hopDistances run per landmark, on both scale paths") {
+    val rnd = new scala.util.Random(37)
+    val es = (0 until 400).map(_ =>
+      s"n${rnd.nextInt(60)}" -> s"n${rnd.nextInt(60)}").toDF("src", "dst")
+    val lms = Seq("n0", "n17", "n31")
+    def runOn(maxNodes: Long): Map[(String, String), Long] = {
+      val got = Bfs.landmarkDistances(es, "src", "dst", lms.toDF("node"),
+          rounds = 4, broadcastMaxNodes = maxNodes)
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      graft.Storage.releaseAll(spark)
+      got
+    }
+    val driver = runOn(2000000L)
+    assert(driver == runOn(1L))
+    // per-landmark slices equal independent single-seed BFS runs
+    for (l <- lms) {
+      val single = Bfs.hopDistances(es, "src", "dst", Seq(l).toDF("node"),
+          rounds = 4)
+        .as[(String, Long)].collect().toMap
+      graft.Storage.releaseAll(spark)
+      assert(driver.collect { case ((n, `l`), d) => n -> d } == single, l)
+    }
+  }
+
+  test("landmarkEstimates serves min over landmarks of d(a,l) + d(l,b)") {
+    //   path graph a - b - c - d (symmetrized), landmarks {a, d}
+    val dirEdges = Seq("a" -> "b", "b" -> "c", "c" -> "d")
+    val es = (dirEdges ++ dirEdges.map(_.swap)).toDF("src", "dst")
+    val ld = Bfs.landmarkDistances(es, "src", "dst",
+      Seq("a", "d").toDF("node"), rounds = 3)
+    val est = Bfs.landmarkEstimates(ld, Seq("b").toDF("n"), Seq("c").toDF("n"))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    graft.Storage.releaseAll(spark)
+    // via a: d(b,a)+d(a,c) = 1+2 = 3; via d: d(b,d)+d(d,c) = 2+1 = 3;
+    // the estimate is the landmark upper bound, not the true distance 1
+    assert(est == Map(("b", "c") -> 3L))
+  }
+
   // ---- snapshot + resume ----
 
   test("resume ≡ cold at the combined depth, bit-identically, across all path combinations") {
