@@ -3415,6 +3415,27 @@ object SparkEntry {
     operators.Bfs.landmarkEstimates(s.table(table), ua, vb)
   }
 
+  // ---- q226: onion layers — skyline DEPTH over q218's metric space:
+  //      peel the Pareto front three times, so documents rank in
+  //      quality TIERS (how a token budget larger than the front gets
+  //      spent). Oracle = three unrolled NOT-EXISTS fronts with EXCEPT
+  //      peels, materialized. ----
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    val t = TextFunctions.tokens(col("text"))
+    val m = Tables(s, dir).documents
+      .select(col("text"), size(t).cast("long").as("n_toks"),
+        size(array_distinct(t)).cast("long").as("n_uniq"))
+      .filter(col("n_toks") > 0)
+      .select(col("n_toks"),
+        graft.functions.IntOps.intDiv(col("n_uniq") * 1000000L,
+          col("n_toks")).as("div_q"),
+        size(array_distinct(split(col("text"), ""))).cast("long").as("n_alpha"))
+    ops.Skyline.onionLayersKD(m,
+        Seq(col("n_toks"), col("div_q"), col("n_alpha")), layers = 3)
+      .select(col("layer"), col("c0").as("n_toks"), col("c1").as("div_q"),
+        col("c2").as("n_alpha"), col("n_rows").as("n_docs"))
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3699,6 +3720,7 @@ object SparkEntry {
     "q223_stream_ivf_corpus" -> q223 _,
     "q224_landmark_dists"  -> q224 _,
     "q225_landmark_est"    -> q225 _,
+    "q226_onion_layers"    -> q226 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -4339,6 +4361,38 @@ object SparkEntry {
         |    AND q.n_alpha >= p.n_alpha
         |    AND (q.n_toks > p.n_toks OR q.div_q > p.div_q
         |         OR q.n_alpha > p.n_alpha))""".stripMargin,
+    // q226: three unrolled NOT-EXISTS fronts with EXCEPT peels — the
+    // onion DEFINITION over q218's distinct triples; oracle form only.
+    "q226_onion_layers" -> {
+      def dom(qr: String, pr: String) =
+        s"""$qr.n_toks >= $pr.n_toks AND $qr.div_q >= $pr.div_q
+           |    AND $qr.n_alpha >= $pr.n_alpha
+           |    AND ($qr.n_toks > $pr.n_toks OR $qr.div_q > $pr.div_q
+           |         OR $qr.n_alpha > $pr.n_alpha)""".stripMargin
+      def front(src: String) =
+        s"""SELECT * FROM $src p WHERE NOT EXISTS (
+           |  SELECT 1 FROM $src q WHERE ${dom("q", "p")})""".stripMargin
+      s"""WITH m AS (
+         |  SELECT len(regexp_extract_all(text, '\\S+')) AS n_toks,
+         |    len(list_distinct(regexp_extract_all(text, '\\S+'))) * 1000000
+         |      // len(regexp_extract_all(text, '\\S+')) AS div_q,
+         |    len(list_distinct(string_split(text, ''))) AS n_alpha
+         |  FROM documents WHERE len(regexp_extract_all(text, '\\S+')) > 0
+         |), pts AS MATERIALIZED (
+         |  SELECT n_toks, div_q, n_alpha, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM m GROUP BY 1, 2, 3
+         |), f1 AS MATERIALIZED (${front("pts")}
+         |), r1 AS MATERIALIZED (
+         |  SELECT * FROM pts EXCEPT SELECT * FROM f1
+         |), f2 AS MATERIALIZED (${front("r1")}
+         |), r2 AS MATERIALIZED (
+         |  SELECT * FROM r1 EXCEPT SELECT * FROM f2
+         |), f3 AS MATERIALIZED (${front("r2")}
+         |)
+         |SELECT CAST(1 AS BIGINT) AS layer, * FROM f1
+         |UNION ALL SELECT CAST(2 AS BIGINT), * FROM f2
+         |UNION ALL SELECT CAST(3 AS BIGINT), * FROM f3""".stripMargin
+    },
     // q222: q218's skyline DEFINITION scoped per language — the same
     // quadratic NOT EXISTS with a lang equi-predicate; oracle form only.
     "q222_pareto_by_group" ->

@@ -74,22 +74,38 @@ object Skyline {
     */
   def paretoFrontKD(df: DataFrame, coords: Seq[Column]): DataFrame = {
     require(coords.length >= 2, s"need >= 2 dimensions, got ${coords.length}")
+    frontOfPts(aggregatePts(df, coords), coords.length)
+  }
+
+  /** (`c0`..`c{d-1}`, n_rows): the distinct-point reduction every
+    * skyline variant starts from.
+    */
+  private def aggregatePts(df: DataFrame, coords: Seq[Column]): DataFrame = {
     val d = coords.length
-    val spark = df.sparkSession
-    import spark.implicits._
     val named = coords.zipWithIndex.map { case (c, i) => c.cast("long").as(s"c$i") }
-    val pts = df.select(named: _*)
+    df.select(named: _*)
       .filter((0 until d).map(i => col(s"c$i").isNotNull).reduce(_ && _))
       .groupBy((0 until d).map(i => col(s"c$i")): _*)
       .agg(count(lit(1)).as("n_rows"))
-    def dominates(a: Array[Long], b: Array[Long]): Boolean = {
-      var ge = true; var gt = false; var i = 0
-      while (i < d && ge) {
-        if (a(i) < b(i)) ge = false else if (a(i) > b(i)) gt = true
-        i += 1
-      }
-      ge && gt
+  }
+
+  private def dominatesArr(d: Int)(a: Array[Long], b: Array[Long]): Boolean = {
+    var ge = true; var gt = false; var i = 0
+    while (i < d && ge) {
+      if (a(i) < b(i)) ge = false else if (a(i) > b(i)) gt = true
+      i += 1
     }
+    ge && gt
+  }
+
+  /** The two-pass local-fronts-then-merge front over an already
+    * aggregated (`c0`.., n_rows) frame — the body shared by
+    * [[paretoFrontKD]] and [[onionLayersKD]].
+    */
+  private def frontOfPts(pts: DataFrame, d: Int): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val dominates = dominatesArr(d) _
     def skyPass(in: DataFrame, parts: Option[Int]): DataFrame = {
       val keyed = in.withColumn("__s",
         (0 until d).map(i => col(s"c$i")).reduce(_ + _))
@@ -109,6 +125,42 @@ object Skyline {
         .select((0 until d).map(i => col("c")(i).as(s"c$i")) :+ col("n_rows"): _*)
     }
     skyPass(skyPass(pts, None), Some(1))
+  }
+
+  /** ONION LAYERS (skyline depth, Chang et al.'s onion technique): peel
+    * the Pareto front `layers` times — layer 1 is [[paretoFrontKD]],
+    * layer l+1 is the front of what the first l layers left. The
+    * curation reading: quality TIERS rather than a single frontier
+    * ("the best, the next-best, ..."), which is how a token budget
+    * larger than the front gets spent. Each layer is one front pass
+    * over the (shrinking) distinct-point frame plus an anti-join;
+    * fronts rebase on cached RDD leaves (the materializeLeaf
+    * discipline) because each feeds both the output union and the next
+    * layer's anti-join — `layers` is a small constant by design.
+    * Returns (layer, `c0`..`c{d-1}`, n_rows); points below layer
+    * `layers` are excluded (the unreached-exclusion contract).
+    */
+  def onionLayersKD(df: DataFrame, coords: Seq[Column], layers: Int): DataFrame = {
+    require(coords.length >= 2, s"need >= 2 dimensions, got ${coords.length}")
+    require(layers >= 1, s"layers must be >= 1, got $layers")
+    val d = coords.length
+    val spark = df.sparkSession
+    var remaining = aggregatePts(df, coords)
+    var out: DataFrame = null
+    for (l <- 1 to layers) {
+      val front = frontOfPts(remaining, d)
+      val fRdd = front.rdd
+      fRdd.cache(); fRdd.count()
+      val f = spark.createDataFrame(fRdd, front.schema)
+      val layered = f.withColumn("layer", lit(l.toLong))
+      out = if (out == null) layered else out.unionByName(layered)
+      if (l < layers)
+        remaining = remaining.join(
+          f.select((0 until d).map(i => col(s"c$i")): _*),
+          (0 until d).map(i => s"c$i"), "left_anti")
+    }
+    out.select(col("layer") +: (0 until d).map(i => col(s"c$i")) :+
+      col("n_rows"): _*)
   }
 
   /** PER-GROUP k-dimensional Pareto front — "the quality frontier PER

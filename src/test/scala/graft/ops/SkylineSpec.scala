@@ -108,6 +108,49 @@ class SkylineSpec extends AnyFunSuite with SparkSpec {
     assert(runKD(chain, 3) == Set((Seq(15L, 15L, 15L), 1L)))
   }
 
+  // ---- onion layers ----
+
+  private def bruteOnion(rows: Seq[Seq[Long]], layers: Int): Set[(Long, Seq[Long], Long)] = {
+    var rem = rows
+    (1 to layers).flatMap { l =>
+      val front = bruteKD(rem)
+      val fpts = front.map(_._1)
+      rem = rem.filterNot(fpts.contains)
+      front.map { case (p, n) => (l.toLong, p, n) }
+    }.toSet
+  }
+
+  private def runOnion(rows: Seq[Seq[Long]], d: Int, layers: Int,
+                       parts: Int = 4): Set[(Long, Seq[Long], Long)] = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(org.apache.spark.sql.Row.fromSeq), parts),
+      org.apache.spark.sql.types.StructType((0 until d).map(i =>
+        org.apache.spark.sql.types.StructField(s"v$i",
+          org.apache.spark.sql.types.LongType))))
+    val got = Skyline.onionLayersKD(df, (0 until d).map(i => col(s"v$i")), layers)
+      .collect()
+      .map(r => (r.getLong(0),
+        (1 to d).map(r.getLong): Seq[Long], r.getLong(d + 1)))
+      .toSet
+    graft.Storage.releaseAll(spark)
+    got
+  }
+
+  test("onionLayersKD peels fronts: brute parity across partitionings; layer 1 is the front") {
+    val rnd = new Random(67)
+    val rows = Seq.fill(500)(Seq.fill(3)(rnd.nextInt(10).toLong))
+    for (parts <- Seq(1, 4, 13))
+      assert(runOnion(rows, 3, 3, parts) == bruteOnion(rows, 3), s"parts=$parts")
+    val l1 = runOnion(rows, 3, 1).map { case (_, p, n) => (p, n) }
+    assert(l1 == runKD(rows, 3))
+    // a totally-ordered chain peels one point per layer, top down
+    val chain = (1L to 10L).map(i => Seq(i, i, i))
+    assert(runOnion(chain, 3, 3) == Set(
+      (1L, Seq(10L, 10L, 10L), 1L), (2L, Seq(9L, 9L, 9L), 1L),
+      (3L, Seq(8L, 8L, 8L), 1L)))
+  }
+
   // ---- per-group skyline ----
 
   private def bruteByGroup(rows: Seq[(String, Seq[Long])]): Set[(String, Seq[Long], Long)] =
