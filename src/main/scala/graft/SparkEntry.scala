@@ -3436,6 +3436,30 @@ object SparkEntry {
         col("c2").as("n_alpha"), col("n_rows").as("n_docs"))
   }
 
+  // ---- q227: weighted-distance snapshot + resume — q221's serve
+  //      discipline under q220's min-plus semantics, completing the
+  //      distance family's serve story the way q199 completed the
+  //      centrality family's: save the round-2 weighted frame, resume
+  //      2 more rounds ≡ a cold 4-round run bit-identically. Oracle =
+  //      q220's unroll at the combined depth. ----
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    val pairs = li.select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst"),
+      (lit(1L) + col("l_orderkey") % 5).as("w"))
+    val edges = pairs.unionByName(pairs.select(
+      col("dst").as("src"), col("src").as("dst"), col("w")))
+    val seeds = li.filter(col("l_partkey") < 5)
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("node"))
+      .distinct()
+    val snap = operators.Bfs.weightedDistances(edges, "src", "dst", "w",
+      seeds, rounds = 2)
+    operators.Bfs.saveDistances(s, snap, "graft_wbfs_snapshot")
+    operators.Bfs.resumeWeightedDistances(edges, "src", "dst", "w",
+      s.table("graft_wbfs_snapshot"), rounds = 2)
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3721,6 +3745,7 @@ object SparkEntry {
     "q224_landmark_dists"  -> q224 _,
     "q225_landmark_est"    -> q225 _,
     "q226_onion_layers"    -> q226 _,
+    "q227_weighted_resume" -> q227 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5152,6 +5177,9 @@ object SparkEntry {
     // q225: the q224 unroll plus the served min-sum estimate over the
     // part × supplier query grid.
     "q225_landmark_est" -> OracleSqlGen.q225Sql(),
+    // q227: weighted snapshot+resume ≡ a cold 4-round run — q220's
+    // unroll at the combined depth (2 saved + 2 resumed, seed parts < 5).
+    "q227_weighted_resume" -> OracleSqlGen.q220Sql(rounds = 4, seedMaxPartkey = 5L),
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle

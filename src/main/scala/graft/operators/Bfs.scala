@@ -416,7 +416,9 @@ object Bfs {
     if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L)) {
       val seedVals: Set[Any] = seedDf.collect().map(_.get(0)).toSet
       require(seedVals.nonEmpty, "seeds must be non-empty")
-      weightedDriverState(spark, e, nodes0, n.toInt, seedVals, rounds)
+      weightedDriverState(spark, e, nodes0, n.toInt, rounds,
+        nodeVals => Array.tabulate(n.toInt)(j =>
+          if (seedVals.contains(nodeVals(j))) 0L else INF))
     } else {
       nodes0.unpersist(blocking = false)
       require(!seedDf.isEmpty, "seeds must be non-empty")
@@ -424,9 +426,61 @@ object Bfs {
     }
   }
 
+  /** RESUME weighted (min-plus) relaxation from a prior reached frame —
+    * [[resumeDistances]] under [[weightedDistances]]' semantics: run
+    * `rounds` MORE rounds from the snapshot, ≡ a cold run at the
+    * combined depth bit-identically on an unchanged graph. The hoisted
+    * overflow proof extends to the warm start: every relaxed distance
+    * is bounded by maxPriorDist + rounds·maxW, checked once up front.
+    */
+  def resumeWeightedDistances(edges: DataFrame, srcCol: String,
+                              dstCol: String, weightCol: String,
+                              prior: DataFrame, rounds: Int,
+                              broadcastMaxNodes: Long = 2000000L): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast(LongType).as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes0.count()
+    if (n == 0) {
+      val out = nodes0.withColumn("dist", lit(0L)).limit(0)
+      nodes0.unpersist(blocking = false)
+      return out
+    }
+    val wStats = e.agg(min(col("w")).as("lo"), max(col("w")).as("hi")).head()
+    require(!wStats.isNullAt(0) && wStats.getLong(0) >= 1L,
+      s"edge weights must be positive longs, found min ${wStats.get(0)}")
+    val maxW = wStats.getLong(1)
+    val p = prior.select(
+      col("node").cast(e.schema.fields(0).dataType).as("node"),
+      col("dist").cast(LongType).as("dist"))
+    val maxPriorRow = p.agg(max(col("dist"))).head()
+    val maxPrior = if (maxPriorRow.isNullAt(0)) 0L else maxPriorRow.getLong(0)
+    require(maxPrior >= 0L, s"snapshot distances must be >= 0, max $maxPrior")
+    require(rounds == 0 || maxW <= (Long.MaxValue - 1L - maxPrior) / rounds,
+      s"maxPrior + rounds*maxWeight would overflow: " +
+        s"maxPrior=$maxPrior rounds=$rounds maxW=$maxW")
+    if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L)) {
+      val m: Map[Any, Long] = p.collect()
+        .map(r => (r.get(0), r.getLong(1))).toMap
+      weightedDriverState(spark, e, nodes0, n.toInt, rounds,
+        nodeVals => Array.tabulate(n.toInt)(j =>
+          m.getOrElse(nodeVals(j), INF)))
+    } else {
+      nodes0.unpersist(blocking = false)
+      val d0 = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .join(p, Seq("node")).select(col("node"), col("dist"))
+      weightedDistributedState(spark, e, d0, rounds)
+    }
+  }
+
   private def weightedDriverState(spark: SparkSession, e: DataFrame,
-                                  nodes0: DataFrame, n: Int,
-                                  seedVals: Set[Any], rounds: Int): DataFrame = {
+                                  nodes0: DataFrame, n: Int, rounds: Int,
+                                  init: Array[Any] => Array[Long]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
     nodes0.unpersist(blocking = false)
@@ -460,12 +514,13 @@ object Bfs {
     adj.cache()
     adj.count()
 
-    var dist = Array.tabulate(n)(j => if (seedVals.contains(nodeVals(j))) 0L else INF)
+    var dist = init(nodeVals)
     var r = 0
     while (r < rounds) {
       val bc = spark.sparkContext.broadcast(dist)
-      // raw d + w is exact here: d <= rounds·maxW by induction and the
-      // caller checked rounds·maxW once (the hoisted proof)
+      // raw d + w is exact here: d <= (maxPrior +) rounds·maxW by
+      // induction and the caller checked that bound once (the hoisted
+      // proof)
       val mins = adj.map { case (did, sids, ws) =>
         val dv = bc.value
         var best = INF

@@ -413,4 +413,36 @@ object Sinks {
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
+
+  /** [[compactBucketed]]'s sibling for PARTITIONED stores (the IVF
+    * serving index shape): per-batch appends accumulate one file per
+    * (partition × task) per ingest, and at the 100 TB steady state the
+    * small-file count — not the data — becomes the probe cost. Rewrites
+    * to one file per partition value (each value's rows are hashed
+    * wholly into one task, so the partitioned writer emits exactly one
+    * file there), preserving the partition spec and therefore every
+    * probe's catalog pruning. Same tmp + rename swap; run on a
+    * maintenance cadence, not per batch.
+    */
+  def compactPartitioned(spark: SparkSession, table: String): Unit = {
+    require(!table.contains("."),
+      s"compactPartitioned expects an unqualified table name, got '$table'")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val pcols = meta.partitionColumnNames
+    require(pcols.nonEmpty,
+      s"table '$table' is not partitioned — nothing to preserve, use a plain rewrite")
+    val tmp = table + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    spark.table(table)
+      .repartition(pcols.map(col): _*)
+      .write.mode("overwrite").format("parquet")
+      .partitionBy(pcols: _*).saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    // the rename moves the table DIRECTORY but the catalog's
+    // per-partition locations still reference the tmp path — re-derive
+    // them from the moved directory layout, or every scan reads empty
+    spark.sql(s"MSCK REPAIR TABLE `$table`")
+  }
 }

@@ -220,6 +220,30 @@ class BfsSpec extends AnyFunSuite with SparkSpec {
     graft.sources.Sinks.dropTableAndStaleLocation(spark, "graft_test_bfs_snap")
   }
 
+  test("weighted resume ≡ weighted cold at the combined depth, across all path combinations") {
+    val rnd = new scala.util.Random(71)
+    val es = (0 until 400).map(_ =>
+      (s"n${rnd.nextInt(60)}", s"n${rnd.nextInt(60)}", 1L + rnd.nextInt(9)))
+      .toDF("src", "dst", "w")
+    val seeds = Seq("n0", "n17").toDF("node")
+    val cold4 = Bfs.weightedDistances(es, "src", "dst", "w", seeds, rounds = 4)
+      .as[(String, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    for (snapMax <- Seq(2000000L, 1L); resMax <- Seq(2000000L, 1L)) {
+      val snap = Bfs.weightedDistances(es, "src", "dst", "w", seeds,
+        rounds = 2, broadcastMaxNodes = snapMax)
+      Bfs.saveDistances(spark, snap, "graft_test_wbfs_snap")
+      graft.Storage.releaseAll(spark)
+      val resumed = Bfs.resumeWeightedDistances(es, "src", "dst", "w",
+          spark.table("graft_test_wbfs_snap"), rounds = 2,
+          broadcastMaxNodes = resMax)
+        .as[(String, Long)].collect().toMap
+      graft.Storage.releaseAll(spark)
+      assert(resumed == cold4, s"snapMax=$snapMax resMax=$resMax")
+    }
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, "graft_test_wbfs_snap")
+  }
+
   test("resume with zero extra rounds returns the snapshot; snapshot nodes off the current graph drop") {
     val es = Seq("a" -> "b", "b" -> "c").toDF("src", "dst")
     val snap = Seq(("a", 0L), ("b", 1L), ("gone", 3L)).toDF("node", "dist")

@@ -66,6 +66,25 @@ class IvfStoreSpec extends AnyFunSuite with SparkSpec {
     val afterDup = key(Similarity.ivfTopKStored(spark, "graft_ivfinc_spec",
       cents, q, "vec_id", "embedding", k = 5, nprobe = 4))
     assert(afterDup == inline)
+    // maintenance: compaction rewrites to one file per cell, keeps the
+    // partition spec (pruning intact), and cannot change answers —
+    // including the duplicate rows it faithfully carries
+    graft.sources.Sinks.compactPartitioned(spark, "graft_ivfinc_spec")
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_ivfinc_spec"))
+        .location.toString))
+    val cellDirs = loc.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { dir =>
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${dir.getName}: ${files.length} files after compaction")
+    }
+    val afterCompact = key(Similarity.ivfTopKStored(spark, "graft_ivfinc_spec",
+      cents, q, "vec_id", "embedding", k = 5, nprobe = 4))
+    assert(afterCompact == inline)
     graft.sources.Sinks.dropTableAndStaleLocation(spark, "graft_ivfinc_spec")
     graft.sources.Sinks.dropTableAndStaleLocation(spark,
       Similarity.centroidsTable("graft_ivfinc_spec"))

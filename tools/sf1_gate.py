@@ -65,6 +65,12 @@ SF1_ORACLE_PREFIXES = [
     # q218 oracle is the quadratic NOT EXISTS definition: ~15k distinct
     # triples at sf1 -> 2.2e8 dominance checks, DuckDB-tractable.
     "q218_", "q219_",
+    # round-15 families: q220/q221 are q219-scale BFS unrolls
+    # (materialized); q224/q225 carry (node, lm) state = 3x q219's rows;
+    # q222/q226 are the q218 NOT EXISTS with a group predicate / three
+    # shrinking peels — all DuckDB-tractable at sf1; q223 is the q32
+    # replay (the q217 form).
+    "q220_", "q221_", "q222_", "q223_", "q224_", "q225_", "q226_",
 ]
 
 
