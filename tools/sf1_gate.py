@@ -70,7 +70,7 @@ SF1_ORACLE_PREFIXES = [
     # q222/q226 are the q218 NOT EXISTS with a group predicate / three
     # shrinking peels — all DuckDB-tractable at sf1; q223 is the q32
     # replay (the q217 form).
-    "q220_", "q221_", "q222_", "q223_", "q224_", "q225_", "q226_",
+    "q220_", "q221_", "q222_", "q223_", "q224_", "q225_", "q226_", "q227_",
 ]
 
 
