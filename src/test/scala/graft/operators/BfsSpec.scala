@@ -180,6 +180,17 @@ class BfsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("landmarks entirely off the graph yield an empty table on both paths") {
+    val es = Seq("a" -> "b", "b" -> "c").toDF("src", "dst")
+    for (maxNodes <- Seq(2000000L, 1L)) {
+      val got = Bfs.landmarkDistances(es, "src", "dst",
+        Seq("zz", "yy").toDF("node"), rounds = 3,
+        broadcastMaxNodes = maxNodes)
+      assert(got.count() == 0L, s"maxNodes=$maxNodes")
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
   test("landmarkEstimates serves min over landmarks of d(a,l) + d(l,b)") {
     //   path graph a - b - c - d (symmetrized), landmarks {a, d}
     val dirEdges = Seq("a" -> "b", "b" -> "c", "c" -> "d")

@@ -187,6 +187,17 @@ class SkylineSpec extends AnyFunSuite with SparkSpec {
       assert(runByGroup(rows, 3, parts) == bruteByGroup(rows), s"parts=$parts")
   }
 
+  test("paretoFrontKDByGroup keeps the group column's input type (long keys)") {
+    val df = Seq((7L, 3L, 1L), (7L, 1L, 3L), (7L, 1L, 1L), (9L, 5L, 5L))
+      .toDF("g", "a", "b")
+    val got = Skyline.paretoFrontKDByGroup(df, col("g"), Seq(col("a"), col("b")))
+    assert(got.schema("grp").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val rows = got.as[(Long, Long, Long, Long)].collect().toSet
+    graft.Storage.releaseAll(spark)
+    assert(rows == Set((7L, 3L, 1L, 1L), (7L, 1L, 3L, 1L), (9L, 5L, 5L, 1L)))
+  }
+
   test("paretoFrontKDByGroup: dominance never leaks across groups") {
     // (1,1,1) in group b is dominated by a's (9,9,9) globally but is b's
     // entire front; identical coordinates count rows within their group
