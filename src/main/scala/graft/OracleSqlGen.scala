@@ -1371,6 +1371,133 @@ object OracleSqlGen {
        |SELECT e.vec_id, e.cluster, d.vec_id IS NULL AS kept
        |FROM ev e LEFT JOIN dropped d ON e.vec_id = d.vec_id""".stripMargin
 
+  // ---- q228: cluster-local k-NN graph — q95's pair space (within-cell
+  // cosines over the bit-exact Lloyd chain, round-6 guarded) ranked into
+  // a per-point top-k with a neighbor-id tiebreak, so the cut is total
+  // and replays exactly.
+  def q228Sql(targetClusterSize: Long = 2500L, maxK: Int = 4096,
+              iterations: Int = 5, scale: Long = 1000000L,
+              dim: Int = 64, k: Int = 5): String =
+    s"""WITH ${kmeansCtes(derivedKSql(targetClusterSize, maxK), iterations, scale, dim)}, ev AS (
+       |  SELECT a.vec_id, a.cluster, e.embedding::DOUBLE[] AS v
+       |  FROM asg a JOIN embeddings e USING (vec_id)
+       |), pr AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    round(list_dot_product(a.v, b.v)
+       |      / (sqrt(list_dot_product(a.v, a.v))
+       |         * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+       |  FROM ev a JOIN ev b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+       |)
+       |SELECT vec_id, knn_rank, neighbor_id, cos_sim FROM (
+       |  SELECT vec_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+       |  FROM pr WHERE cos_sim IS NOT NULL) t
+       |WHERE knn_rank <= $k""".stripMargin
+
+  // ---- q229: greedy k-center (Gonzalez) unrolled — the same scaled-long
+  // points as the Lloyd chain, exact BIGINT squared distances, argmax
+  // with an id tiebreak per round. Each d-frame CTE is MATERIALIZED:
+  // d(r-1) feeds both sel(r) and d(r), and without the barrier DuckDB's
+  // inlining re-expands the chain exponentially (the q185 lesson).
+  def q229Sql(m: Int = 8, scale: Long = 1000000L, dim: Int = 64): String = {
+    def dist(p: String, s: String) =
+      s"CAST(list_sum([($p.x[i] - $s.x[i]) * ($p.x[i] - $s.x[i]) " +
+        s"FOR i IN range(1, ${dim + 1})]) AS BIGINT)"
+    val rounds = (2 to m).map { r =>
+      val sel =
+        s"""sel$r AS (
+           |  SELECT vec_id, x, d FROM d${r - 1} ORDER BY d DESC, vec_id LIMIT 1
+           |)""".stripMargin
+      if (r == m) sel
+      else
+        sel + s""", d$r AS MATERIALIZED (
+           |  SELECT p.vec_id, p.x, least(p.d, ${dist("p", "s")}) AS d
+           |  FROM d${r - 1} p CROSS JOIN sel$r s
+           |)""".stripMargin
+    }.mkString(", ")
+    val unions = (2 to m).map(r =>
+      s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, d FROM sel$r")
+      .mkString("\n")
+    s"""WITH pts AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE) * $scale.0) AS BIGINT)
+       |     FOR x IN embedding] AS x
+       |  FROM embeddings
+       |), sel1 AS (
+       |  SELECT vec_id, x FROM pts ORDER BY vec_id LIMIT 1
+       |), d1 AS MATERIALIZED (
+       |  SELECT p.vec_id, p.x, ${dist("p", "s")} AS d
+       |  FROM pts p CROSS JOIN sel1 s
+       |), $rounds
+       |SELECT CAST(1 AS BIGINT) AS sel_round, vec_id,
+       |       CAST(NULL AS BIGINT) AS min_dist_sq
+       |FROM sel1
+       |$unions""".stripMargin
+  }
+
+  // ---- q230: MMR re-rank unrolled — round-6 relevance and pair sims,
+  // then nSel greedy rounds: maxsim over the selected set, the two-op
+  // IEEE score (λ and 1−λ printed from the same Scala doubles the Spark
+  // side multiplies by), argmax with a candidate-id tiebreak. The
+  // growing selected-set union is MATERIALIZED per round — selu(r-1)
+  // feeds three consumers, the exponential-inlining hazard again.
+  def q230Sql(nQueries: Int = 4, nCand: Int = 20, nSel: Int = 10,
+              lambda: Double = 0.7): String = {
+    val lam = lambda.toString
+    val oneMinus = (1.0 - lambda).toString
+    def cosSql(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) " +
+        s"* sqrt(list_dot_product($b, $b))), 6)"
+    val rounds = (2 to nSel).map { r =>
+      s"""m$r AS (
+         |  SELECT s.qid, s.ca AS cid, max(s.sim) AS maxsim
+         |  FROM s JOIN selu${r - 1} u ON s.qid = u.qid AND s.cb = u.cid
+         |  GROUP BY 1, 2
+         |), sc$r AS (
+         |  SELECT c.qid, c.cid, c.rel,
+         |    $lam * c.rel - $oneMinus * m.maxsim AS score
+         |  FROM cand c JOIN m$r m ON c.qid = m.qid AND c.cid = m.cid
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} u
+         |                    WHERE u.qid = c.qid AND u.cid = c.cid)
+         |), sel$r AS (
+         |  SELECT qid, cid, CAST($r AS BIGINT) AS mmr_rank, rel, score FROM (
+         |    SELECT qid, cid, rel, score,
+         |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+         |    FROM sc$r) t WHERE rn = 1
+         |), selu$r AS MATERIALIZED (
+         |  SELECT * FROM selu${r - 1} UNION ALL SELECT * FROM sel$r
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS qid, v AS qv FROM ev ORDER BY vec_id LIMIT $nQueries
+       |), rel0 AS (
+       |  SELECT q.qid, e.vec_id AS cid, e.v,
+       |    ${cosSql("q.qv", "e.v")} AS rel
+       |  FROM q JOIN ev e ON e.vec_id <> q.qid
+       |), cand AS MATERIALIZED (
+       |  SELECT qid, cid, v, rel FROM (
+       |    SELECT qid, cid, v, rel,
+       |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+       |    FROM rel0 WHERE rel IS NOT NULL) t
+       |  WHERE rn <= $nCand
+       |), s AS MATERIALIZED (
+       |  SELECT a.qid, a.cid AS ca, b.cid AS cb, ${cosSql("a.v", "b.v")} AS sim
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+       |), sel1 AS (
+       |  SELECT qid, cid, CAST(1 AS BIGINT) AS mmr_rank, rel,
+       |         $lam * rel AS score
+       |  FROM (
+       |    SELECT qid, cid, rel,
+       |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+       |    FROM cand) t WHERE rn = 1
+       |), selu1 AS (SELECT qid, cid, mmr_rank, rel, score FROM sel1), $rounds
+       |SELECT qid AS query_id, mmr_rank, cid AS vec_id, rel, score
+       |FROM selu$nSel""".stripMargin
+  }
+
   // ---- q112: TWO-LEVEL fixed-point k-means — both levels unrolled as
   // plain CTEs. Level 1 reuses the q94 chain at k₁ = ⌈√k_total⌉ (IEEE
   // sqrt is correctly rounded, so both engines' ceil lands on the same

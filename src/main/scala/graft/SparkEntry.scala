@@ -3460,6 +3460,45 @@ object SparkEntry {
       s.table("graft_wbfs_snapshot"), rounds = 2)
   }
 
+  // ---- q228: cluster-local k-NN graph — the neighbor artifact that
+  //      diversity sampling and semantic-cluster QA read (the SemDeDup
+  //      family's follow-up analyses): q94's bit-exact Lloyd cells bound
+  //      the pair space (Σ n_c² ≈ n·2500, linear via derived k), then
+  //      each point keeps its top-5 same-cell cosine neighbors
+  //      (round-6, neighbor-id tiebreak — a total cut). Oracle = the
+  //      q94 chain + the within-cell rank window. ----
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val asg = operators.KMeans.assignAuto(emb, "vec_id", "embedding",
+      targetClusterSize = 2500L, iterations = 5)
+    operators.KnnGraph.clusterLocalKnn(
+      emb.join(asg, "vec_id"), "vec_id", "embedding", "cluster", k = 5)
+  }
+
+  // ---- q229: greedy k-center coreset (Gonzalez 1985) — spend a
+  //      fixed inspection budget across the corpus's MODES instead of
+  //      its head: 8 centers, each the argmax of the exact scaled-long
+  //      min-distance to the picks so far (lowest-id start and ties).
+  //      m map-only scans + m single-row argmaxes; oracle = the m
+  //      rounds unrolled over the same scaled points. ----
+  private def q229(s: SparkSession, dir: String): DataFrame =
+    operators.KCenter.greedy(Tables(s, dir).embeddings,
+      "vec_id", "embedding", m = 8)
+
+  // ---- q230: MMR re-rank (Carbonell & Goldstein 1998) — the
+  //      diversity pass after retrieval: for each of the 4 lowest-id
+  //      query vectors, the top-20 cosine candidates re-rank into 10
+  //      positions by λ·rel − (1−λ)·maxsim-to-selected (λ = 0.7,
+  //      round-6 cosines, id tiebreaks). Oracle = the candidate cut,
+  //      the pair-sim frame, and all 10 greedy rounds unrolled. ----
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val q = emb.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    operators.Mmr.rerank(emb, "vec_id", "embedding",
+      q, "query_id", "qv", nCand = 20, nSel = 10, lambda = 0.7)
+  }
+
   // ---- q199: WEIGHTED + PERSONALIZED PageRank over the q184
   //      co-engagement graph — the item-to-item recommendation walk:
   //      restart mass returns only to the seed items, and rank flows in
@@ -3746,6 +3785,9 @@ object SparkEntry {
     "q225_landmark_est"    -> q225 _,
     "q226_onion_layers"    -> q226 _,
     "q227_weighted_resume" -> q227 _,
+    "q228_knn_graph"       -> q228 _,
+    "q229_kcenter_coreset" -> q229 _,
+    "q230_mmr_rerank"      -> q230 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5180,6 +5222,15 @@ object SparkEntry {
     // q227: weighted snapshot+resume ≡ a cold 4-round run — q220's
     // unroll at the combined depth (2 saved + 2 resumed, seed parts < 5).
     "q227_weighted_resume" -> OracleSqlGen.q220Sql(rounds = 4, seedMaxPartkey = 5L),
+    // q228: the q94 Lloyd chain + within-cell round-6 cosines ranked
+    // into a per-point top-5 (neighbor-id tiebreak — a total cut).
+    "q228_knn_graph" -> OracleSqlGen.q228Sql(),
+    // q229: greedy k-center unrolled — exact scaled-long distances,
+    // argmax (d DESC, id) per round, MATERIALIZED d-frames.
+    "q229_kcenter_coreset" -> OracleSqlGen.q229Sql(m = 8),
+    // q230: MMR unrolled — candidate cut, pair-sim frame, 10 greedy
+    // rounds with the same λ/1−λ doubles the Spark side multiplies by.
+    "q230_mmr_rerank" -> OracleSqlGen.q230Sql(),
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle

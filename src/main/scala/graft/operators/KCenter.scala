@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Greedy k-center (Gonzalez 1985) coreset selection over an embedding
+  * column — the diversity-sampling primitive: pick m points so that every
+  * corpus point is near SOME pick (2-approximation of the optimal
+  * cover radius). Training-data curation uses exactly this shape to spend
+  * a small annotation/inspection budget across the corpus's modes instead
+  * of resampling its head.
+  *
+  * Determinism contract (the fixed-point discipline of [[KMeans]]):
+  * coordinates are scaled longs (floor(x·scale)), distances are EXACT
+  * long squared-L2 sums (embedding values are sub-unit, so a 64-dim
+  * squared sum is ≤ ~9.2e13 ≪ Long.MaxValue — proven once here, not
+  * per row), the first center is the lowest id, and every later round
+  * picks argmax of the min-distance-to-selected with a lowest-id
+  * tiebreak. The DuckDB oracle unrolls the identical m−1 rounds, so the
+  * selection replays bit-exactly — no tolerance.
+  *
+  * Plan shape: the scaled corpus is cached once; each round is ONE
+  * map-side distance update (least(prev, dist-to-new-center), the new
+  * center rides the plan as an array literal — O(d), not O(corpus))
+  * followed by ONE argmax aggregate collecting a SINGLE row. Driver
+  * traffic is m rows total; no per-point state ever leaves the
+  * executors. m is a budget knob (tens–thousands), so the m·scan cost
+  * is the honest lower bound for exact greedy k-center.
+  */
+object KCenter {
+
+  /** Select `m` centers greedily; returns one row per selection round.
+    *
+    * @return (sel_round 1..m, idCol, min_dist_sq) — min_dist_sq is the
+    *         point's exact squared distance to the previously selected
+    *         set AT SELECTION TIME (null for round 1: nothing is
+    *         selected yet)
+    */
+  def greedy(points: DataFrame, idCol: String, vecCol: String,
+             m: Int, scale: Long = 1000000L): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val scaled = points.select(
+      col(idCol).as("__id"),
+      transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(scale.toDouble)).cast("long")).as("__x"))
+    scaled.persist()
+
+    def distTo(center: Array[Long]): Column =
+      aggregate(
+        zip_with(col("__x"), typedLit(center.toSeq), (a, b) => {
+          val d = a - b
+          d * d
+        }),
+        lit(0L), (acc, x) => acc + x)
+
+    // Round 1: the lowest id, min_dist undefined (null).
+    val first = scaled.orderBy(col("__id")).limit(1)
+      .select(col("__id"), col("__x")).collect()(0)
+    var picks = List[(Int, Any, Option[Long])]((1, first.get(0), None))
+    var lastCenter = first.getSeq[Long](1).toArray
+
+    // Rounds 2..m: fold the new center into the running min-distance
+    // (withColumn self-replace keeps ONE __d column), then argmax
+    // (dist DESC, id ASC). Each round's frame persists and the previous
+    // round's cache is released only AFTER the argmax has materialized
+    // the new one, so no round ever recomputes the least() chain from
+    // scratch — total work is O(m·d) per point, the exact-greedy lower
+    // bound. Selected points carry dist 0, so they are never re-picked
+    // while the corpus has m distinct vectors.
+    var cur = scaled.withColumn("__d", distTo(lastCenter)).persist()
+    var prev: DataFrame = null
+    var r = 2
+    while (r <= m) {
+      val pick = cur.orderBy(col("__d").desc, col("__id").asc).limit(1)
+        .select(col("__id"), col("__x"), col("__d")).collect()(0)
+      if (prev != null) { prev.unpersist(); prev = null }
+      picks ::= ((r, pick.get(0), Some(pick.getLong(2))))
+      lastCenter = pick.getSeq[Long](1).toArray
+      if (r < m) {
+        prev = cur
+        cur = cur.withColumn("__d",
+          least(col("__d"), distTo(lastCenter))).persist()
+      }
+      r += 1
+    }
+    if (prev != null) prev.unpersist()
+    cur.unpersist()
+    scaled.unpersist()
+
+    val rows = picks.reverse.map { case (rd, id, d) =>
+      Row(rd.toLong, id, d.map(Long.box).orNull)
+    }
+    val idField = points.select(col(idCol)).schema.fields(0)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sel_round",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        idField.copy(name = idCol),
+        org.apache.spark.sql.types.StructField("min_dist_sq",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+}
