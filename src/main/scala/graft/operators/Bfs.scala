@@ -29,10 +29,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * rounds, so the warm start is exact by construction).
   *
   * Citation: frontier-relaxation BFS is the textbook form (Cormen et
-  * al.); the per-round full min-merge (rather than a delta frontier) is
-  * chosen deliberately so both execution paths and the oracle compute
-  * the identical recurrence d_{k+1}(v) = min(d_k(v), min over in-edges
-  * (u,v) of d_k(u) + w(u,v)) — hop distance is the w ≡ 1 instance.
+  * al.). Both paths and the oracle compute the identical recurrence
+  * d_{k+1}(v) = min(d_k(v), min over in-edges (u,v) of d_k(u) + w(u,v))
+  * — hop distance is the w ≡ 1 instance; the distributed loop computes
+  * it via DELTA-FRONTIER relaxation (see [[distributedRelax]] for the
+  * bit-identity argument), so deep round caps stop paying a full
+  * edges⋈reached join per round.
   */
 object Bfs {
 
@@ -159,29 +161,81 @@ object Bfs {
 
   /** Distributed rounds from an arbitrary initial reached frame. */
   private def distributedState(spark: SparkSession, e: DataFrame,
-                               d0: DataFrame, rounds: Int): DataFrame = {
+                               d0: DataFrame, rounds: Int): DataFrame =
+    distributedRelax(spark, e, d0, rounds, Seq("node"),
+      (eC, f) => eC.join(f, eC("src") === f("node"))
+        .groupBy(eC("dst").as("node"))
+        .agg((min(col("dist")) + 1L).as("dist")))
+      .select(col("node"), col("dist"))
+
+  /** DELTA-FRONTIER distributed relaxation — each round relaxes only
+    * edges leaving nodes whose distance IMPROVED last round, instead of
+    * re-joining the full reached frame against the edge list. The result
+    * after any fixed round count is BIT-IDENTICAL to the full min-merge
+    * (spec-pinned against the driver-CSR path): an improvement at v in
+    * round r+1 must relax through an in-neighbor u using d_r(u), and if
+    * u did not improve in round r then the same candidate d_r(u)+w was
+    * already min-merged into v in an earlier round (distances are
+    * monotone non-increasing) — so restricting to last round's improved
+    * set loses nothing, and candidates carry the same values full-merge
+    * would use, so it invents nothing. An empty frontier is a fixpoint
+    * (every later round is a no-op), so the loop exits early — the
+    * fixed-round result is unchanged, deep round caps just stop paying
+    * per-round cost past the graph's effective diameter.
+    *
+    * At scale this is the difference between R·|edges⋈reached| and
+    * Σ_r |edges⋈frontier_r| join work — for hop BFS every node improves
+    * exactly once, so the frontier sum is ONE pass over the reachable
+    * graph total, vs one pass PER ROUND for the full merge.
+    *
+    * @param keyCols  state key (`node`, or `node, lm` for the landmark
+    *                 table); `dist` rides alongside
+    * @param step     frontier → relaxed-candidate frame (keyCols + dist)
+    */
+  private def distributedRelax(spark: SparkSession, e: DataFrame,
+                               d0: DataFrame, rounds: Int,
+                               keyCols: Seq[String],
+                               step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val eCached = e.persist()
     eCached.count()
     var dRdd = d0.rdd
-    dRdd.cache(); dRdd.count()
+    dRdd.cache()
+    var fCount = dRdd.count()
     var reached = spark.createDataFrame(dRdd, d0.schema)
+    var fRdd = dRdd // frontier starts as the whole initial frame
+    var frontier = reached
     var r = 0
-    while (r < rounds) {
-      val stepped = eCached.join(reached, eCached("src") === reached("node"))
-        .groupBy(eCached("dst").as("node")).agg((min(col("dist")) + 1L).as("dist"))
-      val merged = reached.unionByName(stepped)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      // rebase each round on a cached RDD leaf (materializeLeaf
+    while (r < rounds && fCount > 0) {
+      val stepped = step(eCached, frontier)
+      // strict improvements only: ties are not frontier (else cycles
+      // re-emit forever); a node absent from reached is an improvement
+      val improved = stepped.join(
+          reached.withColumnRenamed("dist", "__old"), keyCols, "left")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select((keyCols :+ "dist").map(col): _*)
+      // rebase each round on cached RDD leaves (materializeLeaf
       // discipline): self-referential plans otherwise nest R deep
+      val iRdd = improved.rdd
+      iRdd.cache()
+      val iCount = iRdd.count()
+      val newFrontier = spark.createDataFrame(iRdd, improved.schema)
+      val merged = reached
+        .join(newFrontier.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(newFrontier)
       val rdd = merged.rdd
       rdd.cache(); rdd.count()
+      if (fRdd ne dRdd) fRdd.unpersist(blocking = false)
       dRdd.unpersist(blocking = false)
       dRdd = rdd
+      fRdd = iRdd
       reached = spark.createDataFrame(rdd, merged.schema)
+      frontier = newFrontier
+      fCount = iCount
       r += 1
     }
     eCached.unpersist(blocking = false)
-    reached.select(col("node"), col("dist"))
+    if (fRdd ne dRdd) fRdd.unpersist(blocking = false)
+    reached
   }
 
   // ------------------------------------------------------------------
@@ -319,29 +373,12 @@ object Bfs {
   }
 
   private def landmarkDistributedState(spark: SparkSession, e: DataFrame,
-                                       d0: DataFrame, rounds: Int): DataFrame = {
-    val eCached = e.persist()
-    eCached.count()
-    var dRdd = d0.rdd
-    dRdd.cache(); dRdd.count()
-    var reached = spark.createDataFrame(dRdd, d0.schema)
-    var r = 0
-    while (r < rounds) {
-      val stepped = eCached.join(reached, eCached("src") === reached("node"))
-        .groupBy(eCached("dst").as("node"), col("lm"))
-        .agg((min(col("dist")) + 1L).as("dist"))
-      val merged = reached.unionByName(stepped)
-        .groupBy(col("node"), col("lm")).agg(min(col("dist")).as("dist"))
-      val rdd = merged.rdd
-      rdd.cache(); rdd.count()
-      dRdd.unpersist(blocking = false)
-      dRdd = rdd
-      reached = spark.createDataFrame(rdd, merged.schema)
-      r += 1
-    }
-    eCached.unpersist(blocking = false)
-    reached.select(col("node"), col("lm"), col("dist"))
-  }
+                                       d0: DataFrame, rounds: Int): DataFrame =
+    distributedRelax(spark, e, d0, rounds, Seq("node", "lm"),
+      (eC, f) => eC.join(f, eC("src") === f("node"))
+        .groupBy(eC("dst").as("node"), col("lm"))
+        .agg((min(col("dist")) + 1L).as("dist")))
+      .select(col("node"), col("lm"), col("dist"))
 
   /** Distance ESTIMATES from a landmark table: for every (a, b) in
     * `aNodes` × `bNodes` reachable through a common landmark,
@@ -549,29 +586,12 @@ object Bfs {
   }
 
   private def weightedDistributedState(spark: SparkSession, e: DataFrame,
-                                       d0: DataFrame, rounds: Int): DataFrame = {
-    val eCached = e.persist()
-    eCached.count()
-    var dRdd = d0.rdd
-    dRdd.cache(); dRdd.count()
-    var reached = spark.createDataFrame(dRdd, d0.schema)
-    var r = 0
-    while (r < rounds) {
-      val stepped = eCached.join(reached, eCached("src") === reached("node"))
-        .groupBy(eCached("dst").as("node"))
-        .agg(min(col("dist") + col("w")).as("dist"))
-      val merged = reached.unionByName(stepped)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      val rdd = merged.rdd
-      rdd.cache(); rdd.count()
-      dRdd.unpersist(blocking = false)
-      dRdd = rdd
-      reached = spark.createDataFrame(rdd, merged.schema)
-      r += 1
-    }
-    eCached.unpersist(blocking = false)
-    reached.select(col("node"), col("dist"))
-  }
+                                       d0: DataFrame, rounds: Int): DataFrame =
+    distributedRelax(spark, e, d0, rounds, Seq("node"),
+      (eC, f) => eC.join(f, eC("src") === f("node"))
+        .groupBy(eC("dst").as("node"))
+        .agg(min(col("dist") + col("w")).as("dist")))
+      .select(col("node"), col("dist"))
 
   // ------------------------------------------------------------------
   // Snapshot + resume (the q194/q197/q198 serve discipline)

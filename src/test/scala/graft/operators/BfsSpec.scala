@@ -146,6 +146,42 @@ class BfsSpec extends AnyFunSuite with SparkSpec {
     assert(w1 == hop)
   }
 
+  test("delta-frontier: a round cap far past the diameter equals the exact-depth run") {
+    // The distributed loop exits when the frontier empties; the result
+    // must still be the fixed-round recurrence's (which is at fixpoint).
+    val rnd = new scala.util.Random(43)
+    val es = (0 until 300).map(_ =>
+      (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+    def runHop(rounds: Int): Map[String, Long] = {
+      val got = Bfs.hopDistances(es.toDF("src", "dst"), "src", "dst",
+          Seq("n0").toDF("node"), rounds, broadcastMaxNodes = 1L)
+        .as[(String, Long)].collect().toMap
+      graft.Storage.releaseAll(spark)
+      got
+    }
+    assert(runHop(100) == runHop(10)) // 40 nodes: diameter well under 10
+  }
+
+  test("delta-frontier re-emits a node that improves twice (min-plus)") {
+    // d reaches 10 via the direct edge in round 1, improves to 3 via the
+    // chain in round 3 — and e (only reachable through d) must see BOTH
+    // values at the right rounds, which requires d re-entering the
+    // frontier on its second improvement.
+    val es = Seq(("s", "d", 10L), ("s", "a", 1L), ("a", "b", 1L),
+      ("b", "d", 1L), ("d", "e", 1L))
+    def runOn(rounds: Int, maxNodes: Long): Map[String, Long] = {
+      val got = Bfs.weightedDistances(es.toDF("src", "dst", "w"),
+          "src", "dst", "w", Seq("s").toDF("node"), rounds,
+          broadcastMaxNodes = maxNodes)
+        .as[(String, Long)].collect().toMap
+      graft.Storage.releaseAll(spark)
+      got
+    }
+    for (r <- Seq(2, 3, 4, 5)) assert(runOn(r, 1L) == runOn(r, 2000000L), s"rounds $r")
+    assert(runOn(4, 1L)("e") == 4L) // the improved d propagated
+    assert(runOn(2, 1L)("e") == 11L) // the pre-improvement d propagated
+  }
+
   test("non-positive weights are rejected") {
     intercept[IllegalArgumentException] {
       Bfs.weightedDistances(Seq(("a", "b", 0L)).toDF("src", "dst", "w"),
