@@ -30,6 +30,17 @@ import org.apache.spark.sql.functions._
   * round cap, so est could also MISS pairs whose true path avoids all
   * landmarks — coverage is reported alongside tightness, and both
   * policies covered the full grid).
+  *
+  * SECOND MEASUREMENT (2026-08-16, same grid): the far-apart GREEDY
+  * draw (k-center over hop distance — start at p0, repeatedly add the
+  * node with max min-distance to the selected set) is a statistical
+  * TIE with the low-id draw: coverage 100/100, exact 59 (vs 60), mean
+  * err 0.880 (vs 0.860), max 4. The greedy walk picked p0, s0, p1 —
+  * this bipartite part↔supplier graph is so dense (diameter ~4) that
+  * "far apart" cannot differentiate landmarks, and the draw costs one
+  * landmarkDistances pass per pick. Both alternatives probed and
+  * rejected: the deterministic low-id draw stands for q224/q225, now
+  * by measurement against BOTH standard policies.
   */
 object LandmarkPolicyProbe {
   def main(args: Array[String]): Unit = {
@@ -65,6 +76,29 @@ object LandmarkPolicyProbe {
     }.toMap
     println(s"[lmprobe] true grid pairs defined: ${truth.size}")
 
+    // far-apart greedy draw (k-center over hop distance): start at the
+    // gate's lowest-id landmark, then repeatedly add the node FARTHEST
+    // (min over selected, unreached-within-cap counts as farthest) from
+    // the current set — one landmarkDistances pass per pick.
+    val farApart: Seq[String] = {
+      var lms = Vector("p0")
+      val allNodes = edges.select(col("src").as("node")).distinct()
+      while (lms.size < 3) {
+        val minD = Bfs.landmarkDistances(edges, "src", "dst",
+            lms.toDF("node"), rounds = 4)
+          .groupBy(col("node")).agg(min(col("dist")).as("d"))
+        val pick = allNodes.join(minD, Seq("node"), "left")
+          .withColumn("d", coalesce(col("d"), lit(Long.MaxValue)))
+          .filter(!col("node").isin(lms: _*))
+          .orderBy(col("d").desc, col("node").asc).limit(1)
+          .select(col("node")).as[String].collect()(0)
+        Storage.releaseAll(spark)
+        lms :+= pick
+      }
+      println(s"[lmprobe] far_apart draw: ${lms.mkString(", ")}")
+      lms
+    }
+
     val policies: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       // the gate's deterministic draw: lowest part ids
       "low_id" -> li.filter(col("l_partkey") < 3)
@@ -74,7 +108,9 @@ object LandmarkPolicyProbe {
       "top_degree" -> edges.distinct()
         .groupBy(col("src")).agg(countDistinct(col("dst")).as("deg"))
         .orderBy(col("deg").desc, col("src")).limit(3)
-        .select(col("src").as("node")))
+        .select(col("src").as("node")),
+      // greedy far-apart draw (computed above)
+      "far_apart" -> farApart.toDF("node"))
 
     for ((name, lms) <- policies) {
       val t0 = System.nanoTime()
