@@ -1400,10 +1400,12 @@ object OracleSqlGen {
   // with an id tiebreak per round. Each d-frame CTE is MATERIALIZED:
   // d(r-1) feeds both sel(r) and d(r), and without the barrier DuckDB's
   // inlining re-expands the chain exponentially (the q185 lesson).
-  def q229Sql(m: Int = 8, scale: Long = 1000000L, dim: Int = 64): String = {
-    def dist(p: String, s: String) =
-      s"CAST(list_sum([($p.x[i] - $s.x[i]) * ($p.x[i] - $s.x[i]) " +
-        s"FOR i IN range(1, ${dim + 1})]) AS BIGINT)"
+  private def kcenterDistSql(dim: Int, p: String, s: String): String =
+    s"CAST(list_sum([($p.x[i] - $s.x[i]) * ($p.x[i] - $s.x[i]) " +
+      s"FOR i IN range(1, ${dim + 1})]) AS BIGINT)"
+
+  /** The shared greedy-k-center chain: pts, sel1..selm, d1..d(m-1). */
+  private def kcenterCtes(m: Int, scale: Long, dim: Int): String = {
     val rounds = (2 to m).map { r =>
       val sel =
         s"""sel$r AS (
@@ -1412,14 +1414,11 @@ object OracleSqlGen {
       if (r == m) sel
       else
         sel + s""", d$r AS MATERIALIZED (
-           |  SELECT p.vec_id, p.x, least(p.d, ${dist("p", "s")}) AS d
+           |  SELECT p.vec_id, p.x, least(p.d, ${kcenterDistSql(dim, "p", "s")}) AS d
            |  FROM d${r - 1} p CROSS JOIN sel$r s
            |)""".stripMargin
     }.mkString(", ")
-    val unions = (2 to m).map(r =>
-      s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, d FROM sel$r")
-      .mkString("\n")
-    s"""WITH pts AS (
+    s"""pts AS (
        |  SELECT vec_id,
        |    [CAST(floor(CAST(x AS DOUBLE) * $scale.0) AS BIGINT)
        |     FOR x IN embedding] AS x
@@ -1427,13 +1426,40 @@ object OracleSqlGen {
        |), sel1 AS (
        |  SELECT vec_id, x FROM pts ORDER BY vec_id LIMIT 1
        |), d1 AS MATERIALIZED (
-       |  SELECT p.vec_id, p.x, ${dist("p", "s")} AS d
+       |  SELECT p.vec_id, p.x, ${kcenterDistSql(dim, "p", "s")} AS d
        |  FROM pts p CROSS JOIN sel1 s
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  def q229Sql(m: Int = 8, scale: Long = 1000000L, dim: Int = 64): String = {
+    val unions = (2 to m).map(r =>
+      s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, d FROM sel$r")
+      .mkString("\n")
+    s"""WITH ${kcenterCtes(m, scale, dim)}
        |SELECT CAST(1 AS BIGINT) AS sel_round, vec_id,
        |       CAST(NULL AS BIGINT) AS min_dist_sq
        |FROM sel1
        |$unions""".stripMargin
+  }
+
+  // ---- q231: nearest-center assignment over the q229 draw — the same
+  // unrolled chain, then one argmin per point over the m centers
+  // (exact BIGINT distances, lowest-center-id tiebreak).
+  def q231Sql(m: Int = 8, scale: Long = 1000000L, dim: Int = 64): String = {
+    val centerUnion = (2 to m)
+      .map(r => s"UNION ALL SELECT vec_id, x FROM sel$r")
+      .mkString("\n")
+    s"""WITH ${kcenterCtes(m, scale, dim)}, centers AS (
+       |  SELECT vec_id, x FROM sel1
+       |$centerUnion
+       |)
+       |SELECT vec_id, center_id, dist_sq FROM (
+       |  SELECT p.vec_id, c.vec_id AS center_id,
+       |    ${kcenterDistSql(dim, "p", "c")} AS dist_sq,
+       |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |      ${kcenterDistSql(dim, "p", "c")}, c.vec_id) AS rn
+       |  FROM pts p CROSS JOIN centers c) t
+       |WHERE rn = 1""".stripMargin
   }
 
   // ---- q230: MMR re-rank unrolled — round-6 relevance and pair sims,

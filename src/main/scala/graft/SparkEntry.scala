@@ -3485,6 +3485,19 @@ object SparkEntry {
     operators.KCenter.greedy(Tables(s, dir).embeddings,
       "vec_id", "embedding", m = 8)
 
+  // ---- q231: nearest-center assignment over the q229 draw — the
+  //      k-center SERVE side (coverage: which mode each vector belongs
+  //      to and how far it sits from it): every point argmins over the
+  //      8 greedy centers with exact scaled-long distances and a
+  //      lowest-center-id tiebreak, in ONE codegen'd struct-least per
+  //      row (centers ride the plan as literals — no join, no shuffle).
+  //      Oracle = the q229 chain + the argmin window. ----
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val centers = operators.KCenter.greedy(emb, "vec_id", "embedding", m = 8)
+    operators.KCenter.assign(emb, "vec_id", "embedding", centers, "vec_id")
+  }
+
   // ---- q230: MMR re-rank (Carbonell & Goldstein 1998) — the
   //      diversity pass after retrieval: for each of the 4 lowest-id
   //      query vectors, the top-20 cosine candidates re-rank into 10
@@ -3788,6 +3801,7 @@ object SparkEntry {
     "q228_knn_graph"       -> q228 _,
     "q229_kcenter_coreset" -> q229 _,
     "q230_mmr_rerank"      -> q230 _,
+    "q231_kcenter_assign"  -> q231 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5231,6 +5245,9 @@ object SparkEntry {
     // q230: MMR unrolled — candidate cut, pair-sim frame, 10 greedy
     // rounds with the same λ/1−λ doubles the Spark side multiplies by.
     "q230_mmr_rerank" -> OracleSqlGen.q230Sql(),
+    // q231: the q229 chain + per-point argmin over the m centers
+    // (exact BIGINT distances, lowest-center-id tiebreak).
+    "q231_kcenter_assign" -> OracleSqlGen.q231Sql(m = 8),
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle

@@ -93,6 +93,12 @@ object KCenter {
     val rows = picks.reverse.map { case (rd, id, d) =>
       Row(rd.toLong, id, d.map(Long.box).orNull)
     }
+    mkResult(spark, points, idCol, rows)
+  }
+
+  private def mkResult(spark: org.apache.spark.sql.SparkSession,
+                       points: DataFrame, idCol: String,
+                       rows: Seq[Row]): DataFrame = {
     val idField = points.select(col(idCol)).schema.fields(0)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
@@ -102,5 +108,50 @@ object KCenter {
         idField.copy(name = idCol),
         org.apache.spark.sql.types.StructField("min_dist_sq",
           org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+
+  /** Assign every point to its nearest selected center — the SERVE side
+    * of [[greedy]]: the coverage artifact ("which mode does this
+    * document belong to; how far is it from its mode") that budgeted
+    * inspection and per-mode quota sampling read. Same determinism
+    * contract: exact scaled-long squared distances, argmin with a
+    * lowest-center-id tiebreak (ONE lexicographic struct `least`, so the
+    * comparison is a single codegen'd expression per row — no join, no
+    * shuffle: the centers ride the plan as m literal vectors, m is the
+    * selection budget).
+    *
+    * @param centers frame carrying the selected ids in `centerIdCol`
+    *                (e.g. [[greedy]]'s output); vectors are looked up in
+    *                `points`, so centers absent from `points` are
+    *                ignored
+    * @return (idCol, center_id, dist_sq) for every point
+    */
+  def assign(points: DataFrame, idCol: String, vecCol: String,
+             centers: DataFrame, centerIdCol: String,
+             scale: Long = 1000000L): DataFrame = {
+    val scaled = points.select(
+      col(idCol).as("__id"),
+      transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(scale.toDouble)).cast("long")).as("__x"))
+    val cs = scaled
+      .join(broadcast(centers.select(col(centerIdCol).as("__cid")).distinct()),
+        col("__id") === col("__cid"))
+      .select(col("__id"), col("__x")).collect()
+      .map(r => (r.get(0), r.getSeq[Long](1).toArray))
+    require(cs.nonEmpty, "centers must intersect points")
+    def distTo(center: Array[Long]): Column =
+      aggregate(
+        zip_with(col("__x"), typedLit(center.toSeq), (a, b) => {
+          val d = a - b
+          d * d
+        }),
+        lit(0L), (acc, x) => acc + x)
+    val structs = cs.map { case (cid, cx) =>
+      struct(distTo(cx).as("d"), lit(cid).as("cid")) }
+    val best = if (structs.length == 1) structs.head else least(structs: _*)
+    scaled.withColumn("__best", best)
+      .select(col("__id").as(idCol),
+        col("__best.cid").as("center_id"),
+        col("__best.d").as("dist_sq"))
   }
 }

@@ -66,4 +66,43 @@ class KCenterSpec extends AnyFunSuite with SparkSpec {
       (i, Seq.fill(5)(rnd.nextFloat() - 0.5f)))
     assert(run(pts, m = 8) == brute(pts, m = 8))
   }
+
+  private def bruteAssign(points: Seq[(Long, Seq[Float])],
+                          centerIds: Set[Long]): Set[(Long, Long, Long)] = {
+    val scaled = points.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * Scale.toDouble).toLong).toArray
+    }.toMap
+    points.map { case (id, _) =>
+      val (cid, d) = centerIds.toSeq.map { c =>
+        (c, scaled(c).zip(scaled(id)).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.sortBy { case (c, d) => (d, c) }.head
+      (id, cid, d)
+    }.toSet
+  }
+
+  test("assign picks the nearest center with a lowest-id tiebreak") {
+    val pts = Seq(
+      (0L, Seq(0f)), (1L, Seq(10f)), // centers
+      (2L, Seq(5f)),  // equidistant → center 0 by id tiebreak
+      (3L, Seq(7f)))  // nearer 10 → center 1
+    val got = KCenter.assign(pts.toDF("vec_id", "embedding"),
+        "vec_id", "embedding",
+        Seq(0L, 1L).toDF("vec_id"), "vec_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.collect { case (2L, c, _) => c } == Set(0L))
+    assert(got.collect { case (3L, c, _) => c } == Set(1L))
+    assert(got.collect { case (0L, c, d) => (c, d) } == Set((0L, 0L)))
+  }
+
+  test("assign over the greedy draw matches brute force") {
+    val rnd = new Random(19)
+    val pts = (0L until 120L).map(i =>
+      (i, Seq.fill(4)(rnd.nextFloat() - 0.5f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val centers = KCenter.greedy(df, "vec_id", "embedding", m = 5)
+    val got = KCenter.assign(df, "vec_id", "embedding", centers, "vec_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val centerIds = brute(pts, m = 5).map(_._2).toSet
+    assert(got == bruteAssign(pts, centerIds))
+  }
 }
