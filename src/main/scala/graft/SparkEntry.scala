@@ -3485,6 +3485,40 @@ object SparkEntry {
     operators.KCenter.greedy(Tables(s, dir).embeddings,
       "vec_id", "embedding", m = 8)
 
+  // ---- q232: STREAMING distance-store ingest — the NINTH store
+  //      family: edge batches stream in and the store continuously
+  //      holds the FIXPOINT hop distances from the fixed seed set over
+  //      everything ingested so far ("how far from the trusted core"
+  //      served without a per-query BFS). Fixpoint — not a round cap —
+  //      makes the state slicing-invariant, so the oracle is the q219
+  //      unroll at a depth past the graph's eccentricity (measured
+  //      2/3/4 at the three gate SFs; cap 8). Per batch: edges append
+  //      to a src-bucketed log, ONE batch-vs-prior relax pass seeds the
+  //      delta frontier, and only the improved rows append to the
+  //      node-bucketed store; the served read is the per-node min
+  //      (exchange-free on the bucketed store). Every crash window is
+  //      safe by value: replays find no improvements. ----
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = "graft_stream_dist_store"
+    Seq(table, graft.streaming.StoreIngest.distanceEdgeTable(table),
+        graft.streaming.StoreIngest.ledgerTable(table))
+      .foreach(graft.sources.Sinks.dropTableAndStaleLocation(s, _))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_dist_").toString
+    val li = graft.streaming.EventStreams
+      .readParquetStream(s, dir, "lineitem.parquet")
+    val pairs = li.select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Seq("p0", "p1", "p2").toDF("node")
+    graft.streaming.StoreIngest.ingestDistanceStore(edges, "src", "dst",
+      seeds, table, ckpt).awaitTermination()
+    operators.Bfs.distancesFromStore(s, table)
+  }
+
   // ---- q231: nearest-center assignment over the q229 draw — the
   //      k-center SERVE side (coverage: which mode each vector belongs
   //      to and how far it sits from it): every point argmins over the
@@ -3802,6 +3836,7 @@ object SparkEntry {
     "q229_kcenter_coreset" -> q229 _,
     "q230_mmr_rerank"      -> q230 _,
     "q231_kcenter_assign"  -> q231 _,
+    "q232_stream_dist_store" -> q232 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5248,6 +5283,10 @@ object SparkEntry {
     // q231: the q229 chain + per-point argmin over the m centers
     // (exact BIGINT distances, lowest-center-id tiebreak).
     "q231_kcenter_assign" -> OracleSqlGen.q231Sql(m = 8),
+    // q232: the q219 unroll at a depth past the graph's eccentricity —
+    // the store's fixpoint is slicing-invariant, so the one-shot
+    // recurrence applies however the stream sliced the edge list.
+    "q232_stream_dist_store" -> OracleSqlGen.q219Sql(rounds = 8, seedMaxPartkey = 3L),
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle

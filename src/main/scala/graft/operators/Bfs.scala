@@ -191,19 +191,29 @@ object Bfs {
     * @param keyCols  state key (`node`, or `node, lm` for the landmark
     *                 table); `dist` rides alongside
     * @param step     frontier → relaxed-candidate frame (keyCols + dist)
+    * @param frontier0 explicit initial frontier (must be the subset of
+    *                 `d0` whose values are new/improved vs whatever
+    *                 fixpoint `d0` extends — the incremental-refresh
+    *                 entry); default: all of `d0`
     */
   private def distributedRelax(spark: SparkSession, e: DataFrame,
                                d0: DataFrame, rounds: Int,
                                keyCols: Seq[String],
-                               step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+                               step: (DataFrame, DataFrame) => DataFrame,
+                               frontier0: Option[DataFrame] = None): DataFrame = {
     val eCached = e.persist()
     eCached.count()
     var dRdd = d0.rdd
     dRdd.cache()
-    var fCount = dRdd.count()
+    dRdd.count()
     var reached = spark.createDataFrame(dRdd, d0.schema)
-    var fRdd = dRdd // frontier starts as the whole initial frame
-    var frontier = reached
+    var fRdd = frontier0.map { f =>
+      val r = f.rdd; r.cache(); r
+    }.getOrElse(dRdd) // frontier defaults to the whole initial frame
+    var fCount = if (fRdd eq dRdd) dRdd.count() else fRdd.count()
+    var frontier =
+      if (fRdd eq dRdd) reached
+      else spark.createDataFrame(fRdd, frontier0.get.schema)
     var r = 0
     while (r < rounds && fCount > 0) {
       val stepped = step(eCached, frontier)
@@ -656,4 +666,142 @@ object Bfs {
       distributedState(spark, e, d0, rounds)
     }
   }
+
+  // ------------------------------------------------------------------
+  // Incremental refresh (the streaming distance-store shape)
+  // ------------------------------------------------------------------
+
+  /** FIXPOINT distances from the seeds — [[hopDistances]] with the round
+    * cap removed: the delta-frontier loop runs until the frontier
+    * empties, which is the true shortest-path fixpoint (termination:
+    * distances are non-negative longs and strictly decrease somewhere
+    * every continuing round). Unlike the capped form, the result is a
+    * pure function of (graph, seeds) alone — independent of any round
+    * parameter — which is what makes it SLICING-INVARIANT state for the
+    * incremental store: however edge batches arrive, the fixpoint on
+    * the union graph is the same table.
+    */
+  def hopDistancesToFixpoint(edges: DataFrame, srcCol: String, dstCol: String,
+                             seeds: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val seedDf = typedSeeds(e, seeds)
+    require(!seedDf.isEmpty, "seeds must be non-empty")
+    distributedState(spark, e, seedsFrame(e, seedDf), Int.MaxValue)
+  }
+
+  /** Incremental fixpoint refresh after new edges arrive — the per-batch
+    * core of the streaming distance store: given the PRIOR fixpoint
+    * (distances on the graph before this batch), the new edge batch, and
+    * the full grown edge list, return ONLY the (node, dist) rows that
+    * are new or improved. Appending these to a min-merged log reproduces
+    * the full fixpoint exactly (distances are monotone non-increasing as
+    * the graph grows, so the per-node minimum over all appended rows IS
+    * the current fixpoint).
+    *
+    * Cost shape: the initial frontier is derived from ONE relax pass of
+    * the BATCH edges against the prior (O(batch)), plus seed activations
+    * among the batch's endpoints; the delta-frontier loop then touches
+    * only the affected region (each round scans the edge list but
+    * exchanges only the frontier, and rounds are bounded by the affected
+    * region's eccentricity — typically 0–2 once the graph densifies).
+    * The prior is never re-derived and never rewritten.
+    *
+    * Correctness of the restricted frontier: any node whose fixpoint
+    * distance changes must be reachable from a batch endpoint through a
+    * chain of improvements, and the chain's first link is either a
+    * direct batch-edge relaxation from the prior or a newly activated
+    * seed — both are in the initial frontier; [[distributedRelax]]'s
+    * bit-identity argument carries it from there.
+    *
+    * The improvements frame is handed to `consume` (which must
+    * materialize it exactly once — the store append); every cache this
+    * call created (batch-local frames AND the relax loop's leaf RDDs) is
+    * released afterwards, so a long-running ingest loop holds no
+    * per-batch residue. The improvements can be corpus-sized on early
+    * batches, so they are never collected to the driver.
+    *
+    * @param edges    the FULL grown edge list (store + batch; duplicate
+    *                 edges are harmless to min-relaxation)
+    * @param newEdges this batch's edges (same column names)
+    * @param seeds    the FIXED seed set of the maintained table
+    * @param prior    (node, dist) fixpoint before this batch (empty on
+    *                 the first batch)
+    * @param consume  receives the (node, dist) rows new or strictly
+    *                 improved vs `prior`
+    */
+  def refreshDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                       newEdges: DataFrame, seeds: DataFrame,
+                       prior: DataFrame)(consume: DataFrame => Unit): Unit = {
+    val spark = edges.sparkSession
+    // foreachBatch bodies run serially on the driver (the store contract),
+    // so the RDD-id diff below captures exactly this call's leaf caches
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val ne = newEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val seedDf = typedSeeds(e, seeds)
+    // rebase the prior on a cached RDD leaf (materializeLeaf discipline)
+    // rather than a plan-level cache: the caller typically reads the
+    // prior FROM the very table the improvements append to, and a
+    // plan-level cache would (a) trip the same-table read/write check in
+    // the append job and (b) be invalidated — and recomputed against the
+    // post-append table — by the append itself
+    val p0 = prior.select(
+      col("node").cast(e.schema.fields(0).dataType).as("node"),
+      col("dist").cast(LongType).as("dist"))
+    val pRdd = p0.rdd
+    pRdd.cache(); pRdd.count()
+    val p = spark.createDataFrame(pRdd, p0.schema)
+    // seed activations: seeds first appearing on the graph via this batch
+    val newNodes = ne.select(col("src").as("node"))
+      .union(ne.select(col("dst").as("node"))).distinct()
+    val seedAct = newNodes.join(seedDf, Seq("node"), "left_semi")
+      .join(p, Seq("node"), "left_anti")
+      .select(col("node"), lit(0L).as("dist"))
+    // one relax pass of the batch edges against the prior
+    val relaxed = ne.join(p, ne("src") === p("node"))
+      .groupBy(ne("dst").as("node")).agg((min(col("dist")) + 1L).as("dist"))
+    val f0 = seedAct.unionByName(relaxed)
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      .join(p.withColumnRenamed("dist", "__old"), Seq("node"), "left")
+      .filter(col("__old").isNull || col("dist") < col("__old"))
+      .select(col("node"), col("dist"))
+      .persist()
+    try {
+      val out = if (f0.isEmpty) {
+        f0.limit(0)
+      } else {
+        val d0 = p.join(f0.select(col("node")), Seq("node"), "left_anti")
+          .unionByName(f0)
+        val fixed = distributedRelax(spark, e, d0, Int.MaxValue, Seq("node"),
+          (eC, f) => eC.join(f, eC("src") === f("node"))
+            .groupBy(eC("dst").as("node"))
+            .agg((min(col("dist")) + 1L).as("dist")),
+          frontier0 = Some(f0))
+        fixed.join(p.withColumnRenamed("dist", "__old"), Seq("node"), "left")
+          .filter(col("__old").isNull || col("dist") < col("__old"))
+          .select(col("node"), col("dist"))
+      }
+      consume(out)
+    } finally {
+      ne.unpersist(blocking = false)
+      f0.unpersist(blocking = false)
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+        .valuesIterator.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Current distances from an improvements log written by the streaming
+    * ingest: the per-node MINIMUM over all appended rows IS the fixpoint
+    * (distances only ever improve as the graph grows, and each batch
+    * appends exactly its improvements). A log bucketed by `node`
+    * satisfies the aggregation's distribution, so the read is
+    * exchange-free on the store side; a crash-window double-append
+    * duplicates rows whose min is unchanged — replay-idempotent by
+    * value.
+    */
+  def distancesFromStore(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).groupBy(col("node")).agg(min(col("dist")).as("dist"))
 }

@@ -404,6 +404,56 @@ object StoreIngest {
     * double-append duplicates exact rows, and the reader's distinct
     * collapses them (read results with `spark.table(table).distinct()`).
     */
+  /** The edge log paired with a distance store. */
+  def distanceEdgeTable(table: String): String = table + "_edges"
+
+  /** Streaming shortest-path distance maintenance — the NINTH store
+    * family: edge batches stream in, and the store continuously holds
+    * the FIXPOINT hop distances from a fixed seed set over the union of
+    * everything ingested so far (the artifact that serves "how far is
+    * this node from the trusted core" without a per-query BFS).
+    * Fixpoint — not a round cap — is what makes the state
+    * SLICING-INVARIANT: however the stream slices the edge list, the
+    * fixpoint on the union graph is the same table, so the one-shot
+    * oracle applies verbatim.
+    *
+    * Per batch: the new edges append to a src-bucketed edge log, then
+    * [[graft.operators.Bfs.refreshDistances]] derives the initial
+    * frontier from ONE relax pass of the BATCH against the prior
+    * (O(batch)), runs the delta-frontier loop over the affected region
+    * only, and appends JUST the improved (node, dist) rows to a
+    * node-bucketed improvements log. The served table is the per-node
+    * minimum over the log ([[graft.operators.Bfs.distancesFromStore]] —
+    * exchange-free on the bucketed store side). Distances are monotone
+    * non-increasing as the graph grows, so the min over appends IS the
+    * fixpoint, and every crash window is safe by value: a replayed
+    * batch finds no improvements (appends nothing), duplicate edge-log
+    * rows are harmless to min-relaxation, and a double-appended
+    * improvement row has an unchanged min.
+    */
+  def ingestDistanceStore(edges: DataFrame, srcCol: String, dstCol: String,
+                          seeds: DataFrame, table: String,
+                          checkpointDir: String, buckets: Int = 8,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ledgeredIngest(edges, table, checkpointDir, trigger) { batch =>
+      val s = batch.sparkSession
+      val edgeLog = distanceEdgeTable(table)
+      val be = batch.select(col(srcCol), col(dstCol))
+      // prior BEFORE this batch's improvements land (tables may not
+      // exist yet on the first batch)
+      val prior =
+        if (s.catalog.tableExists(table))
+          graft.operators.Bfs.distancesFromStore(s, table)
+        else be.select(col(srcCol).as("node"), lit(0L).as("dist")).limit(0)
+      be.write.mode("append").format("parquet")
+        .bucketBy(buckets, srcCol).sortBy(srcCol).saveAsTable(edgeLog)
+      graft.operators.Bfs.refreshDistances(
+        s.table(edgeLog), srcCol, dstCol, be, seeds, prior) { improved =>
+        improved.write.mode("append").format("parquet")
+          .bucketBy(buckets, "node").sortBy("node").saveAsTable(table)
+      }
+    }
+
   def ingestKnnResults(queries: DataFrame, corpus: DataFrame,
                        idCol: String, vecCol: String, table: String,
                        checkpointDir: String, k: Int, nlist: Int,

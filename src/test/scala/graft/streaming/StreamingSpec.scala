@@ -367,6 +367,82 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming distance-store ingest: a later batch's shortcut improves stored distances; replay is a no-op") {
+    val table = "graft_stream_dist_spec"
+    val tables = Seq(table, StoreIngest.distanceEdgeTable(table),
+      StoreIngest.ledgerTable(table))
+    tables.foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_dist_ingest").toFile
+    try {
+      val in = new java.io.File(root, "in")
+      // batch 1: a chain s-a-b-c (symmetrized) → c sits at distance 3
+      val gen1 = Seq(("s", "a"), ("a", "b"), ("b", "c"))
+        .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      // batch 2: a DIRECT s-c shortcut plus a new node d off c —
+      // c must improve 3 → 1 and d must enter at 2
+      val gen2 = Seq(("s", "c"), ("c", "d"))
+        .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      gen1.toDF("src", "dst").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      gen2.toDF("src", "dst").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+
+      def stream = spark.readStream
+        .schema("src STRING, dst STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in.getAbsolutePath)
+      val seeds = Seq("s").toDF("node")
+      def served: Map[String, Long] = {
+        val m = graft.operators.Bfs.distancesFromStore(spark, table)
+          .as[(String, Long)].collect().toMap
+        graft.Storage.releaseAll(spark)
+        m
+      }
+
+      StoreIngest.ingestDistanceStore(stream, "src", "dst", seeds, table,
+        checkpointDir = new java.io.File(root, "cp1").getAbsolutePath,
+        buckets = 2).awaitTermination()
+      assert(spark.table(StoreIngest.ledgerTable(table)).count() >= 2,
+        "the slicing must actually produce multiple committed micro-batches")
+
+      val expected = Map("s" -> 0L, "a" -> 1L, "b" -> 2L, "c" -> 1L, "d" -> 2L)
+      assert(served == expected)
+      // the improvements log really carries c twice: once at the chain
+      // distance, once improved through the shortcut
+      val cRows = spark.table(table).filter(col("node") === "c")
+        .select(col("dist")).as[Long].collect().sorted.toSeq
+      assert(cRows == Seq(1L, 3L), "c must append at 3 then improve to 1")
+
+      // the served table equals the one-shot fixpoint on the union graph
+      val oneShot = graft.operators.Bfs.hopDistancesToFixpoint(
+          (gen1 ++ gen2).toDF("src", "dst"), "src", "dst", seeds)
+        .as[(String, Long)].collect().toMap
+      graft.Storage.releaseAll(spark)
+      assert(oneShot == expected)
+
+      // replay on a fresh checkpoint: the ledger makes every batch a
+      // no-op — same served answer, no new improvement rows
+      val logRows = spark.table(table).count()
+      StoreIngest.ingestDistanceStore(stream, "src", "dst", seeds, table,
+        checkpointDir = new java.io.File(root, "cp2").getAbsolutePath,
+        buckets = 2).awaitTermination()
+      assert(served == expected)
+      assert(spark.table(table).count() == logRows,
+        "a replayed ingest must append nothing")
+
+      // crash-window double-append: duplicating an improvement row by
+      // hand leaves the served min unchanged (idempotent by value)
+      spark.table(table).filter(col("node") === "d")
+        .write.mode("append").format("parquet")
+        .bucketBy(2, "node").sortBy("node").saveAsTable(table)
+      assert(served == expected)
+    } finally {
+      rmTree(root)
+      tables.foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
   test("streaming k-NN serving equals the one-shot probe however the stream slices") {
     import graft.operators.Similarity
     val t = "graft_stream_knn_spec"
