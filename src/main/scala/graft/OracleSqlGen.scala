@@ -1375,10 +1375,13 @@ object OracleSqlGen {
   // cosines over the bit-exact Lloyd chain, round-6 guarded) ranked into
   // a per-point top-k with a neighbor-id tiebreak, so the cut is total
   // and replays exactly.
-  def q228Sql(targetClusterSize: Long = 2500L, maxK: Int = 4096,
-              iterations: Int = 5, scale: Long = 1000000L,
-              dim: Int = 64, k: Int = 5): String =
-    s"""WITH ${kmeansCtes(derivedKSql(targetClusterSize, maxK), iterations, scale, dim)}, ev AS (
+  /** Shared chain: the q94 Lloyd cells, the `ev` vector view, and the
+    * cluster-local top-k neighbor table `knn` (MATERIALIZED — the walk
+    * oracle probes it once per hop).
+    */
+  private def knnChain(targetClusterSize: Long, maxK: Int, iterations: Int,
+                       scale: Long, dim: Int, k: Int): String =
+    s"""${kmeansCtes(derivedKSql(targetClusterSize, maxK), iterations, scale, dim)}, ev AS (
        |  SELECT a.vec_id, a.cluster, e.embedding::DOUBLE[] AS v
        |  FROM asg a JOIN embeddings e USING (vec_id)
        |), pr AS (
@@ -1387,13 +1390,65 @@ object OracleSqlGen {
        |      / (sqrt(list_dot_product(a.v, a.v))
        |         * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
        |  FROM ev a JOIN ev b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
-       |)
-       |SELECT vec_id, knn_rank, neighbor_id, cos_sim FROM (
-       |  SELECT vec_id, neighbor_id, cos_sim,
-       |    row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
-       |  FROM pr WHERE cos_sim IS NOT NULL) t
-       |WHERE knn_rank <= $k""".stripMargin
+       |), knn AS MATERIALIZED (
+       |  SELECT vec_id, knn_rank, neighbor_id, cos_sim FROM (
+       |    SELECT vec_id, neighbor_id, cos_sim,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+       |    FROM pr WHERE cos_sim IS NOT NULL) t
+       |  WHERE knn_rank <= $k
+       |)""".stripMargin
+
+  def q228Sql(targetClusterSize: Long = 2500L, maxK: Int = 4096,
+              iterations: Int = 5, scale: Long = 1000000L,
+              dim: Int = 64, k: Int = 5): String =
+    s"""WITH ${knnChain(targetClusterSize, maxK, iterations, scale, dim, k)}
+       |SELECT vec_id, knn_rank, neighbor_id, cos_sim FROM knn""".stripMargin
+
+  // ---- q233: greedy graph-descent over the q228 k-NN graph — hops
+  // unrolled: each hop argmaxes round-6 cosine over {current} ∪
+  // {neighbors} with a candidate-id tiebreak. Every hop CTE is
+  // MATERIALIZED (g(r-1) feeds both union branches).
+  def q233Sql(targetClusterSize: Long = 2500L, maxK: Int = 4096,
+              iterations: Int = 5, scale: Long = 1000000L,
+              dim: Int = 64, k: Int = 5,
+              nQueries: Int = 4, hops: Int = 4): String = {
+    def cosSql(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) " +
+        s"* sqrt(list_dot_product($b, $b))), 6)"
+    val hopCtes = (1 to hops).map { r =>
+      s"""g$r AS MATERIALIZED (
+         |  SELECT qid, cur, sim FROM (
+         |    SELECT t.qid, t.cand AS cur, t.s AS sim,
+         |      row_number() OVER (PARTITION BY t.qid
+         |        ORDER BY t.s DESC, t.cand) AS rn
+         |    FROM (
+         |      SELECT g.qid, g.cur AS cand, g.sim AS s FROM g${r - 1} g
+         |      UNION ALL
+         |      SELECT g.qid, kk.neighbor_id AS cand,
+         |        ${cosSql("q.qv", "ev2.v")} AS s
+         |      FROM g${r - 1} g
+         |      JOIN knn kk ON kk.vec_id = g.cur
+         |      JOIN ev ev2 ON ev2.vec_id = kk.neighbor_id
+         |      JOIN qs q ON q.qid = g.qid
+         |    ) t) u WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    val unions = (1 to hops).map(r =>
+      s"UNION ALL SELECT qid, CAST($r AS BIGINT), cur, sim FROM g$r")
+      .mkString("\n")
+    s"""WITH ${knnChain(targetClusterSize, maxK, iterations, scale, dim, k)}, qs AS (
+       |  SELECT vec_id AS qid, v AS qv FROM ev ORDER BY vec_id LIMIT $nQueries
+       |), entry AS (
+       |  SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT 1
+       |), g0 AS MATERIALIZED (
+       |  SELECT q.qid, e.vec_id AS cur, ${cosSql("q.qv", "e.v")} AS sim
+       |  FROM qs q CROSS JOIN entry e
+       |), $hopCtes
+       |SELECT qid AS query_id, CAST(0 AS BIGINT) AS hop, cur AS vec_id, sim
+       |FROM g0
+       |$unions""".stripMargin
+  }
 
   // ---- q229: greedy k-center (Gonzalez) unrolled — the same scaled-long
   // points as the Lloyd chain, exact BIGINT squared distances, argmax

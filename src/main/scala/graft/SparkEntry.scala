@@ -3485,6 +3485,30 @@ object SparkEntry {
     operators.KCenter.greedy(Tables(s, dir).embeddings,
       "vec_id", "embedding", m = 8)
 
+  // ---- q233: greedy graph-descent ANN over the PERSISTED q228 k-NN
+  //      graph — the navigable-graph serving move (HNSW's layer-0
+  //      walk): the graph is the saved artifact; each query walks from
+  //      the lowest-id entry, hopping to whichever of {current} ∪
+  //      {neighbors} is most cosine-similar (round-6, id tiebreak).
+  //      Including the current node makes the walk monotone, so the
+  //      fixed 4-hop budget past convergence is deterministic and the
+  //      oracle unrolls the identical hops over the same chain. ----
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val graphTable = "graft_knn_graph_store"
+    graft.sources.Sinks.dropTableAndStaleLocation(s, graphTable)
+    val asg = operators.KMeans.assignAuto(emb, "vec_id", "embedding",
+      targetClusterSize = 2500L, iterations = 5)
+    operators.KnnGraph.clusterLocalKnn(
+        emb.join(asg, "vec_id"), "vec_id", "embedding", "cluster", k = 5)
+      .select(col("vec_id"), col("neighbor_id"))
+      .write.mode("overwrite").format("parquet").saveAsTable(graphTable)
+    val q = emb.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    operators.KnnGraph.greedySearch(s.table(graphTable), emb,
+      "vec_id", "embedding", q, "query_id", "qv", hops = 4)
+  }
+
   // ---- q232: STREAMING distance-store ingest — the NINTH store
   //      family: edge batches stream in and the store continuously
   //      holds the FIXPOINT hop distances from the fixed seed set over
@@ -3837,6 +3861,7 @@ object SparkEntry {
     "q230_mmr_rerank"      -> q230 _,
     "q231_kcenter_assign"  -> q231 _,
     "q232_stream_dist_store" -> q232 _,
+    "q233_knn_graph_walk"  -> q233 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5287,6 +5312,9 @@ object SparkEntry {
     // the store's fixpoint is slicing-invariant, so the one-shot
     // recurrence applies however the stream sliced the edge list.
     "q232_stream_dist_store" -> OracleSqlGen.q219Sql(rounds = 8, seedMaxPartkey = 3L),
+    // q233: the q228 chain + the 4-hop greedy walk unrolled (argmax
+    // over {current} ∪ {neighbors}, round-6 cosine, id tiebreak).
+    "q233_knn_graph_walk" -> OracleSqlGen.q233Sql(),
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle

@@ -59,4 +59,97 @@ object KnnGraph {
       .select(col("__ida").as(idCol), col("knn_rank"),
         col("__idb").as("neighbor_id"), col("cos_sim"))
   }
+
+  /** Greedy graph-descent search over a k-NN graph — the SERVE side of
+    * [[clusterLocalKnn]] (the navigable-graph ANN family's core move,
+    * HNSW's layer-0 walk): from a fixed entry point, repeatedly hop to
+    * whichever of {current node} ∪ {its graph neighbors} is most cosine-
+    * similar to the query, for a fixed hop budget. Including the current
+    * node makes the walk monotone (similarity never decreases) and a
+    * converged walk stays put, so a fixed budget past convergence is
+    * deterministic — the unrolled-hop oracle discipline.
+    *
+    * Plan shape per hop: the query-state frame (one row per query —
+    * budget-bounded) joins the graph on the current node and the corpus
+    * on the candidates, then one argmax per query (round-6 cosine,
+    * candidate-id tiebreak). Per-hop candidate volume is queries·(k+1);
+    * the graph and corpus are only ever probed by key — no scan grows
+    * with the walk. Driver traffic is one queries-sized row set per hop
+    * (the trajectory — the result itself).
+    *
+    * @param graph  (idCol, neighbor_id) rows — [[clusterLocalKnn]]'s
+    *               output (or any navigable edge list), typically read
+    *               back from a persisted table
+    * @return (query_id, hop 0..hops, idCol, sim) — the full walk
+    *         trajectory; hop 0 is the entry point (lowest corpus id)
+    */
+  def greedySearch(graph: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String,
+                   queries: DataFrame, qidCol: String, qvecCol: String,
+                   hops: Int): DataFrame = {
+    require(hops >= 0, "hops must be >= 0")
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+      VectorFunctions.normSq(col(vecCol)).as("__cn"))
+    val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"),
+      VectorFunctions.normSq(col(qvecCol)).as("__qn"))
+    val g = graph.select(col(idCol).as("__gsrc"),
+      col("neighbor_id").as("__gdst"))
+    val entry = corpus.select(col(idCol)).orderBy(col(idCol)).limit(1)
+      .collect()(0).get(0)
+
+    val simCol = round(VectorFunctions.cosineFromNormSq(
+      VectorFunctions.dot(col("__qv"), col("__cv")),
+      col("__qn"), col("__cn")), 6)
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("sim").desc, col("__cid").asc)
+
+    val qidField = queries.select(col(qidCol)).schema.fields(0)
+    val cidField = corpus.select(col(idCol)).schema.fields(0)
+    def stateDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1))), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          qidField.copy(name = "__sq"), cidField.copy(name = "__sc"))))
+
+    // hop 0: every query sits at the entry point
+    var state: Array[org.apache.spark.sql.Row] = q
+      .join(c.filter(col("__cid") === lit(entry)))
+      .withColumn("sim", simCol)
+      .select(col("__qid"), col("__cid"), col("sim")).collect()
+    var trajectory = state.map(r => (0, r)).toVector
+
+    var h = 1
+    while (h <= hops) {
+      val sel = stateDf(state.toSeq)
+      val neighbors = sel.join(g, col("__sc") === col("__gsrc"))
+        .select(col("__sq"), col("__gdst").as("__cand"))
+      val cands = neighbors
+        .unionByName(sel.select(col("__sq"), col("__sc").as("__cand")))
+        .distinct()
+      state = cands
+        .join(c, col("__cand") === col("__cid"))
+        .join(broadcast(q), col("__sq") === col("__qid"))
+        .withColumn("sim", simCol)
+        .withColumn("__rn", row_number().over(wPick))
+        .filter(col("__rn") === 1)
+        .select(col("__qid"), col("__cid"), col("sim")).collect()
+      trajectory = trajectory ++ state.map(r => (h, r))
+      h += 1
+    }
+
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        trajectory.map { case (hop, r) =>
+          org.apache.spark.sql.Row(r.get(0), hop.toLong, r.get(1), r.get(2))
+        }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        qidField.copy(name = "query_id"),
+        org.apache.spark.sql.types.StructField("hop",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        cidField.copy(name = idCol),
+        org.apache.spark.sql.types.StructField("sim",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+  }
 }

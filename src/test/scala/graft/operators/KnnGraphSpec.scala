@@ -73,4 +73,63 @@ class KnnGraphSpec extends AnyFunSuite with SparkSpec {
       (i, rnd.nextInt(4), Seq.fill(6)(rnd.nextFloat() - 0.5f)))
     assert(run(pts, k = 3) == brute(pts, k = 3))
   }
+
+  private def bruteWalk(graph: Map[Long, Seq[Long]],
+                        vecs: Map[Long, Seq[Float]],
+                        qv: Seq[Float], entry: Long,
+                        hops: Int): Seq[(Long, Long, Double)] = {
+    var cur = entry
+    (0 to hops).map { h =>
+      if (h > 0) {
+        val cands = cur +: graph.getOrElse(cur, Seq.empty)
+        cur = cands.map(c => (c, round6(cos(qv, vecs(c)))))
+          .sortBy { case (c, s) => (-s, c) }.head._1
+      }
+      (h.toLong, cur, round6(cos(qv, vecs(cur))))
+    }
+  }
+
+  private def runWalk(corpus: Seq[(Long, Seq[Float])],
+                      graph: Seq[(Long, Long)],
+                      queries: Seq[(Long, Seq[Float])],
+                      hops: Int): Map[Long, Seq[(Long, Long, Double)]] = {
+    val got = KnnGraph.greedySearch(
+        graph.toDF("vec_id", "neighbor_id"),
+        corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        queries.toDF("query_id", "qv"), "query_id", "qv", hops)
+      .as[(Long, Long, Long, Double)].collect()
+    got.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq
+    }
+  }
+
+  test("greedy walk descends the graph and stays put once converged") {
+    // line graph in similarity space: 0 -> 1 -> 2, query sits at 2's
+    // direction; entry 0, neighbors one step each — converges at 2 and
+    // the remaining hops repeat it
+    val corpus = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(0.7f, 0.7f)),
+      (2L, Seq(0f, 1f)))
+    val graph = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L))
+    val got = runWalk(corpus, graph, Seq((9L, Seq(0f, 1f))), hops = 4)(9L)
+    assert(got.map(_._2) == Seq(0L, 1L, 2L, 2L, 2L))
+    // sim is monotone non-decreasing along the walk
+    assert(got.map(_._3) == got.map(_._3).sorted)
+  }
+
+  test("greedy walk matches brute force on a random cluster-local graph") {
+    val rnd = new Random(47)
+    val pts = (0L until 80L).map(i =>
+      (i, rnd.nextInt(3), Seq.fill(5)(rnd.nextFloat() - 0.5f)))
+    val corpus = pts.map(p => (p._1, p._3))
+    val graphRows = brute(pts, k = 4).toSeq.map(r => (r._1, r._3))
+    val graph = graphRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val vecs = corpus.toMap
+    val queries = Seq((0L, corpus(5)._2), (1L, corpus(50)._2))
+    val got = runWalk(corpus, graphRows, queries, hops = 3)
+    for ((qid, qv) <- queries)
+      assert(got(qid) == bruteWalk(graph, vecs, qv, entry = 0L, hops = 3),
+        s"query $qid")
+  }
 }
