@@ -106,6 +106,15 @@ object StoreIngest {
   private def ledgeredIngestTagged(docs: DataFrame, table: String,
                                    checkpointDir: String, trigger: Trigger)
                                   (appendBatch: (DataFrame, Long, (Long, Long)) => Unit): StreamingQuery = {
+    // The session that STARTED the ingest (the store's reader). Each
+    // micro-batch body runs in a per-query CLONED session whose write
+    // path refreshes only the clone's relation cache — so if the owner
+    // session read the store before a batch landed, its cached file
+    // listing silently misses every later append (found by probe: the
+    // appended files were on disk while spark.table served the old
+    // listing). After each committed batch the owner's view of the
+    // store and ledger is refreshed explicitly.
+    val owner = docs.sparkSession
     // per-started-query committed map: loaded from the ledger on the
     // first batch of THIS run, maintained in memory afterwards.
     // foreachBatch bodies run serially on the driver, so plain state
@@ -195,6 +204,8 @@ object StoreIngest {
               .add("fp", "long", nullable = false))
             .write.mode("append").format("parquet").saveAsTable(ledger)
           committed(batchId) = committed.getOrElse(batchId, Set.empty) + fp
+          if (owner.catalog.tableExists(table)) owner.catalog.refreshTable(table)
+          owner.catalog.refreshTable(ledger)
         }
         ()
       }
@@ -435,24 +446,60 @@ object StoreIngest {
                           seeds: DataFrame, table: String,
                           checkpointDir: String, buckets: Int = 8,
                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    ledgeredIngest(edges, table, checkpointDir, trigger) { batch =>
-      val s = batch.sparkSession
-      val edgeLog = distanceEdgeTable(table)
-      val be = batch.select(col(srcCol), col(dstCol))
-      // prior BEFORE this batch's improvements land (tables may not
-      // exist yet on the first batch)
-      val prior =
-        if (s.catalog.tableExists(table))
-          graft.operators.Bfs.distancesFromStore(s, table)
-        else be.select(col(srcCol).as("node"), lit(0L).as("dist")).limit(0)
-      be.write.mode("append").format("parquet")
-        .bucketBy(buckets, srcCol).sortBy(srcCol).saveAsTable(edgeLog)
-      graft.operators.Bfs.refreshDistances(
-        s.table(edgeLog), srcCol, dstCol, be, seeds, prior) { improved =>
-        improved.write.mode("append").format("parquet")
-          .bucketBy(buckets, "node").sortBy("node").saveAsTable(table)
+    {
+      val owner = edges.sparkSession
+      ledgeredIngest(edges, table, checkpointDir, trigger) { batch =>
+        val s = batch.sparkSession
+        val edgeLog = distanceEdgeTable(table)
+        val be = batch.select(col(srcCol), col(dstCol))
+        // prior BEFORE this batch's improvements land (tables may not
+        // exist yet on the first batch)
+        val prior =
+          if (s.catalog.tableExists(table))
+            graft.operators.Bfs.distancesFromStore(s, table)
+          else be.select(col(srcCol).as("node"), lit(0L).as("dist")).limit(0)
+        be.write.mode("append").format("parquet")
+          .bucketBy(buckets, srcCol).sortBy(srcCol).saveAsTable(edgeLog)
+        // the edge log is a second owner-visible table this family
+        // appends beyond the (table, ledger) pair the shared core
+        // refreshes — keep the owner's listing of it fresh too
+        owner.catalog.refreshTable(edgeLog)
+        graft.operators.Bfs.refreshDistances(
+          s.table(edgeLog), srcCol, dstCol, be, seeds, prior) { improved =>
+          improved.write.mode("append").format("parquet")
+            .bucketBy(buckets, "node").sortBy("node").saveAsTable(table)
+        }
       }
     }
+
+  /** COLLAPSING compaction for the distance store: rewrite the
+    * improvements log to its per-node minimum — one row per node, the
+    * current fixpoint — preserving the bucket spec (same tmp + rename
+    * swap as `Sinks.compactBucketed`, same writer-bucket-id routing so
+    * each bucket lands in one file). Unlike the rewrite-in-place
+    * compactions, this one SHRINKS state: the log grows by one row per
+    * improvement (a node can improve once per graph growth step), and
+    * the collapse resets it to node count. Served reads are unchanged
+    * (min of a min-collapsed log is the same min). Run between ingests
+    * — the single-writer contract covers maintenance too.
+    */
+  def compactDistanceStore(spark: org.apache.spark.sql.SparkSession,
+                           table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table '$table' is not bucketed — not a distance store"))
+    val tmp = table + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    graft.operators.Bfs.distancesFromStore(spark, table)
+      .repartition(spec.numBuckets,
+        pmod(hash(col("node")), lit(spec.numBuckets)))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(spec.numBuckets, "node").sortBy("node")
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
 
   def ingestKnnResults(queries: DataFrame, corpus: DataFrame,
                        idCol: String, vecCol: String, table: String,

@@ -436,6 +436,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         .write.mode("append").format("parquet")
         .bucketBy(2, "node").sortBy("node").saveAsTable(table)
       assert(served == expected)
+
+      // collapsing compaction: the log shrinks to one row per node, the
+      // served answer and the bucket spec are unchanged, and a later
+      // ingest over a grown source still improves through the compacted
+      // state
+      StoreIngest.compactDistanceStore(spark, table)
+      assert(spark.table(table).count() == expected.size.toLong)
+      assert(served == expected)
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+      assert(spec.exists(s => s.numBuckets == 2 &&
+        s.bucketColumnNames == Seq("node")))
+      val gen3 = Seq(("s", "b"), ("b", "s")) // shortcut: b improves 2 → 1
+      gen3.toDF("src", "dst").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      StoreIngest.ingestDistanceStore(stream, "src", "dst", seeds, table,
+        checkpointDir = new java.io.File(root, "cp3").getAbsolutePath,
+        buckets = 2).awaitTermination()
+      assert(served == expected + ("b" -> 1L))
     } finally {
       rmTree(root)
       tables.foreach(dropTable)
