@@ -1405,6 +1405,39 @@ object OracleSqlGen {
     s"""WITH ${knnChain(targetClusterSize, maxK, iterations, scale, dim, k)}
        |SELECT vec_id, knn_rank, neighbor_id, cos_sim FROM knn""".stripMargin
 
+  // ---- q234: reciprocal k-NN pairs — the knn chain self-joined on
+  // swapped keys, one row per mutual pair with id_a < id_b.
+  def q234Sql(targetClusterSize: Long = 2500L, maxK: Int = 4096,
+              iterations: Int = 5, scale: Long = 1000000L,
+              dim: Int = 64, k: Int = 5): String =
+    s"""WITH ${knnChain(targetClusterSize, maxK, iterations, scale, dim, k)}
+       |SELECT a.vec_id AS id_a, a.neighbor_id AS id_b, a.cos_sim
+       |FROM knn a JOIN knn b
+       |  ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+       |WHERE a.vec_id < a.neighbor_id""".stripMargin
+
+  // ---- q235: semantic clusters — the mutual pairs closed with a
+  // recursive CTE (exact components, the q98 discipline), singletons
+  // clustering as themselves.
+  def q235Sql(targetClusterSize: Long = 2500L, maxK: Int = 4096,
+              iterations: Int = 5, scale: Long = 1000000L,
+              dim: Int = 64, k: Int = 5): String =
+    s"""WITH RECURSIVE ${knnChain(targetClusterSize, maxK, iterations, scale, dim, k)}, mp AS (
+       |  SELECT a.vec_id AS a, a.neighbor_id AS b
+       |  FROM knn a JOIN knn b
+       |    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+       |), reach AS (
+       |  SELECT a, b FROM mp
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN mp e2 ON r.b = e2.a
+       |), lbl AS (
+       |  SELECT a AS vec_id, least(a, min(b)) AS cluster
+       |  FROM reach GROUP BY a
+       |)
+       |SELECT e.vec_id, COALESCE(l.cluster, e.vec_id) AS cluster,
+       |  e.vec_id = COALESCE(l.cluster, e.vec_id) AS is_rep
+       |FROM embeddings e LEFT JOIN lbl l ON e.vec_id = l.vec_id""".stripMargin
+
   // ---- q233: greedy graph-descent over the q228 k-NN graph — hops
   // unrolled: each hop argmaxes round-6 cosine over {current} ∪
   // {neighbors} with a candidate-id tiebreak. Every hop CTE is

@@ -3509,6 +3509,47 @@ object SparkEntry {
       "vec_id", "embedding", q, "query_id", "qv", hops = 4)
   }
 
+  // ---- q234: reciprocal k-NN pairs — the high-precision near-dup
+  //      filter over the q228 graph: keep (u, v) only when each is in
+  //      the OTHER's top-5 (mutuality cuts hub noise — one-directional
+  //      neighborhood is cheap to satisfy next to a dense region's
+  //      hub). One self-join of the linear-sized graph; no new pair
+  //      space. Oracle = the knn chain self-joined on swapped keys. ----
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val asg = operators.KMeans.assignAuto(emb, "vec_id", "embedding",
+      targetClusterSize = 2500L, iterations = 5)
+    operators.KnnGraph.mutualPairs(
+      operators.KnnGraph.clusterLocalKnn(
+        emb.join(asg, "vec_id"), "vec_id", "embedding", "cluster", k = 5),
+      "vec_id")
+  }
+
+  // ---- q235: semantic clusters — connected components over the q234
+  //      mutual pairs (pointer jumping to FIXPOINT, the q98
+  //      discipline): each vector labels with the minimum reachable
+  //      vec_id, singletons cluster as themselves, the cluster minimum
+  //      is the kept representative. The composition the embedding
+  //      family was building toward: q94 cells bound the pair space,
+  //      q228 ranks it, q234 symmetrizes it, components close it.
+  //      Oracle = the chain + a recursive closure CTE. ----
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val asg = operators.KMeans.assignAuto(emb, "vec_id", "embedding",
+      targetClusterSize = 2500L, iterations = 5)
+    val mp = operators.KnnGraph.mutualPairs(
+      operators.KnnGraph.clusterLocalKnn(
+        emb.join(asg, "vec_id"), "vec_id", "embedding", "cluster", k = 5),
+      "vec_id")
+    val comp = operators.ConnectedComponents.components(
+      mp.select(col("id_a").as("u"), col("id_b").as("v")))
+    emb.select(col("vec_id"))
+      .join(comp, emb("vec_id") === comp("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster"))
+      .withColumn("is_rep", col("vec_id") === col("cluster"))
+  }
+
   // ---- q232: STREAMING distance-store ingest — the NINTH store
   //      family: edge batches stream in and the store continuously
   //      holds the FIXPOINT hop distances from the fixed seed set over
@@ -3862,6 +3903,8 @@ object SparkEntry {
     "q231_kcenter_assign"  -> q231 _,
     "q232_stream_dist_store" -> q232 _,
     "q233_knn_graph_walk"  -> q233 _,
+    "q234_mutual_knn"      -> q234 _,
+    "q235_semantic_clusters" -> q235 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5315,6 +5358,11 @@ object SparkEntry {
     // q233: the q228 chain + the 4-hop greedy walk unrolled (argmax
     // over {current} ∪ {neighbors}, round-6 cosine, id tiebreak).
     "q233_knn_graph_walk" -> OracleSqlGen.q233Sql(),
+    // q234: the knn chain self-joined on swapped keys (mutual pairs).
+    "q234_mutual_knn" -> OracleSqlGen.q234Sql(),
+    // q235: the mutual pairs closed with a recursive CTE — exact
+    // components both sides (fixpoint, not fixed-round).
+    "q235_semantic_clusters" -> OracleSqlGen.q235Sql(),
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle

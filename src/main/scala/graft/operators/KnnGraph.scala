@@ -60,6 +60,26 @@ object KnnGraph {
         col("__idb").as("neighbor_id"), col("cos_sim"))
   }
 
+  /** Reciprocal (mutual) k-NN pairs — the high-precision near-dup
+    * filter over [[clusterLocalKnn]]'s graph: keep (u, v) only when
+    * each is in the OTHER's top-k. One-directional neighborhood is
+    * cheap to satisfy in a dense region (everything's top-k points at
+    * the hub); mutuality is the standard symmetrization that cuts hub
+    * noise before clustering. One self-join of the (already linear-
+    * sized) graph on swapped keys — no new pair space.
+    *
+    * @return (id_a, id_b, cos_sim) with id_a < id_b, one row per
+    *         mutual pair
+    */
+  def mutualPairs(graph: DataFrame, idCol: String): DataFrame = {
+    val a = graph.select(col(idCol).as("id_a"),
+      col("neighbor_id").as("id_b"), col("cos_sim"))
+    val b = graph.select(col(idCol).as("__bv"), col("neighbor_id").as("__bn"))
+    a.join(b, col("id_a") === col("__bn") && col("id_b") === col("__bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** Greedy graph-descent search over a k-NN graph — the SERVE side of
     * [[clusterLocalKnn]] (the navigable-graph ANN family's core move,
     * HNSW's layer-0 walk): from a fixed entry point, repeatedly hop to

@@ -74,6 +74,34 @@ class KnnGraphSpec extends AnyFunSuite with SparkSpec {
     assert(run(pts, k = 3) == brute(pts, k = 3))
   }
 
+  test("mutual pairs keep only reciprocal neighborhoods") {
+    // 1↔2 mutual; 3's top-1 is 2, but 2's top-1 is 1 → (2,3) excluded
+    // at k = 1
+    val pts = Seq(
+      (1L, 0, Seq(1f, 0f)),
+      (2L, 0, Seq(0.95f, 0.3122f)),
+      (3L, 0, Seq(0.5f, 0.866f)))
+    val g = KnnGraph.clusterLocalKnn(pts.toDF("vec_id", "cluster", "embedding"),
+      "vec_id", "embedding", "cluster", k = 1)
+    val got = KnnGraph.mutualPairs(g, "vec_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("mutual pairs match the brute reciprocal filter on random points") {
+    val rnd = new Random(53)
+    val pts = (0L until 100L).map(i =>
+      (i, rnd.nextInt(3), Seq.fill(5)(rnd.nextFloat() - 0.5f)))
+    val knn = brute(pts, k = 4)
+    val dir = knn.map(r => (r._1, r._3))
+    val exp = dir.filter { case (u, v) => u < v && dir.contains((v, u)) }
+    val g = KnnGraph.clusterLocalKnn(pts.toDF("vec_id", "cluster", "embedding"),
+      "vec_id", "embedding", "cluster", k = 4)
+    val got = KnnGraph.mutualPairs(g, "vec_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == exp)
+  }
+
   private def bruteWalk(graph: Map[Long, Seq[Long]],
                         vecs: Map[Long, Seq[Float]],
                         qv: Seq[Float], entry: Long,
