@@ -71,6 +71,12 @@ SF1_ORACLE_PREFIXES = [
     # shrinking peels — all DuckDB-tractable at sf1; q223 is the q32
     # replay (the q217 form).
     "q220_", "q221_", "q222_", "q223_", "q224_", "q225_", "q226_", "q227_",
+    # round-15-extension families: the knn chain (q228/q233/q234/q235)
+    # was probed tractable at sf1 scale (50M within-cell cosines in
+    # ~0.5s, the 20k-partition rank window ~61s — DuckDB's list ops are
+    # vectorized); q229/q230/q231 are small unrolls over 20k scaled
+    # points; q232 is the q219 unroll at depth 8.
+    "q228_", "q229_", "q230_", "q231_", "q232_", "q233_", "q234_", "q235_",
 ]
 
 
