@@ -1438,6 +1438,56 @@ object OracleSqlGen {
        |  e.vec_id = COALESCE(l.cluster, e.vec_id) AS is_rep
        |FROM embeddings e LEFT JOIN lbl l ON e.vec_id = l.vec_id""".stripMargin
 
+  // ---- q236: DBSCAN over the within-cell ε-relation — the Lloyd chain
+  // (target 250: the cell bound is live at gate scale), the ε-pair frame
+  // (round-6 cosine ≥ eps, MATERIALIZED — it feeds the degree count, the
+  // core-core edges, and the border assignment), core = ≥ minPts
+  // neighbors (self excluded), clusters = recursive closure over
+  // core-core edges labeled by the component minimum, border = min
+  // adjacent core label (the operator's deterministic rule), noise =
+  // null cluster.
+  def q236Sql(targetClusterSize: Long = 250L, maxK: Int = 4096,
+              iterations: Int = 5, scale: Long = 1000000L,
+              dim: Int = 64, eps: Double = 0.35, minPts: Int = 2): String =
+    s"""WITH RECURSIVE ${kmeansCtes(derivedKSql(targetClusterSize, maxK), iterations, scale, dim)}, ev AS (
+       |  SELECT a.vec_id, a.cluster, e.embedding::DOUBLE[] AS v
+       |  FROM asg a JOIN embeddings e USING (vec_id)
+       |), pe AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM ev a JOIN ev b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v)
+       |    / (sqrt(list_dot_product(a.v, a.v))
+       |       * sqrt(list_dot_product(b.v, b.v))), 6) >= $eps
+       |), corex AS MATERIALIZED (
+       |  SELECT ia AS vec_id FROM pe GROUP BY ia HAVING count(*) >= $minPts
+       |), ce AS MATERIALIZED (
+       |  SELECT p.ia AS a, p.ib AS b FROM pe p
+       |  JOIN corex c1 ON p.ia = c1.vec_id
+       |  JOIN corex c2 ON p.ib = c2.vec_id
+       |), reach AS (
+       |  SELECT a, b FROM ce
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN ce e2 ON r.b = e2.a
+       |), lbl AS MATERIALIZED (
+       |  SELECT c.vec_id, least(c.vec_id, COALESCE(m.mb, c.vec_id)) AS cl
+       |  FROM corex c LEFT JOIN (
+       |    SELECT a, min(b) AS mb FROM reach GROUP BY a) m
+       |    ON c.vec_id = m.a
+       |), brd AS MATERIALIZED (
+       |  SELECT p.ia AS vec_id, min(l.cl) AS cl
+       |  FROM pe p JOIN lbl l ON p.ib = l.vec_id
+       |  WHERE p.ia NOT IN (SELECT vec_id FROM corex)
+       |  GROUP BY p.ia
+       |)
+       |SELECT e.vec_id,
+       |  CASE WHEN l.vec_id IS NOT NULL THEN 'core'
+       |       WHEN b.vec_id IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS point_type,
+       |  COALESCE(l.cl, b.cl) AS cluster
+       |FROM embeddings e
+       |LEFT JOIN lbl l ON e.vec_id = l.vec_id
+       |LEFT JOIN brd b ON e.vec_id = b.vec_id""".stripMargin
+
   // ---- q233: greedy graph-descent over the q228 k-NN graph — hops
   // unrolled: each hop argmaxes round-6 cosine over {current} ∪
   // {neighbors} with a candidate-id tiebreak. Every hop CTE is

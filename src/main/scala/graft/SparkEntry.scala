@@ -3550,6 +3550,25 @@ object SparkEntry {
       .withColumn("is_rep", col("vec_id") === col("cluster"))
   }
 
+  // ---- q236: DBSCAN over the embedding corpus — the density triage
+  //      k-means can't do (clusters = dense near-dup islands, border =
+  //      their fringes, noise = the background a curation pass keeps
+  //      as-is). ε-neighborhood is DEFINED within the q94 cell (derived
+  //      k ⇒ linear pair space); targetClusterSize=250 keeps the cell
+  //      bound LIVE at gate scale (2-8 cells), and eps=0.35/minPts=2 is
+  //      the probed grid point where core, border, AND noise are all
+  //      populated with 15-48 clusters at every SF (DbscanProbe).
+  //      Oracle = the chain + degree count + a recursive closure over
+  //      core-core edges + the min-adjacent-label border rule. ----
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val asg = operators.KMeans.assignAuto(emb, "vec_id", "embedding",
+      targetClusterSize = 250L, iterations = 5)
+      .withColumnRenamed("cluster", "cell")
+    operators.Dbscan.clusterCells(emb.join(asg, "vec_id"),
+      "vec_id", "embedding", "cell", eps = 0.35, minPts = 2)
+  }
+
   // ---- q232: STREAMING distance-store ingest — the NINTH store
   //      family: edge batches stream in and the store continuously
   //      holds the FIXPOINT hop distances from the fixed seed set over
@@ -3905,6 +3924,7 @@ object SparkEntry {
     "q233_knn_graph_walk"  -> q233 _,
     "q234_mutual_knn"      -> q234 _,
     "q235_semantic_clusters" -> q235 _,
+    "q236_dbscan"          -> q236 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5363,6 +5383,10 @@ object SparkEntry {
     // q235: the mutual pairs closed with a recursive CTE — exact
     // components both sides (fixpoint, not fixed-round).
     "q235_semantic_clusters" -> OracleSqlGen.q235Sql(),
+    // q236: DBSCAN — within-cell ε-pairs (target 250 so the cell bound
+    // is live at gate scale), degree count, recursive closure over
+    // core-core edges, min-adjacent-label border rule.
+    "q236_dbscan" -> OracleSqlGen.q236Sql(),
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle
