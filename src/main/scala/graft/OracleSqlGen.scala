@@ -1488,6 +1488,103 @@ object OracleSqlGen {
        |LEFT JOIN lbl l ON e.vec_id = l.vec_id
        |LEFT JOIN brd b ON e.vec_id = b.vec_id""".stripMargin
 
+  /** The weighted mutual-pair edge CTE shared by the MST oracles:
+    * q234's mutual join with w = 10⁶ − round(cos·10⁶) (cos is round-6,
+    * so the product sits within 1e-9 of an integer — no half-tie).
+    * Canonical u < v; the mutual join emits each pair once, so no
+    * parallel-edge collapse is needed (GROUP BY kept anyway to mirror
+    * the operator's collapse step bit-for-bit).
+    */
+  private def mutualWeightedCte: String =
+    s"""eg AS MATERIALIZED (
+       |  SELECT u, v, min(w) AS w FROM (
+       |    SELECT a.vec_id AS u, a.neighbor_id AS v,
+       |      1000000 - CAST(round(a.cos_sim * 1000000) AS BIGINT) AS w
+       |    FROM knn a JOIN knn b
+       |      ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+       |    WHERE a.vec_id < a.neighbor_id) t
+       |  GROUP BY u, v
+       |)""".stripMargin
+
+  // ---- q237: Borůvka unrolled — per round: closure over the forest-
+  // so-far labels every node (lbl0 = self), each edge annotates with
+  // both endpoint components, each component's minimum CROSS edge by
+  // the strict (w, u, v) total order is selected (row_number, the
+  // total cut), and the selected set unions into the forest (UNION ALL
+  // — selections are cross-component, forest edges intra-component, so
+  // the sets are disjoint by construction; mirroring the operator's
+  // plain union keeps even a hypothetical overlap bit-identical).
+  // Every round CTE is MATERIALIZED (the q185 re-expansion lesson).
+  def q237Sql(targetClusterSize: Long = 2500L, maxK: Int = 4096,
+              iterations: Int = 5, scale: Long = 1000000L,
+              dim: Int = 64, k: Int = 5, rounds: Int = 3): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val lblPrev =
+        if (r == 1)
+          s"""lbl0 AS (SELECT node, node AS comp FROM mnodes)"""
+        else
+          s"""dir${r - 1} AS (
+             |  SELECT u AS a, v AS b FROM f${r - 1}
+             |  UNION ALL SELECT v, u FROM f${r - 1}
+             |), rc${r - 1} AS (
+             |  SELECT a, b FROM dir${r - 1}
+             |  UNION
+             |  SELECT rc${r - 1}.a, d.b
+             |  FROM rc${r - 1} JOIN dir${r - 1} d ON rc${r - 1}.b = d.a
+             |), lbl${r - 1} AS MATERIALIZED (
+             |  SELECT n.node,
+             |    least(n.node, COALESCE(m.mb, n.node)) AS comp
+             |  FROM mnodes n LEFT JOIN (
+             |    SELECT a, min(b) AS mb FROM rc${r - 1} GROUP BY a) m
+             |    ON n.node = m.a
+             |)""".stripMargin
+      val prevForest = if (r == 1) "" else s"SELECT u, v, w FROM f${r - 1} UNION ALL "
+      s"""$lblPrev, sel$r AS MATERIALIZED (
+         |  SELECT DISTINCT u, v, w FROM (
+         |    SELECT cc, u, v, w,
+         |      row_number() OVER (PARTITION BY cc ORDER BY w, u, v) AS rn
+         |    FROM (
+         |      SELECT la.comp AS cc, e.u, e.v, e.w
+         |      FROM eg e JOIN lbl${r - 1} la ON e.u = la.node
+         |      JOIN lbl${r - 1} lb ON e.v = lb.node
+         |      WHERE la.comp <> lb.comp
+         |      UNION ALL
+         |      SELECT lb.comp AS cc, e.u, e.v, e.w
+         |      FROM eg e JOIN lbl${r - 1} la ON e.u = la.node
+         |      JOIN lbl${r - 1} lb ON e.v = lb.node
+         |      WHERE la.comp <> lb.comp) c) t
+         |  WHERE rn = 1
+         |), f$r AS MATERIALIZED (
+         |  ${prevForest}SELECT u, v, w FROM sel$r
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH RECURSIVE ${knnChain(targetClusterSize, maxK, iterations, scale, dim, k)}, $mutualWeightedCte, mnodes AS (
+       |  SELECT u AS node FROM eg UNION SELECT v FROM eg
+       |), $roundCtes
+       |SELECT u, v, w FROM f$rounds""".stripMargin
+  }
+
+  // ---- q238: single-linkage flat clusters at wmax — the DEFINITION
+  // (closure over ALL mutual pairs with w <= wmax); the Spark side
+  // serves the identical labeling from the persisted fixpoint MSF's
+  // <= wmax cut, so the gate proves the cut property end-to-end.
+  def q238Sql(targetClusterSize: Long = 2500L, maxK: Int = 4096,
+              iterations: Int = 5, scale: Long = 1000000L,
+              dim: Int = 64, k: Int = 5, wmax: Long = 620000L): String =
+    s"""WITH RECURSIVE ${knnChain(targetClusterSize, maxK, iterations, scale, dim, k)}, $mutualWeightedCte, cutd AS (
+       |  SELECT u AS a, v AS b FROM eg WHERE w <= $wmax
+       |  UNION ALL SELECT v, u FROM eg WHERE w <= $wmax
+       |), reach AS (
+       |  SELECT a, b FROM cutd
+       |  UNION
+       |  SELECT reach.a, d.b FROM reach JOIN cutd d ON reach.b = d.a
+       |), lbl AS (
+       |  SELECT a AS vec_id, least(a, min(b)) AS cluster
+       |  FROM reach GROUP BY a
+       |)
+       |SELECT e.vec_id, COALESCE(l.cluster, e.vec_id) AS cluster
+       |FROM embeddings e LEFT JOIN lbl l ON e.vec_id = l.vec_id""".stripMargin
+
   // ---- q233: greedy graph-descent over the q228 k-NN graph — hops
   // unrolled: each hop argmaxes round-6 cosine over {current} ∪
   // {neighbors} with a candidate-id tiebreak. Every hop CTE is

@@ -3550,6 +3550,62 @@ object SparkEntry {
       .withColumn("is_rep", col("vec_id") === col("cluster"))
   }
 
+  /** The q234 mutual-kNN pairs with the exact integer weight
+    * w = 10⁶ − round(cos·10⁶) (cos is already round-6, so cos·10⁶ sits
+    * within 1e-9 of an integer — no half-tie can arise; the q212
+    * bit-arithmetic lesson applied to quantization). Shared by the MST
+    * build (q237) and the threshold-cut serve (q238).
+    */
+  private def mutualWeightedPairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val asg = operators.KMeans.assignAuto(emb, "vec_id", "embedding",
+      targetClusterSize = 2500L, iterations = 5)
+    operators.KnnGraph.mutualPairs(
+        operators.KnnGraph.clusterLocalKnn(
+          emb.join(asg, "vec_id"), "vec_id", "embedding", "cluster", k = 5),
+        "vec_id")
+      .withColumn("w",
+        lit(1000000L) - round(col("cos_sim") * 1e6).cast("long"))
+      .select(col("id_a"), col("id_b"), col("w"))
+  }
+
+  // ---- q237: Borůvka minimum spanning forest over the mutual-kNN
+  //      graph — the single-linkage dendrogram backbone (every
+  //      agglomerative merge crosses an MSF edge; the HDBSCAN core).
+  //      Fixed 3 rounds (the oracle-form discipline — q133's fixed-R
+  //      peel); the strict (w, u, v) total order makes the selected
+  //      set unique, so the unrolled oracle replays it exactly.
+  //      MstGateProbe records the graph shape (nearly spanning — the
+  //      one-cell mutual graph knits the corpus together). ----
+  private def q237(s: SparkSession, dir: String): DataFrame =
+    operators.Mst.boruvka(mutualWeightedPairs(s, dir),
+      "id_a", "id_b", "w", rounds = 3)
+
+  // ---- q238: single-linkage flat clusters SERVED from the persisted
+  //      FIXPOINT forest — the reason the forest is materialized at
+  //      all: clusters at threshold τ = components of {forest edges
+  //      ≤ τ} (node-bounded state), while the ORACLE computes the
+  //      DEFINITION — components of {ALL mutual pairs ≤ τ} — so the
+  //      gate proves the single-linkage cut property end-to-end, not
+  //      just a round trip. wmax = 620000 (cos ≥ 0.38) probed: the one
+  //      value where the cut bites at every SF (61/72/97 clusters,
+  //      strictly between full components and singletons). ----
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "graft_mst_forest"
+    graft.sources.Sinks.dropTableAndStaleLocation(s, tbl)
+    operators.Mst.boruvkaFixpoint(mutualWeightedPairs(s, dir),
+        "id_a", "id_b", "w")
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    val cut = s.table(tbl).filter(col("w") <= 620000L)
+    val comp = operators.ConnectedComponents.components(
+      cut.select(col("u"), col("v")))
+    val emb = Tables(s, dir).embeddings
+    emb.select(col("vec_id"))
+      .join(comp, emb("vec_id") === comp("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster"))
+  }
+
   // ---- q236: DBSCAN over the embedding corpus — the density triage
   //      k-means can't do (clusters = dense near-dup islands, border =
   //      their fringes, noise = the background a curation pass keeps
@@ -3925,6 +3981,8 @@ object SparkEntry {
     "q234_mutual_knn"      -> q234 _,
     "q235_semantic_clusters" -> q235 _,
     "q236_dbscan"          -> q236 _,
+    "q237_mst_forest"      -> q237 _,
+    "q238_single_linkage"  -> q238 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5387,6 +5445,14 @@ object SparkEntry {
     // is live at gate scale), degree count, recursive closure over
     // core-core edges, min-adjacent-label border rule.
     "q236_dbscan" -> OracleSqlGen.q236Sql(),
+    // q237: 3 Borůvka rounds unrolled — per-round closure over the
+    // forest-so-far, per-component min edge by the (w, u, v) total
+    // order, selected sets unioned (disjoint by the cut property).
+    "q237_mst_forest" -> OracleSqlGen.q237Sql(rounds = 3),
+    // q238: the single-linkage DEFINITION — recursive closure over ALL
+    // mutual pairs with w <= wmax (the Spark side serves the identical
+    // answer from the persisted fixpoint forest's <= wmax cut).
+    "q238_single_linkage" -> OracleSqlGen.q238Sql(wmax = 620000L),
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Minimum spanning forest via Borůvka's algorithm (1926) — the
+  * single-linkage backbone of the embedding-curation family: the MSF of
+  * the similarity graph IS the single-linkage dendrogram (every
+  * agglomerative merge crosses an MSF edge), so one persisted
+  * node-bounded artifact answers every "flat clusters at threshold τ"
+  * question without touching the raw pair space again — the HDBSCAN
+  * core, and the reason a curation pipeline materializes the forest
+  * once instead of re-clustering per τ.
+  *
+  * Determinism: edges are ranked by the STRICT TOTAL ORDER (w, u, v)
+  * (canonical u < v orientation; parallel edges pre-collapsed to their
+  * minimum weight — the cheapest always wins under any spanning
+  * objective). Under a strict total order "all weights are distinct",
+  * so the minimum spanning forest is UNIQUE (cut property), Borůvka ≡
+  * Kruskal ≡ Prim on it (MstSpec pins Kruskal brute parity incl.
+  * weight ties), and a fixed-round prefix is deterministic — the
+  * unrolled-round oracle discipline.
+  *
+  * Round shape (all relational, no driver graph state): label every
+  * node with its component of the forest-so-far
+  * ([[ConnectedComponents.components]] over the node-bounded forest —
+  * pointer jumping, its own dual scale shape), annotate each edge with
+  * both endpoint components, keep cross-component edges, and take each
+  * component's minimum edge as ONE `min(struct(w, u, v))` AGGREGATE —
+  * partial map-side combine, no per-component window, so a giant
+  * component funnels nothing into a single task. With a strict total
+  * order the selected edge set is acyclic (in any would-be cycle the
+  * largest edge is no component's minimum), every component merges
+  * with at least one other, and the component count at least halves —
+  * fixpoint in ≤ log₂ n rounds. Each round's forest rebases onto a
+  * cached RDD leaf (the materializeLeaf discipline); the collapsed
+  * edge list is persisted ONCE and released on exit.
+  *
+  * Weights are exact longs (quantize similarities before calling — the
+  * q214/q158 integer discipline); the forest is at most n−1 rows
+  * however large the edge list.
+  */
+object Mst {
+
+  /** Run exactly `rounds` Borůvka rounds (early-exits when a round
+    * selects nothing — the result is already the full MSF then).
+    *
+    * @param edges undirected weighted edge list; either orientation,
+    *              parallel edges and self-loops tolerated (collapsed /
+    *              dropped)
+    * @return (`u`, `v`, `w`) forest edges, u < v
+    */
+  def boruvka(edges: DataFrame, srcCol: String, dstCol: String,
+              wCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    forestCore(edges, srcCol, dstCol, wCol, rounds)
+  }
+
+  /** Borůvka to FIXPOINT — the full minimum spanning forest. Component
+    * count at least halves per round, so 63 rounds bound any long-id
+    * graph; the loop exits on the first round that selects nothing.
+    */
+  def boruvkaFixpoint(edges: DataFrame, srcCol: String, dstCol: String,
+                      wCol: String): DataFrame =
+    forestCore(edges, srcCol, dstCol, wCol, 63)
+
+  private def forestCore(edges: DataFrame, srcCol: String, dstCol: String,
+                         wCol: String, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .persist()
+    e.count()
+    val nodes = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node"))).distinct().persist()
+    nodes.count()
+
+    var forest = e.limit(0)
+    var forestRdd: org.apache.spark.rdd.RDD[Row] = null
+    var forestCount = 0L
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val comp = ConnectedComponents.components(
+        forest.select(col("u"), col("v")))
+      val lblU = nodes.join(comp, nodes("node") === comp("node"), "left")
+        .select(nodes("node").as("u"),
+          coalesce(col("component"), nodes("node")).as("ca"))
+      val lblV = lblU.select(col("u").as("v"), col("ca").as("cb"))
+      val ann = e.join(lblU, "u").join(lblV, "v")
+        .filter(col("ca") =!= col("cb"))
+      val cand = ann.select(col("ca").as("cc"), col("w"), col("u"), col("v"))
+        .unionByName(
+          ann.select(col("cb").as("cc"), col("w"), col("u"), col("v")))
+      val sel = cand.groupBy(col("cc"))
+        .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
+        .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"))
+        .distinct()
+      val merged = forest.unionByName(sel)
+      val rdd = merged.rdd
+      rdd.cache()
+      val cnt = rdd.count()
+      done = cnt == forestCount
+      forestCount = cnt
+      val next = spark.createDataFrame(rdd, merged.schema)
+      // one-round lag: the superseded leaf goes only after its successor
+      // materialized above it (the KCore unpersist discipline)
+      if (forestRdd != null) forestRdd.unpersist(blocking = false)
+      forestRdd = rdd
+      forest = next
+      r += 1
+    }
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    // the returned frame reads the final cached forest leaf (node-bounded,
+    // never collected to the driver); caller releases via
+    // [[graft.Storage.releaseAll]] — the Verify/Bench contract
+    forest
+  }
+}
