@@ -1488,6 +1488,60 @@ object OracleSqlGen {
        |LEFT JOIN lbl l ON e.vec_id = l.vec_id
        |LEFT JOIN brd b ON e.vec_id = b.vec_id""".stripMargin
 
+  // ---- q239: ANN recall@k report — the q19 brute CTE and the q24 LSH
+  // CTE (coarser geometry so the report has spread), joined into
+  // per-query hit counts; recall in exact basis points ⌊10⁴·hits/k⌋;
+  // zero-overlap queries report 0 via the left join.
+  def q239Sql(k: Int = 5, nPlanes: Int = 4, probeBits: Int = 2,
+              dim: Int = 64, seed: Long = 42L, nQueries: Int = 50): String = {
+    val planes = VectorFunctions.seededPlanes(nPlanes, dim, seed)
+    val probeXors = (0L +: (0 until probeBits).map(i => 1L << i))
+      .mkString("[", ", ", "]")
+    s"""WITH qd AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS qn,
+       |    ${bucketSql("embedding::DOUBLE[]", planes)} AS bucket0
+       |  FROM embeddings WHERE vec_id < $nQueries
+       |), c AS (
+       |  SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cn,
+       |    ${bucketSql("embedding::DOUBLE[]", planes)} AS bucket
+       |  FROM embeddings
+       |), br AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT q.query_id, c.cand_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_dot_product(q.qv, c.cv)
+       |          / (sqrt(q.qn) * sqrt(c.cn)), 6) DESC, c.cand_id) AS rn
+       |    FROM qd q CROSS JOIN c WHERE q.query_id <> c.cand_id) t
+       |  WHERE rn <= $k
+       |), probes AS (
+       |  SELECT DISTINCT query_id, qv, qn, xor(bucket0, p) AS bucket
+       |  FROM qd, (SELECT unnest($probeXors) AS p)
+       |), ap AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, cand_id) AS rn
+       |    FROM (
+       |      SELECT DISTINCT p.query_id, c.cand_id,
+       |        round(list_dot_product(p.qv, c.cv)
+       |          / (sqrt(p.qn) * sqrt(c.cn)), 6) AS cos_sim
+       |      FROM c JOIN probes p USING (bucket)
+       |      WHERE p.query_id <> c.cand_id) s) t
+       |  WHERE rn <= $k
+       |), hits AS (
+       |  SELECT b.query_id, count(*) AS n_hits
+       |  FROM br b JOIN ap a
+       |    ON b.query_id = a.query_id AND b.cand_id = a.cand_id
+       |  GROUP BY b.query_id
+       |)
+       |SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) * 10000 // $k AS recall_bp
+       |FROM (SELECT DISTINCT query_id FROM br) q
+       |LEFT JOIN hits h ON q.query_id = h.query_id""".stripMargin
+  }
+
   /** The weighted mutual-pair edge CTE shared by the MST oracles:
     * q234's mutual join with w = 10⁶ − round(cos·10⁶) (cos is round-6,
     * so the product sits within 1e-9 of an integer — no half-tie).

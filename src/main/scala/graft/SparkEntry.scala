@@ -3606,6 +3606,25 @@ object SparkEntry {
         coalesce(col("component"), col("vec_id")).as("cluster"))
   }
 
+  // ---- q239: ANN recall@k report — index-quality monitoring, the
+  //      number an operator of a serving store actually watches (bucket
+  //      geometry drifts as the corpus grows; recall is the alarm).
+  //      Exact side = brute-force over a 50-query draw (ground truth on
+  //      the SAMPLE only — never corpus×corpus); approximate side = the
+  //      q24 LSH with a COARSER geometry (4 planes, 2 probe bits) so
+  //      the report has real spread instead of sitting at 0 or 100%.
+  //      Both sides are deterministic ranked frames, so per-query hit
+  //      counts and basis-point recalls replay exactly. ----
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 5)
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nPlanes = 4, probeBits = 2)
+    Similarity.recallAtK(exact, approx, k = 5)
+  }
+
   // ---- q236: DBSCAN over the embedding corpus — the density triage
   //      k-means can't do (clusters = dense near-dup islands, border =
   //      their fringes, noise = the background a curation pass keeps
@@ -3983,6 +4002,7 @@ object SparkEntry {
     "q236_dbscan"          -> q236 _,
     "q237_mst_forest"      -> q237 _,
     "q238_single_linkage"  -> q238 _,
+    "q239_ann_recall"      -> q239 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5453,6 +5473,10 @@ object SparkEntry {
     // mutual pairs with w <= wmax (the Spark side serves the identical
     // answer from the persisted fixpoint forest's <= wmax cut).
     "q238_single_linkage" -> OracleSqlGen.q238Sql(wmax = 620000L),
+    // q239: brute top-5 over the 50-query draw vs the coarse-geometry
+    // LSH top-5 (plane literals replayed), joined into per-query hit
+    // counts and exact basis-point recalls.
+    "q239_ann_recall" -> OracleSqlGen.q239Sql(),
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle

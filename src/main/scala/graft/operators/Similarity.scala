@@ -377,4 +377,34 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Index-quality monitoring: per-query recall@k of an approximate
+    * top-k result against the exact one — the number an operator of a
+    * 100 TB ANN serving store actually watches (bucket/cell parameters
+    * drift as the corpus grows; recall is the alarm). Both inputs are
+    * deterministic ranked frames (`query_id`, `cand_id`, ...), so the
+    * report replays exactly — no sampling, no floats.
+    *
+    * Cost: one equi-join of two k·|queries|-sized frames + one count —
+    * negligible next to producing either input. The exact side is the
+    * ground truth ON THE QUERY SAMPLE ONLY (brute-force over a bounded
+    * query draw — never corpus×corpus).
+    *
+    * @return (`query_id`, `n_hits`, `recall_bp`) — hits = |approx ∩
+    *         exact|, recall in exact basis points ⌊10⁴·hits/k⌋;
+    *         queries with zero overlap report 0, not absence
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val hits = exact.select(col("query_id"), col("cand_id"))
+      .join(approx.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) * 10000L / k).cast("long")
+          .as("recall_bp"))
+  }
 }

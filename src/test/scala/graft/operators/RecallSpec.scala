@@ -84,6 +84,21 @@ class RecallSpec extends AnyFunSuite with SparkSpec {
       "orientation must be (train, test); train never self-pairs")
   }
 
+  test("recallAtK reports exact hit counts, including zero-overlap queries") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L), (2L, 24L),
+      (3L, 30L), (3L, 31L), (3L, 32L), (3L, 33L), (3L, 34L))
+      .toDF("query_id", "cand_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 99L), (1L, 98L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L), (2L, 24L),
+      (3L, 97L), (3L, 96L), (3L, 95L), (3L, 94L), (3L, 93L))
+      .toDF("query_id", "cand_id")
+    val got = Similarity.recallAtK(exact, approx, k = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    // 3/5 = 6000 bp, 5/5 = 10000, 0/5 reports a ROW with 0 — not absence
+    assert(got == Set((1L, 3L, 6000L), (2L, 5L, 10000L), (3L, 0L, 0L)))
+  }
+
   test("more OR-amplification tables monotonically improve recall") {
     val emb = planted
     val exact = Dedup.embeddingNearDupsExact(emb, "vec_id", "embedding", minCosine = 0.9)
