@@ -3606,6 +3606,37 @@ object SparkEntry {
         coalesce(col("component"), col("vec_id")).as("cluster"))
   }
 
+  // ---- q240: INCREMENTAL minimum-spanning-forest maintenance — the
+  //      pair stream grows (new documents arrive, new near-dup pairs
+  //      appear) and the single-linkage backbone keeps up by folding
+  //      each batch into the NODE-BOUNDED forest: MSF(E₁∪E₂) =
+  //      MSF(MSF(E₁)∪E₂) (sparsification lemma; bit-identical under
+  //      the strict total order — spec-pinned). Three ingests split by
+  //      pmod(id_a, 3), then the q238 threshold-cut serve; oracle =
+  //      q238's DEFINITION VERBATIM (closure over ALL mutual pairs ≤
+  //      wmax) — incremental ≡ one-shot IS the check, the q186
+  //      discipline. ----
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    val pairs = mutualWeightedPairs(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var forest: DataFrame = null
+    for (g <- 0 to 2) {
+      val batch = pairs.filter(pmod(col("id_a"), lit(3)) === g)
+      forest =
+        if (forest == null)
+          operators.Mst.boruvkaFixpoint(batch, "id_a", "id_b", "w")
+        else operators.Mst.mergeBatch(forest, batch, "id_a", "id_b", "w")
+    }
+    val cut = forest.filter(col("w") <= 620000L)
+    val comp = operators.ConnectedComponents.components(
+      cut.select(col("u"), col("v")))
+    val emb = Tables(s, dir).embeddings
+    emb.select(col("vec_id"))
+      .join(comp, emb("vec_id") === comp("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster"))
+  }
+
   // ---- q239: ANN recall@k report — index-quality monitoring, the
   //      number an operator of a serving store actually watches (bucket
   //      geometry drifts as the corpus grows; recall is the alarm).
@@ -4003,6 +4034,7 @@ object SparkEntry {
     "q237_mst_forest"      -> q237 _,
     "q238_single_linkage"  -> q238 _,
     "q239_ann_recall"      -> q239 _,
+    "q240_incremental_mst" -> q240 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5477,6 +5509,10 @@ object SparkEntry {
     // LSH top-5 (plane literals replayed), joined into per-query hit
     // counts and exact basis-point recalls.
     "q239_ann_recall" -> OracleSqlGen.q239Sql(),
+    // q240: q238's oracle VERBATIM — the incrementally-maintained
+    // forest must serve the identical threshold clusters however the
+    // pair stream was sliced (incremental ≡ one-shot IS the check).
+    "q240_incremental_mst" -> OracleSqlGen.q238Sql(wmax = 620000L),
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle

@@ -64,6 +64,31 @@ object Mst {
                       wCol: String): DataFrame =
     forestCore(edges, srcCol, dstCol, wCol, 63)
 
+  /** INCREMENTAL maintenance: fold a NEW batch of weighted edges into an
+    * existing minimum spanning forest without re-scanning the
+    * accumulated edge set. Correct by the sparsification lemma:
+    * MSF(E₁ ∪ E₂) = MSF(MSF(E₁) ∪ E₂) — an edge outside MSF(E₁) is the
+    * strict-total-order maximum of some cycle in E₁, remains so in
+    * E₁ ∪ E₂, and the cycle property excludes it from MSF(E₁ ∪ E₂).
+    * Under the strict (w, u, v) order both sides are the UNIQUE forest,
+    * so incremental ≡ one-shot BIT-IDENTICALLY however the edge stream
+    * is sliced (MstSpec pins it; the q186 incremental-CC discipline).
+    * Per-ingest cost is O(nodes + batch) — the forest is node-bounded
+    * no matter how many edges ever arrived.
+    *
+    * @param forest a prior [[boruvkaFixpoint]] result (`u`, `v`, `w`)
+    * @param batch  new edges in operator input form (any orientation,
+    *               parallel edges tolerated)
+    */
+  def mergeBatch(forest: DataFrame, batch: DataFrame, srcCol: String,
+                 dstCol: String, wCol: String): DataFrame =
+    boruvkaFixpoint(
+      forest.select(col("u").as("__ms"), col("v").as("__md"),
+          col("w").as("__mw"))
+        .unionByName(batch.select(col(srcCol).as("__ms"),
+          col(dstCol).as("__md"), col(wCol).cast("long").as("__mw"))),
+      "__ms", "__md", "__mw")
+
   private def forestCore(edges: DataFrame, srcCol: String, dstCol: String,
                          wCol: String, rounds: Int): DataFrame = {
     val spark = edges.sparkSession

@@ -98,6 +98,35 @@ class MstSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mergeBatch: incremental MSF equals the one-shot fixpoint, however sliced") {
+    val rnd = new Random(17)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong, rnd.nextInt(8).toLong))
+    val want = runFix(edges)
+    for (nSlices <- Seq(2, 3, 5)) {
+      val slices = edges.zipWithIndex.groupBy(_._2 % nSlices)
+        .toSeq.sortBy(_._1).map(_._2.map(_._1))
+      var forest: org.apache.spark.sql.DataFrame = null
+      for (s <- slices) {
+        val df = s.toDF("src", "dst", "w")
+        forest =
+          if (forest == null) Mst.boruvkaFixpoint(df, "src", "dst", "w")
+          else Mst.mergeBatch(forest, df, "src", "dst", "w")
+      }
+      assert(forest.as[(Long, Long, Long)].collect().toSet == want,
+        s"$nSlices slices")
+    }
+  }
+
+  test("mergeBatch: replaying an already-folded batch is a no-op") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 3L))
+    val df = edges.toDF("src", "dst", "w")
+    val f1 = Mst.boruvkaFixpoint(df, "src", "dst", "w")
+    val f2 = Mst.mergeBatch(f1, df, "src", "dst", "w")
+    assert(f2.as[(Long, Long, Long)].collect().toSet ==
+      f1.as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("single-linkage cut property: components of forest edges <= t equal components of ALL edges <= t") {
     val rnd = new Random(13)
     val edges = (0 until 250).map(_ =>
