@@ -3637,6 +3637,47 @@ object SparkEntry {
         coalesce(col("component"), col("vec_id")).as("cluster"))
   }
 
+  // ---- q241: STREAMING MST-store ingest — the TENTH store family,
+  //      and the one whose state is NODE-BOUNDED however many edges
+  //      ever arrive: each micro-batch folds into the forest
+  //      (sparsification lemma) and appends a snapshot tagged with its
+  //      batch id; the served read is the latest LEDGER-committed
+  //      snapshot, so eviction (a lighter edge displacing an old forest
+  //      edge — the move no append-only log can express) is
+  //      snapshot-versioned, every crash window serves the previous
+  //      complete forest, and replays are idempotent BY VALUE
+  //      (MSF(F∪B) = F once B is folded). Gate: the mutual-kNN pairs
+  //      sliced into 3 files → 3 micro-batches → threshold-cut serve;
+  //      oracle = q238's DEFINITION VERBATIM — the store must equal
+  //      the one-shot forest however the stream sliced it. ----
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_stream_mst_store"
+    Seq(table, graft.streaming.StoreIngest.ledgerTable(table))
+      .foreach(graft.sources.Sinks.dropTableAndStaleLocation(s, _))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_mst_").toString
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_stream_mst_in_").toString
+    val pairs = mutualWeightedPairs(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (g <- 0 to 2)
+      pairs.filter(pmod(col("id_a"), lit(3)) === g).coalesce(1)
+        .write.mode("append").parquet(in)
+    val stream = s.readStream.schema("id_a LONG, id_b LONG, w LONG")
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    graft.streaming.StoreIngest.ingestMstStore(stream, "id_a", "id_b", "w",
+      table, ckpt).awaitTermination()
+    val cut = graft.streaming.StoreIngest.mstForestFromStore(s, table)
+      .filter(col("w") <= 620000L)
+    val comp = operators.ConnectedComponents.components(
+      cut.select(col("u"), col("v")))
+    val emb = Tables(s, dir).embeddings
+    emb.select(col("vec_id"))
+      .join(comp, emb("vec_id") === comp("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster"))
+  }
+
   // ---- q239: ANN recall@k report — index-quality monitoring, the
   //      number an operator of a serving store actually watches (bucket
   //      geometry drifts as the corpus grows; recall is the alarm).
@@ -4035,6 +4076,7 @@ object SparkEntry {
     "q238_single_linkage"  -> q238 _,
     "q239_ann_recall"      -> q239 _,
     "q240_incremental_mst" -> q240 _,
+    "q241_stream_mst_store" -> q241 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5513,6 +5555,9 @@ object SparkEntry {
     // forest must serve the identical threshold clusters however the
     // pair stream was sliced (incremental ≡ one-shot IS the check).
     "q240_incremental_mst" -> OracleSqlGen.q238Sql(wmax = 620000L),
+    // q241: q238's oracle VERBATIM — the streamed store must serve the
+    // identical threshold clusters however the stream sliced the pairs.
+    "q241_stream_mst_store" -> OracleSqlGen.q238Sql(wmax = 620000L),
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle

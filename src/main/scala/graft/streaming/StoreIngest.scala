@@ -501,6 +501,101 @@ object StoreIngest {
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
 
+  /** STREAMING minimum-spanning-forest ingest — the TENTH store family,
+    * and the one whose state is NODE-BOUNDED no matter how many edges
+    * ever arrive: each micro-batch folds into the current forest via
+    * [[graft.operators.Mst.mergeBatch]] (MSF(E₁∪E₂) = MSF(MSF(E₁)∪E₂),
+    * the sparsification lemma — so the store always equals the one-shot
+    * forest over everything ingested, however the stream sliced it) and
+    * appends the NEW forest as a snapshot tagged with its batch id.
+    *
+    * Unlike the nine append-only-log families, forest edges can be
+    * EVICTED by later batches (a lighter edge makes an old one
+    * cycle-heaviest), so the state is snapshot-VERSIONED rather than
+    * log-folded: the served read ([[mstForestFromStore]]) returns the
+    * snapshot of the highest batch id the LEDGER has committed. That
+    * makes every crash window safe: a crash between the snapshot append
+    * and the ledger commit leaves the previous snapshot served (the
+    * half-written one is invisible to readers), and the restart replay
+    * re-merges the batch — idempotent BY VALUE (MSF(F∪B) = F once B is
+    * folded) — re-appending identical rows that the read-side DISTINCT
+    * collapses (a partial earlier append is a subset of the same rows).
+    * The latest committed snapshot id loads ONCE per started query and
+    * lives in the closure (the committed-map discipline); the
+    * fresh-checkpoint-over-a-regrown-source caveat is the family's
+    * documented one. [[compactMstStore]] drops superseded snapshots —
+    * state shrinks back to one forest.
+    *
+    * Plan note: the prior snapshot is read from the store table and the
+    * result appends to the SAME table in one batch body — safe because
+    * [[graft.operators.Mst.mergeBatch]]'s fixpoint loop rebases every
+    * round on cached RDD leaves, so the written frame's plan is a
+    * LogicalRDD with no live scan of the table (the
+    * Bfs.refreshDistances firewall).
+    */
+  def ingestMstStore(edges: DataFrame, srcCol: String, dstCol: String,
+                     wCol: String, table: String, checkpointDir: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    var lastSnap: Long = -1L
+    var loaded = false
+    ledgeredIngestTagged(edges, table, checkpointDir, trigger) {
+      (batch, batchId, _) =>
+        val s = batch.sparkSession
+        if (!loaded) {
+          val ledger = ledgerTable(table)
+          lastSnap =
+            if (s.catalog.tableExists(ledger)) {
+              val r = s.table(ledger).agg(max(col("batch_id"))).head()
+              if (r.isNullAt(0)) -1L else r.getLong(0)
+            } else -1L
+          loaded = true
+        }
+        val prior =
+          if (lastSnap >= 0 && s.catalog.tableExists(table))
+            s.table(table).filter(col("snap") === lastSnap)
+              .select(col("u"), col("v"), col("w")).distinct()
+          else
+            batch.select(col(srcCol).as("u"), col(dstCol).as("v"),
+              col(wCol).cast("long").as("w")).limit(0)
+        graft.operators.Mst.mergeBatch(prior, batch, srcCol, dstCol, wCol)
+          .withColumn("snap", lit(batchId))
+          .write.mode("append").format("parquet").saveAsTable(table)
+        lastSnap = batchId
+    }
+  }
+
+  /** Served read for [[ingestMstStore]]: the forest snapshot of the
+    * highest LEDGER-committed batch id (a snapshot whose ledger row
+    * never landed is invisible — see the crash-window argument on the
+    * ingest); DISTINCT collapses a crash-window double-append.
+    */
+  def mstForestFromStore(spark: org.apache.spark.sql.SparkSession,
+                         table: String): DataFrame = {
+    val ledger = ledgerTable(table)
+    val last = spark.table(ledger).agg(max(col("batch_id"))).head()
+    require(!last.isNullAt(0), s"'$table' has no committed snapshot")
+    spark.table(table).filter(col("snap") === last.getLong(0))
+      .select(col("u"), col("v"), col("w")).distinct()
+  }
+
+  /** Drop superseded snapshots: rewrite the store to the latest
+    * committed snapshot only (tag preserved, so reads and later ingests
+    * are unchanged). The tmp + rename swap of the other compactions;
+    * run between ingests — the single-writer contract covers
+    * maintenance too.
+    */
+  def compactMstStore(spark: org.apache.spark.sql.SparkSession,
+                      table: String): Unit = {
+    val last = spark.table(ledgerTable(table))
+      .agg(max(col("batch_id"))).head().getLong(0)
+    val tmp = table + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    spark.table(table).filter(col("snap") === last).distinct()
+      .write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
   def ingestKnnResults(queries: DataFrame, corpus: DataFrame,
                        idCol: String, vecCol: String, table: String,
                        checkpointDir: String, k: Int, nlist: Int,

@@ -943,4 +943,86 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       graft.Storage.releaseAll(spark)
     }
   }
+
+  test("streaming MST-store ingest: later batches EVICT forest edges; served = one-shot; replay no-op; compaction") {
+    import graft.operators.Mst
+    val t = "graft_stream_mst_spec"
+    Seq(t, StoreIngest.ledgerTable(t)).foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_mst_ingest").toFile
+    try {
+      val in = new java.io.File(root, "in")
+      // batch 1: path 1-2-3 (weights 5, 6) → both edges in the forest.
+      // batch 2: the light edge (1,3,2) closes a cycle in which (2,3,6)
+      // is now the total-order maximum → it must be EVICTED (the
+      // property no append-only log family has).
+      val gen1 = Seq((1L, 2L, 5L), (2L, 3L, 6L))
+      val gen2 = Seq((1L, 3L, 2L), (4L, 5L, 9L))
+      Seq(gen1, gen2).foreach(g =>
+        g.toDF("src", "dst", "w").coalesce(1)
+          .write.mode("append").parquet(in.getAbsolutePath))
+      def stream = spark.readStream
+        .schema("src LONG, dst LONG, w LONG")
+        .option("maxFilesPerTrigger", "1").parquet(in.getAbsolutePath)
+      def served: Set[(Long, Long, Long)] = {
+        val f = StoreIngest.mstForestFromStore(spark, t)
+          .as[(Long, Long, Long)].collect().toSet
+        graft.Storage.releaseAll(spark)
+        f
+      }
+
+      StoreIngest.ingestMstStore(stream, "src", "dst", "w", t,
+        checkpointDir = new java.io.File(root, "cp1").getAbsolutePath)
+        .awaitTermination()
+      assert(spark.table(StoreIngest.ledgerTable(t)).count() >= 2,
+        "the slicing must actually produce multiple committed micro-batches")
+      val oneShot = Mst.boruvkaFixpoint(
+          (gen1 ++ gen2).toDF("src", "dst", "w"), "src", "dst", "w")
+        .as[(Long, Long, Long)].collect().toSet
+      graft.Storage.releaseAll(spark)
+      assert(oneShot == Set((1L, 2L, 5L), (1L, 3L, 2L), (4L, 5L, 9L)))
+      assert(served == oneShot,
+        "served forest must equal the one-shot MSF over everything ingested")
+      // the superseded snapshot still CARRIES the evicted edge — the
+      // versioning, not folding, is what makes eviction expressible
+      val snap0 = spark.table(t).filter(col("snap") === 0L)
+        .select(col("u"), col("v"), col("w"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(snap0.contains((2L, 3L, 6L)), "snapshot 0 must retain the later-evicted edge")
+
+      // fresh-checkpoint replay: ledger makes every batch a no-op
+      val rowsBefore = spark.table(t).count()
+      StoreIngest.ingestMstStore(stream, "src", "dst", "w", t,
+        checkpointDir = new java.io.File(root, "cp2").getAbsolutePath)
+        .awaitTermination()
+      assert(served == oneShot && spark.table(t).count() == rowsBefore,
+        "a replayed ingest must change nothing")
+
+      // crash-window double-append: re-appending the latest snapshot's
+      // rows by hand leaves the served read unchanged (DISTINCT)
+      val lastSnap = spark.table(StoreIngest.ledgerTable(t))
+        .agg(max(col("batch_id"))).head().getLong(0)
+      spark.table(t).filter(col("snap") === lastSnap)
+        .write.mode("append").format("parquet").saveAsTable(t)
+      assert(served == oneShot)
+
+      // compaction: superseded snapshots drop, state = one forest
+      StoreIngest.compactMstStore(spark, t)
+      assert(spark.table(t).count() == oneShot.size.toLong)
+      assert(served == oneShot)
+
+      // post-compaction ingest still folds (and can still evict):
+      // (2,3,1) re-enters 2-3 cheaply, evicting (1,2,5) from the cycle
+      Seq((2L, 3L, 1L)).toDF("src", "dst", "w").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      StoreIngest.ingestMstStore(stream, "src", "dst", "w", t,
+        checkpointDir = new java.io.File(root, "cp3").getAbsolutePath)
+        .awaitTermination()
+      assert(served == Set((1L, 3L, 2L), (2L, 3L, 1L), (4L, 5L, 9L)),
+        "post-compaction ingest must fold and evict through the compacted state")
+    } finally {
+      rmTree(root)
+      Seq(t, StoreIngest.ledgerTable(t)).foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
 }
