@@ -3637,6 +3637,22 @@ object SparkEntry {
         coalesce(col("component"), col("vec_id")).as("cluster"))
   }
 
+  // ---- q242: unordered proximity search (NEAR/w) over the stored
+  //      positional index — the relevance signal phrase search is too
+  //      rigid for ("merge near join", either order, same clause),
+  //      served from the SAME doc_id-bucketed phrase store as q104:
+  //      postings prune on the token sort order, and the pair join +
+  //      per-doc aggregate key on doc_id throughout (exchange-free on
+  //      the bucketing). win=4 probed: 152-1505 matching docs with
+  //      5-7 distinct pair counts and gaps 1-4 at the gate SFs. ----
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    operators.InvertedIndex.buildPhraseStore(
+      Tables(s, dir).documents, "doc_id", "text", "graft_prox_store",
+      buckets = 8)
+    operators.InvertedIndex.proximitySearchStored(s, "graft_prox_store",
+      "merge", "join", win = 4)
+  }
+
   // ---- q241: STREAMING MST-store ingest — the TENTH store family,
   //      and the one whose state is NODE-BOUNDED however many edges
   //      ever arrive: each micro-batch folds into the forest
@@ -4077,6 +4093,7 @@ object SparkEntry {
     "q239_ann_recall"      -> q239 _,
     "q240_incremental_mst" -> q240 _,
     "q241_stream_mst_store" -> q241 _,
+    "q242_proximity_search" -> q242 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5558,6 +5575,24 @@ object SparkEntry {
     // q241: q238's oracle VERBATIM — the streamed store must serve the
     // identical threshold clusters however the stream sliced the pairs.
     "q241_stream_mst_store" -> OracleSqlGen.q238Sql(wmax = 620000L),
+    // q242: the NEAR/w definition — per-doc occurrence positions of
+    // both terms, pairs within the window, count + closest gap (the
+    // 1-based comprehension positions cancel in the |i−j|).
+    "q242_proximity_search" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+        |), pa AS (
+        |  SELECT doc_id,
+        |    unnest([i FOR i IN range(1, len(ws) + 1) IF ws[i] = 'merge']) AS p
+        |  FROM ws
+        |), pb AS (
+        |  SELECT doc_id,
+        |    unnest([i FOR i IN range(1, len(ws) + 1) IF ws[i] = 'join']) AS p
+        |  FROM ws
+        |)
+        |SELECT a.doc_id, count(*) AS n_near, min(abs(a.p - b.p)) AS min_gap
+        |FROM pa a JOIN pb b ON a.doc_id = b.doc_id AND abs(a.p - b.p) <= 4
+        |GROUP BY a.doc_id""".stripMargin,
     // q196: the weighted unroll — per-edge ⌊rank·w/W⌋, all 5 rounds.
     "q196_weighted_pagerank" -> OracleSqlGen.q196Sql(),
     // q197: HITS snapshot+resume ≡ the cold 2-round run — q185's oracle

@@ -193,6 +193,51 @@ object InvertedIndex {
     chainAdjacency(
       spark.table(table).dropDuplicates("doc_id", "pos", "token"), phrase)
 
+  /** Unordered proximity search (NEAR/w — the unordered span query):
+    * documents where `termA` and `termB` co-occur within `win` token
+    * positions, with the occurrence-pair count and the closest gap —
+    * the relevance signal phrase search is too rigid for ("merge near
+    * join", any order, same clause). Both postings prune on the
+    * store's token sort order and the pair join + per-doc aggregate
+    * key on doc_id throughout, so [[proximitySearchStored]] plans
+    * exchange-free on the doc_id-bucketed phrase store — ONE index
+    * serves phrase and proximity queries alike.
+    *
+    * @return (`doc_id`, `n_near`, `min_gap`) — n_near = occurrence
+    *         pairs within the window, min_gap = the closest |posA −
+    *         posB|; docs without a qualifying pair are absent
+    */
+  def proximityMatches(docs: DataFrame, idCol: String, textCol: String,
+                       termA: String, termB: String, win: Int): DataFrame =
+    proximityCore(positionalOccurrences(docs, idCol, textCol),
+      termA, termB, win)
+
+  /** [[proximityMatches]] over a materialized phrase store (the q104
+    * layout; the dropDuplicates mirrors [[phraseSearchStored]]'s
+    * at-least-once store-row tolerance).
+    */
+  def proximitySearchStored(spark: org.apache.spark.sql.SparkSession,
+                            table: String, termA: String, termB: String,
+                            win: Int): DataFrame =
+    proximityCore(spark.table(table).dropDuplicates("doc_id", "pos", "token"),
+      termA, termB, win)
+
+  private def proximityCore(occ: DataFrame, termA: String, termB: String,
+                            win: Int): DataFrame = {
+    require(termA != termB,
+      "proximity terms must differ (a self-pair has gap 0 by definition)")
+    require(win >= 1, "win must be >= 1")
+    val a = occ.filter(col("token") === termA)
+      .select(col("doc_id"), col("pos").as("__pa"))
+    val b = occ.filter(col("token") === termB)
+      .select(col("doc_id").as("__d2"), col("pos").as("__pb"))
+    a.join(b, a("doc_id") === col("__d2")
+        && abs(col("__pa") - col("__pb")) <= win)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near"),
+        min(abs(col("__pa") - col("__pb"))).cast("long").as("min_gap"))
+  }
+
   /** Adjacency chain over an occurrence frame: start from the phrase
     * head's positions, join each next term at pos+1, count chains per
     * doc. Join and count key is doc_id throughout, so a doc_id-bucketed

@@ -155,6 +155,32 @@ class InvertedIndexSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("proximityMatches: unordered NEAR/w pairs, closest gap, window boundary") {
+    val corpus = Seq(
+      (1L, "merge x join"),            // gap 2, in-window at win=2
+      (2L, "join a b c merge"),        // gap 4: order-free, out at win=2
+      (3L, "merge join merge"),        // two pairs at gap 1, one at... (pos0,1),(2,1)
+      (4L, "merge only here"),         // one term only
+      (5L, "x merge y y y join z"),    // gap 4 exactly
+      (6L, "")).toDF("doc_id", "text")
+    def run(win: Int) = InvertedIndex.proximityMatches(
+        corpus, "doc_id", "text", "merge", "join", win)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run(2) == Set((1L, 1L, 2L), (3L, 2L, 1L)))
+    // win=4 admits the boundary gap exactly (<=, not <)
+    assert(run(4) == Set((1L, 1L, 2L), (2L, 1L, 4L), (3L, 2L, 1L),
+      (5L, 1L, 4L)))
+    // the stored form over the q104 layout serves the identical answer
+    dropTable("graft_prox_store_spec")
+    InvertedIndex.buildPhraseStore(corpus, "doc_id", "text",
+      "graft_prox_store_spec", buckets = 2)
+    val stored = InvertedIndex.proximitySearchStored(spark,
+        "graft_prox_store_spec", "merge", "join", 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored == run(4))
+    dropTable("graft_prox_store_spec")
+  }
+
   test("the posting cap trims BEFORE the shuffle (partial WindowGroupLimit)") {
     val plan = InvertedIndex.postings(docs, "doc_id", "text", 10)
       .queryExecution.executedPlan.toString
