@@ -1488,6 +1488,29 @@ object OracleSqlGen {
        |LEFT JOIN lbl l ON e.vec_id = l.vec_id
        |LEFT JOIN brd b ON e.vec_id = b.vec_id""".stripMargin
 
+  // ---- q243: neighbor-vote label audit — the knn chain + per-point
+  // neighbor-label counts + the (count DESC, label ASC) argmax; suspect
+  // is null (not false) for points with no neighbors to vote.
+  def q243Sql(targetClusterSize: Long = 2500L, maxK: Int = 4096,
+              iterations: Int = 5, scale: Long = 1000000L,
+              dim: Int = 64, k: Int = 5): String =
+    s"""WITH ${knnChain(targetClusterSize, maxK, iterations, scale, dim, k)}, lv AS (
+       |  SELECT kk.vec_id, e.label AS l
+       |  FROM knn kk JOIN embeddings e ON kk.neighbor_id = e.vec_id
+       |), votes AS (
+       |  SELECT vec_id, l, count(*) AS n FROM lv GROUP BY vec_id, l
+       |), top AS (
+       |  SELECT vec_id, l AS voted_label, n AS n_votes FROM (
+       |    SELECT vec_id, l, n,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY n DESC, l) AS rn
+       |    FROM votes) t
+       |  WHERE rn = 1
+       |)
+       |SELECT e.vec_id, e.label AS own_label, t.voted_label, t.n_votes,
+       |  CASE WHEN t.voted_label IS NULL THEN NULL
+       |       ELSE t.voted_label <> e.label END AS suspect
+       |FROM embeddings e LEFT JOIN top t ON e.vec_id = t.vec_id""".stripMargin
+
   // ---- q239: ANN recall@k report — the q19 brute CTE and the q24 LSH
   // CTE (coarser geometry so the report has spread), joined into
   // per-query hit counts; recall in exact basis points ⌊10⁴·hits/k⌋;

@@ -3637,6 +3637,49 @@ object SparkEntry {
         coalesce(col("component"), col("vec_id")).as("cluster"))
   }
 
+  // ---- q243: neighbor-vote label audit — label-ERROR detection (the
+  //      confident-learning move, Northcutt 2021): each labeled vector
+  //      takes the majority label of its k nearest same-cell neighbors
+  //      (count DESC, label ASC — total), and a disagreeing own label
+  //      flags the point for relabeling review. Runs over the q228
+  //      linear-pair-space graph: two node-keyed joins, one count, one
+  //      per-point argmax. NOTE (probed, recorded): this corpus's
+  //      labels are independent of embedding geometry (same-label
+  //      cosine ≡ cross-label — the DbscanProbe-era measurement), so
+  //      the suspect RATE is high; the gate pins the vote arithmetic,
+  //      tiebreaks, and null policy, which replay exactly either way. ----
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val asg = operators.KMeans.assignAuto(emb, "vec_id", "embedding",
+      targetClusterSize = 2500L, iterations = 5)
+    val graph = operators.KnnGraph.clusterLocalKnn(
+      emb.join(asg, "vec_id"), "vec_id", "embedding", "cluster", k = 5)
+    operators.LabelAudit.neighborVote(graph,
+      emb.select(col("vec_id"), col("label")), "vec_id", "label")
+  }
+
+  // ---- q244: DSIR end-to-end selection — the composition q182 was
+  //      built for (Xie 2023): score every non-English document by how
+  //      English-target-like its hashed bigrams look, normalize to a
+  //      per-feature integer weight (score_q div (n_feats·10⁴) — docs
+  //      ~[73, 117] here, probed), and DRAW the training mix with the
+  //      deterministic A-ES weighted sample (max-of-w portable-hash
+  //      keys — the q82 machinery). Every step exact integers; the
+  //      oracle replays scoring, normalization, keys, and the top-k
+  //      cut. ----
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    val toks = bpeToks2(s, dir)
+    val scored = operators.ImportanceWeights.dsirScoreQuantized(
+      toks.filter(col("lang") =!= "en"), toks.filter(col("lang") === "en"),
+      "doc_id", "toks")
+    val weighted = scored.select(col("doc_id"),
+        graft.functions.IntOps.intDiv(col("score_q"),
+          col("n_feats") * lit(10000L)).as("w_doc"))
+      .filter(col("w_doc") > 0)
+    operators.Sampling.weightedSample(weighted, "doc_id", "w_doc",
+      k = 100, salt = "dsir")
+  }
+
   // ---- q242: unordered proximity search (NEAR/w) over the stored
   //      positional index — the relevance signal phrase search is too
   //      rigid for ("merge near join", either order, same clause),
@@ -4094,6 +4137,8 @@ object SparkEntry {
     "q240_incremental_mst" -> q240 _,
     "q241_stream_mst_store" -> q241 _,
     "q242_proximity_search" -> q242 _,
+    "q243_label_audit"     -> q243 _,
+    "q244_dsir_select"     -> q244 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -4300,6 +4345,42 @@ object SparkEntry {
       |    ELSE 0 END AS n_matches
       |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents))
       |WHERE n_matches >= 1""".stripMargin
+
+  /** The q182 DSIR scoring replay — shared verbatim by q182 (the scores)
+    * and q244 (the end-to-end weighted draw over them).
+    */
+  private lazy val dsirScoredSql: String = {
+    val f = functions.PortableHash.hash60Sql(
+      "(split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2))") + " % 4096"
+    s"""WITH tok AS (
+      |  SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS ws FROM documents
+      |), tf AS (
+      |  SELECT $f AS f FROM (
+      |    SELECT unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS g
+      |    FROM tok WHERE lang = 'en' AND len(ws) >= 2)
+      |), rf AS (
+      |  SELECT doc_id, $f AS f FROM (
+      |    SELECT doc_id,
+      |           unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS g
+      |    FROM tok WHERE lang <> 'en' AND len(ws) >= 2)
+      |), ct AS (
+      |  SELECT f, CAST(count(*) AS BIGINT) AS ct FROM tf GROUP BY 1
+      |), cr AS (
+      |  SELECT f, CAST(count(*) AS BIGINT) AS cr FROM rf GROUP BY 1
+      |), tot AS (
+      |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM tf) AS nt,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM rf) AS nr
+      |), w AS (
+      |  SELECT cr.f,
+      |    (1000000 * (COALESCE(ct.ct, 0) + 1) * (nr + 4096))
+      |      // ((cr.cr + 1) * (nt + 4096)) AS w
+      |  FROM cr LEFT JOIN ct ON ct.f = cr.f CROSS JOIN tot
+      |)
+      |SELECT rf.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+      |       CAST(sum(w.w) AS BIGINT) AS score_q
+      |FROM rf JOIN w ON w.f = rf.f
+      |GROUP BY 1""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q22_minhash_lsh"       -> OracleSqlGen.q22Sql(),
@@ -5458,38 +5539,22 @@ object SparkEntry {
     // q182: the quantized likelihood-ratio replay — same hashed-bigram
     // buckets (portable md5-60 % 4096), same add-one smoothing, same one
     // guarded truncating division per bucket.
-    "q182_dsir_importance" -> {
-      val f = functions.PortableHash.hash60Sql(
-        "(split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2))") + " % 4096"
-      s"""WITH tok AS (
-        |  SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS ws FROM documents
-        |), tf AS (
-        |  SELECT $f AS f FROM (
-        |    SELECT unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS g
-        |    FROM tok WHERE lang = 'en' AND len(ws) >= 2)
-        |), rf AS (
-        |  SELECT doc_id, $f AS f FROM (
-        |    SELECT doc_id,
-        |           unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS g
-        |    FROM tok WHERE lang <> 'en' AND len(ws) >= 2)
-        |), ct AS (
-        |  SELECT f, CAST(count(*) AS BIGINT) AS ct FROM tf GROUP BY 1
-        |), cr AS (
-        |  SELECT f, CAST(count(*) AS BIGINT) AS cr FROM rf GROUP BY 1
-        |), tot AS (
-        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM tf) AS nt,
-        |         (SELECT CAST(count(*) AS BIGINT) FROM rf) AS nr
-        |), w AS (
-        |  SELECT cr.f,
-        |    (1000000 * (COALESCE(ct.ct, 0) + 1) * (nr + 4096))
-        |      // ((cr.cr + 1) * (nt + 4096)) AS w
-        |  FROM cr LEFT JOIN ct ON ct.f = cr.f CROSS JOIN tot
+    "q182_dsir_importance" -> dsirScoredSql,
+    // q244: the q182 scoring chain + per-feature normalization + the
+    // A-ES weighted key + the top-100 cut — the end-to-end DSIR draw.
+    "q244_dsir_select" ->
+      s"""WITH scored AS (
+        |${dsirScoredSql}
+        |), wd AS (
+        |  SELECT doc_id, score_q // (n_feats * 10000) AS w_doc FROM scored
+        |  WHERE score_q // (n_feats * 10000) > 0
         |)
-        |SELECT rf.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-        |       CAST(sum(w.w) AS BIGINT) AS score_q
-        |FROM rf JOIN w ON w.f = rf.f
-        |GROUP BY 1""".stripMargin
-    },
+        |SELECT doc_id, w_doc,
+        |  ${operators.Sampling.weightedKeySql("doc_id", "w_doc", "dsir")} AS wrs_key
+        |FROM wd ORDER BY wrs_key DESC, doc_id LIMIT 100""".stripMargin,
+    // q243: the q228 knn chain + neighbor-label votes + the (count
+    // DESC, label ASC) argmax + the null-on-no-vote suspect rule.
+    "q243_label_audit" -> OracleSqlGen.q243Sql(),
     // q183: q98's cluster CTEs + the q46 split hash on the cluster rep.
     "q183_leakage_split" -> OracleSqlGen.q183Sql(),
     // q185: both HITS rounds unrolled (max-normalized halves).
