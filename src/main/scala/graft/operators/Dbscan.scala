@@ -78,7 +78,17 @@ object Dbscan {
         col("__na"), col("__nb")), 6))
       .filter(col("__cs").isNotNull && col("__cs") >= eps)
       .select(col("__ia"), col("__ib"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // The join partitions by CELL, so in a dense regime (eps low
+      // relative to the corpus's cosine tail) one giant cell's ε-pairs
+      // form ONE partition — a multi-GB block no storage level survives
+      // (measured: the 10×-probe corpus floods ε=0.35 with 126M pairs
+      // and a single block OOMs both build and read-back). Repartition
+      // on the high-cardinality POINT id before persisting: blocks stay
+      // bounded, and the degree count's groupBy(__ia) reuses this very
+      // partitioning instead of adding its own exchange. DISK_ONLY per
+      // the q207 exploded-frame lesson.
+      .repartition(col("__ia"))
+      .persist(StorageLevel.DISK_ONLY)
 
     val core = pairs.groupBy(col("__ia")).count()
       .filter(col("count") >= minPts)

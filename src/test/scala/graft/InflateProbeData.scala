@@ -78,8 +78,25 @@ object InflateProbeData {
       .withColumn("n_chars", length(col("text")).cast("long")))
     inflate("embeddings")((d, r) => d
       .withColumn("vec_id", col("vec_id") + lit(r * K))
+      // Per-replica deterministic SIGN FLIPS (replica 0 = the base
+      // corpus verbatim): negation is exact in IEEE floats, so every
+      // within-replica cosine — including the planted near-dup pairs —
+      // is preserved bit-for-bit, while a cross-replica pair sees ~half
+      // its coordinate products sign-scrambled and lands near 0.
+      //
+      // The previous scheme (x + r·16) was MEASURED degenerate
+      // (2026-08-16): the shared DC offset dominated every dot product,
+      // putting 81% of ALL 200M pairs above cosine 0.5 (the base corpus
+      // has NO pair above 0.61), so any operator keyed on a moderate
+      // cosine threshold saw a quadratic pair space that the real
+      // corpus doesn't have — q236's eps=0.35 ε-graph materialized
+      // 126M edges and OOMed, and the single-linkage wmax cut grew an
+      // 11.5k-node component. Sign flips keep similarity work linear in
+      // the replica count, which is the probe's stated contract.
       .withColumn("embedding",
-        transform(col("embedding"), x => x + lit(r * 16.0f))))
+        transform(col("embedding"), (x, i) =>
+          when(lit(r) === 0 || pmod(hash(lit(r), i), lit(2)) === 0, x)
+            .otherwise(-x))))
 
     spark.stop()
   }

@@ -77,7 +77,28 @@ SF1_ORACLE_PREFIXES = [
     # vectorized); q229/q230/q231 are small unrolls over 20k scaled
     # points; q232 is the q219 unroll at depth 8.
     "q228_", "q229_", "q230_", "q231_", "q232_", "q233_", "q234_", "q235_",
+    # round-15-continuation families, probed on the SIGN-FLIP probe
+    # corpus (see note below): q236 chain ~6 min (the 80-cell Lloyd
+    # unroll dominates; closure trivial — core comps <= 271), q237 16 s,
+    # the q238-form single-linkage closure 47 s (cut comps are
+    # cell-bounded ~2.5k, reach 47M — fine), q239/q242/q243/q244 are
+    # brute/comprehension/chain reads.
+    "q236_", "q237_", "q238_", "q239_", "q240_", "q241_", "q242_",
+    "q243_", "q244_",
 ]
+
+# PROBE-CORPUS NOTE (2026-08-16): InflateProbeData's embedding replicas
+# previously added x + r*16 per coordinate; the shared DC offset dominated
+# every dot product and put 81% of ALL 200M pairs above cosine 0.5 (the
+# base corpus has none above 0.61) — a quadratic pair space the real
+# corpus doesn't have, which OOMed q236's eps=0.35 e-graph at 126M edges
+# and grew an 11.5k-node single-linkage component. Replicas now apply
+# deterministic per-replica SIGN FLIPS (replica 0 verbatim): negation is
+# IEEE-exact so within-replica cosines are preserved bit-for-bit, and
+# cross-replica pairs land near 0 (measured: >=0.35 tail fell 162M ->
+# 430k, exactly the random-geometry rate at 64 dims). sf1 artifacts from
+# earlier rounds were produced on the degenerate corpus; the re-run after
+# this fix is the artifact of record.
 
 
 def run(cmd, **kw):
