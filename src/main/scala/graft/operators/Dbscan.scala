@@ -81,11 +81,10 @@ object Dbscan {
       // The join partitions by CELL, so in a dense regime (eps low
       // relative to the corpus's cosine tail) one giant cell's ε-pairs
       // form ONE partition — a multi-GB block no storage level survives
-      // (measured: the 10×-probe corpus floods ε=0.35 with 126M pairs
-      // and a single block OOMs both build and read-back). Repartition
-      // on the high-cardinality POINT id before persisting: blocks stay
-      // bounded, and the degree count's groupBy(__ia) reuses this very
-      // partitioning instead of adding its own exchange. DISK_ONLY per
+      // (measured: the pre-fix 10×-probe corpus flooded ε=0.35 with
+      // 126M pairs and a single block OOMed both build and read-back).
+      // Repartition on the high-cardinality POINT id before persisting
+      // so blocks stay bounded whatever the cell skew. DISK_ONLY per
       // the q207 exploded-frame lesson.
       .repartition(col("__ia"))
       .persist(StorageLevel.DISK_ONLY)
