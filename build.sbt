@@ -20,7 +20,7 @@ run / fork := true
 //     scalars-only JSON line is the literal last line of stdout.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
-Global / excludeLintKeys += run / outputStrategy
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
