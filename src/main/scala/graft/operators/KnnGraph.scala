@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 import graft.functions.VectorFunctions
 
@@ -80,34 +81,46 @@ object KnnGraph {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
-  /** Greedy graph-descent search over a k-NN graph — the SERVE side of
-    * [[clusterLocalKnn]] (the navigable-graph ANN family's core move,
-    * HNSW's layer-0 walk): from a fixed entry point, repeatedly hop to
-    * whichever of {current node} ∪ {its graph neighbors} is most cosine-
-    * similar to the query, for a fixed hop budget. Including the current
-    * node makes the walk monotone (similarity never decreases) and a
-    * converged walk stays put, so a fixed budget past convergence is
-    * deterministic — the unrolled-hop oracle discipline.
-    *
-    * Plan shape per hop: the query-state frame (one row per query —
-    * budget-bounded) joins the graph on the current node and the corpus
-    * on the candidates, then one argmax per query (round-6 cosine,
-    * candidate-id tiebreak). Per-hop candidate volume is queries·(k+1);
-    * the graph and corpus are only ever probed by key — no scan grows
-    * with the walk. Driver traffic is one queries-sized row set per hop
-    * (the trajectory — the result itself).
-    *
-    * @param graph  (idCol, neighbor_id) rows — [[clusterLocalKnn]]'s
-    *               output (or any navigable edge list), typically read
-    *               back from a persisted table
-    * @return (query_id, hop 0..hops, idCol, sim) — the full walk
-    *         trajectory; hop 0 is the entry point (lowest corpus id)
+  /** The per-hop edge probe: the walk state is driver-held, so the
+    * frontier's node ids ride into the graph scan as a LITERAL In
+    * filter — pushed to the parquet reader, where row-group min/max
+    * stats on a store sorted by the source id turn the lookup into a
+    * point read (the `ivfTopKStored` discipline; spec-pinned in
+    * KnnWalkPlanSpec). Exposed private[graft] as the plan-pin seam.
     */
-  def greedySearch(graph: DataFrame, corpus: DataFrame,
-                   idCol: String, vecCol: String,
-                   queries: DataFrame, qidCol: String, qvecCol: String,
-                   hops: Int): DataFrame = {
+  private[graft] def edgeProbe(g: DataFrame, srcCol: String,
+                               ids: Seq[Any]): DataFrame =
+    g.filter(col(srcCol).isin(ids: _*))
+
+  /** The per-hop corpus probe: candidate ids (≤ frontier·(k+1), known
+    * on the driver before scoring) prune the vector scan the same way.
+    * Above `literalProbeMax` the literal list would bloat the plan, so
+    * the probe falls back to the unpruned scan and the caller's join
+    * does the filtering (same answers, no pushdown). Exposed
+    * private[graft] as the plan-pin seam.
+    */
+  private[graft] def corpusProbe(c: DataFrame, idColName: String,
+                                 ids: Seq[Any],
+                                 literalProbeMax: Int): DataFrame =
+    if (ids.size <= literalProbeMax) c.filter(col(idColName).isin(ids: _*))
+    else c
+
+  /** Shared walk core for [[greedySearch]] (beam = 1) and
+    * [[beamSearch]]: per hop the driver-held state (≤ queries·beam
+    * rows) yields the frontier, the frontier prunes the edge scan, the
+    * collected adjacency (≤ frontier·k id pairs) yields the candidate
+    * pairs, and the candidate ids prune the corpus scan before one
+    * distributed rank per query. Returns (hop, qid, node, sim, rank)
+    * rows plus the two id fields for schema building.
+    */
+  private def walkTrajectory(graph: DataFrame, corpus: DataFrame,
+                             idCol: String, vecCol: String,
+                             queries: DataFrame, qidCol: String,
+                             qvecCol: String, hops: Int, beam: Int,
+                             literalProbeMax: Int)
+      : (Vector[(Int, Row)], StructField, StructField) = {
     require(hops >= 0, "hops must be >= 0")
+    require(beam >= 1, "beam must be >= 1")
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
       VectorFunctions.normSq(col(vecCol)).as("__cn"))
@@ -121,55 +134,159 @@ object KnnGraph {
     val simCol = round(VectorFunctions.cosineFromNormSq(
       VectorFunctions.dot(col("__qv"), col("__cv")),
       col("__qn"), col("__cn")), 6)
-    val wPick = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__qid")).orderBy(col("sim").desc, col("__cid").asc)
+    val wPick = Window.partitionBy(col("__sq"))
+      .orderBy(col("sim").desc, col("__cid").asc)
 
     val qidField = queries.select(col(qidCol)).schema.fields(0)
     val cidField = corpus.select(col(idCol)).schema.fields(0)
-    def stateDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          rows.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1))), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          qidField.copy(name = "__sq"), cidField.copy(name = "__sc"))))
+    val pairSchema = StructType(Seq(
+      qidField.copy(name = "__sq"), cidField.copy(name = "__cand")))
 
-    // hop 0: every query sits at the entry point
-    var state: Array[org.apache.spark.sql.Row] = q
-      .join(c.filter(col("__cid") === lit(entry)))
-      .withColumn("sim", simCol)
-      .select(col("__qid"), col("__cid"), col("sim")).collect()
+    // one candidate-scoring pass: the (qid, cand) pairs are built on
+    // the driver (already DISTINCT per query — a duplicate candidate
+    // must not occupy two beam ranks), the corpus probe is pruned by
+    // the literal candidate-id set, the query vectors broadcast, and
+    // one window keeps the per-query top-`beam`
+    def score(pairs: Seq[(Any, Any)]): Array[Row] = {
+      val candIds = pairs.map(_._2).distinct
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            pairs.map { case (a, b) => Row(a, b) }, 1), pairSchema)
+        .join(corpusProbe(c, "__cid", candIds, literalProbeMax),
+          col("__cand") === col("__cid"))
+        .join(broadcast(q), col("__sq") === col("__qid"))
+        .withColumn("sim", simCol)
+        .withColumn("__rn", row_number().over(wPick))
+        .filter(col("__rn") <= beam)
+        .select(col("__sq"), col("__cid"), col("sim"),
+          col("__rn").cast("long"))
+        .collect()
+    }
+
+    val qids = q.select(col("__qid")).orderBy(col("__qid")).collect()
+      .map(_.get(0)).toSeq
+    // hop 0: every query sits at the entry point (one candidate each)
+    var state: Array[Row] = score(qids.map(_ -> entry))
     var trajectory = state.map(r => (0, r)).toVector
 
     var h = 1
     while (h <= hops) {
-      val sel = stateDf(state.toSeq)
-      val neighbors = sel.join(g, col("__sc") === col("__gsrc"))
-        .select(col("__sq"), col("__gdst").as("__cand"))
-      val cands = neighbors
-        .unionByName(sel.select(col("__sq"), col("__sc").as("__cand")))
-        .distinct()
-      state = cands
-        .join(c, col("__cand") === col("__cid"))
-        .join(broadcast(q), col("__sq") === col("__qid"))
-        .withColumn("sim", simCol)
-        .withColumn("__rn", row_number().over(wPick))
-        .filter(col("__rn") === 1)
-        .select(col("__qid"), col("__cid"), col("sim")).collect()
+      val frontier = state.map(_.get(1)).distinct.toSeq
+      // adjacency for the frontier only: a literal-In pruned scan when
+      // the frontier is small (always, for budget-bounded query
+      // batches), a broadcast semi-join otherwise — either way the
+      // driver receives ≤ frontier·k id pairs
+      val adjRows: Array[Row] =
+        if (frontier.size <= literalProbeMax)
+          edgeProbe(g, "__gsrc", frontier).collect()
+        else {
+          val fDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              frontier.map(Row(_)), 1),
+            StructType(Seq(cidField.copy(name = "__f"))))
+          g.join(broadcast(fDf), col("__gsrc") === col("__f"))
+            .select(col("__gsrc"), col("__gdst")).collect()
+        }
+      val adj: Map[Any, Seq[Any]] = adjRows.toSeq
+        .groupBy(_.get(0)).map { case (s, rs) => s -> rs.map(_.get(1)) }
+      val byQuery: Map[Any, Seq[Any]] = state.toSeq.groupBy(_.get(0))
+        .map { case (qid, rs) => qid -> rs.map(_.get(1)) }
+      val pairs = byQuery.toSeq.flatMap { case (qid, nodes) =>
+        (nodes ++ nodes.flatMap(n => adj.getOrElse(n, Seq.empty)))
+          .distinct.map(qid -> _)
+      }
+      state = score(pairs)
       trajectory = trajectory ++ state.map(r => (h, r))
       h += 1
     }
+    (trajectory, qidField, cidField)
+  }
 
+  /** Greedy graph-descent search over a k-NN graph — the SERVE side of
+    * [[clusterLocalKnn]] (the navigable-graph ANN family's core move,
+    * HNSW's layer-0 walk): from a fixed entry point, repeatedly hop to
+    * whichever of {current node} ∪ {its graph neighbors} is most cosine-
+    * similar to the query, for a fixed hop budget. Including the current
+    * node makes the walk monotone (similarity never decreases) and a
+    * converged walk stays put, so a fixed budget past convergence is
+    * deterministic — the unrolled-hop oracle discipline.
+    *
+    * Plan shape per hop: the walk state is driver-held (one row per
+    * query — budget-bounded), so BOTH table probes carry literal In
+    * filters built from it: the frontier ids prune the edge scan and
+    * the candidate ids prune the corpus scan (row-group skipping on
+    * id-sorted stores — each hop is a point lookup, not a table pass).
+    * Per-hop candidate volume is queries·(k+1); driver traffic is the
+    * adjacency id pairs plus one queries-sized row set per hop (the
+    * trajectory — the result itself).
+    *
+    * @param graph  (idCol, neighbor_id) rows — [[clusterLocalKnn]]'s
+    *               output (or any navigable edge list), typically read
+    *               back from a persisted table sorted by idCol
+    * @param literalProbeMax above this many ids the probes skip the
+    *               literal In filter (plan-size guard) and filtering
+    *               happens in the join — same answers, no pushdown
+    * @return (query_id, hop 0..hops, idCol, sim) — the full walk
+    *         trajectory; hop 0 is the entry point (lowest corpus id)
+    */
+  def greedySearch(graph: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String,
+                   queries: DataFrame, qidCol: String, qvecCol: String,
+                   hops: Int, literalProbeMax: Int = 4096): DataFrame = {
+    val (trajectory, qidField, cidField) = walkTrajectory(graph, corpus,
+      idCol, vecCol, queries, qidCol, qvecCol, hops, beam = 1,
+      literalProbeMax = literalProbeMax)
+    val spark = corpus.sparkSession
     spark.createDataFrame(
       spark.sparkContext.parallelize(
         trajectory.map { case (hop, r) =>
-          org.apache.spark.sql.Row(r.get(0), hop.toLong, r.get(1), r.get(2))
+          Row(r.get(0), hop.toLong, r.get(1), r.get(2))
         }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
+      StructType(Seq(
         qidField.copy(name = "query_id"),
-        org.apache.spark.sql.types.StructField("hop",
-          org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("hop", LongType, nullable = false),
         cidField.copy(name = idCol),
-        org.apache.spark.sql.types.StructField("sim",
-          org.apache.spark.sql.types.DoubleType, nullable = true))))
+        StructField("sim", DoubleType, nullable = true))))
+  }
+
+  /** Beam-width graph search (efSearch) — [[greedySearch]]'s natural
+    * completion: instead of one current node, each query carries its
+    * top-`beam` BEST-SEEN set; per hop the candidates are that set plus
+    * all its graph neighbors (DISTINCT — a shared neighbor must not eat
+    * two beam slots), re-ranked by (round-6 cosine DESC, id ASC) and
+    * cut back to `beam`. The state is the top-`beam` of a superset of
+    * itself every hop, so the best-seen set only improves (the greedy
+    * walk's monotonicity argument, lifted to sets) and a converged set
+    * stays put — the same unrolled-hop oracle discipline, with
+    * row_number ≤ beam in place of = 1. Recall strictly dominates the
+    * greedy walk's at equal hop budget (the set contains the greedy
+    * path's best node); measured deltas live in WalkRecallProbe.
+    *
+    * Same per-hop plan shape and driver-traffic bounds as
+    * [[greedySearch]], with frontier ≤ queries·beam.
+    *
+    * @return (query_id, hop 0..hops, beam_rank 1..beam, idCol, sim) —
+    *         hop 0 is the entry point alone at rank 1
+    */
+  def beamSearch(graph: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String,
+                 queries: DataFrame, qidCol: String, qvecCol: String,
+                 hops: Int, beam: Int,
+                 literalProbeMax: Int = 4096): DataFrame = {
+    val (trajectory, qidField, cidField) = walkTrajectory(graph, corpus,
+      idCol, vecCol, queries, qidCol, qvecCol, hops, beam = beam,
+      literalProbeMax = literalProbeMax)
+    val spark = corpus.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        trajectory.map { case (hop, r) =>
+          Row(r.get(0), hop.toLong, r.get(3), r.get(1), r.get(2))
+        }, 1),
+      StructType(Seq(
+        qidField.copy(name = "query_id"),
+        StructField("hop", LongType, nullable = false),
+        StructField("beam_rank", LongType, nullable = false),
+        cidField.copy(name = idCol),
+        StructField("sim", DoubleType, nullable = true))))
   }
 }

@@ -160,4 +160,92 @@ class KnnGraphSpec extends AnyFunSuite with SparkSpec {
       assert(got(qid) == bruteWalk(graph, vecs, qv, entry = 0L, hops = 3),
         s"query $qid")
   }
+
+  // ---- beam search ----
+
+  private def bruteBeam(graph: Map[Long, Seq[Long]],
+                        vecs: Map[Long, Seq[Float]],
+                        qv: Seq[Float], entry: Long, hops: Int,
+                        beam: Int): Seq[(Long, Long, Long, Double)] = {
+    var state: Seq[(Long, Double)] =
+      Seq((entry, round6(cos(qv, vecs(entry)))))
+    (0 to hops).flatMap { h =>
+      if (h > 0) {
+        val cands = (state.map(_._1) ++
+          state.map(_._1).flatMap(n => graph.getOrElse(n, Seq.empty)))
+          .distinct
+        state = cands.map(c => (c, round6(cos(qv, vecs(c)))))
+          .sortBy { case (c, s) => (-s, c) }.take(beam)
+      }
+      state.zipWithIndex.map { case ((n, s), i) =>
+        (h.toLong, (i + 1).toLong, n, s) }
+    }
+  }
+
+  private def runBeam(corpus: Seq[(Long, Seq[Float])],
+                      graph: Seq[(Long, Long)],
+                      queries: Seq[(Long, Seq[Float])],
+                      hops: Int, beam: Int)
+      : Map[Long, Seq[(Long, Long, Long, Double)]] = {
+    val got = KnnGraph.beamSearch(
+        graph.toDF("vec_id", "neighbor_id"),
+        corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        queries.toDF("query_id", "qv"), "query_id", "qv", hops, beam)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    got.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy(r => (r._2, r._3))
+        .map(r => (r._2, r._3, r._4, r._5)).toSeq
+    }
+  }
+
+  test("beam search matches the brute top-b frontier on random graphs") {
+    val rnd = new Random(61)
+    val pts = (0L until 90L).map(i =>
+      (i, rnd.nextInt(3), Seq.fill(5)(rnd.nextFloat() - 0.5f)))
+    val corpus = pts.map(p => (p._1, p._3))
+    val graphRows = brute(pts, k = 4).toSeq.map(r => (r._1, r._3))
+    val graph = graphRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val vecs = corpus.toMap
+    val queries = Seq((0L, corpus(7)._2), (1L, corpus(66)._2))
+    for (beam <- Seq(2, 3)) {
+      val got = runBeam(corpus, graphRows, queries, hops = 3, beam = beam)
+      for ((qid, qv) <- queries)
+        assert(got(qid) ==
+          bruteBeam(graph, vecs, qv, entry = 0L, hops = 3, beam = beam),
+          s"query $qid beam $beam")
+    }
+  }
+
+  test("beam = 1 reproduces the greedy walk exactly") {
+    val rnd = new Random(67)
+    val pts = (0L until 70L).map(i =>
+      (i, rnd.nextInt(2), Seq.fill(4)(rnd.nextFloat() - 0.5f)))
+    val corpus = pts.map(p => (p._1, p._3))
+    val graphRows = brute(pts, k = 3).toSeq.map(r => (r._1, r._3))
+    val queries = Seq((0L, corpus(11)._2))
+    val greedy = runWalk(corpus, graphRows, queries, hops = 3)(0L)
+    val beam1 = runBeam(corpus, graphRows, queries, hops = 3, beam = 1)(0L)
+    assert(beam1.map(r => (r._1, r._3, r._4)) == greedy)
+    assert(beam1.forall(_._2 == 1L))
+  }
+
+  test("beam best-seen similarity is monotone and dominates greedy") {
+    val rnd = new Random(71)
+    val pts = (0L until 100L).map(i =>
+      (i, rnd.nextInt(2), Seq.fill(5)(rnd.nextFloat() - 0.5f)))
+    val corpus = pts.map(p => (p._1, p._3))
+    val graphRows = brute(pts, k = 3).toSeq.map(r => (r._1, r._3))
+    val queries = Seq((0L, corpus(42)._2), (1L, corpus(88)._2))
+    val greedy = runWalk(corpus, graphRows, queries, hops = 4)
+    val beamed = runBeam(corpus, graphRows, queries, hops = 4, beam = 3)
+    for ((qid, _) <- queries) {
+      val bestPerHop = beamed(qid).groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(_._4).max)
+      // the best-seen set only improves hop over hop
+      assert(bestPerHop == bestPerHop.sorted)
+      // and at every hop it is at least as good as the greedy walk
+      val greedyPerHop = greedy(qid).map(_._3)
+      assert(bestPerHop.zip(greedyPerHop).forall { case (b, g) => b >= g })
+    }
+  }
 }
