@@ -1707,6 +1707,58 @@ object OracleSqlGen {
        |$unions""".stripMargin
   }
 
+  // ---- q245: beam-width (efSearch) walk over the q228 graph — the
+  // q233 unroll with a top-`beam` frontier per hop: the candidate
+  // union is DISTINCT (state ∪ neighbors-of-state — a shared neighbor
+  // must not occupy two beam slots; sims are round-6 replays of the
+  // same expression, so the dedup is exact), and the per-hop cut keeps
+  // rank <= beam instead of = 1. Every hop CTE MATERIALIZED.
+  def q245Sql(targetClusterSize: Long = 2500L, maxK: Int = 4096,
+              iterations: Int = 5, scale: Long = 1000000L,
+              dim: Int = 64, k: Int = 5,
+              nQueries: Int = 4, hops: Int = 3, beam: Int = 2): String = {
+    def cosSql(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) " +
+        s"* sqrt(list_dot_product($b, $b))), 6)"
+    val hopCtes = (1 to hops).map { r =>
+      s"""g$r AS MATERIALIZED (
+         |  SELECT qid, cur, sim, rn AS rnk FROM (
+         |    SELECT t.qid, t.cand AS cur, t.s AS sim,
+         |      row_number() OVER (PARTITION BY t.qid
+         |        ORDER BY t.s DESC, t.cand) AS rn
+         |    FROM (
+         |      SELECT DISTINCT qid, cand, s FROM (
+         |        SELECT g.qid, g.cur AS cand, g.sim AS s FROM g${r - 1} g
+         |        UNION ALL
+         |        SELECT g.qid, kk.neighbor_id AS cand,
+         |          ${cosSql("q.qv", "ev2.v")} AS s
+         |        FROM g${r - 1} g
+         |        JOIN knn kk ON kk.vec_id = g.cur
+         |        JOIN ev ev2 ON ev2.vec_id = kk.neighbor_id
+         |        JOIN qs q ON q.qid = g.qid
+         |      ) raw
+         |    ) t) u WHERE rn <= $beam
+         |)""".stripMargin
+    }.mkString(", ")
+    val unions = (1 to hops).map(r =>
+      s"""UNION ALL SELECT qid, CAST($r AS BIGINT), CAST(rnk AS BIGINT),
+         |cur, sim FROM g$r""".stripMargin)
+      .mkString("\n")
+    s"""WITH ${knnChain(targetClusterSize, maxK, iterations, scale, dim, k)}, qs AS (
+       |  SELECT vec_id AS qid, v AS qv FROM ev ORDER BY vec_id LIMIT $nQueries
+       |), entry AS (
+       |  SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT 1
+       |), g0 AS MATERIALIZED (
+       |  SELECT q.qid, e.vec_id AS cur, ${cosSql("q.qv", "e.v")} AS sim,
+       |    1 AS rnk
+       |  FROM qs q CROSS JOIN entry e
+       |), $hopCtes
+       |SELECT qid AS query_id, CAST(0 AS BIGINT) AS hop,
+       |  CAST(1 AS BIGINT) AS beam_rank, cur AS vec_id, sim
+       |FROM g0
+       |$unions""".stripMargin
+  }
+
   // ---- q229: greedy k-center (Gonzalez) unrolled — the same scaled-long
   // points as the Lloyd chain, exact BIGINT squared distances, argmax
   // with an id tiebreak per round. Each d-frame CTE is MATERIALIZED:
