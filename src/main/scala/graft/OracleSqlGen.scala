@@ -1881,7 +1881,8 @@ object OracleSqlGen {
        |         $lam * rel AS score
        |  FROM (
        |    SELECT qid, cid, rel,
-       |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY $lam * rel DESC, cid) AS rn
        |    FROM cand) t WHERE rn = 1
        |), selu1 AS (SELECT qid, cid, mmr_rank, rel, score FROM sel1), $rounds
        |SELECT qid AS query_id, mmr_rank, cid AS vec_id, rel, score

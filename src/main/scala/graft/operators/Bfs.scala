@@ -200,15 +200,28 @@ object Bfs {
                                d0: DataFrame, rounds: Int,
                                keyCols: Seq[String],
                                step: (DataFrame, DataFrame) => DataFrame,
-                               frontier0: Option[DataFrame] = None): DataFrame = {
+                               frontier0: Option[DataFrame] = None,
+                               cacheLog: Option[scala.collection.mutable
+                                 .Buffer[org.apache.spark.rdd.RDD[_]]] = None)
+      : DataFrame = {
+    // every RDD this call caches is appended to cacheLog (when given),
+    // so a caller that must leave the session's OTHER caches alone —
+    // refreshDistances runs inside long-lived streaming drivers where
+    // concurrent threads may hold their own persistent RDDs — can
+    // release exactly this call's residue instead of diffing the
+    // session-global persistent-RDD registry (double-unpersist of the
+    // ones already released here is a no-op)
+    def logged[T](r: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {
+      cacheLog.foreach(_ += r); r
+    }
     val eCached = e.persist()
     eCached.count()
-    var dRdd = d0.rdd
+    var dRdd = logged(d0.rdd)
     dRdd.cache()
     dRdd.count()
     var reached = spark.createDataFrame(dRdd, d0.schema)
     var fRdd = frontier0.map { f =>
-      val r = f.rdd; r.cache(); r
+      val r = logged(f.rdd); r.cache(); r
     }.getOrElse(dRdd) // frontier defaults to the whole initial frame
     var fCount = if (fRdd eq dRdd) dRdd.count() else fRdd.count()
     var frontier =
@@ -225,14 +238,14 @@ object Bfs {
         .select((keyCols :+ "dist").map(col): _*)
       // rebase each round on cached RDD leaves (materializeLeaf
       // discipline): self-referential plans otherwise nest R deep
-      val iRdd = improved.rdd
+      val iRdd = logged(improved.rdd)
       iRdd.cache()
       val iCount = iRdd.count()
       val newFrontier = spark.createDataFrame(iRdd, improved.schema)
       val merged = reached
         .join(newFrontier.select(keyCols.map(col): _*), keyCols, "left_anti")
         .unionByName(newFrontier)
-      val rdd = merged.rdd
+      val rdd = logged(merged.rdd)
       rdd.cache(); rdd.count()
       if (fRdd ne dRdd) fRdd.unpersist(blocking = false)
       dRdd.unpersist(blocking = false)
@@ -734,9 +747,12 @@ object Bfs {
                        newEdges: DataFrame, seeds: DataFrame,
                        prior: DataFrame)(consume: DataFrame => Unit): Unit = {
     val spark = edges.sparkSession
-    // foreachBatch bodies run serially on the driver (the store contract),
-    // so the RDD-id diff below captures exactly this call's leaf caches
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // release EXACTLY this call's leaf caches afterwards: the RDDs are
+    // tracked as they are created (here and inside distributedRelax via
+    // cacheLog) — a registry-wide before/after diff would also sweep up
+    // RDDs cached concurrently by other driver threads
+    val cacheLog =
+      scala.collection.mutable.Buffer.empty[org.apache.spark.rdd.RDD[_]]
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val ne = newEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist()
@@ -751,6 +767,7 @@ object Bfs {
       col("node").cast(e.schema.fields(0).dataType).as("node"),
       col("dist").cast(LongType).as("dist"))
     val pRdd = p0.rdd
+    cacheLog += pRdd
     pRdd.cache(); pRdd.count()
     val p = spark.createDataFrame(pRdd, p0.schema)
     // seed activations: seeds first appearing on the graph via this batch
@@ -778,7 +795,7 @@ object Bfs {
           (eC, f) => eC.join(f, eC("src") === f("node"))
             .groupBy(eC("dst").as("node"))
             .agg((min(col("dist")) + 1L).as("dist")),
-          frontier0 = Some(f0))
+          frontier0 = Some(f0), cacheLog = Some(cacheLog))
         fixed.join(p.withColumnRenamed("dist", "__old"), Seq("node"), "left")
           .filter(col("__old").isNull || col("dist") < col("__old"))
           .select(col("node"), col("dist"))
@@ -787,9 +804,7 @@ object Bfs {
     } finally {
       ne.unpersist(blocking = false)
       f0.unpersist(blocking = false)
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => before.contains(id) }
-        .valuesIterator.foreach(_.unpersist(blocking = false))
+      cacheLog.foreach(_.unpersist(blocking = false))
     }
   }
 

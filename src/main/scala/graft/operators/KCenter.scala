@@ -34,7 +34,10 @@ object KCenter {
     * @return (sel_round 1..m, idCol, min_dist_sq) — min_dist_sq is the
     *         point's exact squared distance to the previously selected
     *         set AT SELECTION TIME (null for round 1: nothing is
-    *         selected yet)
+    *         selected yet). When the corpus has fewer than m distinct
+    *         vectors the selection stops early at the distinct count —
+    *         a round whose argmax distance is 0 would only re-pick an
+    *         already-covered point (never a duplicate-center row).
     */
   def greedy(points: DataFrame, idCol: String, vecCol: String,
              m: Int, scale: Long = 1000000L): DataFrame = {
@@ -68,23 +71,30 @@ object KCenter {
     // round's cache is released only AFTER the argmax has materialized
     // the new one, so no round ever recomputes the least() chain from
     // scratch — total work is O(m·d) per point, the exact-greedy lower
-    // bound. Selected points carry dist 0, so they are never re-picked
-    // while the corpus has m distinct vectors.
+    // bound. Selected points carry dist 0; when the argmax itself is 0
+    // every remaining point coincides with a selected center (fewer
+    // than m distinct vectors), so the loop STOPS EARLY rather than
+    // emit duplicate centers — the result then has one row per
+    // distinct vector, not m.
     var cur = scaled.withColumn("__d", distTo(lastCenter)).persist()
     var prev: DataFrame = null
     var r = 2
-    while (r <= m) {
+    var exhausted = false
+    while (r <= m && !exhausted) {
       val pick = cur.orderBy(col("__d").desc, col("__id").asc).limit(1)
         .select(col("__id"), col("__x"), col("__d")).collect()(0)
       if (prev != null) { prev.unpersist(); prev = null }
-      picks ::= ((r, pick.get(0), Some(pick.getLong(2))))
-      lastCenter = pick.getSeq[Long](1).toArray
-      if (r < m) {
-        prev = cur
-        cur = cur.withColumn("__d",
-          least(col("__d"), distTo(lastCenter))).persist()
+      if (pick.getLong(2) == 0L) exhausted = true
+      else {
+        picks ::= ((r, pick.get(0), Some(pick.getLong(2))))
+        lastCenter = pick.getSeq[Long](1).toArray
+        if (r < m) {
+          prev = cur
+          cur = cur.withColumn("__d",
+            least(col("__d"), distTo(lastCenter))).persist()
+        }
+        r += 1
       }
-      r += 1
     }
     if (prev != null) prev.unpersist()
     cur.unpersist()

@@ -404,7 +404,11 @@ object Similarity {
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)) * 10000L / k).cast("long")
+        // pure integer floor division (hits·10⁴ is non-negative) — the
+        // "exact basis points" claim must hold by construction, not by
+        // double division happening to be exact at small magnitudes
+        graft.functions.IntOps.intDiv(
+          coalesce(col("n_hits"), lit(0L)) * 10000L, lit(k))
           .as("recall_bp"))
   }
 }

@@ -501,6 +501,38 @@ object StoreIngest {
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
 
+  /** Dedup compaction for the distance store's EDGE log: the log
+    * appends every batch's edges forever, and while duplicate edges
+    * are harmless to min-relaxation (the correctness argument), they
+    * are pure waste at re-relax time — every delta-frontier round
+    * scans the log, so an R-times-replayed edge costs R× forever.
+    * Collapsing to DISTINCT keeps the log edge-set-bounded; served
+    * reads and future ingests are unchanged by construction (relax
+    * over a multiset of edges ≡ relax over its support). Same
+    * tmp + rename swap as [[compactDistanceStore]], bucket spec
+    * preserved. Run between ingests — the single-writer contract
+    * covers maintenance too.
+    */
+  def compactDistanceEdgeLog(spark: org.apache.spark.sql.SparkSession,
+                             table: String): Unit = {
+    val edgeLog = distanceEdgeTable(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(edgeLog))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table '$edgeLog' is not bucketed — not a distance edge log"))
+    val srcCol = spec.bucketColumnNames.head
+    val tmp = edgeLog + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    spark.table(edgeLog).distinct()
+      .repartition(spec.numBuckets,
+        pmod(hash(col(srcCol)), lit(spec.numBuckets)))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(spec.numBuckets, srcCol).sortBy(srcCol)
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$edgeLog`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$edgeLog`")
+  }
+
   /** STREAMING minimum-spanning-forest ingest — the TENTH store family,
     * and the one whose state is NODE-BOUNDED no matter how many edges
     * ever arrive: each micro-batch folds into the current forest via

@@ -70,12 +70,21 @@ object InflateProbeData {
     inflate("events")((d, r) => d
       .withColumn("event_id", col("event_id") + lit(r * K))
       .withColumn("user_id", col("user_id") + lit(r * K)))
-    inflate("documents")((d, r) => d
-      .withColumn("doc_id", col("doc_id") + lit(r * K))
-      // replica-prefixed tokens: replicas share no vocabulary, so
-      // similarity joins/dedup see 10 independent corpora
-      .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"r${r}x$$1"))
-      .withColumn("n_chars", length(col("text")).cast("long")))
+    inflate("documents")((d, r) => {
+      val keyed = d.withColumn("doc_id", col("doc_id") + lit(r * K))
+      // Replica 0 keeps the base text VERBATIM (the embedding-replica
+      // convention): bare corpus terms stay findable at sf1 — the
+      // round-15 proximity-search evidence was vacuous because an
+      // all-prefixed corpus contains no bare probe term. Replicas 1-9
+      // get replica-prefixed tokens, so the vocabularies of all 10
+      // replicas remain pairwise disjoint and similarity joins/dedup
+      // still see 10 independent corpora.
+      if (r == 0) keyed
+      else keyed
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"r${r}x$$1"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    })
     inflate("embeddings")((d, r) => d
       .withColumn("vec_id", col("vec_id") + lit(r * K))
       // Per-replica deterministic SIGN FLIPS (replica 0 = the base

@@ -448,6 +448,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
       assert(spec.exists(s => s.numBuckets == 2 &&
         s.bucketColumnNames == Seq("node")))
+      // edge-log dedup compaction: duplicate edge rows arise in the
+      // crash window between the edge-log append and the ledger commit
+      // (the replayed batch re-appends its edges) — simulate one by
+      // hand, then the compaction must collapse the log back to its
+      // support (duplicates are harmless to min-relaxation but pure
+      // waste at re-relax time), preserve the bucket spec, and leave
+      // served reads and future ingests unchanged
+      val edgeLog = StoreIngest.distanceEdgeTable(table)
+      val edgeSupport = spark.table(edgeLog).distinct().count()
+      spark.table(edgeLog).limit(3)
+        .write.mode("append").format("parquet")
+        .bucketBy(2, "src").sortBy("src").saveAsTable(edgeLog)
+      assert(spark.table(edgeLog).count() > edgeSupport,
+        "the crash-window append must have actually duplicated edge rows")
+      StoreIngest.compactDistanceEdgeLog(spark, table)
+      assert(spark.table(edgeLog).count() == edgeSupport)
+      assert(served == expected)
+      val edgeSpec = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(edgeLog)).bucketSpec
+      assert(edgeSpec.exists(s => s.numBuckets == 2 &&
+        s.bucketColumnNames == Seq("src")))
+
       val gen3 = Seq(("s", "b"), ("b", "s")) // shortcut: b improves 2 → 1
       gen3.toDF("src", "dst").coalesce(1)
         .write.mode("append").parquet(in.getAbsolutePath)
