@@ -3530,6 +3530,45 @@ object SparkEntry {
       "vec_id", "embedding", q, "query_id", "qv", hops = 3, beam = 2)
   }
 
+  // ---- q246: skip-gram co-occurrence — the item2vec/word2vec
+  //      training-pair statistic over event logs: how often type B
+  //      follows type A within the next 3 events of the same user
+  //      (position-ordered, gap kept — q148's transition matrix is
+  //      exactly the gap=1 slice). One key shuffle for the rank
+  //      window, one co-located range self-join: pair space n·window,
+  //      LINEAR in the log. Oracle = the rank window + range self-join
+  //      verbatim. ----
+  private def q246(s: SparkSession, dir: String): DataFrame =
+    ops.Sequences.skipGramPairs(Tables(s, dir).events,
+      "user_id", "event_type", col("ts"), col("event_id"), window = 3)
+
+  // ---- q247: term-level vocabulary drift between two corpus
+  //      snapshots (split halves stand in for consecutive crawls) —
+  //      the retrain-monitoring report that NAMES the moving terms
+  //      (q119's cosine says only how far the distributions sit). The
+  //      share delta ranks CROSS-MULTIPLIED (|c_a·N_b − c_b·N_a| —
+  //      exact longs, no division), per-million shares by exact floor
+  //      division, absent terms count 0 so new/vanished vocabulary
+  //      ranks naturally; (drift DESC, tok) is a total order so the
+  //      top-50 cut is deterministic. ----
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    operators.CorpusStats.vocabularyDrift(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", topK = 50)
+  }
+
+  // ---- q248: largest-remainder (Hamilton) apportionment of a
+  //      100-document budget across sources — the seat-style quota
+  //      the float-floor budgetsFor cannot give (its truncation
+  //      under-allocates by up to #sources−1): base = ⌊budget·n/N⌋,
+  //      leftovers to the largest remainders (ties to the smaller
+  //      source key). Σ alloc == budget exactly; all longs. Oracle =
+  //      the same base/remainder/rank arithmetic in SQL. ----
+  private def q248(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.largestRemainderAllocation(
+      Tables(s, dir).documents, "source", budget = 100L)
+
   // ---- q234: reciprocal k-NN pairs — the high-precision near-dup
   //      filter over the q228 graph: keep (u, v) only when each is in
   //      the OTHER's top-5 (mutuality cuts hub noise — one-directional
@@ -4183,6 +4222,9 @@ object SparkEntry {
     "q243_label_audit"     -> q243 _,
     "q244_dsir_select"     -> q244 _,
     "q245_beam_search"     -> q245 _,
+    "q246_skipgram_pairs"  -> q246 _,
+    "q247_vocab_drift"     -> q247 _,
+    "q248_lr_allocation"   -> q248 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5659,6 +5701,73 @@ object SparkEntry {
     // q245: the q233 unroll with a top-2 beam — DISTINCT candidate
     // union (state ∪ neighbors-of-state), rank <= beam per hop.
     "q245_beam_search" -> OracleSqlGen.q245Sql(),
+    // q246: the rank window + range self-join verbatim — (ts, event_id)
+    // is a total order, so ranks and pairs replay exactly.
+    "q246_skipgram_pairs" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT a.event_type AS src_type, b.event_type AS dst_type,
+        |  CAST(b.rn - a.rn AS BIGINT) AS gap,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM r a JOIN r b ON a.user_id = b.user_id
+        |  AND b.rn > a.rn AND b.rn <= a.rn + 3
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // q247: cross-multiplied share deltas — exact BIGINTs, floor-divided
+    // ppm shares, (drift DESC, tok) total order on the cut.
+    "q247_vocab_drift" ->
+      """WITH ca AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+        |        FROM documents WHERE doc_id % 2 = 0) GROUP BY 1
+        |), cb AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+        |        FROM documents WHERE doc_id % 2 = 1) GROUP BY 1
+        |), na AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ca),
+        |nb AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cb),
+        |j AS (
+        |  SELECT COALESCE(ca.tok, cb.tok) AS tok,
+        |    CAST(COALESCE(ca.c, 0) AS BIGINT) AS c_a,
+        |    CAST(COALESCE(cb.c, 0) AS BIGINT) AS c_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+        |)
+        |SELECT tok, c_a, c_b,
+        |  CASE WHEN (SELECT n FROM na) > 0
+        |       THEN c_a * 1000000 // (SELECT n FROM na) END AS ppm_a,
+        |  CASE WHEN (SELECT n FROM nb) > 0
+        |       THEN c_b * 1000000 // (SELECT n FROM nb) END AS ppm_b,
+        |  abs(c_a * (SELECT n FROM nb) - c_b * (SELECT n FROM na))
+        |    AS drift_x
+        |FROM j
+        |ORDER BY drift_x DESC, tok
+        |LIMIT 50""".stripMargin,
+    // q248: Hamilton base/remainder/rank arithmetic replayed — all
+    // BIGINTs, `//` floor ≡ IntegralDivide on non-negative operands.
+    "q248_lr_allocation" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM documents GROUP BY 1
+        |), t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM c),
+        |b AS (
+        |  SELECT source, n_rows,
+        |    (n_rows * 100) // (SELECT t FROM t) AS base,
+        |    n_rows * 100
+        |      - ((n_rows * 100) // (SELECT t FROM t)) * (SELECT t FROM t)
+        |      AS rem
+        |  FROM c
+        |), l AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS l FROM b),
+        |r AS (
+        |  SELECT b.*, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM b
+        |)
+        |SELECT source, n_rows,
+        |  CAST(base + CASE WHEN rk <= (SELECT l FROM l) THEN 1 ELSE 0 END
+        |       AS BIGINT) AS alloc
+        |FROM r""".stripMargin,
     // q234: the knn chain self-joined on swapped keys (mutual pairs).
     "q234_mutual_knn" -> OracleSqlGen.q234Sql(),
     // q235: the mutual pairs closed with a recursive CTE — exact

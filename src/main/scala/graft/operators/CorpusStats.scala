@@ -75,4 +75,53 @@ object CorpusStats {
         ((col("t").cast("double") * col("t").cast("double")) /
           col("ssq").cast("double")).as("effective_vocab"))
   }
+
+  /** Term-level vocabulary drift between two corpus snapshots — the
+    * monitoring report a recurring-crawl pipeline reads before retrain
+    * ("which terms' frequency SHARE moved most since the last cut"):
+    * the complement of [[sourceCosineMatrix]]'s one-number drift (that
+    * says HOW FAR two distributions sit; this names the terms doing
+    * the moving).
+    *
+    * The share delta |c_a/N_a − c_b/N_b| is compared CROSS-MULTIPLIED
+    * — drift_x = |c_a·N_b − c_b·N_a| — so ranking needs no division
+    * and stays an exact integer (same magnitude guard as the object
+    * doc: counts·total must fit a long — ~3·10⁹ tokens per side; at
+    * 100 TB pre-aggregate to a capped vocabulary or lift drift_x to
+    * decimal(38,0)). Per-million shares are reported alongside via
+    * exact floor division. Terms absent from one side count 0 there —
+    * new and vanished vocabulary rank naturally.
+    *
+    * Scale shape: two map-side-combined token counts, one full outer
+    * equi-join on the token, two single-row totals broadcast, and a
+    * TakeOrdered top-k — no single-task window, no float anywhere.
+    *
+    * @return topK rows of (tok, c_a, c_b, ppm_a, ppm_b, drift_x)
+    *         ordered by (drift_x DESC, tok ASC) — a total order, so
+    *         the cut is deterministic
+    */
+  def vocabularyDrift(a: DataFrame, b: DataFrame, textCol: String,
+                      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    def counts(df: DataFrame) = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ca = counts(a)
+    val cb = counts(b)
+    val tot = ca.agg(sum(col("c")).as("na"))
+      .crossJoin(cb.agg(sum(col("c")).as("nb")))
+    ca.select(col("tok"), col("c").as("c_a"))
+      .join(cb.select(col("tok"), col("c").as("c_b")), Seq("tok"),
+        "full_outer")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("tok"), col("c_a"), col("c_b"),
+        when(col("na") > 0, graft.functions.IntOps.intDiv(
+          col("c_a") * 1000000L, col("na"))).as("ppm_a"),
+        when(col("nb") > 0, graft.functions.IntOps.intDiv(
+          col("c_b") * 1000000L, col("nb"))).as("ppm_b"),
+        abs(col("c_a") * col("nb") - col("c_b") * col("na")).as("drift_x"))
+      .orderBy(col("drift_x").desc, col("tok").asc)
+      .limit(topK)
+  }
 }

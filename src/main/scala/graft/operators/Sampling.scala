@@ -246,6 +246,50 @@ object Sampling {
     * territory documented at [[graft.ops.SkewJoin]]; caps in practice
     * cut such groups hardest.
     */
+  /** Largest-remainder (Hamilton) apportionment of an integer budget
+    * across groups, proportional to their row counts: group s gets
+    * base_s = ⌊budget·n_s / N⌋, and the L = budget − Σ base leftover
+    * units go to the L largest remainders (budget·n_s mod N, ties to
+    * the smaller group key — a total order). Σ alloc == budget EXACTLY
+    * — the property [[budgetsFor]]'s plain floor cannot give (its
+    * truncation under-allocates by up to #groups − 1 units, fine for
+    * cost budgets, wrong for seat-style quotas like "exactly N
+    * documents in the mix").
+    *
+    * All arithmetic is exact longs (budget·n_s must fit — at 100 TB
+    * group counts, cap budget·max(n_s) < 2⁶³ or pre-scale counts; ANSI
+    * overflow enforces, never a silent wrap). Classic Hamilton is
+    * uncapped: a group can be allocated more units than it has rows
+    * when budget > N — callers sampling WITHIN groups should
+    * `least(alloc, n_rows)` and redistribute if that matters.
+    *
+    * Scale shape: one map-side-combined group count, two single-row
+    * aggregates broadcast, one rank window over #groups rows (group
+    * cardinality is model-sized by contract — sources/languages/
+    * shards, not documents).
+    *
+    * @return (groupCol, n_rows, alloc) — one row per group
+    */
+  def largestRemainderAllocation(df: DataFrame, groupCol: String,
+                                 budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("__t"))
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("__base", graft.functions.IntOps.intDiv(
+        col("n_rows") * budget, col("__t")))
+      .withColumn("__rem",
+        col("n_rows") * budget - col("__base") * col("__t"))
+    val leftover = based.agg((lit(budget) - sum(col("__base"))).as("__l"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__rem").desc, col(groupCol).asc)).cast("long"))
+      .select(col(groupCol), col("n_rows"),
+        (col("__base") + when(col("__rk") <= col("__l"), lit(1L))
+          .otherwise(lit(0L))).as("alloc"))
+  }
+
   /** Per-source budgets for [[assembleToBudget]]: source s gets
     * ⌊w_s / Σw · totalBudget⌋ cost units. Driver-side Scala arithmetic —
     * the SAME call feeds the oracle-SQL generator, so both engines see

@@ -34,6 +34,43 @@ object Sequences {
       sum(col("n")).over(Window.partitionBy(col("src_type"))))
   }
 
+  /** Windowed (skip-gram) co-occurrence counts: how often type B
+    * follows type A within the next `window` events of the same key —
+    * the item2vec/word2vec training-pair statistic lifted to event
+    * logs, and the generalization of [[transitionMatrix]] (which is
+    * exactly window = 1). Counts are position-ordered (A strictly
+    * before B), so the matrix is directed.
+    *
+    * Scale shape: one shuffle on the key for the rank window, then a
+    * key-co-located range self-join whose pair space is n·window —
+    * LINEAR in the log (never per-key quadratic), with the count
+    * map-side combined over the type-vocabulary-bounded (src, dst)
+    * keys.
+    *
+    * @return (src_type, dst_type, gap 1..window, n_pairs) — gap kept
+    *         so callers can apply their own distance weighting without
+    *         this operator committing to a float scheme
+    */
+  def skipGramPairs(ev: DataFrame, keyCol: String, typeCol: String,
+                    orderCol: Column, tieCol: Column,
+                    window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCol, tieCol)
+    val r = ev.withColumn("__rn", row_number().over(w))
+      .select(col(keyCol).as("__k"), col(typeCol).as("__t"), col("__rn"))
+    val a = r.select(col("__k"), col("__t").as("src_type"),
+      col("__rn").as("__ra"))
+    val b = r.select(col("__k"), col("__t").as("dst_type"),
+      col("__rn").as("__rb"))
+    a.join(b, Seq("__k"))
+      .filter(col("__rb") > col("__ra") &&
+        col("__rb") <= col("__ra") + window)
+      .select(col("src_type"), col("dst_type"),
+        (col("__rb") - col("__ra")).cast("long").as("gap"))
+      .groupBy(col("src_type"), col("dst_type"), col("gap"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** The `topK` most common journey openings: each key's first `maxLen`
     * event types in order, joined with `sep`, counted across keys.
     */

@@ -46,4 +46,30 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("vocabulary drift: cross-multiplied deltas, absent terms count 0") {
+    // snapshot a: 4 tokens total — x×2 y z ; snapshot b: 4 tokens —
+    // x y×2 w. Shares move: z vanished, w appeared, x 1/2→1/4, y 1/4→1/2
+    val a = Seq((1L, "x x y z")).toDF("doc_id", "text")
+    val b = Seq((2L, "x y y w")).toDF("doc_id", "text")
+    val got = CorpusStats.vocabularyDrift(a, b, "text", topK = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // drift_x = |c_a·4 − c_b·4|; ppm = floor(c·10⁶/4)
+    assert(got("x") == ((2L, 1L, 500000L, 250000L, 4L)))
+    assert(got("y") == ((1L, 2L, 250000L, 500000L, 4L)))
+    assert(got("z") == ((1L, 0L, 250000L, 0L, 4L)))
+    assert(got("w") == ((0L, 1L, 0L, 250000L, 4L)))
+  }
+
+  test("vocabulary drift cut is total-ordered: drift desc then token") {
+    val a = Seq((1L, "p p q r")).toDF("doc_id", "text")
+    val b = Seq((2L, "q q r s")).toDF("doc_id", "text")
+    // drifts: p=8, q=4, s=4, r=0 — the q/s tie at 4 must break to the
+    // smaller token string, so topK=2 is (p, q), never (p, s)
+    val got = CorpusStats.vocabularyDrift(a, b, "text", topK = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("p", "q"))
+  }
 }

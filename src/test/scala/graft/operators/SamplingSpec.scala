@@ -269,4 +269,38 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, String, Long)].collect()
     assert(got.toSet == again.toSet)
   }
+
+  test("largest-remainder allocation: exact budget, remainder order, ties") {
+    // counts 5/3/2 over budget 7: quotas 3.5/2.1/1.4 → bases 3/2/1
+    // (sum 6), one leftover goes to the largest remainder (a: .5)
+    val rows = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")
+    val got = Sampling.largestRemainderAllocation(
+        rows.toDF("source"), "source", budget = 7L)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map("a" -> ((5L, 4L)), "b" -> ((3L, 2L)), "c" -> ((2L, 1L))))
+    assert(got.values.map(_._2).sum == 7L)
+
+    // equal counts, budget 5 over 3 groups: bases 1 each, remainders
+    // tie — the two leftovers go to the SMALLEST group keys
+    val eq = Sampling.largestRemainderAllocation(
+        Seq("a", "a", "b", "b", "c", "c").toDF("source"), "source",
+        budget = 5L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(eq == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("largest-remainder allocation sums to the budget on skewed counts") {
+    val rows = (1 to 997).map(i => s"s${i % 13}")
+    val got = Sampling.largestRemainderAllocation(
+        rows.toDF("source"), "source", budget = 100L)
+      .as[(String, Long, Long)].collect()
+    assert(got.map(_._3).sum == 100L)
+    assert(got.length == 13)
+    // proportionality within one unit of the exact quota
+    got.foreach { case (_, n, alloc) =>
+      val quota = 100.0 * n / 997.0
+      assert(math.abs(alloc - quota) < 1.0, s"alloc $alloc quota $quota")
+    }
+  }
 }

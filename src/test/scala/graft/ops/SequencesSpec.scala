@@ -29,6 +29,43 @@ class SequencesSpec extends AnyFunSuite with SparkSpec {
       ("b", "a") -> (1L, 1.0)))
   }
 
+  test("skip-gram pairs: window bound, direction, gap, and counts") {
+    // u1 = a b a b, window 2:
+    //   gap1: a→b, b→a, a→b ; gap2: a→a, b→b
+    // u2 = a a c, window 2: gap1: a→a, a→c ; gap2: a→c
+    // u3 = c alone: nothing
+    val got = Sequences.skipGramPairs(ev, "u", "t", col("seq"), col("seq"),
+        window = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got == Map(
+      ("a", "b", 1L) -> 2L, ("b", "a", 1L) -> 1L, ("a", "a", 1L) -> 1L,
+      ("a", "c", 1L) -> 1L,
+      ("a", "a", 2L) -> 1L, ("b", "b", 2L) -> 1L, ("a", "c", 2L) -> 1L))
+  }
+
+  test("skip-gram at window 1 is the transition matrix's count column") {
+    val sg = Sequences.skipGramPairs(ev, "u", "t", col("seq"), col("seq"),
+        window = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    val tm = Sequences.transitionMatrix(ev, "u", "t", col("seq"), col("seq"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(sg == tm)
+  }
+
+  test("skip-gram pairs are invariant to input order and partitioning") {
+    val a = Sequences.skipGramPairs(ev.orderBy(rand(7)).repartition(16),
+        "u", "t", col("seq"), col("seq"), window = 3)
+      .collect().map(_.toSeq).toSet
+    val b = Sequences.skipGramPairs(ev, "u", "t", col("seq"), col("seq"),
+        window = 3)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("top paths: truncation at maxLen, deterministic tie order") {
     val got = Sequences.topPaths(ev, "u", "t", col("seq"), col("seq"),
         maxLen = 3, topK = 10)
