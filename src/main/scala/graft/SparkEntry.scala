@@ -3569,6 +3569,20 @@ object SparkEntry {
     operators.Sampling.largestRemainderAllocation(
       Tables(s, dir).documents, "source", budget = 100L)
 
+  // ---- q249: integer percentile-rank (cume_dist) normalization of a
+  //      per-source quality metric — the calibration before a global
+  //      cut ("keep everyone's top 20%" = pr_ppm > 800000 uniformly,
+  //      where raw-score cuts let one source's generous scorer flood
+  //      the mix). Ties share a rank (equal scores calibrate equally),
+  //      all arithmetic exact integer floor division; the heavy stage
+  //      is the (source, value) count, the window runs over DISTINCT
+  //      values only. ----
+  private def q249(s: SparkSession, dir: String): DataFrame =
+    ops.Percentiles.percentileRankPpm(
+      Tables(s, dir).documents
+        .select(col("source"), col("doc_id"), col("n_chars")),
+      Seq("source"), "n_chars", "pr_ppm")
+
   // ---- q234: reciprocal k-NN pairs — the high-precision near-dup
   //      filter over the q228 graph: keep (u, v) only when each is in
   //      the OTHER's top-5 (mutuality cuts hub noise — one-directional
@@ -4225,6 +4239,7 @@ object SparkEntry {
     "q246_skipgram_pairs"  -> q246 _,
     "q247_vocab_drift"     -> q247 _,
     "q248_lr_allocation"   -> q248 _,
+    "q249_pct_rank_norm"   -> q249 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5768,6 +5783,23 @@ object SparkEntry {
         |  CAST(base + CASE WHEN rk <= (SELECT l FROM l) THEN 1 ELSE 0 END
         |       AS BIGINT) AS alloc
         |FROM r""".stripMargin,
+    // q249: cume_dist over (source, n_chars) counts quantized to exact
+    // ppm — ties share a rank; `//` floor ≡ IntegralDivide on
+    // non-negative operands.
+    "q249_pct_rank_norm" ->
+      """WITH c AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, n_chars,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars)
+        |         AS BIGINT) AS le,
+        |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM c
+        |)
+        |SELECT d.source, d.doc_id, d.n_chars,
+        |  le * 1000000 // n AS pr_ppm
+        |FROM documents d JOIN r USING (source, n_chars)""".stripMargin,
     // q234: the knn chain self-joined on swapped keys (mutual pairs).
     "q234_mutual_knn" -> OracleSqlGen.q234Sql(),
     // q235: the mutual pairs closed with a recursive CTE — exact

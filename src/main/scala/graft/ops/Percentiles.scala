@@ -229,6 +229,52 @@ object Percentiles {
       .drop("__absdev", "__med", "__mad")
   }
 
+  /** Integer percentile-rank (cume_dist) normalization per group:
+    * pr_ppm = ⌊10⁶ · #{group rows with value ≤ x} / n_group⌋ — the
+    * calibration that makes heterogeneous per-source quality scores
+    * comparable BEFORE a global cut ("keep everyone's top 20%" =
+    * pr_ppm > 800000 uniformly), where raw-score cuts would let one
+    * source's generous scorer flood the mix. Ties share a rank (equal
+    * scores must calibrate equally — a row_number form would split
+    * them arbitrarily), and the arithmetic is exact integer floor
+    * division: no float percentile, no interpolation, replays
+    * bit-identically (z-score/min-max are the float siblings;
+    * [[exactQuantilesDisc]] is the cut-point view of the same rank
+    * structure).
+    *
+    * Scale shape (the exactQuantiles discipline): the heavy stage is
+    * the map-side-combinable (group, value) count; the cumulative
+    * window runs over DISTINCT values per group, not rows, and the
+    * result joins back value-level. No row-level window, no
+    * single-task group reduce.
+    *
+    * @return the input columns plus `out` (long ppm in (0, 10⁶]);
+    *         null values pass through with null rank (§1.4)
+    */
+  def percentileRankPpm(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, out: String): DataFrame = {
+    val gAlias = groupCols.zipWithIndex.map { case (g, i) => g -> s"__g$i" }
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(gAlias.map { case (g, a) => col(g).as(a) } :+
+        col(valueCol).as("__v"): _*)
+      .groupBy((gAlias.map(p => col(p._2)) :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val part = Window.partitionBy(gAlias.map(p => col(p._2)): _*)
+    val ranks = counts
+      .withColumn("__le", sum(col("__c"))
+        .over(part.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(part))
+      .select(gAlias.map(p => col(p._2)) :+ col("__v") :+
+        graft.functions.IntOps.intDiv(col("__le") * 1000000L, col("__n"))
+          .as(out): _*)
+    val cond = (gAlias.map { case (g, a) => col(g) === col(a) } :+
+      (col(valueCol) === col("__v"))).reduce(_ && _)
+    df.join(ranks, cond, "left")
+      .drop("__v")
+      .drop(gAlias.map(_._2): _*)
+  }
+
   def zscoreExact(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   out: String): DataFrame = {
     val gcols = groupCols.map(col)

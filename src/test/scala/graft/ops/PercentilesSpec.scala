@@ -160,6 +160,33 @@ class PercentilesSpec extends AnyFunSuite with SparkSpec {
     assert(a30.getDouble(2) == 28.0 / 1.4826 && a30.getBoolean(3))
   }
 
+  test("percentile-rank ppm: ties share, exact floors, null passes through") {
+    // group a values 10,20,20,40 → le 1,3,3,4 of n=4 → 250000, 750000,
+    // 750000, 1000000 ; group b single value → 1000000 ; null → null
+    val df = Seq(("a", 1L, Some(10L)), ("a", 2L, Some(20L)),
+      ("a", 3L, Some(20L)), ("a", 4L, Some(40L)), ("b", 5L, Some(7L)),
+      ("a", 6L, None)).toDF("g", "id", "v")
+    val got = Percentiles.percentileRankPpm(df, Seq("g"), "v", "pr_ppm")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == Map(1L -> Some(250000L), 2L -> Some(750000L),
+      3L -> Some(750000L), 4L -> Some(1000000L), 5L -> Some(1000000L),
+      6L -> None))
+  }
+
+  test("percentile-rank ppm: a top-quantile cut is source-balanced") {
+    // two sources with very different value scales: pr_ppm > 500000
+    // keeps each source's own top half, regardless of scale
+    val rows = (1 to 100).map(i => ("small", i.toLong, i.toLong)) ++
+      (1 to 100).map(i => ("big", 1000L + i, 1000000L + i))
+    val out = Percentiles.percentileRankPpm(
+        rows.toDF("g", "id", "v").repartition(8), Seq("g"), "v", "pr_ppm")
+      .filter(col("pr_ppm") > 500000L)
+      .groupBy(col("g")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("small" -> 50L, "big" -> 50L))
+  }
+
   test("madOutliers broadcasts both bounds tables back over the data") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
     val p = Percentiles.madOutliers(df, Seq("g"), "v", 3.5)

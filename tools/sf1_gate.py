@@ -85,6 +85,12 @@ SF1_ORACLE_PREFIXES = [
     # brute/comprehension/chain reads.
     "q236_", "q237_", "q238_", "q239_", "q240_", "q241_", "q242_",
     "q243_", "q244_",
+    # round-16 families: q245 is the q233-form knn-chain unroll (probed
+    # tractable at sf1 in round 15); q246 is a rank window + range
+    # self-join over the events log; q247/q249 are token/value count
+    # aggregations with distinct-value windows (the q119/q161 shape);
+    # q248 is a 20-row apportionment.
+    "q245_", "q246_", "q247_", "q248_", "q249_",
 ]
 
 # PROBE-CORPUS NOTE (2026-08-16): InflateProbeData's embedding replicas
