@@ -63,6 +63,20 @@ class CorpusStatsSpec extends AnyFunSuite with SparkSpec {
     assert(got("w") == ((0L, 1L, 0L, 250000L, 4L)))
   }
 
+  test("vocabulary drift plan: totals broadcast, no cartesian over data") {
+    val a = Seq((1L, "x x y z")).toDF("doc_id", "text")
+    val b = Seq((2L, "x y y w")).toDF("doc_id", "text")
+    val df = CorpusStats.vocabularyDrift(a, b, "text", topK = 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the 1-row totals frame rides as a broadcast nested-loop (fine);
+    // the token join itself must never be a cartesian product
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("TakeOrdered") || p.contains("TakeOrderedAndProject"),
+      "the top-k cut must be a distributed TakeOrdered, not a sort+limit: " +
+        p.take(1500))
+  }
+
   test("vocabulary drift cut is total-ordered: drift desc then token") {
     val a = Seq((1L, "p p q r")).toDF("doc_id", "text")
     val b = Seq((2L, "q q r s")).toDF("doc_id", "text")

@@ -56,6 +56,16 @@ class SequencesSpec extends AnyFunSuite with SparkSpec {
     assert(sg == tm)
   }
 
+  test("skip-gram plan: key-equi join with map-side combined counts") {
+    val df = Sequences.skipGramPairs(ev, "u", "t", col("seq"), col("seq"),
+      window = 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("partial_count"),
+      "pair counts must combine map-side before the shuffle: " + p.take(1500))
+  }
+
   test("skip-gram pairs are invariant to input order and partitioning") {
     val a = Sequences.skipGramPairs(ev.orderBy(rand(7)).repartition(16),
         "u", "t", col("seq"), col("seq"), window = 3)
