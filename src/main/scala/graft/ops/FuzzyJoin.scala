@@ -69,4 +69,33 @@ object FuzzyJoin {
   def linkSelf(df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame =
     link(df, df, idCol, strCol, idCol, strCol, maxDist)
       .filter(col("id_a") < col("id_b"))
+
+  /** Transposition-aware self-linkage: unordered pairs (id_a < id_b) with
+    * full Damerau–Levenshtein distance <= 1, plus the classic levenshtein
+    * alongside (the pairs where dl < lev are exactly the transposition
+    * catches the q113 family misses).
+    *
+    * Blocking stays lossless: one DL operation is at most two classic
+    * edits (a transposition is two substitutions in levenshtein terms),
+    * so every DL<=1 pair has levenshtein <= 2 and is caught by the
+    * radius-2 deletion neighborhood. The wider neighborhood (C(len,<=2)
+    * variants per row) is the price of transposition awareness at d=1;
+    * the verify itself is the codegen'd native
+    * [[graft.functions.EditDistanceExpressions.damerauLevenshtein]] run
+    * once per deduplicated candidate, never all-pairs.
+    */
+  def linkSelfDamerau(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val lv = df.select(col(idCol).as("id_a"), col(strCol).as("name_a"),
+      explode(deletionVariants(col(strCol), 2)).as("__v"))
+    val rv = df.select(col(idCol).as("id_b"), col(strCol).as("name_b"),
+      explode(deletionVariants(col(strCol), 2)).as("__v"))
+    lv.join(rv, "__v")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("name_a"), col("id_b"), col("name_b"))
+      .distinct()
+      .withColumn("dl", graft.functions.EditDistanceExpressions
+        .damerauLevenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dl") <= 1)
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+  }
 }
