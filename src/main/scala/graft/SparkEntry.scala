@@ -3600,6 +3600,21 @@ object SparkEntry {
       Tables(s, dir).supplier.select(col("s_suppkey"), col("s_name")),
       "s_suppkey", "s_name")
 
+  // ---- q251: Cohen's kappa per source — chance-corrected agreement
+  //      between two independent quality raters (char-count terciles vs
+  //      token-count terciles; thresholds are the probed sf0.01 corpus
+  //      terciles). Percent agreement flatters skewed raters; kappa is
+  //      the label-audit number reviewers actually compare. All terms
+  //      exact integers off ONE contingency shuffle; the ppm division
+  //      truncates identically in both engines (probed on negatives),
+  //      so systematic-disagreement groups gate too. ----
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    val tc = TextFunctions.tokenCount(col("text"))
+    operators.Audit.cohenKappa(Tables(s, dir).documents, Seq("source"),
+      when(col("n_chars") < 216, 0L).when(col("n_chars") < 373, 1L).otherwise(2L),
+      when(tc < 39, 0L).when(tc < 68, 1L).otherwise(2L))
+  }
+
   // ---- q234: reciprocal k-NN pairs — the high-precision near-dup
   //      filter over the q228 graph: keep (u, v) only when each is in
   //      the OTHER's top-5 (mutuality cuts hub noise — one-directional
@@ -4258,6 +4273,7 @@ object SparkEntry {
     "q248_lr_allocation"   -> q248 _,
     "q249_pct_rank_norm"   -> q249 _,
     "q250_damerau_link"    -> q250 _,
+    "q251_cohen_kappa"     -> q251 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5829,6 +5845,41 @@ object SparkEntry {
         |       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS lev
         |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         |WHERE damerau_levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
+    // q251: the contingency-table definition verbatim — every term an
+    // exact integer and `//` ≡ IntegralDivide (both truncate toward
+    // zero, probed on negatives), so kappa_ppm hash-gates at any sign.
+    "q251_cohen_kappa" ->
+      """WITH r AS (
+        |  SELECT source,
+        |    CASE WHEN n_chars < 216 THEN 0 WHEN n_chars < 373 THEN 1
+        |         ELSE 2 END AS a,
+        |    CASE WHEN len(regexp_extract_all(text, '\S+')) < 39 THEN 0
+        |         WHEN len(regexp_extract_all(text, '\S+')) < 68 THEN 1
+        |         ELSE 2 END AS b
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, a, b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM r GROUP BY 1, 2, 3
+        |), m AS (
+        |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT) AS agree
+        |  FROM c GROUP BY 1
+        |), ra AS (
+        |  SELECT source, a AS k, CAST(sum(cnt) AS BIGINT) AS ak
+        |  FROM c GROUP BY 1, 2
+        |), rb AS (
+        |  SELECT source, b AS k, CAST(sum(cnt) AS BIGINT) AS bk
+        |  FROM c GROUP BY 1, 2
+        |), ch AS (
+        |  SELECT ra.source, CAST(sum(ak * bk) AS BIGINT) AS chance
+        |  FROM ra JOIN rb ON ra.source = rb.source AND ra.k = rb.k
+        |  GROUP BY 1
+        |)
+        |SELECT m.source, n, agree, coalesce(chance, 0) AS chance,
+        |  CASE WHEN n * n = coalesce(chance, 0) THEN NULL
+        |       ELSE (1000000 * (n * agree - coalesce(chance, 0)))
+        |            // (n * n - coalesce(chance, 0)) END AS kappa_ppm
+        |FROM m LEFT JOIN ch ON m.source = ch.source""".stripMargin,
     // q234: the knn chain self-joined on swapped keys (mutual pairs).
     "q234_mutual_knn" -> OracleSqlGen.q234Sql(),
     // q235: the mutual pairs closed with a recursive CTE — exact

@@ -88,4 +88,55 @@ object Audit {
     require(parts.nonEmpty, "at least one part")
     parts.reduce(_ unionAll _)
   }
+
+  /** Cohen's kappa per group — chance-corrected inter-annotator agreement
+    * (Cohen 1960), the label-quality metric raw percent-agreement
+    * overstates whenever the class mix is skewed (two raters who both say
+    * "keep" 90% of the time agree 82% by luck alone). One row per group:
+    * n, agree (diagonal count), chance (the Σ_k rowTotal_k·colTotal_k
+    * chance-agreement numerator), and
+    * kappa_ppm = ⌊10⁶·(n·agree − chance) / (n² − chance)⌋ — every term an
+    * exact integer, and the division truncates toward zero in BOTH engines
+    * (Spark IntegralDivide ≡ DuckDB `//`, probed on negatives: −7//2 = −3),
+    * so even a negative kappa (systematic disagreement) hash-gates.
+    * kappa_ppm is null when n² = chance (both raters constant — agreement
+    * is undefined, not perfect). A null rating is its own class: two
+    * raters who both abstain agree.
+    *
+    * Scale shape: ONE map-side-combined shuffle builds the
+    * (group, a, b) contingency table; everything after runs on
+    * groups·classes² rows. Long arithmetic is exact while 10⁶·n² < 2⁶³,
+    * i.e. group sizes up to ~3.0M items — agreement audits run on labeled
+    * samples, which sit orders of magnitude below that bound.
+    */
+  def cohenKappa(df: DataFrame, groupCols: Seq[String],
+                 raterA: Column, raterB: Column): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val g = groupCols.map(col)
+    val cont = df.groupBy((g :+ raterA.as("__a") :+ raterB.as("__b")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val tot = cont.groupBy(g: _*).agg(
+      sum(col("__cnt")).as("n"),
+      sum(when(col("__a") <=> col("__b"), col("__cnt")).otherwise(0L)).as("agree"))
+    val ra = cont.groupBy((g :+ col("__a").as("__k")): _*)
+      .agg(sum(col("__cnt")).as("__ak"))
+    val rb = cont.groupBy((g :+ col("__b").as("__k")): _*)
+      .agg(sum(col("__cnt")).as("__bk"))
+    // null-safe joins: a null CLASS is a real rating category (abstain) and
+    // a null GROUP key is a real group — equi-joins would drop both
+    val chCond = (groupCols.map(c => ra(c) <=> rb(c)) :+ (ra("__k") <=> rb("__k")))
+      .reduce(_ && _)
+    val ch = ra.join(rb, chCond)
+      .groupBy(groupCols.map(ra(_)): _*)
+      .agg(sum(col("__ak") * col("__bk")).as("chance"))
+    val outCond = groupCols.map(c => tot(c) <=> ch(c)).reduce(_ && _)
+    tot.join(ch, outCond, "left")
+      .select((groupCols.map(tot(_)) :+ col("n") :+ col("agree") :+
+        coalesce(col("chance"), lit(0L)).as("chance")): _*)
+      .withColumn("kappa_ppm",
+        when(col("n") * col("n") === col("chance"), lit(null).cast("long"))
+          .otherwise(graft.functions.IntOps.intDiv(
+            lit(1000000L) * (col("n") * col("agree") - col("chance")),
+            col("n") * col("n") - col("chance"))))
+  }
 }

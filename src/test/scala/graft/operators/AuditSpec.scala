@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -72,5 +73,58 @@ class AuditSpec extends AnyFunSuite with SparkSpec {
       Audit.referential(empty, "ok", rows, "ok", "r")))
       .as[(String, Long)].collect().toMap
     assert(got == Map("p" -> 0L, "u" -> 0L, "r" -> 0L))
+  }
+
+  // ---- Cohen's kappa ----
+
+  private def kappaOf(ratings: Seq[(String, String, String)]): Map[String, Row] =
+    Audit.cohenKappa(ratings.toDF("g", "a", "b"), Seq("g"), col("a"), col("b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+  test("kappa matches the hand-computed contingency table") {
+    // 20 items: 10 yes-yes, 5 no-no, 3 yes-no, 2 no-yes.
+    // n=20 agree=15; margins a: yes 13 / no 7, b: yes 12 / no 8;
+    // chance = 13*12 + 7*8 = 212; kappa = 88/188 -> floor(88e6/188) ppm.
+    val ratings =
+      Seq.fill(10)(("g", "yes", "yes")) ++ Seq.fill(5)(("g", "no", "no")) ++
+      Seq.fill(3)(("g", "yes", "no")) ++ Seq.fill(2)(("g", "no", "yes"))
+    val r = kappaOf(ratings)("g")
+    assert(r.getAs[Long]("n") == 20L && r.getAs[Long]("agree") == 15L)
+    assert(r.getAs[Long]("chance") == 212L)
+    assert(r.getAs[Long]("kappa_ppm") == 88000000L / 188L)
+  }
+
+  test("perfect agreement is exactly 1e6 ppm; perfect disagreement -1e6") {
+    val perfect = Seq.fill(3)(("p", "x", "x")) ++ Seq.fill(2)(("p", "y", "y"))
+    assert(kappaOf(perfect)("p").getAs[Long]("kappa_ppm") == 1000000L)
+    val anti = Seq.fill(5)(("q", "x", "y")) ++ Seq.fill(5)(("q", "y", "x"))
+    assert(kappaOf(anti)("q").getAs[Long]("kappa_ppm") == -1000000L)
+  }
+
+  test("both raters constant: kappa undefined (null), not 1") {
+    val r = kappaOf(Seq.fill(4)(("c", "x", "x")))("c")
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("agree") == 4L)
+    assert(r.isNullAt(r.fieldIndex("kappa_ppm")))
+  }
+
+  test("a null rating is its own class, and null group keys keep their row") {
+    val df = Seq[(String, String, String)](
+      (null, null, null), (null, null, null), (null, "x", "x"), (null, "x", "x"))
+      .toDF("g", "a", "b")
+    val out = Audit.cohenKappa(df, Seq("g"), col("a"), col("b")).collect()
+    assert(out.length == 1 && out.head.isNullAt(0))
+    // 2 null-null agreements + 2 x-x: margins 2/2 both sides,
+    // chance = 2*2 + 2*2 = 8, kappa = (16-8)/(16-8) = 1
+    assert(out.head.getAs[Long]("agree") == 4L)
+    assert(out.head.getAs[Long]("chance") == 8L)
+    assert(out.head.getAs[Long]("kappa_ppm") == 1000000L)
+  }
+
+  test("groups are independent: each source gets its own contingency") {
+    val ratings = Seq.fill(3)(("g1", "x", "x")) ++
+      Seq.fill(3)(("g2", "x", "y")) ++ Seq.fill(3)(("g2", "y", "x"))
+    val got = kappaOf(ratings)
+    assert(got("g1").getAs[Long]("agree") == 3L)
+    assert(got("g2").getAs[Long]("agree") == 0L)
   }
 }
