@@ -3615,6 +3615,44 @@ object SparkEntry {
       when(tc < 39, 0L).when(tc < 68, 1L).otherwise(2L))
   }
 
+  // ---- q252: STREAMING skip-gram store — the ELEVENTH store family,
+  //      and the first whose per-key state is a sliding WINDOW of the
+  //      stream: events arrive in per-user order-contiguous
+  //      micro-batches (here: global (ts, event_id)-rank terciles — the
+  //      arrival-order contract a real event stream satisfies by
+  //      construction), each batch pairs its own events against the
+  //      committed per-user tails (O(batch) work, window-bounded
+  //      state), and the served fold must equal q246's one-shot
+  //      statistic BIT-IDENTICALLY. Count-additive state ⇒ both logs
+  //      admit only ledger-committed tags (the histogram-family crash
+  //      discipline, extended to a second state table). ----
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_stream_skipgram_store"
+    Seq(table, graft.streaming.StoreIngest.ledgerTable(table),
+        graft.streaming.StoreIngest.tailsTable(table))
+      .foreach(graft.sources.Sinks.dropTableAndStaleLocation(s, _))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_sg_").toString
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_stream_sg_in_").toString
+    val ev = Tables(s, dir).events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val n = ev.count()
+    // harness-only global rank (single-partition window at gate scale):
+    // rank-tercile slices are per-user order-contiguous by construction
+    val ranked = ev.withColumn("__grn",
+      row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+    for (g <- 0L to 2L)
+      ranked.filter(col("__grn") > g * n / 3 && col("__grn") <= (g + 1) * n / 3)
+        .drop("__grn").coalesce(1).write.mode("append").parquet(in)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    graft.streaming.StoreIngest.ingestSkipGramStore(stream, "user_id",
+      "event_type", col("ts"), col("event_id"), window = 3, table, ckpt)
+      .awaitTermination()
+    graft.streaming.StoreIngest.skipGramFromStore(s, table)
+  }
+
   // ---- q234: reciprocal k-NN pairs — the high-precision near-dup
   //      filter over the q228 graph: keep (u, v) only when each is in
   //      the OTHER's top-5 (mutuality cuts hub noise — one-directional
@@ -4274,6 +4312,7 @@ object SparkEntry {
     "q249_pct_rank_norm"   -> q249 _,
     "q250_damerau_link"    -> q250 _,
     "q251_cohen_kappa"     -> q251 _,
+    "q252_stream_skipgram_store" -> q252 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5389,6 +5428,22 @@ object SparkEntry {
   /** Continuation of [[oracleSql]] (split so shared literals like
     * [[trigramLmSql]] can sit between the halves — one logical map).
     */
+  // shared by q246 (one-shot) and q252 (streamed store serve): the rank
+  // window + range self-join definition of the skip-gram pair counts
+  private val skipGramOracleSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |)
+      |SELECT a.event_type AS src_type, b.event_type AS dst_type,
+      |  CAST(b.rn - a.rn AS BIGINT) AS gap,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM r a JOIN r b ON a.user_id = b.user_id
+      |  AND b.rn > a.rn AND b.rn <= a.rn + 3
+      |GROUP BY 1, 2, 3""".stripMargin
+
   private lazy val oracleSqlTail: Map[String, String] = Map(
     // q173: quantile_cont split points (bit-identical to exactQuantiles,
     // the q40 pinning) + the same boundary-goes-left bucket arithmetic.
@@ -5752,19 +5807,11 @@ object SparkEntry {
     "q245_beam_search" -> OracleSqlGen.q245Sql(),
     // q246: the rank window + range self-join verbatim — (ts, event_id)
     // is a total order, so ranks and pairs replay exactly.
-    "q246_skipgram_pairs" ->
-      """WITH r AS (
-        |  SELECT user_id, event_type,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS rn
-        |  FROM events
-        |)
-        |SELECT a.event_type AS src_type, b.event_type AS dst_type,
-        |  CAST(b.rn - a.rn AS BIGINT) AS gap,
-        |  CAST(count(*) AS BIGINT) AS n_pairs
-        |FROM r a JOIN r b ON a.user_id = b.user_id
-        |  AND b.rn > a.rn AND b.rn <= a.rn + 3
-        |GROUP BY 1, 2, 3""".stripMargin,
+    "q246_skipgram_pairs" -> skipGramOracleSql,
+    // q252: q246's oracle VERBATIM — the streamed store must serve the
+    // one-shot skip-gram statistic bit-identically however the event
+    // stream was sliced into micro-batches.
+    "q252_stream_skipgram_store" -> skipGramOracleSql,
     // q247: cross-multiplied share deltas — exact BIGINTs, floor-divided
     // ppm shares, (drift DESC, tok) total order on the cut.
     "q247_vocab_drift" ->

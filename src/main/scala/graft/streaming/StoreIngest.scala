@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -626,6 +627,167 @@ object StoreIngest {
       .write.mode("overwrite").format("parquet").saveAsTable(tmp)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
+  /** The tail-state table paired with a skip-gram store. */
+  def tailsTable(table: String): String = table + "_tails"
+
+  /** Streaming skip-gram co-occurrence ingest — the ELEVENTH store
+    * family, and the first whose per-key state is a sliding WINDOW of the
+    * stream rather than a set, a min, or a snapshot: the item2vec pair
+    * statistic ([[graft.ops.Sequences.skipGramPairs]]) accumulates while
+    * events arrive, without ever re-ranking history.
+    *
+    * Per batch (all O(batch) — the store-family discipline):
+    *   1. read each arriving user's COMMITTED tail (their last `window`
+    *      events with their global per-user ranks) and rebase it on a
+    *      cached RDD leaf (the refreshDistances discipline — the same
+    *      tables are appended below);
+    *   2. extend ranks: a user's next events continue from the tail's max
+    *      rank, so incremental ranks equal the one-shot row_number;
+    *   3. count the NEW pairs — exactly those whose destination is in
+    *      this batch; the source is either in the batch or in the tail,
+    *      which covers every rank back to dst−window by construction;
+    *   4. append pair counts to the store and the batch's own per-user
+    *      last-`window` events to the tail log, both tagged
+    *      (batch id, fingerprint).
+    *
+    * Crash windows: counts are COUNT-ADDITIVE (the histogram-family
+    * hazard), so BOTH logs admit rows only when their tag is
+    * LEDGER-committed — an append whose ledger row never landed is
+    * invisible to serves AND to later batches' tail reads, the replay
+    * recomputes the identical rows (same committed state, same batch
+    * content ⇒ same tag), and one DISTINCT collapses the duplicates.
+    * Contract: micro-batches must be per-user order-contiguous in
+    * (orderCol, tieCol) — an event stream sliced by arrival satisfies
+    * this by construction; the ranks (and therefore the gaps) of an
+    * out-of-order slicing would not be the one-shot ranks.
+    *
+    * State bounds: the tail log grows by at most window·users(batch) rows
+    * per batch and [[compactSkipGramTails]] resets it to window·users
+    * total; the pair store grows by at most types²·window per batch and
+    * is already aggregated (no per-event rows are ever stored).
+    */
+  def ingestSkipGramStore(events: DataFrame, userCol: String,
+                          typeCol: String, orderCol: org.apache.spark.sql.Column,
+                          tieCol: org.apache.spark.sql.Column, window: Int,
+                          table: String, checkpointDir: String,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(window >= 1, "window must be >= 1")
+    val owner = events.sparkSession
+    ledgeredIngestTagged(events, table, checkpointDir, trigger) {
+      (batch, batchId, fp) =>
+        val s = batch.sparkSession
+        val tails = tailsTable(table)
+        val ledger = ledgerTable(table)
+        val users = batch.select(col(userCol).as("__user")).distinct()
+        // committed tails of THIS batch's users, current window only
+        val have = s.catalog.tableExists(tails) && s.catalog.tableExists(ledger)
+        val tailsBase =
+          if (have) {
+            val committed = s.table(ledger)
+              .select(col("batch_id").as("__b"), col("fp").as("__f"))
+            s.table(tails).distinct()
+              .join(committed, col("__batch") === col("__b") &&
+                col("__fp") === col("__f"), "left_semi")
+              .join(users, Seq("__user"), "left_semi")
+              .withColumn("__tr", row_number().over(Window
+                .partitionBy(col("__user")).orderBy(col("__rn").desc)))
+              .filter(col("__tr") <= window)
+              .select(col("__user"), col("__rn"), col("__type"))
+          } else
+            batch.select(col(userCol).as("__user"), lit(0L).as("__rn"),
+              col(typeCol).as("__type")).limit(0)
+        // cached-leaf rebase: the tail table is appended below, and an
+        // un-materialized read would be invalidated mid-flight
+        val tRdd = tailsBase.rdd
+        tRdd.cache(); tRdd.count()
+        val tailsNow = s.createDataFrame(tRdd, tailsBase.schema)
+        try {
+          val baseRanks = tailsNow.groupBy(col("__user"))
+            .agg(max(col("__rn")).as("__base"))
+          val ranked0 = batch
+            .withColumn("__loc", row_number().over(Window
+              .partitionBy(col(userCol)).orderBy(orderCol, tieCol)).cast("long"))
+            .select(col(userCol).as("__user"), col("__loc"),
+              col(typeCol).as("__type"))
+            .join(baseRanks, Seq("__user"), "left")
+            .select(col("__user"),
+              (coalesce(col("__base"), lit(0L)) + col("__loc")).as("__rn"),
+              col("__type"))
+          val rRdd = ranked0.rdd
+          rRdd.cache(); rRdd.count()
+          val ranked = s.createDataFrame(rRdd, ranked0.schema)
+          try {
+            val srcs = tailsNow.unionByName(ranked)
+            val pairs = srcs.as("a").join(ranked.as("b"),
+                col("a.__user") === col("b.__user") &&
+                col("b.__rn") > col("a.__rn") &&
+                col("b.__rn") <= col("a.__rn") + window)
+              .select(col("a.__type").as("src_type"),
+                col("b.__type").as("dst_type"),
+                (col("b.__rn") - col("a.__rn")).as("gap"))
+              .groupBy(col("src_type"), col("dst_type"), col("gap"))
+              .agg(count(lit(1)).as("n_pairs"))
+              .withColumn("__batch", lit(batchId))
+              .withColumn("__fp", lit(fp._2))
+            pairs.write.mode("append").format("parquet").saveAsTable(table)
+            val newTails = ranked
+              .withColumn("__tr", row_number().over(Window
+                .partitionBy(col("__user")).orderBy(col("__rn").desc)))
+              .filter(col("__tr") <= window)
+              .select(col("__user"), col("__rn"), col("__type"))
+              .withColumn("__batch", lit(batchId))
+              .withColumn("__fp", lit(fp._2))
+            newTails.write.mode("append").format("parquet").saveAsTable(tails)
+            // a third owner-visible table beyond the (table, ledger) pair
+            // the shared core refreshes — keep the owner's listing fresh
+            owner.catalog.refreshTable(tails)
+          } finally rRdd.unpersist()
+        } finally tRdd.unpersist()
+    }
+  }
+
+  /** Served read for [[ingestSkipGramStore]]: committed-and-distinct pair
+    * appends folded by addition — row-identical to the one-shot
+    * [[graft.ops.Sequences.skipGramPairs]] over everything ingested.
+    */
+  def skipGramFromStore(spark: org.apache.spark.sql.SparkSession,
+                        table: String): DataFrame = {
+    val committed = spark.table(ledgerTable(table))
+      .select(col("batch_id").as("__b"), col("fp").as("__f"))
+    spark.table(table).distinct()
+      .join(committed, col("__batch") === col("__b") &&
+        col("__fp") === col("__f"), "left_semi")
+      .groupBy(col("src_type"), col("dst_type"), col("gap"))
+      .agg(sum(col("n_pairs")).as("n_pairs"))
+  }
+
+  /** Collapse the tail log to each user's current committed window — the
+    * log grows by one row per (batch, active user) and this resets it to
+    * window·users. Tags are preserved on the surviving rows, so served
+    * reads and later ingests are unchanged; uncommitted crash-window
+    * residue is dropped (its batch will replay from committed state
+    * anyway). Run between ingests — the single-writer contract covers
+    * maintenance too.
+    */
+  def compactSkipGramTails(spark: org.apache.spark.sql.SparkSession,
+                           table: String, window: Int): Unit = {
+    val tails = tailsTable(table)
+    val committed = spark.table(ledgerTable(table))
+      .select(col("batch_id").as("__b"), col("fp").as("__f"))
+    val tmp = tails + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    spark.table(tails).distinct()
+      .join(committed, col("__batch") === col("__b") &&
+        col("__fp") === col("__f"), "left_semi")
+      .withColumn("__tr", row_number().over(Window
+        .partitionBy(col("__user")).orderBy(col("__rn").desc)))
+      .filter(col("__tr") <= window)
+      .drop("__tr")
+      .write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$tails`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$tails`")
   }
 
   def ingestKnnResults(queries: DataFrame, corpus: DataFrame,

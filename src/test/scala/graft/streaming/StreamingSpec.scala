@@ -1047,4 +1047,109 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       graft.Storage.releaseAll(spark)
     }
   }
+
+  test("streaming skip-gram store: cross-batch pairs, served = one-shot, replay no-op, crash rows invisible, compaction") {
+    import graft.ops.Sequences
+    val t = "graft_stream_skipgram_spec"
+    val t2 = t + "_alt"
+    val allTables = Seq(t, t2).flatMap(x =>
+      Seq(x, StoreIngest.ledgerTable(x), StoreIngest.tailsTable(x)))
+    allTables.foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_sg_ingest").toFile
+    try {
+      // (user, etype, ord, eid): user 1's A-B-A-C-B-A-C spans all three
+      // slices, so most of its windows straddle a batch boundary
+      val u1 = Seq("A", "B", "A", "C", "B", "A", "C").zipWithIndex
+        .map { case (e, i) => (1L, e, i + 1L, 100L + i) }
+      val u2 = Seq("B", "B", "A").zipWithIndex
+        .map { case (e, i) => (2L, e, i + 1L, 200L + i) }
+      val all = u1 ++ u2
+      // per-user order-contiguous slices (the ingest contract)
+      val gen1 = u1.take(3) ++ u2.take(1)
+      val gen2 = u1.slice(3, 5) ++ u2.drop(1)
+      val gen3 = u1.drop(5)
+      val in = new java.io.File(root, "in")
+      Seq(gen1, gen2, gen3).foreach(g =>
+        g.toDF("user", "etype", "ord", "eid").coalesce(1)
+          .write.mode("append").parquet(in.getAbsolutePath))
+      def stream = spark.readStream
+        .schema("user LONG, etype STRING, ord LONG, eid LONG")
+        .option("maxFilesPerTrigger", "1").parquet(in.getAbsolutePath)
+      def served(table: String): Set[(String, String, Long, Long)] = {
+        val m = StoreIngest.skipGramFromStore(spark, table)
+          .as[(String, String, Long, Long)].collect().toSet
+        graft.Storage.releaseAll(spark)
+        m
+      }
+      def ingest(table: String, cp: String) =
+        StoreIngest.ingestSkipGramStore(stream, "user", "etype",
+          col("ord"), col("eid"), window = 3, table,
+          new java.io.File(root, cp).getAbsolutePath).awaitTermination()
+
+      ingest(t, "cp1")
+      assert(spark.table(StoreIngest.ledgerTable(t)).count() >= 3,
+        "the slicing must actually produce multiple committed micro-batches")
+      val oneShot = Sequences.skipGramPairs(
+          all.toDF("user", "etype", "ord", "eid"),
+          "user", "etype", col("ord"), col("eid"), window = 3)
+        .as[(String, String, Long, Long)].collect().toSet
+      graft.Storage.releaseAll(spark)
+      assert(oneShot.exists(_._3 == 3L), "fixture must produce gap-3 pairs")
+      assert(served(t) == oneShot,
+        "streamed store must serve the one-shot skip-gram counts")
+
+      // replay on a fresh checkpoint: ledger makes every batch a no-op
+      val logRows = spark.table(t).count()
+      ingest(t, "cp2")
+      assert(spark.table(t).count() == logRows,
+        "a replayed ingest must append nothing")
+      assert(served(t) == oneShot)
+
+      // crash-window residue: an UNCOMMITTED pair append (tag not in the
+      // ledger) and an exact duplicate of a committed row are both
+      // invisible to the served read
+      spark.table(t).limit(1).withColumn("__batch", lit(9999L))
+        .withColumn("__fp", lit(424242L))
+        .write.mode("append").format("parquet").saveAsTable(t)
+      spark.table(t).filter(col("__batch") =!= 9999L).limit(1)
+        .write.mode("append").format("parquet").saveAsTable(t)
+      assert(served(t) == oneShot,
+        "uncommitted and duplicate appends must not change the serve")
+
+      // tail compaction: state shrinks to <= window rows per user and a
+      // FOLLOW-UP ingest over new events still serves the one-shot total
+      StoreIngest.compactSkipGramTails(spark, t, window = 3)
+      val tailRows = spark.table(StoreIngest.tailsTable(t)).count()
+      assert(tailRows <= 2 * 3, s"compacted tails must be window-bounded, got $tailRows")
+      val u1b = Seq("B", "C").zipWithIndex.map { case (e, i) => (1L, e, 8L + i, 300L + i) }
+      u1b.toDF("user", "etype", "ord", "eid").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      ingest(t, "cp3")
+      val oneShot2 = Sequences.skipGramPairs(
+          (all ++ u1b).toDF("user", "etype", "ord", "eid"),
+          "user", "etype", col("ord"), col("eid"), window = 3)
+        .as[(String, String, Long, Long)].collect().toSet
+      graft.Storage.releaseAll(spark)
+      assert(served(t) == oneShot2,
+        "post-compaction ingest must continue from the compacted tails")
+
+      // a DIFFERENT per-user order-contiguous slicing serves the same
+      // counts (slicing-invariance of the incremental ranks)
+      val in2 = new java.io.File(root, "in2")
+      Seq(u1.take(5) ++ u2, u1.drop(5) ++ u1b).foreach(g =>
+        g.toDF("user", "etype", "ord", "eid").coalesce(1)
+          .write.mode("append").parquet(in2.getAbsolutePath))
+      StoreIngest.ingestSkipGramStore(
+        spark.readStream.schema("user LONG, etype STRING, ord LONG, eid LONG")
+          .option("maxFilesPerTrigger", "1").parquet(in2.getAbsolutePath),
+        "user", "etype", col("ord"), col("eid"), window = 3, t2,
+        new java.io.File(root, "cp4").getAbsolutePath).awaitTermination()
+      assert(served(t2) == oneShot2,
+        "a different order-contiguous slicing must serve identical counts")
+    } finally {
+      rmTree(root)
+      allTables.foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
 }
