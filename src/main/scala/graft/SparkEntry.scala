@@ -3615,6 +3615,24 @@ object SparkEntry {
       when(tc < 39, 0L).when(tc < 68, 1L).otherwise(2L))
   }
 
+  // ---- q253: nearest-dictionary-entry normalization — every customer
+  //      name mapped to its best Jaro–Winkler match in a FIXED canonical
+  //      dictionary (the first 100 supplier names), ties to the lowest
+  //      dictionary id. JW is not a metric, so no lossless blocking
+  //      exists; the honest scale shape is exactly this dictionary one:
+  //      broadcast the fixed-size vocabulary, one corpus scan, |dict|
+  //      codegen'd native-expression calls per row — linear in the
+  //      corpus. The doubles hash-gate RAW: the native jwSimilarity is
+  //      bit-identical to DuckDB's jaro_winkler_similarity (probed
+  //      exhaustively + 21k random pairs, pinned in JaroWinklerSpec). ----
+  private def q253(s: SparkSession, dir: String): DataFrame =
+    ops.FuzzyJoin.dictionaryMatch(
+      Tables(s, dir).customer.select(col("c_custkey"), col("c_name")),
+      "c_custkey", "c_name",
+      Tables(s, dir).supplier.filter(col("s_suppkey") < 100)
+        .select(col("s_suppkey"), col("s_name")),
+      "s_suppkey", "s_name")
+
   // ---- q252: STREAMING skip-gram store — the ELEVENTH store family,
   //      and the first whose per-key state is a sliding WINDOW of the
   //      stream: events arrive in per-user order-contiguous
@@ -4313,6 +4331,7 @@ object SparkEntry {
     "q250_damerau_link"    -> q250 _,
     "q251_cohen_kappa"     -> q251 _,
     "q252_stream_skipgram_store" -> q252 _,
+    "q253_jw_dictionary"   -> q253 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5812,6 +5831,25 @@ object SparkEntry {
     // one-shot skip-gram statistic bit-identically however the event
     // stream was sliced into micro-batches.
     "q252_stream_skipgram_store" -> skipGramOracleSql,
+    // q253: the window-argmax definition; jaro_winkler_similarity's
+    // doubles are bit-identical to the native expression (JaroWinklerSpec
+    // pins DuckDB's own values), so the hash carries raw doubles with no
+    // rounding. (jw DESC, dict_id) ≡ the operator's min(struct(-jw, id)).
+    "q253_jw_dictionary" ->
+      """WITH d AS (
+        |  SELECT s_suppkey AS dict_id, s_name AS dict_name
+        |  FROM supplier WHERE s_suppkey < 100
+        |), p AS (
+        |  SELECT c.c_custkey AS id, c.c_name AS name, d.dict_id,
+        |         d.dict_name,
+        |         jaro_winkler_similarity(c.c_name, d.dict_name) AS jw
+        |  FROM customer c CROSS JOIN d
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY id
+        |    ORDER BY jw DESC, dict_id) AS rk
+        |  FROM p
+        |)
+        |SELECT id, name, dict_id, dict_name, jw FROM r WHERE rk = 1""".stripMargin,
     // q247: cross-multiplied share deltas — exact BIGINTs, floor-divided
     // ppm shares, (drift DESC, tok) total order on the cut.
     "q247_vocab_drift" ->

@@ -98,4 +98,36 @@ object FuzzyJoin {
       .filter(col("dl") <= 1)
       .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
   }
+
+  /** Nearest-dictionary-entry match: for every corpus string, the
+    * best-Jaro–Winkler entry of a CANONICAL dictionary (ties broken by
+    * lowest dictionary id) — the normalization step that maps noisy
+    * free-text names onto a fixed vocabulary. JW is not a metric, so
+    * there is no lossless blocking (contrast the deletion neighborhoods
+    * above); the honest scale shape is exactly this one: the dictionary
+    * is FIXED-SIZE by construction, broadcasts, and the whole match is
+    * one corpus scan with |dict| codegen'd similarity calls per row —
+    * cost linear in the corpus, never all-pairs.
+    *
+    * The argmax is `min(struct(-jw, dict_id, ...))`: negation is
+    * IEEE-exact and bijective, so the struct order IS
+    * (jw DESC, dict_id ASC), and the served double re-negates back
+    * bit-identically.
+    */
+  def dictionaryMatch(corpus: DataFrame, corpusId: String, corpusStr: String,
+                      dict: DataFrame, dictId: String, dictStr: String): DataFrame = {
+    val pairs = corpus
+      .select(col(corpusId).as("id"), col(corpusStr).as("name"))
+      .crossJoin(broadcast(dict.select(
+        col(dictId).as("dict_id"), col(dictStr).as("dict_name"))))
+      .withColumn("jw", graft.functions.EditDistanceExpressions
+        .jaroWinkler(col("name"), col("dict_name")))
+    pairs.groupBy(col("id"), col("name"))
+      .agg(min(struct((-col("jw")).as("njw"), col("dict_id"),
+        col("dict_name"))).as("__best"))
+      .select(col("id"), col("name"),
+        col("__best.dict_id").as("dict_id"),
+        col("__best.dict_name").as("dict_name"),
+        (-col("__best.njw")).as("jw"))
+  }
 }
