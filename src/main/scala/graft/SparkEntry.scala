@@ -3615,6 +3615,21 @@ object SparkEntry {
       when(tc < 39, 0L).when(tc < 68, 1L).otherwise(2L))
   }
 
+  // ---- q254: quantile normalization onto a 100-point global grid —
+  //      the batch-effect remover (Bolstad et al. 2003): each source's
+  //      n_chars is replaced by the GLOBAL value at the grid rounding of
+  //      its within-source percentile rank, so every source's normalized
+  //      distribution is the same reference and one threshold means the
+  //      same thing everywhere (q249 calibrates ranks; this one maps
+  //      them back into VALUE space). Exact cross-multiplied integer
+  //      ranks, a G-row broadcast reference, and an equi-join on the
+  //      grid index — a hash join, never an interval nested loop. ----
+  private def q254(s: SparkSession, dir: String): DataFrame =
+    ops.Percentiles.quantileNormalize(
+      Tables(s, dir).documents
+        .select(col("source"), col("doc_id"), col("n_chars")),
+      Seq("source"), "n_chars", grid = 100, out = "qn")
+
   // ---- q253: nearest-dictionary-entry normalization — every customer
   //      name mapped to its best Jaro–Winkler match in a FIXED canonical
   //      dictionary (the first 100 supplier names), ties to the lowest
@@ -4332,6 +4347,7 @@ object SparkEntry {
     "q251_cohen_kappa"     -> q251 _,
     "q252_stream_skipgram_store" -> q252 _,
     "q253_jw_dictionary"   -> q253 _,
+    "q254_quantile_norm"   -> q254 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5850,6 +5866,40 @@ object SparkEntry {
         |  FROM p
         |)
         |SELECT id, name, dict_id, dict_name, jw FROM r WHERE rk = 1""".stripMargin,
+    // q254: the same cross-multiplied grid arithmetic in SQL — group
+    // grid point ⌈le·G/n⌉, reference interval (⌊le0·G/n⌋, ⌊le·G/n⌋] per
+    // distinct global value, one equi-join on the grid index. All
+    // integer; the served value is verbatim data.
+    "q254_quantile_norm" ->
+      """WITH c AS (
+        |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, v,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v)
+        |         AS BIGINT) AS le,
+        |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM c
+        |), gp AS (
+        |  SELECT source, v, (le * 100 + n - 1) // n AS gp FROM r
+        |), gc AS (
+        |  SELECT n_chars AS rv, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1
+        |), gr AS (
+        |  SELECT rv,
+        |    CAST(sum(cnt) OVER (ORDER BY rv) AS BIGINT) AS le,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n,
+        |    cnt
+        |  FROM gc
+        |), ref AS (
+        |  SELECT unnest(range(((le - cnt) * 100) // n + 1,
+        |                      (le * 100) // n + 1)) AS gp, rv
+        |  FROM gr
+        |)
+        |SELECT d.source, d.doc_id, d.n_chars, ref.rv AS qn
+        |FROM documents d
+        |JOIN gp ON d.source = gp.source AND d.n_chars = gp.v
+        |JOIN ref ON gp.gp = ref.gp""".stripMargin,
     // q247: cross-multiplied share deltas — exact BIGINTs, floor-divided
     // ppm shares, (drift DESC, tok) total order on the cut.
     "q247_vocab_drift" ->

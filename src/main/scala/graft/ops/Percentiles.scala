@@ -275,6 +275,79 @@ object Percentiles {
       .drop(gAlias.map(_._2): _*)
   }
 
+  /** Quantile normalization onto a `grid`-point reference — the
+    * batch-effect remover: every row's value is replaced by the GLOBAL
+    * value at (the grid rounding of) its within-group percentile rank,
+    * so every group's normalized distribution is the same reference
+    * distribution and one downstream threshold means the same thing in
+    * every source. The classic from expression-array statistics (Bolstad
+    * et al. 2003), reformulated for distributed exactness:
+    *
+    *   - group rank: grid point gp = ⌈le·G / n⌉ per (group, value) via
+    *     cross-multiplied exact longs (le = ties-share cumulative count —
+    *     q249's cume_dist discipline without the ppm intermediary, so no
+    *     resolution floor);
+    *   - reference: the global inverse CDF materialized ONCE as exactly G
+    *     rows — each distinct global value covers the grid interval
+    *     (⌊le₀·G/n⌋, ⌊le·G/n⌋] and a sequence-explode emits its points;
+    *   - the lookup is then a plain EQUI-join on the grid index against a
+    *     G-row broadcast — a hash join, not the interval/nested-loop
+    *     shape a raw inverse-CDF lookup would force. G bounds resolution
+    *     AND plan cost by construction.
+    *
+    * Null values pass through with a null normalized column. All rank
+    * arithmetic is exact integers; the reference value is served verbatim
+    * (no interpolation), so the gate hash-compares with no float risk.
+    * The reference CDF window runs over DISTINCT values (one task) — the
+    * usual discrete/pre-binned contract; quantile-normalizing a truly
+    * continuous column should bin it first (the histogram family's move).
+    */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, grid: Int, out: String): DataFrame = {
+    require(grid >= 1, "grid must be >= 1")
+    val g = lit(grid.toLong)
+    val gAlias = groupCols.zipWithIndex.map { case (c, i) => c -> s"__g$i" }
+    // within-group grid point per distinct value (ties share a rank)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(gAlias.map { case (c, a) => col(c).as(a) } :+
+        col(valueCol).as("__v"): _*)
+      .groupBy((gAlias.map(p => col(p._2)) :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val part = Window.partitionBy(gAlias.map(p => col(p._2)): _*)
+    val ranked = counts
+      .withColumn("__le", sum(col("__c"))
+        .over(part.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(part))
+      .select(gAlias.map(p => col(p._2)) :+ col("__v") :+
+        graft.functions.IntOps.intDiv(
+          col("__le") * g + col("__n") - 1, col("__n")).as("__gp"): _*)
+    // the G-row global reference: value __rv serves grid points
+    // (⌊le0·G/n⌋, ⌊le·G/n⌋]
+    val gCounts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__rv")).agg(count(lit(1)).as("__c"))
+    val wAll = Window.partitionBy(lit(1))
+    val gRanked = gCounts
+      .withColumn("__le", sum(col("__c"))
+        .over(wAll.orderBy(col("__rv"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__lo", graft.functions.IntOps.intDiv(
+        (col("__le") - col("__c")) * g, col("__n")) + 1)
+      .withColumn("__hi", graft.functions.IntOps.intDiv(
+        col("__le") * g, col("__n")))
+      .filter(col("__hi") >= col("__lo"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__gp"),
+        col("__rv"))
+    val cond = (gAlias.map { case (c, a) => col(c) === col(a) } :+
+      (col(valueCol) === col("__v"))).reduce(_ && _)
+    df.join(ranked, cond, "left")
+      .join(broadcast(gRanked), Seq("__gp"), "left")
+      .withColumnRenamed("__rv", out)
+      .drop("__v", "__gp")
+      .drop(gAlias.map(_._2): _*)
+  }
+
   def zscoreExact(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   out: String): DataFrame = {
     val gcols = groupCols.map(col)

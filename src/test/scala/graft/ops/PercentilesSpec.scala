@@ -197,4 +197,56 @@ class PercentilesSpec extends AnyFunSuite with SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1500))
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
+
+  // ---- quantile normalization ----
+
+  test("quantileNormalize: same-shape groups land on identical reference values") {
+    // A holds 1..10, B holds 101..110 — same shape, shifted scale. The
+    // global reference is the 20 pooled values; after normalization both
+    // groups must serve the SAME multiset of reference values.
+    val df = ((1 to 10).map(v => ("A", v.toLong)) ++
+      (1 to 10).map(v => ("B", v + 100L))).toDF("g", "v")
+    val out = Percentiles.quantileNormalize(df, Seq("g"), "v", grid = 20, out = "qn")
+    val byG = out.select("g", "qn").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toSeq }
+    assert(byG("A") == byG("B"),
+      s"normalized distributions must coincide: ${byG("A")} vs ${byG("B")}")
+    // rank i of 10 → grid point 2i → the 2i-th pooled value
+    val pooled = ((1 to 10).map(_.toLong) ++ (1 to 10).map(_ + 100L)).sorted
+    assert(byG("A") == (1 to 10).map(i => pooled(2 * i - 1)).sorted)
+  }
+
+  test("quantileNormalize is the identity when the group IS the reference at full grid") {
+    val df = (1 to 10).map(v => ("g", v.toLong)).toDF("g", "v")
+    val out = Percentiles.quantileNormalize(df, Seq("g"), "v", grid = 10, out = "qn")
+    assert(out.filter(col("qn") =!= col("v")).count() == 0L)
+  }
+
+  test("quantileNormalize: nulls pass through with null output, others unaffected") {
+    val df = Seq(("g", Some(1L)), ("g", Some(2L)), ("g", None)).toDF("g", "v")
+    val out = Percentiles.quantileNormalize(df, Seq("g"), "v", grid = 2, out = "qn")
+    assert(out.filter(col("v").isNull && col("qn").isNotNull).count() == 0L)
+    assert(out.filter(col("v").isNotNull && col("qn").isNull).count() == 0L)
+  }
+
+  test("quantileNormalize is monotone in the value within each group") {
+    val df = (1 to 50).map(v => (s"g${v % 3}", (v * 7 % 23).toLong)).toDF("g", "v")
+    val out = Percentiles.quantileNormalize(df, Seq("g"), "v", grid = 7, out = "qn")
+      .select("g", "v", "qn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (g <- out.map(_._1).distinct) {
+      val rows = out.filter(_._1 == g).sortBy(_._2)
+      val qns = rows.map(_._3)
+      assert(qns.zip(qns.tail).forall { case (a, b) => a <= b },
+        s"group $g not monotone: ${rows.toSeq}")
+    }
+  }
+
+  test("quantileNormalize reference lookup is a broadcast equi-join, never a nested loop") {
+    val df = (1 to 100).map(v => (s"g${v % 4}", v.toLong)).toDF("g", "v")
+    val p = Percentiles.quantileNormalize(df, Seq("g"), "v", grid = 10, out = "qn")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
 }
