@@ -3630,6 +3630,16 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("n_chars")),
       Seq("source"), "n_chars", grid = 100, out = "qn")
 
+  // ---- q255: trailing 7-day active users per day — the engagement
+  //      metric (WAU) whose naive form re-scans the trailing range once
+  //      per day. One linear plan instead: dedup to (user, day), a
+  //      constant ×7 fan-out of each active day to the report days it
+  //      feeds, one distinct count per day. Exact integers; only days
+  //      with activity report (no fabricated empty windows). ----
+  private def q255(s: SparkSession, dir: String): DataFrame =
+    ops.TimeSeries.trailingActive(Tables(s, dir).events,
+      "user_id", col("ts"), windowDays = 7)
+
   // ---- q253: nearest-dictionary-entry normalization — every customer
   //      name mapped to its best Jaro–Winkler match in a FIXED canonical
   //      dictionary (the first 100 supplier names), ties to the lowest
@@ -4348,6 +4358,7 @@ object SparkEntry {
     "q252_stream_skipgram_store" -> q252 _,
     "q253_jw_dictionary"   -> q253 _,
     "q254_quantile_norm"   -> q254 _,
+    "q255_trailing_active" -> q255 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5900,6 +5911,20 @@ object SparkEntry {
         |FROM documents d
         |JOIN gp ON d.source = gp.source AND d.n_chars = gp.v
         |JOIN ref ON gp.gp = ref.gp""".stripMargin,
+    // q255: the same dedup → ×7 fan-out → distinct count, with dates as
+    // civil UTC days in both engines (session TZ pinned). Exact counts.
+    "q255_trailing_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+        |), days AS (
+        |  SELECT DISTINCT d AS day FROM ud
+        |), contrib AS (
+        |  SELECT u, d + CAST(t.o AS INTEGER) AS day
+        |  FROM ud, unnest(range(0, 7)) AS t(o)
+        |)
+        |SELECT c.day, CAST(count(DISTINCT u) AS BIGINT) AS n_active
+        |FROM contrib c JOIN days USING (day)
+        |GROUP BY 1""".stripMargin,
     // q247: cross-multiplied share deltas — exact BIGINTs, floor-divided
     // ppm shares, (drift DESC, tok) total order on the cut.
     "q247_vocab_drift" ->

@@ -62,6 +62,33 @@ object TimeSeries {
     * map-side-combined aggregate; the baseline is hour-of-week-sized
     * (≤ 168 per key) and broadcasts back.
     */
+  /** Trailing-window distinct actors per active day (the WAU/MAU family
+    * of engagement metrics): for every day that saw ANY activity, the
+    * exact count of distinct actors active in the `windowDays`-day
+    * window ENDING that day. `count(distinct)` is not a sliding window
+    * function in any engine; the naive per-day formulation re-scans the
+    * trailing range once per day (w full passes). This one is a single
+    * linear plan: dedup to (actor, day), fan each active day out to the
+    * `windowDays` report days it contributes to (a constant ×w row
+    * explode — never data × days), keep report days that actually exist,
+    * and one map-side-combined distinct count per day. Exact integers
+    * throughout; days are civil dates of `tsCol` (UTC pinned).
+    */
+  def trailingActive(df: DataFrame, actorCol: String, tsCol: Column,
+                     windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val ud = df.select(col(actorCol).as("__u"), to_date(tsCol).as("__d"))
+      .distinct()
+    val days = ud.select(col("__d").as("day")).distinct()
+    val contrib = ud
+      .select(col("__u"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__o"), col("__d"))
+      .select(col("__u"), date_add(col("__d"), col("__o")).as("day"))
+    contrib.join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__u")).as("n_active"))
+  }
+
   def seasonalDeviation(df: DataFrame, keyCols: Seq[String],
                         tsCol: Column): DataFrame = {
     val hourly = df
