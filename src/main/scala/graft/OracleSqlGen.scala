@@ -3051,4 +3051,50 @@ object OracleSqlGen {
        |)
        |$pairs""".stripMargin
   }
+
+  /** q256: greedy maximum coverage over word BIGRAMS, `rounds` rounds
+    * unrolled — each round scores every document by its count of
+    * still-uncovered bigrams (ANTI JOIN against the accumulated cover),
+    * draws the winner by the (gain DESC, doc_id) total order, and extends
+    * the cover. Bigrams, not unigrams: the synthetic corpus has only 31
+    * distinct whitespace tokens, so the unigram universe degenerates (one
+    * document covers all of it in round 1); the ~900-bigram universe
+    * keeps all `rounds` draws live. An exhausted round yields an empty
+    * sN, so later rounds stay empty and the UNION simply stops growing —
+    * the operator's early stop, replayed. Every round CTE is MATERIALIZED
+    * (the unrolled-oracle ENOSPC discipline).
+    */
+  def q256Sql(rounds: Int = 10): String = {
+    val ctes = (1 to rounds).map { r =>
+      val src =
+        if (r == 1) "toks t"
+        else s"toks t ANTI JOIN c${r - 1} ON t.tok = c${r - 1}.tok"
+      val cov =
+        if (r == 1)
+          "c1 AS MATERIALIZED (SELECT DISTINCT t.tok FROM toks t JOIN s1 USING (doc_id))"
+        else
+          s"""c$r AS MATERIALIZED (
+             |  SELECT tok FROM c${r - 1}
+             |  UNION
+             |  SELECT t.tok FROM toks t JOIN s$r USING (doc_id))""".stripMargin
+      s"""s$r AS MATERIALIZED (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS gain
+         |  FROM $src
+         |  GROUP BY 1 ORDER BY gain DESC, t.doc_id LIMIT 1
+         |), $cov""".stripMargin
+    }
+    val unions = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, doc_id, gain FROM s$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, g AS tok FROM (
+       |    SELECT doc_id,
+       |      unnest([ws[i + 0] || ' ' || ws[i + 1]
+       |              FOR i IN range(1, len(ws))]) AS g
+       |    FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       |          FROM documents)
+       |    WHERE len(ws) >= 2)
+       |), ${ctes.mkString(",\n")}
+       |$unions""".stripMargin
+  }
 }

@@ -3630,6 +3630,23 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("n_chars")),
       Seq("source"), "n_chars", grid = 100, out = "qn")
 
+  // ---- q256: greedy maximum-coverage seed selection — the k=10
+  //      documents whose word-BIGRAM union is largest (Nemhauser et al.
+  //      1978: greedy is (1−1/e)-optimal on submodular coverage); the
+  //      diverse-seed move that beats "k longest docs" whenever length
+  //      correlates with redundancy. Bigrams because the synthetic
+  //      corpus has only 31 distinct tokens (a unigram universe is
+  //      covered by one doc). k linear passes, driver state bounded at
+  //      k docs' shingles re-entering as a broadcast anti-join,
+  //      (gain DESC, doc_id) total order on every draw. Oracle = the
+  //      same k rounds unrolled as MATERIALIZED CTEs. ----
+  private def q256(s: SparkSession, dir: String): DataFrame =
+    operators.Coverage.greedyMaxCoverage(
+      Tables(s, dir).documents.select(col("doc_id"),
+        SketchExpressions.wordShingles(
+          TextFunctions.tokens(col("text")), 2).as("toks")),
+      "doc_id", col("toks"), k = 10)
+
   // ---- q255: trailing 7-day active users per day — the engagement
   //      metric (WAU) whose naive form re-scans the trailing range once
   //      per day. One linear plan instead: dedup to (user, day), a
@@ -4359,6 +4376,7 @@ object SparkEntry {
     "q253_jw_dictionary"   -> q253 _,
     "q254_quantile_norm"   -> q254 _,
     "q255_trailing_active" -> q255 _,
+    "q256_max_coverage"    -> q256 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5925,6 +5943,10 @@ object SparkEntry {
         |SELECT c.day, CAST(count(DISTINCT u) AS BIGINT) AS n_active
         |FROM contrib c JOIN days USING (day)
         |GROUP BY 1""".stripMargin,
+    // q256: the greedy sweep unrolled — each round ANTI-joins the
+    // accumulated cover, draws by (gain DESC, doc_id), extends the
+    // cover; an exhausted round is empty and stays empty (early stop).
+    "q256_max_coverage" -> OracleSqlGen.q256Sql(rounds = 10),
     // q247: cross-multiplied share deltas — exact BIGINTs, floor-divided
     // ppm shares, (drift DESC, tok) total order on the cut.
     "q247_vocab_drift" ->
