@@ -3647,6 +3647,18 @@ object SparkEntry {
           TextFunctions.tokens(col("text")), 2).as("toks")),
       "doc_id", col("toks"), k = 10)
 
+  // ---- q257: leading-digit (Benford) audit of order totals per order
+  //      priority — the fabricated-amounts screen: organically-grown
+  //      multi-decade amounts decay from digit 1 to 9; flat or spiked
+  //      histograms flag synthesis or truncation. Cents via the
+  //      fixed-decimal discipline, exact counts, ppm shares by floor
+  //      division; one map-side-combined aggregate. ----
+  private def q257(s: SparkSession, dir: String): DataFrame =
+    ops.TableProfile.leadingDigitProfile(
+      Tables(s, dir).orders.select(col("o_orderpriority"),
+        cents(col("o_totalprice")).as("cents")),
+      Seq("o_orderpriority"), "cents")
+
   // ---- q255: trailing 7-day active users per day — the engagement
   //      metric (WAU) whose naive form re-scans the trailing range once
   //      per day. One linear plan instead: dedup to (user, day), a
@@ -4377,6 +4389,7 @@ object SparkEntry {
     "q254_quantile_norm"   -> q254 _,
     "q255_trailing_active" -> q255 _,
     "q256_max_coverage"    -> q256 _,
+    "q257_leading_digit"   -> q257 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5947,6 +5960,26 @@ object SparkEntry {
     // accumulated cover, draws by (gain DESC, doc_id), extends the
     // cover; an exhausted round is empty and stays empty (early stop).
     "q256_max_coverage" -> OracleSqlGen.q256Sql(rounds = 10),
+    // q257: the same cents reconstruction (floor(x·100 + 0.5) — the q01
+    // exact-cents idiom), first digit via decimal string, exact counts,
+    // ppm shares by floor division.
+    "q257_leading_digit" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders
+        |), d AS (
+        |  SELECT o_orderpriority,
+        |    CAST(left(CAST(cents AS VARCHAR), 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM c WHERE cents > 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT o_orderpriority, digit, n,
+        |  n * 1000000 //
+        |    CAST(sum(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |    AS share_ppm
+        |FROM d""".stripMargin,
     // q247: cross-multiplied share deltas — exact BIGINTs, floor-divided
     // ppm shares, (drift DESC, tok) total order on the cut.
     "q247_vocab_drift" ->

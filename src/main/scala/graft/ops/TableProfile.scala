@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -89,5 +90,34 @@ object TableProfile {
       .select(col("column"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_num"), col("max_num"),
         col("min_str"), col("max_str"))
+  }
+
+  /** Leading-digit profile per group — the first-digit frequency audit
+    * (the Benford's-law screen, Newcomb 1881/Benford 1938): fabricated or
+    * truncated amount columns show flat or spiked first-digit histograms
+    * where organically-grown multi-decade amounts decay from 1 to 9. The
+    * operator reports the exact observed histogram and ppm shares (no
+    * irrational expected-frequency constants inside the gate — the
+    * comparison against log10(1+1/d) is the READER's step); flagging is a
+    * threshold on the shares downstream.
+    *
+    * `valueCol` must be integral and non-negative (scale money to cents
+    * first — the established fixed-decimal discipline); zero has no
+    * leading digit and is excluded with nulls. One map-side-combined
+    * aggregate over the scan; output is groups × 9 rows of exact longs.
+    */
+  def leadingDigitProfile(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val digits = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .withColumn("digit", substring(col(valueCol).cast("string"), 1, 1)
+        .cast("long"))
+      .groupBy((g :+ col("digit")): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(g: _*)
+    digits
+      .withColumn("share_ppm", graft.functions.IntOps.intDiv(
+        col("n") * 1000000L, sum(col("n")).over(w)))
   }
 }

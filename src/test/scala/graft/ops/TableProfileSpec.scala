@@ -42,4 +42,18 @@ class TableProfileSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("arr"))
     assert(TableProfile.profile(df, Seq("id")).count() == 1L)
   }
+
+  test("leadingDigitProfile: exact histogram, ppm shares, zero/null/negative excluded") {
+    val df = Seq(("g", 1L), ("g", 19L), ("g", 123L), ("g", 900L), ("g", 95L),
+      ("g", 0L), ("g", -5L), ("h", 777L))
+      .toDF("g", "v")
+      .unionByName(Seq(("h", None: Option[Long])).toDF("g", "v"))
+    val got = TableProfile.leadingDigitProfile(df, Seq("g"), "v")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // group g: digits 1×3 (1, 19, 123), 9×2 (900, 95); zero and -5 excluded
+    assert(got(("g", 1L)) == ((3L, 600000L)))
+    assert(got(("g", 9L)) == ((2L, 400000L)))
+    assert(got(("h", 7L)) == ((1L, 1000000L)))
+    assert(got.size == 3)
+  }
 }
