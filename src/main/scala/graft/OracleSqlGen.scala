@@ -41,7 +41,7 @@ object OracleSqlGen {
     * by q22 (pair list + signature agreement) and q98 (near-dup clusters).
     */
   private def minhashPairCtes(shingleK: Int, numHashes: Int, bands: Int,
-                              seed: Long): String = {
+                              seed: Long, docWhere: String = ""): String = {
     val rows = numHashes / bands
     val consts = PortableHash.permConstants(numHashes, seed)
     val mins = consts.zipWithIndex.map { case ((r, c), j) =>
@@ -49,8 +49,9 @@ object OracleSqlGen {
     }.mkString(",\n      ")
     val sigList = (0 until numHashes).map(j => s"m$j").mkString("[", ", ", "]")
     val shingle = (0 until shingleK).map(i => s"ws[i + $i]").mkString(" || ' ' || ")
+    val where = if (docWhere.isEmpty) "" else s" WHERE $docWhere"
     s"""tok AS (
-       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents$where
        |), sh AS (
        |  SELECT doc_id,
        |    unnest([$shingle FOR i IN range(1, len(ws) - ${shingleK - 2})]) AS g
@@ -73,8 +74,8 @@ object OracleSqlGen {
   }
 
   def q22Sql(shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-             seed: Long = 42L): String =
-    s"""WITH ${minhashPairCtes(shingleK, numHashes, bands, seed)}
+             seed: Long = 42L, docWhere: String = ""): String =
+    s"""WITH ${minhashPairCtes(shingleK, numHashes, bands, seed, docWhere)}
        |SELECT p.doc_a, p.doc_b,
        |  round(CAST(list_sum([CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END
        |                       FOR j IN range(1, ${numHashes + 1})]) AS DOUBLE)

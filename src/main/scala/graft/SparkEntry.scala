@@ -3647,6 +3647,30 @@ object SparkEntry {
           TextFunctions.tokens(col("text")), 2).as("toks")),
       "doc_id", col("toks"), k = 10)
 
+  // ---- q258: dedup-store DELETION — the right-to-be-forgotten path no
+  //      append-only family had: tombstones are set-semantics appends
+  //      (idempotent by value, no ledger needed), [[liveStore]] masks
+  //      them with one deletion-sized anti-join that leaves the bucketed
+  //      self-join exchange-free, and purgeTombstoned REWRITES the store
+  //      without the deleted signatures (bucket spec preserved) so the
+  //      bytes actually leave disk. Gate: build, delete every 17th doc,
+  //      PURGE, serve — must equal the q22 LSH run on the surviving
+  //      corpus (mask ≡ purge ≡ rebuild is spec-pinned). ----
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_dedup_tombstone_store"
+    Seq(table, operators.IncrementalDedup.tombstoneTable(table))
+      .foreach(graft.sources.Sinks.dropTableAndStaleLocation(s, _))
+    val docs = Tables(s, dir).documents
+    operators.IncrementalDedup.appendToStore(
+      operators.IncrementalDedup.bandedSignaturesPortable(
+        docs, "doc_id", "text"),
+      table, buckets = 8)
+    operators.IncrementalDedup.deleteFromStore(s, table,
+      docs.filter(pmod(col("doc_id"), lit(17)) === 0).select(col("doc_id")))
+    operators.IncrementalDedup.purgeTombstoned(s, table)
+    operators.IncrementalDedup.storeCandidates(s.table(table), numHashes = 16)
+  }
+
   // ---- q257: leading-digit (Benford) audit of order totals per order
   //      priority — the fabricated-amounts screen: organically-grown
   //      multi-decade amounts decay from digit 1 to 9; flat or spiked
@@ -4390,6 +4414,7 @@ object SparkEntry {
     "q255_trailing_active" -> q255 _,
     "q256_max_coverage"    -> q256 _,
     "q257_leading_digit"   -> q257 _,
+    "q258_store_delete"    -> q258 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5960,6 +5985,10 @@ object SparkEntry {
     // accumulated cover, draws by (gain DESC, doc_id), extends the
     // cover; an exhausted round is empty and stays empty (early stop).
     "q256_max_coverage" -> OracleSqlGen.q256Sql(rounds = 10),
+    // q258: q22's oracle restricted to the surviving corpus — after
+    // delete + purge, the store must serve exactly the from-scratch LSH
+    // run over the documents that were never deleted.
+    "q258_store_delete" -> OracleSqlGen.q22Sql(docWhere = "doc_id % 17 <> 0"),
     // q257: the same cents reconstruction (floor(x·100 + 0.5) — the q01
     // exact-cents idiom), first digit via decimal string, exact counts,
     // ppm shares by floor division.

@@ -211,4 +211,70 @@ object IncrementalDedup {
       .distinct()
       .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
   }
+
+  // ---- deletion (the right-to-be-forgotten path) ----
+
+  /** The tombstone table paired with a dedup store. */
+  def tombstoneTable(table: String): String = table + "_tombstones"
+
+  /** Record deletions: append the ids' DISTINCT set to the tombstone
+    * table. Tombstones are set-semantics state (re-deleting an id is a
+    * no-op on every read), so the append is idempotent by value — no
+    * ledger needed, the same argument as the set-union store family.
+    */
+  def deleteFromStore(spark: SparkSession, table: String, ids: DataFrame): Unit = {
+    val t = tombstoneTable(table)
+    ids.select(col(ids.columns.head).as("doc_id")).distinct()
+      .write.mode("append").format("parquet").saveAsTable(t)
+    spark.catalog.refreshTable(t)
+  }
+
+  /** The store with tombstoned documents MASKED: one anti-join on doc_id
+    * before anything else touches the rows, so a deleted document can
+    * neither emit pairs nor appear in them. The tombstone set is
+    * deletion-sized (AQE broadcasts it), so the bucketed scan's
+    * (band, bucket) distribution survives and [[storeCandidates]] over
+    * the live view keeps its exchange-free self-join. The mask is the
+    * LOGICAL delete — bytes remain on disk until [[purgeTombstoned]].
+    */
+  def liveStore(spark: SparkSession, table: String): DataFrame = {
+    val t = tombstoneTable(table)
+    val s = spark.table(table)
+    if (spark.catalog.tableExists(t))
+      s.join(spark.table(t).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    else s
+  }
+
+  /** The PHYSICAL delete: rewrite the store without the tombstoned rows
+    * (same writer-bucket-id routing as the compactions, bucket spec
+    * preserved so every downstream join keeps its plan), then drop the
+    * tombstone table — after this, the deleted documents' signatures no
+    * longer exist on disk, which is what a retention obligation actually
+    * requires. Run between ingests; the single-writer contract covers
+    * maintenance. Serves are unchanged by construction
+    * (purge ≡ mask, spec-pinned).
+    */
+  def purgeTombstoned(spark: SparkSession, table: String): Unit = {
+    val t = tombstoneTable(table)
+    if (!spark.catalog.tableExists(t)) return
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table '$table' is not bucketed — purge expects a dedup store"))
+    val tmp = table + "__purging"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    val cols = spec.bucketColumnNames.map(col)
+    val live = liveStore(spark, table)
+      .repartition(spec.numBuckets, pmod(hash(cols: _*), lit(spec.numBuckets)))
+    val w = live.write.mode("overwrite").format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+       w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+     else w).saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, t)
+  }
 }

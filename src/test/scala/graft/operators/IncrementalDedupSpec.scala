@@ -230,4 +230,62 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
       s"batch 3 must pair with BOTH prior generations, got $partners")
     graft.Storage.releaseAll(spark)
   }
+
+  test("tombstone delete: mask = purge = from-scratch rebuild; re-delete idempotent; bytes leave disk") {
+    val t = "graft_tst_tombstone_store"
+    Seq(t, IncrementalDedup.tombstoneTable(t), t + "_rebuilt").foreach(dropTable)
+    try {
+      val all = Seq(1L -> base, 2L -> (base + " or so"), 3L -> (base + " again"),
+        4L -> "unrelated words entirely", 5L -> (base + " or so indeed"))
+      IncrementalDedup.appendToStore(IncrementalDedup.bandedSignatures(
+        docsDf(all), "doc_id", "text"), t, buckets = 4)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        IncrementalDedup.storeCandidates(df)
+          .select("doc_a", "doc_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val before = pairs(spark.table(t))
+      assert(before.exists(p => p._1 == 2L || p._2 == 2L),
+        "fixture must pair doc 2 before deletion")
+
+      // delete doc 2 twice (idempotent), mask view drops every pair of 2
+      val del = docsDf(all.filter(_._1 == 2L)).select(col("doc_id"))
+      IncrementalDedup.deleteFromStore(spark, t, del)
+      IncrementalDedup.deleteFromStore(spark, t, del)
+      val masked = pairs(IncrementalDedup.liveStore(spark, t))
+      assert(!masked.exists(p => p._1 == 2L || p._2 == 2L))
+
+      // purge: same serves, tombstone table gone, rows physically absent
+      IncrementalDedup.purgeTombstoned(spark, t)
+      assert(pairs(spark.table(t)) == masked, "purge must not change serves")
+      assert(!spark.catalog.tableExists(IncrementalDedup.tombstoneTable(t)))
+      assert(spark.table(t).filter(col("doc_id") === 2L).count() == 0L,
+        "purged signatures must not exist on disk")
+      // liveStore over a purged table (no tombstones) is the table itself
+      assert(pairs(IncrementalDedup.liveStore(spark, t)) == masked)
+
+      // and the whole thing equals a from-scratch rebuild on the survivors
+      IncrementalDedup.appendToStore(IncrementalDedup.bandedSignatures(
+        docsDf(all.filterNot(_._1 == 2L)), "doc_id", "text"),
+        t + "_rebuilt", buckets = 4)
+      assert(pairs(spark.table(t + "_rebuilt")) == masked,
+        "delete+purge must equal rebuilding without the deleted doc")
+
+      // the purged store keeps its bucket spec: the self-join's only hash
+      // exchange is the pair-distinct aggregate (the bucket-aligned pin
+      // above), both scan sides still read the bucketing in place
+      withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+        val plan = IncrementalDedup.storeCandidates(spark.table(t))
+          .queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(exchanges == 1,
+          s"expected 1 exchange (the distinct), got $exchanges:\n${plan.take(2000)}")
+      }
+      graft.Storage.releaseAll(spark)
+    } finally {
+      Seq(t, IncrementalDedup.tombstoneTable(t), t + "_rebuilt").foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
 }
