@@ -259,4 +259,50 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "no global sort in the HITS output:\n" + p.take(1500))
     graft.Storage.releaseAll(spark)
   }
+
+  test("q250: Damerau linkage joins on the variant, verify above the join, never cartesian") {
+    val p = plan("q250_damerau_link")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(p.contains("Generate explode"), p.take(1200))
+  }
+
+  test("q251: kappa's heavy stage is ONE contingency aggregate with map-side combine") {
+    val p = plan("q251_cohen_kappa")
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q253: the DICTIONARY side broadcasts; the corpus streams once, never shuffles") {
+    val p = plan("q253_jw_dictionary")
+    // a keyless corpus × dictionary pairing is correctly a BNLJ — what
+    // matters is WHICH side builds: the fixed-size dictionary must be the
+    // broadcast build side, the corpus the streamed side
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p.take(1500))
+    assert(p.contains("IdentityBroadcastMode"), p.take(1500))
+    // no CartesianProduct (both-sides-shuffled) and no corpus sort-merge
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(1500))
+  }
+
+  test("q254: the grid lookup is a broadcast equi-join; ranks combine map-side") {
+    val p = plan("q254_quantile_norm")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
+  test("q255: trailing-active is one distinct + one counting aggregate, no self-join per day") {
+    val p = plan("q255_trailing_active")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    // the day fan-out is a Generate over the constant sequence, not a join
+    assert(p.contains("Generate explode"), p.take(1500))
+  }
+
+  test("q257: the digit histogram combines map-side in one aggregate pass") {
+    val p = plan("q257_leading_digit")
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(!p.contains("Join"), "no join belongs in a one-scan profile:\n" + p.take(1500))
+  }
 }
