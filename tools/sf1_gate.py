@@ -91,6 +91,18 @@ SF1_ORACLE_PREFIXES = [
     # aggregations with distinct-value windows (the q119/q161 shape);
     # q248 is a 20-row apportionment.
     "q245_", "q246_", "q247_", "q248_", "q249_",
+    # round-16 session families: q251/q254/q257 are count/window
+    # aggregations; q252 replays q246's oracle; q253 is 150k x 100
+    # fixed-dictionary JW (15M vectorized similarity calls); q255 is a
+    # dedup + constant fan-out; q256 is ten ANTI-JOIN rounds over the
+    # ~3.5M-row bigram incidence; q258 is the q180-form minhash replay
+    # (compared at sf1 since round 12) plus a WHERE filter.
+    # q250 is EXCLUDED by the standing quadratic-definition rule
+    # (q113-family): its oracle is 10k x 10k damerau_levenshtein —
+    # the SQL replay, not the operator, is O(n^2); the operator's own
+    # gates cover it at three SFs and the engine side still runs in the
+    # full-suite completion check.
+    "q251_", "q252_", "q253_", "q254_", "q255_", "q256_", "q257_", "q258_",
 ]
 
 # PROBE-CORPUS NOTE (2026-08-16): InflateProbeData's embedding replicas
