@@ -1595,8 +1595,15 @@ object OracleSqlGen {
   // Every round CTE is MATERIALIZED (the q185 re-expansion lesson).
   def q237Sql(targetClusterSize: Long = 2500L, maxK: Int = 4096,
               iterations: Int = 5, scale: Long = 1000000L,
-              dim: Int = 64, k: Int = 5, rounds: Int = 3): String = {
-    val roundCtes = (1 to rounds).map { r =>
+              dim: Int = 64, k: Int = 5, rounds: Int = 3): String =
+    s"""WITH RECURSIVE ${knnChain(targetClusterSize, maxK, iterations, scale, dim, k)}, $mutualWeightedCte, mnodes AS (
+       |  SELECT u AS node FROM eg UNION SELECT v FROM eg
+       |), ${mstRoundCtes(rounds)}
+       |SELECT u, v, w FROM f$rounds""".stripMargin
+
+  /** The Borůvka round CTE chain (f1..fN) shared by q237 and q259. */
+  private def mstRoundCtes(rounds: Int): String = {
+    (1 to rounds).map { r =>
       val lblPrev =
         if (r == 1)
           s"""lbl0 AS (SELECT node, node AS comp FROM mnodes)"""
@@ -1636,11 +1643,44 @@ object OracleSqlGen {
          |  ${prevForest}SELECT u, v, w FROM sel$r
          |)""".stripMargin
     }.mkString(", ")
+  }
+
+  // ---- q259: dendrogram cut by COUNT — drop the `cuts` heaviest forest
+  // edges by the (w DESC, u, v) total order, closure over the KEPT
+  // forest edges (node-bounded — the forest, not the pair space),
+  // min-reachable labels, embeddings left-joined so isolated vectors
+  // cluster as themselves (the q238 label shape). UNLIKE q237 (whose
+  // engine side is the 3-round-capped boruvka), the cut runs on the
+  // FIXPOINT forest — 3 rounds leave late merges out (measured: 493 vs
+  // 497 edges at sf0.001, fixpoint at round 5 at sf0.001 AND sf0.01) —
+  // so this oracle unrolls 8 rounds; rounds past the fixpoint select
+  // nothing and are harmless, and a scale where 8 is insufficient fails
+  // the gate loudly rather than silently.
+  def q259Sql(targetClusterSize: Long = 2500L, maxK: Int = 4096,
+              iterations: Int = 5, scale: Long = 1000000L,
+              dim: Int = 64, k: Int = 5, rounds: Int = 8,
+              cuts: Int = 10): String =
     s"""WITH RECURSIVE ${knnChain(targetClusterSize, maxK, iterations, scale, dim, k)}, $mutualWeightedCte, mnodes AS (
        |  SELECT u AS node FROM eg UNION SELECT v FROM eg
-       |), $roundCtes
-       |SELECT u, v, w FROM f$rounds""".stripMargin
-  }
+       |), ${mstRoundCtes(rounds)}, rankedf AS MATERIALIZED (
+       |  SELECT u, v, w,
+       |    row_number() OVER (ORDER BY w DESC, u, v) AS rk
+       |  FROM f$rounds
+       |), keptf AS (
+       |  SELECT u, v FROM rankedf WHERE rk > $cuts
+       |), dirk AS (
+       |  SELECT u AS a, v AS b FROM keptf
+       |  UNION ALL SELECT v, u FROM keptf
+       |), reachk AS (
+       |  SELECT a, b FROM dirk
+       |  UNION
+       |  SELECT reachk.a, d.b FROM reachk JOIN dirk d ON reachk.b = d.a
+       |), lblk AS (
+       |  SELECT a AS vec_id, least(a, min(b)) AS cluster
+       |  FROM reachk GROUP BY a
+       |)
+       |SELECT e.vec_id, COALESCE(l.cluster, e.vec_id) AS cluster
+       |FROM embeddings e LEFT JOIN lblk l ON e.vec_id = l.vec_id""".stripMargin
 
   // ---- q238: single-linkage flat clusters at wmax — the DEFINITION
   // (closure over ALL mutual pairs with w <= wmax); the Spark side

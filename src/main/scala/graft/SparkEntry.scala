@@ -3647,6 +3647,26 @@ object SparkEntry {
           TextFunctions.tokens(col("text")), 2).as("toks")),
       "doc_id", col("toks"), k = 10)
 
+  // ---- q259: single-linkage dendrogram cut by cluster COUNT — "give
+  //      me 10 more clusters" instead of q238's probed wmax threshold
+  //      (what a curation budget actually specifies): drop the 10
+  //      heaviest fixpoint-forest edges by the (w DESC, u, v) total
+  //      order, components of the kept forest label the vectors. The
+  //      rank runs on the node-bounded FOREST, never the pair space;
+  //      oracle = the unrolled Borůvka chain + the same rank/closure. ----
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    val forest = operators.Mst.boruvkaFixpoint(
+      mutualWeightedPairs(s, dir), "id_a", "id_b", "w")
+    val kept = operators.Mst.cutHeaviest(forest, cuts = 10)
+    val comp = operators.ConnectedComponents.components(
+      kept.select(col("u"), col("v")))
+    val emb = Tables(s, dir).embeddings
+    emb.select(col("vec_id"))
+      .join(comp, emb("vec_id") === comp("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster"))
+  }
+
   // ---- q258: dedup-store DELETION — the right-to-be-forgotten path no
   //      append-only family had: tombstones are set-semantics appends
   //      (idempotent by value, no ledger needed), [[liveStore]] masks
@@ -4415,6 +4435,7 @@ object SparkEntry {
     "q256_max_coverage"    -> q256 _,
     "q257_leading_digit"   -> q257 _,
     "q258_store_delete"    -> q258 _,
+    "q259_dendrogram_cut"  -> q259 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -5985,6 +6006,10 @@ object SparkEntry {
     // accumulated cover, draws by (gain DESC, doc_id), extends the
     // cover; an exhausted round is empty and stays empty (early stop).
     "q256_max_coverage" -> OracleSqlGen.q256Sql(rounds = 10),
+    // q259: the unrolled Borůvka forest + (w DESC, u, v) rank cut +
+    // closure over the KEPT edges — components of a forest minus its
+    // `cuts` heaviest edges, the count-form single-linkage cut.
+    "q259_dendrogram_cut" -> OracleSqlGen.q259Sql(cuts = 10),
     // q258: q22's oracle restricted to the surviving corpus — after
     // delete + purge, the store must serve exactly the from-scratch LSH
     // run over the documents that were never deleted.

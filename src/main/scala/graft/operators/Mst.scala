@@ -106,6 +106,29 @@ object Mst {
           col(dstCol).as("__md"), col(wCol).cast("long").as("__mw"))),
       "__ms", "__md", "__mw", localEdgeThreshold)
 
+  /** Dendrogram cut by cluster COUNT: drop the `cuts` heaviest forest
+    * edges by the (w DESC, u, v) total order — the single-linkage cut
+    * that asks for "`cuts` more clusters" instead of a distance
+    * threshold ([[graft.SparkEntry]] q238's wmax form needs the
+    * threshold probed; this form is what a curation budget actually
+    * specifies). On a tree, removing an edge adds exactly one
+    * component, so the kept forest has base-components + cuts clusters
+    * over the forest's node set. The rank window is global but runs on
+    * the FOREST (node-bounded by construction — at most n−1 rows),
+    * never the pair space; ties replay exactly by the total order.
+    */
+  def cutHeaviest(forest: DataFrame, cuts: Int): DataFrame = {
+    require(cuts >= 0, "cuts must be >= 0")
+    if (cuts == 0) forest
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("w").desc, col("u"), col("v"))
+      forest.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") > cuts)
+        .drop("__rk")
+    }
+  }
+
   /** The identical round recurrence over a bounded driver collect: a
     * union-find carries the component partition, each round scans the
     * edge array once recording every component's total-order-minimum

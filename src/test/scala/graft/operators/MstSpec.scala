@@ -186,4 +186,35 @@ class MstSpec extends AnyFunSuite with SparkSpec {
     }
     assert(all == forest) // and the fixpoint really is the full MSF
   }
+
+  test("cutHeaviest: each cut adds exactly one component; ties replay by the total order") {
+    // path 1-2-3-4-5 with weights 10, 30, 20, 30 — two weight-30 ties
+    val forest = Seq((1L, 2L, 10L), (2L, 3L, 30L), (3L, 4L, 20L), (4L, 5L, 30L))
+      .toDF("u", "v", "w")
+    def clusters(cuts: Int): Set[Set[Long]] = {
+      val kept = Mst.cutHeaviest(forest, cuts)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // driver closure over the kept edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- kept) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (1L to 5L).groupBy(find).values.map(_.toSet).toSet
+    }
+    assert(clusters(0) == Set(Set(1L, 2L, 3L, 4L, 5L)))
+    // cut 1: the (30, 2, 3) edge goes FIRST (w DESC, u, v — lowest
+    // endpoints win the tie), splitting {1,2} from {3,4,5}
+    assert(clusters(1) == Set(Set(1L, 2L), Set(3L, 4L, 5L)))
+    // cut 2: both 30s gone
+    assert(clusters(2) == Set(Set(1L, 2L), Set(3L, 4L), Set(5L)))
+    // cut 3: only the lightest edge remains
+    assert(clusters(3) == Set(Set(1L, 2L), Set(3L), Set(4L), Set(5L)))
+    // cutting more than the forest has leaves all singletons, no error
+    assert(clusters(9) == (1L to 5L).map(Set(_)).toSet)
+  }
 }

@@ -103,6 +103,12 @@ SF1_ORACLE_PREFIXES = [
     # gates cover it at three SFs and the engine side still runs in the
     # full-suite completion check.
     "q251_", "q252_", "q253_", "q254_", "q255_", "q256_", "q257_", "q258_",
+    # q259: the FIXPOINT-forest cut — rounds-to-fixpoint measured 5 at
+    # sf0.001, sf0.01 AND the sf1 probe (19,722 forest edges), so the
+    # 8-round unroll has margin; per-round closures over the grown
+    # forest are the q238-form cost (~47 s each at sf1, cell-bounded
+    # components).
+    "q259_",
 ]
 
 # PROBE-CORPUS NOTE (2026-08-16): InflateProbeData's embedding replicas
