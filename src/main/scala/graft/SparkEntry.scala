@@ -3758,9 +3758,23 @@ object SparkEntry {
     // rank-tercile slices are per-user order-contiguous by construction
     val ranked = ev.withColumn("__grn",
       row_number().over(Window.orderBy(col("ts"), col("event_id"))))
-    for (g <- 0L to 2L)
+    // FileStreamSource orders files by modification time; a coarse-mtime
+    // filesystem can tie two sequentially-written slices and process them
+    // out of order — which the ingest's order-contiguity guard now
+    // rejects loudly. Stamp each slice's files with a strictly increasing
+    // explicit mtime so the batch order is deterministic, not racy.
+    val stamped = scala.collection.mutable.Set[java.nio.file.Path]()
+    for (g <- 0L to 2L) {
       ranked.filter(col("__grn") > g * n / 3 && col("__grn") <= (g + 1) * n / 3)
         .drop("__grn").coalesce(1).write.mode("append").parquet(in)
+      val ft = java.nio.file.attribute.FileTime.fromMillis(1000L * (g + 1))
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(in))
+      try it.iterator().forEachRemaining { p =>
+        if (!stamped.contains(p)) {
+          java.nio.file.Files.setLastModifiedTime(p, ft); stamped += p
+        }
+      } finally it.close()
+    }
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     graft.streaming.StoreIngest.ingestSkipGramStore(stream, "user_id",

@@ -166,10 +166,18 @@ object IncrementalDedup {
     * deduplicated across band collisions, with the minhash Jaccard
     * estimate. The caller then verifies survivors (n-gram Jaccard /
     * exact) and appends the batch via [[appendToStore]].
+    *
+    * The store side reads through [[liveStore]]: between a
+    * [[deleteFromStore]] and the eventual [[purgeTombstoned]] a new
+    * batch must NOT pair arriving documents against logically-deleted
+    * signatures — that is `liveStore`'s contract ("a deleted document
+    * can neither emit pairs nor appear in them"), and the anti-join is
+    * deletion-sized (broadcast), so the bucketed scan's exchange-free
+    * self-join property survives the mask.
     */
   def ingestCandidates(spark: SparkSession, storeTable: String,
                        batchBanded: DataFrame, numHashes: Int = 16): DataFrame =
-    ingestCandidates(spark.table(storeTable), batchBanded, numHashes)
+    ingestCandidates(liveStore(spark, storeTable), batchBanded, numHashes)
 
   /** Frame-backed variant (store from any source, e.g. for the oracle-able
     * gate query — the bucketed-table no-shuffle property is pinned by
@@ -223,6 +231,9 @@ object IncrementalDedup {
     * ledger needed, the same argument as the set-union store family.
     */
   def deleteFromStore(spark: SparkSession, table: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"deleteFromStore expects a single-column id frame; got ${ids.columns.mkString("(", ", ", ")")} — " +
+        "select the doc-id column explicitly so the wrong column can't be tombstoned silently")
     val t = tombstoneTable(table)
     ids.select(col(ids.columns.head).as("doc_id")).distinct()
       .write.mode("append").format("parquet").saveAsTable(t)

@@ -661,7 +661,14 @@ object StoreIngest {
     * Contract: micro-batches must be per-user order-contiguous in
     * (orderCol, tieCol) — an event stream sliced by arrival satisfies
     * this by construction; the ranks (and therefore the gaps) of an
-    * out-of-order slicing would not be the one-shot ranks.
+    * out-of-order slicing would not be the one-shot ranks. The contract
+    * is ENFORCED at ingest, not just documented: the tail keeps each
+    * event's (order, tie) values alongside its rank, and a batch whose
+    * per-user minimum (order, tie) does not strictly extend that user's
+    * committed tail maximum fails loudly BEFORE anything is appended —
+    * the one store family whose misuse would otherwise be a silent
+    * wrong answer rather than an error. The check is one O(batch)
+    * aggregate joined to the (already batch-user-pruned) tail read.
     *
     * State bounds: the tail log grows by at most window·users(batch) rows
     * per batch and [[compactSkipGramTails]] resets it to window·users
@@ -682,7 +689,20 @@ object StoreIngest {
         val ledger = ledgerTable(table)
         val users = batch.select(col(userCol).as("__user")).distinct()
         // committed tails of THIS batch's users, current window only
-        val have = s.catalog.tableExists(tails) && s.catalog.tableExists(ledger)
+        val tailsExists = s.catalog.tableExists(tails)
+        val ledgerExists = s.catalog.tableExists(ledger)
+        // crash-window guard: a committed ledger with NO tails table is
+        // the drop-to-rename window of a crashed compactSkipGramTails —
+        // treating it as a first run would silently rebase every user's
+        // ranks at 0 (wrong pair counts forever). Fail loudly instead;
+        // the compacted rewrite survives under the staged name.
+        if (ledgerExists && !tailsExists && !s.table(ledger).limit(1).isEmpty)
+          throw new IllegalStateException(
+            s"skip-gram store '$table' has committed ledger rows but the tails table " +
+              s"'$tails' is missing — a compaction crashed between its swap steps. Recover " +
+              s"the staged '${tails}__compacting' table (ALTER TABLE RENAME it to '$tails') " +
+              "before ingesting; proceeding would silently rebase every user's ranks at 0")
+        val have = tailsExists && ledgerExists
         val tailsBase =
           if (have) {
             val committed = s.table(ledger)
@@ -694,27 +714,48 @@ object StoreIngest {
               .withColumn("__tr", row_number().over(Window
                 .partitionBy(col("__user")).orderBy(col("__rn").desc)))
               .filter(col("__tr") <= window)
-              .select(col("__user"), col("__rn"), col("__type"))
+              .select(col("__user"), col("__rn"), col("__type"),
+                col("__ord"), col("__tie"))
           } else
             batch.select(col(userCol).as("__user"), lit(0L).as("__rn"),
-              col(typeCol).as("__type")).limit(0)
+              col(typeCol).as("__type"), orderCol.as("__ord"),
+              tieCol.as("__tie")).limit(0)
         // cached-leaf rebase: the tail table is appended below, and an
         // un-materialized read would be invalidated mid-flight
         val tRdd = tailsBase.rdd
         tRdd.cache(); tRdd.count()
         val tailsNow = s.createDataFrame(tRdd, tailsBase.schema)
         try {
+          // order-contiguity enforcement: every batch user with a
+          // committed tail must START strictly after that tail's last
+          // event — otherwise the incremental ranks are NOT the one-shot
+          // row_number and every downstream gap is silently wrong
+          val tailMax = tailsNow.groupBy(col("__user"))
+            .agg(max(struct(col("__ord").as("o"), col("__tie").as("t"))).as("__tmax"))
+          val offenders = batch
+            .groupBy(col(userCol).as("__user"))
+            .agg(min(struct(orderCol.as("o"), tieCol.as("t"))).as("__bmin"))
+            .join(tailMax, Seq("__user"))
+            .filter(col("__bmin") <= col("__tmax"))
+            .select(col("__user")).limit(5).collect().map(_.get(0))
+          if (offenders.nonEmpty)
+            throw new IllegalStateException(
+              s"out-of-order micro-batch for user(s) ${offenders.mkString(", ")} in skip-gram " +
+                s"store '$table': a batch must be per-user order-contiguous — its (order, tie) " +
+                "range must strictly extend the committed tail. Nothing was appended; fix the " +
+                "slicing (arrival-ordered sources satisfy this by construction) and re-ingest")
           val baseRanks = tailsNow.groupBy(col("__user"))
             .agg(max(col("__rn")).as("__base"))
           val ranked0 = batch
             .withColumn("__loc", row_number().over(Window
               .partitionBy(col(userCol)).orderBy(orderCol, tieCol)).cast("long"))
             .select(col(userCol).as("__user"), col("__loc"),
-              col(typeCol).as("__type"))
+              col(typeCol).as("__type"), orderCol.as("__ord"),
+              tieCol.as("__tie"))
             .join(baseRanks, Seq("__user"), "left")
             .select(col("__user"),
               (coalesce(col("__base"), lit(0L)) + col("__loc")).as("__rn"),
-              col("__type"))
+              col("__type"), col("__ord"), col("__tie"))
           val rRdd = ranked0.rdd
           rRdd.cache(); rRdd.count()
           val ranked = s.createDataFrame(rRdd, ranked0.schema)
@@ -736,7 +777,8 @@ object StoreIngest {
               .withColumn("__tr", row_number().over(Window
                 .partitionBy(col("__user")).orderBy(col("__rn").desc)))
               .filter(col("__tr") <= window)
-              .select(col("__user"), col("__rn"), col("__type"))
+              .select(col("__user"), col("__rn"), col("__type"),
+                col("__ord"), col("__tie"))
               .withColumn("__batch", lit(batchId))
               .withColumn("__fp", lit(fp._2))
             newTails.write.mode("append").format("parquet").saveAsTable(tails)

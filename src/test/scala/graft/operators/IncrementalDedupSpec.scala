@@ -288,4 +288,36 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
       graft.Storage.releaseAll(spark)
     }
   }
+
+  test("ingest in the delete-before-purge window reads the LIVE store: no pair touches a tombstoned id") {
+    val t = "graft_tst_tombstone_ingest"
+    Seq(t, IncrementalDedup.tombstoneTable(t)).foreach(dropTable)
+    try {
+      // store: doc 1 and its near-dup doc 2; delete doc 2 but DON'T purge
+      IncrementalDedup.appendToStore(IncrementalDedup.bandedSignatures(
+        docsDf(Seq(1L -> base, 2L -> (base + " or so"))), "doc_id", "text"), t, buckets = 4)
+      IncrementalDedup.deleteFromStore(spark, t,
+        docsDf(Seq(2L -> "")).select(col("doc_id")))
+
+      // a new batch near-dup of BOTH must pair with 1 only: the logically
+      // deleted signature sits on disk but liveStore masks it from ingest
+      val b = IncrementalDedup.bandedSignatures(
+        docsDf(Seq(30L -> (base + " extra"))), "doc_id", "text")
+      val partners = IncrementalDedup.ingestCandidates(spark, t, b)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(partners.contains((1L, 30L)),
+        s"the live store doc must still pair, got $partners")
+      assert(!partners.exists(p => p._1 == 2L || p._2 == 2L),
+        s"a pre-purge ingest must not pair against a tombstoned signature, got $partners")
+
+      // single-column contract: a multi-column id frame is rejected loudly
+      intercept[IllegalArgumentException] {
+        IncrementalDedup.deleteFromStore(spark, t, docsDf(Seq(1L -> "x")))
+      }
+      graft.Storage.releaseAll(spark)
+    } finally {
+      Seq(t, IncrementalDedup.tombstoneTable(t)).foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
 }

@@ -1048,6 +1048,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  /** Write slices as sequential parquet appends with STRICTLY INCREASING
+    * explicit mtimes: FileStreamSource orders files by modification time,
+    * and a coarse-mtime filesystem can tie two sequential writes — an
+    * ordering race the skip-gram ingest's order-contiguity guard now
+    * rejects loudly instead of silently mis-ranking.
+    */
+  private def writeSgSlices(dir: java.io.File,
+                            slices: Seq[Seq[(Long, String, Long, Long)]]): Unit = {
+    val stamped = scala.collection.mutable.Set[java.nio.file.Path]()
+    slices.zipWithIndex.foreach { case (g, i) =>
+      g.toDF("user", "etype", "ord", "eid").coalesce(1)
+        .write.mode("append").parquet(dir.getAbsolutePath)
+      val ft = java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1))
+      val it = java.nio.file.Files.list(dir.toPath)
+      try it.iterator().forEachRemaining { p =>
+        if (!stamped.contains(p)) {
+          java.nio.file.Files.setLastModifiedTime(p, ft); stamped += p
+        }
+      } finally it.close()
+    }
+  }
+
   test("streaming skip-gram store: cross-batch pairs, served = one-shot, replay no-op, crash rows invisible, compaction") {
     import graft.ops.Sequences
     val t = "graft_stream_skipgram_spec"
@@ -1069,9 +1091,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       val gen2 = u1.slice(3, 5) ++ u2.drop(1)
       val gen3 = u1.drop(5)
       val in = new java.io.File(root, "in")
-      Seq(gen1, gen2, gen3).foreach(g =>
-        g.toDF("user", "etype", "ord", "eid").coalesce(1)
-          .write.mode("append").parquet(in.getAbsolutePath))
+      writeSgSlices(in, Seq(gen1, gen2, gen3))
       def stream = spark.readStream
         .schema("user LONG, etype STRING, ord LONG, eid LONG")
         .option("maxFilesPerTrigger", "1").parquet(in.getAbsolutePath)
@@ -1136,9 +1156,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       // a DIFFERENT per-user order-contiguous slicing serves the same
       // counts (slicing-invariance of the incremental ranks)
       val in2 = new java.io.File(root, "in2")
-      Seq(u1.take(5) ++ u2, u1.drop(5) ++ u1b).foreach(g =>
-        g.toDF("user", "etype", "ord", "eid").coalesce(1)
-          .write.mode("append").parquet(in2.getAbsolutePath))
+      writeSgSlices(in2, Seq(u1.take(5) ++ u2, u1.drop(5) ++ u1b))
       StoreIngest.ingestSkipGramStore(
         spark.readStream.schema("user LONG, etype STRING, ord LONG, eid LONG")
           .option("maxFilesPerTrigger", "1").parquet(in2.getAbsolutePath),
@@ -1149,6 +1167,62 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally {
       rmTree(root)
       allTables.foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
+  test("skip-gram ingest enforcement: out-of-order batch rejected BEFORE append; missing-tails crash state fails loudly") {
+    import graft.ops.Sequences
+    val t = "graft_stream_skipgram_guard"
+    val tables = Seq(t, StoreIngest.ledgerTable(t), StoreIngest.tailsTable(t))
+    tables.foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_sg_guard").toFile
+    def causeChain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    try {
+      val u1 = Seq("A", "B", "A", "C", "B", "A", "C").zipWithIndex
+        .map { case (e, i) => (1L, e, i + 1L, 100L + i) }
+      def ingest(dir: java.io.File, cp: String) =
+        StoreIngest.ingestSkipGramStore(
+          spark.readStream.schema("user LONG, etype STRING, ord LONG, eid LONG")
+            .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath),
+          "user", "etype", col("ord"), col("eid"), window = 3, t,
+          new java.io.File(root, cp).getAbsolutePath)
+
+      // batch 2 REPEATS events already in batch 1's committed tail — the
+      // out-of-order slicing whose ranks would silently diverge from the
+      // one-shot row_number; the guard must raise and append nothing
+      val in = new java.io.File(root, "in")
+      writeSgSlices(in, Seq(u1.take(4), u1.slice(1, 3)))
+      val ex = intercept[Exception] { ingest(in, "cp1").awaitTermination() }
+      assert(causeChain(ex).exists(c =>
+        c.getMessage != null && c.getMessage.contains("order-contiguous")),
+        s"expected the order-contiguity guard, got: $ex")
+      // state unchanged by the rejected batch: exactly batch 1 committed,
+      // and the serve equals the one-shot over batch 1 alone
+      assert(spark.table(StoreIngest.ledgerTable(t)).count() == 1L)
+      val oneShot1 = Sequences.skipGramPairs(
+          u1.take(4).toDF("user", "etype", "ord", "eid"),
+          "user", "etype", col("ord"), col("eid"), window = 3)
+        .as[(String, String, Long, Long)].collect().toSet
+      val got = StoreIngest.skipGramFromStore(spark, t)
+        .as[(String, String, Long, Long)].collect().toSet
+      graft.Storage.releaseAll(spark)
+      assert(got == oneShot1, "the rejected batch must not have changed the store")
+
+      // crash-window state: committed ledger + missing tails table (the
+      // drop-to-rename window of a crashed compaction) must fail loudly,
+      // not silently rebase ranks at 0
+      dropTable(StoreIngest.tailsTable(t))
+      val in2 = new java.io.File(root, "in2")
+      writeSgSlices(in2, Seq(u1.slice(4, 6)))
+      val ex2 = intercept[Exception] { ingest(in2, "cp2").awaitTermination() }
+      assert(causeChain(ex2).exists(c =>
+        c.getMessage != null && c.getMessage.contains("tails table")),
+        s"expected the missing-tails guard, got: $ex2")
+    } finally {
+      rmTree(root)
+      tables.foreach(dropTable)
       graft.Storage.releaseAll(spark)
     }
   }
