@@ -5975,7 +5975,7 @@ object SparkEntry {
     "q254_quantile_norm" ->
       """WITH c AS (
         |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM documents GROUP BY 1, 2
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
         |), r AS (
         |  SELECT source, v,
         |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v)
@@ -5986,7 +5986,7 @@ object SparkEntry {
         |  SELECT source, v, (le * 100 + n - 1) // n AS gp FROM r
         |), gc AS (
         |  SELECT n_chars AS rv, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM documents GROUP BY 1
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
         |), gr AS (
         |  SELECT rv,
         |    CAST(sum(cnt) OVER (ORDER BY rv) AS BIGINT) AS le,
@@ -5998,10 +5998,14 @@ object SparkEntry {
         |                      (le * 100) // n + 1)) AS gp, rv
         |  FROM gr
         |)
+        |-- LEFT joins, matching the engine's null policy: a row with a
+        |-- null group key or null value keeps its row with qn NULL (an
+        |-- inner join would drop it; the fixture is null-free, but the
+        |-- pinned semantics must agree independent of that)
         |SELECT d.source, d.doc_id, d.n_chars, ref.rv AS qn
         |FROM documents d
-        |JOIN gp ON d.source = gp.source AND d.n_chars = gp.v
-        |JOIN ref ON gp.gp = ref.gp""".stripMargin,
+        |LEFT JOIN gp ON d.source = gp.source AND d.n_chars = gp.v
+        |LEFT JOIN ref ON gp.gp = ref.gp""".stripMargin,
     // q255: the same dedup → ×7 fan-out → distinct count, with dates as
     // civil UTC days in both engines (session TZ pinned). Exact counts.
     "q255_trailing_active" ->

@@ -22,11 +22,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * verbatim). The distance is integral, so gates carry no float risk.
   *
   * Scale shape: the DP is O(|a|·|b|) per pair with one small last-seen-row
-  * map — strictly per-row work that rides whole-stage codegen via a static
-  * call (the [[NormalizeUnicodeExpr]] discipline), intended to run only on
-  * blocked candidate pairs (see [[graft.ops.FuzzyJoin.linkSelfDamerau]]),
-  * never as an all-pairs verify. Comparison is by UTF-16 code unit, the
-  * same unit DuckDB compares for ASCII/BMP text.
+  * table — strictly per-row work that rides whole-stage codegen via a
+  * static call (the [[NormalizeUnicodeExpr]] discipline), intended to run
+  * only on blocked candidate pairs (see
+  * [[graft.ops.FuzzyJoin.linkSelfDamerau]]), never as an all-pairs verify.
+  * Comparison is by UTF-8 BYTE — the unit DuckDB's string-similarity
+  * family actually compares (measured: dl('é','a') = 2, jw('日本','本日')
+  * = 0.5555…) — so engine-vs-oracle parity holds for ALL text, not just
+  * ASCII, and the bytes come straight off the UTF8String with no UTF-16
+  * materialization. A single byte edit between two VALID UTF-8 strings is
+  * always a single character edit (continuation-byte arithmetic can't
+  * produce valid UTF-8 otherwise), so character-level deletion blocking
+  * stays lossless for byte-DL ≤ 1.
   */
 object EditDistanceExpressions {
 
@@ -40,12 +47,13 @@ object EditDistanceExpressions {
     GraftColumnBridge.column(JaroWinklerExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
-  /** Full (unrestricted) Damerau–Levenshtein on UTF-16 code units.
-    * Static-forwarder-reachable from generated Java code.
+  /** Full (unrestricted) Damerau–Levenshtein on UTF-8 bytes — DuckDB's
+    * comparison unit, so the oracle replays the distance verbatim on any
+    * input. Static-forwarder-reachable from generated Java code.
     */
   def dlDistance(ua: UTF8String, ub: UTF8String): Int = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.getBytes
+    val b = ub.getBytes
     val n = a.length
     val m = b.length
     if (n == 0) return m
@@ -60,18 +68,18 @@ object EditDistanceExpressions {
     while (i <= n) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
     var j = 0
     while (j <= m) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
-    // last row of the DP where each character was seen in `a`
-    val lastA = new java.util.HashMap[Character, Integer]()
+    // last DP row where each byte value was seen in `a` (256-slot table —
+    // the byte alphabet makes the last-seen map a flat array)
+    val lastA = new Array[Int](256)
     i = 1
     while (i <= n) {
       var lastMatchCol = 0 // last column in this row where a(i-1) == b(j-1)
       j = 1
       while (j <= m) {
-        val kBoxed = lastA.get(Character.valueOf(b.charAt(j - 1)))
-        val k = if (kBoxed == null) 0 else kBoxed.intValue()
+        val k = lastA(b(j - 1) & 0xFF)
         val l = lastMatchCol
         var cost = 1
-        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; lastMatchCol = j }
+        if (a(i - 1) == b(j - 1)) { cost = 0; lastMatchCol = j }
         val sub = d(i)(j) + cost
         val ins = d(i + 1)(j) + 1
         val del = d(i)(j + 1) + 1
@@ -82,22 +90,24 @@ object EditDistanceExpressions {
         d(i + 1)(j + 1) = best
         j += 1
       }
-      lastA.put(Character.valueOf(a.charAt(i - 1)), Integer.valueOf(i))
+      lastA(a(i - 1) & 0xFF) = i
       i += 1
     }
     d(n + 1)(m + 1)
   }
 
-  /** Jaro–Winkler similarity (Jaro 1989; Winkler 1990) on UTF-16 code
-    * units, in the exact evaluation-order DuckDB uses, so the doubles are
-    * BIT-IDENTICAL between engines: probed exhaustively over all 961
-    * two-letter strings to length 4 and over 21,000 random pairs to
-    * length 20 (name-shaped included) — zero bit mismatches
-    * (JaroWinklerSpec pins a drawn sample). Conventions that matter:
-    * two EMPTY strings score 0 (DuckDB's convention — equality
-    * short-circuits to 1 only for non-empty); the prefix boost applies
-    * strictly above 0.7 with p = 0.1 and at most 4 prefix chars; the
-    * jaro term is (m/|a| + m/|b| + (m−t)/m) / 3 evaluated left to right.
+  /** Jaro–Winkler similarity (Jaro 1989; Winkler 1990) on UTF-8 BYTES
+    * (DuckDB's comparison unit — measured jw('日本','本日') = 0.5555…,
+    * which no code-unit evaluation produces), in the exact evaluation
+    * order DuckDB uses, so the doubles are BIT-IDENTICAL between engines:
+    * probed exhaustively over all 961 two-letter strings to length 4 and
+    * over 21,000 random pairs to length 20 (name-shaped included) — zero
+    * bit mismatches (JaroWinklerSpec pins a drawn sample plus non-ASCII
+    * probes). Conventions that matter: two EMPTY strings score 0
+    * (DuckDB's convention — equality short-circuits to 1 only for
+    * non-empty); the prefix boost applies strictly above 0.7 with p = 0.1
+    * and at most 4 prefix BYTES; the jaro term is
+    * (m/|a| + m/|b| + (m−t)/m) / 3 evaluated left to right.
     *
     * Per-pair cost is O(|a|·|b|) in the match window — per-row work for
     * a corpus × small-dictionary broadcast join, never all-pairs (JW is
@@ -105,12 +115,12 @@ object EditDistanceExpressions {
     * neighborhoods, which is why the q253 gate is dictionary-shaped).
     */
   def jwSimilarity(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.getBytes
+    val b = ub.getBytes
     val l1 = a.length
     val l2 = b.length
     if (l1 == 0 && l2 == 0) return 0.0
-    if (a == b) return 1.0
+    if (ua.equals(ub)) return 1.0
     if (l1 == 0 || l2 == 0) return 0.0
     val md = math.max(l1, l2) / 2 - 1
     val m1 = new Array[Boolean](l1)
@@ -122,7 +132,7 @@ object EditDistanceExpressions {
       val hi = math.min(i + md + 1, l2)
       var done = false
       while (j < hi && !done) {
-        if (!m2(j) && a.charAt(i) == b.charAt(j)) {
+        if (!m2(j) && a(i) == b(j)) {
           m1(i) = true; m2(j) = true; matches += 1; done = true
         }
         j += 1
@@ -136,7 +146,7 @@ object EditDistanceExpressions {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -147,7 +157,7 @@ object EditDistanceExpressions {
     if (j > 0.7) {
       val maxP = math.min(4, math.min(l1, l2))
       var l = 0
-      while (l < maxP && a.charAt(l) == b.charAt(l)) l += 1
+      while (l < maxP && a(l) == b(l)) l += 1
       j + l * 0.1 * (1 - j)
     } else j
   }

@@ -113,13 +113,28 @@ object FuzzyJoin {
     * IEEE-exact and bijective, so the struct order IS
     * (jw DESC, dict_id ASC), and the served double re-negates back
     * bit-identically.
+    *
+    * The broadcast-sized contract is a GUARD, not lore: the operator
+    * counts the dictionary and refuses above `maxDictRows` (default
+    * 100k — comfortably broadcastable rows of (id, short string), and
+    * already 100k similarity calls per corpus row). A million-row
+    * "dictionary" is not a normalization vocabulary; route it through a
+    * cheap prefilter (length / prefix banding) and a JW verify on the
+    * survivors instead of this operator.
     */
   def dictionaryMatch(corpus: DataFrame, corpusId: String, corpusStr: String,
-                      dict: DataFrame, dictId: String, dictStr: String): DataFrame = {
+                      dict: DataFrame, dictId: String, dictStr: String,
+                      maxDictRows: Long = 100000L): DataFrame = {
+    val d = dict.select(col(dictId).as("dict_id"), col(dictStr).as("dict_name"))
+    val nDict = d.count()
+    require(nDict <= maxDictRows,
+      s"dictionaryMatch pairs the whole corpus against a BROADCAST dictionary; got $nDict " +
+        s"dictionary rows > maxDictRows=$maxDictRows. JW admits no lossless blocking, so a " +
+        "dictionary this large needs a prefilter (length/prefix banding) before the JW " +
+        "verify — raise maxDictRows only if the executors can really hold the build side")
     val pairs = corpus
       .select(col(corpusId).as("id"), col(corpusStr).as("name"))
-      .crossJoin(broadcast(dict.select(
-        col(dictId).as("dict_id"), col(dictStr).as("dict_name"))))
+      .crossJoin(broadcast(d))
       .withColumn("jw", graft.functions.EditDistanceExpressions
         .jaroWinkler(col("name"), col("dict_name")))
     pairs.groupBy(col("id"), col("name"))

@@ -104,6 +104,24 @@ class DamerauSpec extends AnyFunSuite with SparkSpec {
     assert(df.filter(col("ab") < col("lev")).count() > 0L)
   }
 
+  test("non-ASCII input matches DuckDB's UTF-8 BYTE semantics") {
+    // DuckDB's damerau_levenshtein compares UTF-8 bytes, not characters —
+    // dl('é','a') = 2 because 'é' is two bytes. Each value below is
+    // DuckDB's own output; a code-unit implementation fails every row.
+    val utf8Pinned: Seq[(String, String, Int)] = Seq(
+      ("é", "a", 2), ("é", "è", 1), ("日本", "本日", 4),
+      ("café", "cafe", 2), ("münchen", "munchen", 2), ("naïve", "naive", 2),
+      ("żółć", "zolc", 8), ("αβγ", "αγβ", 2), ("😀ab", "ab😀", 4),
+      ("schön", "schon", 2), ("été", "ete", 4), ("日本語", "日本", 3),
+      ("", "é", 2))
+    for ((a, b, want) <- utf8Pinned) {
+      val got = EditDistanceExpressions.dlDistance(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(got == want, s"dl('$a','$b') = $got, DuckDB says $want")
+    }
+  }
+
   test("null inputs yield null, not a crash") {
     val df = Seq((Some("ab"), None: Option[String]), (None, Some("ba")),
       (None, None), (Some("ab"), Some("ba")))

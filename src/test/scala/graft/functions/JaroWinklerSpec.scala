@@ -75,6 +75,31 @@ class JaroWinklerSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("non-ASCII input matches DuckDB's UTF-8 BYTE semantics bit-for-bit") {
+    // DuckDB's jaro_winkler_similarity compares UTF-8 bytes — e.g.
+    // jw('日本','本日') = 0.5555… where any code-unit evaluation gives 0.
+    // Each double below is DuckDB's own full-precision output.
+    val utf8Pinned: Seq[(String, String, Double)] = Seq(
+      ("é", "a", 0.0), ("é", "è", 0.6666666666666666),
+      ("日本", "本日", 0.5555555555555555),
+      ("café", "cafe", 0.8483333333333334),
+      ("münchen", "munchen", 0.8821428571428571),
+      ("naïve", "naive", 0.8577777777777779),
+      ("żółć", "zolc", 0.0), ("αβγ", "αγβ", 0.9611111111111111),
+      ("😀ab", "ab😀", 0.7777777777777777),
+      ("schön", "schon", 0.8755555555555556),
+      ("été", "ete", 0.5111111111111111),
+      ("日本語", "日本", 0.9333333333333333), ("", "é", 0.0))
+    for ((a, b, want) <- utf8Pinned) {
+      val got = EditDistanceExpressions.jwSimilarity(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(want),
+        s"jw('$a','$b') = $got, DuckDB says $want")
+    }
+  }
+
   test("expression through the DataFrame (codegen) path matches, and JW is symmetric") {
     val df = pinned.toDF("a", "b", "want")
       .withColumn("got", EditDistanceExpressions.jaroWinkler(col("a"), col("b")))
@@ -103,5 +128,13 @@ class JaroWinklerSpec extends AnyFunSuite with SparkSpec {
     // the all-zero row ("" scores 0 against everything) must fall to the
     // LOWEST dictionary id, pinning the tie-break
     assert(got.exists { case (id, did, jw) => id == 4L && did == 10L && jw == 0.0 })
+
+    // the broadcast-sized contract is enforced: an over-limit dictionary
+    // is refused loudly instead of building an unbroadcastable side
+    val ex = intercept[IllegalArgumentException] {
+      FuzzyJoin.dictionaryMatch(corpus, "cid", "cname", dict, "did", "dname",
+        maxDictRows = 2L)
+    }
+    assert(ex.getMessage.contains("maxDictRows"))
   }
 }
