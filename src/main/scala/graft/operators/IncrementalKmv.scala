@@ -99,6 +99,10 @@ object IncrementalKmv {
      else w).saveAsTable(tmp)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    // the swap loses table properties — re-stamp k so the next
+    // maintainStore pass can still fold without a caller parameter
+    spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+      s"('${graft.streaming.StoreMaintenance.KmvKProp}'='$k')")
   }
 
   /** Drop the store AND any stale warehouse directory a previous session

@@ -251,9 +251,17 @@ object StoreIngest {
                      checkpointDir: String,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     ledgeredIngest(rows, table, checkpointDir, trigger) { batch =>
+      val s = batch.sparkSession
+      val existed = s.catalog.tableExists(table)
       graft.operators.IncrementalKmv.appendToStore(
         graft.operators.IncrementalKmv.sketchBatch(batch, groupCol, valueCol, k),
         table, groupCol, buckets)
+      // stamp k at creation so maintainStore can fold the sketch log
+      // without a caller-carried parameter (folding with the wrong k is
+      // lossy — see StoreMaintenance.KmvKProp)
+      if (!existed)
+        s.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+          s"('${StoreMaintenance.KmvKProp}'='$k')")
     }
 
   /** Streaming ingest into the positional PHRASE index — the fourth
@@ -782,6 +790,11 @@ object StoreIngest {
               .withColumn("__batch", lit(batchId))
               .withColumn("__fp", lit(fp._2))
             newTails.write.mode("append").format("parquet").saveAsTable(tails)
+            // stamp the window at creation so maintainStore can compact
+            // the tails without a caller-carried parameter
+            if (!tailsExists)
+              s.sql(s"ALTER TABLE `$tails` SET TBLPROPERTIES " +
+                s"('${StoreMaintenance.SkipGramWindowProp}'='$window')")
             // a third owner-visible table beyond the (table, ledger) pair
             // the shared core refreshes — keep the owner's listing fresh
             owner.catalog.refreshTable(tails)
@@ -830,6 +843,10 @@ object StoreIngest {
       .write.mode("overwrite").format("parquet").saveAsTable(tmp)
     spark.sql(s"DROP TABLE `$tails`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$tails`")
+    // the swap loses table properties — re-stamp the window so the next
+    // maintainStore pass still knows the family parameter
+    spark.sql(s"ALTER TABLE `$tails` SET TBLPROPERTIES " +
+      s"('${StoreMaintenance.SkipGramWindowProp}'='$window')")
   }
 
   def ingestKnnResults(queries: DataFrame, corpus: DataFrame,
