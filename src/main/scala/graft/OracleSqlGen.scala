@@ -783,10 +783,16 @@ object OracleSqlGen {
   def q32Sql(k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
              centroidStride: Long = 31L, nQueries: Int = 5,
              lloydRounds: Int = 1,
-             queryPredSql: Option[String] = None): String = {
+             queryPredSql: Option[String] = None,
+             corpusPredSql: Option[String] = None): String = {
     // the query-set predicate: q32's id-prefix by default; q217 passes the
     // streamed-subset predicate instead (same replay otherwise)
     val qPred = queryPredSql.getOrElse(s"q.vec_id < $nQueries")
+    // the corpus predicate models DELETION (q260): candidates are drawn
+    // from the surviving corpus only, while the quantizer (cents0) and
+    // the query set still see every embedding — deletion never retrains
+    // the coarse quantizer, and external queries may be deleted documents
+    val cPred = corpusPredSql.getOrElse("TRUE")
     val lloyd = (0 until lloydRounds).map { i =>
       s"""assigned$i AS MATERIALIZED (
          |  SELECT cand_id, cv, cid AS cell_id FROM (
@@ -820,7 +826,7 @@ object OracleSqlGen {
        |), corpus AS MATERIALIZED (
        |  SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv,
        |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cn
-       |  FROM embeddings
+       |  FROM embeddings WHERE $cPred
        |), ${lloyd}assigned AS (
        |  SELECT cand_id, cv, cn, cid AS cell_id FROM (
        |    SELECT c.cand_id, c.cv, c.cn, ct.cid,

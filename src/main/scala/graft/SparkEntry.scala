@@ -3379,6 +3379,35 @@ object SparkEntry {
       "vec_id", "embedding", k = 5, nprobe = 4)
   }
 
+  // ---- q260: IVF-store deletion — right-to-be-forgotten over
+  //      embeddings, the second DELETE path in the store family (q258
+  //      proved the pattern on the hash-bucketed dedup store). Delete =
+  //      set-semantics tombstones + an anti-join mask every serve reads
+  //      through; purge = PARTITION-LOCAL rewrite — only the cells that
+  //      hold a deleted vector are rewritten (dynamic partition
+  //      overwrite; an emptied cell's partition is dropped), which is
+  //      what the cell layout buys over the dedup purge's full
+  //      hash-bucket scatter. The quantizer is NOT retrained (the FAISS
+  //      contract — deletion degrades cell balance, not correctness),
+  //      and deleted documents may still QUERY. Oracle = q32's IVF
+  //      replay with the corpus restricted to the survivors. ----
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_ivf_delete_store"
+    graft.sources.Sinks.dropTableAndStaleLocation(s,
+      operators.Similarity.ivfTombstoneTable(table))
+    val emb = Tables(s, dir).embeddings
+    val cents = operators.Similarity.initIvfStore(
+      emb, "vec_id", "embedding", table, nlist = 16)
+    operators.Similarity.appendToIvfStore(
+      emb, "vec_id", "embedding", table, cents)
+    operators.Similarity.deleteFromIvfStore(s, table,
+      emb.filter(col("vec_id") % 17 === 0).select(col("vec_id")))
+    operators.Similarity.purgeIvfTombstoned(s, table)
+    val queries = emb.filter(col("vec_id") % 10 === 4)
+    operators.Similarity.ivfTopKStored(s, table, cents, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+  }
+
   // ---- q224: landmark distance table — the distance-SERVING sketch
   //      (Potamias et al.): per-landmark hop distances computed in ONE
   //      pass (landmark identity as state; the graph and adjacency are
@@ -3613,6 +3642,25 @@ object SparkEntry {
     operators.Audit.cohenKappa(Tables(s, dir).documents, Seq("source"),
       when(col("n_chars") < 216, 0L).when(col("n_chars") < 373, 1L).otherwise(2L),
       when(tc < 39, 0L).when(tc < 68, 1L).otherwise(2L))
+  }
+
+  // ---- q261: Fleiss' kappa per source — q251's n-rater generalization
+  //      (Fleiss 1971): a fixed THREE-annotator panel (char-count,
+  //      token-count, and stopword-count terciles — two length lenses
+  //      and one content-density lens; thresholds are the probed sf0.01
+  //      corpus terciles) votes on every document, and kappa is the
+  //      panel-level chance-corrected agreement a pairwise Cohen matrix
+  //      can't summarize. Per-item Σn_ij² is a row-local pair count (no
+  //      item×category table is ever materialized), category totals are
+  //      ONE exploded shuffle, and the ppm division truncates
+  //      identically in both engines. ----
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    val tc = TextFunctions.tokenCount(col("text"))
+    val sw = TextFunctions.stopwordCount(col("text"))
+    operators.Audit.fleissKappa(Tables(s, dir).documents, Seq("source"), Seq(
+      when(col("n_chars") < 216, 0L).when(col("n_chars") < 373, 1L).otherwise(2L),
+      when(tc < 39, 0L).when(tc < 68, 1L).otherwise(2L),
+      when(sw < 2, 0L).when(sw < 4, 1L).otherwise(2L)))
   }
 
   // ---- q254: quantile normalization onto a 100-point global grid —
@@ -4450,6 +4498,8 @@ object SparkEntry {
     "q257_leading_digit"   -> q257 _,
     "q258_store_delete"    -> q258 _,
     "q259_dendrogram_cut"  -> q259 _,
+    "q260_ivf_delete"      -> q260 _,
+    "q261_fleiss_kappa"    -> q261 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -6032,6 +6082,50 @@ object SparkEntry {
     // delete + purge, the store must serve exactly the from-scratch LSH
     // run over the documents that were never deleted.
     "q258_store_delete" -> OracleSqlGen.q22Sql(docWhere = "doc_id % 17 <> 0"),
+    // q260: q32's IVF replay on the SURVIVING corpus — the quantizer and
+    // the query set still see every embedding (deletion never retrains
+    // the quantizer, and deleted documents may still query), but no
+    // candidate may come from a purged cell row.
+    "q260_ivf_delete" -> OracleSqlGen.q32Sql(lloydRounds = 0,
+      queryPredSql = Some("q.vec_id % 10 = 4"),
+      corpusPredSql = Some("vec_id % 17 <> 0")),
+    // q261: the Fleiss definition verbatim — per-item agreeing pairs,
+    // exploded category totals, the reduced cross-multiplied κ with the
+    // common Nr factor cancelled; `//` ≡ IntegralDivide (q251's probe),
+    // so negative panel-disagreement groups hash-gate too.
+    "q261_fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT source,
+        |    CASE WHEN n_chars < 216 THEN 0 WHEN n_chars < 373 THEN 1
+        |         ELSE 2 END AS a,
+        |    CASE WHEN len(regexp_extract_all(text, '\S+')) < 39 THEN 0
+        |         WHEN len(regexp_extract_all(text, '\S+')) < 68 THEN 1
+        |         ELSE 2 END AS b,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) < 2 THEN 0
+        |         WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) < 4 THEN 1
+        |         ELSE 2 END AS c
+        |  FROM documents
+        |), m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum((CASE WHEN a = b THEN 1 ELSE 0 END)
+        |           + (CASE WHEN a = c THEN 1 ELSE 0 END)
+        |           + (CASE WHEN b = c THEN 1 ELSE 0 END)) AS BIGINT) AS agree_pairs
+        |  FROM r GROUP BY 1
+        |), cj AS (
+        |  SELECT source, cat, CAST(count(*) AS BIGINT) AS cj FROM (
+        |    SELECT source, a AS cat FROM r
+        |    UNION ALL SELECT source, b FROM r
+        |    UNION ALL SELECT source, c FROM r
+        |  ) GROUP BY 1, 2
+        |), ch AS (
+        |  SELECT source, CAST(sum(cj * cj) AS BIGINT) AS chance
+        |  FROM cj GROUP BY 1
+        |)
+        |SELECT m.source, n, agree_pairs, coalesce(chance, 0) AS chance,
+        |  CASE WHEN (n * 3) * (n * 3) = coalesce(chance, 0) THEN NULL
+        |       ELSE (1000000 * (2 * agree_pairs * n * 3 - 2 * coalesce(chance, 0)))
+        |            // (2 * ((n * 3) * (n * 3) - coalesce(chance, 0))) END AS kappa_ppm
+        |FROM m LEFT JOIN ch ON m.source = ch.source""".stripMargin,
     // q257: the same cents reconstruction (floor(x·100 + 0.5) — the q01
     // exact-cents idiom), first digit via decimal string, exact counts,
     // ppm shares by floor division.

@@ -139,4 +139,56 @@ object Audit {
             lit(1000000L) * (col("n") * col("agree") - col("chance")),
             col("n") * col("n") - col("chance"))))
   }
+
+  /** Fleiss' kappa per group — [[cohenKappa]]'s n-rater generalization
+    * (Fleiss 1971): chance-corrected agreement when EVERY item carries the
+    * same fixed panel of raters (the labeled-sample audit where three
+    * heuristic annotators vote on every document). All terms exact
+    * integers, derived without ever materializing the per-item×category
+    * table:
+    *
+    *   - per item, Σ_j n_ij² − n = 2·(agreeing rater PAIRS) — a row-local
+    *     expression (r·(r−1)/2 comparisons), summed map-side;
+    *   - per category, c_j = Σ_k count(rater_k = j) — ONE shuffle over the
+    *     exploded (group, category) pairs;
+    *   - κ = (A·Nr − (r−1)·C) / ((r−1)·((Nr)² − C)) with A = ΣΣn_ij² − Nr,
+    *     C = Σ_j c_j² — the P̄o/P̄e definition cross-multiplied and reduced
+    *     by the common Nr factor, so the widest product is 10⁶·(r−1)·(Nr)²:
+    *     exact in longs for groups up to ~0.6M items at r = 3.
+    *
+    * kappa_ppm truncates toward zero in both engines (the q251
+    * IntegralDivide ≡ `//` probe) and is null when (Nr)² = C — every
+    * rating in the group identical, agreement undefined. A null rating is
+    * a real category (two abstaining raters agree), compared null-safely
+    * throughout.
+    */
+  def fleissKappa(df: DataFrame, groupCols: Seq[String],
+                  raters: Seq[Column]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(raters.size >= 2, "at least two raters")
+    val g = groupCols.map(col)
+    val r = lit(raters.size.toLong)
+    val agreePairsRow = raters.combinations(2).map { case Seq(a, b) =>
+      when(a <=> b, 1L).otherwise(0L)
+    }.reduce(_ + _)
+    val tot = df.groupBy(g: _*).agg(
+      count(lit(1)).as("n"),
+      sum(agreePairsRow).as("agree_pairs"))
+    val cj = df.select((g :+ explode(array(raters: _*)).as("__cat")): _*)
+      .groupBy((g :+ col("__cat")): _*)
+      .agg(count(lit(1)).as("__cj"))
+      .groupBy(g: _*)
+      .agg(sum(col("__cj") * col("__cj")).as("chance"))
+    val outCond = groupCols.map(c => tot(c) <=> cj(c)).reduce(_ && _)
+    val nr = col("n") * r
+    tot.join(cj, outCond, "left")
+      .select((groupCols.map(tot(_)) :+ col("n") :+ col("agree_pairs") :+
+        coalesce(col("chance"), lit(0L)).as("chance")): _*)
+      .withColumn("kappa_ppm",
+        when(nr * nr === col("chance"), lit(null).cast("long"))
+          .otherwise(graft.functions.IntOps.intDiv(
+            lit(1000000L) * (lit(2L) * col("agree_pairs") * nr -
+              (r - lit(1L)) * col("chance")),
+            (r - lit(1L)) * (nr * nr - col("chance")))))
+  }
 }

@@ -243,6 +243,88 @@ object Similarity {
       .partitionBy("cell").saveAsTable(table)
   }
 
+  // ---- deletion (right-to-be-forgotten over embeddings) ----
+
+  /** The tombstone table paired with an IVF store. */
+  def ivfTombstoneTable(table: String): String = table + "_tombstones"
+
+  /** Record deletions: append the ids' DISTINCT set to the tombstone
+    * table — set-semantics state, so re-deleting an id is a no-op on
+    * every read (the dedup-store tombstone argument verbatim). Between
+    * this and [[purgeIvfTombstoned]], every serve reads through
+    * [[liveIvfStore]], so a deleted embedding can neither be returned as
+    * a candidate nor occupy a rank. Note the id is "forgotten" while the
+    * tombstone stands: re-ingesting the same id before the purge stays
+    * masked; re-ingest after the purge is a fresh document.
+    */
+  def deleteFromIvfStore(spark: org.apache.spark.sql.SparkSession,
+                         table: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"deleteFromIvfStore expects a single-column id frame; got " +
+        ids.columns.mkString("(", ", ", ")"))
+    val t = ivfTombstoneTable(table)
+    ids.select(col(ids.columns.head).as("cand_id")).distinct()
+      .write.mode("append").format("parquet").saveAsTable(t)
+    spark.catalog.refreshTable(t)
+  }
+
+  /** The IVF store with tombstoned embeddings MASKED: one anti-join on
+    * cand_id before anything touches the rows. The tombstone set is
+    * deletion-sized (AQE broadcasts it), and a cell filter pushes
+    * through the anti-join's left side to the scan, so the probe path's
+    * catalog partition pruning survives the mask (spec-pinned).
+    */
+  def liveIvfStore(spark: org.apache.spark.sql.SparkSession,
+                   table: String): DataFrame = {
+    val t = ivfTombstoneTable(table)
+    val s = spark.table(table)
+    if (spark.catalog.tableExists(t))
+      s.join(spark.table(t).select(col("cand_id")).distinct(),
+        Seq("cand_id"), "left_anti")
+    else s
+  }
+
+  /** The PHYSICAL delete — and unlike the hash-bucketed dedup store
+    * (whose purge must rewrite every bucket), the cell partitioning
+    * localizes it: only the partitions that actually hold a tombstoned
+    * row are rewritten (dynamic partition overwrite), a cell emptied
+    * entirely is dropped from the catalog, and every untouched cell's
+    * files are left alone. Deletion cost scales with the deleted cells'
+    * size, not the corpus. Run between ingests; serves are unchanged by
+    * construction (purge ≡ mask, spec-pinned).
+    */
+  def purgeIvfTombstoned(spark: org.apache.spark.sql.SparkSession,
+                         table: String): Unit = {
+    val t = ivfTombstoneTable(table)
+    if (!spark.catalog.tableExists(t)) return
+    val tomb = spark.table(t).select(col("cand_id")).distinct()
+    val affected = spark.table(table)
+      .join(tomb, Seq("cand_id"), "left_semi")
+      .select(col("cell")).distinct().collect().map(_.getInt(0))
+    if (affected.nonEmpty) {
+      val survivors = spark.table(table)
+        .filter(col("cell").isin(affected.map(Integer.valueOf): _*))
+        .join(tomb, Seq("cand_id"), "left_anti")
+        .select(col("cand_id"), col("cv"), col("cn"), col("cell"))
+      val kept = survivors.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try survivors.write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // a cell whose every row was deleted writes nothing under dynamic
+      // overwrite — drop its partition explicitly so the bytes leave disk
+      (affected.toSet -- kept).foreach { c =>
+        spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS PARTITION (cell=$c)")
+      }
+    }
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, t)
+    spark.catalog.refreshTable(table)
+  }
+
   /** Load a [[buildIvfStore]] sidecar back into driver state — one
     * nlist-row read per serving session, cached by the caller (the
     * StoreIngest committed-map discipline), never per batch.
@@ -284,7 +366,10 @@ object Similarity {
     // tiny job over the query batch, then a LITERAL partition filter so
     // pruning happens at the catalog before any data file opens
     val cells = p.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val scan = spark.table(table)
+    // read through the tombstone mask (a no-op when nothing is deleted);
+    // the literal cell filter pushes through the anti-join's left side,
+    // so catalog partition pruning is unchanged (spec-pinned)
+    val scan = liveIvfStore(spark, table)
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))

@@ -67,9 +67,21 @@ object StoreMaintenance {
     // deletion state first: the purge is itself a spec-preserving rewrite
     // of the main table, so later branches must not rewrite it again
     if (spark.catalog.tableExists(tomb)) {
-      graft.operators.IncrementalDedup.purgeTombstoned(spark, table)
-      actions += s"purged tombstoned rows of '$table' (bucketed rewrite, tombstone table dropped)"
-      mainRewritten = true
+      val partitioned = cat.getTableMetadata(TableIdentifier(table))
+        .partitionColumnNames.nonEmpty
+      if (partitioned) {
+        // the cell-partitioned IVF store: partition-local purge — only
+        // affected cells rewrite, untouched cells' files are left alone
+        // (the point of the layout), so skip the generic full rewrite
+        // this pass; a later tombstone-free pass compacts if needed
+        graft.operators.Similarity.purgeIvfTombstoned(spark, table)
+        actions += s"purged tombstoned embeddings of '$table' (affected cells only)"
+        mainRewritten = true
+      } else {
+        graft.operators.IncrementalDedup.purgeTombstoned(spark, table)
+        actions += s"purged tombstoned rows of '$table' (bucketed rewrite, tombstone table dropped)"
+        mainRewritten = true
+      }
     }
 
     if (spark.catalog.tableExists(edges) && hasLedger) {

@@ -127,4 +127,41 @@ class AuditSpec extends AnyFunSuite with SparkSpec {
     assert(got("g1").getAs[Long]("agree") == 3L)
     assert(got("g2").getAs[Long]("agree") == 0L)
   }
+
+  // ---- Fleiss' kappa ----
+
+  private def fleissOf(ratings: Seq[(String, String, String, String)]): Map[String, Row] =
+    Audit.fleissKappa(ratings.toDF("g", "a", "b", "c"), Seq("g"),
+      Seq(col("a"), col("b"), col("c")))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+  test("fleiss matches the hand-computed panel") {
+    // 8 items × 3 raters: 4 unanimous-x, 2 (x,x,y), 2 unanimous-y.
+    // agree_pairs = 4·3 + 2·1 + 2·3 = 20; c_x = 16, c_y = 8 ⇒ C = 320;
+    // κ = (40·24 − 2·320)/(2·(576 − 320)) = 320/512 = 0.625.
+    val ratings = Seq.fill(4)(("g", "x", "x", "x")) ++
+      Seq.fill(2)(("g", "x", "x", "y")) ++ Seq.fill(2)(("g", "y", "y", "y"))
+    val r = fleissOf(ratings)("g")
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("agree_pairs") == 20L)
+    assert(r.getAs[Long]("chance") == 320L)
+    assert(r.getAs[Long]("kappa_ppm") == 625000L)
+  }
+
+  test("fleiss: unanimous panels on a mixed corpus are exactly 1e6; systematic 3-way disagreement is negative") {
+    val perfect = Seq.fill(3)(("p", "x", "x", "x")) ++ Seq.fill(2)(("p", "y", "y", "y"))
+    assert(fleissOf(perfect)("p").getAs[Long]("kappa_ppm") == 1000000L)
+    // every panel splits three ways: P̄o = 0, P̄e = 1/3 ⇒ κ = −1/2
+    val anti = Seq.fill(3)(("q", "x", "y", "z"))
+    assert(fleissOf(anti)("q").getAs[Long]("kappa_ppm") == -500000L)
+  }
+
+  test("fleiss: a constant group is undefined (null); a null rating is a real category") {
+    val const = fleissOf(Seq.fill(4)(("c", "x", "x", "x")))("c")
+    assert(const.isNullAt(const.fieldIndex("kappa_ppm")))
+    val withNulls = Seq.fill(2)(("n", null: String, null, null)) ++
+      Seq.fill(2)(("n", "x", "x", "x"))
+    val r = fleissOf(withNulls)("n")
+    assert(r.getAs[Long]("agree_pairs") == 12L && r.getAs[Long]("chance") == 72L)
+    assert(r.getAs[Long]("kappa_ppm") == 1000000L)
+  }
 }

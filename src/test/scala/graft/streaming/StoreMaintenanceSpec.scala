@@ -237,6 +237,45 @@ class StoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("IVF store: tombstones route to the partition-local purge; serves unchanged; next pass is the generic partitioned branch") {
+    val t = "graft_maint_ivf"
+    val all = Seq(t, graft.operators.Similarity.centroidsTable(t),
+      graft.operators.Similarity.ivfTombstoneTable(t))
+    all.foreach(dropTable)
+    try {
+      val rnd = new scala.util.Random(11)
+      val c = (0L until 200L)
+        .map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
+        .toDF("vec_id", "embedding").cache()
+      graft.operators.Similarity.buildIvfStore(c, "vec_id", "embedding", t, nlist = 8)
+      val cents = graft.operators.Similarity.loadIvfCentroids(spark, t)
+      val q = c.filter(col("vec_id") % 10 === 3)
+      def serve() = graft.operators.Similarity
+        .ivfTopKStored(spark, t, cents, q, "vec_id", "embedding", k = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      graft.operators.Similarity.deleteFromIvfStore(spark, t,
+        c.filter(col("vec_id") % 9 === 0).select(col("vec_id")))
+      val masked = serve()
+
+      val acts = StoreMaintenance.maintainStore(spark, t)
+      assert(acts.exists(_.contains("affected cells only")),
+        s"expected the partition-local purge branch, got $acts")
+      assert(!spark.catalog.tableExists(graft.operators.Similarity.ivfTombstoneTable(t)))
+      assert(serve() == masked, "a maintenance pass must not change serves")
+      assert(spark.table(t).filter(col("cand_id") % 9 === 0).count() == 0L)
+
+      // tombstones gone: the same call routes to the generic partitioned rewrite
+      val acts2 = StoreMaintenance.maintainStore(spark, t)
+      assert(acts2.exists(_.contains("partitioned store")), s"got $acts2")
+      assert(serve() == masked)
+      graft.Storage.releaseAll(spark)
+    } finally {
+      all.foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
   test("ANN store routes to the bucketed rewrite; partitioned and unknown layouts route correctly") {
     val t = "graft_maint_ann"
     val tp = "graft_maint_part"
