@@ -3831,6 +3831,50 @@ object SparkEntry {
     graft.streaming.StoreIngest.skipGramFromStore(s, table)
   }
 
+  // ---- q262: streaming session store — the TWELFTH store family, and
+  //      the first whose per-key state is an OPEN INTERVAL: the q18
+  //      gaps-and-islands semantics maintained incrementally, each batch
+  //      closing exactly the sessions it proves finished and carrying
+  //      one open-session row per user forward. Serve = committed closed
+  //      sessions ∪ latest open tails ≡ the one-shot session table
+  //      row-for-row (the oracle replays the one-shot window form). ----
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_stream_session_store"
+    Seq(table, graft.streaming.StoreIngest.ledgerTable(table),
+        graft.streaming.StoreIngest.tailsTable(table))
+      .foreach(graft.sources.Sinks.dropTableAndStaleLocation(s, _))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_sess_").toString
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_stream_sess_in_").toString
+    val ev = Tables(s, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val n = ev.count()
+    // rank-tercile slices are per-user order-contiguous by construction;
+    // explicit strictly-increasing mtimes pin the batch order (q252)
+    val ranked = ev.withColumn("__grn",
+      row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+    val stamped = scala.collection.mutable.Set[java.nio.file.Path]()
+    for (g <- 0L to 2L) {
+      ranked.filter(col("__grn") > g * n / 3 && col("__grn") <= (g + 1) * n / 3)
+        .drop("__grn").coalesce(1).write.mode("append").parquet(in)
+      val ft = java.nio.file.attribute.FileTime.fromMillis(1000L * (g + 1))
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(in))
+      try it.iterator().forEachRemaining { p =>
+        if (!stamped.contains(p)) {
+          java.nio.file.Files.setLastModifiedTime(p, ft); stamped += p
+        }
+      } finally it.close()
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    graft.streaming.StoreIngest.ingestSessionStore(stream, "user_id",
+      unix_micros(col("ts").cast("timestamp")), col("event_id"),
+      gapUs = 1800000000L, table, ckpt)
+      .awaitTermination()
+    graft.streaming.StoreIngest.sessionsFromStore(s, table)
+  }
+
   // ---- q234: reciprocal k-NN pairs — the high-precision near-dup
   //      filter over the q228 graph: keep (u, v) only when each is in
   //      the OTHER's top-5 (mutuality cuts hub noise — one-directional
@@ -4500,6 +4544,7 @@ object SparkEntry {
     "q259_dendrogram_cut"  -> q259 _,
     "q260_ivf_delete"      -> q260 _,
     "q261_fleiss_kappa"    -> q261 _,
+    "q262_stream_session_store" -> q262 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -6126,6 +6171,28 @@ object SparkEntry {
         |       ELSE (1000000 * (2 * agree_pairs * n * 3 - 2 * coalesce(chance, 0)))
         |            // (2 * ((n * 3) * (n * 3) - coalesce(chance, 0))) END AS kappa_ppm
         |FROM m LEFT JOIN ch ON m.source = ch.source""".stripMargin,
+    // q262: the one-shot gaps-and-islands session table — however the
+    // stream sliced, closed sessions + open tails must reproduce it
+    // row-for-row (q18's window form at session grain).
+    "q262_stream_session_store" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+        |      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 THEN 1
+        |      ELSE 0 END AS is_new
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, tsu,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM x
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(min(tsu) AS BIGINT) AS start_us, CAST(max(tsu) AS BIGINT) AS end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
     // q257: the same cents reconstruction (floor(x·100 + 0.5) — the q01
     // exact-cents idiom), first digit via decimal string, exact counts,
     // ppm shares by floor division.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Order-sensitive time-series features over grouped events. The
@@ -170,5 +171,34 @@ object TimeSeries {
         sum(when(col("__s") > h && col("__sp") <= h, 1L).otherwise(0L))
           .as("n_alarms"),
         max_by(col("__s"), struct(orderCol, tieCol)).as("final_s"))
+  }
+
+  /** The session-level table (gaps-and-islands): one row per (actor,
+    * session), where a session breaks when the gap to the previous event
+    * exceeds `gapUs` microseconds. q18's sessionization emits per-user
+    * AGGREGATES; this is the session-grained form a funnel, attribution,
+    * or engagement pipeline joins against — and the one-shot semantics
+    * the streaming session store must reproduce row-for-row
+    * ([[graft.streaming.StoreIngest.ingestSessionStore]]).
+    *
+    * `orderCol` must be an integral microsecond timestamp (the q18
+    * `unix_micros(ts)` idiom); `tieCol` breaks equal-timestamp ties so
+    * the session assignment is a total order. Session indices are
+    * 1-based per actor in (orderCol, tieCol) order. Scale shape: two
+    * windows and one aggregate over the SAME (actor)-hash shuffle —
+    * Catalyst reuses the exchange; no self-join, no per-gap fan-out.
+    */
+  def sessionTable(df: DataFrame, actorCol: String, orderCol: Column,
+                   tieCol: Column, gapUs: Long): DataFrame = {
+    require(gapUs >= 1L, "gapUs must be >= 1")
+    val w = Window.partitionBy(col(actorCol)).orderBy(orderCol, tieCol)
+    val gap = orderCol - lag(orderCol, 1).over(w)
+    df.withColumn("__new",
+        when(gap.isNull || gap > lit(gapUs), 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(actorCol).as("user_id"), col("session_idx"))
+      .agg(min(orderCol).as("start_us"), max(orderCol).as("end_us"),
+        count(lit(1)).as("n_events"))
   }
 }

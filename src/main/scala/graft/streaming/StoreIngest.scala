@@ -849,6 +849,229 @@ object StoreIngest {
       s"('${StoreMaintenance.SkipGramWindowProp}'='$window')")
   }
 
+  /** Streaming sessionization ingest — the TWELFTH store family, and the
+    * first whose per-key state is an OPEN INTERVAL of the stream: the
+    * gaps-and-islands session table ([[graft.ops.TimeSeries.sessionTable]])
+    * accumulates while events arrive, closing a session the moment a
+    * later event proves the gap and never re-scanning history.
+    *
+    * Per batch (all O(batch) — the store-family discipline):
+    *   1. read each arriving user's COMMITTED tail (their single open
+    *      session: index, start, last-event order/tie, event count) and
+    *      rebase it on a cached RDD leaf (the same tables are appended
+    *      below);
+    *   2. extend sessions: the batch's first per-user event either
+    *      continues the tail session (gap ≤ `gapUs`) or opens index+1;
+    *      within the batch, session indices are the tail index plus a
+    *      running is-new sum — so incremental indices equal the one-shot
+    *      window's row-for-row;
+    *   3. sessions the batch proves CLOSED — every batch session below
+    *      the user's max, plus a tail session the batch's first event
+    *      broke away from — append to the store as complete rows; the
+    *      per-user max session becomes the new tail;
+    *   4. both appends are tagged (batch id, fingerprint).
+    *
+    * Crash windows: closed-session rows are complete facts but a replay
+    * re-appends them, so BOTH logs admit rows only when their tag is
+    * LEDGER-committed — an append whose ledger row never landed is
+    * invisible to serves AND to later batches' tail reads, the replay
+    * recomputes identical rows, and one DISTINCT collapses duplicates.
+    * Contract: micro-batches must be per-user order-contiguous in
+    * (orderCol, tieCol) — ENFORCED, not documented: a batch whose
+    * per-user minimum does not strictly extend the committed tail's last
+    * event fails loudly before anything is appended (the skip-gram
+    * guard; an arrival-ordered source satisfies it by construction).
+    *
+    * State bounds: the tail log grows by one row per (batch, active
+    * user) and [[compactSessionTails]] resets it to one row per user;
+    * the store holds closed sessions — output, not state.
+    * `orderCol` must be an integral microsecond timestamp.
+    */
+  def ingestSessionStore(events: DataFrame, userCol: String,
+                         orderCol: org.apache.spark.sql.Column,
+                         tieCol: org.apache.spark.sql.Column, gapUs: Long,
+                         table: String, checkpointDir: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(gapUs >= 1L, "gapUs must be >= 1")
+    val owner = events.sparkSession
+    ledgeredIngestTagged(events, table, checkpointDir, trigger) {
+      (batch, batchId, fp) =>
+        val s = batch.sparkSession
+        val tails = tailsTable(table)
+        val ledger = ledgerTable(table)
+        val users = batch.select(col(userCol).as("__user")).distinct()
+        val tailsExists = s.catalog.tableExists(tails)
+        val ledgerExists = s.catalog.tableExists(ledger)
+        // the skip-gram crash-window guard: a committed ledger with no
+        // tails table is a crashed tail compaction — first-run treatment
+        // would re-open every closed session at index 0
+        if (ledgerExists && !tailsExists && !s.table(ledger).limit(1).isEmpty)
+          throw new IllegalStateException(
+            s"session store '$table' has committed ledger rows but the tails table " +
+              s"'$tails' is missing — a compaction crashed between its swap steps. Recover " +
+              s"the staged '${tails}__compacting' table (ALTER TABLE RENAME it to '$tails') " +
+              "before ingesting; proceeding would silently restart every user's sessions at 0")
+        val have = tailsExists && ledgerExists
+        val tailsBase =
+          if (have) {
+            val committed = s.table(ledger)
+              .select(col("batch_id").as("__b"), col("fp").as("__f"))
+            s.table(tails).distinct()
+              .join(committed, col("__batch") === col("__b") &&
+                col("__fp") === col("__f"), "left_semi")
+              .join(users, Seq("__user"), "left_semi")
+              .withColumn("__tr", row_number().over(Window
+                .partitionBy(col("__user"))
+                .orderBy(col("__sid").desc, col("__last").desc, col("__ltie").desc)))
+              .filter(col("__tr") === 1)
+              .select(col("__user"), col("__sid"), col("__start"),
+                col("__last"), col("__ltie"), col("__n"))
+          } else
+            batch.select(col(userCol).as("__user"), lit(0L).as("__sid"),
+              orderCol.as("__start"), orderCol.as("__last"),
+              tieCol.as("__ltie"), lit(0L).as("__n")).limit(0)
+        val tRdd = tailsBase.rdd
+        tRdd.cache(); tRdd.count()
+        val tailsNow = s.createDataFrame(tRdd, tailsBase.schema)
+        try {
+          // order-contiguity enforcement (the skip-gram contract): the
+          // gap to the tail's last event is part of the answer, so an
+          // out-of-order slicing is a silent wrong session table
+          val offenders = batch
+            .groupBy(col(userCol).as("__user"))
+            .agg(min(struct(orderCol.as("o"), tieCol.as("t"))).as("__bmin"))
+            .join(tailsNow.select(col("__user"),
+              struct(col("__last").as("o"), col("__ltie").as("t")).as("__tmax")),
+              Seq("__user"))
+            .filter(col("__bmin") <= col("__tmax"))
+            .select(col("__user")).limit(5).collect().map(_.get(0))
+          if (offenders.nonEmpty)
+            throw new IllegalStateException(
+              s"out-of-order micro-batch for user(s) ${offenders.mkString(", ")} in session " +
+                s"store '$table': a batch must be per-user order-contiguous — its (order, tie) " +
+                "range must strictly extend the committed tail. Nothing was appended; fix the " +
+                "slicing (arrival-ordered sources satisfy this by construction) and re-ingest")
+          val w = Window.partitionBy(col("__user")).orderBy(col("__ord"), col("__tie"))
+          val ev = batch
+            .select(col(userCol).as("__user"), orderCol.as("__ord"), tieCol.as("__tie"))
+            .join(tailsNow.select(col("__user"), col("__sid").as("__tsid"),
+              col("__start").as("__tstart"), col("__last").as("__tlast"),
+              col("__n").as("__tn")), Seq("__user"), "left")
+          val prev = lag(col("__ord"), 1).over(w)
+          val isNew = when(prev.isNotNull,
+              when(col("__ord") - prev > gapUs, 1L).otherwise(0L))
+            .otherwise(when(col("__tlast").isNull, 1L)
+              .otherwise(when(col("__ord") - col("__tlast") > gapUs, 1L).otherwise(0L)))
+          val sess0 = ev.withColumn("__new", isNew)
+            .withColumn("__sid", coalesce(col("__tsid"), lit(0L)) + sum(col("__new"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          val agg = sess0.groupBy(col("__user"), col("__sid"))
+            .agg(count(lit(1)).as("__bn"), min(col("__ord")).as("__bstart"),
+              max(struct(col("__ord").as("o"), col("__tie").as("t"))).as("__bend"),
+              min(col("__tsid")).as("__xsid"), min(col("__tstart")).as("__xstart"),
+              min(col("__tn")).as("__xn"))
+          // a batch session carrying the tail's index CONTINUES it: the
+          // session's true start and count fold the tail's in
+          val full = agg.select(col("__user"), col("__sid"),
+            when(col("__sid") === col("__xsid"), col("__xstart"))
+              .otherwise(col("__bstart")).as("__start"),
+            col("__bend").getField("o").as("__last"),
+            col("__bend").getField("t").as("__ltie"),
+            (when(col("__sid") === col("__xsid"), col("__xn")).otherwise(lit(0L))
+              + col("__bn")).as("__n"))
+          val marked = full.withColumn("__maxsid",
+            max(col("__sid")).over(Window.partitionBy(col("__user"))))
+          // closed = batch sessions below the user's max, plus a tail
+          // session the batch's first event broke away from (it never
+          // appears among the batch's session indices)
+          val minSid = sess0.groupBy(col("__user")).agg(min(col("__sid")).as("__minsid"))
+          val tailClosed = tailsNow.join(minSid, Seq("__user"))
+            .filter(col("__sid") < col("__minsid"))
+            .select(col("__user"), col("__sid"), col("__start"),
+              col("__last").as("__end"), col("__n"))
+          val closed = marked.filter(col("__sid") < col("__maxsid"))
+            .select(col("__user"), col("__sid"), col("__start"),
+              col("__last").as("__end"), col("__n"))
+            .unionByName(tailClosed)
+            .select(col("__user").as("user_id"), col("__sid").as("session_idx"),
+              col("__start").as("start_us"), col("__end").as("end_us"),
+              col("__n").as("n_events"))
+            .withColumn("__batch", lit(batchId))
+            .withColumn("__fp", lit(fp._2))
+          closed.write.mode("append").format("parquet").saveAsTable(table)
+          val newTails = marked.filter(col("__sid") === col("__maxsid"))
+            .select(col("__user"), col("__sid"), col("__start"),
+              col("__last"), col("__ltie"), col("__n"))
+            .withColumn("__batch", lit(batchId))
+            .withColumn("__fp", lit(fp._2))
+          newTails.write.mode("append").format("parquet").saveAsTable(tails)
+          // stamp the gap at creation — maintainStore's classifier and
+          // any later ingest read the family parameter off the table
+          if (!tailsExists)
+            s.sql(s"ALTER TABLE `$tails` SET TBLPROPERTIES " +
+              s"('${StoreMaintenance.SessionGapProp}'='$gapUs')")
+          owner.catalog.refreshTable(tails)
+        } finally tRdd.unpersist()
+    }
+  }
+
+  /** Served read for [[ingestSessionStore]]: committed-and-distinct
+    * closed sessions plus each user's latest committed OPEN session —
+    * row-identical to the one-shot
+    * [[graft.ops.TimeSeries.sessionTable]] over everything ingested.
+    */
+  def sessionsFromStore(spark: org.apache.spark.sql.SparkSession,
+                        table: String): DataFrame = {
+    val committed = spark.table(ledgerTable(table))
+      .select(col("batch_id").as("__b"), col("fp").as("__f"))
+    val closed = spark.table(table).distinct()
+      .join(committed, col("__batch") === col("__b") &&
+        col("__fp") === col("__f"), "left_semi")
+      .select(col("user_id"), col("session_idx"), col("start_us"),
+        col("end_us"), col("n_events"))
+    val open = spark.table(tailsTable(table)).distinct()
+      .join(committed, col("__batch") === col("__b") &&
+        col("__fp") === col("__f"), "left_semi")
+      .withColumn("__tr", row_number().over(Window.partitionBy(col("__user"))
+        .orderBy(col("__sid").desc, col("__last").desc, col("__ltie").desc)))
+      .filter(col("__tr") === 1)
+      .select(col("__user").as("user_id"), col("__sid").as("session_idx"),
+        col("__start").as("start_us"), col("__last").as("end_us"),
+        col("__n").as("n_events"))
+    closed.unionByName(open)
+  }
+
+  /** Collapse the session tail log to each user's latest committed open
+    * session — the log grows by one row per (batch, active user) and
+    * this resets it to one row per user. Tags preserved; uncommitted
+    * crash-window residue dropped (its batch replays from committed
+    * state). Same staged-swap protocol as [[compactSkipGramTails]];
+    * the gap property is re-stamped after the swap.
+    */
+  def compactSessionTails(spark: org.apache.spark.sql.SparkSession,
+                          table: String): Unit = {
+    val tails = tailsTable(table)
+    val gap = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tails))
+      .properties.get(StoreMaintenance.SessionGapProp)
+    val committed = spark.table(ledgerTable(table))
+      .select(col("batch_id").as("__b"), col("fp").as("__f"))
+    val tmp = tails + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    spark.table(tails).distinct()
+      .join(committed, col("__batch") === col("__b") &&
+        col("__fp") === col("__f"), "left_semi")
+      .withColumn("__tr", row_number().over(Window.partitionBy(col("__user"))
+        .orderBy(col("__sid").desc, col("__last").desc, col("__ltie").desc)))
+      .filter(col("__tr") === 1)
+      .drop("__tr")
+      .write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$tails`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$tails`")
+    gap.foreach(g => spark.sql(s"ALTER TABLE `$tails` SET TBLPROPERTIES " +
+      s"('${StoreMaintenance.SessionGapProp}'='$g')"))
+  }
+
   def ingestKnnResults(queries: DataFrame, corpus: DataFrame,
                        idCol: String, vecCol: String, table: String,
                        checkpointDir: String, k: Int, nlist: Int,

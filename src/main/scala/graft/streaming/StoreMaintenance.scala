@@ -43,6 +43,14 @@ object StoreMaintenance {
     */
   val KmvKProp = "graft.kmv.k"
 
+  /** Tails-table property recording the session ingest's gap threshold in
+    * microseconds — stamped by [[StoreIngest.ingestSessionStore]] at tails
+    * creation. The tail compaction itself needs no parameter (latest
+    * committed row per user); the property is the operational record of
+    * the family parameter, preserved across the compaction swap.
+    */
+  val SessionGapProp = "graft.session.gap_us"
+
   private def props(spark: SparkSession, table: String): Map[String, String] =
     spark.sessionState.catalog.getTableMetadata(TableIdentifier(table)).properties
 
@@ -97,6 +105,13 @@ object StoreMaintenance {
       StoreIngest.compactMstStore(spark, table)
       actions += s"evicted superseded forest snapshots of '$table'"
       mainRewritten = true
+    } else if (spark.catalog.tableExists(tails) && hasLedger &&
+               spark.table(tails).columns.contains("__sid")) {
+      // session store: reset the tail log to each user's latest open session
+      StoreIngest.compactSessionTails(spark, table)
+      val gap = props(spark, tails).get(SessionGapProp)
+        .map(g => s"gap_us=$g").getOrElse("gap unstamped")
+      actions += s"compacted session tails '$tails' to one open session per user ($gap)"
     } else if (spark.catalog.tableExists(tails) && hasLedger) {
       // skip-gram store: reset the tail log to each user's current window
       val w = props(spark, tails).get(SkipGramWindowProp).map(_.toInt)

@@ -237,6 +237,59 @@ class StoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("session store: maintain compacts tails to one open session per user; serve parity; gap property survives the swap") {
+    val t = "graft_maint_session"
+    val all = Seq(t, StoreIngest.ledgerTable(t), StoreIngest.tailsTable(t))
+    all.foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_maint_sess").toFile
+    try {
+      val in = new java.io.File(root, "in")
+      val rows = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 50L, 12L),
+        (2L, 5L, 20L), (2L, 6L, 21L))
+      val stamped = scala.collection.mutable.Set[java.nio.file.Path]()
+      rows.grouped(3).zipWithIndex.foreach { case (g, i) =>
+        g.toDF("user", "ord", "eid").coalesce(1)
+          .write.mode("append").parquet(in.getAbsolutePath)
+        val ft = java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1))
+        val it = java.nio.file.Files.list(in.toPath)
+        try it.iterator().forEachRemaining { p =>
+          if (!stamped.contains(p)) {
+            java.nio.file.Files.setLastModifiedTime(p, ft); stamped += p
+          }
+        } finally it.close()
+      }
+      StoreIngest.ingestSessionStore(
+        spark.readStream.schema("user LONG, ord LONG, eid LONG")
+          .option("maxFilesPerTrigger", "1").parquet(in.getAbsolutePath),
+        "user", col("ord"), col("eid"), gapUs = 10L, t,
+        new java.io.File(root, "cp").getAbsolutePath).awaitTermination()
+      def serve() = {
+        val m = StoreIngest.sessionsFromStore(spark, t)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        graft.Storage.releaseAll(spark)
+        m
+      }
+      val before = serve()
+
+      val acts = StoreMaintenance.maintainStore(spark, t)
+      assert(acts.exists(_.contains("open session per user")),
+        s"expected the session-tails branch, got $acts")
+      assert(serve() == before)
+      assert(spark.table(StoreIngest.tailsTable(t)).count() == 2L,
+        "tails must shrink to one open session per user")
+
+      // the stamped gap survives the compaction's staged swap
+      val acts2 = StoreMaintenance.maintainStore(spark, t)
+      assert(acts2.exists(_.contains("gap_us=10")), s"gap property lost in the swap: $acts2")
+      assert(serve() == before)
+      graft.Storage.releaseAll(spark)
+    } finally {
+      rmTree(root)
+      all.foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
   test("IVF store: tombstones route to the partition-local purge; serves unchanged; next pass is the generic partitioned branch") {
     val t = "graft_maint_ivf"
     val all = Seq(t, graft.operators.Similarity.centroidsTable(t),

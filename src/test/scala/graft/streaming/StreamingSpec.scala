@@ -1171,6 +1171,161 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming session store: cross-batch sessions, served = one-shot, break-at-boundary closes the tail, replay/crash/compaction") {
+    import graft.ops.TimeSeries
+    val t = "graft_stream_session_spec"
+    val t2 = t + "_alt"
+    val allTables = Seq(t, t2).flatMap(x =>
+      Seq(x, StoreIngest.ledgerTable(x), StoreIngest.tailsTable(x)))
+    allTables.foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_sess_ingest").toFile
+    try {
+      // (user, etype, ord, eid) with gapUs = 10:
+      //  u1: [1,2,3] | [20,21] | [50] — every boundary BREAKS, so the
+      //      tail-closed-by-break path fires twice;
+      //  u2: [1,2] | [3,4] | [5] — one session continuing across all three;
+      //  u3: [100] in slice 1 only — open forever, served from the tail;
+      //  u4: [1, 30] in ONE slice — a within-batch break (closed + open).
+      val u1 = Seq(1L, 2L, 3L, 20L, 21L, 50L).zipWithIndex
+        .map { case (o, i) => (1L, "e", o, 100L + i) }
+      val u2 = Seq(1L, 2L, 3L, 4L, 5L).zipWithIndex
+        .map { case (o, i) => (2L, "e", o, 200L + i) }
+      val u3 = Seq((3L, "e", 100L, 300L))
+      val u4 = Seq((4L, "e", 1L, 400L), (4L, "e", 30L, 401L))
+      val all = u1 ++ u2 ++ u3 ++ u4
+      val gen1 = u1.take(3) ++ u2.take(2) ++ u3 ++ u4
+      val gen2 = u1.slice(3, 5) ++ u2.slice(2, 4)
+      val gen3 = u1.drop(5) ++ u2.drop(4)
+      val in = new java.io.File(root, "in")
+      writeSgSlices(in, Seq(gen1, gen2, gen3))
+      def served(table: String): Set[(Long, Long, Long, Long, Long)] = {
+        val m = StoreIngest.sessionsFromStore(spark, table)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        graft.Storage.releaseAll(spark)
+        m
+      }
+      def oneShotOf(rows: Seq[(Long, String, Long, Long)]) = {
+        val m = TimeSeries.sessionTable(rows.toDF("user", "etype", "ord", "eid"),
+            "user", col("ord"), col("eid"), gapUs = 10L)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        graft.Storage.releaseAll(spark)
+        m
+      }
+      def ingest(dir: java.io.File, table: String, cp: String) =
+        StoreIngest.ingestSessionStore(
+          spark.readStream.schema("user LONG, etype STRING, ord LONG, eid LONG")
+            .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath),
+          "user", col("ord"), col("eid"), gapUs = 10L, table,
+          new java.io.File(root, cp).getAbsolutePath).awaitTermination()
+
+      ingest(in, t, "cp1")
+      assert(spark.table(StoreIngest.ledgerTable(t)).count() >= 3,
+        "the slicing must actually produce multiple committed micro-batches")
+      val oneShot = oneShotOf(all)
+      assert(oneShot.exists(_._1 == 1L) && oneShot.count(_._1 == 1L) == 3,
+        "fixture must give u1 three sessions")
+      assert(served(t) == oneShot,
+        "streamed store must serve the one-shot session table")
+
+      // replay on a fresh checkpoint: ledger makes every batch a no-op
+      val logRows = spark.table(t).count()
+      ingest(in, t, "cp2")
+      assert(spark.table(t).count() == logRows,
+        "a replayed ingest must append nothing")
+      assert(served(t) == oneShot)
+
+      // crash-window residue on BOTH logs is invisible to the serve
+      spark.table(t).limit(1).withColumn("__batch", lit(9999L))
+        .withColumn("__fp", lit(424242L))
+        .write.mode("append").format("parquet").saveAsTable(t)
+      spark.table(StoreIngest.tailsTable(t)).limit(1)
+        .withColumn("__batch", lit(9999L)).withColumn("__fp", lit(424242L))
+        .withColumn("__sid", col("__sid") + 100L)
+        .write.mode("append").format("parquet").saveAsTable(StoreIngest.tailsTable(t))
+      assert(served(t) == oneShot,
+        "uncommitted appends must not change the serve")
+
+      // tail compaction: one row per user; a FOLLOW-UP ingest that both
+      // CONTINUES u3's open session and BREAKS u1's serves the new total
+      StoreIngest.compactSessionTails(spark, t)
+      val tailRows = spark.table(StoreIngest.tailsTable(t)).count()
+      assert(tailRows == 4L, s"compacted tails must hold one open session per user, got $tailRows")
+      val more = Seq((1L, "e", 80L, 900L), (3L, "e", 105L, 901L))
+      // the new slice lands in the SAME input dir; its real current mtime
+      // is strictly later than the stamped epoch-seconds of the first three
+      more.toDF("user", "etype", "ord", "eid").coalesce(1)
+        .write.mode("append").parquet(in.getAbsolutePath)
+      ingest(in, t, "cp3")
+      val oneShot2 = oneShotOf(all ++ more)
+      assert(served(t) == oneShot2,
+        "post-compaction ingest must continue from the compacted tails")
+
+      // a DIFFERENT per-user order-contiguous slicing serves the same table
+      val in2 = new java.io.File(root, "in2")
+      writeSgSlices(in2, Seq(u1.take(4) ++ u2 ++ u4,
+        u1.drop(4) ++ u3 ++ more))
+      ingest(in2, t2, "cp4")
+      assert(served(t2) == oneShot2,
+        "a different order-contiguous slicing must serve an identical session table")
+    } finally {
+      rmTree(root)
+      allTables.foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
+  test("session ingest enforcement: out-of-order batch rejected BEFORE append; missing-tails crash state fails loudly") {
+    import graft.ops.TimeSeries
+    val t = "graft_stream_session_guard"
+    val tables = Seq(t, StoreIngest.ledgerTable(t), StoreIngest.tailsTable(t))
+    tables.foreach(dropTable)
+    val root = java.nio.file.Files.createTempDirectory("graft_sess_guard").toFile
+    def causeChain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    try {
+      val u1 = Seq(1L, 2L, 3L, 20L, 21L, 50L).zipWithIndex
+        .map { case (o, i) => (1L, "e", o, 100L + i) }
+      def ingest(dir: java.io.File, cp: String) =
+        StoreIngest.ingestSessionStore(
+          spark.readStream.schema("user LONG, etype STRING, ord LONG, eid LONG")
+            .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath),
+          "user", col("ord"), col("eid"), gapUs = 10L, t,
+          new java.io.File(root, cp).getAbsolutePath)
+
+      // batch 2 repeats an event at-or-before the committed tail's last —
+      // the gap to the tail is part of the answer, so the guard must
+      // raise and append nothing
+      val in = new java.io.File(root, "in")
+      writeSgSlices(in, Seq(u1.take(4), u1.slice(2, 5)))
+      val ex = intercept[Exception] { ingest(in, "cp1").awaitTermination() }
+      assert(causeChain(ex).exists(c =>
+        c.getMessage != null && c.getMessage.contains("order-contiguous")),
+        s"expected the order-contiguity guard, got: $ex")
+      assert(spark.table(StoreIngest.ledgerTable(t)).count() == 1L)
+      val oneShot1 = TimeSeries.sessionTable(
+          u1.take(4).toDF("user", "etype", "ord", "eid"),
+          "user", col("ord"), col("eid"), gapUs = 10L)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val got = StoreIngest.sessionsFromStore(spark, t)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      graft.Storage.releaseAll(spark)
+      assert(got == oneShot1, "the rejected batch must not have changed the store")
+
+      // committed ledger + missing tails = crashed compaction window
+      dropTable(StoreIngest.tailsTable(t))
+      val in2 = new java.io.File(root, "in2")
+      writeSgSlices(in2, Seq(u1.slice(4, 6)))
+      val ex2 = intercept[Exception] { ingest(in2, "cp2").awaitTermination() }
+      assert(causeChain(ex2).exists(c =>
+        c.getMessage != null && c.getMessage.contains("tails table")),
+        s"expected the missing-tails guard, got: $ex2")
+    } finally {
+      rmTree(root)
+      tables.foreach(dropTable)
+      graft.Storage.releaseAll(spark)
+    }
+  }
+
   test("skip-gram ingest enforcement: out-of-order batch rejected BEFORE append; missing-tails crash state fails loudly") {
     import graft.ops.Sequences
     val t = "graft_stream_skipgram_guard"
