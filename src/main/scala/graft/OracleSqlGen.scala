@@ -1423,6 +1423,52 @@ object OracleSqlGen {
        |  ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
        |WHERE a.vec_id < a.neighbor_id""".stripMargin
 
+  // ---- q263/q264: deterministic random walks over the knn chain —
+  // step CTEs MATERIALIZED (the unrolled-iteration discipline), next
+  // hop = rank 1 + h(node, start, step) mod degree, dead ends truncate
+  // by inner join. All arithmetic in exact BIGINTs.
+  private def walkCtes(steps: Int, targetClusterSize: Long, maxK: Int,
+                       iterations: Int, scale: Long, dim: Int,
+                       k: Int): String = {
+    val hops = (1 to steps).map { s =>
+      s"""w$s AS MATERIALIZED (
+         |  SELECT w.start_id, CAST($s AS BIGINT) AS step, g.neighbor_id AS node_id
+         |  FROM w${s - 1} w
+         |  JOIN deg ON w.node_id = deg.vec_id
+         |  JOIN knn g ON g.vec_id = w.node_id
+         |   AND g.knn_rank = 1 + (w.node_id * 2654435761 + w.start_id * 69069
+         |                         + $s * 40503) % deg.d
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""${knnChain(targetClusterSize, maxK, iterations, scale, dim, k)}, deg AS MATERIALIZED (
+       |  SELECT vec_id, CAST(count(*) AS BIGINT) AS d FROM knn GROUP BY 1
+       |), w0 AS MATERIALIZED (
+       |  SELECT vec_id AS start_id, CAST(0 AS BIGINT) AS step,
+       |    vec_id AS node_id FROM deg
+       |), $hops, wall AS (
+       |  ${(0 to steps).map(s => s"SELECT start_id, step, node_id FROM w$s")
+            .mkString("\n  UNION ALL ")}
+       |)""".stripMargin
+  }
+
+  def q263Sql(steps: Int = 8, targetClusterSize: Long = 2500L,
+              maxK: Int = 4096, iterations: Int = 5,
+              scale: Long = 1000000L, dim: Int = 64, k: Int = 5): String =
+    s"""WITH ${walkCtes(steps, targetClusterSize, maxK, iterations, scale, dim, k)}
+       |SELECT start_id, step, node_id FROM wall""".stripMargin
+
+  def q264Sql(steps: Int = 8, window: Int = 2,
+              targetClusterSize: Long = 2500L, maxK: Int = 4096,
+              iterations: Int = 5, scale: Long = 1000000L, dim: Int = 64,
+              k: Int = 5): String =
+    s"""WITH ${walkCtes(steps, targetClusterSize, maxK, iterations, scale, dim, k)}
+       |SELECT a.node_id AS src_type, b.node_id AS dst_type,
+       |  CAST(b.step - a.step AS BIGINT) AS gap, count(*) AS n_pairs
+       |FROM wall a JOIN wall b
+       |  ON a.start_id = b.start_id AND b.step > a.step
+       | AND b.step <= a.step + $window
+       |GROUP BY 1, 2, 3""".stripMargin
+
   // ---- q235: semantic clusters — the mutual pairs closed with a
   // recursive CTE (exact components, the q98 discipline), singletons
   // clustering as themselves.

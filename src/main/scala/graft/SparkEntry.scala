@@ -3963,6 +3963,28 @@ object SparkEntry {
     s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 4), schema)
   }
 
+  // ---- q263: deterministic random-walk corpus over the k-NN graph —
+  //      the DeepWalk data-generation step (Perozzi et al. 2014) made
+  //      reproducible: every node starts an 8-hop walk whose next edge
+  //      is a seeded congruential draw over its ranked neighbors, so
+  //      the walk table is a pure function of the graph (replayable,
+  //      shardable, oracle-verifiable hop for hop). Dead ends truncate
+  //      identically in both engines. ----
+  private def q263(s: SparkSession, dir: String): DataFrame =
+    operators.KnnGraph.deterministicWalks(knnGraphLocal(s, dir),
+      "vec_id", steps = 8)
+
+  // ---- q264: skip-gram training pairs over the q263 walks — the
+  //      composition that IS node-embedding data generation (walks ×
+  //      windows = DeepWalk's corpus): start_id keys the sequence,
+  //      node_id is the token, step orders it, and the q246 operator
+  //      runs unchanged over graph walks instead of event streams. ----
+  private def q264(s: SparkSession, dir: String): DataFrame =
+    ops.Sequences.skipGramPairs(
+      operators.KnnGraph.deterministicWalks(knnGraphLocal(s, dir),
+        "vec_id", steps = 8),
+      "start_id", "node_id", col("step"), col("step"), window = 2)
+
   // ---- q237: Borůvka minimum spanning forest over the mutual-kNN
   //      graph — the single-linkage dendrogram backbone (every
   //      agglomerative merge crosses an MSF edge; the HDBSCAN core).
@@ -4545,6 +4567,8 @@ object SparkEntry {
     "q260_ivf_delete"      -> q260 _,
     "q261_fleiss_kappa"    -> q261 _,
     "q262_stream_session_store" -> q262 _,
+    "q263_deepwalk"        -> q263 _,
+    "q264_walk_skipgrams"  -> q264 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -6330,6 +6354,12 @@ object SparkEntry {
         |FROM m LEFT JOIN ch ON m.source = ch.source""".stripMargin,
     // q234: the knn chain self-joined on swapped keys (mutual pairs).
     "q234_mutual_knn" -> OracleSqlGen.q234Sql(),
+    // q263: the walk table hop for hop — unrolled MATERIALIZED step
+    // CTEs over the knn chain, next hop by the same congruential draw.
+    "q263_deepwalk" -> OracleSqlGen.q263Sql(),
+    // q264: the q246 pair semantics over the walks (step differences
+    // equal rank gaps because truncation only shortens walk tails).
+    "q264_walk_skipgrams" -> OracleSqlGen.q264Sql(),
     // q235: the mutual pairs closed with a recursive CTE — exact
     // components both sides (fixpoint, not fixed-round).
     "q235_semantic_clusters" -> OracleSqlGen.q235Sql(),

@@ -81,6 +81,55 @@ object KnnGraph {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Deterministic random-walk corpus over the k-NN graph — the DeepWalk
+    * / node2vec data-generation step (Perozzi et al. 2014) re-expressed
+    * reproducibly: from every graph node, a `steps`-hop walk whose next
+    * edge is chosen by a SEEDED mixed-congruential draw over the node's
+    * ranked neighbor list (rank = 1 + h(node, start, step) mod degree),
+    * so the walk table is a pure function of the graph — replayable by
+    * any engine, shardable without coordination, and the oracle can
+    * verify it hop for hop. True pseudo-randomness would make the
+    * output untestable and non-resumable; the uniform-over-neighbors
+    * law is preserved (the multiplier is the Knuth 2⁶⁴ golden-ratio
+    * constant truncated to keep ANSI longs exact: node·2654435761 stays
+    * < 2⁶³ for any conceivable corpus id).
+    *
+    * The output composes directly with
+    * [[graft.ops.Sequences.skipGramPairs]] (start_id as the sequence
+    * key, node_id as the token, step as the order) — walks + skip-grams
+    * IS the node-embedding training-pair pipeline.
+    *
+    * Scale shape: `steps` equi-joins of the (linear-sized) walk frontier
+    * against the graph and its degree table — never a pair space; a
+    * dead-end node simply truncates its walk (inner join), identically
+    * in both engines. Output is nodes·(steps+1) rows, linear.
+    */
+  def deterministicWalks(graph: DataFrame, idCol: String, steps: Int,
+                         curMult: Long = 2654435761L,
+                         startMult: Long = 69069L,
+                         stepMult: Long = 40503L): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val deg = graph.groupBy(col(idCol).as("__node"))
+      .agg(count(lit(1)).as("__d"))
+    val g = graph.select(col(idCol).as("__src"), col("knn_rank").as("__r"),
+      col("neighbor_id").as("__dst"))
+    var frontier = deg.select(col("__node").as("start_id"),
+      lit(0L).as("step"), col("__node").as("node_id"))
+    val acc = scala.collection.mutable.ArrayBuffer(frontier)
+    for (s <- 1 to steps) {
+      val h = col("node_id") * lit(curMult) +
+        col("start_id") * lit(startMult) + lit(s.toLong) * lit(stepMult)
+      frontier = frontier
+        .join(deg, frontier("node_id") === deg("__node"))
+        .join(g, col("node_id") === col("__src") &&
+          col("__r") === lit(1L) + h % col("__d"))
+        .select(col("start_id"), lit(s.toLong).as("step"),
+          col("__dst").as("node_id"))
+      acc += frontier
+    }
+    acc.reduce(_ unionByName _)
+  }
+
   /** The per-hop edge probe: the walk state is driver-held, so the
     * frontier's node ids ride into the graph scan as a LITERAL In
     * filter — pushed to the parquet reader, where row-group min/max

@@ -109,6 +109,13 @@ SF1_ORACLE_PREFIXES = [
     # forest are the q238-form cost (~47 s each at sf1, cell-bounded
     # components).
     "q259_",
+    # round-17 families: q260 replays q32's IVF form on the surviving
+    # corpus (the q32 shape, compared at sf1 since round 9); q261 is a
+    # contingency aggregation (the q251 shape); q262 replays the q18
+    # window form at session grain; q263/q264 are 8 unrolled
+    # MATERIALIZED hop CTEs over the knn chain (linear walk table,
+    # n*(steps+1) rows) plus the q246-form pair join.
+    "q260_", "q261_", "q262_", "q263_", "q264_",
 ]
 
 # PROBE-CORPUS NOTE (2026-08-16): InflateProbeData's embedding replicas
