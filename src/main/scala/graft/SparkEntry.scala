@@ -3663,6 +3663,24 @@ object SparkEntry {
       when(sw < 2, 0L).when(sw < 4, 1L).otherwise(2L)))
   }
 
+  // ---- q266: majority-vote consensus + per-annotator accuracy — the
+  //      label-aggregation step before training (Dawid–Skene iteration
+  //      zero) over the q261 panel: each document's consensus is the
+  //      panel's plurality category (ties toward the smallest — a total
+  //      order, so deterministic), and each heuristic annotator scores
+  //      by agreement with it. Completes the annotation-audit family:
+  //      q251 grades pairs, q261 grades the panel, this grades EACH
+  //      RATER and emits the labels a trainer would consume. ----
+  private def q266(s: SparkSession, dir: String): DataFrame = {
+    val tc = TextFunctions.tokenCount(col("text"))
+    val sw = TextFunctions.stopwordCount(col("text"))
+    operators.Audit.majorityVote(Tables(s, dir).documents, "doc_id",
+      Seq("source"), Seq(
+        "chars" -> when(col("n_chars") < 216, 0L).when(col("n_chars") < 373, 1L).otherwise(2L),
+        "tokens" -> when(tc < 39, 0L).when(tc < 68, 1L).otherwise(2L),
+        "stopwords" -> when(sw < 2, 0L).when(sw < 4, 1L).otherwise(2L)))
+  }
+
   // ---- q254: quantile normalization onto a 100-point global grid —
   //      the batch-effect remover (Bolstad et al. 2003): each source's
   //      n_chars is replaced by the GLOBAL value at the grid rounding of
@@ -3984,6 +4002,26 @@ object SparkEntry {
       operators.KnnGraph.deterministicWalks(knnGraphLocal(s, dir),
         "vec_id", steps = 8),
       "start_id", "node_id", col("step"), col("step"), window = 2)
+
+  // ---- q265: retrieval evaluation (RR / P@k / R@k) — the IR-metrics
+  //      harness graded per query, every metric an exact ppm integer so
+  //      the whole report hash-gates (rr = 1e6 // first relevant rank;
+  //      the float conventions — MAP, nDCG's log2 — trade replayability
+  //      for weighting refinements). System = the q19 brute cosine
+  //      ranking at k=10; judgments = the embeddings' label column
+  //      (same-label = relevant, self excluded). ----
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val queries = emb.filter(col("vec_id") % 10 === 7)
+    val ranked = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 10)
+    val rel = queries.select(col("vec_id").as("q"), col("label").as("ql"))
+      .join(emb.select(col("vec_id").as("d"), col("label").as("dl")),
+        col("ql") === col("dl") && col("q") =!= col("d"))
+      .select(col("q"), col("d"))
+    operators.RetrievalEval.metrics(ranked, "query_id", "cand_id", "rank",
+      rel, "q", "d", k = 10)
+  }
 
   // ---- q237: Borůvka minimum spanning forest over the mutual-kNN
   //      graph — the single-linkage dendrogram backbone (every
@@ -4569,6 +4607,8 @@ object SparkEntry {
     "q262_stream_session_store" -> q262 _,
     "q263_deepwalk"        -> q263 _,
     "q264_walk_skipgrams"  -> q264 _,
+    "q265_retrieval_eval"  -> q265 _,
+    "q266_majority_vote"   -> q266 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -6217,6 +6257,39 @@ object SparkEntry {
         |  CAST(min(tsu) AS BIGINT) AS start_us, CAST(max(tsu) AS BIGINT) AS end_us,
         |  count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // q266: plurality per doc (ties toward the smallest category — the
+    // stated total order), each rater scored against it; `//` ≡
+    // IntegralDivide for acc_ppm.
+    "q266_majority_vote" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN n_chars < 216 THEN 0 WHEN n_chars < 373 THEN 1
+        |         ELSE 2 END AS a,
+        |    CASE WHEN len(regexp_extract_all(text, '\S+')) < 39 THEN 0
+        |         WHEN len(regexp_extract_all(text, '\S+')) < 68 THEN 1
+        |         ELSE 2 END AS b,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) < 2 THEN 0
+        |         WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) < 4 THEN 1
+        |         ELSE 2 END AS c
+        |  FROM documents
+        |), v AS (
+        |  SELECT doc_id, source, 'chars' AS rater, a AS cat FROM r
+        |  UNION ALL SELECT doc_id, source, 'tokens', b FROM r
+        |  UNION ALL SELECT doc_id, source, 'stopwords', c FROM r
+        |), cnt AS (
+        |  SELECT doc_id, cat, count(*) AS n FROM v GROUP BY 1, 2
+        |), maj AS (
+        |  SELECT doc_id, cat AS mcat FROM (
+        |    SELECT doc_id, cat, row_number() OVER
+        |      (PARTITION BY doc_id ORDER BY n DESC, cat ASC NULLS FIRST) AS rn
+        |    FROM cnt) WHERE rn = 1
+        |)
+        |SELECT v.source, v.rater, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN v.cat IS NOT DISTINCT FROM m.mcat THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |  CAST((1000000 * sum(CASE WHEN v.cat IS NOT DISTINCT FROM m.mcat THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS acc_ppm
+        |FROM v JOIN maj m USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
     // q257: the same cents reconstruction (floor(x·100 + 0.5) — the q01
     // exact-cents idiom), first digit via decimal string, exact counts,
     // ppm shares by floor division.
@@ -6360,6 +6433,38 @@ object SparkEntry {
     // q264: the q246 pair semantics over the walks (step differences
     // equal rank gaps because truncation only shortens walk tails).
     "q264_walk_skipgrams" -> OracleSqlGen.q264Sql(),
+    // q265: the q19 ranking replayed, judged by the label column; every
+    // metric a ppm floor division (`//` ≡ IntegralDivide).
+    "q265_retrieval_eval" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        |             label AS ql
+        |           FROM embeddings WHERE vec_id % 10 = 7),
+        |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv,
+        |        label AS cl FROM embeddings),
+        |s AS (SELECT query_id, cand_id, ql, cl,
+        |  round(list_dot_product(qv, cv)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+        |  FROM c, q WHERE query_id <> cand_id),
+        |r AS (SELECT query_id, cand_id, ql, cl, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank FROM s),
+        |topk AS (SELECT * FROM r WHERE rank <= 10),
+        |nrel AS (
+        |  SELECT q.query_id, CAST(count(c.cand_id) AS BIGINT) AS n_rel
+        |  FROM q LEFT JOIN c ON c.cl = q.ql AND c.cand_id <> q.query_id
+        |  GROUP BY 1),
+        |hits AS (
+        |  SELECT query_id,
+        |    CAST(count(CASE WHEN cl = ql THEN 1 END) AS BIGINT) AS n_rel_at_k,
+        |    CAST(min(CASE WHEN cl = ql THEN rank END) AS BIGINT) AS first_rel_rank
+        |  FROM topk GROUP BY 1)
+        |SELECT n.query_id, n.n_rel, coalesce(h.n_rel_at_k, 0) AS n_rel_at_k,
+        |  h.first_rel_rank,
+        |  coalesce(1000000 // h.first_rel_rank, 0) AS rr_ppm,
+        |  (1000000 * coalesce(h.n_rel_at_k, 0)) // 10 AS p_at_k_ppm,
+        |  CASE WHEN n.n_rel = 0 THEN NULL
+        |       ELSE (1000000 * coalesce(h.n_rel_at_k, 0)) // n.n_rel
+        |  END AS r_at_k_ppm
+        |FROM nrel n LEFT JOIN hits h USING (query_id)""".stripMargin,
     // q235: the mutual pairs closed with a recursive CTE — exact
     // components both sides (fixpoint, not fixed-round).
     "q235_semantic_clusters" -> OracleSqlGen.q235Sql(),

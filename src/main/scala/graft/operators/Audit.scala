@@ -191,4 +191,48 @@ object Audit {
               (r - lit(1L)) * col("chance")),
             (r - lit(1L)) * (nr * nr - col("chance")))))
   }
+
+  /** Majority-vote consensus labels plus per-annotator accuracy — the
+    * aggregation step every labeling pipeline runs before training
+    * (Dawid–Skene's iteration zero): each item's consensus is the
+    * category most of its raters chose, ties broken toward the SMALLEST
+    * category (a stated total order, so the consensus is deterministic
+    * and oracle-replayable), and each rater is scored by how often they
+    * match it — the per-annotator quality signal that decides whose
+    * labels to down-weight. All integers; acc_ppm is one floor division.
+    *
+    * Returns one row per (group, rater): (groupCols…, rater, n, n_match,
+    * acc_ppm). A null rating is a real category (matches a null
+    * consensus). `idCol` must identify items uniquely. Scale shape: one
+    * explode to raters·items rows, a per-item count (map-side combined —
+    * the per-item key is high-cardinality), one window over ≤ categories
+    * rows per item, and a broadcast-sized final report.
+    */
+  def majorityVote(df: DataFrame, idCol: String, groupCols: Seq[String],
+                   raters: Seq[(String, Column)]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(raters.size >= 2, "at least two raters")
+    require(raters.map(_._1).distinct.size == raters.size,
+      "rater names must be distinct")
+    val g = groupCols.map(col)
+    val votes = df.select((col(idCol).as("__id") +: g) :+
+        explode(array(raters.map { case (name, c) =>
+          struct(lit(name).as("rater"), c.as("__cat"))
+        }: _*)).as("__v"): _*)
+      .select((col("__id") +: g) :+ col("__v.rater").as("rater") :+
+        col("__v.__cat").as("__cat"): _*)
+    val cnt = votes.groupBy(col("__id"), col("__cat"))
+      .agg(count(lit(1)).as("__n"))
+    val maj = cnt.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+          .orderBy(col("__n").desc, col("__cat").asc_nulls_first)))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("__cat").as("__maj"))
+    votes.join(maj, Seq("__id"))
+      .groupBy((g :+ col("rater")): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__cat") <=> col("__maj"), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("acc_ppm", graft.functions.IntOps.intDiv(
+        lit(1000000L) * col("n_match"), col("n")))
+  }
 }

@@ -164,4 +164,37 @@ class AuditSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Long]("agree_pairs") == 12L && r.getAs[Long]("chance") == 72L)
     assert(r.getAs[Long]("kappa_ppm") == 1000000L)
   }
+
+  // ---- majority vote ----
+
+  test("majorityVote: plurality consensus, smallest-category tie-break, per-rater accuracy") {
+    // item 1: (0,0,1) → maj 0; item 2: (0,1,2) three-way tie → maj 0;
+    // item 3: (2,2,2) unanimous → maj 2.
+    val df = Seq((1L, "g", 0L, 0L, 1L), (2L, "g", 0L, 1L, 2L),
+      (3L, "g", 2L, 2L, 2L)).toDF("id", "g", "ra", "rb", "rc")
+    val got = Audit.majorityVote(df, "id", Seq("g"), Seq(
+        "A" -> col("ra"), "B" -> col("rb"), "C" -> col("rc")))
+      .collect().map(r => r.getString(1) -> r).toMap
+    // A matches items 1,2,3; B matches 1,3; C matches 3 only
+    assert(got("A").getAs[Long]("n_match") == 3L &&
+      got("A").getAs[Long]("acc_ppm") == 1000000L)
+    assert(got("B").getAs[Long]("n_match") == 2L &&
+      got("B").getAs[Long]("acc_ppm") == 666666L)
+    assert(got("C").getAs[Long]("n_match") == 1L &&
+      got("C").getAs[Long]("acc_ppm") == 333333L)
+    assert(got.values.forall(_.getAs[Long]("n") == 3L))
+  }
+
+  test("majorityVote: a null vote is a real category and can be the consensus") {
+    val df = Seq((1L, "g", Some(1L), None, None),
+      (2L, "g", Some(0L), Some(0L), Some(2L))).toDF("id", "g", "ra", "rb", "rc")
+    val got = Audit.majorityVote(df, "id", Seq("g"), Seq(
+        "A" -> col("ra"), "B" -> col("rb"), "C" -> col("rc")))
+      .collect().map(r => r.getString(1) -> r).toMap
+    // item 1's consensus is NULL (two abstains beat one vote): A matches
+    // only item 2, B matches both, C matches item 1 only
+    assert(got("A").getAs[Long]("n_match") == 1L)
+    assert(got("B").getAs[Long]("n_match") == 2L)
+    assert(got("C").getAs[Long]("n_match") == 1L)
+  }
 }

@@ -116,6 +116,10 @@ SF1_ORACLE_PREFIXES = [
     # MATERIALIZED hop CTEs over the knn chain (linear walk table,
     # n*(steps+1) rows) plus the q246-form pair join.
     "q260_", "q261_", "q262_", "q263_", "q264_",
+    # q265 replays the q19 brute form (50 queries x corpus, compared at
+    # sf1 since round 2) + integer metric arithmetic; q266 is the q261
+    # contingency shape with a per-item plurality window.
+    "q265_", "q266_",
 ]
 
 # PROBE-CORPUS NOTE (2026-08-16): InflateProbeData's embedding replicas
