@@ -1058,6 +1058,15 @@ object OracleSqlGen {
        |  AND db.node IN (SELECT node FROM vb)
        |GROUP BY 1, 2""".stripMargin
 
+  // ---- q267: harmonic closeness from the landmark table — the q224
+  // chain plus one exact-integer aggregate (each term 10⁶ // dist; sum
+  // CAST back to BIGINT — DuckDB widens BIGINT sums to HUGEINT).
+  def q267Sql(rounds: Int = 4, lmMaxPartkey: Long = 3L): String =
+    s"""${landmarkChain(rounds, lmMaxPartkey)}
+       |SELECT node, CAST(count(*) AS BIGINT) AS n_landmarks,
+       |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm
+       |FROM d$rounds WHERE dist > 0 GROUP BY 1""".stripMargin
+
   // ---- q220: weighted shortest paths — the q219 unroll with dist + w
   // in place of dist + 1: d_{k+1}(v) = min(d_k(v), min over in-edges
   // (u,v) of d_k(u) + w(u,v)). Edge weight = 1 + l_orderkey % 5,

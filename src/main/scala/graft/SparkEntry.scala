@@ -3444,6 +3444,32 @@ object SparkEntry {
     operators.Bfs.landmarkEstimates(s.table(table), ua, vb)
   }
 
+  // ---- q267: harmonic-closeness estimates from the landmark sketch —
+  //      centrality over the q224 pivots instead of all-pairs BFS (the
+  //      Eppstein–Wang estimator at fixed landmarks): per node,
+  //      Σ ⌊10⁶/d⌋ over reached landmarks — harmonic, because it is the
+  //      closeness that survives disconnected graphs (unreachables
+  //      contribute 0 by omission, not ∞). Every term an exact floor
+  //      division, so the estimate hash-gates; one aggregate over the
+  //      node-linear landmark table. ----
+  private def q267(s: SparkSession, dir: String): DataFrame =
+    operators.Bfs.harmonicFromLandmarks(q224(s, dir))
+
+  // ---- q268: l-diversity suppression — the homogeneity-attack
+  //      refinement over q67's k-anonymity: a group of k rows sharing
+  //      ONE sensitive value still discloses it, so release requires ≥ l
+  //      distinct sensitive values per quasi-identifier group. Same
+  //      one-shuffle window shape; the distinct count's state is
+  //      bounded by the sensitive attribute's cardinality. ----
+  private def q268(s: SparkSession, dir: String): DataFrame = {
+    val gen = Tables(s, dir).customer.select(
+      col("c_custkey"), col("c_mktsegment"),
+      ops.Anonymize.bandNumeric(col("c_acctbal"), 1000.0).as("bal_band"),
+      col("c_nationkey"))
+    ops.Anonymize.lDiversify(gen,
+      Seq(col("c_mktsegment"), col("bal_band")), col("c_nationkey"), l = 3)
+  }
+
   // ---- q226: onion layers — skyline DEPTH over q218's metric space:
   //      peel the Pareto front three times, so documents rank in
   //      quality TIERS (how a token budget larger than the front gets
@@ -4609,6 +4635,8 @@ object SparkEntry {
     "q264_walk_skipgrams"  -> q264 _,
     "q265_retrieval_eval"  -> q265 _,
     "q266_majority_vote"   -> q266 _,
+    "q267_harmonic_landmark" -> q267 _,
+    "q268_l_diversity"     -> q268 _,
   )
 
   /** Queries excluded from the BENCH suite (correctness gates unaffected
@@ -6076,6 +6104,8 @@ object SparkEntry {
     // q225: the q224 unroll plus the served min-sum estimate over the
     // part × supplier query grid.
     "q225_landmark_est" -> OracleSqlGen.q225Sql(),
+    // q267: the q224 chain + the exact harmonic aggregate.
+    "q267_harmonic_landmark" -> OracleSqlGen.q267Sql(rounds = 4, lmMaxPartkey = 3L),
     // q227: weighted snapshot+resume ≡ a cold 4-round run — q220's
     // unroll at the combined depth (2 saved + 2 resumed, seed parts < 5).
     "q227_weighted_resume" -> OracleSqlGen.q220Sql(rounds = 4, seedMaxPartkey = 5L),
@@ -6290,6 +6320,27 @@ object SparkEntry {
         |    // count(*) AS BIGINT) AS acc_ppm
         |FROM v JOIN maj m USING (doc_id)
         |GROUP BY 1, 2""".stripMargin,
+    // q268: the grouped distinct-sensitive count (null-safe group join,
+    // null sensitive counts as a real value — matching the engine's
+    // collect_set + null flag).
+    "q268_l_diversity" ->
+      """WITH g AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    c_nationkey
+        |  FROM customer
+        |), gs AS (
+        |  SELECT c_mktsegment, bal_band, CAST(count(*) AS BIGINT) AS group_size,
+        |    CAST(count(DISTINCT c_nationkey)
+        |      + (CASE WHEN count(*) > count(c_nationkey) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS distinct_sensitive
+        |  FROM g GROUP BY 1, 2
+        |)
+        |SELECT g.c_custkey, g.c_mktsegment, g.bal_band, g.c_nationkey,
+        |  gs.group_size, gs.distinct_sensitive
+        |FROM g JOIN gs ON g.c_mktsegment IS NOT DISTINCT FROM gs.c_mktsegment
+        |  AND g.bal_band IS NOT DISTINCT FROM gs.bal_band
+        |WHERE gs.distinct_sensitive >= 3""".stripMargin,
     // q257: the same cents reconstruction (floor(x·100 + 0.5) — the q01
     // exact-cents idiom), first digit via decimal string, exact counts,
     // ppm shares by floor division.

@@ -403,6 +403,26 @@ object Bfs {
         .agg((min(col("dist")) + 1L).as("dist")))
       .select(col("node"), col("lm"), col("dist"))
 
+  /** Harmonic-closeness estimates from a landmark table — centrality
+    * scored over the landmark SAMPLE instead of all-pairs BFS (the
+    * Eppstein–Wang estimator restricted to fixed pivots): per node,
+    * harmonic_ppm = Σ over landmarks at distance d > 0 of ⌊10⁶ / d⌋,
+    * plus the count of landmarks reached. Unreachable landmarks
+    * contribute 0 by omission (the harmonic convention — why harmonic,
+    * not classic closeness, is the disconnected-graph centrality), a
+    * node's own landmark row (d = 0) is excluded, and a node reaching
+    * no landmark at positive distance is absent. Each per-landmark term
+    * is an exact integer floor division, so the estimate hash-gates.
+    * One map-side-combined aggregate over the (already node-linear)
+    * landmark table.
+    */
+  def harmonicFromLandmarks(landmarkDists: DataFrame): DataFrame =
+    landmarkDists.filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_landmarks"),
+        sum(graft.functions.IntOps.intDiv(lit(1000000L), col("dist")))
+          .as("harmonic_ppm"))
+
   /** Distance ESTIMATES from a landmark table: for every (a, b) in
     * `aNodes` × `bNodes` reachable through a common landmark,
     * est(a, b) = min over landmarks of d(a, l) + d(l, b) — an upper

@@ -39,4 +39,30 @@ object Anonymize {
     df.withColumn("group_size", count(lit(1)).over(w))
       .filter(col("group_size") >= k)
   }
+
+  /** l-diversity suppression (Machanavajjhala et al. 2007) — the
+    * refinement k-anonymity misses: a group of k rows all sharing ONE
+    * sensitive value still discloses it (the homogeneity attack), so a
+    * row survives only if its quasi-identifier group carries at least
+    * `l` DISTINCT sensitive values. A null sensitive value counts as a
+    * real value (two groups differing only in "withheld vs stated" are
+    * genuinely diverse). Exposes `group_size` and `distinct_sensitive`.
+    *
+    * Same one-shuffle shape as [[kAnonymize]]; the distinct count rides
+    * the window as a collect_set whose state is bounded by the
+    * SENSITIVE attribute's per-group cardinality (the attribute being
+    * protected is low-cardinality by nature — that is why it leaks),
+    * never the group size.
+    */
+  def lDiversify(df: DataFrame, quasiCols: Seq[Column], sensitive: Column,
+                 l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(l > 0, "l must be positive")
+    val w = Window.partitionBy(quasiCols: _*)
+    df.withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("distinct_sensitive",
+        size(collect_set(sensitive).over(w)).cast("long") +
+          max(when(sensitive.isNull, 1L).otherwise(0L)).over(w))
+      .filter(col("distinct_sensitive") >= l)
+  }
 }

@@ -304,4 +304,17 @@ class BfsSpec extends AnyFunSuite with SparkSpec {
     assert(runOn(2000000L) == Map("a" -> 0L, "b" -> 1L))
     assert(runOn(1L) == Map("a" -> 0L, "b" -> 1L))
   }
+
+  test("harmonicFromLandmarks: exact floor terms, self-landmark excluded, unreached contribute by omission") {
+    // dists: node p at {1, 2, 3} to three landmarks; node q reaches one
+    // landmark at 4; landmark l1 itself has a d=0 self row (excluded)
+    val dists = Seq(("p", "l1", 1L), ("p", "l2", 2L), ("p", "l3", 3L),
+      ("q", "l2", 4L), ("l1", "l1", 0L), ("l1", "l2", 5L))
+      .toDF("node", "lm", "dist")
+    val got = Bfs.harmonicFromLandmarks(dists)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("p") == ((3L, 1000000L + 500000L + 333333L)))
+    assert(got("q") == ((1L, 250000L)))
+    assert(got("l1") == ((1L, 200000L)), "the d=0 self row must be excluded")
+  }
 }

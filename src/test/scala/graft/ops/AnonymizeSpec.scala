@@ -44,4 +44,39 @@ class AnonymizeSpec extends AnyFunSuite with SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges == 1, plan)
   }
+
+  // ---- l-diversity ----
+
+  private val sens = Seq(
+    // group (A, 0): 3 rows, sensitive {x, y, z} — diverse
+    (1L, "A", 0L, Some("x")), (2L, "A", 0L, Some("y")), (3L, "A", 0L, Some("z")),
+    // group (A, 1): 3 rows, all sensitive "x" — k-anonymous but HOMOGENEOUS
+    (4L, "A", 1L, Some("x")), (5L, "A", 1L, Some("x")), (6L, "A", 1L, Some("x")),
+    // group (B, 0): sensitive {x, null} — null is a real value, diverse at l=2
+    (7L, "B", 0L, Some("x")), (8L, "B", 0L, None),
+  ).toDF("id", "seg", "band", "nat")
+
+  test("lDiversify suppresses homogeneous groups k-anonymity keeps; null sensitive is a real value") {
+    val l3 = Anonymize.lDiversify(sens, Seq(col("seg"), col("band")),
+        col("nat"), l = 3)
+      .select(col("id"), col("distinct_sensitive")).as[(Long, Long)]
+      .collect().toMap
+    assert(l3.keySet == Set(1L, 2L, 3L), s"got $l3")
+    // the homogeneous (A,1) group passes k=3 anonymity but fails l=2
+    val k3ids = Anonymize.kAnonymize(sens, Seq(col("seg"), col("band")), k = 3)
+      .select(col("id")).as[Long].collect().toSet
+    assert(k3ids.contains(4L))
+    val l2 = Anonymize.lDiversify(sens, Seq(col("seg"), col("band")),
+        col("nat"), l = 2)
+      .select(col("id"), col("distinct_sensitive")).as[(Long, Long)]
+      .collect().toMap
+    assert(!l2.contains(4L), "homogeneous group must be suppressed at l=2")
+    assert(l2(7L) == 2L && l2(8L) == 2L, "null must count as a distinct sensitive value")
+  }
+
+  test("lDiversify is one Exchange too") {
+    val plan = Anonymize.lDiversify(sens, Seq(col("seg"), col("band")),
+      col("nat"), l = 2).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
 }

@@ -120,6 +120,9 @@ SF1_ORACLE_PREFIXES = [
     # sf1 since round 2) + integer metric arithmetic; q266 is the q261
     # contingency shape with a per-item plurality window.
     "q265_", "q266_",
+    # q267 is the q224 landmark chain (compared at sf1 since round 14)
+    # plus one exact aggregate; q268 is a grouped distinct count + join.
+    "q267_", "q268_",
 ]
 
 # PROBE-CORPUS NOTE (2026-08-16): InflateProbeData's embedding replicas
