@@ -3323,10 +3323,16 @@ object SparkEntry {
     val seeds = li.filter(col("l_partkey") < 5)
       .select(concat(lit("p"), col("l_partkey").cast("string")).as("node"))
       .distinct()
-    val snap = operators.Bfs.hopDistances(edges, "src", "dst", seeds, rounds = 2)
-    operators.Bfs.saveDistances(s, snap, "graft_bfs_snapshot")
-    operators.Bfs.resumeDistances(edges, "src", "dst",
-      s.table("graft_bfs_snapshot"), rounds = 3)
+    // one graph build serves both walks (dictionary + adjacency are a
+    // pure function of the unchanged edge list; the snapshot still
+    // round-trips through the saved table, so resume ≡ cold is what the
+    // oracle verifies)
+    val g = operators.Bfs.buildHopGraph(edges, "src", "dst")
+    try {
+      val snap = g.distances(seeds, rounds = 2)
+      operators.Bfs.saveDistances(s, snap, "graft_bfs_snapshot")
+      g.resumeFrom(s.table("graft_bfs_snapshot"), rounds = 3)
+    } finally g.close()
   }
 
   // ---- q222: PER-GROUP Pareto front — the curation-facing variant of
@@ -3508,11 +3514,14 @@ object SparkEntry {
     val seeds = li.filter(col("l_partkey") < 5)
       .select(concat(lit("p"), col("l_partkey").cast("string")).as("node"))
       .distinct()
-    val snap = operators.Bfs.weightedDistances(edges, "src", "dst", "w",
-      seeds, rounds = 2)
-    operators.Bfs.saveDistances(s, snap, "graft_wbfs_snapshot")
-    operators.Bfs.resumeWeightedDistances(edges, "src", "dst", "w",
-      s.table("graft_wbfs_snapshot"), rounds = 2)
+    // one weighted graph build serves both walks (the q221 discipline);
+    // the snapshot still round-trips through the saved table
+    val g = operators.Bfs.buildWeightedGraph(edges, "src", "dst", "w")
+    try {
+      val snap = g.distances(seeds, rounds = 2)
+      operators.Bfs.saveDistances(s, snap, "graft_wbfs_snapshot")
+      g.resumeFrom(s.table("graft_wbfs_snapshot"), rounds = 2)
+    } finally g.close()
   }
 
   // ---- q228: cluster-local k-NN graph — the neighbor artifact that

@@ -51,29 +51,137 @@ object Bfs {
                    seeds: DataFrame, rounds: Int,
                    broadcastMaxNodes: Long = 2000000L): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val g = buildHopGraph(edges, srcCol, dstCol, broadcastMaxNodes)
+    // driver-path walks are eager (local-row results), so closing after
+    // the walk is safe; the fallback handle holds no caches to close
+    try g.distances(seeds, rounds) finally g.close()
+  }
+
+  /** Node dictionary + cached driver-CSR adjacency built ONCE and shared
+    * by every walk a caller runs over the same unchanged graph — the
+    * snapshot+resume gates run two walks back to back, and rebuilding
+    * the dictionary and adjacency for the second walk duplicated every
+    * build shuffle (guide §2.4: remove shuffles outright). Graphs above
+    * `broadcastMaxNodes` get a fallback handle that delegates each walk
+    * to the distributed relax unchanged (no shared state — per-walk cost
+    * is already the honest shape there, and the walk results stay lazy).
+    *
+    * Build-path economy vs the pre-handle entry points: the raw edge
+    * projection feeds [[PageRank.adjacencyPlan]] DIRECTLY — the dedup
+    * rides the adjacency's one int-keyed exchange, so the old upstream
+    * string-keyed `distinct()` exchange (which adjacencyPlan then
+    * re-deduped) is gone entirely.
+    *
+    * Lifecycle: driver-path walks are EAGER (state in driver arrays,
+    * results local-row frames), so the handle's only distributed residue
+    * is the cached adjacency RDD — [[HopGraph.close]] releases it after
+    * the last walk. The harness's Storage.releaseAll sweeps a leaked one.
+    */
+  def buildHopGraph(edges: DataFrame, srcCol: String, dstCol: String,
+                    broadcastMaxNodes: Long = 2000000L): HopGraph = {
     val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val nodes0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes0 = eRaw.select(col("src").as("node"))
+      .union(eRaw.select(col("dst").as("node"))).distinct().persist()
     val n = nodes0.count()
+    val nodeType = nodes0.schema.fields(0).dataType
     if (n == 0) {
-      val out = nodes0.withColumn("dist", lit(0L)).limit(0)
       nodes0.unpersist(blocking = false)
-      return out
+      return new HopGraph(spark, eRaw, nodeType, None, 0L)
     }
-    val seedDf = typedSeeds(e, seeds)
     if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L)) {
-      val seedVals: Set[Any] = seedDf.collect().map(_.get(0)).toSet
-      require(seedVals.nonEmpty, "seeds must be non-empty")
-      driverState(spark, e, nodes0, n.toInt, rounds,
-        nodeVals => Array.tabulate(n.toInt)(j =>
-          if (seedVals.contains(nodeVals(j))) 0L else INF))
+      val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
+      nodes0.unpersist(blocking = false)
+      val (srcIds, dstIds) = idFrames(spark, nodeVals, nodeType)
+      val adj: org.apache.spark.rdd.RDD[(Int, Array[Int])] =
+        PageRank.adjacencyPlan(eRaw, srcIds, dstIds)
+          .rdd.map(r => (r.getInt(0), r.getSeq[Int](1).toArray))
+      adj.cache()
+      adj.count()
+      new HopGraph(spark, eRaw, nodeType, Some((nodeVals, adj)), n)
     } else {
       nodes0.unpersist(blocking = false)
-      require(!seedDf.isEmpty, "seeds must be non-empty")
-      distributedState(spark, e, seedsFrame(e, seedDf), rounds)
+      new HopGraph(spark, eRaw, nodeType, None, n)
     }
   }
+
+  /** The prebuilt-graph handle for hop (w ≡ 1) walks — see
+    * [[buildHopGraph]]. Every walk is bit-identical to the one-shot
+    * entry points (same dictionary, same adjacency recurrence).
+    */
+  final class HopGraph private[operators] (
+      spark: SparkSession, eRaw: DataFrame,
+      nodeType: org.apache.spark.sql.types.DataType,
+      csr: Option[(Array[Any], org.apache.spark.rdd.RDD[(Int, Array[Int])])],
+      n: Long) {
+
+    /** [[Bfs.hopDistances]] over the prebuilt graph. */
+    def distances(seeds: DataFrame, rounds: Int): DataFrame = {
+      require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+      if (n == 0) return emptyOut(spark, nodeType)
+      csr match {
+        case Some((nodeVals, adj)) =>
+          val seedVals = typedSeedVals(seeds, nodeType)
+          require(seedVals.nonEmpty, "seeds must be non-empty")
+          csrRounds(spark, nodeVals, nodeType, adj, rounds,
+            Array.tabulate(n.toInt)(j =>
+              if (seedVals.contains(nodeVals(j))) 0L else INF))
+        case None =>
+          val e = eRaw.distinct()
+          val seedDf = typedSeeds(e, seeds)
+          require(!seedDf.isEmpty, "seeds must be non-empty")
+          distributedState(spark, e, seedsFrame(e, seedDf), rounds)
+      }
+    }
+
+    /** [[Bfs.resumeDistances]] over the prebuilt graph. */
+    def resumeFrom(prior: DataFrame, rounds: Int): DataFrame = {
+      require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+      if (n == 0) return emptyOut(spark, nodeType)
+      val p = prior.select(
+        col("node").cast(nodeType).as("node"),
+        col("dist").cast(LongType).as("dist"))
+      csr match {
+        case Some((nodeVals, adj)) =>
+          val m: Map[Any, Long] = p.collect()
+            .map(r => (r.get(0), r.getLong(1))).toMap
+          csrRounds(spark, nodeVals, nodeType, adj, rounds,
+            Array.tabulate(n.toInt)(j => m.getOrElse(nodeVals(j), INF)))
+        case None =>
+          val e = eRaw.distinct()
+          val d0 = e.select(col("src").as("node"))
+            .union(e.select(col("dst").as("node"))).distinct()
+            .join(p, Seq("node")).select(col("node"), col("dist"))
+          distributedState(spark, e, d0, rounds)
+      }
+    }
+
+    /** Release the cached adjacency (driver path only; no-op otherwise). */
+    def close(): Unit = csr.foreach(_._2.unpersist(blocking = false))
+  }
+
+  /** Dictionary frames for the driver-CSR id mapping. */
+  private def idFrames(spark: SparkSession, nodeVals: Array[Any],
+                       nodeType: org.apache.spark.sql.types.DataType)
+      : (DataFrame, DataFrame) = {
+    import scala.jdk.CollectionConverters._
+    val idRows: java.util.List[org.apache.spark.sql.Row] =
+      nodeVals.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(v, i) }.toSeq.asJava
+    val idSchema = StructType(Seq(
+      StructField("node", nodeType, nullable = true),
+      StructField("id", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val srcIds = spark.createDataFrame(idRows, idSchema)
+    (srcIds, srcIds.select(col("node").as("node2"), col("id").as("id2")))
+  }
+
+  private def emptyOut(spark: SparkSession,
+                       nodeType: org.apache.spark.sql.types.DataType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("node", nodeType, nullable = true),
+        StructField("dist", LongType, nullable = false))))
 
   /** The seed frame cast to the NODE column's type before any matching:
     * the driver path compares with strict runtime equality
@@ -89,6 +197,15 @@ object Bfs {
         .cast(e.schema.fields(0).dataType).as("node"))
       .filter(col("node").isNotNull).distinct()
 
+  /** [[typedSeeds]] collected for the driver path (same cast-then-match
+    * discipline, keyed on the node type directly).
+    */
+  private def typedSeedVals(seeds: DataFrame,
+                            nodeType: org.apache.spark.sql.types.DataType): Set[Any] =
+    seeds.select(col(seeds.columns.head).cast(nodeType).as("node"))
+      .filter(col("node").isNotNull).distinct()
+      .collect().map(_.get(0)).toSet
+
   /** Initial reached frame for the distributed path: graph nodes in the
     * seed set, at distance 0. Seeds stay a FRAME on this path (semi-join,
     * broadcast when small): this is the branch for graphs too large for
@@ -103,30 +220,16 @@ object Bfs {
       .withColumn("dist", lit(0L))
 
   /** Driver-CSR rounds from an arbitrary initial distance vector (INF =
-    * unreached). `init` receives the node dictionary in id order.
+    * unreached) over a prebuilt cached adjacency. The adjacency stays
+    * cached — its lifetime belongs to the [[HopGraph]] handle.
     */
-  private def driverState(spark: SparkSession, e: DataFrame,
-                          nodes0: DataFrame, n: Int, rounds: Int,
-                          init: Array[Any] => Array[Long]): DataFrame = {
+  private def csrRounds(spark: SparkSession, nodeVals: Array[Any],
+                        nodeType: org.apache.spark.sql.types.DataType,
+                        adj: org.apache.spark.rdd.RDD[(Int, Array[Int])],
+                        rounds: Int, init: Array[Long]): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
-    nodes0.unpersist(blocking = false)
-    val nodeType = nodes0.schema.fields(0).dataType
-    val idRows: java.util.List[org.apache.spark.sql.Row] =
-      nodeVals.zipWithIndex.map { case (v, i) =>
-        org.apache.spark.sql.Row(v, i) }.toSeq.asJava
-    val idSchema = StructType(Seq(
-      StructField("node", nodeType, nullable = true),
-      StructField("id", org.apache.spark.sql.types.IntegerType, nullable = false)))
-    val srcIds = spark.createDataFrame(idRows, idSchema)
-    val dstIds = srcIds.select(col("node").as("node2"), col("id").as("id2"))
-    val adj: org.apache.spark.rdd.RDD[(Int, Array[Int])] =
-      PageRank.adjacencyPlan(e, srcIds, dstIds)
-        .rdd.map(r => (r.getInt(0), r.getSeq[Int](1).toArray))
-    adj.cache()
-    adj.count()
-
-    var dist = init(nodeVals)
+    val n = nodeVals.length
+    var dist = init
     var r = 0
     while (r < rounds) {
       val bc = spark.sparkContext.broadcast(dist)
@@ -149,7 +252,6 @@ object Bfs {
       dist = next
       r += 1
     }
-    adj.unpersist(blocking = false)
     val outRows: java.util.List[org.apache.spark.sql.Row] =
       (0 until n).iterator.filter(dist(_) != INF)
         .map(i => org.apache.spark.sql.Row(nodeVals(i), dist(i)))
@@ -291,11 +393,14 @@ object Bfs {
                         broadcastMaxNodes: Long = 2000000L): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val nodes0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    // raw projection: the driver path's adjacency build dedups inside its
+    // one int-keyed exchange, so no upstream string distinct (the
+    // buildHopGraph economy); the distributed branch distincts below.
+    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes0 = eRaw.select(col("src").as("node"))
+      .union(eRaw.select(col("dst").as("node"))).distinct().persist()
     val n = nodes0.count()
-    val lmDf = typedSeeds(e, landmarks)
+    val lmDf = typedSeeds(eRaw, landmarks)
     val lmVals: Array[Any] = lmDf.collect().map(_.get(0))
     require(lmVals.nonEmpty, "landmarks must be non-empty")
     if (n == 0) {
@@ -305,9 +410,10 @@ object Bfs {
       return out
     }
     if (n * lmVals.length <= math.min(broadcastMaxNodes, Int.MaxValue - 8L))
-      landmarkDriverState(spark, e, nodes0, n.toInt, lmVals, rounds)
+      landmarkDriverState(spark, eRaw, nodes0, n.toInt, lmVals, rounds)
     else {
       nodes0.unpersist(blocking = false)
+      val e = eRaw.distinct()
       val nodesDf = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
       val d0 = nodesDf.join(lmDf.select(col("node").as("lm")),
@@ -324,14 +430,7 @@ object Bfs {
     val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
     nodes0.unpersist(blocking = false)
     val nodeType = nodes0.schema.fields(0).dataType
-    val idRows: java.util.List[org.apache.spark.sql.Row] =
-      nodeVals.zipWithIndex.map { case (v, i) =>
-        org.apache.spark.sql.Row(v, i) }.toSeq.asJava
-    val idSchema = StructType(Seq(
-      StructField("node", nodeType, nullable = true),
-      StructField("id", org.apache.spark.sql.types.IntegerType, nullable = false)))
-    val srcIds = spark.createDataFrame(idRows, idSchema)
-    val dstIds = srcIds.select(col("node").as("node2"), col("id").as("id2"))
+    val (srcIds, dstIds) = idFrames(spark, nodeVals, nodeType)
     val adj: org.apache.spark.rdd.RDD[(Int, Array[Int])] =
       PageRank.adjacencyPlan(e, srcIds, dstIds)
         .rdd.map(r => (r.getInt(0), r.getSeq[Int](1).toArray))
@@ -474,36 +573,150 @@ object Bfs {
                         weightCol: String, seeds: DataFrame, rounds: Int,
                         broadcastMaxNodes: Long = 2000000L): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val g = buildWeightedGraph(edges, srcCol, dstCol, weightCol,
+      broadcastMaxNodes)
+    try g.distances(seeds, rounds) finally g.close()
+  }
+
+  /** [[buildHopGraph]]'s weighted sibling: dictionary + cached weighted
+    * CSR built once, walks (cold or resumed) run over it. The parallel-
+    * edge MIN collapse rides the adjacency's one int-keyed exchange
+    * ([[weightedAdjacencyPlan]]) instead of a separate upstream
+    * string-keyed groupBy exchange; the positive-weight check runs on
+    * the raw edges (same min — collapse takes minima), and the overflow
+    * bound uses the collapsed maximum read off the cached adjacency
+    * (identical to the old post-collapse bound).
+    */
+  def buildWeightedGraph(edges: DataFrame, srcCol: String, dstCol: String,
+                         weightCol: String,
+                         broadcastMaxNodes: Long = 2000000L): WeightedGraph = {
     val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-        col(weightCol).cast(LongType).as("w"))
-      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-    val nodes0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast(LongType).as("w"))
+    val nodes0 = eRaw.select(col("src").as("node"))
+      .union(eRaw.select(col("dst").as("node"))).distinct().persist()
     val n = nodes0.count()
+    val nodeType = nodes0.schema.fields(0).dataType
     if (n == 0) {
-      val out = nodes0.withColumn("dist", lit(0L)).limit(0)
       nodes0.unpersist(blocking = false)
-      return out
+      return new WeightedGraph(spark, eRaw, nodeType, None, 0L, 0L)
     }
-    val wStats = e.agg(min(col("w")).as("lo"), max(col("w")).as("hi")).head()
+    val wStats = eRaw.agg(min(col("w")).as("lo"), max(col("w")).as("hi")).head()
     require(!wStats.isNullAt(0) && wStats.getLong(0) >= 1L,
       s"edge weights must be positive longs, found min ${wStats.get(0)}")
-    val maxW = wStats.getLong(1)
-    require(rounds == 0 || maxW <= (Long.MaxValue - 1L) / rounds,
-      s"rounds*maxWeight would overflow: rounds=$rounds maxW=$maxW")
-    val seedDf = typedSeeds(e, seeds)
     if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L)) {
-      val seedVals: Set[Any] = seedDf.collect().map(_.get(0)).toSet
-      require(seedVals.nonEmpty, "seeds must be non-empty")
-      weightedDriverState(spark, e, nodes0, n.toInt, rounds,
-        nodeVals => Array.tabulate(n.toInt)(j =>
-          if (seedVals.contains(nodeVals(j))) 0L else INF))
+      val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
+      nodes0.unpersist(blocking = false)
+      val (srcIds, dstIds) = idFrames(spark, nodeVals, nodeType)
+      val adj: org.apache.spark.rdd.RDD[(Int, Array[Int], Array[Long])] =
+        weightedAdjacencyPlan(eRaw, srcIds, dstIds)
+          .rdd.map { r =>
+            val ins = r.getSeq[org.apache.spark.sql.Row](1)
+            val sids = new Array[Int](ins.length)
+            val ws = new Array[Long](ins.length)
+            var j = 0
+            ins.foreach { x => sids(j) = x.getInt(0); ws(j) = x.getLong(1); j += 1 }
+            (r.getInt(0), sids, ws)
+          }
+      adj.cache()
+      adj.count()
+      // collapsed max weight, one pass over the cached CSR — the bound
+      // the old post-collapse agg computed
+      val maxW = adj.map { case (_, _, ws) =>
+        var m = 0L; var j = 0
+        while (j < ws.length) { if (ws(j) > m) m = ws(j); j += 1 }
+        m
+      }.fold(0L)(math.max)
+      new WeightedGraph(spark, eRaw, nodeType, Some((nodeVals, adj)), n, maxW)
     } else {
       nodes0.unpersist(blocking = false)
-      require(!seedDf.isEmpty, "seeds must be non-empty")
-      weightedDistributedState(spark, e, seedsFrame(e, seedDf), rounds)
+      new WeightedGraph(spark, eRaw, nodeType, None, n, wStats.getLong(1))
     }
+  }
+
+  /** Weighted sibling of [[PageRank.adjacencyPlan]] — the same two
+    * broadcast id joins and ONE did-partitioned exchange; the parallel-
+    * edge MIN collapse is the (did, sid) aggregate riding that exchange
+    * (its distribution is satisfied by the did partitioning, so no
+    * second exchange appears — PlanSpec pins it).
+    */
+  private[graft] def weightedAdjacencyPlan(e: DataFrame, srcIds: DataFrame,
+                                           dstIds: DataFrame): DataFrame = e
+    .join(broadcast(srcIds), e("src") === srcIds("node"))
+    .join(broadcast(dstIds), e("dst") === dstIds("node2"))
+    .select(col("id").as("sid"), col("id2").as("did"), col("w"))
+    .repartition(col("did"))
+    .groupBy(col("did"), col("sid")).agg(min(col("w")).as("w"))
+    .groupBy(col("did"))
+    .agg(collect_list(struct(col("sid"), col("w"))).as("ins"))
+
+  /** The prebuilt-graph handle for weighted (min-plus) walks — see
+    * [[buildWeightedGraph]].
+    */
+  final class WeightedGraph private[operators] (
+      spark: SparkSession, eRaw: DataFrame,
+      nodeType: org.apache.spark.sql.types.DataType,
+      csr: Option[(Array[Any],
+                   org.apache.spark.rdd.RDD[(Int, Array[Int], Array[Long])])],
+      n: Long, maxW: Long) {
+
+    /** [[Bfs.weightedDistances]] over the prebuilt graph. */
+    def distances(seeds: DataFrame, rounds: Int): DataFrame = {
+      require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+      if (n == 0) return emptyOut(spark, nodeType)
+      require(rounds == 0 || maxW <= (Long.MaxValue - 1L) / rounds,
+        s"rounds*maxWeight would overflow: rounds=$rounds maxW=$maxW")
+      csr match {
+        case Some((nodeVals, adj)) =>
+          val seedVals = typedSeedVals(seeds, nodeType)
+          require(seedVals.nonEmpty, "seeds must be non-empty")
+          csrRoundsWeighted(spark, nodeVals, nodeType, adj, rounds,
+            Array.tabulate(n.toInt)(j =>
+              if (seedVals.contains(nodeVals(j))) 0L else INF))
+        case None =>
+          val e = collapsed
+          val seedDf = typedSeeds(e, seeds)
+          require(!seedDf.isEmpty, "seeds must be non-empty")
+          weightedDistributedState(spark, e, seedsFrame(e, seedDf), rounds)
+      }
+    }
+
+    /** [[Bfs.resumeWeightedDistances]] over the prebuilt graph. */
+    def resumeFrom(prior: DataFrame, rounds: Int): DataFrame = {
+      require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+      if (n == 0) return emptyOut(spark, nodeType)
+      val p = prior.select(
+        col("node").cast(nodeType).as("node"),
+        col("dist").cast(LongType).as("dist"))
+      val maxPriorRow = p.agg(max(col("dist"))).head()
+      val maxPrior = if (maxPriorRow.isNullAt(0)) 0L else maxPriorRow.getLong(0)
+      require(maxPrior >= 0L, s"snapshot distances must be >= 0, max $maxPrior")
+      require(rounds == 0 || maxW <= (Long.MaxValue - 1L - maxPrior) / rounds,
+        s"maxPrior + rounds*maxWeight would overflow: " +
+          s"maxPrior=$maxPrior rounds=$rounds maxW=$maxW")
+      csr match {
+        case Some((nodeVals, adj)) =>
+          val m: Map[Any, Long] = p.collect()
+            .map(r => (r.get(0), r.getLong(1))).toMap
+          csrRoundsWeighted(spark, nodeVals, nodeType, adj, rounds,
+            Array.tabulate(n.toInt)(j => m.getOrElse(nodeVals(j), INF)))
+        case None =>
+          val e = collapsed
+          val d0 = e.select(col("src").as("node"))
+            .union(e.select(col("dst").as("node"))).distinct()
+            .join(p, Seq("node")).select(col("node"), col("dist"))
+          weightedDistributedState(spark, e, d0, rounds)
+      }
+    }
+
+    /** Release the cached adjacency (driver path only; no-op otherwise). */
+    def close(): Unit = csr.foreach(_._2.unpersist(blocking = false))
+
+    /** The distributed branch's parallel-edge MIN collapse (the driver
+      * branch collapses inside the adjacency exchange instead).
+      */
+    private def collapsed: DataFrame =
+      eRaw.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
   }
 
   /** RESUME weighted (min-plus) relaxation from a prior reached frame —
@@ -518,89 +731,26 @@ object Bfs {
                               prior: DataFrame, rounds: Int,
                               broadcastMaxNodes: Long = 2000000L): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-        col(weightCol).cast(LongType).as("w"))
-      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-    val nodes0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val n = nodes0.count()
-    if (n == 0) {
-      val out = nodes0.withColumn("dist", lit(0L)).limit(0)
-      nodes0.unpersist(blocking = false)
-      return out
-    }
-    val wStats = e.agg(min(col("w")).as("lo"), max(col("w")).as("hi")).head()
-    require(!wStats.isNullAt(0) && wStats.getLong(0) >= 1L,
-      s"edge weights must be positive longs, found min ${wStats.get(0)}")
-    val maxW = wStats.getLong(1)
-    val p = prior.select(
-      col("node").cast(e.schema.fields(0).dataType).as("node"),
-      col("dist").cast(LongType).as("dist"))
-    val maxPriorRow = p.agg(max(col("dist"))).head()
-    val maxPrior = if (maxPriorRow.isNullAt(0)) 0L else maxPriorRow.getLong(0)
-    require(maxPrior >= 0L, s"snapshot distances must be >= 0, max $maxPrior")
-    require(rounds == 0 || maxW <= (Long.MaxValue - 1L - maxPrior) / rounds,
-      s"maxPrior + rounds*maxWeight would overflow: " +
-        s"maxPrior=$maxPrior rounds=$rounds maxW=$maxW")
-    if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L)) {
-      val m: Map[Any, Long] = p.collect()
-        .map(r => (r.get(0), r.getLong(1))).toMap
-      weightedDriverState(spark, e, nodes0, n.toInt, rounds,
-        nodeVals => Array.tabulate(n.toInt)(j =>
-          m.getOrElse(nodeVals(j), INF)))
-    } else {
-      nodes0.unpersist(blocking = false)
-      val d0 = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .join(p, Seq("node")).select(col("node"), col("dist"))
-      weightedDistributedState(spark, e, d0, rounds)
-    }
+    val g = buildWeightedGraph(edges, srcCol, dstCol, weightCol,
+      broadcastMaxNodes)
+    try g.resumeFrom(prior, rounds) finally g.close()
   }
 
-  private def weightedDriverState(spark: SparkSession, e: DataFrame,
-                                  nodes0: DataFrame, n: Int, rounds: Int,
-                                  init: Array[Any] => Array[Long]): DataFrame = {
+  /** Driver-CSR min-plus rounds over a prebuilt cached weighted
+    * adjacency — [[csrRounds]]' weighted sibling; raw d + w is exact
+    * because the caller checked the hoisted overflow bound.
+    */
+  private def csrRoundsWeighted(spark: SparkSession, nodeVals: Array[Any],
+                                nodeType: org.apache.spark.sql.types.DataType,
+                                adj: org.apache.spark.rdd.RDD[
+                                  (Int, Array[Int], Array[Long])],
+                                rounds: Int, init: Array[Long]): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
-    nodes0.unpersist(blocking = false)
-    val nodeType = nodes0.schema.fields(0).dataType
-    val idRows: java.util.List[org.apache.spark.sql.Row] =
-      nodeVals.zipWithIndex.map { case (v, i) =>
-        org.apache.spark.sql.Row(v, i) }.toSeq.asJava
-    val idSchema = StructType(Seq(
-      StructField("node", nodeType, nullable = true),
-      StructField("id", org.apache.spark.sql.types.IntegerType, nullable = false)))
-    val srcIds = spark.createDataFrame(idRows, idSchema)
-    val dstIds = srcIds.select(col("node").as("node2"), col("id").as("id2"))
-    // weighted in-adjacency: per destination, parallel (src id, weight)
-    // arrays — same broadcast-join build as adjacencyPlan, plus the
-    // weight riding along
-    val adj: org.apache.spark.rdd.RDD[(Int, Array[Int], Array[Long])] = e
-      .join(broadcast(srcIds), e("src") === srcIds("node"))
-      .join(broadcast(dstIds), e("dst") === dstIds("node2"))
-      .select(col("id").as("sid"), col("id2").as("did"), col("w"))
-      .repartition(col("did"))
-      .groupBy(col("did"))
-      .agg(collect_list(struct(col("sid"), col("w"))).as("ins"))
-      .rdd.map { r =>
-        val ins = r.getSeq[org.apache.spark.sql.Row](1)
-        val sids = new Array[Int](ins.length)
-        val ws = new Array[Long](ins.length)
-        var j = 0
-        ins.foreach { x => sids(j) = x.getInt(0); ws(j) = x.getLong(1); j += 1 }
-        (r.getInt(0), sids, ws)
-      }
-    adj.cache()
-    adj.count()
-
-    var dist = init(nodeVals)
+    val n = nodeVals.length
+    var dist = init
     var r = 0
     while (r < rounds) {
       val bc = spark.sparkContext.broadcast(dist)
-      // raw d + w is exact here: d <= (maxPrior +) rounds·maxW by
-      // induction and the caller checked that bound once (the hoisted
-      // proof)
       val mins = adj.map { case (did, sids, ws) =>
         val dv = bc.value
         var best = INF
@@ -618,7 +768,6 @@ object Bfs {
       dist = next
       r += 1
     }
-    adj.unpersist(blocking = false)
     val outRows: java.util.List[org.apache.spark.sql.Row] =
       (0 until n).iterator.filter(dist(_) != INF)
         .map(i => org.apache.spark.sql.Row(nodeVals(i), dist(i)))
@@ -670,34 +819,8 @@ object Bfs {
                       prior: DataFrame, rounds: Int,
                       broadcastMaxNodes: Long = 2000000L): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val nodes0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val n = nodes0.count()
-    if (n == 0) {
-      val out = nodes0.withColumn("dist", lit(0L)).limit(0)
-      nodes0.unpersist(blocking = false)
-      return out
-    }
-    val p = prior.select(
-      col("node").cast(e.schema.fields(0).dataType).as("node"),
-      col("dist").cast(LongType).as("dist"))
-    if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L)) {
-      // the snapshot is node-sized, which the driver path's contract
-      // already bounds
-      val m: Map[Any, Long] = p.collect()
-        .map(r => (r.get(0), r.getLong(1))).toMap
-      driverState(spark, e, nodes0, n.toInt, rounds,
-        nodeVals => Array.tabulate(n.toInt)(j =>
-          m.getOrElse(nodeVals(j), INF)))
-    } else {
-      nodes0.unpersist(blocking = false)
-      val d0 = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .join(p, Seq("node")).select(col("node"), col("dist"))
-      distributedState(spark, e, d0, rounds)
-    }
+    val g = buildHopGraph(edges, srcCol, dstCol, broadcastMaxNodes)
+    try g.resumeFrom(prior, rounds) finally g.close()
   }
 
   // ------------------------------------------------------------------

@@ -305,6 +305,61 @@ class BfsSpec extends AnyFunSuite with SparkSpec {
     assert(runOn(1L) == Map("a" -> 0L, "b" -> 1L))
   }
 
+  test("shared graph handle: one build, both walks ≡ the one-shot entry points") {
+    val rnd = new scala.util.Random(83)
+    val es = (0 until 400).map(_ =>
+      s"n${rnd.nextInt(60)}" -> s"n${rnd.nextInt(60)}").toDF("src", "dst")
+    val seeds = Seq("n0", "n17").toDF("node")
+    val coldSnap = Bfs.hopDistances(es, "src", "dst", seeds, rounds = 2)
+      .as[(String, Long)].collect().toMap
+    val cold5 = Bfs.hopDistances(es, "src", "dst", seeds, rounds = 5)
+      .as[(String, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    val g = Bfs.buildHopGraph(es, "src", "dst")
+    try {
+      val snap = g.distances(seeds, rounds = 2)
+      assert(snap.as[(String, Long)].collect().toMap == coldSnap)
+      Bfs.saveDistances(spark, snap, "graft_test_handle_snap")
+      val resumed = g.resumeFrom(spark.table("graft_test_handle_snap"), rounds = 3)
+        .as[(String, Long)].collect().toMap
+      assert(resumed == cold5)
+    } finally g.close()
+    graft.Storage.releaseAll(spark)
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, "graft_test_handle_snap")
+  }
+
+  test("shared weighted graph handle: one build, both walks ≡ the one-shot entry points") {
+    val rnd = new scala.util.Random(97)
+    // duplicate edges with differing weights exercise the in-exchange
+    // MIN collapse that replaced the upstream string-keyed groupBy
+    val es = (0 until 500).map(_ =>
+      (s"n${rnd.nextInt(50)}", s"n${rnd.nextInt(50)}", 1L + rnd.nextInt(9)))
+      .toDF("src", "dst", "w")
+    val seeds = Seq("n0", "n17").toDF("node")
+    val coldSnap = Bfs.weightedDistances(es, "src", "dst", "w", seeds, rounds = 2)
+      .as[(String, Long)].collect().toMap
+    val cold4 = Bfs.weightedDistances(es, "src", "dst", "w", seeds, rounds = 4)
+      .as[(String, Long)].collect().toMap
+    // driver ≡ distributed on the same duplicate-heavy graph (the
+    // distributed branch collapses upstream, the driver branch in the
+    // adjacency exchange — both must see the same min-weight graph)
+    val dist4 = Bfs.weightedDistances(es, "src", "dst", "w", seeds, rounds = 4,
+      broadcastMaxNodes = 1L).as[(String, Long)].collect().toMap
+    assert(dist4 == cold4)
+    graft.Storage.releaseAll(spark)
+    val g = Bfs.buildWeightedGraph(es, "src", "dst", "w")
+    try {
+      val snap = g.distances(seeds, rounds = 2)
+      assert(snap.as[(String, Long)].collect().toMap == coldSnap)
+      Bfs.saveDistances(spark, snap, "graft_test_handle_wsnap")
+      val resumed = g.resumeFrom(spark.table("graft_test_handle_wsnap"), rounds = 2)
+        .as[(String, Long)].collect().toMap
+      assert(resumed == cold4)
+    } finally g.close()
+    graft.Storage.releaseAll(spark)
+    graft.sources.Sinks.dropTableAndStaleLocation(spark, "graft_test_handle_wsnap")
+  }
+
   test("harmonicFromLandmarks: exact floor terms, self-landmark excluded, unreached contribute by omission") {
     // dists: node p at {1, 2, 3} to three landmarks; node q reaches one
     // landmark at 4; landmark l1 itself has a d=0 self row (excluded)
