@@ -360,6 +360,43 @@ class BfsSpec extends AnyFunSuite with SparkSpec {
     graft.sources.Sinks.dropTableAndStaleLocation(spark, "graft_test_handle_wsnap")
   }
 
+  test("refreshDistances: driver fixpoint ≡ distributed delta loop ≡ cold fixpoint on the grown graph") {
+    val rnd = new scala.util.Random(131)
+    val all = (0 until 500).map(_ =>
+      s"n${rnd.nextInt(70)}" -> s"n${rnd.nextInt(70)}")
+    val (oldE, newE) = all.splitAt(350)
+    val seeds = Seq("n0", "n17").toDF("node")
+    // prior = the fixpoint on the old subgraph (what the store would hold)
+    val prior = Bfs.hopDistancesToFixpoint(oldE.toDF("src", "dst"),
+      "src", "dst", seeds)
+    val priorMap = prior.as[(String, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    val grown = all.toDF("src", "dst")
+    val coldFix = Bfs.hopDistancesToFixpoint(grown, "src", "dst", seeds)
+      .as[(String, Long)].collect().toMap
+    graft.Storage.releaseAll(spark)
+    def refreshOn(maxNodes: Long): Map[String, Long] = {
+      var improved: Map[String, Long] = null
+      Bfs.refreshDistances(grown, "src", "dst", newE.toDF("src", "dst"),
+        seeds, Seq.empty[(String, Long)].toDF("node", "dist")
+          .unionByName(prior), maxNodes) { im =>
+        improved = im.as[(String, Long)].collect().toMap
+      }
+      graft.Storage.releaseAll(spark)
+      improved
+    }
+    val drv = refreshOn(2000000L)
+    val dst = refreshOn(1L)
+    assert(drv == dst, "driver and distributed refresh must emit identical improvements")
+    // prior min-merged with the improvements IS the cold fixpoint
+    val merged = priorMap ++ drv.map { case (k, v) =>
+      k -> math.min(v, priorMap.getOrElse(k, Long.MaxValue)) }
+    assert(merged == coldFix)
+    // and no emitted row is a non-improvement
+    drv.foreach { case (k, v) =>
+      assert(priorMap.get(k).forall(v < _), s"$k emitted without improving") }
+  }
+
   test("harmonicFromLandmarks: exact floor terms, self-landmark excluded, unreached contribute by omission") {
     // dists: node p at {1, 2, 3} to three landmarks; node q reaches one
     // landmark at 4; landmark l1 itself has a d=0 self row (excluded)
