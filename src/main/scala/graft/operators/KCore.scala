@@ -66,6 +66,103 @@ object KCore {
     canon.select(col("a").as("node"))
       .union(canon.select(col("b").as("node"))).distinct()
 
+  // ------------------------------------------------------------------
+  // Driver peel (the dictionary-CSR dual, gated on collected EDGE count)
+  // ------------------------------------------------------------------
+
+  /** Collected canonical graph for the driver peel: node dictionary +
+    * primitive-int adjacency. BOUNDED CONTRACT: entered only when the
+    * canonical edge count fits `driverMaxEdges` (the peel recurrence
+    * needs the whole induced-subgraph degree per round, so the unit of
+    * driver state here is the EDGE list, not just the node vector — the
+    * default 2M canonical edges is tens of MB of ints plus the
+    * dictionary). Above the budget the distributed peel runs unchanged.
+    */
+  private final case class DriverGraph(nodeVals: Array[Any],
+      nodeType: org.apache.spark.sql.types.DataType,
+      adj: Array[Array[Int]])
+
+  private def collectGraph(canonDf: DataFrame): DriverGraph = {
+    val rows = canonDf.collect()
+    val idx = new java.util.HashMap[Any, Integer]()
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def id(v: Any): Int = {
+      val e = idx.get(v)
+      if (e != null) e.intValue()
+      else { val i = vals.length; idx.put(v, i); vals += v; i }
+    }
+    val aIds = new Array[Int](rows.length)
+    val bIds = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      aIds(i) = id(rows(i).get(0)); bIds(i) = id(rows(i).get(1)); i += 1
+    }
+    val n = vals.length
+    val cnt = new Array[Int](n)
+    i = 0
+    while (i < rows.length) { cnt(aIds(i)) += 1; cnt(bIds(i)) += 1; i += 1 }
+    val adj = Array.tabulate(n)(j => new Array[Int](cnt(j)))
+    val fill = new Array[Int](n)
+    i = 0
+    while (i < rows.length) {
+      val a = aIds(i); val b = bIds(i)
+      adj(a)(fill(a)) = b; fill(a) += 1
+      adj(b)(fill(b)) = a; fill(b) += 1
+      i += 1
+    }
+    DriverGraph(vals.toArray, canonDf.schema.fields(0).dataType, adj)
+  }
+
+  /** [[peelFrom]] replayed on driver arrays: same round structure, same
+    * early exit (consecutive survivor counts equal ⇒ set stable ⇒
+    * remaining rounds are the identity). Returns the LAST EXECUTED
+    * round's input degrees and the survivor set — exactly what the
+    * distributed peel's (lastDeg, alive) pair holds.
+    */
+  private def peelDriver(g: DriverGraph, alive0: Array[Boolean], k: Int,
+                         rounds: Int): (Array[Long], Array[Boolean]) = {
+    val n = g.adj.length
+    var alive = alive0
+    var lastDeg = new Array[Long](n)
+    var nPrev = -1L
+    var r = 0
+    while (r < rounds) {
+      val deg = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        if (alive(v)) {
+          val nb = g.adj(v); var c = 0L; var j = 0
+          while (j < nb.length) { if (alive(nb(j))) c += 1; j += 1 }
+          deg(v) = c
+        }
+        v += 1
+      }
+      lastDeg = deg
+      val next = new Array[Boolean](n)
+      var cnt = 0L
+      v = 0
+      while (v < n) {
+        if (alive(v) && deg(v) >= k) { next(v) = true; cnt += 1 }
+        v += 1
+      }
+      alive = next
+      if (cnt == nPrev) r = rounds else { nPrev = cnt; r += 1 }
+    }
+    (lastDeg, alive)
+  }
+
+  private def rowsOut(spark: org.apache.spark.sql.SparkSession,
+                      g: DriverGraph, valueName: String,
+                      it: Iterator[(Int, Long)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[Row] =
+      it.map { case (v, d) => Row(g.nodeVals(v), d) }.toSeq.asJava
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", g.nodeType, nullable = true),
+      org.apache.spark.sql.types.StructField(valueName,
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** `rounds` peeling rounds at threshold k starting from `alive`;
     * returns the final degree frame (callers filter >= k for the
     * survivors). The shared core of [[peel]] and [[corenessCapped]].
@@ -113,10 +210,19 @@ object KCore {
     * the final round's input subgraph: (node, deg), deg >= k.
     */
   def peel(edges: DataFrame, srcCol: String, dstCol: String,
-           k: Int, rounds: Int): DataFrame = {
+           k: Int, rounds: Int, driverMaxEdges: Long = 2000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val (canon, _) = rebase(canonical(edges, srcCol, dstCol))
+    val (canon, canonRdd) = rebase(canonical(edges, srcCol, dstCol))
+    if (canon.count() <= driverMaxEdges) {
+      val g = collectGraph(canon)
+      canonRdd.unpersist(blocking = false)
+      val (lastDeg, alive) = peelDriver(g,
+        Array.fill(g.adj.length)(true), k, rounds)
+      return rowsOut(edges.sparkSession, g, "deg",
+        (0 until g.adj.length).iterator.filter(alive(_))
+          .map(v => (v, lastDeg(v))))
+    }
     val (a0, a0Rdd) = rebase(allNodes(canon))
     val res = peelFrom(canon, a0, a0Rdd, k, rounds)
     // the result reads the final DEGREE frame, not the survivor leaf —
@@ -134,8 +240,33 @@ object KCore {
     * carry kMax. Output: (node, coreness).
     */
   def corenessCapped(edges: DataFrame, srcCol: String, dstCol: String,
-                     kMax: Int, roundsPerK: Int): DataFrame = {
+                     kMax: Int, roundsPerK: Int,
+                     driverMaxEdges: Long = 2000000L): DataFrame = {
     require(kMax >= 1 && roundsPerK >= 1, "kMax and roundsPerK must be >= 1")
+    val (canon0, canon0Rdd) = rebase(canonical(edges, srcCol, dstCol))
+    if (canon0.count() <= driverMaxEdges) {
+      // driver sweep: the whole k = 1..kMax peel runs on collected
+      // arrays — the recurrence is identical level by level
+      // (KCoreSpec pins driver ≡ distributed), and the 36-round
+      // distributed sweep's per-round job floor disappears
+      val g = collectGraph(canon0)
+      canon0Rdd.unpersist(blocking = false)
+      val n = g.adj.length
+      var alive = Array.fill(n)(true)
+      val out = Vector.newBuilder[(Int, Long)]
+      for (k <- 1 to kMax) {
+        val (_, next) = peelDriver(g, alive, k, roundsPerK)
+        var v = 0
+        while (v < n) {
+          if (alive(v) && !next(v)) out += ((v, (k - 1).toLong))
+          v += 1
+        }
+        alive = next
+      }
+      var v = 0
+      while (v < n) { if (alive(v)) out += ((v, kMax.toLong)); v += 1 }
+      return rowsOut(edges.sparkSession, g, "coreness", out.result().iterator)
+    }
     // Bound the union chain's plan growth: every foldEvery levels the
     // accumulated removed-set union rebases onto ONE cached leaf (and
     // the superseded accumulator leaf is released), so the returned
@@ -143,7 +274,7 @@ object KCore {
     // — a kMax=1000 sweep plans the same as kMax=8 (KCoreSpec pins the
     // branch count). The fold is node-sized rows, never edges.
     val foldEvery = 8
-    val (canon, _) = rebase(canonical(edges, srcCol, dstCol))
+    val canon = canon0
     var (alive, aliveRdd) = rebase(allNodes(canon))
     var result: DataFrame = null
     var resultRdd: org.apache.spark.rdd.RDD[Row] = null
@@ -180,9 +311,32 @@ object KCore {
     * the call throws rather than return a non-core.
     */
   def core(edges: DataFrame, srcCol: String, dstCol: String,
-           k: Int, maxRounds: Int = 1000): DataFrame = {
+           k: Int, maxRounds: Int = 1000,
+           driverMaxEdges: Long = 2000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val (canon, _) = rebase(canonical(edges, srcCol, dstCol))
+    val (canon, canonRdd) = rebase(canonical(edges, srcCol, dstCol))
+    if (canon.count() <= driverMaxEdges) {
+      val g = collectGraph(canon)
+      canonRdd.unpersist(blocking = false)
+      val nNodes = g.adj.length
+      var alive = Array.fill(nNodes)(true)
+      var n = nNodes.toLong
+      var r = 0
+      while (r < maxRounds) {
+        val (deg, next) = peelDriver(g, alive, k, rounds = 1)
+        var cnt = 0L
+        var v = 0
+        while (v < nNodes) { if (next(v)) cnt += 1; v += 1 }
+        if (cnt == n)
+          return rowsOut(edges.sparkSession, g, "deg",
+            (0 until nNodes).iterator.filter(next(_)).map(v => (v, deg(v))))
+        alive = next
+        n = cnt
+        r += 1
+      }
+      throw new IllegalStateException(
+        s"k-core did not converge within $maxRounds rounds")
+    }
     var (alive, aliveRdd) = rebase(allNodes(canon))
     var n = alive.count()
     var degRdd: org.apache.spark.rdd.RDD[Row] = null

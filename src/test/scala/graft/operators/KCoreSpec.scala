@@ -92,6 +92,27 @@ class KCoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("driver peel ≡ distributed peel on a random graph, all entry points") {
+    val rnd = new scala.util.Random(173)
+    val df = (0 until 600).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)).toDF("src", "dst")
+    def m(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- Seq(2, 4); rounds <- Seq(1, 3, 8)) {
+      assert(m(KCore.peel(df, "src", "dst", k, rounds)) ==
+        m(KCore.peel(df, "src", "dst", k, rounds, driverMaxEdges = 0L)),
+        s"peel k=$k rounds=$rounds")
+      graft.Storage.releaseAll(spark)
+    }
+    assert(m(KCore.corenessCapped(df, "src", "dst", kMax = 5, roundsPerK = 4)) ==
+      m(KCore.corenessCapped(df, "src", "dst", kMax = 5, roundsPerK = 4,
+        driverMaxEdges = 0L)))
+    graft.Storage.releaseAll(spark)
+    assert(m(KCore.core(df, "src", "dst", 3)) ==
+      m(KCore.core(df, "src", "dst", 3, driverMaxEdges = 0L)))
+    graft.Storage.releaseAll(spark)
+  }
+
   test("a k beyond the densest core yields the empty frame") {
     assert(KCore.core(edges.toDF("src", "dst"), "src", "dst", 6).isEmpty)
   }
@@ -106,7 +127,8 @@ class KCoreSpec extends AnyFunSuite with SparkSpec {
         yield (off + i, off + (j: Long))
     }
     val df = cliqueEdges.toDF("src", "dst")
-    val got = KCore.corenessCapped(df, "src", "dst", kMax = 10, roundsPerK = 4)
+    val got = KCore.corenessCapped(df, "src", "dst", kMax = 10, roundsPerK = 4,
+        driverMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = (2 to 12).zip(offsets).flatMap { case (sz, off) =>
       (0 until sz).map(i => (off + i) -> math.min(sz - 1, 10).toLong)
@@ -117,7 +139,8 @@ class KCoreSpec extends AnyFunSuite with SparkSpec {
     // a fold, so their analyzed plans are the SAME size — the chain never
     // carries more than foldEvery un-folded branches
     def planSize(kMax: Int): Int = {
-      val n = KCore.corenessCapped(df, "src", "dst", kMax, roundsPerK = 2)
+      val n = KCore.corenessCapped(df, "src", "dst", kMax, roundsPerK = 2,
+          driverMaxEdges = 0L)
         .queryExecution.analyzed.collect { case x => x }.size
       graft.Storage.releaseAll(spark)
       n
@@ -133,14 +156,16 @@ class KCoreSpec extends AnyFunSuite with SparkSpec {
     // survivor leaves; now: canon + the caller-owned node set + the final
     // degree frame's input leaf (the returned frame still reads it)
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
-    KCore.peel(chain, "src", "dst", k = 2, rounds = 10).collect()
+    KCore.peel(chain, "src", "dst", k = 2, rounds = 10,
+      driverMaxEdges = 0L).collect()
     val cached = spark.sparkContext.getPersistentRDDs.size
     assert(cached <= 4, s"peel left $cached cached RDDs")
     graft.Storage.releaseAll(spark)
   }
 
   test("plan is equi-joins only — no cartesian product") {
-    val p = KCore.peel(edges.toDF("src", "dst"), "src", "dst", 3, 2)
+    val p = KCore.peel(edges.toDF("src", "dst"), "src", "dst", 3, 2,
+      driverMaxEdges = 0L)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
