@@ -3856,9 +3856,12 @@ object SparkEntry {
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
     val n = ev.count()
     // harness-only global rank (single-partition window at gate scale):
-    // rank-tercile slices are per-user order-contiguous by construction
+    // rank-tercile slices are per-user order-contiguous by construction.
+    // Persisted: three slice writes read it — without the persist the
+    // single-partition sort re-ran once per slice (measured prep waste).
     val ranked = ev.withColumn("__grn",
       row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+      .persist()
     // FileStreamSource orders files by modification time; a coarse-mtime
     // filesystem can tie two sequentially-written slices and process them
     // out of order — which the ingest's order-contiguity guard now
@@ -3876,6 +3879,7 @@ object SparkEntry {
         }
       } finally it.close()
     }
+    ranked.unpersist(blocking = false)
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     graft.streaming.StoreIngest.ingestSkipGramStore(stream, "user_id",
@@ -3904,9 +3908,11 @@ object SparkEntry {
       .select(col("user_id"), col("ts"), col("event_id"))
     val n = ev.count()
     // rank-tercile slices are per-user order-contiguous by construction;
-    // explicit strictly-increasing mtimes pin the batch order (q252)
+    // explicit strictly-increasing mtimes pin the batch order (q252);
+    // persisted for the three slice writes (the q252 prep discipline)
     val ranked = ev.withColumn("__grn",
       row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+      .persist()
     val stamped = scala.collection.mutable.Set[java.nio.file.Path]()
     for (g <- 0L to 2L) {
       ranked.filter(col("__grn") > g * n / 3 && col("__grn") <= (g + 1) * n / 3)
@@ -3919,6 +3925,7 @@ object SparkEntry {
         }
       } finally it.close()
     }
+    ranked.unpersist(blocking = false)
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     graft.streaming.StoreIngest.ingestSessionStore(stream, "user_id",
