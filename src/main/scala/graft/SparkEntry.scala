@@ -2720,10 +2720,15 @@ object SparkEntry {
       concat(lit("s"), col("l_suppkey").cast("string")).as("sn"))
     val edges = pairs.select(col("p").as("src"), col("sn").as("dst"))
       .union(pairs.select(col("sn").as("src"), col("p").as("dst")))
-    val r5 = operators.PageRank.ranks(edges, iterations = 5)
-    operators.PageRank.saveRanks(s, r5, "graft_pagerank_snapshot")
-    operators.PageRank.resumeRanks(edges,
-      s.table("graft_pagerank_snapshot"), iterations = 5)
+    // one graph build serves both walks (the q221 discipline); the
+    // snapshot still round-trips through the saved table, so resume ≡
+    // cold at 10 rounds stays exactly what the oracle checks
+    val g = operators.PageRank.buildRankGraph(edges)
+    try {
+      val r5 = g.ranks(iterations = 5)
+      operators.PageRank.saveRanks(s, r5, "graft_pagerank_snapshot")
+      g.resumeFrom(s.table("graft_pagerank_snapshot"), iterations = 5)
+    } finally g.close()
   }
 
   // ---- q193: STREAMING ANN-store ingest — the third store family

@@ -142,11 +142,20 @@ object PageRank {
     * driver. Per-round work: O(edges/partition) adds per task, O(n)
     * driver longs — both bounded contracts.
     */
-  private def ranksDriverState(spark: SparkSession, e: DataFrame, nodes0: DataFrame,
-                               n: Int, iterations: Int, scale: Long,
-                               dampNum: Long, dampDen: Long,
-                               seeds: Option[Set[Any]] = None,
-                               initFrom: Option[scala.collection.Map[Any, Long]] = None): DataFrame = {
+  /** The driver path's prebuilt state: node dictionary, cached CSR
+    * in-adjacency, and the out-degree vector — built ONCE and shared by
+    * every walk over the same graph (the Bfs.buildHopGraph discipline;
+    * the snapshot+resume gate q194 runs two walks on one unchanged
+    * graph). Release via [[RankGraph.close]].
+    */
+  private[operators] final case class RankCsr(
+      nodeVals: Array[Any],
+      nodeType: org.apache.spark.sql.types.DataType,
+      adj: org.apache.spark.rdd.RDD[(Int, Array[Int])],
+      outdeg: Array[Long])
+
+  private def buildRankCsr(spark: SparkSession, e: DataFrame,
+                           nodes0: DataFrame, n: Int): RankCsr = {
     import scala.jdk.CollectionConverters._
     val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
     nodes0.unpersist(blocking = false)
@@ -184,6 +193,24 @@ object PageRank {
         while (j < n) { a(j) += b(j); j += 1 }
         a
       })
+    RankCsr(nodeVals, nodeType, adj, outdeg)
+  }
+
+  private def ranksDriverState(spark: SparkSession, e: DataFrame, nodes0: DataFrame,
+                               n: Int, iterations: Int, scale: Long,
+                               dampNum: Long, dampDen: Long,
+                               seeds: Option[Set[Any]] = None,
+                               initFrom: Option[scala.collection.Map[Any, Long]] = None): DataFrame =
+    ranksCsrLoop(spark, buildRankCsr(spark, e, nodes0, n), n, iterations,
+      scale, dampNum, dampDen, seeds, initFrom)
+
+  private def ranksCsrLoop(spark: SparkSession, csr: RankCsr, n: Int,
+                           iterations: Int, scale: Long,
+                           dampNum: Long, dampDen: Long,
+                           seeds: Option[Set[Any]] = None,
+                           initFrom: Option[scala.collection.Map[Any, Long]] = None): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val RankCsr(nodeVals, nodeType, adj, outdeg) = csr
 
     // uniform teleport (classic) or seed-restricted (personalized) —
     // same loop, different base/start vectors
@@ -257,6 +284,85 @@ object PageRank {
     val outRows: java.util.List[Row] =
       Array.tabulate(n)(i0 => Row(nodeVals(i0), rank(i0))).toSeq.asJava
     spark.createDataFrame(outRows, outSchema)
+  }
+
+  /** Shared-build handle for the snapshot+resume gates (the
+    * Bfs.buildHopGraph discipline): dictionary, cached CSR adjacency and
+    * out-degrees built ONCE; cold and resumed walks run over it. Graphs
+    * above `broadcastMaxNodes` get a fallback handle whose walks
+    * delegate to the distributed loop per call, unchanged.
+    */
+  def buildRankGraph(edges: DataFrame,
+                     broadcastMaxNodes: Long = 2000000L): RankGraph = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes0.count()
+    if (n == 0) {
+      val out = nodes0.withColumn("rank", lit(0L))
+      nodes0.unpersist(blocking = false)
+      return new RankGraph(spark, e, None, 0L, Some(out))
+    }
+    if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L))
+      new RankGraph(spark, e, Some(buildRankCsr(spark, e, nodes0, n.toInt)),
+        n, None)
+    else {
+      nodes0.unpersist(blocking = false)
+      new RankGraph(spark, e, None, n, None)
+    }
+  }
+
+  /** See [[buildRankGraph]]. Every walk is bit-identical to the one-shot
+    * entry points (same dictionary, same adjacency, same loop).
+    */
+  final class RankGraph private[operators] (
+      spark: SparkSession, e: DataFrame, csr: Option[RankCsr],
+      n: Long, empty: Option[DataFrame]) {
+
+    /** [[PageRank.ranks]] over the prebuilt graph. */
+    def ranks(iterations: Int = 10, scale: Long = 1000000000000L,
+              dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      require(iterations >= 1, "iterations must be >= 1")
+      require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
+      if (empty.isDefined) return empty.get
+      csr match {
+        case Some(c) => ranksCsrLoop(spark, c, n.toInt, iterations, scale,
+          dampNum, dampDen)
+        case None =>
+          val nodes0 = e.select(col("src").as("node"))
+            .union(e.select(col("dst").as("node"))).distinct().persist()
+          nodes0.count()
+          ranksDistributedState(spark, e, nodes0, n, iterations, scale,
+            dampNum, dampDen)
+      }
+    }
+
+    /** [[PageRank.resumeRanks]] over the prebuilt graph. */
+    def resumeFrom(prior: DataFrame, iterations: Int = 5,
+                   scale: Long = 1000000000000L,
+                   dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      require(iterations >= 1, "iterations must be >= 1")
+      require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
+      if (empty.isDefined) return empty.get
+      val p = prior.select(col("node"), col("rank"))
+      csr match {
+        case Some(c) =>
+          val m: Map[Any, Long] =
+            p.collect().map(r => (r.get(0), r.getLong(1))).toMap
+          ranksCsrLoop(spark, c, n.toInt, iterations, scale, dampNum,
+            dampDen, initFrom = Some(m))
+        case None =>
+          val nodes0 = e.select(col("src").as("node"))
+            .union(e.select(col("dst").as("node"))).distinct().persist()
+          nodes0.count()
+          ranksDistributedState(spark, e, nodes0, n, iterations, scale,
+            dampNum, dampDen, prior = Some(p))
+      }
+    }
+
+    /** Release the cached adjacency (driver path only; no-op otherwise). */
+    def close(): Unit = csr.foreach(_.adj.unpersist(blocking = false))
   }
 
   /** WEIGHTED PageRank: a node's rank flows to its out-neighbors in
