@@ -407,12 +407,15 @@ object PageRank {
     val wChecked = when(col("w") > 0, col("w")).otherwise(
       raise_error(concat(lit("weightedRanks: weight must be > 0, got "),
         coalesce(col("w").cast("string"), lit("NULL")))).cast("long"))
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+    // raw projection with the per-row positivity check; the driver path's
+    // duplicate-edge SUM collapse rides the adjacency's int exchange
+    // (weightedAdjacencyPlan below), the distributed path collapses
+    // upstream as before
+    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
       .select(col("src"), col("dst"), wChecked.as("w"))
-      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-    val nodes0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val nodes0 = eRaw.select(col("src").as("node"))
+      .union(eRaw.select(col("dst").as("node"))).distinct().persist()
     val n = nodes0.count()
     if (n == 0) {
       val out = nodes0.withColumn("rank", lit(0L))
@@ -420,11 +423,12 @@ object PageRank {
       return out
     }
     if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L))
-      weightedDriverState(spark, e, nodes0, n.toInt, iterations, scale,
+      weightedDriverState(spark, eRaw, nodes0, n.toInt, iterations, scale,
         dampNum, dampDen)
     else
-      weightedDistributedState(spark, e, nodes0, n, iterations, scale,
-        dampNum, dampDen)
+      weightedDistributedState(spark,
+        eRaw.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")),
+        nodes0, n, iterations, scale, dampNum, dampDen)
   }
 
   /** WEIGHTED + PERSONALIZED PageRank — the two restart variants
@@ -453,18 +457,19 @@ object PageRank {
     val wChecked = when(col("w") > 0, col("w")).otherwise(
       raise_error(concat(lit("weightedRanks: weight must be > 0, got "),
         coalesce(col("w").cast("string"), lit("NULL")))).cast("long"))
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+    // raw projection + per-row check; collapse placement per path (the
+    // weightedRanks discipline)
+    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
       .select(col("src"), col("dst"), wChecked.as("w"))
-      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     // the seed set IS the query — driver-collected under the bounded
     // contract regardless of path (personalizedRanks' shape)
     val seedVals: Set[Any] = seeds
       .select(col(seeds.columns.head).as("node")).distinct()
       .collect().map(_.get(0)).toSet
     require(seedVals.nonEmpty, "seeds must be non-empty")
-    val nodes0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val nodes0 = eRaw.select(col("src").as("node"))
+      .union(eRaw.select(col("dst").as("node"))).distinct().persist()
     val n = nodes0.count()
     if (n == 0) {
       val out = nodes0.withColumn("rank", lit(0L))
@@ -472,11 +477,13 @@ object PageRank {
       return out
     }
     if (n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L))
-      weightedDriverState(spark, e, nodes0, n.toInt, iterations, scale,
+      weightedDriverState(spark, eRaw, nodes0, n.toInt, iterations, scale,
         dampNum, dampDen, seeds = Some(seedVals))
     else
-      weightedDistributedState(spark, e, nodes0, n, iterations, scale,
-        dampNum, dampDen, seeds = Some(seedVals))
+      weightedDistributedState(spark,
+        eRaw.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")),
+        nodes0, n, iterations, scale, dampNum, dampDen,
+        seeds = Some(seedVals))
   }
 
   private def weightedDriverState(spark: SparkSession, e: DataFrame,
@@ -495,12 +502,16 @@ object PageRank {
       StructField("id", IntegerType, nullable = false)))
     val srcIds = spark.createDataFrame(idRows, idSchema)
     val dstIds = srcIds.select(col("node").as("node2"), col("id").as("id2"))
-    // weighted in-adjacency: (did, sids, ws) — weights already collapsed
+    // weighted in-adjacency: (did, sids, ws) — the duplicate-edge SUM
+    // collapse rides this int exchange (the (did, sid) aggregate's
+    // distribution is satisfied by the did partitioning, so no second
+    // exchange appears), replacing the old upstream string-keyed groupBy
     val adj: org.apache.spark.rdd.RDD[(Int, Array[Int], Array[Long])] = e
       .join(broadcast(srcIds), e("src") === srcIds("node"))
       .join(broadcast(dstIds), e("dst") === dstIds("node2"))
       .select(col("id").as("sid"), col("id2").as("did"), col("w"))
       .repartition(col("did"))
+      .groupBy(col("did"), col("sid")).agg(sum(col("w")).as("w"))
       .groupBy(col("did"))
       .agg(collect_list(col("sid")).as("sids"), collect_list(col("w")).as("ws"))
       .rdd.map(r => (r.getInt(0), r.getSeq[Int](1).toArray,
