@@ -2837,10 +2837,14 @@ object SparkEntry {
   private def q197(s: SparkSession, dir: String): DataFrame = {
     val edges = Tables(s, dir).lineitem.select(
       (col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-    val r1 = operators.Hits.hubsAuthorities(edges, "src", "dst", rounds = 1)
-    operators.Hits.saveScores(s, r1, "graft_hits_snapshot")
-    operators.Hits.resumeHubsAuthorities(edges, "src", "dst",
-      s.table("graft_hits_snapshot"), rounds = 1)
+    // one graph build serves both walks (the q221 discipline); the
+    // snapshot still round-trips through the saved table
+    val g = operators.Hits.buildHitsGraph(edges, "src", "dst")
+    try {
+      val r1 = g.scores(rounds = 1)
+      operators.Hits.saveScores(s, r1, "graft_hits_snapshot")
+      g.resumeFrom(s.table("graft_hits_snapshot"), rounds = 1)
+    } finally g.close()
   }
 
   // ---- q198: LPA SNAPSHOT + RESUME — community labels as a served,
@@ -2859,11 +2863,14 @@ object SparkEntry {
       .select(col("k"), explode(sequence(lit(1L), lit(5L))).as("j"))
       .select(col("k").as("src"), pmod(col("k") + col("j") * 20, lit(n)).as("dst"))
     val edges = ring.union(hubs)
-    val snap = operators.LabelPropagation.propagate(edges, "src", "dst",
-      rounds = 2)
-    operators.LabelPropagation.saveLabels(s, snap, "graft_lpa_snapshot")
-    operators.LabelPropagation.resumePropagate(edges, "src", "dst",
-      s.table("graft_lpa_snapshot"), rounds = 2)
+    // one graph build serves both walks (the q221 discipline); the
+    // snapshot still round-trips through the saved table
+    val g = operators.LabelPropagation.buildLpaGraph(edges, "src", "dst")
+    try {
+      val snap = g.propagate(rounds = 2)
+      operators.LabelPropagation.saveLabels(s, snap, "graft_lpa_snapshot")
+      g.resumeFrom(s.table("graft_lpa_snapshot"), rounds = 2)
+    } finally g.close()
   }
 
   // ---- q200: STREAMING PHRASE-store ingest — the FOURTH store family

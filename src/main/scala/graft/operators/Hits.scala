@@ -168,10 +168,17 @@ object Hits {
     * memory contract). Maxima and normalization are O(n) driver longs.
     * Bit-identical to the distributed loop (HitsSpec pins it).
     */
-  private def hitsDriverState(spark: org.apache.spark.sql.SparkSession,
-                              e0: DataFrame, nodes0: DataFrame, n: Int,
-                              rounds: Int, scale: Long,
-                              initH: Option[scala.collection.Map[Any, Long]] = None): DataFrame = {
+  /** The driver path's prebuilt state (the Bfs/PageRank handle shape):
+    * dictionary + cached CSR adjacency, built once and shared by the
+    * snapshot and resume walks of one query.
+    */
+  private[operators] final case class HitsCsr(
+      nodeVals: Array[Any],
+      nodeType: org.apache.spark.sql.types.DataType,
+      adj: org.apache.spark.rdd.RDD[(Int, Array[Int])])
+
+  private def buildHitsCsr(spark: org.apache.spark.sql.SparkSession,
+                           e0: DataFrame, nodes0: DataFrame): HitsCsr = {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     val nodeVals: Array[Any] = nodes0.collect().map(_.get(0))
@@ -190,6 +197,85 @@ object Hits {
         .rdd.map(r => (r.getInt(0), r.getSeq[Int](1).toArray))
     adj.cache()
     adj.count()
+    HitsCsr(nodeVals, nodeType, adj)
+  }
+
+  /** Shared-build handle for the q197 snapshot+resume gate: graph built
+    * once, cold and resumed walks run over it. Above `broadcastMaxNodes`
+    * the fallback handle delegates each walk to [[hitsCore]] unchanged.
+    */
+  def buildHitsGraph(edges: DataFrame, srcCol: String, dstCol: String,
+                     broadcastMaxNodes: Long = 2000000L): HitsGraph = {
+    val spark = edges.sparkSession
+    // raw null-filtered projection: the driver path's dedup rides the
+    // adjacency exchange (adjacencyPlan collapses duplicates), so no
+    // upstream distinct; the fallback distincts per call
+    val eF = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull)
+    val nodes0 = eF.select(col("s").as("node"))
+      .union(eF.select(col("d").as("node"))).distinct().persist()
+    val n = nodes0.count()
+    if (n > 0 && n <= math.min(broadcastMaxNodes, Int.MaxValue - 8L))
+      new HitsGraph(spark, edges, srcCol, dstCol, broadcastMaxNodes,
+        Some((buildHitsCsr(spark, eF, nodes0), n.toInt)))
+    else {
+      nodes0.unpersist(blocking = false)
+      new HitsGraph(spark, edges, srcCol, dstCol, broadcastMaxNodes, None)
+    }
+  }
+
+  /** See [[buildHitsGraph]]. */
+  final class HitsGraph private[operators] (
+      spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
+      srcCol: String, dstCol: String, broadcastMaxNodes: Long,
+      csr: Option[(HitsCsr, Int)]) {
+
+    /** [[Hits.hubsAuthorities]] over the prebuilt graph. */
+    def scores(rounds: Int, scale: Long = 1000000L): DataFrame = {
+      require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+      require(scale >= 1, s"scale must be >= 1, got $scale")
+      csr match {
+        case Some((c, n)) =>
+          hitsCsrLoop(spark, c, n, rounds, scale, initH = None)
+        case None => hitsCore(edges, srcCol, dstCol, rounds, scale,
+          broadcastMaxNodes, priorHubs = None)
+      }
+    }
+
+    /** [[Hits.resumeHubsAuthorities]] over the prebuilt graph. */
+    def resumeFrom(prior: DataFrame, rounds: Int,
+                   scale: Long = 1000000L): DataFrame = {
+      require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+      require(scale >= 1, s"scale must be >= 1, got $scale")
+      val p = prior.select(col("node"), col("hub_q"))
+      csr match {
+        case Some((c, n)) =>
+          val m = p.collect().map(r => (r.get(0), r.getLong(1))).toMap
+          hitsCsrLoop(spark, c, n, rounds, scale, initH = Some(m))
+        case None => hitsCore(edges, srcCol, dstCol, rounds, scale,
+          broadcastMaxNodes, priorHubs = Some(p))
+      }
+    }
+
+    /** Release the cached adjacency (driver path only; no-op otherwise). */
+    def close(): Unit = csr.foreach(_._1.adj.unpersist(blocking = false))
+  }
+
+  private def hitsDriverState(spark: org.apache.spark.sql.SparkSession,
+                              e0: DataFrame, nodes0: DataFrame, n: Int,
+                              rounds: Int, scale: Long,
+                              initH: Option[scala.collection.Map[Any, Long]] = None): DataFrame = {
+    val csr = buildHitsCsr(spark, e0, nodes0)
+    try hitsCsrLoop(spark, csr, n, rounds, scale, initH)
+    finally csr.adj.unpersist(blocking = false)
+  }
+
+  private def hitsCsrLoop(spark: org.apache.spark.sql.SparkSession,
+                          csr: HitsCsr, n: Int, rounds: Int, scale: Long,
+                          initH: Option[scala.collection.Map[Any, Long]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val HitsCsr(nodeVals, nodeType, adj) = csr
 
     // Overflow discipline: the distributed path's long sums and ANSI
     // multiply THROW past the documented scale²·max-degree bound — the
@@ -268,7 +354,8 @@ object Hits {
       h = normalize(hRaw)
       r += 1
     }
-    adj.unpersist(blocking = false)
+    // adj stays cached — its lifetime belongs to the caller (the handle
+    // may run a second walk over it)
     val outSchema = StructType(Seq(
       StructField("node", nodeType, nullable = true),
       StructField("hub_q", LongType, nullable = false),

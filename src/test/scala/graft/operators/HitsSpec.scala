@@ -114,4 +114,23 @@ class HitsSpec extends AnyFunSuite with SparkSpec {
     graft.Storage.releaseAll(spark)
     assert(fromCold == replay(2), "unseen nodes must start at the cold value")
   }
+
+  test("shared graph handle: one build, both walks ≡ the one-shot entry points") {
+    val df = edges.toDF("src", "dst")
+    def m(d: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      d.as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val cold1 = m(Hits.hubsAuthorities(df, "src", "dst", rounds = 1))
+    val cold3 = m(Hits.hubsAuthorities(df, "src", "dst", rounds = 3))
+    graft.Storage.releaseAll(spark)
+    val g = Hits.buildHitsGraph(df, "src", "dst")
+    try {
+      val snap = g.scores(rounds = 1)
+      assert(m(snap) == cold1)
+      Hits.saveScores(spark, snap, "graft_hits_handle_snap")
+      val resumed = m(g.resumeFrom(spark.table("graft_hits_handle_snap"), rounds = 2))
+      assert(resumed == cold3)
+    } finally g.close()
+    spark.sql("DROP TABLE IF EXISTS graft_hits_handle_snap")
+    graft.Storage.releaseAll(spark)
+  }
 }

@@ -241,6 +241,25 @@ class LabelPropagationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("shared graph handle: one build, both walks ≡ the one-shot entry points") {
+    val df = edges.toDF("src", "dst")
+    def m(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      d.as[(Long, Long)].collect().toMap
+    val cold2 = m(LabelPropagation.propagate(df, "src", "dst", rounds = 2))
+    val cold4 = m(LabelPropagation.propagate(df, "src", "dst", rounds = 4))
+    graft.Storage.releaseAll(spark)
+    val g = LabelPropagation.buildLpaGraph(df, "src", "dst")
+    try {
+      val snap = g.propagate(rounds = 2)
+      assert(m(snap) == cold2)
+      LabelPropagation.saveLabels(spark, snap, "graft_lpa_handle_snap")
+      val resumed = m(g.resumeFrom(spark.table("graft_lpa_handle_snap"), rounds = 2))
+      assert(resumed == cold4)
+    } finally g.close()
+    spark.sql("DROP TABLE IF EXISTS graft_lpa_handle_snap")
+    graft.Storage.releaseAll(spark)
+  }
+
   test("after a 6-round propagation at most the edge list and two label leaves stay cached") {
     graft.Storage.releaseAll(spark)
     LabelPropagation.propagate(edges.toDF("src", "dst"), "src", "dst", 6)
