@@ -32,18 +32,78 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuantizer {
 
-  /** Train per-subspace codebooks. @return (subDim, codebooks[s][cid][j]) */
+  /** Train per-subspace codebooks — all m Lloyd chains BATCHED into one
+    * scan + one m·k-row aggregate per round instead of m sequential
+    * [[KMeans.fit]] calls (the chains are independent k-means over
+    * disjoint slices of the same cached rows, so round r of every chain
+    * can share one job; m·iterations small jobs collapse to iterations).
+    * Every determinism ingredient of [[KMeans.fit]] is replayed
+    * verbatim: same scaled-long coords, same k-lowest-id init (the same
+    * k rows sliced per subspace), same (dist, cid) argmin, exact long
+    * sums, truncating division, emptied clusters keep their centroid —
+    * ProductQuantizerSpec pins bit-identity against the per-subspace
+    * [[KMeans.fit]] loop.
+    *
+    * @return (subDim, codebooks[s][cid][j])
+    */
   def train(points: DataFrame, idCol: String, vecCol: String, dim: Int,
             m: Int, k: Int, iterations: Int,
             scale: Long = 1000000L): Array[Array[Array[Long]]] = {
     require(m >= 1 && dim % m == 0,
       s"dim $dim must split evenly into $m subspaces")
+    require(k >= 1, "k must be >= 1")
+    require(iterations >= 0, "iterations must be >= 0")
     val subDim = dim / m
-    (0 until m).toArray.map { s =>
-      val sub = points.select(col(idCol),
-        slice(col(vecCol), s * subDim + 1, subDim).as("__sub"))
-      KMeans.fit(sub, idCol, "__sub", k, iterations, scale)._2
-    }
+    val spark = points.sparkSession
+    val scaled0 = points.select(
+      col(idCol).as("__id"),
+      transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(scale.toDouble)).cast("long")).as("__x"))
+    val rdd = scaled0.rdd
+    rdd.cache()
+    try {
+      val pts = spark.createDataFrame(rdd, scaled0.schema)
+      // deterministic init: the k lowest-id points — the SAME rows every
+      // per-subspace fit would pick, sliced per subspace
+      val initRows = pts.orderBy(col("__id")).limit(k)
+        .select(col("__x")).collect()
+        .map(_.getSeq[Long](0).toArray)
+      require(initRows.nonEmpty, "k-means needs at least one point")
+      var books: Array[Array[Array[Long]]] = Array.tabulate(m)(s =>
+        initRows.map(_.slice(s * subDim, (s + 1) * subDim)))
+      var i = 0
+      while (i < iterations) {
+        val bs = books.map(spark.sparkContext.broadcast(_))
+        val subStructs = (0 until m).map { s =>
+          val sub = slice(col("__x"), s * subDim + 1, subDim)
+          struct(lit(s).as("s"),
+            KMeans.nearestCentroidBcast(sub, bs(s)).as("cid"),
+            sub.as("v"))
+        }
+        val sumCols = (0 until subDim).map(j =>
+          sum(element_at(col("v"), j + 1)).as(s"s$j"))
+        val stats = pts
+          .select(explode(array(subStructs: _*)).as("e"))
+          .select(col("e.s"), col("e.cid"), col("e.v"))
+          .groupBy(col("s"), col("cid"))
+          .agg(count(lit(1)).as("n"), sumCols: _*)
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+        bs.foreach(_.destroy())
+        books = Array.tabulate(m) { s =>
+          books(s).zipWithIndex.map { case (prev, cid) =>
+            stats.get((s, cid)) match {
+              case Some(r) =>
+                val n = r.getLong(2)
+                Array.tabulate(subDim)(j => r.getLong(3 + j) / n)
+              case None => prev // emptied cluster keeps its centroid
+            }
+          }
+        }
+        i += 1
+      }
+      books
+    } finally rdd.unpersist(blocking = false)
   }
 
   /** Encode every vector to its m codebook indices in ONE scan.

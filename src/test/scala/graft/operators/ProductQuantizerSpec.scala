@@ -30,6 +30,24 @@ class ProductQuantizerSpec extends AnyFunSuite with SparkSpec {
     assert(cbs.forall(cb => cb.length == 4 && cb.forall(_.length == dim / 2)))
   }
 
+  test("batched train ≡ m sequential per-subspace KMeans fits, bit for bit") {
+    // the batched trainer shares one scan per round across the m chains;
+    // every codebook must equal the per-subspace KMeans.fit it replaced
+    for (m <- Seq(1, 2, 4); iters <- Seq(0, 1, 3)) {
+      val batched = ProductQuantizer.train(df, "vec_id", "embedding", dim,
+        m, k = 4, iterations = iters)
+      val subDim = dim / m
+      val reference = (0 until m).toArray.map { s =>
+        val sub = df.select(col("vec_id"),
+          slice(col("embedding"), s * subDim + 1, subDim).as("__sub"))
+        KMeans.fit(sub, "vec_id", "__sub", 4, iters)._2
+      }
+      graft.Storage.releaseAll(spark)
+      assert(batched.map(_.map(_.toSeq).toSeq).toSeq ==
+        reference.map(_.map(_.toSeq).toSeq).toSeq, s"m=$m iters=$iters")
+    }
+  }
+
   test("encode is bit-identical across partitionings") {
     val cbs = ProductQuantizer.train(df, "vec_id", "embedding", dim,
       m = 2, k = 4, iterations = 2)
