@@ -72,6 +72,23 @@ class KTrussSpec extends AnyFunSuite with SparkSpec {
     assert(KTruss.truss(edges.toDF("src", "dst"), "src", "dst", 6).isEmpty)
   }
 
+  test("driver peel ≡ distributed peel on a random graph, both entry points") {
+    val rnd = new scala.util.Random(211)
+    val df = (0 until 700).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).toDF("src", "dst")
+    def m(d: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (k <- Seq(3, 5); rounds <- Seq(1, 2, 6)) {
+      assert(m(KTruss.peel(df, "src", "dst", k, rounds)) ==
+        m(KTruss.peel(df, "src", "dst", k, rounds, driverMaxEdges = 0L)),
+        s"peel k=$k rounds=$rounds")
+      graft.Storage.releaseAll(spark)
+    }
+    assert(m(KTruss.truss(df, "src", "dst", 4)) ==
+      m(KTruss.truss(df, "src", "dst", 4, driverMaxEdges = 0L)))
+    graft.Storage.releaseAll(spark)
+  }
+
   test("every k-truss edge's endpoints lie in the (k-1)-core") {
     val trussNodes = KTruss.truss(edges.toDF("src", "dst"), "src", "dst", 4)
       .select(explode(array(col("a"), col("b"))).as("node"))
