@@ -90,22 +90,26 @@ object Hits {
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
 
-    val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+    // raw null-filtered projection: the driver path's multi-edge dedup
+    // rides the adjacency exchange (adjacencyPlan collapses duplicates),
+    // so no upstream distinct there; the distributed branch distincts
+    // below (its per-round sums would double-count otherwise)
+    val eF = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .filter(col("s").isNotNull && col("d").isNotNull)
-      .distinct()
 
-    val nodesProbe = e0.select(col("s").as("node"))
-      .union(e0.select(col("d").as("node"))).distinct().persist()
+    val nodesProbe = eF.select(col("s").as("node"))
+      .union(eF.select(col("d").as("node"))).distinct().persist()
     val nProbe = nodesProbe.count()
     if (nProbe > 0 && nProbe <= math.min(broadcastMaxNodes, Int.MaxValue - 8L)) {
       // the snapshot is node-sized — the driver path's contract already
       // bounds node-sized driver state (the PageRank.resumeRanks shape)
       val initH = priorHubs.map(_.collect()
         .map(r => (r.get(0), r.getLong(1))).toMap)
-      return hitsDriverState(spark, e0, nodesProbe, nProbe.toInt, rounds,
+      return hitsDriverState(spark, eF, nodesProbe, nProbe.toInt, rounds,
         scale, initH)
     }
     nodesProbe.unpersist(blocking = false)
+    val e0 = eF.distinct()
     val eByS = e0.repartition(col("s"))
     eByS.persist()
     val eByD = eByS.repartition(col("d"))
