@@ -180,8 +180,12 @@ object SetSimJoin {
         .filter(col("n") > 0)
     val subj = prep(subjects)
     val cont = prep(containers)
+    // dfreq feeds BOTH ordered sides; oa/ob each feed their side's
+    // candidate branch AND the verify — all PERSISTED under the
+    // joinSelfWeighted storage contract (caller releases)
     val dfreq = cont.select(explode(col("ts")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     def ordered(d: DataFrame) =
       d.select(col("doc_id"), col("n"), explode(col("ts")).as("tok"))
         .join(dfreq, Seq("tok"), "left")
@@ -192,7 +196,9 @@ object SetSimJoin {
         .select(col("doc_id"), col("n"), col("ots"))
     val oa = ordered(subj).withColumn("p", greatest(
       col("n") - ceil(col("n") * lit(tau) - lit(1e-6)).cast("int") + 1, lit(1)))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val ob = ordered(cont)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
     // subject side: prefix tokens only; container side: EVERY token, with
     // its position in the same global rarity order
@@ -291,9 +297,13 @@ object SetSimJoin {
       .withColumn("suf", col("wtotal") - sum(col("w")).over(ordW) + col("w"))
     // prefix: entries whose suffix can still carry a qualifying overlap
     // (shared >= τ·W_A cannot hide entirely in a lighter tail)
+    // persisted (same caller-releases contract as tw): both sides of the
+    // candidate self-join read it — unpersisted, the per-doc window sort
+    // ran once per side
     val pre = ranked
       .filter(col("suf").cast("double") >= col("wtotal") * lit(tau) - lit(1e-6))
       .select(col("doc_id"), col("wtotal"), col("tok").as("ptok"), col("suf"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val minPairShared = (col("wa") + col("wb")).cast("double") *
       lit(tau / (1.0 + tau)) - lit(1e-6)
     val cand = pre
@@ -433,13 +443,18 @@ object SetSimJoin {
 
     // each record's tokens in (rarity, token) order; prefix p = n−cmin+1
     // (cmin slacked downward — over-covering by one token on an exact
-    // threshold boundary is harmless, under-covering would lose pairs)
+    // threshold boundary is harmless, under-covering would lose pairs).
+    // PERSISTED (caller releases via graft.Storage.releaseAll — the
+    // joinSelfWeighted storage contract): three branches of the returned
+    // plan read it (prefix explode + both verify sides); unpersisted,
+    // each branch re-ran the scan→explode→dfreq-join→collect_list chain.
     val ordered = tok.join(dfreq, "tok")
       .groupBy(col("doc_id"), col("n"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("o"))
       .withColumn("ots", transform(col("o"), s => s.getField("tok")))
       .withColumn("p", greatest(col("n") - m.cmin(col("n")) + 1, lit(1)))
       .select(col("doc_id"), col("n"), col("ots"), col("p"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
     val pre = ordered.select(col("doc_id"), col("n"),
       posexplode(slice(col("ots"), lit(1), col("p"))).as(Seq("i0", "ptok")))
