@@ -112,6 +112,13 @@ object SetSimJoin {
   /** All unordered pairs (doc_a < doc_b) with exact Jaccard >= tau over the
     * distinct elements of `tokensCol`, with the similarity. Records with
     * empty token sets never pair (Jaccard undefined).
+    *
+    * STORAGE CONTRACT (caller releases): the rarity-ordered per-record
+    * token-array frame persists and outlives this call — release with
+    * [[graft.Storage.releaseAll]] after consuming the result, the same
+    * ownership rule as [[joinSelfWeighted]]. Applies to every joinSelf…/
+    * joinContainment… entry point (all share [[joinBy]]'s or
+    * [[joinContainment]]'s persisted frames).
     */
   def joinSelf(df: DataFrame, idCol: String, tokensCol: String,
                tau: Double): DataFrame = {
@@ -185,7 +192,7 @@ object SetSimJoin {
     // joinSelfWeighted storage contract (caller releases)
     val dfreq = cont.select(explode(col("ts")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def ordered(d: DataFrame) =
       d.select(col("doc_id"), col("n"), explode(col("ts")).as("tok"))
         .join(dfreq, Seq("tok"), "left")
@@ -196,9 +203,9 @@ object SetSimJoin {
         .select(col("doc_id"), col("n"), col("ots"))
     val oa = ordered(subj).withColumn("p", greatest(
       col("n") - ceil(col("n") * lit(tau) - lit(1e-6)).cast("int") + 1, lit(1)))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ob = ordered(cont)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // subject side: prefix tokens only; container side: EVERY token, with
     // its position in the same global rarity order
@@ -257,10 +264,12 @@ object SetSimJoin {
     * HOF fold — see the inline note below).
     *
     * STORAGE CONTRACT (caller releases): the exploded token-weight frame
-    * persists at DISK_ONLY because three branches of the returned plan
-    * read it (prefix, verify, totals), and nothing inside a lazily
-    * returned DataFrame can unpersist it when the caller's action
-    * finishes. Ownership sits with the caller — run
+    * persists (MEMORY_AND_DISK — measured no worse than DISK_ONLY at the
+    * bench scale, and eviction degrades to exactly DISK_ONLY's profile
+    * under cluster memory pressure) because several branches of the
+    * returned plan read it (prefix, per-doc verify arrays), and nothing
+    * inside a lazily returned DataFrame can unpersist it when the
+    * caller's action finishes. Ownership sits with the caller — run
     * [[graft.Storage.releaseAll]] after consuming the result (the
     * harness does this after every query action).
     *
@@ -285,15 +294,21 @@ object SetSimJoin {
         explode(array_distinct(col(tokensCol))).as("tok"))
       .join(w, Seq("tok"), "left")
       .withColumn("w", coalesce(col("w"), lit(defaultW)))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-    val ordW = byDoc.orderBy(col("w").desc, col("tok"))
+      .partitionBy(col("doc_id")).orderBy(col("w").desc, col("tok"))
+    val ordW = byDoc
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // whole-partition frame on the SAME (partition, order) spec as the
+    // running sum, so both window expressions ride ONE WindowExec pass
+    // (an unordered partitionBy spec planned a second Window operator)
+    val allW = byDoc
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     // suffix weight INCLUDING the current token = W − cum + w
     val ranked = tw
-      .withColumn("wtotal", sum(col("w")).over(byDoc))
+      .withColumn("wtotal", sum(col("w")).over(allW))
       .withColumn("suf", col("wtotal") - sum(col("w")).over(ordW) + col("w"))
     // prefix: entries whose suffix can still carry a qualifying overlap
     // (shared >= τ·W_A cannot hide entirely in a lighter tail)
@@ -303,7 +318,7 @@ object SetSimJoin {
     val pre = ranked
       .filter(col("suf").cast("double") >= col("wtotal") * lit(tau) - lit(1e-6))
       .select(col("doc_id"), col("wtotal"), col("tok").as("ptok"), col("suf"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val minPairShared = (col("wa") + col("wb")).cast("double") *
       lit(tau / (1.0 + tau)) - lit(1e-6)
     val cand = pre
@@ -318,22 +333,37 @@ object SetSimJoin {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
 
-    // verify: shared weight via the token equi-join — cost O(Σ|A|) row
-    // expansion then linear joins. MEASURED at sf0.1 (187k true pairs):
-    // this shape 14.0 s; a q114-style struct-array verify
+    // verify: shared weight via ENCODED-STRING array intersection — each
+    // doc aggregates once to an array of "<w> <tok>" strings (tokens are
+    // \S+ and the weight is a per-token global, so the encoding is
+    // injective and e(A)∩e(B) = e(A∩B)); per pair, array_intersect stays
+    // on its STRING hash path and one aggregate() fold parses the shared
+    // weights back out. MEASURED at sf0.1 (1.76M candidates, 187k true
+    // pairs), whole-query isolated min-of-3: 1.95 s with this shape vs
+    // 5.8 s with the previous token equi-join verify (cand ⋈ tw on doc_a
+    // expanded to Σ|A| ≈ 500M rows through two shuffled joins — a probed
+    // 10 s phase of a 17.6 s cold run); a q114-style struct-array verify
     // (array_intersect over (tok, w) structs + fold) 139 s —
     // array_intersect on COMPLEX element types abandons the hash path
     // for quadratic interpreted equality, never use it on structs; an
     // array-contains fold over aligned arrays (O(na·nb) per pair) 46 s.
-    val totals = tw.groupBy(col("doc_id")).agg(sum(col("w")).as("wtotal"))
-    val shared = cand
-      .join(tw.select(col("doc_id").as("doc_a"), col("tok"), col("w")), Seq("doc_a"))
-      .join(tw.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("w")).as("shared"))
-    shared
-      .join(totals.select(col("doc_id").as("doc_a"), col("wtotal").as("wa")), "doc_a")
-      .join(totals.select(col("doc_id").as("doc_b"), col("wtotal").as("wb")), "doc_b")
+    // joinContainmentWeighted deliberately KEEPS its equi-join verify:
+    // there the container side broadcasts and the same encoded-array
+    // rewrite measured SLOWER (5.0 → 7.4 s whole-query iso at sf0.1).
+    val docArrs = tw
+      .groupBy(col("doc_id"))
+      .agg(collect_list(concat(col("w").cast("string"), lit(" "), col("tok")))
+          .as("ewts"),
+        sum(col("w")).as("wtotal"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withArrs = cand
+      .join(docArrs.select(col("doc_id").as("doc_a"), col("ewts").as("ea"),
+        col("wtotal").as("wa")), "doc_a")
+      .join(docArrs.select(col("doc_id").as("doc_b"), col("ewts").as("eb"),
+        col("wtotal").as("wb")), "doc_b")
+    withArrs
+      .withColumn("shared", aggregate(array_intersect(col("ea"), col("eb")),
+        lit(0L), (acc, x) => acc + substring_index(x, " ", 1).cast("long")))
       .withColumn("wjaccard", col("shared").cast("double") /
         (col("wa") + col("wb") - col("shared")))
       .filter(col("wjaccard") >= lit(tau))
@@ -374,7 +404,7 @@ object SetSimJoin {
     * Returns (doc_a, doc_b, wcontainment), subjects ≠ containers by id.
     *
     * STORAGE CONTRACT (caller releases): BOTH exploded token-weight
-    * frames persist at DISK_ONLY (each feeds its side's prefix/verify/
+    * frames persist at MEMORY_AND_DISK (each feeds its side's prefix/verify/
     * totals branches) and outlive this call — release with
     * [[graft.Storage.releaseAll]] after consuming the result, the same
     * ownership rule as [[joinSelfWeighted]].
@@ -391,18 +421,22 @@ object SetSimJoin {
         explode(array_distinct(col(tokensCol))).as("tok"))
       .join(w, Seq("tok"), "left")
       .withColumn("w", coalesce(col("w"), lit(defaultW)))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val twA = tw(subjects)
     val twB = tw(containers)
     val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-    val ordW = byDoc.orderBy(col("w").desc, col("tok"))
+      .partitionBy(col("doc_id")).orderBy(col("w").desc, col("tok"))
+    val ordW = byDoc
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    val allW = byDoc
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     // inclusive suffix weight = W − cum + w, one per-doc window over the
-    // exploded rows (the joinSelfWeighted measured shape)
+    // exploded rows (the joinSelfWeighted measured shape; whole-partition
+    // frame on the same spec so both sums ride one WindowExec)
     def ranked(t: DataFrame) = t
-      .withColumn("wtotal", sum(col("w")).over(byDoc))
+      .withColumn("wtotal", sum(col("w")).over(allW))
       .withColumn("suf", col("wtotal") - sum(col("w")).over(ordW) + col("w"))
     val preA = ranked(twA)
       .filter(col("suf").cast("double") >= col("wtotal") * lit(tau) - lit(1e-6))
@@ -454,7 +488,7 @@ object SetSimJoin {
       .withColumn("ots", transform(col("o"), s => s.getField("tok")))
       .withColumn("p", greatest(col("n") - m.cmin(col("n")) + 1, lit(1)))
       .select(col("doc_id"), col("n"), col("ots"), col("p"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val pre = ordered.select(col("doc_id"), col("n"),
       posexplode(slice(col("ots"), lit(1), col("p"))).as(Seq("i0", "ptok")))
