@@ -30,13 +30,74 @@ object ProbeR18 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_PROBE_JOBS")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val cs = Option(j.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+            starts.put(j.jobId, (System.nanoTime(), cs))
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = starts.remove(j.jobId)
+            if (s != null)
+              println(f"[job] ${j.jobId}%4d ${(System.nanoTime() - s._1) / 1e9}%7.3f s  ${s._2}")
+          }
+        })
+    }
     if (probes("q262")) q262(spark, sfDir)
     if (probes("q252")) q252(spark, sfDir)
     if (probes("q232")) q232(spark, sfDir)
     if (probes("q207")) q207(spark, sfDir)
     if (probes("q114")) q114(spark, sfDir)
     if (probes("q214")) q214(spark, sfDir)
+    if (probes("q236")) q236(spark, sfDir)
+    if (probes("q174")) q174(spark, sfDir)
+    if (probes("q117")) q117(spark, sfDir)
     spark.stop()
+  }
+
+  private def q174(s: SparkSession, dir: String): Unit = {
+    println("== q174_ct_langid phases ==")
+    val docs = Tables(s, dir).documents
+    val prof = graft.operators.LangIdProfiles.trainProfiles(docs, "lang", "text",
+      topK = 50)
+    t("trainProfiles noop")(noop(prof))
+    val out = graft.operators.LangIdProfiles.classify(docs, "doc_id", "text", prof,
+      topM = 20, penalty = 50L)
+    t("classify (incl retrain) noop")(noop(out))
+    Storage.releaseAll(s)
+  }
+
+  private def q117(s: SparkSession, dir: String): Unit = {
+    println("== q117_mad_outliers phases ==")
+    val in = Tables(s, dir).lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag"),
+      (col("l_extendedprice") *
+        when(col("l_orderkey") % 499 === 0, 20).otherwise(1)).as("price"))
+    val out = graft.ops.Percentiles.madOutliers(in, Seq("l_returnflag"), "price",
+      threshold = 3.5)
+    t("madOutliers noop")(noop(out))
+    t("madOutliers again")(noop(out))
+    Storage.releaseAll(s)
+  }
+
+  /** q236 dbscan phases. */
+  private def q236(s: SparkSession, dir: String): Unit = {
+    println("== q236_dbscan phases ==")
+    val emb = Tables(s, dir).embeddings
+    val asg = graft.operators.KMeans.assignAuto(emb, "vec_id", "embedding",
+      targetClusterSize = 250L, iterations = 5)
+      .withColumnRenamed("cluster", "cell")
+    t("assignAuto noop")(noop(asg))
+    val out = graft.operators.Dbscan.clusterCells(emb.join(asg, "vec_id"),
+      "vec_id", "embedding", "cell", eps = 0.35, minPts = 2)
+    t("full dbscan noop")(noop(out))
+    t("full dbscan again")(noop(out))
+    Storage.releaseAll(s)
   }
 
   /** joinContainmentWeighted phases with BOTH verify shapes timed. */
@@ -280,10 +341,12 @@ object ProbeR18 {
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     t("stream (3 batches)") {
-      graft.streaming.StoreIngest.ingestSessionStore(stream, "user_id",
+      val q = graft.streaming.StoreIngest.ingestSessionStore(stream, "user_id",
         unix_micros(col("ts").cast("timestamp")), col("event_id"),
         gapUs = 1800000000L, table, ckpt)
-        .awaitTermination()
+      q.awaitTermination()
+      q.recentProgress.foreach(p =>
+        println(s"[batch ${p.batchId}] durationMs=${p.durationMs}"))
     }
     t("serve + noop") {
       graft.streaming.StoreIngest.sessionsFromStore(s, table)

@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions._
 object RankFusion {
 
   /** Fuse bounded ranked lists; each input frame carries (idCol, scoreCol).
+    *
+    * SCALE NOTE (the unpartitioned-window audit): the per-list
+    * `Window.orderBy` below is a deliberate single-task global rank —
+    * RRF is DEFINED over each retriever's bounded top-k list (q101
+    * passes top-50 frames), so the windowed frame is list-sized by
+    * contract, never corpus-sized. Callers fusing unbounded frames must
+    * pre-truncate (rank a corpus-sized frame here and the single
+    * partition IS the bottleneck).
+    *
     * @return (idCol, `rrf_score`), the fused top-`topK` by
     *         (rrf_score DESC, id ASC)
     */

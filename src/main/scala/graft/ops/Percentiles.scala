@@ -47,14 +47,17 @@ object Percentiles {
       .groupBy((gcols :+ col("__v")): _*)
       .agg(count(lit(1)).as("__n"))
 
-    val part = Window.partitionBy(gcols: _*)
-    val ordered = part.orderBy(col("__v"))
-    // zero-based rank range covered by this distinct value: [__c0, __cum)
+    val ordered = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+    // zero-based rank range covered by this distinct value: [__c0, __cum);
+    // the group total rides an unbounded frame on the SAME (partition,
+    // order) spec so both sums plan as ONE WindowExec pass (an unordered
+    // partitionBy spec planned a second Window operator + sort)
     val withRanks = counts
       .withColumn("__cum", sum(col("__n"))
         .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__c0", col("__cum") - col("__n"))
-      .withColumn("__total", sum(col("__n")).over(part))
+      .withColumn("__total", sum(col("__n")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
 
     val aggs = qs.flatMap { case (name, p) =>
       val pos = lit(p) * (col("__total") - 1).cast("double")
@@ -213,10 +216,15 @@ object Percentiles {
   def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   threshold: Double, out: String = "robust_z"): DataFrame = {
     val meds = exactQuantiles(df, groupCols, valueCol, Seq("__med" -> 0.5))
+    // persisted: the MAD quantile pass AND the scored output both read
+    // this frame — unpersisted, the input scan + median broadcast join
+    // re-ran per consumer (caller releases via graft.Storage.releaseAll,
+    // the Verify/Bench contract)
     val withMed = df.join(broadcast(meds), groupCols)
       .withColumn("__absdev",
         when(col(valueCol).isNull, lit(null).cast("double"))
           .otherwise(abs(col(valueCol).cast("double") - col("__med"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mads = exactQuantiles(withMed, groupCols, "__absdev", Seq("__mad" -> 0.5))
     withMed.join(broadcast(mads), groupCols)
       .withColumn(out,
@@ -259,12 +267,15 @@ object Percentiles {
         col(valueCol).as("__v"): _*)
       .groupBy((gAlias.map(p => col(p._2)) :+ col("__v")): _*)
       .agg(count(lit(1)).as("__c"))
-    val part = Window.partitionBy(gAlias.map(p => col(p._2)): _*)
+    val ordered = Window.partitionBy(gAlias.map(p => col(p._2)): _*)
+      .orderBy(col("__v"))
+    // group total on the same (partition, order) spec — one WindowExec
     val ranks = counts
       .withColumn("__le", sum(col("__c"))
-        .over(part.orderBy(col("__v"))
+        .over(ordered
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__n", sum(col("__c")).over(part))
+      .withColumn("__n", sum(col("__c")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(gAlias.map(p => col(p._2)) :+ col("__v") :+
         graft.functions.IntOps.intDiv(col("__le") * 1000000L, col("__n"))
           .as(out): _*)

@@ -42,6 +42,20 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StoreIngest {
 
+  // Env-guarded phase timers (SPARK_GRAFT_INGEST_TIMING=1): per-batch
+  // wall time of each ingest step, the measurement hooks behind the
+  // round-18 ProbeR18 runs. Off by default — one boolean check per
+  // step, no behavior change.
+  private val probeTiming = sys.env.contains("SPARK_GRAFT_INGEST_TIMING")
+  private def pt[A](label: String)(f: => A): A =
+    if (!probeTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[ingest] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   /** The ledger table paired with a store table. */
   def ledgerTable(table: String): String = table + "_ingest_log"
 
@@ -193,20 +207,22 @@ object StoreIngest {
         val df = batch.toDF()
         // one O(batch) scan — the ledger row records the fingerprint
         // whether or not the id collides
-        val fp = fingerprint(df)
+        val fp = pt("fingerprint")(fingerprint(df))
         val seen = committed.getOrElse(batchId, Set.empty)
         if (!seen.contains(fp) && !seen.contains(LegacyFp)) {
-          appendBatch(df, batchId, fp)
-          s.createDataFrame(
+          pt("appendBatch")(appendBatch(df, batchId, fp))
+          pt("ledger write")(s.createDataFrame(
             java.util.Collections.singletonList(Row(batchId, fp._1, fp._2)),
             new org.apache.spark.sql.types.StructType()
               .add("batch_id", "long", nullable = false)
               .add("n_rows", "long", nullable = false)
               .add("fp", "long", nullable = false))
-            .write.mode("append").format("parquet").saveAsTable(ledger)
+            .write.mode("append").format("parquet").saveAsTable(ledger))
           committed(batchId) = committed.getOrElse(batchId, Set.empty) + fp
-          if (owner.catalog.tableExists(table)) owner.catalog.refreshTable(table)
-          owner.catalog.refreshTable(ledger)
+          pt("refreshes"){
+            if (owner.catalog.tableExists(table)) owner.catalog.refreshTable(table)
+            owner.catalog.refreshTable(ledger)
+          }
         }
         ()
       }
@@ -467,17 +483,17 @@ object StoreIngest {
           if (s.catalog.tableExists(table))
             graft.operators.Bfs.distancesFromStore(s, table)
           else be.select(col(srcCol).as("node"), lit(0L).as("dist")).limit(0)
-        be.write.mode("append").format("parquet")
-          .bucketBy(buckets, srcCol).sortBy(srcCol).saveAsTable(edgeLog)
+        pt("dist edge append")(be.write.mode("append").format("parquet")
+          .bucketBy(buckets, srcCol).sortBy(srcCol).saveAsTable(edgeLog))
         // the edge log is a second owner-visible table this family
         // appends beyond the (table, ledger) pair the shared core
         // refreshes — keep the owner's listing of it fresh too
         owner.catalog.refreshTable(edgeLog)
-        graft.operators.Bfs.refreshDistances(
+        pt("dist refresh+write")(graft.operators.Bfs.refreshDistances(
           s.table(edgeLog), srcCol, dstCol, be, seeds, prior) { improved =>
           improved.write.mode("append").format("parquet")
             .bucketBy(buckets, "node").sortBy("node").saveAsTable(table)
-        }
+        })
       }
     }
 
@@ -731,7 +747,8 @@ object StoreIngest {
         // cached-leaf rebase: the tail table is appended below, and an
         // un-materialized read would be invalidated mid-flight
         val tRdd = tailsBase.rdd
-        tRdd.cache(); tRdd.count()
+        tRdd.cache()
+        val nTails = pt("tails cache+count")(tRdd.count())
         val tailsNow = s.createDataFrame(tRdd, tailsBase.schema)
         try {
           // order-contiguity enforcement: every batch user with a
@@ -740,12 +757,16 @@ object StoreIngest {
           // row_number and every downstream gap is silently wrong
           val tailMax = tailsNow.groupBy(col("__user"))
             .agg(max(struct(col("__ord").as("o"), col("__tie").as("t"))).as("__tmax"))
-          val offenders = batch
+          // no committed tail for any batch user (always true on the
+          // first batch) ⇒ the inner join below is empty by construction
+          // — skip the whole offender action
+          val offenders = if (nTails == 0L) Array.empty[Any]
+          else pt("sg offenders collect")(batch
             .groupBy(col(userCol).as("__user"))
             .agg(min(struct(orderCol.as("o"), tieCol.as("t"))).as("__bmin"))
             .join(tailMax, Seq("__user"))
             .filter(col("__bmin") <= col("__tmax"))
-            .select(col("__user")).limit(5).collect().map(_.get(0))
+            .select(col("__user")).limit(5).collect().map(_.get(0)))
           if (offenders.nonEmpty)
             throw new IllegalStateException(
               s"out-of-order micro-batch for user(s) ${offenders.mkString(", ")} in skip-gram " +
@@ -765,7 +786,7 @@ object StoreIngest {
               (coalesce(col("__base"), lit(0L)) + col("__loc")).as("__rn"),
               col("__type"), col("__ord"), col("__tie"))
           val rRdd = ranked0.rdd
-          rRdd.cache(); rRdd.count()
+          pt("sg ranked cache+count"){ rRdd.cache(); rRdd.count() }
           val ranked = s.createDataFrame(rRdd, ranked0.schema)
           try {
             val srcs = tailsNow.unionByName(ranked)
@@ -780,7 +801,7 @@ object StoreIngest {
               .agg(count(lit(1)).as("n_pairs"))
               .withColumn("__batch", lit(batchId))
               .withColumn("__fp", lit(fp._2))
-            pairs.write.mode("append").format("parquet").saveAsTable(table)
+            pt("sg pairs write")(pairs.write.mode("append").format("parquet").saveAsTable(table))
             val newTails = ranked
               .withColumn("__tr", row_number().over(Window
                 .partitionBy(col("__user")).orderBy(col("__rn").desc)))
@@ -789,7 +810,7 @@ object StoreIngest {
                 col("__ord"), col("__tie"))
               .withColumn("__batch", lit(batchId))
               .withColumn("__fp", lit(fp._2))
-            newTails.write.mode("append").format("parquet").saveAsTable(tails)
+            pt("sg newTails write")(newTails.write.mode("append").format("parquet").saveAsTable(tails))
             // stamp the window at creation so maintainStore can compact
             // the tails without a caller-carried parameter
             if (!tailsExists)
@@ -931,20 +952,24 @@ object StoreIngest {
               orderCol.as("__start"), orderCol.as("__last"),
               tieCol.as("__ltie"), lit(0L).as("__n")).limit(0)
         val tRdd = tailsBase.rdd
-        tRdd.cache(); tRdd.count()
+        tRdd.cache()
+        val nTails = pt("tails cache+count")(tRdd.count())
         val tailsNow = s.createDataFrame(tRdd, tailsBase.schema)
         try {
           // order-contiguity enforcement (the skip-gram contract): the
           // gap to the tail's last event is part of the answer, so an
           // out-of-order slicing is a silent wrong session table
-          val offenders = batch
+          // empty committed-tail set (always true on the first batch) ⇒
+          // the inner join below is empty by construction — skip the action
+          val offenders = if (nTails == 0L) Array.empty[Any]
+          else pt("offenders collect")(batch
             .groupBy(col(userCol).as("__user"))
             .agg(min(struct(orderCol.as("o"), tieCol.as("t"))).as("__bmin"))
             .join(tailsNow.select(col("__user"),
               struct(col("__last").as("o"), col("__ltie").as("t")).as("__tmax")),
               Seq("__user"))
             .filter(col("__bmin") <= col("__tmax"))
-            .select(col("__user")).limit(5).collect().map(_.get(0))
+            .select(col("__user")).limit(5).collect().map(_.get(0)))
           if (offenders.nonEmpty)
             throw new IllegalStateException(
               s"out-of-order micro-batch for user(s) ${offenders.mkString(", ")} in session " +
@@ -979,12 +1004,24 @@ object StoreIngest {
             col("__bend").getField("t").as("__ltie"),
             (when(col("__sid") === col("__xsid"), col("__xn")).otherwise(lit(0L))
               + col("__bn")).as("__n"))
-          val marked = full.withColumn("__maxsid",
+          val marked0 = full.withColumn("__maxsid",
             max(col("__sid")).over(Window.partitionBy(col("__user"))))
+          // rebase the per-(user, session) frame on ONE cached RDD leaf:
+          // three consumers read it (closed rows, new tails, the
+          // tail-closed min-sid probe), and without the leaf each write
+          // re-ran the whole batch window chain and re-planned its full
+          // tree — measured 1.9–2.9 s of the ~5 s per-batch body at
+          // sf0.1. Session-count-sized rows, so the leaf is tiny.
+          val mRdd = marked0.rdd
+          mRdd.cache(); mRdd.count()
+          val marked = s.createDataFrame(mRdd, marked0.schema)
+          try {
           // closed = batch sessions below the user's max, plus a tail
           // session the batch's first event broke away from (it never
-          // appears among the batch's session indices)
-          val minSid = sess0.groupBy(col("__user")).agg(min(col("__sid")).as("__minsid"))
+          // appears among the batch's session indices). The min over the
+          // grouped (user, session) rows equals the min over sess0's raw
+          // event rows — grouping preserves each user's session-id set.
+          val minSid = marked.groupBy(col("__user")).agg(min(col("__sid")).as("__minsid"))
           val tailClosed = tailsNow.join(minSid, Seq("__user"))
             .filter(col("__sid") < col("__minsid"))
             .select(col("__user"), col("__sid"), col("__start"),
@@ -998,19 +1035,20 @@ object StoreIngest {
               col("__n").as("n_events"))
             .withColumn("__batch", lit(batchId))
             .withColumn("__fp", lit(fp._2))
-          closed.write.mode("append").format("parquet").saveAsTable(table)
+          pt("closed write")(closed.write.mode("append").format("parquet").saveAsTable(table))
           val newTails = marked.filter(col("__sid") === col("__maxsid"))
             .select(col("__user"), col("__sid"), col("__start"),
               col("__last"), col("__ltie"), col("__n"))
             .withColumn("__batch", lit(batchId))
             .withColumn("__fp", lit(fp._2))
-          newTails.write.mode("append").format("parquet").saveAsTable(tails)
+          pt("newTails write")(newTails.write.mode("append").format("parquet").saveAsTable(tails))
           // stamp the gap at creation — maintainStore's classifier and
           // any later ingest read the family parameter off the table
           if (!tailsExists)
             s.sql(s"ALTER TABLE `$tails` SET TBLPROPERTIES " +
               s"('${StoreMaintenance.SessionGapProp}'='$gapUs')")
           owner.catalog.refreshTable(tails)
+          } finally mRdd.unpersist()
         } finally tRdd.unpersist()
     }
   }

@@ -51,4 +51,29 @@ class CoverageSpec extends AnyFunSuite with SparkSpec {
       s"gains must be non-increasing: $gains")
     assert(gains.forall(_ > 0L), "a zero-gain pick must never be emitted")
   }
+
+  test("driver sweep ≡ distributed sweep (gate forced both ways)") {
+    val fixture = (1L to 60L).map(i =>
+      i -> (0 until (i % 9 + 1).toInt).map(j => s"t${(i * 7 + j * 11) % 41}"))
+    val d = docs(fixture: _*)
+    val driver = Coverage.greedyMaxCoverage(d, "id", col("toks"), k = 8)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val dist = Coverage.greedyMaxCoverage(d, "id", col("toks"), k = 8,
+      driverMaxRows = 0L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(driver == dist)
+    assert(driver.nonEmpty)
+  }
+
+  test("driver sweep ≡ distributed sweep on STRING ids (tie-break ordering)") {
+    val d = Seq(
+      "b" -> Seq("x", "y"), "a" -> Seq("p", "q"), "c" -> Seq("p"),
+      "é" -> Seq("x", "z")).toDF("id", "toks")
+    val driver = Coverage.greedyMaxCoverage(d, "id", col("toks"), k = 4)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    val dist = Coverage.greedyMaxCoverage(d, "id", col("toks"), k = 4,
+      driverMaxRows = 0L)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(driver == dist)
+  }
 }
